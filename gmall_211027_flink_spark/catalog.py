@@ -1,0 +1,104 @@
+"""Catalog: explicit schemas + loaders for the test tables and for the
+reference's streaming envelopes (topic_db CDC, topic_log behavior log).
+
+The reference declares schemas per job as Flink SQL DDL strings
+(reference: gmall-realtime utils/MyKafkaUtil.java:91-100 for the CDC
+envelope, app/dwd/log/BaseLogApp.java:47-57 for the log). Here every
+schema lives in one module and is explicit — no inference anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# --- streaming envelope schemas (reference parity) ---------------------------
+
+# Maxwell CDC envelope over MySQL business tables
+# (reference: utils/MyKafkaUtil.java:91-100 declares
+#  {database, table, type, data MAP, old MAP, pt AS PROCTIME()})
+CDC_ENVELOPE_SCHEMA = T.StructType([
+    T.StructField("database", T.StringType()),
+    T.StructField("table", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("old", T.MapType(T.StringType(), T.StringType())),
+])
+
+# Behavior-log JSON with nested objects and arrays
+# (reference: app/dwd/log/BaseLogApp.java:95-97,160-188 accesses
+#  common/page/displays/actions/start/err/ts)
+_COMMON = T.StructType([
+    T.StructField(f, T.StringType())
+    for f in ("ar", "ba", "ch", "is_new", "md", "mid", "os", "uid", "vc")
+])
+_PAGE = T.StructType([
+    T.StructField("during_time", T.LongType()),
+    T.StructField("item", T.StringType()),
+    T.StructField("item_type", T.StringType()),
+    T.StructField("last_page_id", T.StringType()),
+    T.StructField("page_id", T.StringType()),
+    T.StructField("source_type", T.StringType()),
+])
+_DISPLAY = T.StructType([
+    T.StructField("display_type", T.StringType()),
+    T.StructField("item", T.StringType()),
+    T.StructField("item_type", T.StringType()),
+    T.StructField("pos_id", T.StringType()),
+    T.StructField("order", T.StringType()),
+])
+_ACTION = T.StructType([
+    T.StructField("action_id", T.StringType()),
+    T.StructField("item", T.StringType()),
+    T.StructField("item_type", T.StringType()),
+    T.StructField("ts", T.LongType()),
+])
+LOG_SCHEMA = T.StructType([
+    T.StructField("common", _COMMON),
+    T.StructField("page", _PAGE),
+    T.StructField("displays", T.ArrayType(_DISPLAY)),
+    T.StructField("actions", T.ArrayType(_ACTION)),
+    T.StructField("start", T.StructType([
+        T.StructField("entry", T.StringType()),
+        T.StructField("loading_time", T.LongType()),
+        T.StructField("open_ad_id", T.StringType()),
+    ])),
+    T.StructField("err", T.StructType([
+        T.StructField("error_code", T.StringType()),
+        T.StructField("msg", T.StringType()),
+    ])),
+    T.StructField("ts", T.LongType()),
+])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) it
+    # arrives as int64 nanos. Truncate to micros — the same truncation
+    # DuckDB applies when reading nanos — and surface a proper timestamp.
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register each test table as a temp view (for spark.sql plans)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,234 @@
+"""Aggregation operators (SURVEY §2.4 A1-A4, A8-A9).
+
+The reference's DWS layer is keyed/global 10 s tumbling windows with
+incremental reduce (e.g. DwsTrafficVcChArIsNewPageViewWindow.java:126-180,
+DwsTradeProvinceOrderWindow.java:56-111); its ADS layer is batch SQL
+aggregation over ClickHouse (gmall-publisher-2022 mapper/*.java). Both map
+onto plain ``groupBy().agg()`` — Catalyst plans partial (map-side) +
+final HashAggregate automatically, which at 100 TB is exactly the
+pre-aggregation the reference hand-codes with ReduceFunctions.
+
+Window-bucket note: event-time tumbling buckets are computed with the
+native ``F.window`` (epoch-aligned), emitted as formatted strings so the
+DuckDB oracle (explicit epoch arithmetic) hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.functions import dec, dsum, dsum_expr, day_str, bucket_start_str
+from gmall_211027_flink_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (ADS batch aggregate, A8).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    bench=True,
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)        AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)   AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)      AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            dsum_expr(charge).alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADS GMV by day (reference: gmall-publisher TradeStats GMV,
+# mapper/TradeStatsMapper.java:12-16 — sum over the order stream per date).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_gmv_by_day",
+    oracle="""
+    SELECT
+      strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+      COUNT(*) AS order_ct,
+      COUNT(DISTINCT o_custkey) AS order_uu_ct
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ads_gmv_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(day_str("o_orderdate").alias("order_day"))
+        .agg(
+            dsum("o_totalprice").alias("gmv"),
+            F.count("*").alias("order_ct"),
+            F.countDistinct("o_custkey").alias("order_uu_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (A9 — reference: sum(if(is_new='1',uv,0)) at
+# mapper/TrafficVisitorStatsMapper.java:27; multiIf at TrafficKeywordsMapper).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_conditional_agg",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS urgent_gmv,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_ct,
+      CAST(SUM(CASE
+            WHEN o_orderpriority LIKE '1-%' THEN 3
+            WHEN o_orderpriority LIKE '2-%' THEN 2
+            ELSE 1 END) AS BIGINT) AS priority_score
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def ads_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").like("1-%")
+    high = F.col("o_orderpriority").like("2-%")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(urgent, dec("o_totalprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+             .cast("double").alias("urgent_gmv"),
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("urgent_ct"),
+            F.sum(F.when(urgent, 3).when(high, 2).otherwise(1)).cast("bigint")
+             .alias("priority_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed tumbling window aggregate (A1/A2 — reference: 10 s tumble keyed by
+# (ar,ch,is_new,vc) with 5 summed counters,
+# DwsTrafficVcChArIsNewPageViewWindow.java:126-180). Here: 10-minute
+# tumbling windows over `events`, keyed by event_type.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_tumble_by_type",
+    bench=True,
+    oracle="""
+    SELECT
+      strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS stt,
+      event_type,
+      COUNT(*) AS pv_ct,
+      COUNT(DISTINCT user_id) AS uv_ct,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def dws_tumble_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            bucket_start_str("ts", 600).alias("stt"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            dsum("value").alias("value_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global (non-keyed) tumbling window with exact distinct (A3 + A4 —
+# reference: windowAll reduce at DwsTrafficPageViewWindow.java:160-181;
+# Set<String>-based exact COUNT(DISTINCT) at
+# DwsTradeProvinceOrderWindow.java:56-111).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_tumble_global",
+    oracle="""
+    SELECT
+      strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS stt,
+      COUNT(*) AS pv_ct,
+      COUNT(DISTINCT user_id) AS uv_ct,
+      COUNT(DISTINCT event_type) AS type_ct,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def dws_tumble_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(bucket_start_str("ts", 3600).alias("stt"))
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            F.countDistinct("event_type").alias("type_ct"),
+            dsum("value").alias("value_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (beyond the reference — SURVEY §2.4 notes their
+# absence; added for completeness of the ADS surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_rollup_priority",
+    oracle="""
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS order_ct,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def ads_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("order_ct"), dsum("o_totalprice").alias("gmv"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "order_ct", "gmv",
+        )
+    )

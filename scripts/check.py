@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query at a given sf dir on Spark, runs its DuckDB
+oracle on the same parquet files, and compares row count, column names,
+and order-insensitive values (exact for ints/strings; exact-first with a
+reported max-abs-diff for floats, since the driver value-hashes).
+
+Usage: python scripts/check.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from gmall_211027_flink_spark import QUERIES, ORACLES, get_spark  # noqa: E402
+from gmall_211027_flink_spark.catalog import TABLES  # noqa: E402
+from gmall_211027_flink_spark.registry import load_all  # noqa: E402
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]):
+    """Sort columns by name, then rows; mirror a value-hash comparison."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    def key(t):
+        return tuple((v is None, str(v)) for v in t)
+    return sorted(out, key=key), [cols[i] for i in order]
+
+
+def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        return problems
+    s_rows, s_cols = normalize(spark_rows, spark_cols)
+    d_rows, d_cols = normalize(duck_rows, duck_cols)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    max_float_diff = 0.0
+    n_mismatch = 0
+    first = None
+    for sr, dr in zip(s_rows, d_rows):
+        for c, (a, b) in zip(s_cols, zip(sr, dr)):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                max_float_diff = max(max_float_diff, abs(a - b))
+                n_mismatch += 1
+                if first is None:
+                    first = (c, a, b)
+            else:
+                n_mismatch += 1
+                if first is None:
+                    first = (c, a, b)
+    if n_mismatch:
+        problems.append(
+            f"{n_mismatch} value mismatches, first={first}, max_float_diff={max_float_diff:g}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    load_all()
+    spark = get_spark("check")
+    con = duck_conn(sf_dir)
+    failed = []
+    for name, fn in sorted(QUERIES.items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in ORACLES:
+            print(f"ok?  {name}: rows={len(spark_rows)} (no oracle — rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(spark_rows) == 0:
+                print(f"     WARNING {name}: 0 rows")
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"PASS {name}: rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
