@@ -88,7 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,1 +1,349 @@
-"""placeholder"""
+"""Join operators (SURVEY §2.3 J1-J6).
+
+The reference's joins are: streaming inner/left equi-joins over the order
+graph (DwdTradeOrderDetail.java:182-188), lookup joins against a cached
+JDBC dim (``FOR SYSTEM_TIME AS OF``, DwdTradeCartAdd.java:92-94), an
+async Phoenix/Redis dim-enrichment chain
+(DwsTradeTrademarkCategoryUserSpuOrderWindow.java:88-199), a test-only
+interval join (DataStreamJoinTest.java:48-56), and batch full-outer joins
+in the ADS layer (CommodityStatsMapper.java:13-89).
+
+Spark-first mapping: the async record-at-a-time dim chain collapses into
+ordinary **broadcast hash joins** (set-oriented execution replaces async
+I/O); the interval join is an equi-join on the key plus a time-range
+conjunct (Spark plans the range as a post-join filter within the hash
+join on the equi key, so no nested-loop blowup); batch joins are plain
+``df.join`` and Catalyst picks broadcast vs sort-merge by size + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.functions import dec, dsum, dsum_expr, day_str
+from gmall_211027_flink_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-way inner equi-join over the "order graph"
+# (reference: DwdTradeOrderDetail.java:182-184 order_detail ⋈ order_info).
+# customer ⋈ orders ⋈ lineitem, revenue per market segment per order-month.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_order_graph_join",
+    bench=True,
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      strftime(o.o_orderdate, '%Y-%m') AS order_month,
+      COUNT(*) AS item_ct,
+      COUNT(DISTINCT o.o_orderkey) AS order_ct,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def dwd_order_graph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("item_ct"),
+            F.countDistinct("o_orderkey").alias("order_ct"),
+            dsum_expr(revenue).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — lookup/dim join (reference: FOR SYSTEM_TIME AS OF against cached
+# JDBC base_dic, DwdTradeCartAdd.java:92-94). In Spark a small dim is a
+# broadcast join — the 100-row/1 h JDBC cache and the Redis read-through
+# cache (DimUtil.java:30-39) both disappear: every executor holds the dim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dim_lookup_join",
+    oracle="""
+    SELECT
+      p.p_brand,
+      p.p_type,
+      COUNT(*) AS line_ct,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS base_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def dim_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("line_ct"),
+            dsum("l_quantity").alias("qty"),
+            dsum("l_extendedprice").alias("base_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — dim snowflake chain. The reference chains SIX async lookups
+# (sku→spu→tm→c3→c2→c1, DwsTradeTrademarkCategoryUserSpuOrderWindow.java:
+# 88-199, each a Redis-cached Phoenix point query on a thread pool).
+# Spark-first: prejoin the snowflake ONCE (supplier→nation→region here)
+# into a single broadcast dim, then one join against the fact stream.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dim_snowflake_enrich",
+    bench=True,
+    oracle="""
+    SELECT
+      r.r_name AS region_name,
+      n.n_name AS nation_name,
+      COUNT(*) AS line_ct,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def dim_snowflake_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # one small prejoined snowflake, broadcast once
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("n_name").alias("nation_name"),
+                F.col("r_name").alias("region_name"))
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("region_name", "nation_name")
+        .agg(F.count("*").alias("line_ct"), dsum_expr(revenue).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — left outer join with null-padded side
+# (reference: od LEFT JOIN order_activity, DwdTradeOrderDetail.java:185-188).
+# Orders left-joined to their returned lineitems; orders with no returns
+# surface with zeroed metrics (the null-padded row the reference's
+# downstream tolerates).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_left_join_returns",
+    oracle="""
+    SELECT
+      o.o_orderstatus,
+      COUNT(*) AS order_ct,
+      CAST(SUM(CASE WHEN r.ret_ct IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_return_ct,
+      CAST(SUM(COALESCE(r.ret_ct, 0)) AS BIGINT) AS returned_line_ct,
+      CAST(SUM(COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS returned_amt
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             COUNT(*) AS ret_ct,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_amt
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    ) r ON o.o_orderkey = r.l_orderkey
+    GROUP BY 1
+    """,
+)
+def dwd_left_join_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("ret_ct"),
+             F.sum(dec("l_extendedprice")).alias("ret_amt"))
+    )
+    return (
+        o.join(returns, o.o_orderkey == returns.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(F.when(F.col("ret_ct").isNull(), 1).otherwise(0)).cast("bigint")
+             .alias("no_return_ct"),
+            F.sum(F.coalesce("ret_ct", F.lit(0))).cast("bigint").alias("returned_line_ct"),
+            F.sum(F.coalesce(F.col("ret_amt"), F.lit(0).cast("decimal(18,2)")))
+             .cast("double").alias("returned_amt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — batch full outer join (reference: order stats ⟗ refund stats on
+# trademark/category, CommodityStatsMapper.java:13-35).
+# Per-day order stats ⟗ per-day return stats.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_full_outer_stats",
+    oracle="""
+    WITH ord AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+             COUNT(*) AS order_ct,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amt
+      FROM orders WHERE o_orderpriority LIKE '1-%' GROUP BY 1
+    ), ret AS (
+      SELECT strftime(l_shipdate, '%Y-%m-%d') AS dt,
+             COUNT(*) AS return_ct,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS return_amt
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    )
+    SELECT
+      COALESCE(ord.dt, ret.dt) AS dt,
+      COALESCE(order_ct, 0) AS order_ct,
+      COALESCE(order_amt, 0.0) AS order_amt,
+      COALESCE(return_ct, 0) AS return_ct,
+      COALESCE(return_amt, 0.0) AS return_amt
+    FROM ord FULL OUTER JOIN ret ON ord.dt = ret.dt
+    """,
+)
+def ads_full_outer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_stats = (
+        o.filter(F.col("o_orderpriority").like("1-%"))
+        .groupBy(day_str("o_orderdate").alias("dt"))
+        .agg(F.count("*").alias("order_ct"), dsum("o_totalprice").alias("order_amt"))
+    )
+    ret_stats = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(day_str("l_shipdate").alias("dt"))
+        .agg(F.count("*").alias("return_ct"), dsum("l_extendedprice").alias("return_amt"))
+    )
+    return (
+        ord_stats.join(ret_stats, "dt", "full_outer")
+        .select(
+            "dt",
+            F.coalesce("order_ct", F.lit(0)).alias("order_ct"),
+            F.coalesce("order_amt", F.lit(0.0)).alias("order_amt"),
+            F.coalesce("return_ct", F.lit(0)).alias("return_ct"),
+            F.coalesce("return_amt", F.lit(0.0)).alias("return_amt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — interval join (reference: keyed between(-5s,+5s),
+# DataStreamJoinTest.java:48-56). Per user: each click joined to error
+# events within the following 10 minutes. Equi-key (user_id) + time-range
+# conjunct — Spark hash-joins on user_id and filters the range, which is
+# the scalable plan (no cross product).
+# ---------------------------------------------------------------------------
+
+@query(
+    "interval_join_click_error",
+    oracle="""
+    SELECT
+      a.user_id,
+      COUNT(*) AS pair_ct,
+      MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us,
+      MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def interval_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "error").alias("b")
+    # exact integer microseconds — immune to float-division drift
+    gap = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("pair_ct"),
+            F.min(gap).alias("min_gap_us"),
+            F.max(gap).alias("max_gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (absent from the reference — SURVEY §2.3 notes the gap;
+# added as first-class coverage).
+# ---------------------------------------------------------------------------
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT n.n_name AS nation_name, COUNT(*) AS active_customer_ct
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    GROUP BY 1
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("active_customer_ct"))
+    )
+
+
+@query(
+    "anti_join_dormant_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS dormant_ct,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY 1
+    """,
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order — NOT EXISTS as a left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("dormant_ct"), dsum("c_acctbal").alias("acctbal_sum"))
+    )
