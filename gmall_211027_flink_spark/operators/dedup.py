@@ -1,1 +1,324 @@
-"""placeholder"""
+"""Document deduplication family — exact, n-gram Jaccard, MinHash+LSH,
+SimHash (training-data-pipeline operators; beyond the reference surface,
+which the build brief adds as first-class).
+
+Scale design (the point at 100 TB):
+
+- **exact**: hash-groupBy on a content digest — one shuffle on md5(text),
+  map-side partial agg. Never groupBy the raw text: the digest is 32
+  bytes, the text can be megabytes.
+- **n-gram Jaccard**: shingle-explode → self-join *on the shingle* →
+  pair-count. The join key is a shingle, so co-occurring docs meet
+  without a cross product; hot shingles (stopword runs) are the skew
+  risk — AQE skew-join handles it, and a doc-frequency cap can drop
+  degenerate shingles.
+- **MinHash+LSH**: the scale path — signature size is constant (16
+  hashes) per doc regardless of length, and candidate generation joins
+  on (band, band-key) buckets, never all-pairs. Verification (exact
+  Jaccard) runs only on candidates.
+- **SimHash**: constant 32-bit sketch; pigeonhole banding (4×8-bit
+  bands; hamming<=3 ⇒ at least one band equal) keeps candidate
+  generation an equi-join.
+
+Portability: all content hashing is md5-derived (identical hex in Spark
+and DuckDB), integer math only — so every operator here has an exact
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+N_MINHASH = 16
+N_BANDS = 4          # 4 rows per band
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4    # 8 bits per band
+HAMMING_MAX = 3
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per doc: (doc_id, shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(w)-2, 0)),"
+                        " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy (the baseline every pipeline runs first).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS copy_ct,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("copy_ct"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: shingle self-join (exact, quadratic only in
+# truly-overlapping docs).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    bench=True,
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: constant-size signatures, banded candidate buckets.
+# minhash_s(doc) = MIN(md5(s || ':' || shingle)) — lexicographic min of a
+# portable digest, identical in both engines.
+# ---------------------------------------------------------------------------
+
+def _minhash_band_pairs_sql() -> str:
+    rows = N_MINHASH // N_BANDS
+    return f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (
+      SELECT doc_id, s.seed,
+             MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS h
+      FROM sh, (SELECT UNNEST(generate_series(0, {N_MINHASH - 1})) AS seed) s
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, seed // {rows} AS band_id,
+             string_agg(h, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", bench=True, oracle=_minhash_band_pairs_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = N_MINHASH // N_BANDS
+    sh = _shingles(spark, sf_dir).cache()
+    seeds = spark.range(N_MINHASH).withColumnRenamed("id", "seed")
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle"))).alias("h"))
+    )
+    bands = (
+        mh.withColumn("band_id", (F.col("seed") / rows).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.concat_ws("|", F.array_sort(
+            F.collect_list(F.struct("seed", "h"))).getField("h")).alias("band_key"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    inter = (
+        cand.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
+        .join(shb, (F.col("doc_b") == F.col("shb.doc_id"))
+              & (F.col("sha.shingle") == F.col("shb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit sketch from md5-derived token hashes; banded pairing
+# (hamming <= 3 over 4 bands ⇒ some band equal), then exact hamming filter.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SQL = f"""
+  tok AS (
+    SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+  ),
+  th AS (
+    SELECT doc_id, token,
+           ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+    FROM tok
+  ),
+  bitsum AS (
+    SELECT doc_id, b.bit,
+           SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, (SELECT UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+    GROUP BY 1, 2
+  ),
+  sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY 1
+  )
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    banded AS (
+      SELECT doc_id, simhash, k.band_id,
+             (simhash >> (8 * k.band_id)) & 255 AS band_val
+      FROM sig, (SELECT UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS band_id) k
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    )
+    th = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"))
+    bits = spark.range(SIMHASH_BITS).withColumnRenamed("id", "bit")
+    bitsum = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(
+            F.when(F.expr("(h >> cast(bit as int)) & 1") == 1, 1)
+             .otherwise(-1)).alias("s"))
+    )
+    sig = (
+        bitsum.groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+             .otherwise(0)).cast("bigint").alias("simhash"))
+    )
+    bands = spark.range(SIMHASH_BANDS).withColumnRenamed("id", "band_id")
+    banded = (
+        sig.crossJoin(F.broadcast(bands))
+        .withColumn("band_val", F.expr("(simhash >> cast(band_id * 8 as int)) & 255"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )

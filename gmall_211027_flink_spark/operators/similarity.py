@@ -1,1 +1,200 @@
-"""placeholder"""
+"""Similarity search over an embedding column (`array<float>`) —
+brute-force cosine top-k baseline + a bucketed (LSH/IVF-style) scale path.
+
+Scale design:
+
+- **Brute force** is the correctness baseline: broadcast the (small)
+  query set against the corpus — one pass, no shuffle of the corpus,
+  per-row JVM-side arithmetic (``zip_with``/``aggregate``, no Python).
+  At 100 TB corpus this is a single map stage + a top-k aggregation.
+- **Sign-LSH buckets**: each vector gets a b-bit sketch (signs of its
+  first b components — a fixed, data-independent set of hyperplanes);
+  queries probe only their bucket. Candidate generation becomes an
+  equi-join on the sketch, so the corpus never moves — the classic
+  IVF/LSH trade of recall for a ~2^b fanout cut.
+
+Determinism/oracle note: cosine is computed in double, rounded to 6 dp
+*before* ranking, ties broken by vec_id — so Spark and DuckDB rank
+identically (raw float ranking could flip on last-bit differences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+N_QUERIES = 20     # vec_id < 20 are the query set
+TOP_K = 5
+LSH_BITS = 8
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Add double-precision embedding + its L2 norm (JVM-side, no UDF)."""
+    return (
+        df.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("norm", F.expr(
+            "sqrt(aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x))"))
+    )
+
+
+_DOT = "aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (baseline).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    bench=True,
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6) AS cosine
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, rk AS rank, neighbor_id, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "emb", "norm")
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketed ANN (scale path): probe only the query's bucket.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             list_aggregate(
+               list_transform(embedding[1:{LSH_BITS}],
+                              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+               'string_agg', '') AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6) AS cosine
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, bucket, rk AS rank, neighbor_id, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket",
+        F.expr(
+            f"concat_ws('', transform(slice(embedding, 1, {LSH_BITS}),"
+            " x -> case when x >= 0 then '1' else '0' end))"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"), "bucket")
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "emb", "norm",
+                 F.col("bucket").alias("cbucket"))
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("bucket") == F.col("cbucket"))
+               & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "bucket", F.col("rank").alias("rank"),
+                "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs (cosine >= threshold) among the whole
+# corpus, via LSH buckets (no all-pairs).
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             list_aggregate(
+               list_transform(embedding[1:{LSH_BITS}],
+                              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+               'string_agg', '') AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket",
+        F.expr(
+            f"concat_ws('', transform(slice(embedding, 1, {LSH_BITS}),"
+            " x -> case when x >= 0 then '1' else '0' end))"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    cosine = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"),
+            cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,1 +1,353 @@
-"""placeholder"""
+"""Ranking windows, dedup, sessionization, CEP-style patterns
+(SURVEY §2.4 A5-A7, §2.9 W7-W8, §2.5).
+
+The reference implements these record-at-a-time with keyed Flink state:
+
+- first-wins dedup, 5 s TTL (DwsTradePaymentSucWindow.java:74-102),
+- last-wins changelog compaction with a 2 s processing-time timer
+  (OrderDetailFilterFunction.java:20-82),
+- daily-unique visitors via ValueState of last-seen date
+  (DwdTrafficUniqueVisitorDetail.java:60-109),
+- back-flow users, gap >= 8 days (DwsUserUserLoginWindow.java:117-121),
+- is_new correction from first-visit date (BaseLogApp.java:68-118),
+- CEP bounce detection: entry page with no follow-up within 10 s
+  (DwdTrafficUserJumpDetail.java:62-107),
+- session starts counted as last_page_id IS NULL
+  (DwsTrafficVcChArIsNewPageViewWindow.java:96-99).
+
+Batch-first mapping: all are OVER-window expressions (``row_number``,
+``lag``/``lead``, running sums) partitioned by the state key — Spark
+shuffles once per key and scales linearly; no per-record state RPC.
+The streaming equivalents (true incremental state) live in
+``gmall_211027_flink_spark.streaming.state``.
+
+Determinism note: wherever the reference keeps "first/last" by arrival
+order, we order by (ts, event_id) — a total order — so results are
+stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.functions import dsum, day_str
+from gmall_211027_flink_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# A6 — first-wins dedup per key (reference keeps the first row per
+# order_detail_id; here: first event per (user, day), i.e. the row the
+# daily-unique state would emit).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_first_per_user_day",
+    oracle="""
+    SELECT user_id, dt, event_id AS first_event_id, event_type AS first_event_type
+    FROM (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("dt", day_str("ts"))
+    w = Window.partitionBy("user_id", "dt").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "dt",
+                F.col("event_id").alias("first_event_id"),
+                F.col("event_type").alias("first_event_type"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — last-wins changelog compaction (reference: keep latest row per
+# order_detail_id by timestamp, OrderDetailFilterFunction.java:42-81 +
+# TimestampLtz3CompareUtil). Here: latest event per user.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_last_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — daily unique visitors + new-visitor split (reference: UV state at
+# DwdTrafficUniqueVisitorDetail.java:60-109; is_new fix from first-visit
+# date at BaseLogApp.java:68-118). uv = distinct users per day; new_uv =
+# users whose first-ever day is that day.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_daily_uv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_dt FROM events GROUP BY 1
+    ), daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id FROM events GROUP BY 1, 2
+    )
+    SELECT d.dt, COUNT(*) AS uv_ct,
+           CAST(SUM(CASE WHEN f.first_dt = d.dt THEN 1 ELSE 0 END) AS BIGINT) AS new_uv_ct
+    FROM daily d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY 1
+    """,
+)
+def dws_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("dt", day_str("ts"))
+    daily = ev.select("dt", "user_id").distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("dt").alias("first_dt"))
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("dt")
+        .agg(
+            F.count("*").alias("uv_ct"),
+            F.sum(F.when(F.col("first_dt") == F.col("dt"), 1).otherwise(0))
+             .cast("bigint").alias("new_uv_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 back-flow — users returning after a gap >= N days
+# (reference: DwsUserUserLoginWindow.java:117-121 uses 8; the synthetic
+# events table maxes out at 4-day gaps, so the registered query uses 2 —
+# same operator, parameterized threshold).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_backflow_users",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events GROUP BY 1, 2
+    ), gaps AS (
+      SELECT user_id, dt,
+             date_diff('day',
+                       strptime(LAG(dt) OVER (PARTITION BY user_id ORDER BY dt), '%Y-%m-%d'),
+                       strptime(dt, '%Y-%m-%d')) AS gap_days
+      FROM daily
+    )
+    SELECT dt, COUNT(*) AS backflow_ct
+    FROM gaps WHERE gap_days >= 2 GROUP BY 1
+    """,
+)
+def dws_backflow_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("dt", day_str("ts"))
+    daily = ev.select("user_id", "dt").distinct()
+    w = Window.partitionBy("user_id").orderBy("dt")
+    gaps = daily.withColumn(
+        "gap_days", F.datediff(F.col("dt"), F.lag("dt").over(w)))
+    return (
+        gaps.filter(F.col("gap_days") >= 2)
+        .groupBy("dt")
+        .agg(F.count("*").alias("backflow_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7 — CEP-style bounce detection (reference pattern: session entry with no
+# next page within 10 s, match ∪ timeout, DwdTrafficUserJumpDetail.java:
+# 62-107). Events model: an event is a session entry if the previous event
+# of the same user is > 30 min older (or absent); it is a bounce if the
+# next event is > 10 min later (or absent).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_bounce_detection",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER w)  AS prev_gap_us,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS entry_ct,
+           CAST(SUM(CASE WHEN next_gap_us IS NULL OR next_gap_us > 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bounce_ct
+    FROM seq
+    WHERE prev_gap_us IS NULL OR prev_gap_us > 1800000000
+    GROUP BY 1
+    """,
+)
+def dwd_bounce_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id", "event_id", "ts",
+        (us - F.lag(us).over(w)).alias("prev_gap_us"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
+    )
+    entries = seq.filter(
+        F.col("prev_gap_us").isNull() | (F.col("prev_gap_us") > 30 * 60 * 1_000_000))
+    return (
+        entries.groupBy(day_str("ts").alias("dt"))
+        .agg(
+            F.count("*").alias("entry_ct"),
+            F.sum(
+                F.when(
+                    F.col("next_gap_us").isNull()
+                    | (F.col("next_gap_us") > 10 * 60 * 1_000_000), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("bounce_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8 — sessionization (reference counts session starts as
+# last_page_id IS NULL; generalized here to gap-based sessions:
+# new session when >30 min since the user's previous event).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_sessionization",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS event_ct,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def dws_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 30 * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count("*").alias("event_ct"),
+            (F.max(us) - F.min(us)).cast("bigint").alias("duration_us"),
+            dsum("value").alias("value_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — ranking / top-k per group (the reference's ADS only sorts;
+# row_number is our A7 building block — exposed here as a first-class
+# top-k-per-group operator with a deterministic tiebreak).
+# ---------------------------------------------------------------------------
+
+@query(
+    "rank_topk_events_per_user",
+    oracle="""
+    SELECT user_id, rn AS rank_in_user, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def rank_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", F.col("rn").alias("rank_in_user"),
+                "event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-spec running aggregate (beyond the reference; §2.5 notes frames are
+# absent there). Cumulative GMV per customer over order date.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_running_gmv",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_gmv
+    FROM orders
+    """,
+)
+def window_running_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("running_gmv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — deterministic top-k (ORDER BY + LIMIT with a total order).
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                day_str("o_orderdate").alias("order_day"))
+    )
