@@ -1,1 +1,134 @@
-"""placeholder"""
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The image/audio libraries are not in this container, so the *decode step*
+is a deterministic fake (md5-derived pseudo-metadata) clearly marked
+below; everything around it — binary column handling, schema declaration,
+Arrow batch shape, partition-parallel UDF execution — is the real
+production plumbing. Swap ``_fake_decode_batch`` for a PIL/ffmpeg call
+and nothing else changes.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches per partition —
+constant memory per executor regardless of corpus size; the binary
+payload is projected only into the decode stage (column pruning keeps it
+out of every other plan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("content_digest", T.StringType()),
+])
+
+
+def decode_binary_metadata(media: DataFrame) -> DataFrame:
+    """Decode a (doc_id, media_type, payload binary) DataFrame into typed
+    metadata via Arrow-batched mapInPandas.
+
+    REAL IMAGE/AUDIO DECODE IS STUBBED: ``_fake_decode_batch`` derives
+    deterministic pseudo-dimensions from the payload's md5 (the container
+    has no PIL/ffmpeg). The UDF signature, schema, and batch handling are
+    production-shaped.
+    """
+
+    def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["payload"].map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                # fake decode: dimensions carved out of the digest
+                "width": digests.map(lambda d: 16 + int(d[:2], 16)).astype("int64"),
+                "height": digests.map(lambda d: 16 + int(d[2:4], 16)).astype("int64"),
+                "n_frames": digests.map(lambda d: 1 + int(d[4:5], 16)).astype("int64"),
+                "content_digest": digests,
+            })
+
+    return media.mapInPandas(_fake_decode_batch, DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_decode_meta",
+    # Oracle replicates the deterministic fake decode in SQL: payload is
+    # the utf8 text bytes, so md5(payload) == md5(text).
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT AS BIGINT) AS width,
+           CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT AS BIGINT) AS height,
+           CAST(1 + ('0x' || substr(md5(text), 5, 1))::BIGINT AS BIGINT) AS n_frames,
+           md5(text) AS content_digest
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return decode_binary_metadata(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    # Frame sampling: one row per sampled frame index (every other frame).
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(1 + ('0x' || substr(md5(text), 5, 1))::BIGINT AS BIGINT) AS n_frames,
+             md5(text) AS content_digest
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           md5(content_digest || ':' || CAST(i AS VARCHAR)) AS frame_digest
+    FROM meta, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: decode → explode sampled frame indices →
+    per-frame digest (stand-in for a per-frame feature extractor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    meta = decode_binary_metadata(media)
+    return (
+        meta.select(
+            "doc_id", "content_digest",
+            F.explode(F.expr("sequence(cast(0 as bigint), n_frames - 1, 2)"))
+             .alias("frame_idx"))
+        .select(
+            "doc_id", "frame_idx",
+            F.md5(F.concat_ws(":", "content_digest",
+                              F.col("frame_idx").cast("string")))
+             .alias("frame_digest"))
+    )

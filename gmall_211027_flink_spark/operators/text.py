@@ -1,1 +1,206 @@
-"""placeholder"""
+"""Text-analysis operators over the documents table — language ID,
+quality scoring, token counting, fingerprinting (training-data-pipeline
+operators added on top of the reference surface; the reference's only
+text op is the IK keyword tokenizer UDTF, app/func/SplitFunction.java:12-28,
+which maps to split+explode — see plans/ads.py keyword query).
+
+All expressions stay JVM-side (split/size/regexp/aggregate) — a 100 TB
+corpus runs these as a single map stage with no shuffle, so throughput is
+scan-bound. Ratios are single double divisions of exact integer counts
+(portable bit-for-bit to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "von", "zu", "auf", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"),
+    "es": ("el", "la", "los", "y", "es", "de", "un", "una", "en", "por"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-hit-ratio per language + CJK character check.
+# ---------------------------------------------------------------------------
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n".join(
+        f"      len(list_filter(w, t -> list_contains([{_sql_list(ws)}], t))) AS hits_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    greatest = ", ".join(f"hits_{lang}" for lang in STOPWORDS)
+    case = "\n".join(
+        f"        WHEN hits_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), hits AS (
+      SELECT doc_id, lang, len(w) AS n_tokens,
+{hit_cols},
+      regexp_matches(list_aggregate(w, 'string_agg', ' '), '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+      FROM toks
+    ), best AS (
+      SELECT *, greatest({greatest}) AS best FROM hits
+    )
+    SELECT doc_id, lang AS labeled_lang,
+      CASE
+        WHEN has_cjk THEN 'zh'
+{case}
+        ELSE 'und' END AS predicted_lang,
+      CAST(best AS BIGINT) AS stopword_hits,
+      n_tokens
+    FROM best
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", "lang", "text", F.split("text", " ").alias("w"))
+    for lang, ws in STOPWORDS.items():
+        arr = "array(" + ", ".join(f"'{w}'" for w in ws) + ")"
+        df = df.withColumn(
+            f"hits_{lang}",
+            F.expr(f"size(filter(w, t -> array_contains({arr}, t)))"))
+    df = df.withColumn("has_cjk", F.col("text").rlike("[\\u4e00-\\u9fff]"))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    pred = F.when(F.col("has_cjk"), F.lit("zh"))
+    for lang in STOPWORDS:
+        pred = pred.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("stopword_hits"),
+        F.size("w").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / repetition signals.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(STOPWORDS["en"])}], t))) AS stop_hits,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+      CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+      CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+      CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+             AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.3
+           THEN 1 ELSE 0 END AS quality_pass
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    t = docs.select(
+        "doc_id", "n_chars",
+        F.split("text", " ").alias("w"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias("n_punct"),
+    ).select(
+        "doc_id", "n_chars", "n_punct",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.expr(f"size(filter(w, t -> array_contains({en}, t)))").alias("stop_hits"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    return t.select(
+        "doc_id", "n_chars", "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        (F.col("stop_hits").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("stopword_ratio"),
+        (F.col("n_punct").cast("double") / F.col("n_chars").cast("double"))
+            .alias("punct_ratio"),
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+               & (distinct_ratio > 0.3), 1).otherwise(0).alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex segmentation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_len_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: full digest + positional rolling sketch.
+# The rolling sketch takes every 4th word-3-gram's md5 and keeps the
+# lexicographic min — a winnowing-style representative fingerprint.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS full_md5, string_split(text, ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, full_md5,
+             MIN(CASE WHEN i % 4 = 1
+                 THEN md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS winnow_min
+      FROM t, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS s(i)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, full_md5, winnow_min,
+           substr(full_md5, 1, 4) AS shard_bucket
+    FROM grams
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.md5("text").alias("full_md5"),
+                    F.split("text", " ").alias("w"))
+    return t.select(
+        "doc_id", "full_md5",
+        F.expr(
+            "array_min(transform(filter(sequence(1, greatest(size(w)-2, 0)),"
+            " i -> i % 4 = 1),"
+            " i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))))"
+        ).alias("winnow_min"),
+        F.substring("full_md5", 1, 4).alias("shard_bucket"),
+    )

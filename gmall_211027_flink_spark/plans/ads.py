@@ -1,1 +1,149 @@
-"""placeholder"""
+"""ADS query pack — the reference's publisher layer re-expressed as
+Spark SQL over registered views (SURVEY §3.4: HTTP → MyBatis @Select
+ClickHouse SQL; here each endpoint is a named spark.sql query — the REST
+shell is out of engine scope).
+
+These run as plain SQL text so Catalyst handles the whole
+parse→analyze→optimize→execute lifecycle — same lifecycle the reference
+delegates to the Flink/Calcite stack (SURVEY §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_211027_flink_spark.catalog import register_views
+from gmall_211027_flink_spark.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+# ---------------------------------------------------------------------------
+# U3 — UNION ALL multi-metric rows (reference: TradeStatsMapper.java:18-36
+# emits one row per metric name via UNION ALL).
+# ---------------------------------------------------------------------------
+
+_UNION_METRICS = """
+SELECT 'order_count' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+UNION ALL
+SELECT 'order_gmv' AS metric,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM orders
+UNION ALL
+SELECT 'lineitem_count' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT 'customer_count' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM customer
+UNION ALL
+SELECT 'event_users' AS metric,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS value FROM events
+"""
+
+
+@query("ads_union_metrics", oracle=_UNION_METRICS)
+def ads_union_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _UNION_METRICS)
+
+
+# ---------------------------------------------------------------------------
+# F1 — keyword tokenizer UDTF → split + explode (reference:
+# SplitFunction.java:12-28 + LATERAL TABLE at
+# DwsTrafficSourceKeywordPageViewWindow.java:61-68). Word frequencies over
+# the documents corpus; `LATERAL VIEW explode` is the Spark UDTF form.
+# ---------------------------------------------------------------------------
+
+_KEYWORD_SPLIT_SPARK = """
+SELECT word AS keyword, COUNT(*) AS keyword_ct,
+       COUNT(DISTINCT doc_id) AS doc_ct
+FROM documents
+LATERAL VIEW explode(split(text, ' ')) t AS word
+GROUP BY word
+HAVING COUNT(*) >= 10
+"""
+
+_KEYWORD_SPLIT_DUCK = """
+SELECT word AS keyword, COUNT(*) AS keyword_ct,
+       COUNT(DISTINCT doc_id) AS doc_ct
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+HAVING COUNT(*) >= 10
+"""
+
+
+@query("ads_keyword_split", oracle=_KEYWORD_SPLIT_DUCK)
+def ads_keyword_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _KEYWORD_SPLIT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Traffic channel stats (reference: TrafficChannelStatsMapper.java:11-49 —
+# per-channel uv/sv/pv/duration rollups; events stand in for page logs,
+# event_type for channel).
+# ---------------------------------------------------------------------------
+
+_TRAFFIC_STATS = """
+SELECT
+  event_type AS channel,
+  COUNT(DISTINCT user_id) AS uv_ct,
+  COUNT(*) AS pv_ct,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value_per_pv,
+  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS pv_per_uv
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("ads_traffic_channel_stats", oracle=_TRAFFIC_STATS)
+def ads_traffic_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _TRAFFIC_STATS)
+
+
+# ---------------------------------------------------------------------------
+# User stats UNION ALL of cohorts (reference: UserStatsMapper.java:12-63 —
+# back-to-back UNION ALL of registered vs active counts per day).
+# ---------------------------------------------------------------------------
+
+_USER_STATS = """
+WITH signup AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(DISTINCT user_id) AS ct
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), active AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(DISTINCT user_id) AS ct
+  FROM events GROUP BY 1
+)
+SELECT dt, 'signup_uu' AS metric, ct FROM signup
+UNION ALL
+SELECT dt, 'active_uu' AS metric, ct FROM active
+"""
+
+_USER_STATS_SPARK = _USER_STATS.replace(
+    "strftime(ts, '%Y-%m-%d')", "date_format(ts, 'yyyy-MM-dd')")
+
+
+@query("ads_user_stats_union", oracle=_USER_STATS)
+def ads_user_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _USER_STATS_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day visitor profile (reference: toHour(stt) bucketing in
+# TrafficVisitorStatsMapper; hour() + conditional agg in Spark).
+# ---------------------------------------------------------------------------
+
+_HOURLY = """
+SELECT
+  CAST(hour(ts) AS BIGINT) AS hr,
+  COUNT(*) AS pv_ct,
+  COUNT(DISTINCT user_id) AS uv_ct,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_ct
+FROM events
+GROUP BY 1
+"""
+
+
+@query("ads_hourly_visitor_stats", oracle=_HOURLY)
+def ads_hourly_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _HOURLY)

@@ -1,0 +1,142 @@
+"""CDC-envelope handling (SURVEY §2.1 S5, §2.2 P1-P6).
+
+The reference consumes a Maxwell CDC envelope over every MySQL business
+table ({database, table, type, data MAP<STRING,STRING>,
+old MAP<STRING,STRING>} — utils/MyKafkaUtil.java:91-100), then each DWD
+job filters by table/type and projects ``data['col']`` with lazy casts
+(DwdTradeCartAdd.java:37-59). This module provides the same surface over
+any string-typed JSON column (batch or streaming DataFrame alike):
+
+- ``parse_cdc``: from_json into the typed envelope + dirty-record split
+  (P1 — reference sends unparseable rows to a side output,
+  app/dim/DimApp.java:45-63).
+- ``project_table``: table/type predicate + map-key projection with casts
+  (P2/P3) — written so Catalyst pushes the table/type filters into the
+  scan when the source is columnar.
+- ``changed_cols`` / ``delta_int``: old-value change detection (P4/P5 —
+  `old['k'] is not null`, new-minus-old increments, and the
+  array_contains(map_keys(old),k) form the reference demonstrates in
+  src/test/java/com/atguigu/app/ArrayContainsTest.java:26-28).
+- ``prune_columns``: config-driven column pruning (P6 —
+  TableProcessFunction.java:159-173).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import CDC_ENVELOPE_SCHEMA
+
+
+def parse_cdc(raw: DataFrame, json_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """Parse a raw JSON string column into the CDC envelope.
+
+    Returns (clean, dirty): rows whose JSON fails to parse (from_json →
+    null struct) go to the dirty side, mirroring the reference's side
+    output for 脏数据 (dirty data).
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(json_col), CDC_ENVELOPE_SCHEMA))
+    clean = parsed.filter(F.col("_env").isNotNull()
+                          & F.col("_env.table").isNotNull()).select("_env.*")
+    dirty = parsed.filter(F.col("_env").isNull()
+                          | F.col("_env.table").isNull()).select(F.col(json_col))
+    return clean, dirty
+
+
+def project_table(env: DataFrame, table: str, types: tuple[str, ...],
+                  columns: dict[str, str]) -> DataFrame:
+    """Filter one business table + op types out of the envelope and project
+    ``data['col']`` into typed columns.
+
+    ``columns`` maps output column name -> cast type (e.g. {"id": "bigint",
+    "cart_price": "decimal(16,2)"}), mirroring the per-job select lists of
+    dwd/db/* (types from DwdTradeOrderDetail.java:199-244).
+    """
+    out = [F.col("data")[name].cast(t).alias(name) for name, t in columns.items()]
+    return (
+        env.filter((F.col("table") == table) & F.col("type").isin(*types))
+        .select(*out, "type", "old", "ts")
+    )
+
+
+def changed(env_old: Column, key: str) -> Column:
+    """True when an UPDATE changed ``key`` (P5): the old map carries the
+    pre-image only for changed columns."""
+    return F.array_contains(F.map_keys(env_old), key)
+
+
+def delta_int(env: DataFrame, key: str) -> Column:
+    """Insert → full value; update → new-minus-old increment (P4 —
+    DwdTradeCartAdd.java:43 computes the cart-quantity delta)."""
+    new_v = F.col("data")[key].cast("int")
+    old_v = F.col("old")[key].cast("int")
+    return (
+        F.when(F.col("type") == "insert", new_v)
+        .when(old_v.isNotNull(), new_v - old_v)
+        .otherwise(new_v)
+    )
+
+
+def prune_columns(df: DataFrame, sink_columns: list[str]) -> DataFrame:
+    """Config-driven pruning: keep only the configured sink columns that
+    actually exist on the row (P6)."""
+    keep = [c for c in sink_columns if c in df.columns]
+    return df.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness query: envelope round-trip. Orders rows are
+# serialized into Maxwell-style envelopes (all values stringified, exactly
+# how Maxwell emits MySQL rows), parsed back through parse_cdc +
+# project_table, and aggregated — proving the whole S5/P1-P4 path against
+# a plain-SQL oracle.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+from gmall_211027_flink_spark.catalog import load_table  # noqa: E402
+from gmall_211027_flink_spark.registry import query  # noqa: E402
+
+
+@query(
+    "cdc_envelope_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS order_ct,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    GROUP BY 1
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # build Maxwell-style envelopes: every business value is a string in `data`
+    raw = orders.select(
+        F.to_json(F.struct(
+            F.lit("gmall").alias("database"),
+            F.lit("order_info").alias("table"),
+            F.lit("insert").alias("type"),
+            F.unix_millis(F.current_timestamp()).alias("ts"),
+            F.create_map(
+                F.lit("id"), F.col("o_orderkey").cast("string"),
+                F.lit("user_id"), F.col("o_custkey").cast("string"),
+                F.lit("order_status"), F.col("o_orderstatus"),
+                F.lit("total_amount"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                F.lit("priority"), F.col("o_orderpriority"),
+            ).alias("data"),
+        )).alias("value")
+    )
+    clean, _dirty = parse_cdc(raw)
+    proj = project_table(
+        clean, "order_info", ("insert", "update"),
+        {"id": "bigint", "user_id": "bigint", "order_status": "string",
+         "total_amount": "decimal(18,2)", "priority": "string"},
+    )
+    return (
+        proj.filter(F.col("priority").like("1-%") | F.col("priority").like("2-%"))
+        .groupBy(F.col("order_status").alias("status"))
+        .agg(F.count("*").alias("order_ct"),
+             F.sum("total_amount").cast("double").alias("gmv"))
+    )
