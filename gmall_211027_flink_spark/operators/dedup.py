@@ -42,8 +42,15 @@ HAMMING_MAX = 3
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word-3-gram shingles per doc: (doc_id, shingle).
+
+    The source is repartitioned by doc_id BEFORE the explode: a doc corpus
+    often arrives as few large files, and shingling amplifies rows ~100x —
+    spreading docs first parallelizes the explode+md5 work and pre-shuffles
+    on the downstream groupBy key.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return (
         docs.select(
             "doc_id",
@@ -120,6 +127,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).cache()
+    sh.count()  # materialize eagerly: downstream branches run as parallel
+    # stages and would otherwise race to (re)compute the cached plan
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -188,18 +197,30 @@ def _minhash_band_pairs_sql() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = N_MINHASH // N_BANDS
     sh = _shingles(spark, sf_dir).cache()
-    seeds = spark.range(N_MINHASH).withColumnRenamed("id", "seed")
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle"))).alias("h"))
-    )
+    sh.count()  # materialize eagerly (see dedup_ngram_jaccard)
+    # All 16 minhashes in ONE aggregation pass (no seed fan-out join):
+    # each is a map-side-combinable MIN, so the shuffle carries one row
+    # per doc with 16 digest columns instead of 16x the shingle set.
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "shingle"))).alias(f"h{s}")
+        for s in range(N_MINHASH)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).cast("long").alias("band_id"),
+            F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+             .alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ])
+    # bands is tiny (4 rows/doc) but sits above the expensive mh subtree;
+    # cache it so the a/b sides of the self-join (and the verification
+    # branch) don't re-derive mh from raw shingles.
     bands = (
-        mh.withColumn("band_id", (F.col("seed") / rows).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.concat_ws("|", F.array_sort(
-            F.collect_list(F.struct("seed", "h"))).getField("h")).alias("band_key"))
-    )
+        mh.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", F.col("b.band_id").alias("band_id"),
+                F.col("b.band_key").alias("band_key"))
+    ).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -208,7 +229,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sha = sh.alias("sha")
     shb = sh.alias("shb")
