@@ -68,8 +68,12 @@ def changed(env_old: Column, key: str) -> Column:
 
 def delta_int(env: DataFrame, key: str) -> Column:
     """Insert → full value; update → new-minus-old increment (P4 —
-    DwdTradeCartAdd.java:43 computes the cart-quantity delta)."""
-    new_v = F.col("data")[key].cast("int")
+    DwdTradeCartAdd.java:43 computes the cart-quantity delta).
+
+    Works on the raw envelope (reads ``data[key]``) or on a
+    ``project_table`` output (reads the projected column directly)."""
+    new_v = (F.col(key) if key in env.columns
+             else F.col("data")[key]).cast("int")
     old_v = F.col("old")[key].cast("int")
     return (
         F.when(F.col("type") == "insert", new_v)

@@ -1,0 +1,33 @@
+"""File-based sources (test/prod parquet paths + streaming readers).
+
+Every streaming job in this engine takes a DataFrame, not a topic name —
+so tests drive them with these file streams (availableNow) while prod
+wires sources/kafka.py builders. This is the reference's
+stream/table duality (SURVEY §1.3) expressed as dependency injection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_parquet(spark: SparkSession, path: str,
+                   schema: T.StructType | None = None) -> DataFrame:
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_json(spark: SparkSession, path: str,
+                schema: T.StructType) -> DataFrame:
+    return spark.readStream.schema(schema).json(path)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic load source for smoke tests (reference uses socket/print
+    experiments in its test dir; rate is Spark's built-in equivalent)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second).load()
+    )

@@ -1,0 +1,52 @@
+"""Streaming window aggregation (SURVEY §2.9 W1-W3, §2.4 A1-A4) — the DWS
+layer as actual Structured Streaming queries.
+
+The reference's DWS jobs are: watermark (2 s typical) → keyBy → 10 s
+tumbling event-time window → incremental reduce → decorate with window
+start/end (stt/edt) → ClickHouse
+(e.g. DwsTrafficVcChArIsNewPageViewWindow.java:118-180).
+
+Spark shape: ``withWatermark → groupBy(window(...), keys) → agg`` —
+partial aggregation happens map-side before the shuffle (the reference's
+"来一条聚合一条" incremental reduce, for free), and late rows beyond the
+watermark are dropped exactly like the reference (no allowedLateness
+anywhere in it — W3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, ts_col: str, window_size: str,
+                 watermark: str, keys: list[str],
+                 aggs: list[Column]) -> DataFrame:
+    """Keyed (or global, keys=[]) tumbling event-time window aggregate,
+    decorated with stt/edt strings like the reference's WindowFunction
+    wrappers (DwsTrafficVcChArIsNewPageViewWindow.java:152-161)."""
+    win = F.window(F.col(ts_col), window_size)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, *keys)
+        .agg(*aggs)
+        .withColumn("stt", F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("edt", F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+        .drop("window")
+    )
+
+
+def session_agg(events: DataFrame, ts_col: str, gap: str, watermark: str,
+                keys: list[str], aggs: list[Column]) -> DataFrame:
+    """Session-window aggregate (SURVEY W8 generalization) — Spark's
+    native ``session_window`` handles merge-on-arrival."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(*aggs)
+        .withColumn("stt", F.date_format(F.col("session_window.start"),
+                                         "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("edt", F.date_format(F.col("session_window.end"),
+                                         "yyyy-MM-dd HH:mm:ss"))
+        .drop("session_window")
+    )

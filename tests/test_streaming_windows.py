@@ -1,0 +1,91 @@
+"""Streaming window aggregation + CEP bounce detection
+(SURVEY W1/W2/W7/W8) driven by file streams.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.sources.files import stream_parquet
+from gmall_211027_flink_spark.streaming.bounce import detect_bounces
+from gmall_211027_flink_spark.streaming.windows import session_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_win"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(spark, df, name, mode="complete"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_agg_matches_batch(spark, events_path):
+    stream = stream_parquet(spark, events_path)
+    agg = tumbling_agg(
+        stream, "ts", "10 minutes", "2 seconds", ["event_type"],
+        [F.count("*").alias("pv_ct"),
+         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum")],
+    )
+    got = _run(spark, agg, "tumble_out")
+
+    batch = spark.read.parquet(events_path)
+    expected = (
+        batch.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("pv_ct"))
+    )
+    assert got.count() == expected.count()
+    # spot-check one bucket end-to-end
+    row = got.orderBy("stt", "event_type").first()
+    exp = (
+        batch.filter(
+            (F.date_format(F.window("ts", "10 minutes").start,
+                           "yyyy-MM-dd HH:mm:ss") == row["stt"])
+            & (F.col("event_type") == row["event_type"]))
+        .count()
+    )
+    assert row["pv_ct"] == exp
+
+
+def test_session_agg_smoke(spark, events_path):
+    stream = stream_parquet(spark, events_path)
+    agg = session_agg(
+        stream, "ts", "30 minutes", "2 seconds", ["user_id"],
+        [F.count("*").alias("event_ct")],
+    )
+    got = _run(spark, agg, "session_out")
+    assert got.count() > 0
+    # session windows per user must not overlap
+    rows = got.select("user_id", "stt", "edt").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["stt"], r["edt"]))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_bounce_detection_stream(spark, tmp_path):
+    src = str(tmp_path / "entries")
+    # user 1: entries 0s and 700s apart -> first is a bounce (gap > 600)
+    # user 2: entries 0s and 30s apart  -> first is engaged (no bounce)
+    rows = [
+        (1, 100.0, 1), (1, 800.0, 2),
+        (2, 100.0, 3), (2, 130.0, 4),
+    ]
+    spark.createDataFrame(rows, ["user_id", "ts_s", "event_id"]) \
+        .write.mode("overwrite").parquet(src)
+    stream = stream_parquet(spark, src)
+    got = _run(spark, detect_bounces(stream), "bounce_out", mode="append")
+    verdicts = {r["entry_event_id"]: r["is_bounce"] for r in got.collect()}
+    assert verdicts[1] is True
+    assert verdicts[3] is False
