@@ -231,8 +231,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sha = sh.alias("sha")
-    shb = sh.alias("shb")
+    # Verification touches only candidate docs — semi-join the shingle set
+    # down to them first (candidates are a tiny fraction of the corpus),
+    # so the pair-count join runs over thousands of rows, not the full set.
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select("doc_b")).distinct())
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sha = sh_cand.alias("sha")
+    shb = sh_cand.alias("shb")
     inter = (
         cand.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
         .join(shb, (F.col("doc_b") == F.col("shb.doc_id"))
