@@ -147,3 +147,159 @@ GROUP BY 1
 @query("ads_hourly_visitor_stats", oracle=_HOURLY)
 def ads_hourly_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _HOURLY)
+
+
+# ---------------------------------------------------------------------------
+# Commodity stats: order amounts ⟗ refund amounts per brand (reference:
+# CommodityStatsMapper.java:13-35 full-outer-joins order stats and refund
+# stats on trademark; brand stands in for trademark).
+# ---------------------------------------------------------------------------
+
+_COMMODITY = """
+WITH ord AS (
+  SELECT p.p_brand AS brand,
+         COUNT(*) AS order_line_ct,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS order_amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag <> 'R' GROUP BY 1
+), ret AS (
+  SELECT p.p_brand AS brand,
+         COUNT(*) AS refund_line_ct,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS refund_amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag = 'R' GROUP BY 1
+)
+SELECT COALESCE(ord.brand, ret.brand) AS brand,
+       COALESCE(order_line_ct, 0) AS order_line_ct,
+       COALESCE(order_amount, 0.0) AS order_amount,
+       COALESCE(refund_line_ct, 0) AS refund_line_ct,
+       COALESCE(refund_amount, 0.0) AS refund_amount
+FROM ord FULL OUTER JOIN ret ON ord.brand = ret.brand
+"""
+
+
+@query("ads_commodity_stats", oracle=_COMMODITY)
+def ads_commodity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _COMMODITY)
+
+
+# ---------------------------------------------------------------------------
+# Activity/subsidy-rate ratio (reference: ActivityStatsMapper.java:10-17 —
+# reduce_amount / origin_total_amount per activity; here discount given /
+# gross price per order priority).
+# ---------------------------------------------------------------------------
+
+_SUBSIDY = """
+SELECT
+  o.o_orderpriority AS priority,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount_amount,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_amount,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS subsidy_rate
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@query("ads_subsidy_rate", oracle=_SUBSIDY)
+def ads_subsidy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _SUBSIDY)
+
+
+# ---------------------------------------------------------------------------
+# Keyword scoring with a CASE chain (reference: TrafficKeywordsMapper.java:
+# 10-21 — multiIf() weights keyword sources; weights by word length here).
+# ---------------------------------------------------------------------------
+
+_KEYWORD_SCORE = """
+SELECT keyword,
+       CAST(SUM(CASE WHEN length(keyword) >= 7 THEN 3
+                     WHEN length(keyword) >= 5 THEN 2
+                     ELSE 1 END) AS BIGINT) AS weighted_ct,
+       COUNT(*) AS raw_ct
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS keyword FROM documents)
+GROUP BY keyword
+HAVING COUNT(*) >= 5
+"""
+
+_KEYWORD_SCORE_SPARK = """
+SELECT keyword,
+       CAST(SUM(CASE WHEN length(keyword) >= 7 THEN 3
+                     WHEN length(keyword) >= 5 THEN 2
+                     ELSE 1 END) AS BIGINT) AS weighted_ct,
+       COUNT(*) AS raw_ct
+FROM documents
+LATERAL VIEW explode(split(text, ' ')) t AS keyword
+GROUP BY keyword
+HAVING COUNT(*) >= 5
+"""
+
+
+@query("ads_keyword_score", oracle=_KEYWORD_SCORE)
+def ads_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _KEYWORD_SCORE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (beyond the reference — wide-format reporting over the ADS store).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_ct,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_ct,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_ct
+    FROM orders GROUP BY 1
+    """,
+)
+def ads_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("F", F.lit(0)).alias("f_ct"),
+            F.coalesce("O", F.lit(0)).alias("o_ct"),
+            F.coalesce("P", F.lit(0)).alias("p_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (beyond the reference): all grouping-set combos over two dims.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_cube_returnflag_linestatus",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS line_ct,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def ads_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.functions import dsum
+    from pyspark.sql import functions as F
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("line_ct"), dsum("l_quantity").alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "line_ct", "qty",
+        )
+    )
