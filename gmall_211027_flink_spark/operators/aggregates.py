@@ -232,3 +232,65 @@ def ads_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_ct", "gmv",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction + aggregation (P9 / §2.8 map-json functions —
+# the reference fastjson-parses `old`/`props`-style payloads everywhere,
+# e.g. DwdTradeOrderRefund.java:87-97). events.props is a JSON string.
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT
+      CAST(json_extract(props::JSON, '$.k') AS BIGINT) % 10 AS k_bucket,
+      COUNT(*) AS event_ct,
+      COUNT(DISTINCT user_id) AS uu_ct,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.countDistinct("user_id").alias("uu_ct"),
+            dsum("value").alias("value_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / distribution stats (beyond the reference's sums —
+# a reporting layer over the DWS store needs these; exact `percentile`
+# keeps oracle parity where approx sketches wouldn't).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_quantity_distribution",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MIN(l_quantity) AS DOUBLE) AS q_min,
+           quantile_cont(l_quantity, 0.5) AS q_median,
+           quantile_cont(l_quantity, 0.9) AS q_p90,
+           CAST(MAX(l_quantity) AS DOUBLE) AS q_max
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def stats_quantity_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").cast("double").alias("q_min"),
+            F.expr("percentile(l_quantity, 0.5)").alias("q_median"),
+            F.expr("percentile(l_quantity, 0.9)").alias("q_p90"),
+            F.max("l_quantity").cast("double").alias("q_max"),
+        )
+    )

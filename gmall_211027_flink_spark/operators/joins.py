@@ -347,3 +347,41 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("dormant_ct"), dsum("c_acctbal").alias("acctbal_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation/join helpers (100 TB concern: hot keys. AQE's
+# skew-join split handles most cases at runtime; explicit salting is the
+# deterministic fallback for pathological keys, e.g. a null-heavy dim key
+# or one viral item id).
+# ---------------------------------------------------------------------------
+
+def salted_groupby_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase count for a skewed group key: partial count per
+    (key, salt) — spreading one hot key over ``salt_buckets`` reducers —
+    then final sum per key. Same result as ``groupBy(key).count()``.
+    """
+    salted = df.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets))
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").cast("bigint").alias("count"))
+
+
+def salted_broadcast_join(big: DataFrame, small: DataFrame, key: str,
+                          salt_buckets: int = 16) -> DataFrame:
+    """Salted variant of a fact⋈dim join. The dim side is exploded
+    ``salt_buckets``× (it is small — that's the premise) so each salted
+    fact partition finds its match locally; output equals a plain join."""
+    salted_big = big.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets))
+    salted_small = (
+        small.withColumn("_salts", F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    )
+    return (
+        salted_big.join(
+            F.broadcast(salted_small),
+            (salted_big[key] == salted_small[key])
+            & (salted_big["_salt"] == salted_small["_salts"]))
+        .drop("_salt", "_salts").drop(salted_small[key])
+    )
