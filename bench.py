@@ -18,6 +18,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from gmall_211027_flink_spark import get_spark  # noqa: E402
 from gmall_211027_flink_spark.registry import (  # noqa: E402
     BENCH_QUERIES, QUERIES, load_all,
@@ -29,9 +31,14 @@ def main() -> None:
     load_all()
     spark = get_spark("bench")
     names = BENCH_QUERIES or sorted(QUERIES)
-    # warm the JVM/session once on the smallest table so the first timed
-    # query doesn't pay one-time init costs
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM/session once (codegen, shuffle machinery, parquet reader)
+    # on a tiny throwaway aggregation — no query results are precomputed
+    (spark.read.parquet(f"{sf_dir}/region.parquet")
+     .groupBy("r_name").count().collect())
+    (spark.read.parquet(f"{sf_dir}/nation.parquet")
+     .join(spark.read.parquet(f"{sf_dir}/region.parquet"),
+           F.col("n_regionkey") == F.col("r_regionkey"))
+     .count())
 
     timings: dict[str, float] = {}
     for name in names:

@@ -41,33 +41,39 @@ SIMHASH_BANDS = 4    # 8 bits per band
 HAMMING_MAX = 3
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per doc: (doc_id, shingle).
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_arr): the distinct word-3-gram shingle SET per doc, as
+    an array column — computed in one map stage and cached.
 
-    The source is repartitioned by doc_id BEFORE the explode: a doc corpus
-    often arrives as few large files, and shingling amplifies rows ~100x —
-    spreading docs first parallelizes the explode+md5 work and pre-shuffles
-    on the downstream groupBy key.
+    This is the shared representation for the whole dedup family: Jaccard
+    explodes it for the shingle self-join, MinHash folds it into constant
+    signatures without any shuffle (array_min over a lambda), sizes come
+    from ``size(sh_arr)`` for free. Identical plans share Spark's cache
+    manager entry, so the corpus is shingled once per session.
+
+    The source is repartitioned by doc_id BEFORE shingling: a doc corpus
+    often arrives as few large files; spreading docs first parallelizes
+    the row-amplifying work.
     """
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return (
-        docs.select(
-            "doc_id",
-            F.split("text", " ").alias("w"),
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, greatest(size(w)-2, 0)),"
-                        " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))"
-                    )
-                )
-            ).alias("shingle"),
-        )
-    )
+    wdocs = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(split(text,' '))-2, 0)),"
+            " i -> concat_ws(' ', element_at(split(text,' '),i),"
+            " element_at(split(text,' '),i+1), element_at(split(text,' '),i+2))))"
+        ).alias("sh_arr"),
+    ).cache()
+    wdocs.count()  # materialize eagerly: parallel downstream stages would
+    # otherwise race to recompute the cached subtree
+    return wdocs
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) rows, derived from the cached arrays."""
+    return (_shingle_arrays(spark, sf_dir)
+            .select("doc_id", F.explode("sh_arr").alias("shingle")))
 
 
 _SHINGLES_SQL = """
@@ -126,10 +132,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
-    sh.count()  # materialize eagerly: downstream branches run as parallel
-    # stages and would otherwise race to (re)compute the cached plan
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    wdocs = _shingle_arrays(spark, sf_dir)
+    sh = wdocs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    sizes = wdocs.select("doc_id", F.size("sh_arr").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -196,15 +201,16 @@ def _minhash_band_pairs_sql() -> str:
 @query("dedup_minhash_lsh", bench=True, oracle=_minhash_band_pairs_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = N_MINHASH // N_BANDS
-    sh = _shingles(spark, sf_dir).cache()
-    sh.count()  # materialize eagerly (see dedup_ngram_jaccard)
-    # All 16 minhashes in ONE aggregation pass (no seed fan-out join):
-    # each is a map-side-combinable MIN, so the shuffle carries one row
-    # per doc with 16 digest columns instead of 16x the shingle set.
-    mh = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "shingle"))).alias(f"h{s}")
-        for s in range(N_MINHASH)
-    ])
+    # Signatures computed ENTIRELY map-side from the per-doc shingle array:
+    # array_min(transform(...)) per seed — zero shuffle until banding.
+    # At 100 TB this stage is scan-bound; nothing wide happens until each
+    # doc is reduced to 16 digests (constant size regardless of doc length).
+    wdocs = _shingle_arrays(spark, sf_dir)
+    mh = wdocs.select(
+        "doc_id",
+        *[F.expr(f"array_min(transform(sh_arr, x -> md5(concat('{s}', ':', x))))")
+          .alias(f"h{s}") for s in range(N_MINHASH)],
+    )
     band_structs = F.array(*[
         F.struct(
             F.lit(b).cast("long").alias("band_id"),
@@ -213,14 +219,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ])
-    # bands is tiny (4 rows/doc) but sits above the expensive mh subtree;
-    # cache it so the a/b sides of the self-join (and the verification
-    # branch) don't re-derive mh from raw shingles.
+    # bands is tiny (4 rows/doc) but sits above the signature computation;
+    # cache it so the a/b sides of the self-join don't recompute it.
     bands = (
         mh.select("doc_id", F.explode(band_structs).alias("b"))
         .select("doc_id", F.col("b.band_id").alias("band_id"),
                 F.col("b.band_key").alias("band_key"))
     ).cache()
+    bands.count()  # materialize before the self-join (both sides reuse it)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -230,13 +236,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     ).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Verification touches only candidate docs — semi-join the shingle set
-    # down to them first (candidates are a tiny fraction of the corpus),
-    # so the pair-count join runs over thousands of rows, not the full set.
+    cand.count()  # materialize: consumed by three branches below
+    sizes = wdocs.select("doc_id", F.size("sh_arr").alias("n"))
+    # Verification explodes shingles ONLY for candidate docs (a tiny
+    # fraction of the corpus): semi-join first, then pair-count.
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .union(cand.select("doc_b")).distinct())
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh_cand = (
+        wdocs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", F.explode("sh_arr").alias("shingle"))
+    )
     sha = sh_cand.alias("sha")
     shb = sh_cand.alias("shb")
     inter = (
