@@ -385,3 +385,77 @@ def salted_broadcast_join(big: DataFrame, small: DataFrame, key: str,
             & (salted_big["_salt"] == salted_small["_salts"]))
         .drop("_salt", "_salts").drop(salted_small[key])
     )
+
+
+# ---------------------------------------------------------------------------
+# DWS province order window analog (reference:
+# DwsTradeProvinceOrderWindow.java:56-130 — tumbling window keyed by
+# province, exact COUNT(DISTINCT order) via Set accumulator + async
+# province-dim enrich). Spark: day window keyed via broadcast dim join,
+# countDistinct — the Set and the async chain both disappear.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_province_order_window",
+    oracle="""
+    SELECT
+      strftime(o.o_orderdate, '%Y-%m-%d') AS dt,
+      n.n_name AS province_name,
+      COUNT(DISTINCT o.o_orderkey) AS order_ct,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def dws_province_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .select("c_custkey", F.col("n_name").alias("province_name")))
+    return (
+        o.filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")))
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy(day_str("o_orderdate").alias("dt"), "province_name")
+        .agg(F.countDistinct("o_orderkey").alias("order_ct"),
+             dsum("o_totalprice").alias("order_amount"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations EXCEPT / INTERSECT (absent from the reference — SURVEY
+# §2.7 notes the gap; added for a complete set-op surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_ops_churned_customers",
+    oracle="""
+    WITH jan AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
+    ), feb AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') = '1995-02'
+    )
+    SELECT 'churned' AS cohort, COUNT(*) AS customer_ct
+    FROM (SELECT * FROM jan EXCEPT SELECT * FROM feb)
+    UNION ALL
+    SELECT 'retained' AS cohort, COUNT(*) AS customer_ct
+    FROM (SELECT * FROM jan INTERSECT SELECT * FROM feb)
+    """,
+)
+def set_ops_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    jan = o.filter(month == "1995-01").select("o_custkey").distinct()
+    feb = o.filter(month == "1995-02").select("o_custkey").distinct()
+    churned = jan.exceptAll(feb).agg(F.count("*").alias("customer_ct")) \
+        .select(F.lit("churned").alias("cohort"), "customer_ct")
+    retained = jan.intersect(feb).agg(F.count("*").alias("customer_ct")) \
+        .select(F.lit("retained").alias("cohort"), "customer_ct")
+    return churned.unionByName(retained)

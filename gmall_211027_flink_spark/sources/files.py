@@ -31,3 +31,19 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second).load()
     )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table (handles the TIMESTAMP(NANOS) column the
+    same way catalog.load_table does for batch reads)."""
+    from pyspark.sql import functions as F
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source requires a directory: point it at sf_dir
+    # and glob-filter to the one table file
+    stream = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream

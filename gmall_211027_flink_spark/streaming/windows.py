@@ -50,3 +50,46 @@ def session_agg(events: DataFrame, ts_col: str, gap: str, watermark: str,
                                          "yyyy-MM-dd HH:mm:ss"))
         .drop("session_window")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness query: the DWS tumbling window run AS A STREAM
+# (readStream → watermark → window agg → memory sink), hash-checked
+# against the same SQL oracle as the batch form — streaming and batch
+# produce identical results by construction (complete output mode).
+# ---------------------------------------------------------------------------
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from gmall_211027_flink_spark.registry import query  # noqa: E402
+
+
+@query(
+    "dws_tumble_streaming",
+    oracle="""
+    SELECT
+      strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS stt,
+      event_type,
+      COUNT(*) AS pv_ct,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def dws_tumble_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+    stream = stream_events(spark, sf_dir)
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", "2 seconds", ["event_type"],
+        [F.count("*").alias("pv_ct"),
+         F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+          .alias("value_sum")],
+    ).select("stt", "event_type", "pv_ct", "value_sum")
+    name = f"dws_tumble_stream_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
