@@ -1,0 +1,123 @@
+"""As-of join — for each left event, the nearest *prior* right event on
+the same key (the time-series join Spark lacks natively; SURVEY notes the
+reference has only the ±5 s interval join, DataStreamJoinTest.java:48-56,
+so this generalizes J5).
+
+Two implementations with identical semantics (strictly-before match,
+(ts, event_id) total order):
+
+- **window carry-forward** (default): union both sides, one window pass
+  per key with ``last(..., ignorenulls)`` — a single shuffle on the key,
+  fully JVM-side; the plan every engine would pick at scale.
+- **applyInPandas + merge_asof**: the grouped-map form — demonstrates
+  the Arrow-batched per-group escape hatch for semantics the window form
+  can't express (nearest-within-tolerance both directions, multiple
+  tolerance columns). Same shuffle shape (groupBy key), Python per group.
+
+Registered query: each 'purchase' event matched to the user's most
+recent strictly-earlier 'view' event.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+_ASOF_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER w AS prior_view_id,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS prior_view_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       prior_view_id,
+       CAST(epoch_us(ts) - prior_view_us AS BIGINT) AS view_to_buy_us
+FROM seq
+WHERE event_type = 'purchase'
+"""
+
+
+@query("asof_join_window", oracle=_ASOF_ORACLE)
+def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_us = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    seq = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.last(view_id, ignorenulls=True).over(w).alias("prior_view_id"),
+        F.last(view_us, ignorenulls=True).over(w).alias("prior_view_us"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "prior_view_id",
+            (F.unix_micros("ts") - F.col("prior_view_us")).cast("bigint")
+                .alias("view_to_buy_us"),
+        )
+    )
+
+
+_ASOF_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("purchase_id", T.LongType()),
+    T.StructField("purchase_ts", T.StringType()),
+    T.StructField("prior_view_id", T.LongType()),
+    T.StructField("view_to_buy_us", T.LongType()),
+])
+
+
+@query("asof_join_pandas", oracle=_ASOF_ORACLE)
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via grouped-map ``pd.merge_asof`` per user."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        left = pdf[pdf["event_type"] == "purchase"]
+        right = pdf[pdf["event_type"] == "view"]
+        if left.empty:
+            return pd.DataFrame(columns=[f.name for f in _ASOF_SCHEMA.fields])
+        # merge_asof consumes the `on` column — carry the view ts along
+        # under its own name so the gap survives the merge
+        right = right[["ts", "event_id"]].rename(
+            columns={"event_id": "view_event_id"})
+        right["view_ts"] = right["ts"]
+        merged = pd.merge_asof(
+            left, right, on="ts", direction="backward",
+            allow_exact_matches=False)
+        # exact integer µs via int64 ns (normalize the unit first: Arrow
+        # hands pandas datetime64[us] or [ns] depending on version); NaT
+        # rows (no prior view) stay NA through the masked assignment
+        mask = merged["view_ts"].notna()
+        gap_us = pd.Series(pd.NA, index=merged.index, dtype="Int64")
+        if mask.any():
+            ts_ns = merged.loc[mask, "ts"].astype("datetime64[ns]").astype("int64")
+            view_ns = merged.loc[mask, "view_ts"].astype("datetime64[ns]").astype("int64")
+            gap_us[mask] = (ts_ns - view_ns) // 1000
+        out = pd.DataFrame({
+            "user_id": merged["user_id"].astype("int64"),
+            "purchase_id": merged["event_id"].astype("int64"),
+            "purchase_ts": merged["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "prior_view_id": merged["view_event_id"].astype("Int64"),
+            "view_to_buy_us": gap_us,
+        })
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(per_user, _ASOF_SCHEMA)
