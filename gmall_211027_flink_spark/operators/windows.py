@@ -351,3 +351,66 @@ def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice",
                 day_str("o_orderdate").alias("order_day"))
     )
+
+
+# ---------------------------------------------------------------------------
+# U2 — 3-way union of normalized metric streams into one window aggregate
+# (reference: DwsTrafficVcChArIsNewPageViewWindow.java:115-117 unions
+# pv/uv/sv bean streams, then windows+sums the sparse counters). Here:
+# pv rows (every event), uv rows (first event per user per day), sv rows
+# (session starts, 30-min gap), unioned and summed per day.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_union_traffic_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_gap_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                ORDER BY ts, event_id) AS rn_day
+      FROM events
+    ),
+    unioned AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, 1 AS pv, 0 AS uv, 0 AS sv FROM seq
+      UNION ALL
+      SELECT strftime(ts, '%Y-%m-%d'), 0, 1, 0 FROM seq WHERE rn_day = 1
+      UNION ALL
+      SELECT strftime(ts, '%Y-%m-%d'), 0, 0, 1 FROM seq
+      WHERE prev_gap_us IS NULL OR prev_gap_us > 1800000000
+    )
+    SELECT dt,
+           CAST(SUM(pv) AS BIGINT) AS pv_ct,
+           CAST(SUM(uv) AS BIGINT) AS uv_ct,
+           CAST(SUM(sv) AS BIGINT) AS sv_ct
+    FROM unioned GROUP BY 1
+    """,
+)
+def dws_union_traffic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id", "ts", "event_id",
+        (us - F.lag(us).over(w)).alias("prev_gap_us"),
+        F.row_number().over(
+            Window.partitionBy("user_id", day_str("ts"))
+            .orderBy("ts", "event_id")).alias("rn_day"),
+    ).withColumn("dt", day_str("ts"))
+    pv = seq.select("dt", F.lit(1).alias("pv"), F.lit(0).alias("uv"),
+                    F.lit(0).alias("sv"))
+    uv = seq.filter(F.col("rn_day") == 1).select(
+        "dt", F.lit(0).alias("pv"), F.lit(1).alias("uv"), F.lit(0).alias("sv"))
+    sv = seq.filter(
+        F.col("prev_gap_us").isNull()
+        | (F.col("prev_gap_us") > 30 * 60 * 1_000_000)
+    ).select("dt", F.lit(0).alias("pv"), F.lit(0).alias("uv"),
+             F.lit(1).alias("sv"))
+    return (
+        pv.unionByName(uv).unionByName(sv)
+        .groupBy("dt")
+        .agg(F.sum("pv").cast("bigint").alias("pv_ct"),
+             F.sum("uv").cast("bigint").alias("uv_ct"),
+             F.sum("sv").cast("bigint").alias("sv_ct"))
+    )
