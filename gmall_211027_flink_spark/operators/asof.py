@@ -49,7 +49,7 @@ WHERE event_type = 'purchase'
 """
 
 
-@query("asof_join_window", oracle=_ASOF_ORACLE)
+@query("asof_join_window", bench=True, oracle=_ASOF_ORACLE)
 def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -297,6 +297,7 @@ _SIMHASH_SQL = f"""
 
 @query(
     "dedup_simhash",
+    bench=True,
     oracle=f"""
     WITH {_SIMHASH_SQL},
     banded AS (
@@ -318,26 +319,29 @@ _SIMHASH_SQL = f"""
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signature computed ENTIRELY map-side with nested higher-order
+    # functions: token-hash array once (the only md5 pass), then 32
+    # per-bit sign-sums folded into one BIGINT — zero shuffle until the
+    # banded self-join, mirroring the minhash layout above.
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-    )
-    th = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"))
-    bits = spark.range(SIMHASH_BITS).withColumnRenamed("id", "bit")
-    bitsum = (
-        th.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(
-            F.when(F.expr("(h >> cast(bit as int)) & 1") == 1, 1)
-             .otherwise(-1)).alias("s"))
-    )
-    sig = (
-        bitsum.groupBy("doc_id")
-        .agg(F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
-             .otherwise(0)).cast("bigint").alias("simhash"))
-    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+        ).alias("th"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}),"
+            " j -> case when aggregate(th, 0,"
+            "   (acc, x) -> acc + (case when ((x >> j) & 1) = 1 then 1 else -1 end)) > 0"
+            "   then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("simhash"),
+    ).cache()
+    sig.count()  # materialize before the banded self-join
     bands = spark.range(SIMHASH_BANDS).withColumnRenamed("id", "band_id")
     banded = (
         sig.crossJoin(F.broadcast(bands))

@@ -397,6 +397,7 @@ def salted_broadcast_join(big: DataFrame, small: DataFrame, key: str,
 
 @query(
     "dws_province_order_window",
+    bench=True,
     oracle="""
     SELECT
       strftime(o.o_orderdate, '%Y-%m-%d') AS dt,

@@ -96,6 +96,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
+    bench=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, n_chars, string_split(text, ' ') AS w,

@@ -230,6 +230,7 @@ def dwd_bounce_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dws_sessionization",
+    bench=True,
     oracle="""
     WITH seq AS (
       SELECT user_id, event_id, ts, value,

@@ -34,20 +34,24 @@ STATE_SCHEMA = T.StructType([T.StructField("last_seen", T.StringType())])
 
 
 def daily_unique(events: DataFrame, key_col: str, ts_col: str,
-                 output_schema: T.StructType) -> DataFrame:
+                 output_schema: T.StructType,
+                 order_cols: list[str] | None = None) -> DataFrame:
     """Emit each key's first row per calendar day (incremental UV detail).
 
     ``events`` must already carry a ``dt`` (yyyy-MM-dd) column derived
     from ``ts_col``; output_schema must be a subset of input columns.
+    ``order_cols`` (default ``[ts_col]``) defines "first" — pass a
+    tiebreaker column for a total order.
     """
     out_cols = [f.name for f in output_schema.fields]
+    order_cols = order_cols or [ts_col]
 
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         last_seen = state.get[0] if state.exists else None
         outs = []
         for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col])
+            pdf = pdf.sort_values(order_cols)
             for _, row in pdf.iterrows():
                 dt = row["dt"]
                 if last_seen is None or dt > last_seen:

@@ -93,3 +93,50 @@ def dws_tumble_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Second streaming gate entry: the A5 daily-unique stateful processor
+# (applyInPandasWithState) run as a stream, hash-checked against the same
+# SQL oracle as the batch row_number form — keyed state and the batch
+# window expression provably agree.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_daily_uv_detail_streaming",
+    oracle="""
+    SELECT user_id, dt, event_id AS first_event_id, event_type AS first_event_type
+    FROM (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dws_daily_uv_detail_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from gmall_211027_flink_spark.sources.files import stream_events
+    from gmall_211027_flink_spark.streaming.state import daily_unique
+
+    stream = stream_events(spark, sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd"))
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("first_event_type", T.StringType()),
+    ])
+    renamed = stream.select(
+        "user_id", "dt", "ts",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+    )
+    uv = daily_unique(renamed, "user_id", "ts", out_schema,
+                      order_cols=["ts", "first_event_id"])
+    name = f"dws_daily_uv_stream_{_uuid.uuid4().hex[:8]}"
+    q = (uv.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
