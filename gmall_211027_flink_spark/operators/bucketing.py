@@ -1,0 +1,43 @@
+"""Bucketed (pre-shuffled) table layout — the co-located-join lever.
+
+The reference hash-partitions every stream by its join/agg key per job
+(`keyBy`, e.g. app/dws/DwsTradeProvinceOrderWindow.java:82) — the shuffle
+happens on every run. At 100 TB the equivalent Spark lever is to pay the
+shuffle ONCE at write time: `bucketBy(N, key)` persists each table
+pre-hash-partitioned, and every subsequent join or aggregation on that
+key runs shuffle-free (the scan exposes the hash distribution to
+Catalyst, which elides the Exchange).
+
+Rules that make it work, encoded in `write_bucketed`:
+- both sides of a co-located join need the SAME bucket count and key;
+- `sortBy` within buckets lets SortMergeJoin skip its sort too;
+- bucket pruning applies to point predicates on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   num_buckets: int = 32, sort: bool = True) -> None:
+    """Persist ``df`` as a managed parquet table bucketed by ``key``.
+
+    One shuffle now, zero shuffles for every later join/groupBy on
+    ``key`` against a table bucketed with the same (key, num_buckets).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final physical plan as text (post-AQE where applicable)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan."""
+    plan = executed_plan(df)
+    return sum(1 for line in plan.splitlines() if "Exchange hashpartitioning" in line)

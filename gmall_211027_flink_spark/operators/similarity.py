@@ -198,3 +198,110 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (scale path #2): partition the corpus into K cells around
+# fixed centroids, probe only the NPROBE nearest cells per query. This is
+# the inverted-file layout: at 100 TB the corpus is written partitioned
+# by cell, so a probe reads NPROBE/K of the data (partition pruning on
+# the cell column); the cell assignment itself is one broadcast-map pass.
+# Centroids here are a deterministic sample (the first K vectors) so the
+# DuckDB oracle reproduces them exactly; production would plug k-means
+# centroids into the same plan.
+# ---------------------------------------------------------------------------
+
+K_CENTROIDS = 8
+NPROBE = 2
+
+
+@query(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS da
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT vec_id AS cid, emb AS cemb, da AS dc FROM e
+      WHERE vec_id < {K_CENTROIDS}
+    ),
+    dist AS (
+      SELECT e.vec_id, cen.cid,
+             round(e.da - 2 * list_dot_product(e.emb, cen.cemb) + cen.dc, 6) AS d2
+      FROM e CROSS JOIN cen
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS crk
+      FROM dist
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+      WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb)
+                   / (sqrt(q.da) * sqrt(c.da)), 6) AS cosine
+      FROM probes p
+      JOIN cells cc ON cc.cell = p.cell
+      JOIN e c ON c.vec_id = cc.vec_id AND c.vec_id <> p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, rk AS rank, neighbor_id, cosine
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("da", F.expr(
+            "aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x)"))
+        .select("vec_id", "emb", "da")
+    )
+    cen = (e.filter(F.col("vec_id") < K_CENTROIDS)
+           .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"),
+                   F.col("da").alias("dc")))
+    dac = F.expr(
+        "aggregate(zip_with(emb, cemb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    # one broadcast-map pass assigns every vector to its cell; the same
+    # ranked frame yields the query probe lists (rk <= NPROBE)
+    dist = (e.crossJoin(F.broadcast(cen))
+            .withColumn("d2", F.round(F.col("da") - 2 * dac + F.col("dc"), 6)))
+    wcell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked_cells = dist.select(
+        "vec_id", "cid", F.row_number().over(wcell).alias("crk"))
+    cells = ranked_cells.filter(F.col("crk") == 1) \
+        .select("vec_id", F.col("cid").alias("cell"))
+    probes = (ranked_cells
+              .filter((F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERIES))
+              .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")))
+    q = (e.join(probes, e.vec_id == probes.query_id)
+         .select("query_id", "cell", F.col("emb").alias("qemb"),
+                 F.col("da").alias("qda")))
+    c = (e.join(cells, "vec_id")
+         .select(F.col("vec_id").alias("neighbor_id"), "emb", "da", "cell"))
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q),
+               (c.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cosine", F.round(dot / (F.sqrt("qda") * F.sqrt("da")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -303,3 +303,44 @@ def ads_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
             "line_ct", "qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Category stats: MULTI-KEY full outer join (reference:
+# CommodityStatsMapper.java:45-89 selectCategoryStats full-outer-joins
+# order and refund aggregates on (category1, category2, category3);
+# (p_brand, p_type, p_size) stands in for the 3-level category tree).
+# COALESCE over every key column — the reference's downstream bean
+# tolerates either side being absent.
+# ---------------------------------------------------------------------------
+
+_CATEGORY = """
+WITH ord AS (
+  SELECT p.p_brand AS c1, p.p_type AS c2, p.p_size AS c3,
+         COUNT(*) AS order_line_ct,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS order_amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag <> 'R' GROUP BY 1, 2, 3
+), ret AS (
+  SELECT p.p_brand AS c1, p.p_type AS c2, p.p_size AS c3,
+         COUNT(*) AS refund_line_ct,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS refund_amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag = 'R' GROUP BY 1, 2, 3
+)
+SELECT COALESCE(ord.c1, ret.c1) AS category1,
+       COALESCE(ord.c2, ret.c2) AS category2,
+       COALESCE(ord.c3, ret.c3) AS category3,
+       COALESCE(order_line_ct, 0) AS order_line_ct,
+       COALESCE(order_amount, 0.0) AS order_amount,
+       COALESCE(refund_line_ct, 0) AS refund_line_ct,
+       COALESCE(refund_amount, 0.0) AS refund_amount
+FROM ord FULL OUTER JOIN ret
+  ON ord.c1 = ret.c1 AND ord.c2 = ret.c2 AND ord.c3 = ret.c3
+"""
+
+
+@query("ads_category_stats", oracle=_CATEGORY)
+def ads_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _CATEGORY)

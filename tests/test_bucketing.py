@@ -1,0 +1,64 @@
+"""Bucketed-table co-located joins: the write-once-shuffle-never lever.
+
+Asserts on the PHYSICAL PLAN, not just results: a join and a groupBy on
+the bucket key over bucketed tables must contain zero shuffle Exchanges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.operators.bucketing import (
+    executed_plan, shuffle_count, write_bucketed,
+)
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    write_bucketed(load_table(spark, sf_dir, "lineitem"),
+                   "bt_lineitem", "l_orderkey", N_BUCKETS)
+    write_bucketed(load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"), "bt_orders", "l_orderkey", N_BUCKETS)
+    yield
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("bt_lineitem")
+        o = spark.table("bt_orders")
+        # join on the bucket key, then aggregate BY the bucket key: the
+        # bucketed distribution satisfies both, so the whole plan runs
+        # with zero Exchanges (a non-bucket-key groupBy would still
+        # shuffle once — that's expected and fine)
+        joined = (li.join(o, "l_orderkey")
+                  .groupBy("l_orderkey").agg(F.count("*").alias("ct")))
+        rows = {r["l_orderkey"]: r["ct"] for r in joined.collect()}
+        assert shuffle_count(joined) == 0, executed_plan(joined)
+
+        # ground truth from the plain (shuffling) plan
+        li0 = load_table(spark, sf_dir, "lineitem")
+        o0 = load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_orderkey", "l_orderkey")
+        expected = {r["l_orderkey"]: r["ct"]
+                    for r in li0.join(o0, "l_orderkey")
+                    .groupBy("l_orderkey").agg(F.count("*").alias("ct"))
+                    .collect()}
+        assert rows == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
+    agg = (spark.table("bt_lineitem")
+           .groupBy("l_orderkey").agg(F.count("*").alias("ct")))
+    agg.collect()
+    assert shuffle_count(agg) == 0, executed_plan(agg)
