@@ -415,3 +415,75 @@ def dws_union_traffic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("uv").cast("bigint").alias("uv_ct"),
              F.sum("sv").cast("bigint").alias("sv_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding OVER-window frame (beyond the reference — SURVEY §2.5 notes the
+# reference has no frame specs; added for a complete window surface).
+# 3-order moving average per customer with a deterministic total order.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_sliding_frame_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_sliding_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, 0))
+    # exact decimal sum over the frame, ONE double division at the end —
+    # same op order as the oracle, so doubles match bit-for-bit
+    return o.select(
+        "o_custkey", "o_orderkey",
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+         / F.count("*").over(w)).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) event-time window — size 10 min, slide 5 min. The
+# reference uses only tumbling windows; hopping is its natural extension
+# (Flink's HOP / Spark's window(ts, size, slide)). Every event lands in
+# exactly size/slide = 2 buckets; the oracle expands the same two
+# epoch-aligned starts per event.
+# Scale: the 2x row expansion happens map-side pre-shuffle; partial
+# aggregation still combines before the exchange.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_hopping_window",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, user_id,
+             make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+                             - 300 * k.k) * 1000000) AS wstart
+      FROM events, (SELECT UNNEST(generate_series(0, 1)) AS k) k
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           COUNT(DISTINCT user_id) AS uv_ct
+    FROM h GROUP BY 1, 2
+    """,
+)
+def dws_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("pv_ct"), F.countDistinct("user_id").alias("uv_ct"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "event_type", "pv_ct", "uv_ct",
+        )
+    )

@@ -344,3 +344,24 @@ FROM ord FULL OUTER JOIN ret
 @query("ads_category_stats", oracle=_CATEGORY)
 def ads_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _CATEGORY)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the reference — completes the rollup/cube family
+# with the general form; same SQL text runs on Spark and DuckDB).
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS line_ct,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+"""
+
+
+@query("ads_grouping_sets", oracle=_GROUPING_SETS)
+def ads_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _GROUPING_SETS)
