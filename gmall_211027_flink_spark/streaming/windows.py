@@ -140,3 +140,60 @@ def dws_daily_uv_detail_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Third streaming gate entry: a TRUE stream-stream interval join (J1/J5 —
+# reference: DwdTradeOrderDetail.java:182-184 regular join with TTL;
+# DataStreamJoinTest.java:48-56 interval join). Both sides watermarked,
+# equi-key + event-time range condition (the form Spark requires to
+# bound join state — SURVEY §7.3 gap 3: bounds chosen ≥ the reference's
+# TTL so match behavior is preserved). Inner-join pairs emit immediately
+# (no watermark holdback), so availableNow drains the full result; the
+# memory-sink output is then aggregated and hash-checked against the
+# SAME SQL oracle as the batch interval join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_interval_join_streaming",
+    oracle="""
+    SELECT
+      a.user_id,
+      COUNT(*) AS pair_ct,
+      MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us,
+      MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def dwd_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    clicks = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("a_ts"))
+              .withWatermark("a_ts", "2 seconds"))
+    errors = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+              .withWatermark("b_ts", "2 seconds"))
+    pairs = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id",
+             (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"))
+    name = f"dwd_interval_join_stream_{_uuid.uuid4().hex[:8]}"
+    q = (pairs.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.count("*").alias("pair_ct"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us")))

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): operator equivalences that must
+hold for ANY input, not just the synthetic tables — the salted plans,
+the upsert sink, and the two as-of implementations each have a simpler
+specification they must agree with.
+
+Examples are deliberately small (Spark round-trip per example is ~1 s);
+the value is in hypothesis exploring key collisions, ties, empty groups,
+and single-row edge cases that fixed fixtures miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+rows = st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=40)
+
+
+@given(data=rows)
+@SETTINGS
+def test_salted_groupby_count_equals_plain(spark, data):
+    from gmall_211027_flink_spark.operators.joins import salted_groupby_count
+    df = spark.createDataFrame(data, "k int, v int")
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"]
+              for r in salted_groupby_count(df, "k", salt_buckets=4).collect()}
+    assert salted == plain
+
+
+@given(data=st.lists(
+    st.tuples(keys, st.integers(0, 50), st.integers(0, 9)),
+    min_size=1, max_size=30))
+@SETTINGS
+def test_upsert_sink_is_last_wins_by_order_col(spark, tmp_path_factory, data):
+    from gmall_211027_flink_spark.streaming.sinks import ParquetUpsertSink
+    path = str(tmp_path_factory.mktemp("upsert") / "t")
+    df = spark.createDataFrame(data, "k int, ts int, v int")
+    # two batches split at the midpoint — replays across batches included
+    mid = len(data) // 2
+    sink = ParquetUpsertSink(path, ["k"], "ts")
+    b1, b2 = data[:mid], data[mid:]
+    if b1:
+        sink.write_batch(spark.createDataFrame(b1, df.schema), 0)
+    if b2:
+        sink.write_batch(spark.createDataFrame(b2, df.schema), 1)
+    got = {r["k"]: (r["ts"], r["v"]) for r in sink.read(spark).collect()}
+
+    # spec (upsert-kafka semantics): WITHIN a batch the max-order_col row
+    # wins; ACROSS batches the later batch unconditionally replaces the
+    # key — batch order IS stream order, like a changelog topic
+    expect: dict[int, tuple[int, int]] = {}
+    for batch in (b1, b2):
+        best: dict[int, tuple[int, int]] = {}
+        for k, ts, v in batch:
+            if k not in best or ts >= best[k][0]:
+                best[k] = (ts, v)
+        expect.update(best)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+
+
+@given(data=st.lists(
+    st.tuples(keys, st.integers(0, 1000),
+              st.sampled_from(["view", "purchase"])),
+    min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1])))
+@SETTINGS
+def test_asof_window_form_matches_python_spec(spark, data):
+    """The carry-forward window as-of join agrees with a direct Python
+    computation of 'most recent strictly-earlier view per purchase'."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, ts, et, i) for i, (k, ts, et) in enumerate(data)],
+        "user_id int, ts int, event_type string, event_id int")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    got = {
+        r["event_id"]: r["prior_view"]
+        for r in df.withColumn(
+            "prior_view",
+            F.last(F.when(F.col("event_type") == "view",
+                          F.col("event_id")), ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase").collect()
+    }
+
+    expect = {}
+    for k, ts, et, i in sorted(
+            [(k, ts, et, i) for i, (k, ts, et) in enumerate(data)],
+            key=lambda t: (t[0], t[1], t[3])):
+        if et == "purchase":
+            expect[i] = None
+            for k2, ts2, et2, i2 in sorted(
+                    [(kk, tt, ee, ii) for ii, (kk, tt, ee) in enumerate(data)],
+                    key=lambda t: (t[1], t[3])):
+                if k2 == k and et2 == "view" and (ts2, i2) < (ts, i):
+                    expect[i] = i2
+    assert got == expect
