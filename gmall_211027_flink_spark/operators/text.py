@@ -205,3 +205,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winnow_min"),
         F.substring("full_md5", 1, 4).alias("shard_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio: the boilerplate/spam signal (most-frequent-token
+# share + duplicate word-3-gram fraction). Computed ENTIRELY map-side
+# with higher-order functions — per-doc O(distinct·n) beats two shuffles
+# of exploded tokens at corpus scale, and the corpus never moves.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             list_max(list_transform(list_distinct(w),
+               t -> len(list_filter(w, x -> x = t)))) AS max_tok,
+             greatest(len(w) - 2, 0) AS n3,
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS d3
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(max_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share,
+           CASE WHEN n3 > 0
+                THEN 1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                ELSE 0.0 END AS dup_3gram_ratio
+    FROM m
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.expr("array_max(transform(array_distinct(w),"
+               " t -> size(filter(w, x -> x = t))))").alias("max_tok"),
+        F.expr("greatest(size(w) - 2, 0)").alias("n3"),
+        F.expr("size(array_distinct(transform(sequence(1, greatest(size(w)-2, 0)),"
+               " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),"
+               " element_at(w,i+2)))))").alias("d3"),
+    )
+    return m.select(
+        "doc_id", "n_tokens",
+        (F.col("max_tok").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("top_token_share"),
+        F.when(F.col("n3") > 0,
+               F.lit(1.0) - F.col("d3").cast("double") / F.col("n3").cast("double"))
+         .otherwise(F.lit(0.0)).alias("dup_3gram_ratio"),
+    )

@@ -487,3 +487,36 @@ def dws_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "pv_ct", "uv_ct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NTILE bucketing (beyond the reference — completes the ranking-function
+# family: row_number/rank/lag/lead/frames are covered elsewhere).
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS customer_ct,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    GROUP BY 1, 2
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal",
+                 F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count("*").alias("customer_ct"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .alias("acctbal_sum"))
+    )

@@ -365,3 +365,26 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
 @query("ads_grouping_sets", oracle=_GROUPING_SETS)
 def ads_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _GROUPING_SETS)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (beyond the reference's mapper SQL, which is
+# flat — completes the SQL surface; Catalyst decorrelates it into a
+# join + aggregate, which is the plan that scales).
+# ---------------------------------------------------------------------------
+
+_ABOVE_AVG = """
+SELECT o.o_custkey,
+       COUNT(*) AS above_avg_order_ct
+FROM orders o
+WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > (
+  SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY 1
+"""
+
+
+@query("ads_above_avg_orders", oracle=_ABOVE_AVG)
+def ads_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _ABOVE_AVG)
