@@ -1,0 +1,99 @@
+"""Streaming throughput benchmark: drives the three streaming paths
+(JVM window agg, stateful Python processor, fan-out split) with a file
+stream at $SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line
+{"metric": "streaming_throughput", "paths": {name: {rows, sec,
+rows_per_sec}}}.
+
+Context: the reference runs at parallelism 1-4 on a 3-node dev cluster
+with per-record Phoenix/Redis lookups at 136-148 ms cold per dim row
+(utils/DimUtil.java:68) — any set-oriented micro-batch path clears its
+throughput by orders of magnitude; this records ours concretely.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import uuid
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from gmall_211027_flink_spark import get_spark  # noqa: E402
+from gmall_211027_flink_spark.sources.files import stream_events  # noqa: E402
+from gmall_211027_flink_spark.streaming.state import daily_unique  # noqa: E402
+from gmall_211027_flink_spark.streaming.windows import tumbling_agg  # noqa: E402
+
+
+def run(df, name: str, mode: str = "append") -> None:
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stream_bench")
+    n_input = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    results = {}
+
+    # 1. JVM path: watermark + tumbling window agg (the DWS shape)
+    t0 = time.perf_counter()
+    agg = tumbling_agg(
+        stream_events(spark, sf_dir), "ts", "10 minutes", "2 seconds",
+        ["event_type"],
+        [F.count("*").alias("pv_ct"),
+         F.approx_count_distinct("user_id").alias("uv_ct")])
+    name = f"sb_window_{uuid.uuid4().hex[:6]}"
+    run(agg, name, "complete")
+    sec = time.perf_counter() - t0
+    results["window_agg"] = {
+        "rows": n_input, "sec": round(sec, 2),
+        "rows_per_sec": round(n_input / sec)}
+
+    # 2. Python-state path: applyInPandasWithState daily-unique (A5)
+    t0 = time.perf_counter()
+    stream = stream_events(spark, sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd"))
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    name = f"sb_state_{uuid.uuid4().hex[:6]}"
+    run(daily_unique(stream, "user_id", "ts", out_schema), name)
+    sec = time.perf_counter() - t0
+    results["stateful_daily_unique"] = {
+        "rows": n_input, "sec": round(sec, 2),
+        "rows_per_sec": round(n_input / sec)}
+
+    # 3. fan-out path: one parsed stream, filtered 3 ways into one union
+    # (the BaseLogApp split shape, measured as a single query)
+    t0 = time.perf_counter()
+    ev = stream_events(spark, sf_dir)
+    split = (
+        ev.filter(F.col("event_type") == "click").withColumn("lane", F.lit("click"))
+        .unionByName(ev.filter(F.col("event_type") == "view")
+                     .withColumn("lane", F.lit("view")))
+        .unionByName(ev.filter(~F.col("event_type").isin("click", "view"))
+                     .withColumn("lane", F.lit("other")))
+        .select("lane", "event_id"))
+    name = f"sb_split_{uuid.uuid4().hex[:6]}"
+    run(split, name)
+    sec = time.perf_counter() - t0
+    results["fanout_split"] = {
+        "rows": n_input, "sec": round(sec, 2),
+        "rows_per_sec": round(n_input / sec)}
+
+    print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
+                      "paths": results}))
+
+
+if __name__ == "__main__":
+    main()
