@@ -62,3 +62,39 @@ def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
     # scan-side (partial agg + filter) and merge-side must be inside one
     assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan, plan
     assert "*(2) HashAggregate" in plan, plan
+
+
+def test_partition_pruning_at_scan(spark, sf_dir, tmp_path):
+    """Hive-style partition dirs + a partition-key filter: the scan must
+    prune at the PARTITION level (PartitionFilters), reading only the
+    matching directories — the layout lever for date-partitioned facts."""
+    path = str(tmp_path / "li_parted")
+    load_table(spark, sf_dir, "lineitem").write.partitionBy(
+        "l_returnflag").mode("overwrite").parquet(path)
+    df = (spark.read.parquet(path)
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_quantity"))
+    df.collect()
+    plan = executed_plan(df)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan, plan
+    # the predicate is satisfied by pruning alone — no row-level Filter
+    assert "PushedFilters: []" in plan, plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a filter on the DIM side prunes the partitioned FACT scan at
+    runtime (dynamicpruning subquery in the scan's PartitionFilters)."""
+    path = str(tmp_path / "orders_parted")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderstatus").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string")
+    # dim-side filter + dim as the broadcast build side — the DPP shape
+    joined = (fact.join(F.broadcast(dim.filter(F.col("label") == "finished")),
+                        "o_orderstatus")
+              .groupBy("label").count())
+    joined.collect()
+    plan = executed_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
