@@ -197,3 +197,37 @@ def dwd_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("pair_ct"),
                  F.min("gap_us").alias("min_gap_us"),
                  F.max("gap_us").alias("max_gap_us")))
+
+
+# ---------------------------------------------------------------------------
+# Fourth streaming gate entry: `dropDuplicatesWithinWatermark` (A6 —
+# reference: first-row-per-key dedup with 5 s state TTL,
+# DwsTradePaymentSucWindow.java:74-102). The deduped stream drains to a
+# memory sink; the per-type distinct-user counts it implies are
+# hash-checked against plain COUNT(DISTINCT) SQL. Which physical row
+# survives per key is batch-order-dependent — the *count* per key is
+# not, which is exactly what the reference's downstream consumes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS uu_ct
+    FROM events GROUP BY 1
+    """,
+)
+def dwd_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    deduped = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 seconds")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"dwd_stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count("*").alias("uu_ct")))
