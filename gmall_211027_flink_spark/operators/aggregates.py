@@ -294,3 +294,58 @@ def stats_quantity_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_quantity").cast("double").alias("q_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (hypertable-style) rollup: the continuous-aggregate
+# pattern — facts roll into fine buckets ONCE, coarser answers
+# re-aggregate the rollup, never the facts. Only composable metrics
+# (sum/count/min/max) live in the rollup; the hourly answer below is
+# computed strictly FROM the 10-minute rollup, while the oracle computes
+# it directly from the raw events — passing proves the two-level
+# aggregation composes exactly. At 100 TB this is the difference between
+# scanning a day of raw events and scanning 144 rollup rows per key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_hierarchical_rollup",
+    oracle="""
+    SELECT
+      strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS hour_stt,
+      event_type,
+      COUNT(*) AS pv_ct,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_min,
+      CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def dws_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # level 1: 10-minute rollup (what a continuous aggregate would store)
+    ten_min = (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 600) * 600).alias("b600"),
+            "event_type")
+        .agg(F.count("*").alias("pv_ct"),
+             F.sum(dec("value")).alias("value_sum"),
+             F.min(dec("value")).alias("value_min"),
+             F.max(dec("value")).alias("value_max"))
+    )
+    # level 2: hourly answer from the rollup alone (sums of sums,
+    # min of mins, max of maxes — composable by construction)
+    return (
+        ten_min.groupBy(
+            (F.floor(F.col("b600") / 3600) * 3600).alias("b3600"),
+            "event_type")
+        .agg(F.sum("pv_ct").cast("bigint").alias("pv_ct"),
+             F.sum("value_sum").cast("double").alias("value_sum"),
+             F.min("value_min").cast("double").alias("value_min"),
+             F.max("value_max").cast("double").alias("value_max"))
+        .select(
+            F.date_format(F.timestamp_seconds("b3600"), "yyyy-MM-dd HH:mm:ss")
+             .alias("hour_stt"),
+            "event_type", "pv_ct", "value_sum", "value_min", "value_max")
+    )

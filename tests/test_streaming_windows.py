@@ -89,3 +89,57 @@ def test_bounce_detection_stream(spark, tmp_path):
     verdicts = {r["entry_event_id"]: r["is_bounce"] for r in got.collect()}
     assert verdicts[1] is True
     assert verdicts[3] is False
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """W3: the reference has no allowedLateness — late rows silently drop
+    at window close. Same behavior here: a row older than the advanced
+    watermark must not reopen its (already finalized) window."""
+    import json
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+    ])
+
+    def row(ts, k):
+        return json.dumps({"ts": ts, "k": k})
+
+    import time
+
+    # batch 1: window [10:00, 10:10) gets 2 rows; advances the watermark
+    (src / "b1.json").write_text("\n".join([
+        row("2024-01-01 10:00:01", "a"),
+        row("2024-01-01 10:00:02", "a"),
+        row("2024-01-01 11:00:00", "advance"),
+    ]))
+    time.sleep(1.1)
+    # batch 2: watermark (10:59:58) passes the window end -> the 10:00
+    # window finalizes, emits count=2, and its state is EVICTED
+    (src / "b2.json").write_text(row("2024-01-01 11:00:01", "advance"))
+    time.sleep(1.1)
+    # batch 3: a row for the evicted window — "too late", silently dropped
+    # (a late row landing in the SAME batch as the eviction would still be
+    # aggregated: lateness is judged against evicted state, not the raw
+    # watermark — matching the reference's at-window-close cutoff)
+    (src / "b3.json").write_text(row("2024-01-01 10:00:03", "a"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src))
+        .withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "10 minutes"), "k").count()
+        .select(F.date_format("window.start", "HH:mm").alias("stt"), "k", "count")
+    )
+    name = "late_drop_sink"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = {(r["stt"], r["k"]): r["count"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # the 10:00 window finalized with 2 rows; the late third row was dropped
+    assert rows[("10:00", "a")] == 2
