@@ -467,3 +467,180 @@ def set_ops_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained = jan.intersect(feb).agg(F.count("*").alias("customer_ct")) \
         .select(F.lit("retained").alias("cohort"), "customer_ct")
     return churned.unionByName(retained)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join classics over the synthetic tables — the batch
+# join/agg surface a reference user exercises through the ADS layer
+# (mapper-style SQL, gmall-publisher-2022 mapper/*.java), expressed as
+# the canonical Q3/Q5 plans so the optimizer's join ordering, broadcast
+# choice, and partial aggregation are all on the graded path.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective dim filter → join → agg → top-k.
+
+    Scale notes: the segment filter prunes customer BEFORE the join
+    (Catalyst pushes it to the scan); the filtered customer keyset is
+    small enough to broadcast, so the only shuffle is lineitem⋈orders on
+    orderkey; top-k is `orderBy.limit`, which Spark executes as
+    per-partition TakeOrdered (no global sort materialization).
+    The revenue tie-break on l_orderkey makes LIMIT deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")
+                          .select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: snowflake of 4 small dims + 2 facts, local-supplier
+    constraint (c_nationkey = s_nationkey) carried through the join.
+
+    Scale notes: region/nation/supplier/customer are all broadcast (the
+    biggest, customer, is ~1/40th of lineitem and shrinks further after
+    the region filter reaches it through nation); the single shuffle is
+    again lineitem⋈orders. The nation equality is applied as a join-side
+    filter, not a second shuffle key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    asia_nations = (n.join(r.filter(F.col("r_name") == "ASIA"),
+                           F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select("n_nationkey", "n_name"))
+    sup = (s.join(F.broadcast(asia_nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    return (
+        li.join(o.filter(
+                    (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join — |left.v - right.v| <= eps with NO equi key. Spark
+# has no native band-join optimization: the raw theta predicate plans as
+# BroadcastNestedLoopJoin (all-pairs — dead at scale). The standard fix
+# is binning: bucket both sides by eps-wide bins; the build side lands in
+# its own bin, the probe side replicates to the 3 adjacent bins, so every
+# qualifying pair meets in EXACTLY one bucket (left's bin is unique — no
+# dedup pass) and Catalyst plans an ordinary shuffled equi-join on the
+# bin id. Cost: 3x probe-side replication buys an O(n·k) join instead of
+# O(n²). (Same trick as the IVF cell-probe in similarity.py.)
+# ---------------------------------------------------------------------------
+
+def band_join_binned(left: DataFrame, right: DataFrame,
+                     lcol: str, rcol: str, eps: float) -> DataFrame:
+    """Equi-join plan for the band predicate abs(lcol - rcol) <= eps.
+
+    Column names of ``left`` and ``right`` must be disjoint. The exact
+    band predicate is re-applied after the bucket join, so bin boundaries
+    never change results — only which bucket a pair meets in.
+    """
+    lb = left.withColumn("_bin", F.floor(F.col(lcol) / F.lit(eps)))
+    rb = right.withColumn(
+        "_bin",
+        F.explode(F.array(*[
+            F.floor(F.col(rcol) / F.lit(eps)) + F.lit(d) for d in (-1, 0, 1)
+        ])),
+    )
+    return (lb.join(rb, "_bin")
+            .filter(F.abs(F.col(lcol) - F.col(rcol)) <= F.lit(eps))
+            .drop("_bin"))
+
+
+@query(
+    "range_join_price_band",
+    oracle="""
+    SELECT a.p_partkey, COUNT(*) AS near_ct,
+           CAST(MIN(b.p_retailprice) AS DOUBLE) AS near_min,
+           CAST(MAX(b.p_retailprice) AS DOUBLE) AS near_max
+    FROM part a JOIN part b
+      ON a.p_partkey <> b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) <= 0.25
+    GROUP BY 1
+    """,
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-priced-parts census: for every part, how many OTHER parts sit
+    within ±0.25 of its retail price (plus the neighbor price span).
+    The oracle states the raw theta join; this plan is the binned
+    equi-join form of the same predicate."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select("p_partkey", "p_retailprice")
+    b = (p.select(F.col("p_partkey").alias("b_partkey"),
+                  F.col("p_retailprice").alias("b_price")))
+    joined = band_join_binned(a, b, "p_retailprice", "b_price", 0.25)
+    return (
+        joined.filter(F.col("p_partkey") != F.col("b_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("near_ct"),
+             F.min("b_price").cast("double").alias("near_min"),
+             F.max("b_price").cast("double").alias("near_max"))
+    )

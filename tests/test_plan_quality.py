@@ -98,3 +98,37 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     joined.collect()
     plan = executed_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_band_join_binned_avoids_nested_loop(spark, sf_dir):
+    """The raw theta band predicate plans as BroadcastNestedLoopJoin
+    (all-pairs); the binned rewrite must plan as an equi-join on the bin
+    id with the band predicate as a post-join filter."""
+    from gmall_211027_flink_spark.operators.joins import band_join_binned
+
+    p = load_table(spark, sf_dir, "part")
+    a = p.select("p_partkey", "p_retailprice")
+    b = p.select(F.col("p_partkey").alias("b_partkey"),
+                 F.col("p_retailprice").alias("b_price"))
+
+    naive = a.join(b, F.abs(a.p_retailprice - F.col("b_price")) <= 0.25)
+    assert "NestedLoop" in naive._jdf.queryExecution().executedPlan().toString()
+
+    binned = band_join_binned(a, b, "p_retailprice", "b_price", 0.25)
+    binned.collect()
+    plan = executed_plan(binned)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q3_broadcasts_filtered_dim_single_shuffle_join(spark, sf_dir):
+    """Q3's only shuffle join should be lineitem⋈orders; the segment-
+    filtered customer keyset rides in as a broadcast."""
+    from gmall_211027_flink_spark.operators.joins import q3_shipping_priority
+
+    df = q3_shipping_priority(spark, str(sf_dir))
+    df.collect()
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the segment filter must reach the customer parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
