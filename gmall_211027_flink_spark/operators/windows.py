@@ -490,6 +490,60 @@ def dws_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cumulative (CUMULATE) event-time window — size 1 h, step 15 min:
+# growing windows [H, H+15m), [H, H+30m), [H, H+45m), [H, H+60m) per
+# hour H, the early-firing "running total within the hour" shape
+# (completes the Flink-1.13 window-TVF family next to TUMBLE and HOP —
+# the reference's engine generation offers all three). Spark has no
+# native cumulate: each event expands map-side to the cumulative ends
+# that contain it (end > ts, i.e. k = floor(offset/step)+1 .. size/step
+# — at most 4 rows, average 2.5), then an ordinary two-phase agg keyed
+# by (hour, end). The oracle expands the identical series.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_cumulate_window",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+             (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+              + 900 * k.k) AS wend
+      FROM events,
+           (SELECT UNNEST(generate_series(1, 4)) AS k) k
+      WHERE 900 * k.k > epoch(ts) - CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+    )
+    SELECT strftime(make_timestamp(h * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(make_timestamp(wend * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def dws_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    h = (F.floor(epoch / 3600) * 3600).cast("bigint")
+    off = epoch - h
+    expanded = (
+        ev.select("event_type", "value", h.alias("h"), off.alias("off"))
+        .withColumn("k", F.explode(F.expr("sequence(cast(floor(off/900)+1 as int), 4)")))
+        .withColumn("wend", F.col("h") + 900 * F.col("k"))
+    )
+    return (
+        expanded.groupBy("h", "wend", "event_type")
+        .agg(F.count("*").alias("pv_ct"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("value_sum"))
+        .select(
+            F.date_format(F.timestamp_seconds("h"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.timestamp_seconds("wend"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type", "pv_ct", "value_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
 # NTILE bucketing (beyond the reference — completes the ranking-function
 # family: row_number/rank/lag/lead/frames are covered elsewhere).
 # ---------------------------------------------------------------------------

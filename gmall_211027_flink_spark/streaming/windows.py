@@ -231,3 +231,56 @@ def dwd_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     q.awaitTermination(600)
     return (spark.table(name).groupBy("event_type")
             .agg(F.count("*").alias("uu_ct")))
+
+
+# ---------------------------------------------------------------------------
+# Fifth streaming gate entry: native `session_window` aggregation run AS A
+# STREAM (W8 — the reference counts session starts via last_page_id IS
+# NULL, DwsTrafficVcChArIsNewPageViewWindow.java:96-99; this is the
+# generalized form: sessions merge on arrival, close when the gap
+# exceeds 30 min). Oracle is gaps-and-islands SQL with the break
+# condition `gap >= 30 min` — mirroring Spark's merge rule exactly
+# (windows merge only on strict overlap: an event landing exactly at
+# prev_ts + gap starts a NEW session). Output edt = last event + gap,
+# Spark's session-end definition.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_session_window_streaming",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+           COUNT(*) AS event_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def dws_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    agg = session_agg(
+        stream, "ts", "30 minutes", "2 seconds", ["user_id"],
+        [F.count("*").alias("event_ct"),
+         F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+          .alias("value_sum")],
+    ).select("user_id", "stt", "edt", "event_ct", "value_sum")
+    name = f"dws_session_stream_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
