@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
-from gmall_211027_flink_spark.registry import query
+from gmall_211027_flink_spark.registry import ORACLES, query
 
 N_QUERIES = 20     # vec_id < 20 are the query set
 TOP_K = 5
@@ -49,7 +49,6 @@ _DOT = "aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), cast(0 as double), (a
 
 @query(
     "ann_cosine_topk",
-    bench=True,
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -302,6 +301,74 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k, Arrow/Pandas-vectorized variant: mapInPandas
+# over corpus partitions with the (tiny, bounded) query matrix shipped as
+# a broadcast numpy array; each Arrow batch scores against all queries in
+# ONE BLAS matmul and emits only its per-partition top-k per query, so
+# the final exact window ranks npartitions*k candidates instead of the
+# full corpus (top-k over per-partition top-ks is exact because the
+# order (cosine DESC, neighbor_id) is total). Same oracle as the HOF
+# form — the two implementations must agree bit-for-bit after the 6-dp
+# round. This is the shape to prefer when vectors are wide (matmul amortizes
+# Arrow transfer); the JVM higher-order-function form wins when vectors
+# are short (no Python boundary at all). Measured tradeoff in SCALE.md.
+# ---------------------------------------------------------------------------
+
+@query("ann_cosine_topk_pandas", bench=True, oracle=ORACLES["ann_cosine_topk"])
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = (e.filter(F.col("vec_id") < N_QUERIES)
+             .orderBy("vec_id").collect())          # bounded: N_QUERIES rows
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, Q, qnorm))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        qids_, Q_, qnorm_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            norms = np.sqrt((M * M).sum(axis=1))
+            cos = np.round((M @ Q_.T) / (norms[:, None] * qnorm_[None, :]), 6)
+            parts = []
+            for j, qid in enumerate(qids_):
+                mask = ids != qid
+                cj, ij = cos[mask, j], ids[mask]
+                k = min(TOP_K, len(cj))
+                if k == 0:
+                    continue
+                # exact per-partition top-k under (cosine DESC, id ASC)
+                order = np.lexsort((ij, -cj))[:k]
+                parts.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ij[order],
+                    "cosine": cj[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    cand = e.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
