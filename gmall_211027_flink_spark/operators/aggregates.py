@@ -349,3 +349,71 @@ def dws_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("hour_stt"),
             "event_type", "pv_ct", "value_sum", "value_min", "value_max")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + resample with carry-forward (the hypertable
+# `time_bucket_gapfill` / LOCF pattern): a dense 10-minute spine per
+# event_type over the table's full time range, empty buckets get
+# pv_ct=0 and carry the last seen value_sum forward. The spine is
+# generated DISTRIBUTED-side (sequence+explode off a 1-row bounds agg —
+# nothing collects to the driver); the fill is one left join against the
+# real buckets plus a `last(ignorenulls)` running window. At 100 TB the
+# spine is negligible (~52k rows/year/key) and the join broadcasts it.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(MIN(ts)) / 600) AS BIGINT) AS b0,
+             CAST(floor(epoch(MAX(ts)) / 600) AS BIGINT) AS b1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.b AS b, et.event_type
+      FROM bounds, UNNEST(generate_series(b0, b1)) AS t(b),
+           (SELECT DISTINCT event_type FROM events) et
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS b, event_type,
+             COUNT(*) AS pv, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.b, s.event_type, COALESCE(a.pv, 0) AS pv_ct, a.vs
+      FROM spine s LEFT JOIN agg a ON s.b = a.b AND s.event_type = a.event_type
+    )
+    SELECT strftime(make_timestamp(b * 600 * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type, pv_ct,
+           last_value(vs IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY b
+             ROWS UNBOUNDED PRECEDING) AS value_sum_locf,
+           (pv_ct = 0) AS gap_filled
+    FROM j
+    """,
+)
+def dws_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor(F.unix_timestamp("ts") / 600).cast("bigint")
+    bounds = ev.agg(F.min(b).alias("b0"), F.max(b).alias("b1"))
+    types = ev.select("event_type").distinct()
+    spine = (bounds.select(F.explode(F.sequence("b0", "b1")).alias("b"))
+             .crossJoin(types))
+    agg = (ev.groupBy(b.alias("b"), "event_type")
+           .agg(F.count("*").alias("pv"),
+                F.sum(dec("value")).cast("double").alias("vs")))
+    j = (spine.join(agg, ["b", "event_type"], "left")
+         .select("b", "event_type",
+                 F.coalesce("pv", F.lit(0)).alias("pv_ct"), "vs"))
+    w = (Window.partitionBy("event_type").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return j.select(
+        F.date_format(F.timestamp_seconds(F.col("b") * 600),
+                      "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type", "pv_ct",
+        F.last("vs", ignorenulls=True).over(w).alias("value_sum_locf"),
+        (F.col("pv_ct") == 0).alias("gap_filled"),
+    )

@@ -27,7 +27,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
@@ -410,4 +410,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the Jaccard similarity
+# graph → every doc in a component gets the component's MIN doc_id as its
+# canonical representative (the step a dedup pipeline runs AFTER pair
+# generation: pairs say "a≈b", the pipeline needs "keep one per
+# cluster"). Spark side is iterative min-label propagation — each round
+# every node adopts the smallest label among itself and its neighbors;
+# converges in graph-diameter rounds (near-dup clusters are shallow).
+# The driver loop only checks a per-round CHANGED counter (a scalar);
+# data never leaves the cluster. At 100 TB scale the same loop runs with
+# per-round checkpointing to truncate lineage (and the large-star/
+# small-star variant if clusters get deep). The oracle states the same
+# fixpoint as a recursive CTE (min label reachable along edges).
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_SQL = f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    canon AS (
+      SELECT node AS doc_id, MIN(lab) AS canonical_doc_id
+      FROM reach GROUP BY 1
+    )
+    SELECT doc_id, canonical_doc_id,
+           COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size,
+           (doc_id = canonical_doc_id) AS is_canonical
+    FROM canon
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .union(pairs.select(F.col("doc_b").alias("u"),
+                                 F.col("doc_a").alias("v")))
+             .distinct().cache())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")).cache())
+    labels.count()
+    for _ in range(25):                       # diameter cap; asserts below
+        neigh_min = (edges.join(labels, edges.v == labels.node)
+                     .groupBy("u").agg(F.min("label").alias("nlabel")))
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.u, "left")
+            .select("node",
+                    F.least("label", F.coalesce("nlabel", "label"))
+                     .alias("label"))
+            .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 25 rounds")
+    w_sz = F.count("*").over(Window.partitionBy("canonical_doc_id"))
+    return (
+        labels.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("canonical_doc_id"))
+        .withColumn("cluster_size", w_sz)
+        .withColumn("is_canonical",
+                    F.col("doc_id") == F.col("canonical_doc_id"))
     )
