@@ -1,0 +1,77 @@
+"""Reproducible sampling / dataset-split operators — a training-data
+pipeline must be able to (a) carve train/val/test deterministically and
+(b) downsample strata to target rates, such that re-running on the same
+corpus (or an appended superset) yields the same assignment for every
+unchanged row. That rules out `df.sample` (partition-order dependent):
+the standard tool is a CONTENT-KEYED HASH BUCKET — split membership is a
+pure function of the row key, so it is stable under repartitioning,
+appends, and engine changes.
+
+Scale: the assignment is one map-side expression (no shuffle, no state);
+the per-stratum report below is an ordinary two-phase agg. The hash is
+md5-derived integer math, identical in Spark and DuckDB, so the gate
+proves bit-level reproducibility ACROSS ENGINES — the property that
+makes a split auditable years later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+TRAIN_PCT = 80
+VAL_PCT = 10   # test gets the remainder
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from a key column: first 8 hex chars
+    of md5(key as string) as an integer, mod buckets. Portable: DuckDB's
+    ('0x' || substr(md5(x), 1, 8))::BIGINT % buckets is identical."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+
+
+def assign_split(df: DataFrame, key: str,
+                 train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT) -> DataFrame:
+    """Add a `split` column (train/val/test) keyed on ``key``."""
+    b = hash_bucket(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+         .when(b < train_pct + val_pct, "val")
+         .otherwise("test"),
+    )
+
+
+@query(
+    "sample_split_stratified",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < {TRAIN_PCT} THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS doc_ct,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang) AS share
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = assign_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang")
+    return (
+        docs.groupBy("lang", "split").agg(F.count("*").alias("doc_ct"))
+        .withColumn("share",
+                    F.col("doc_ct").cast("double") / F.sum("doc_ct").over(w))
+    )

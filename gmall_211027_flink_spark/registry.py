@@ -44,6 +44,8 @@ def load_all() -> None:
     import gmall_211027_flink_spark.operators.text  # noqa: F401
     import gmall_211027_flink_spark.operators.multimodal  # noqa: F401
     import gmall_211027_flink_spark.operators.asof  # noqa: F401
+    import gmall_211027_flink_spark.operators.fuzzy  # noqa: F401
+    import gmall_211027_flink_spark.operators.sampling  # noqa: F401
     import gmall_211027_flink_spark.plans.ads  # noqa: F401
     import gmall_211027_flink_spark.sources.cdc  # noqa: F401
     import gmall_211027_flink_spark.streaming.windows  # noqa: F401
