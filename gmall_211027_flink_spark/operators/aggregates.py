@@ -417,3 +417,54 @@ def dws_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("vs", ignorenulls=True).over(w).alias("value_sum_locf"),
         (F.col("pv_ct") == 0).alias("gap_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram over a measure (per-key value profiling — the
+# dataset-statistics pass a training pipeline runs before filtering).
+# Bounds come from a 1-row global agg broadcast into the bucketing
+# expression (no collect, no second scan thanks to cache-friendly
+# single-pass min/max); bucketing itself is a map-side floor() — the
+# whole thing is one narrow pass + one two-phase agg.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 20
+
+
+@query(
+    "stats_value_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    bucketed AS (
+      SELECT event_type,
+             CAST(least(floor((value - lo) / ((hi - lo) / {HIST_BUCKETS})),
+                        {HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+      FROM events, bounds
+    )
+    SELECT event_type, bucket, COUNT(*) AS ct,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS share
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    bucketed = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(F.floor((F.col("value") - F.col("lo")) / width),
+                    F.lit(HIST_BUCKETS - 1)).cast("bigint").alias("bucket"))
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        bucketed.groupBy("event_type", "bucket").agg(F.count("*").alias("ct"))
+        .withColumn("share",
+                    F.col("ct").cast("double") / F.sum("ct").over(w))
+    )

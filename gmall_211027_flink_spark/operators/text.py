@@ -12,7 +12,7 @@ scan-bound. Ratios are single double divisions of exact integer counts
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
@@ -260,4 +260,65 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n3") > 0,
                F.lit(1.0) - F.col("d3").cast("double") / F.col("n3").cast("double"))
          .otherwise(F.lit(0.0)).alias("dup_3gram_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 highest-scoring terms per document
+# (tf = in-doc count, idf = ln(N / df)). Scale shape: one explode →
+# two-phase (doc,term) count, the document-frequency table is a second
+# small agg broadcast back, ranking is a per-doc window. The idf double
+# is rounded to 6 dp BEFORE ranking so Spark and DuckDB rank identically
+# (raw float ordering could flip on last-bit differences — same
+# convention as the ANN cosine ranking in similarity.py).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk AS rank, term, tfidf
+    FROM ranked WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count("*").alias("n"))
+    tf = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "term").crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tfidf")
     )
