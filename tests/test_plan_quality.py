@@ -132,3 +132,34 @@ def test_q3_broadcasts_filtered_dim_single_shuffle_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     # the segment filter must reach the customer parquet scan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """At 100 TB a selective fact⋈fact join should push a runtime bloom
+    filter of the selective side's keys into the big side's scan —
+    rows that can't match die before the shuffle. Assert Spark injects
+    it when the optimizer flags are on (config posture in session.py
+    leaves it off by default; this documents the lever)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = (load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
