@@ -284,3 +284,54 @@ def dws_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Sixth streaming gate entry: 3-way stream UNION → keyed tumbling window
+# (U2 — the reference normalizes pv/uv/uj streams into one bean type and
+# unions them before a single shared window,
+# DwsTrafficVcChArIsNewPageViewWindow.java:115-118). Here three filtered
+# derivatives of the source stream are normalized to (ts, metric
+# columns), unioned, and summed in one windowed agg — one shuffle for
+# all three inputs, matching the reference's single downstream window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_union_streams_window",
+    oracle="""
+    SELECT
+      strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS stt,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_ct
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'error')
+    GROUP BY 1
+    """,
+)
+def dws_union_streams_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    def leg(event_type: str, c: str, p: str, e: str) -> DataFrame:
+        return (stream_events(spark, sf_dir)
+                .filter(F.col("event_type") == event_type)
+                .select("ts",
+                        F.lit(1 if c == "y" else 0).alias("click"),
+                        F.lit(1 if p == "y" else 0).alias("purchase"),
+                        F.lit(1 if e == "y" else 0).alias("error")))
+
+    unioned = (leg("click", "y", "n", "n")
+               .unionByName(leg("purchase", "n", "y", "n"))
+               .unionByName(leg("error", "n", "n", "y")))
+    agg = tumbling_agg(
+        unioned, "ts", "1 hour", "2 seconds", [],
+        [F.sum("click").cast("bigint").alias("click_ct"),
+         F.sum("purchase").cast("bigint").alias("purchase_ct"),
+         F.sum("error").cast("bigint").alias("error_ct")],
+    ).select("stt", "click_ct", "purchase_ct", "error_ct")
+    name = f"dws_union_stream_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)

@@ -103,3 +103,52 @@ def test_asof_window_form_matches_python_spec(spark, data):
                 if k2 == k and et2 == "view" and (ts2, i2) < (ts, i):
                     expect[i] = i2
     assert got == expect
+
+
+# --- band_join_binned ≡ naive theta band join -------------------------------
+
+band_vals = st.lists(st.integers(0, 200), min_size=1, max_size=25)
+
+
+@given(lv=band_vals, rv=band_vals,
+       eps=st.sampled_from([0.5, 1.0, 2.5, 7.0]))
+@SETTINGS
+def test_band_join_binned_equals_theta(spark, lv, rv, eps):
+    """The binned equi-join must produce exactly the naive theta join's
+    pairs — bin boundaries may only decide WHERE a pair meets, never
+    WHETHER. Integer-valued doubles land exactly on bin edges, which is
+    the adversarial case for floor-based binning."""
+    from gmall_211027_flink_spark.operators.joins import band_join_binned
+    left = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(lv)], "lid int, lval double")
+    right = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rv)], "rid int, rval double")
+    naive = {(r["lid"], r["rid"])
+             for r in left.join(
+                 right, F.abs(F.col("lval") - F.col("rval")) <= eps).collect()}
+    binned = {(r["lid"], r["rid"])
+              for r in band_join_binned(left, right, "lval", "rval", eps)
+              .collect()}
+    assert binned == naive
+
+
+# --- hash-bucket split: deterministic, partition-invariant, append-stable ---
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=40,
+                    unique=True))
+@SETTINGS
+def test_assign_split_stable_under_repartition_and_append(spark, ids):
+    from gmall_211027_flink_spark.operators.sampling import assign_split
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    base = {r["doc_id"]: r["split"]
+            for r in assign_split(df, "doc_id").collect()}
+    # repartitioning must not move any row between splits
+    shuffled = {r["doc_id"]: r["split"]
+                for r in assign_split(df.repartition(7), "doc_id").collect()}
+    assert shuffled == base
+    # appending new rows must not reassign existing ones
+    appended = df.union(spark.createDataFrame(
+        [(max(ids) + 1 + k,) for k in range(3)], "doc_id long"))
+    grown = {r["doc_id"]: r["split"]
+             for r in assign_split(appended, "doc_id").collect()}
+    assert {k: grown[k] for k in base} == base
