@@ -34,7 +34,7 @@ class TableProcess:
 
 
 def route_batch(env_batch: DataFrame, configs: list[TableProcess],
-                store_root: str) -> dict[str, int]:
+                store_root: str, epoch_id: int = 0) -> dict[str, int]:
     """Route one micro-batch of CDC-envelope rows into per-dim upsert
     stores. Returns {sink_table: rows_written}. Matches the reference's
     op-type filter (bootstrap-insert|insert|update,
@@ -52,7 +52,7 @@ def route_batch(env_batch: DataFrame, configs: list[TableProcess],
                 continue
             sink = ParquetUpsertSink(
                 f"{store_root}/{cfg.sink_table}", [cfg.sink_pk], "_cdc_ts")
-            sink.write_batch(projected, epoch_id=0)
+            sink.write_batch(projected, epoch_id=epoch_id)
             written[cfg.sink_table] = n
     finally:
         env_batch.unpersist()
@@ -65,5 +65,5 @@ def dim_router(config_loader: Callable[[], list[TableProcess]],
     DimApp loop. ``config_loader`` re-reads the config source each batch
     (JDBC in prod; any callable in tests)."""
     def fn(env_batch: DataFrame, epoch_id: int) -> None:
-        route_batch(env_batch, config_loader(), store_root)
+        route_batch(env_batch, config_loader(), store_root, epoch_id)
     return fn

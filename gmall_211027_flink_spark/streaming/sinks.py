@@ -21,17 +21,38 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
 class ParquetUpsertSink:
-    """Keyed upsert into a parquet directory (PK last-wins)."""
+    """Keyed upsert into a parquet directory (PK last-wins).
 
-    def __init__(self, path: str, key_cols: list[str], order_col: str):
+    Two scale/robustness properties beyond the basic rewrite:
+
+    - **Idempotent replay (effectively-once).** After a failure between
+      the sink write and the checkpoint commit, Structured Streaming
+      re-delivers the SAME micro-batch under the SAME epoch_id. The sink
+      records the last committed epoch in a sibling marker file and
+      skips re-delivered epochs, so foreachBatch + checkpointing yields
+      exactly-once table state (the guarantee the reference scaffolds
+      with Flink checkpoint configs, DwdTradePayDetailSuc.java:27-39).
+      A crash mid-write simply re-runs the (deterministic) upsert before
+      the marker advances — same final state.
+    - **Bucketed partial rewrite.** With ``num_buckets`` set, rows live
+      in hash(pk)-bucket subdirectories and a micro-batch rewrites ONLY
+      the buckets its keys touch — O(batch ∩ buckets), not O(table).
+      This is the property that keeps a continuously-upserting dim/DWS
+      store viable at 100 TB (same idea as Delta/Iceberg MERGE file
+      pruning, emulated on plain parquet; SURVEY §7.3).
+    """
+
+    def __init__(self, path: str, key_cols: list[str], order_col: str,
+                 num_buckets: int | None = None):
         self.path = path
         self.key_cols = key_cols
         self.order_col = order_col
+        self.num_buckets = num_buckets
 
     def _compact(self, batch: DataFrame) -> DataFrame:
         w = (Window.partitionBy(*self.key_cols)
@@ -41,31 +62,81 @@ class ParquetUpsertSink:
             .filter(F.col("_rn") == 1).drop("_rn")
         )
 
-    def write_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        compacted = self._compact(batch)
-        if os.path.exists(self.path):
-            existing = spark.read.parquet(self.path)
-            keep = existing.join(
-                compacted.select(*self.key_cols).distinct(),
-                self.key_cols, "left_anti")
-            merged = keep.unionByName(compacted)
-        else:
-            merged = compacted
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+    # -- idempotent-replay marker ------------------------------------------
+
+    @property
+    def _epoch_marker(self) -> str:
+        return f"{self.path}._epoch"
+
+    def _last_epoch(self) -> int:
+        try:
+            with open(self._epoch_marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _commit_epoch(self, epoch_id: int) -> None:
+        tmp = f"{self._epoch_marker}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, self._epoch_marker)
+
+    # -- write paths --------------------------------------------------------
+
+    def _atomic_swap(self, merged: DataFrame, target: str) -> None:
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def _bucket_col(self) -> Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.num_buckets))
+
+    def write_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= self._last_epoch():
+            return  # re-delivered micro-batch: already committed
+        spark = batch.sparkSession
+        compacted = self._compact(batch)
+        if self.num_buckets is None:
+            if os.path.exists(self.path):
+                existing = spark.read.parquet(self.path)
+                keep = existing.join(
+                    compacted.select(*self.key_cols).distinct(),
+                    self.key_cols, "left_anti")
+                merged = keep.unionByName(compacted)
+            else:
+                merged = compacted
+            self._atomic_swap(merged, self.path)
+        else:
+            bucketed = compacted.withColumn("_b", self._bucket_col()).cache()
+            # bucket IDs only (bounded by num_buckets) — not data rows
+            affected = sorted(r["_b"] for r in
+                              bucketed.select("_b").distinct().collect())
+            os.makedirs(self.path, exist_ok=True)
+            for b in affected:
+                bdir = os.path.join(self.path, f"bucket={b}")
+                part = bucketed.filter(F.col("_b") == b).drop("_b")
+                if os.path.exists(bdir):
+                    keep = spark.read.parquet(bdir).join(
+                        part.select(*self.key_cols).distinct(),
+                        self.key_cols, "left_anti")
+                    part = keep.unionByName(part)
+                self._atomic_swap(part, bdir)
+            bucketed.unpersist()
+        self._commit_epoch(epoch_id)
 
     def foreach_batch(self):
         return self.write_batch
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        if self.num_buckets is None:
+            return spark.read.parquet(self.path)
+        return spark.read.option("recursiveFileLookup", "true") \
+            .parquet(self.path)
 
 
 def jdbc_batch_sink(url: str, table: str, properties: dict | None = None):

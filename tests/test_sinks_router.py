@@ -52,3 +52,58 @@ def test_dim_router_routes_configured_tables(spark, tmp_path):
     assert "logo" not in tm[0].asDict()          # column pruning by config
     c1 = spark.read.parquet(f"{store}/dim_category1").collect()
     assert len(c1) == 1 and c1[0]["name"] == "food"
+
+
+def test_upsert_sink_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers the same micro-batch under the same
+    epoch_id after a failure before checkpoint commit; the sink must
+    skip the replay (effectively-once table state)."""
+    path = str(tmp_path / "replay_store")
+    sink = ParquetUpsertSink(path, ["id"], "ts")
+    b1 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "id int, ts int, v string")
+    sink.write_batch(b1, 0)
+    assert sink.read(spark).count() == 2
+    # replay of epoch 0 with different content must be a no-op
+    b1_replay = spark.createDataFrame([(3, 11, "c")], "id int, ts int, v string")
+    sink.write_batch(b1_replay, 0)
+    assert {r["id"] for r in sink.read(spark).collect()} == {1, 2}
+    # the NEXT epoch applies normally
+    sink.write_batch(b1_replay, 1)
+    assert {r["id"] for r in sink.read(spark).collect()} == {1, 2, 3}
+
+
+def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """With num_buckets set, a micro-batch touching one key must leave
+    every other bucket's files untouched (O(batch), not O(table)) and
+    still read back as the same logical table."""
+    import os
+
+    path = str(tmp_path / "bucketed_store")
+    sink = ParquetUpsertSink(path, ["id"], "ts", num_buckets=8)
+    seed = spark.createDataFrame(
+        [(i, 0, f"v{i}") for i in range(40)], "id int, ts int, v string")
+    sink.write_batch(seed, 0)
+    assert sink.read(spark).count() == 40
+
+    def file_mtimes():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = file_mtimes()
+    sink.write_batch(
+        spark.createDataFrame([(7, 1, "updated")], "id int, ts int, v string"), 1)
+    after = file_mtimes()
+    # exactly one bucket dir was replaced
+    changed_dirs = {os.path.dirname(p) for p in after
+                    if p not in before}
+    assert len(changed_dirs) == 1, changed_dirs
+    untouched = [p for p in before if os.path.dirname(p) not in changed_dirs]
+    assert untouched and all(p in after and after[p] == before[p]
+                             for p in untouched)
+    # logical content: last-wins applied, everything else intact
+    rows = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+    assert len(rows) == 40 and rows[7] == "updated"
