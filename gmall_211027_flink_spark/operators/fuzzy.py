@@ -37,15 +37,25 @@ from gmall_211027_flink_spark.registry import query
     """,
 )
 def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All customer-name pairs within edit distance 1, via 2-segment
-    pigeonhole blocking (names are fixed-length, so distance<=1 pairs
-    differ by exactly one substitution and must share one half)."""
+    """All customer-name pairs within edit distance 1, via 2-projection
+    pigeonhole blocking: names are fixed-length, so distance<=1 pairs
+    differ by exactly one substitution, which touches exactly one of the
+    two CHARACTER-PARITY projections (odd-position chars / even-position
+    chars) — candidates must agree on at least one projection verbatim.
+
+    Parity projections instead of contiguous halves on purpose: these
+    names share a long constant prefix ('Customer#0...'), so a prefix
+    half is one giant block (degenerates to a cross join as the table
+    grows), while parity interleaving spreads the high-entropy suffix
+    digits across BOTH block keys — block sizes stay small at any SF.
+    Segment choice only affects candidate count, never recall."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    half = 9  # c_name is 'Customer#NNNNNNNNN' — 18 chars, split 9/9
     seg = c.select(
         "c_custkey", "c_name",
-        F.substring("c_name", 1, half).alias("h1"),
-        F.substring("c_name", half + 1, half).alias("h2"),
+        # chars at positions 1,3,5,... and 2,4,6,... (1-indexed)
+        F.regexp_replace(F.col("c_name"), "(.).", "$1").alias("h1"),
+        F.regexp_replace(F.expr("substring(c_name, 2)"), "(.).", "$1")
+         .alias("h2"),
     )
     cands = None
     for k in ("h1", "h2"):

@@ -152,3 +152,41 @@ def test_assign_split_stable_under_repartition_and_append(spark, ids):
     grown = {r["doc_id"]: r["split"]
              for r in assign_split(appended, "doc_id").collect()}
     assert {k: grown[k] for k in base} == base
+
+
+# --- pigeonhole fuzzy blocking: full recall vs naive levenshtein ------------
+
+name_strat = st.text(alphabet="ab1", min_size=6, max_size=6)
+
+
+@given(names=st.lists(name_strat, min_size=2, max_size=15, unique=True))
+@SETTINGS
+def test_fuzzy_parity_blocking_full_recall(spark, names):
+    """Any two equal-length strings within edit distance 1 agree on one
+    character-parity projection — the blocked candidate set must contain
+    every naive levenshtein<=1 pair. Tiny alphabet maximizes near-miss
+    density."""
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k int, name string")
+    import pyspark.sql.functions as FF
+    lev = {(r["ak"], r["bk"]) for r in
+           df.alias("a").join(df.alias("b"), FF.col("a.k") < FF.col("b.k"))
+             .select(FF.col("a.k").alias("ak"), FF.col("b.k").alias("bk"),
+                     FF.levenshtein("a.name", "b.name").alias("d"))
+             .filter(FF.col("d") <= 1).collect()}
+    seg = df.select(
+        "k", "name",
+        FF.regexp_replace(FF.col("name"), "(.).", "$1").alias("h1"),
+        FF.regexp_replace(FF.expr("substring(name, 2)"), "(.).", "$1")
+          .alias("h2"))
+    cands = set()
+    for h in ("h1", "h2"):
+        a = seg.select(FF.col("k").alias("ak"), FF.col("name").alias("an"),
+                       FF.col(h).alias("blk"))
+        b = seg.select(FF.col("k").alias("bk"), FF.col("name").alias("bn"),
+                       FF.col(h).alias("blk"))
+        j = (a.join(b, "blk").filter(FF.col("ak") < FF.col("bk"))
+             .withColumn("d", FF.levenshtein("an", "bn"))
+             .filter(FF.col("d") <= 1))
+        cands |= {(r["ak"], r["bk"]) for r in j.collect()}
+    assert cands == lev, (sorted(lev - cands), names)
