@@ -38,3 +38,30 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.5
+
+
+def test_hll_sketch_rollup_merges_like_raw(spark, sf_dir):
+    """Mergeable distinct-count rollup: fine (hour, event_type) buckets
+    keep an HLL SKETCH of user_id; the daily answer unions the sketches
+    — never re-reads raw events. This is the only distinct-count shape
+    that composes hierarchically at 100 TB (plain countDistinct can't be
+    re-aggregated; collect_set state is unbounded). Union-of-sketches
+    must estimate the day's true distinct count within HLL tolerance,
+    and per-type sketches must merge across types identically to a
+    sketch built from the raw union."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 3600) * 3600),
+        "yyyy-MM-dd HH:00:00")
+    fine = (ev.groupBy(hour.alias("stt"), "event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("uv_sketch")))
+    day = (fine.groupBy(F.substring("stt", 1, 10).alias("dt"))
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("uv_sketch"))
+                .alias("uv_est")))
+    exact = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+             .agg(F.countDistinct("user_id").alias("uv")))
+    merged = {r["dt"]: r["uv_est"] for r in day.collect()}
+    truth = {r["dt"]: r["uv"] for r in exact.collect()}
+    assert merged.keys() == truth.keys()
+    for dt, uv in truth.items():
+        assert abs(merged[dt] - uv) <= max(2, 0.05 * uv), (dt, merged[dt], uv)
