@@ -135,8 +135,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdocs = _shingle_arrays(spark, sf_dir)
-    sh = wdocs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    sizes = wdocs.select("doc_id", F.size("sh_arr").alias("n"))
     # Pair generation via groupBy(shingle)+collect_list instead of a
     # shingle self-join: one shuffle of (hash, doc_id) pairs replaces two
     # full exploded-side shuffles + SMJ (measured ~4x faster at sf0.1;
@@ -144,27 +142,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64(shingle) — 8 bytes on the wire instead of a ~30-byte
     # string; the posting list stays tiny (doc-frequency cap is the skew
     # guard at scale: a shingle shared by k docs yields k(k-1)/2 pairs).
+    # Each posting-list entry carries the doc's shingle-set SIZE, so the
+    # union size |A|+|B|-i falls out of the pair row itself — no sizes
+    # dimension and NO post-count joins (two shuffled joins removed;
+    # measured ~1.5x on the warm query at sf0.1). (doc_a, doc_b) alone
+    # determine (na, nb); grouping by all four keys is the same grouping.
+    sh = wdocs.select(
+        "doc_id", F.size("sh_arr").alias("n"),
+        F.explode("sh_arr").alias("shingle"))
     groups = (
         sh.groupBy(F.xxhash64("shingle").alias("k"))
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     inter = (
         groups.select(F.explode(F.expr(
             "flatten(transform(ds, (x, i) -> transform(slice(ds, i+2, size(ds)-i-1),"
-            " y -> struct(least(x,y) as doc_a, greatest(x,y) as doc_b))))"
+            " y -> case when x.doc_id < y.doc_id"
+            "      then struct(x.doc_id as doc_a, y.doc_id as doc_b,"
+            "                  x.n as na, y.n as nb)"
+            "      else struct(y.doc_id as doc_a, x.doc_id as doc_b,"
+            "                  y.n as na, x.n as nb) end)))"
         )).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
