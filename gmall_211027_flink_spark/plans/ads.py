@@ -388,3 +388,83 @@ GROUP BY 1
 @query("ads_above_avg_orders", oracle=_ABOVE_AVG)
 def ads_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _ABOVE_AVG)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (beyond the reference's ADS pack — the
+# product-analytics query its publisher layer would grow next): cohort =
+# first-order month, cell = share of the cohort active k months later.
+# Month arithmetic is year*12+month (portable integer math — identical
+# in Spark and DuckDB, no dialect-specific date_diff).
+# ---------------------------------------------------------------------------
+
+_COHORT_RETENTION = """
+WITH cohort AS (
+  SELECT o_custkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+activity AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m
+  FROM orders
+),
+cells AS (
+  SELECT c.cohort_m, a.m - c.cohort_m AS month_offset,
+         COUNT(*) AS active_customers
+  FROM cohort c JOIN activity a ON c.o_custkey = a.o_custkey
+  GROUP BY c.cohort_m, a.m - c.cohort_m
+),
+sizes AS (
+  SELECT cohort_m, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_m
+)
+SELECT ce.cohort_m, ce.month_offset, ce.active_customers, s.cohort_size,
+       CAST(ce.active_customers AS DOUBLE) / s.cohort_size AS retention_rate
+FROM cells ce JOIN sizes s ON ce.cohort_m = s.cohort_m
+"""
+
+
+@query("ads_cohort_retention", oracle=_COHORT_RETENTION)
+def ads_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _COHORT_RETENTION)
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel (view → click → purchase, strictly ordered per user
+# by event time): each stage counts users whose stage event happens
+# AFTER their previous stage's first event — the order-sensitive funnel,
+# not three independent filters. One scan per stage, joins on user_id.
+# ---------------------------------------------------------------------------
+
+_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS users,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM v) AS conversion
+FROM v
+UNION ALL
+SELECT 2, 'click', COUNT(*),
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM v) FROM c
+UNION ALL
+SELECT 3, 'purchase', COUNT(*),
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM v) FROM p
+"""
+
+
+@query("ads_funnel_view_click_purchase", oracle=_FUNNEL)
+def ads_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _FUNNEL)
