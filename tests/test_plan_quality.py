@@ -163,3 +163,37 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skewed keys are the classic 100 TB join killer. With AQE skew-join
+    on, a hot key's oversized shuffle partition must be split at runtime
+    (SortMergeJoin marked skew=true reading 'coalesced and skewed') —
+    no manual salting needed for moderate skew; the salting helpers in
+    operators/joins.py remain the lever for extreme cases."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+             .otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k").groupBy("tag").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
