@@ -49,6 +49,7 @@ _DOT = "aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), cast(0 as double), (a
 
 @query(
     "ann_cosine_topk",
+    bench=True,
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -320,7 +321,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are short (no Python boundary at all). Measured tradeoff in SCALE.md.
 # ---------------------------------------------------------------------------
 
-@query("ann_cosine_topk_pandas", bench=True, oracle=ORACLES["ann_cosine_topk"])
+@query("ann_cosine_topk_pandas", oracle=ORACLES["ann_cosine_topk"])
 def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
