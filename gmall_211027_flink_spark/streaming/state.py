@@ -126,3 +126,47 @@ def new_visitor_fix(events: DataFrame, key_col: str,
             fn, output_schema, STATE_SCHEMA, "append",
             GroupStateTimeout.NoTimeout)
     )
+
+
+def backflow(events: DataFrame, key_col: str,
+             output_schema: T.StructType,
+             min_gap_days: int = 2) -> DataFrame:
+    """Returning-user ("back-flow") detector — emit a row when a key is
+    active again after >= min_gap_days of absence (reference: back-flow
+    users with a 7-day ValueState gap check,
+    DwsUserUserLoginWindow.java:83-135, `days >= 8` at :117-121; gap
+    scaled to this dataset's density). State per key is the last active
+    DATE string — constant size, the same footprint as daily_unique.
+
+    ``events`` must carry a ``dt`` (yyyy-MM-dd) column; rows within a
+    batch are processed in (dt) order per key. Output rows are
+    (key, dt, gap_days) projected to output_schema.
+    """
+    from datetime import date
+
+    out_cols = [f.name for f in output_schema.fields]
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        last_seen = state.get[0] if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            for dt in sorted(pdf["dt"].unique()):
+                if last_seen is not None and dt > last_seen:
+                    gap = (date.fromisoformat(dt)
+                           - date.fromisoformat(last_seen)).days
+                    if gap >= min_gap_days:
+                        outs.append({"user_id": key[0], "dt": dt,
+                                     "gap_days": gap})
+                if last_seen is None or dt > last_seen:
+                    last_seen = dt
+        state.update((last_seen,))
+        if outs:
+            yield pd.DataFrame(outs)[out_cols]
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, output_schema, STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout)
+    )

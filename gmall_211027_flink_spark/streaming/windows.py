@@ -335,3 +335,48 @@ def dws_union_streams_window(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Seventh streaming gate entry: stateful back-flow detection (A5 — the
+# reference's returning-user ValueState gap check,
+# DwsUserUserLoginWindow.java:117-121) run as a stream; per-day back-flow
+# counts hash-match the batch lag()-based SQL oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_backflow_streaming",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events GROUP BY 1, 2
+    ), gaps AS (
+      SELECT user_id, dt,
+             date_diff('day',
+                       strptime(LAG(dt) OVER (PARTITION BY user_id ORDER BY dt), '%Y-%m-%d'),
+                       strptime(dt, '%Y-%m-%d')) AS gap_days
+      FROM daily
+    )
+    SELECT dt, COUNT(*) AS backflow_ct
+    FROM gaps WHERE gap_days >= 2 GROUP BY 1
+    """,
+)
+def dws_backflow_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from gmall_211027_flink_spark.sources.files import stream_events
+    from gmall_211027_flink_spark.streaming.state import backflow
+
+    stream = stream_events(spark, sf_dir).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd"))
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("gap_days", T.IntegerType()),
+    ])
+    bf = backflow(stream.select("user_id", "dt"), "user_id", out_schema)
+    name = f"dws_backflow_stream_{_uuid.uuid4().hex[:8]}"
+    q = (bf.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.table(name).groupBy("dt")
+            .agg(F.count("*").alias("backflow_ct")))
