@@ -156,7 +156,7 @@ def backflow(events: DataFrame, key_col: str,
                     gap = (date.fromisoformat(dt)
                            - date.fromisoformat(last_seen)).days
                     if gap >= min_gap_days:
-                        outs.append({"user_id": key[0], "dt": dt,
+                        outs.append({key_col: key[0], "dt": dt,
                                      "gap_days": gap})
                 if last_seen is None or dt > last_seen:
                     last_seen = dt
