@@ -644,3 +644,48 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("b_price").cast("double").alias("near_min"),
              F.max("b_price").cast("double").alias("near_max"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape large-order screen: HAVING-filtered aggregate used as a
+# semi-join filter back onto the fact — the "find the whales, then pull
+# their detail" pattern. The aggregate side collapses lineitem to
+# order grain BEFORE any join; the detail pull is a semi join against
+# the (tiny) qualifying keyset, which Catalyst broadcasts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+           .filter(F.col("qty_dec") > 120)
+           .select("l_orderkey",
+                   F.col("qty_dec").cast("double").alias("total_qty")))
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "total_qty")
+    )

@@ -574,3 +574,91 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
               .alias("acctbal_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users per day (the sliding-DISTINCT problem:
+# COUNT(DISTINCT) does not compose across window frames, so a frame spec
+# can't express it). Exact shape: join the small day-spine against the
+# (day, user) grain with a 7-day band and re-count distinct per day —
+# the distinct re-count touches only 7x the DAILY grain, never raw
+# events. At 100 TB the daily grain is the pre-aggregated rollup and the
+# spine join broadcasts; the approximate alternative (mergeable HLL
+# union over 7 sketches — test_scale_helpers::test_hll_sketch_rollup*)
+# is the sketch path when exactness can be traded.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_rolling_7d_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT dt FROM daily)
+    SELECT d.dt,
+           COUNT(DISTINCT u.user_id) AS wau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) - (
+             SELECT COUNT(DISTINCT user_id) FROM daily x WHERE x.dt = d.dt
+           ) AS carryover_users
+    FROM days d
+    JOIN daily u
+      ON u.dt <= d.dt
+     AND strptime(u.dt, '%Y-%m-%d') > strptime(d.dt, '%Y-%m-%d') - INTERVAL 7 DAY
+    GROUP BY d.dt
+    """,
+)
+def dws_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(day_str("ts").alias("dt"), "user_id").distinct()
+    days = daily.select("dt").distinct()
+    dau = daily.groupBy("dt").agg(F.countDistinct("user_id").alias("dau"))
+    u = daily.select(F.col("dt").alias("udt"), "user_id")
+    joined = days.join(
+        u,
+        (F.col("udt") <= F.col("dt"))
+        & (F.to_date("udt") > F.date_sub(F.to_date("dt"), 7)))
+    wau = joined.groupBy("dt").agg(F.countDistinct("user_id").alias("wau"))
+    return (wau.join(dau, "dt")
+            .select("dt", "wau",
+                    (F.col("wau").cast("bigint") - F.col("dau"))
+                    .alias("carryover_users")))
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (ADS trend shape): aggregate to months, then
+# lag() over the TINY aggregate — the window function runs on rows/month,
+# not raw orders.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+             COUNT(*) AS order_ct
+      FROM orders GROUP BY 1
+    )
+    SELECT m_idx, gmv, order_ct,
+           round(CASE WHEN LAG(gmv) OVER (ORDER BY m_idx) IS NULL THEN NULL
+                 ELSE (gmv - LAG(gmv) OVER (ORDER BY m_idx))
+                      / LAG(gmv) OVER (ORDER BY m_idx) END, 6) AS gmv_mom,
+           CAST(order_ct - LAG(order_ct) OVER (ORDER BY m_idx) AS BIGINT)
+             AS order_ct_delta
+    FROM m
+    """,
+)
+def ads_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy((F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                   .alias("m_idx"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .cast("double").alias("gmv"),
+              F.count("*").alias("order_ct")))
+    w = Window.orderBy("m_idx")
+    prev_gmv = F.lag("gmv").over(w)
+    return m.select(
+        "m_idx", "gmv", "order_ct",
+        F.round((F.col("gmv") - prev_gmv) / prev_gmv, 6).alias("gmv_mom"),
+        (F.col("order_ct") - F.lag("order_ct").over(w)).cast("bigint")
+         .alias("order_ct_delta"))
