@@ -468,3 +468,81 @@ SELECT 3, 'purchase', COUNT(*),
 @query("ads_funnel_view_click_purchase", oracle=_FUNNEL)
 def ads_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _FUNNEL)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs (recommendation-feed shape): part
+# pairs appearing together in >= 3 orders, with support and lift.
+# Pair generation is the posting-list pattern shared with the dedup
+# family (collect the small per-order part list, expand pairs map-side)
+# — never a lineitem self-join. Lift denominators come from the tiny
+# per-part order counts, broadcast back onto the pair rows. Doubles are
+# rounded to 6 dp so both engines rank/filter identically.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE = """
+WITH order_parts AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM order_parts),
+part_ct AS (
+  SELECT l_partkey, COUNT(*) AS ct FROM order_parts GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together_ct
+  FROM order_parts a
+  JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.together_ct,
+       round(CAST(p.together_ct AS DOUBLE) / n.n, 6) AS support,
+       round(CAST(p.together_ct AS DOUBLE) * n.n
+             / (ca.ct * CAST(cb.ct AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN part_ct ca ON p.part_a = ca.l_partkey
+JOIN part_ct cb ON p.part_b = cb.l_partkey
+CROSS JOIN n_orders n
+"""
+
+
+@query("ads_copurchase_pairs", oracle=_COPURCHASE)
+def ads_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select(F.countDistinct("l_orderkey").alias("n"))
+    part_ct = op.groupBy("l_partkey").agg(F.count("*").alias("ct"))
+    # posting-list pair expansion: one shuffle to order grain, pairs
+    # generated map-side from each order's (tiny) part list
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= 3)
+    )
+    ca = part_ct.select(F.col("l_partkey").alias("part_a"),
+                        F.col("ct").alias("ct_a"))
+    cb = part_ct.select(F.col("l_partkey").alias("part_b"),
+                        F.col("ct").alias("ct_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "together_ct",
+            F.round(F.col("together_ct").cast("double") / F.col("n"), 6)
+             .alias("support"),
+            F.round(F.col("together_ct").cast("double") * F.col("n")
+                    / (F.col("ct_a") * F.col("ct_b").cast("double")), 6)
+             .alias("lift"))
+    )
