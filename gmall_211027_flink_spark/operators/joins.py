@@ -647,11 +647,14 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q18-shape large-order screen: HAVING-filtered aggregate used as a
-# semi-join filter back onto the fact — the "find the whales, then pull
-# their detail" pattern. The aggregate side collapses lineitem to
-# order grain BEFORE any join; the detail pull is a semi join against
-# the (tiny) qualifying keyset, which Catalyst broadcasts.
+# Q18-shape large-order screen: HAVING-filtered aggregate joined back
+# onto the fact — the "find the whales, then pull their detail" pattern.
+# The aggregate side collapses lineitem to order grain BEFORE any join.
+# NOTE on join strategy: this threshold keeps ~1/3 of orders, so the
+# qualifying set is NOT broadcastable at scale — the plan deliberately
+# leaves both joins to Catalyst/AQE (shuffle join on orderkey; customer
+# flips to broadcast only if it fits the threshold). Forcing broadcast
+# here is the classic OOM at 100 TB.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -682,8 +685,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("l_orderkey",
                    F.col("qty_dec").cast("double").alias("total_qty")))
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_custkey", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
