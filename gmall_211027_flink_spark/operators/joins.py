@@ -63,7 +63,10 @@ def dwd_order_graph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("ict"), F.sum(revenue).alias("rev"))
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows linearly with the fact tables: no forced
+        # broadcast — the 64 MB threshold/AQE decides (broadcast at
+        # test SFs, shuffle at 100 TB)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
         .agg(
             F.sum("ict").cast("bigint").alias("item_ct"),
@@ -428,7 +431,7 @@ def dws_province_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
                  & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")))
-        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .join(dim, o.o_custkey == dim.c_custkey)  # customer-grain: threshold/AQE decides
         .groupBy(day_str("o_orderdate").alias("dt"), "province_name")
         .agg(F.countDistinct("o_orderkey").alias("order_ct"),
              dsum("o_totalprice").alias("order_amount"))
@@ -500,11 +503,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape: selective dim filter → join → agg → top-k.
 
     Scale notes: the segment filter prunes customer BEFORE the join
-    (Catalyst pushes it to the scan); the filtered customer keyset is
-    small enough to broadcast, so the only shuffle is lineitem⋈orders on
-    orderkey; top-k is `orderBy.limit`, which Spark executes as
-    per-partition TakeOrdered (no global sort materialization).
-    The revenue tie-break on l_orderkey makes LIMIT deterministic.
+    (Catalyst pushes it to the scan) and the projection cuts it to bare
+    keys; whether that keyset broadcasts is left to the size threshold /
+    AQE (it does at test SFs; at 100 TB it grows linearly and correctly
+    falls back to a shuffle join). Top-k is `orderBy.limit`, which Spark
+    executes as per-partition TakeOrdered (no global sort
+    materialization). The revenue tie-break on l_orderkey makes LIMIT
+    deterministic.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -515,8 +520,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cut)
         .join(o.filter(F.col("o_orderdate") < cut),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")
-                          .select("c_custkey")),
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING")
+               .select("c_custkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
@@ -550,11 +555,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: snowflake of 4 small dims + 2 facts, local-supplier
     constraint (c_nationkey = s_nationkey) carried through the join.
 
-    Scale notes: region/nation/supplier/customer are all broadcast (the
-    biggest, customer, is ~1/40th of lineitem and shrinks further after
-    the region filter reaches it through nation); the single shuffle is
-    again lineitem⋈orders. The nation equality is applied as a join-side
-    filter, not a second shuffle key.
+    Scale notes: only the BOUNDED frame (the 25-row nation⋈region
+    result) is force-broadcast; customer and the nation-filtered
+    supplier grow linearly with scale, so their join strategy is left to
+    the size threshold / AQE — broadcast at test SFs, shuffle joins at
+    100 TB. The nation equality rides as a join-side filter, not a
+    second shuffle key.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -574,8 +580,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
                     & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sup),
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
