@@ -468,3 +468,112 @@ def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("share",
                     F.col("ct").cast("double") / F.sum("ct").over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC (open/high/low/close) per hour per event_type — the candlestick
+# rollup. Open/close are the FIRST/LAST values by (ts, event_id): done
+# with a lexicographic struct min/max (one two-phase agg, no window
+# sort) — `min(struct(ts, event_id, value))` picks the earliest row's
+# value deterministically, ties broken by event_id. The oracle states
+# the same selection with row_number, proving the struct-ordering trick
+# exact. High/low are decimal-exact min/max.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value, ts, event_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY h, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY h, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM b
+    )
+    SELECT strftime(make_timestamp(h * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_z = 1 THEN value END) AS DOUBLE) AS close,
+           COUNT(*) AS tick_ct
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def dws_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    return (
+        ev.groupBy(h.alias("h"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("first_row"),
+            F.max(dec("value")).cast("double").alias("high"),
+            F.min(dec("value")).cast("double").alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("last_row"),
+            F.count("*").alias("tick_ct"),
+        )
+        .select(
+            F.date_format(F.timestamp_seconds("h"), "yyyy-MM-dd HH:mm:ss")
+             .alias("stt"),
+            "event_type",
+            F.col("first_row.value").alias("open"),
+            "high", "low",
+            F.col("last_row.value").alias("close"),
+            "tick_ct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average per event_type (the irregular-sample hypertable
+# aggregate): each sample holds its value until the next sample, so
+# TWA = Σ(value_i · Δt_i) / Σ(Δt_i) with Δt from lead(ts); the series'
+# last sample carries no duration. The value·Δt products and their sum
+# run in DECIMAL (associative, partition-order-proof) — doubles appear
+# only in the final division, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT event_type,
+           round(CAST(SUM(v * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           COUNT(*) AS sample_ct
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stats_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type", dec("value").alias("v"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                    / F.sum("dt_us").cast("double"), 6).alias("twa"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.count("*").alias("sample_ct"),
+        )
+    )
