@@ -132,3 +132,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("frame_idx").cast("string")))
              .alias("frame_digest"))
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("target_w", T.LongType()),
+    T.StructField("target_h", T.LongType()),
+    T.StructField("resized_digest", T.StringType()),
+])
+
+TARGET_W = 64
+
+
+def resize_images(meta: DataFrame) -> DataFrame:
+    """Resize plumbing: aspect-preserving target dims (integer math) +
+    per-image output digest, via Arrow-batched mapInPandas. REAL PIXEL
+    RESAMPLING IS STUBBED (no PIL in this container): the output digest
+    is md5(content_digest:WxH) — swap the digest line for
+    `PIL.Image.resize` and the plumbing is unchanged."""
+
+    def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            target_h = (pdf["height"] * TARGET_W // pdf["width"]).astype("int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "target_w": pd.Series([TARGET_W] * len(pdf)).astype("int64"),
+                "target_h": target_h,
+                "resized_digest": [
+                    hashlib.md5(f"{d}:{TARGET_W}x{h}".encode()).hexdigest()
+                    for d, h in zip(pdf["content_digest"], target_h)
+                ],
+            })
+
+    return meta.mapInPandas(_fake_resize_batch, RESIZED_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT AS BIGINT) AS width,
+             CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT AS BIGINT) AS height,
+             md5(text) AS content_digest
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, width, height,
+           CAST({TARGET_W} AS BIGINT) AS target_w,
+           height * {TARGET_W} // width AS target_h,
+           md5(content_digest || ':{TARGET_W}x'
+               || CAST(height * {TARGET_W} // width AS VARCHAR)) AS resized_digest
+    FROM meta
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        "doc_id", F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"))
+    meta = decode_binary_metadata(media).select(
+        "doc_id", "width", "height", "content_digest")
+    return resize_images(meta)
