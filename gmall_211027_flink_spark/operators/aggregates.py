@@ -577,3 +577,63 @@ def stats_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("sample_ct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier screen per event_type (the numeric-outlier filter a
+# training pipeline runs before ingestion). Moments are computed from
+# DECIMAL-exact Σx and Σx² (associative, partition-order-proof; doubles
+# appear only in the final mean/std arithmetic, rounded to 6 dp), so
+# both engines flag the identical rows — a raw double variance would be
+# partition-order-dependent and unhashable across engines.
+# ---------------------------------------------------------------------------
+
+ZSCORE_CUT = 3.0
+
+
+@query(
+    "stats_zscore_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type, n,
+             round(s1 / n, 6) AS mean,
+             round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std
+      FROM m
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           round((e.value - s.mean) / s.std, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs(round((e.value - s.mean) / s.std, 6)) > {ZSCORE_CUT}
+    """,
+)
+def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean"),
+        F.round(F.sqrt(F.col("s2") / F.col("n")
+                       - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))),
+                6).alias("std"),
+    )
+    z = F.round((F.col("value") - F.col("mean")) / F.col("std"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")  # bounded: one row per type
+        .select("event_id", "event_type",
+                F.col("value").cast("double").alias("value"),
+                z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > ZSCORE_CUT)
+    )
