@@ -662,3 +662,33 @@ def ads_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("gmv") - prev_gmv) / prev_gmv, 6).alias("gmv_mom"),
         (F.col("order_ct") - F.lag("order_ct").over(w)).cast("bigint")
          .alias("order_ct_delta"))
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist — closes out the ranking-function family
+# (row_number/rank/ntile/lag/lead/frames covered elsewhere). Account
+# balance percentile position per market segment.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_percentile_position",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS bal_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+    )
