@@ -512,3 +512,74 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical",
                     F.col("doc_id") == F.col("canonical_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Doc-frequency-capped Jaccard — the SKEW GUARD made live. A shingle
+# shared by k docs yields k(k-1)/2 pairs; boilerplate shingles (headers,
+# license text) produce quadratic hot groups. Dropping shingles with
+# document frequency > DF_CAP bounds every posting list's pair fan-out
+# at DF_CAP²/2 — the standard trade (boilerplate carries no similarity
+# signal anyway). The cap changes semantics (capped intersection
+# counts), so this is registered SEPARATELY with the cap mirrored in the
+# oracle: the gate proves the guarded plan's exact semantics, not just
+# the unguarded one's.
+# ---------------------------------------------------------------------------
+
+DF_CAP = 8
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= {DF_CAP}
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a
+      JOIN kept k ON a.shingle = k.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard_capped
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wdocs = _shingle_arrays(spark, sf_dir)
+    sh = wdocs.select(
+        "doc_id", F.size("sh_arr").alias("n"),
+        F.explode("sh_arr").alias("shingle"))
+    groups = (
+        sh.groupBy(F.xxhash64("shingle").alias("k"))
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        # the cap: degenerate (boilerplate) shingles never reach the
+        # pair expansion — fan-out per group is bounded by DF_CAP^2/2
+        .filter((F.size("ds") > 1) & (F.size("ds") <= DF_CAP))
+    )
+    inter = (
+        groups.select(F.explode(F.expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i+2, size(ds)-i-1),"
+            " y -> case when x.doc_id < y.doc_id"
+            "      then struct(x.doc_id as doc_a, y.doc_id as doc_b,"
+            "                  x.n as na, y.n as nb)"
+            "      else struct(y.doc_id as doc_a, x.doc_id as doc_b,"
+            "                  y.n as na, x.n as nb) end)))"
+        )).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard_capped"))
+        .filter(F.col("jaccard_capped") >= JACCARD_THRESHOLD)
+    )

@@ -322,3 +322,34 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (the cleanup pass before dedup/tokenization):
+# lowercase, collapse whitespace runs, strip leading/trailing space —
+# emitted with a changed flag and the normalized length so downstream
+# stats don't re-scan. Pure JVM expressions; the oracle runs the same
+# regex (\s+ means the same class in Java regex and RE2).
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                AS BIGINT) AS norm_len,
+           (trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text)
+             AS changed
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        (norm != F.col("text")).alias("changed"),
+    )
