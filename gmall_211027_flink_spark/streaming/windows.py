@@ -380,3 +380,63 @@ def dws_backflow_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(600)
     return (spark.table(name).groupBy("dt")
             .agg(F.count("*").alias("backflow_ct")))
+
+
+# ---------------------------------------------------------------------------
+# Eighth streaming gate entry: CUMULATE windows AS A STREAM. The
+# cumulative-end expansion is a stateless map-side explode (each event →
+# its remaining 15-min ends within the hour), so the streaming plan is
+# exactly the batch plan with a streaming aggregation on top — same
+# oracle as the batch dws_cumulate_window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_cumulate_streaming",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+             (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+              + 900 * k.k) AS wend
+      FROM events,
+           (SELECT UNNEST(generate_series(1, 4)) AS k) k
+      WHERE 900 * k.k > epoch(ts) - CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+    )
+    SELECT strftime(make_timestamp(h * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(make_timestamp(wend * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def dws_cumulate_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    epoch = F.unix_timestamp("ts")
+    h = (F.floor(epoch / 3600) * 3600).cast("bigint")
+    expanded = (
+        ev.select("event_type", "value", h.alias("h"),
+                  (epoch - h).alias("off"))
+        .withColumn("k", F.explode(
+            F.expr("sequence(cast(floor(off/900)+1 as int), 4)")))
+        .withColumn("wend", F.col("h") + 900 * F.col("k"))
+    )
+    agg = (
+        expanded.groupBy("h", "wend", "event_type")
+        .agg(F.count("*").alias("pv_ct"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("value_sum"))
+        .select(
+            F.date_format(F.timestamp_seconds("h"), "yyyy-MM-dd HH:mm:ss")
+             .alias("stt"),
+            F.date_format(F.timestamp_seconds("wend"), "yyyy-MM-dd HH:mm:ss")
+             .alias("edt"),
+            "event_type", "pv_ct", "value_sum")
+    )
+    name = f"dws_cumulate_stream_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
