@@ -440,3 +440,69 @@ def dws_cumulate_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Ninth streaming gate entry: OHLC candlestick rollup AS A STREAM —
+# open/close via lexicographic struct min/max inside a streaming
+# aggregation (incremental: each arriving row folds into the running
+# min/max structs — the same "来一条聚合一条" incremental reduce shape as
+# the reference's windows). Same oracle as the batch dws_ohlc_hourly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_ohlc_streaming",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value, ts, event_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY h, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY h, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM b
+    )
+    SELECT strftime(make_timestamp(h * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_z = 1 THEN value END) AS DOUBLE) AS close,
+           COUNT(*) AS tick_ct
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def dws_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    h = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    agg = (
+        ev.groupBy(h.alias("h"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("first_row"),
+            F.max(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("high"),
+            F.min(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("last_row"),
+            F.count("*").alias("tick_ct"),
+        )
+        .select(
+            F.date_format(F.timestamp_seconds("h"), "yyyy-MM-dd HH:mm:ss")
+             .alias("stt"),
+            "event_type",
+            F.col("first_row.value").alias("open"),
+            "high", "low",
+            F.col("last_row.value").alias("close"),
+            "tick_ct")
+    )
+    name = f"dws_ohlc_stream_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
