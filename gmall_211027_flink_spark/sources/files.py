@@ -47,3 +47,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType) -> DataFrame:
+    """Batch JSON reader with EXPLICIT schema — never inferSchema in a
+    pipeline (a schema inferred from one day's files silently drifts on
+    the next; the reference's Flink jobs declare every topic's schema in
+    DDL for the same reason, MyKafkaUtil.java:65-72)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """Batch CSV reader, schema-explicit, PERMISSIVE with a corrupt-
+    record column so dirty rows land in a quarantine filter instead of
+    killing the job (same dirty-side-output posture as P1)."""
+    full = T.StructType(schema.fields
+                        + [T.StructField("_corrupt", T.StringType())])
+    return (spark.read.schema(full)
+            .option("header", str(header).lower())
+            .option("sep", sep)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path))
