@@ -197,3 +197,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_cell_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
+    """The IVF scale path end-to-end: write the embedding corpus
+    PARTITIONED BY its cell assignment, then probe two cells — the scan
+    must prune at the partition level (reads NPROBE/K of the data; at
+    100 TB this is the difference between touching 2 directories and
+    the whole corpus). Cell assignment reuses ann_ivf_probe's layout
+    (deterministic first-K centroids)."""
+    from gmall_211027_flink_spark.operators.similarity import K_CENTROIDS
+
+    e = (load_table(spark, str(sf_dir), "embeddings")
+         .withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+         .withColumn("da", F.expr(
+             "aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x)")))
+    cen = (e.filter(F.col("vec_id") < K_CENTROIDS)
+           .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"),
+                   F.col("da").alias("dc")))
+    dot = F.expr("aggregate(zip_with(emb, cemb, (x, y) -> x * y),"
+                 " cast(0 as double), (acc, x) -> acc + x)")
+    from pyspark.sql import Window
+    wcell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    cells = (e.crossJoin(F.broadcast(cen))
+             .withColumn("d2", F.col("da") - 2 * dot + F.col("dc"))
+             .withColumn("crk", F.row_number().over(wcell))
+             .filter(F.col("crk") == 1)
+             .select("vec_id", "embedding", F.col("cid").alias("cell")))
+    path = str(tmp_path / "ivf_corpus")
+    cells.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    probe = (spark.read.parquet(path)
+             .filter(F.col("cell").isin(2, 5))
+             .select("vec_id", "embedding"))
+    probe.collect()
+    plan = executed_plan(probe)
+    assert "PartitionFilters: [cell" in plan, plan
+    assert "PushedFilters: []" in plan, plan
