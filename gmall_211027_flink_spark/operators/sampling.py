@@ -75,3 +75,52 @@ def sample_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("share",
                     F.col("doc_ct").cast("double") / F.sum("doc_ct").over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-targeted stratified downsampling: keep each stratum (language) at
+# its own target rate — the corpus-rebalancing pass (e.g. cap English,
+# keep all low-resource languages). Same content-keyed hash bucket as
+# assign_split, so the kept set is stable under repartition/append and
+# identical across engines; a kept doc stays kept when rates only move
+# upward (nested samples — buckets below the old rate stay below the
+# new one).
+# ---------------------------------------------------------------------------
+
+STRATUM_RATES = {"en": 40, "de": 60, "fr": 60, "es": 60, "zh": 100}
+
+
+@query(
+    "sample_stratified_downsample",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 <
+                  CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 60
+                            WHEN 'fr' THEN 60 WHEN 'es' THEN 60
+                            WHEN 'zh' THEN 100 ELSE 0 END
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(kept) AS BIGINT) AS kept_ct,
+           COUNT(*) AS total_ct,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate
+    FROM assigned GROUP BY 1
+    """,
+)
+def sample_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, r in STRATUM_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    kept = (hash_bucket(F.col("doc_id")) < rate).cast("int")
+    return (
+        docs.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(F.sum("kept").cast("bigint").alias("kept_ct"),
+             F.count("*").alias("total_ct"),
+             (F.sum("kept").cast("double") / F.count("*"))
+              .alias("realized_rate"))
+    )
