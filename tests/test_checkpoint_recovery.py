@@ -74,3 +74,51 @@ def test_state_survives_restart(spark, tmp_path):
     # the replayed (1, day1) row was emitted exactly once across both runs
     day1_u1 = [r for r in got2 if r["user_id"] == 1 and r["dt"] == "2024-01-01"]
     assert len(day1_u1) == 1 and day1_u1[0]["event_id"] == 100
+
+
+def test_foreachbatch_upsert_restart_processes_each_row_once(spark, tmp_path):
+    """End-to-end exactly-once across a restart: a foreachBatch stream
+    feeding the idempotent upsert sink is drained, MORE input arrives,
+    and the query restarts on the SAME checkpoint — the new run must
+    resume past the committed batches (no reprocessing: epoch ids
+    continue, the sink's marker absorbs any redelivery) and the final
+    store must equal the batch last-wins ground truth over all input."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+
+    def write_file(name, rows):
+        (src / name).write_text("\n".join(
+            json.dumps({"k": k, "ts": ts, "v": v}) for k, ts, v in rows))
+
+    from gmall_211027_flink_spark.streaming.sinks import ParquetUpsertSink
+    sink = ParquetUpsertSink(store, ["k"], "ts")
+
+    def run():
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).json(str(src))
+             .writeStream.foreachBatch(sink.foreach_batch())
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    write_file("f1.json", [(1, 10, "a1"), (2, 10, "b1")])
+    write_file("f2.json", [(1, 20, "a2"), (3, 10, "c1")])
+    run()
+    rows = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert rows == {1: "a2", 2: "b1", 3: "c1"}
+
+    # more input lands; restart on the same checkpoint
+    write_file("f3.json", [(2, 30, "b2"), (4, 10, "d1")])
+    run()
+    rows = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert rows == {1: "a2", 2: "b2", 3: "c1", 4: "d1"}
+    # epoch marker advanced past the first run's batches
+    assert sink._last_epoch() >= 2
