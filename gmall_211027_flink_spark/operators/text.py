@@ -353,3 +353,60 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("norm_len"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size overlapping word windows (size 50,
+# stride 40) — the context-window chunking pass an LLM training/RAG
+# pipeline runs on every document. One map-side explode per doc (chunk
+# count = ceil(max(words-overlap,1)/stride)); chunk_idx keeps provenance
+# so chunks can be traced back and de-overlapped. The final (short)
+# chunk is kept — dropping tails silently loses corpus (No silent caps).
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(t.i AS BIGINT) AS chunk_idx,
+             array_to_string(w[1 + t.i * {CHUNK_STRIDE} :
+                               t.i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+               AS chunk_text,
+             least(len(w) - t.i * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS n_tokens
+      FROM toks,
+           UNNEST(generate_series(0,
+             CAST(ceil(greatest(len(w) - {CHUNK_SIZE}, 0)
+                       / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.expr(
+        f"cast(ceil(greatest(size(w) - {CHUNK_SIZE}, 0) / "
+        f"cast({CHUNK_STRIDE} as double)) as bigint)")
+    return (
+        w.select(
+            "doc_id", "w",
+            F.explode(F.expr(
+                f"sequence(cast(0 as bigint), "
+                f"cast(ceil(greatest(size(w) - {CHUNK_SIZE}, 0) / "
+                f"cast({CHUNK_STRIDE} as double)) as bigint))")).alias("chunk_idx"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.expr(f"concat_ws(' ', slice(w, cast(1 + chunk_idx * {CHUNK_STRIDE} as int),"
+                   f" {CHUNK_SIZE}))").alias("chunk_text"),
+            F.least(F.size("w") - F.col("chunk_idx").cast("int") * CHUNK_STRIDE,
+                    F.lit(CHUNK_SIZE)).cast("bigint").alias("n_tokens"))
+    )

@@ -107,3 +107,32 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     # logical content: last-wins applied, everything else intact
     rows = {r["id"]: r["v"] for r in sink.read(spark).collect()}
     assert len(rows) == 40 and rows[7] == "updated"
+
+
+def test_observe_metrics_surface_in_progress(spark, tmp_path):
+    """`observe` metrics ride the query lifecycle: after a drained
+    availableNow run, each batch's observed aggregates are readable from
+    the query's recentProgress — no extra scan of the data."""
+    import json as _json
+
+    from gmall_211027_flink_spark.streaming.sinks import with_metrics
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        _json.dumps({"k": i, "v": f"x{i}"}) for i in range(7)))
+
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    stream = with_metrics(
+        spark.readStream.schema(schema).json(str(src)), "ingest")
+    q = (stream.writeStream.format("memory")
+         .queryName("obs_sink").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    observed = [_json.loads(p.json).get("observedMetrics", {}).get("ingest")
+                for p in q.recentProgress]
+    observed = [m for m in observed if m]
+    assert observed and observed[0]["rows"] == 7
+    assert observed[0]["max_first_col"] == 6
