@@ -546,3 +546,32 @@ def ads_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("ct_a") * F.col("ct_b").cast("double")), 6)
              .alias("lift"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier scorecard: revenue, return share, and nation, one pass over
+# lineitem (returns counted via conditional aggregation, not a second
+# scan or self-join) + broadcast nation name. A9's conditional-agg
+# pattern applied at supplier grain.
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_SCORECARD = """
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS line_ct,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS returned_ct,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS return_rate
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+@query("ads_supplier_scorecard", oracle=_SUPPLIER_SCORECARD)
+def ads_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _SUPPLIER_SCORECARD)
