@@ -575,3 +575,35 @@ GROUP BY 1, 2, 3
 @query("ads_supplier_scorecard", oracle=_SUPPLIER_SCORECARD)
 def ads_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _SUPPLIER_SCORECARD)
+
+
+# ---------------------------------------------------------------------------
+# Nation market share within region: window function OVER the nation-
+# grain aggregate (25 rows), not the fact — share-of-parent is free once
+# the heavy lifting is a plain two-phase agg.
+# ---------------------------------------------------------------------------
+
+_NATION_SHARE = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, revenue,
+       round(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6)
+         AS region_share,
+       CAST(RANK() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name)
+            AS BIGINT) AS rank_in_region
+FROM rev
+"""
+
+
+@query("ads_nation_market_share", oracle=_NATION_SHARE)
+def ads_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _NATION_SHARE)
