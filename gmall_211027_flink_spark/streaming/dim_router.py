@@ -50,8 +50,11 @@ def route_batch(env_batch: DataFrame, configs: list[TableProcess],
             n = projected.count()
             if n == 0:
                 continue
+            # Dim tables are small & bounded — 8 buckets keeps per-batch
+            # rewrites to the touched buckets without over-splitting.
             sink = ParquetUpsertSink(
-                f"{store_root}/{cfg.sink_table}", [cfg.sink_pk], "_cdc_ts")
+                f"{store_root}/{cfg.sink_table}", [cfg.sink_pk], "_cdc_ts",
+                num_buckets=8)
             sink.write_batch(projected, epoch_id=epoch_id)
             written[cfg.sink_table] = n
     finally:

@@ -17,12 +17,15 @@ reference's OrderDetailFilterFunction.java:42-81.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 class ParquetUpsertSink:
@@ -39,20 +42,37 @@ class ParquetUpsertSink:
       with Flink checkpoint configs, DwdTradePayDetailSuc.java:27-39).
       A crash mid-write simply re-runs the (deterministic) upsert before
       the marker advances — same final state.
-    - **Bucketed partial rewrite.** With ``num_buckets`` set, rows live
-      in hash(pk)-bucket subdirectories and a micro-batch rewrites ONLY
+    - **Bucketed partial rewrite (the default).** Rows live in
+      hash(pk)-bucket subdirectories and a micro-batch rewrites ONLY
       the buckets its keys touch — O(batch ∩ buckets), not O(table).
       This is the property that keeps a continuously-upserting dim/DWS
       store viable at 100 TB (same idea as Delta/Iceberg MERGE file
-      pruning, emulated on plain parquet; SURVEY §7.3).
+      pruning, emulated on plain parquet; SURVEY §7.3). At 100 TB an
+      unbucketed store would rewrite the whole table every 10 s batch,
+      so ``num_buckets=None`` (the O(table) path) is reserved for tiny
+      tables and tests; size ``num_buckets`` so each bucket's rows fit
+      an executor (~256+ at prod scale).
+    - **Crash-safe staging.** Temp and displaced-old directories live
+      under a sibling ``<path>._staging/`` directory — never inside
+      ``path`` — so a crash between the parquet write and the rename
+      cannot leave orphan files that ``read()`` would pick up as live
+      rows. Leftover staging dirs are swept on the next write.
     """
 
+    DEFAULT_BUCKETS = 64
+
     def __init__(self, path: str, key_cols: list[str], order_col: str,
-                 num_buckets: int | None = None):
-        self.path = path
+                 num_buckets: int | None = DEFAULT_BUCKETS,
+                 run_tag: str = "default"):
+        self.path = path.rstrip("/")
         self.key_cols = key_cols
         self.order_col = order_col
         self.num_buckets = num_buckets
+        # Identity of the writing query (e.g. its checkpoint location).
+        # Epoch replay-skip applies only to the same run_tag: if a
+        # checkpoint is reset (epoch ids restart at 0) under a NEW tag,
+        # batches are not silently dropped.
+        self.run_tag = run_tag
 
     def _compact(self, batch: DataFrame) -> DataFrame:
         w = (Window.partitionBy(*self.key_cols)
@@ -69,24 +89,50 @@ class ParquetUpsertSink:
         return f"{self.path}._epoch"
 
     def _last_epoch(self) -> int:
+        """Last committed epoch FOR THIS run_tag (-1 if none/foreign)."""
         try:
             with open(self._epoch_marker) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
+                content = f.read()
+        except OSError:
             return -1
+        lines = content.splitlines() or [""]
+        try:
+            epoch = int(lines[0].strip())
+        except ValueError:
+            return -1
+        stored_tag = lines[1].strip() if len(lines) > 1 else "default"
+        if stored_tag != self.run_tag:
+            log.warning(
+                "upsert sink %s: epoch marker belongs to run_tag %r "
+                "(current %r) — treating store as un-committed for this "
+                "query; no batches will be skipped", self.path,
+                stored_tag, self.run_tag)
+            return -1
+        return epoch
 
     def _commit_epoch(self, epoch_id: int) -> None:
         tmp = f"{self._epoch_marker}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            f.write(str(epoch_id))
+            f.write(f"{epoch_id}\n{self.run_tag}")
         os.replace(tmp, self._epoch_marker)
 
     # -- write paths --------------------------------------------------------
 
+    @property
+    def _staging_root(self) -> str:
+        # Sibling of self.path — NEVER inside it, so a crash mid-swap
+        # can't leave files where read() scans.
+        return f"{self.path}._staging"
+
+    def _sweep_staging(self) -> None:
+        if os.path.isdir(self._staging_root):
+            shutil.rmtree(self._staging_root, ignore_errors=True)
+
     def _atomic_swap(self, merged: DataFrame, target: str) -> None:
-        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(self._staging_root, exist_ok=True)
+        tmp = os.path.join(self._staging_root, f"tmp-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        old = os.path.join(self._staging_root, f"old-{uuid.uuid4().hex[:8]}")
         if os.path.exists(target):
             os.rename(target, old)
         os.rename(tmp, target)
@@ -98,7 +144,12 @@ class ParquetUpsertSink:
 
     def write_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if epoch_id <= self._last_epoch():
-            return  # re-delivered micro-batch: already committed
+            # Re-delivered micro-batch: already committed. Logged so a
+            # reset checkpoint reusing this store is visible, not silent.
+            log.warning("upsert sink %s: skipping already-committed epoch "
+                        "%d (run_tag=%r)", self.path, epoch_id, self.run_tag)
+            return
+        self._sweep_staging()  # clear orphans from any crashed swap
         spark = batch.sparkSession
         compacted = self._compact(batch)
         if self.num_buckets is None:
@@ -135,8 +186,12 @@ class ParquetUpsertSink:
     def read(self, spark: SparkSession) -> DataFrame:
         if self.num_buckets is None:
             return spark.read.parquet(self.path)
-        return spark.read.option("recursiveFileLookup", "true") \
-            .parquet(self.path)
+        # Enumerate only committed bucket dirs — defence in depth against
+        # any foreign directory landing under the store path.
+        bucket_dirs = sorted(
+            os.path.join(self.path, d) for d in os.listdir(self.path)
+            if d.startswith("bucket=") and d[len("bucket="):].isdigit())
+        return spark.read.parquet(*bucket_dirs)
 
 
 def jdbc_batch_sink(url: str, table: str, properties: dict | None = None):

@@ -109,6 +109,50 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     assert len(rows) == 40 and rows[7] == "updated"
 
 
+def test_crashed_swap_orphans_never_read_back(spark, tmp_path):
+    """A crash between the staged parquet write and the rename must not
+    leak rows: staging lives OUTSIDE the store path, and leftovers are
+    swept on the next write (ADVICE r1: orphan tmp/old dirs inside
+    self.path were read back as live rows)."""
+    import os
+
+    path = str(tmp_path / "crash_store")
+    sink = ParquetUpsertSink(path, ["id"], "ts", num_buckets=4)
+    sink.write_batch(spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b")], "id int, ts int, v string"), 0)
+
+    # simulate a crash mid-swap: an orphan staged write that never renamed
+    orphan = os.path.join(sink._staging_root, "tmp-deadbeef")
+    spark.createDataFrame([(99, 9, "ghost")], "id int, ts int, v string") \
+        .write.mode("overwrite").parquet(orphan)
+    assert {r["id"] for r in sink.read(spark).collect()} == {1, 2}
+
+    # next write sweeps the orphan
+    sink.write_batch(spark.createDataFrame(
+        [(3, 1, "c")], "id int, ts int, v string"), 1)
+    assert not os.path.exists(orphan)
+    assert {r["id"] for r in sink.read(spark).collect()} == {1, 2, 3}
+
+
+def test_epoch_marker_scoped_to_run_tag(spark, tmp_path):
+    """A NEW query (different run_tag) writing to an existing store must
+    not have its epoch-0 batches silently dropped by the previous
+    query's marker (ADVICE r1: checkpoint reset = silent data loss)."""
+    path = str(tmp_path / "tagged_store")
+    s1 = ParquetUpsertSink(path, ["id"], "ts", num_buckets=4, run_tag="q1")
+    s1.write_batch(spark.createDataFrame(
+        [(1, 0, "a")], "id int, ts int, v string"), 5)
+    # same tag, replayed epoch -> skipped
+    s1.write_batch(spark.createDataFrame(
+        [(2, 1, "b")], "id int, ts int, v string"), 5)
+    assert {r["id"] for r in s1.read(spark).collect()} == {1}
+    # different tag, epoch restarts at 0 -> MUST apply
+    s2 = ParquetUpsertSink(path, ["id"], "ts", num_buckets=4, run_tag="q2")
+    s2.write_batch(spark.createDataFrame(
+        [(3, 2, "c")], "id int, ts int, v string"), 0)
+    assert {r["id"] for r in s2.read(spark).collect()} == {1, 3}
+
+
 def test_observe_metrics_surface_in_progress(spark, tmp_path):
     """`observe` metrics ride the query lifecycle: after a drained
     availableNow run, each batch's observed aggregates are readable from
