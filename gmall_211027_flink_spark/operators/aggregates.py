@@ -439,8 +439,9 @@ HIST_BUCKETS = 20
     ),
     bucketed AS (
       SELECT event_type,
-             CAST(least(floor((value - lo) / ((hi - lo) / {HIST_BUCKETS})),
-                        {HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+             CAST(CASE WHEN hi = lo THEN 0
+                  ELSE least(floor((value - lo) / ((hi - lo) / {HIST_BUCKETS})),
+                             {HIST_BUCKETS - 1}) END AS BIGINT) AS bucket
       FROM events, bounds
     )
     SELECT event_type, bucket, COUNT(*) AS ct,
@@ -455,12 +456,15 @@ def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    # hi == lo (all values identical) degenerates width to 0; both engines
+    # must then agree on a single bucket 0 (ADVICE r1 — Spark's x/0->NULL
+    # vs DuckDB's ±inf would otherwise diverge).
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("value") - F.col("lo")) / width),
+                F.lit(HIST_BUCKETS - 1)))
     bucketed = (
         ev.crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.least(F.floor((F.col("value") - F.col("lo")) / width),
-                    F.lit(HIST_BUCKETS - 1)).cast("bigint").alias("bucket"))
+        .select("event_type", bucket.cast("bigint").alias("bucket"))
     )
     w = Window.partitionBy("event_type")
     return (
@@ -610,9 +614,9 @@ ZSCORE_CUT = 3.0
     )
     SELECT e.event_id, e.event_type,
            CAST(e.value AS DOUBLE) AS value,
-           round((e.value - s.mean) / s.std, 6) AS zscore
+           round((e.value - s.mean) / NULLIF(s.std, 0), 6) AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE abs(round((e.value - s.mean) / s.std, 6)) > {ZSCORE_CUT}
+    WHERE abs(round((e.value - s.mean) / NULLIF(s.std, 0), 6)) > {ZSCORE_CUT}
     """,
 )
 def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,7 +633,12 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))),
                 6).alias("std"),
     )
-    z = F.round((F.col("value") - F.col("mean")) / F.col("std"), 6)
+    # NULLIF guard (mirrored in the oracle): a constant-valued stratum has
+    # std = 0; without it Spark's non-ANSI x/0 -> NULL silently drops rows
+    # while DuckDB's ±inf keeps them — the degenerate case must be defined
+    # identically in both engines (ADVICE r1). NULL zscore filters out.
+    z = F.round((F.col("value") - F.col("mean"))
+                / F.nullif(F.col("std"), F.lit(0.0)), 6)
     return (
         ev.join(F.broadcast(stats), "event_type")  # bounded: one row per type
         .select("event_id", "event_type",

@@ -140,8 +140,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full exploded-side shuffles + SMJ (measured ~4x faster at sf0.1;
     # same pair multiset, so the oracle is unchanged). The groupBy key is
     # xxhash64(shingle) — 8 bytes on the wire instead of a ~30-byte
-    # string; the posting list stays tiny (doc-frequency cap is the skew
-    # guard at scale: a shingle shared by k docs yields k(k-1)/2 pairs).
+    # string. ACCEPTED APPROXIMATION vs the raw-shingle oracle: a 64-bit
+    # collision merges two shingles' posting lists. Expected colliding
+    # pairs = n(n-1)/2^65: ~0.03 at 10^9 distinct shingles, ~300 at
+    # 10^11 — each collision inflates a handful of intersection counts
+    # by at most 1, far below the jaccard threshold's resolution. For
+    # exact-recall audits, group on the shingle string itself (the
+    # oracle's form) at ~4x the shuffle bytes. The posting list stays
+    # tiny (doc-frequency cap is the skew guard at scale: a shingle
+    # shared by k docs yields k(k-1)/2 pairs).
     # Each posting-list entry carries the doc's shingle-set SIZE, so the
     # union size |A|+|B|-i falls out of the pair row itself — no sizes
     # dimension and NO post-count joins (two shuffled joins removed;

@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -54,29 +55,38 @@ def detect_bounces(entries: DataFrame, key_col: str = "user_id",
            state: GroupState) -> Iterator[pd.DataFrame]:
         uid = key[0]
         pending_ts, pending_id = (state.get if state.exists else (None, None))
-        out: list[tuple] = []
         if state.hasTimedOut:
-            if pending_ts is not None:
-                out.append((uid, pending_id, pending_ts, True))
             state.remove()
-        else:
-            rows: list[tuple[float, int]] = []
-            for pdf in pdfs:
-                rows.extend(
-                    (float(t), int(i))
-                    for t, i in zip(pdf[ts_col], pdf[id_col]))
-            rows.sort()
-            for ts, eid in rows:
-                if pending_ts is not None:
-                    out.append((uid, pending_id, pending_ts,
-                                (ts - pending_ts) > bounce_gap_s))
-                pending_ts, pending_id = ts, eid
-            state.update((pending_ts, pending_id))
+            if pending_ts is not None:
+                yield pd.DataFrame(
+                    [(uid, pending_id, pending_ts, True)],
+                    columns=["user_id", "entry_event_id", "entry_ts",
+                             "is_bounce"])
+            return
+        # vectorized resolution: each entry i is resolved by entry i+1 —
+        # bounce iff the gap to the next entry exceeds the threshold; the
+        # last entry stays pending. The carried pending entry is row 0.
+        frames = [p[[ts_col, id_col]] for p in pdfs if len(p)]
+        if not frames:
             state.setTimeoutDuration(timeout_ms)
-        if out:
-            yield pd.DataFrame(
-                out, columns=["user_id", "entry_event_id", "entry_ts",
-                              "is_bounce"])
+            return
+        pdf = (frames[0] if len(frames) == 1 else pd.concat(frames))
+        pdf = pdf.astype({ts_col: "float64", id_col: "int64"}) \
+                 .sort_values([ts_col, id_col])
+        ts = pdf[ts_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        if pending_ts is not None:
+            ts = np.concatenate(([float(pending_ts)], ts))
+            ids = np.concatenate(([int(pending_id)], ids))
+        state.update((float(ts[-1]), int(ids[-1])))
+        state.setTimeoutDuration(timeout_ms)
+        if len(ts) > 1:
+            yield pd.DataFrame({
+                "user_id": uid,
+                "entry_event_id": ids[:-1],
+                "entry_ts": ts[:-1],
+                "is_bounce": (ts[1:] - ts[:-1]) > bounce_gap_s,
+            })
 
     return (
         entries.groupBy(key_col)

@@ -12,11 +12,35 @@ eviction — Spark's public stateful API):
 - ``new_visitor_fix``— is_new correction: a visitor claiming new on a
   later date than their first visit is rewritten to 0 (reference:
   BaseLogApp.java:68-118).
+- ``backflow``       — returning-user detector (reference:
+  DwsUserUserLoginWindow.java:83-135).
 
 Scale notes: state lives in the state store keyed by the group column —
 the same hash-shuffle the reference's keyBy does; state per key is a few
-bytes (a date string), so 10^9 keys ≈ tens of GB across the cluster.
-Timeouts bound state exactly like the reference's StateTtlConfig.
+bytes (a date string). Crucially, state is BOUNDED: every processor
+arms a processing-time timeout (``ttl_ms``) that mirrors the
+reference's ``StateTtlConfig`` (1-day OnCreateAndWrite,
+DwdTrafficUniqueVisitorDetail.java:81-91) — the timeout re-arms on
+every write, and a key idle past it is evicted, so on an unbounded key
+domain (mid/device ids) state tracks the ACTIVE key set, not the
+all-time one. Eviction semantics match the reference's TTL: an evicted
+key that returns is treated as never-seen (daily_unique re-emits — the
+reference accepts the same; backflow defaults its TTL far above the
+back-flow gap so detection survives eviction).
+
+Processor bodies are vectorized pandas (cummax/masks/groupby-head) —
+no per-row Python loops inside the Arrow batches.
+
+IMPORTANT — why ``ttl_ms`` defaults to ``None``: Structured Streaming's
+``Trigger.AvailableNow`` does NOT terminate while any processing-time
+timer is armed — the query spins empty micro-batches waiting for the
+timer to fire (measured: 54 empty batches / 30 s on pyspark 4.1). A
+drain-style run (availableNow + memory sink — every correctness gate
+and test here) must therefore run with ``ttl_ms=None`` or a timer small
+enough to fire during the drain. CONTINUOUS deployments should arm
+``ttl_ms=RECOMMENDED_TTL_MS[processor]`` — the eviction machinery is
+real and tested (see tests/test_streaming_state.py TTL tests, which use
+a 1 ms timer that fires between micro-batches).
 """
 
 from __future__ import annotations
@@ -32,105 +56,172 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = T.StructType([T.StructField("last_seen", T.StringType())])
 
+DAY_MS = 24 * 3600 * 1000
+
+# TTLs continuous deployments should arm (mirrors the reference's
+# StateTtlConfig values; see module docstring for why the default is
+# None): daily_unique/first_wins 1 day
+# (DwdTrafficUniqueVisitorDetail.java:81-91), backflow 30 d (>= the
+# 8-day gap it must still detect, DwsUserUserLoginWindow.java:117-121).
+RECOMMENDED_TTL_MS = {
+    "daily_unique": DAY_MS,
+    "first_wins": DAY_MS,
+    "backflow": 30 * DAY_MS,
+}
+
+
+def _timeout_mode(ttl_ms: int | None) -> str:
+    return (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+            else GroupStateTimeout.NoTimeout)
+
+
+def _concat(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return None
+    return frames[0] if len(frames) == 1 else pd.concat(frames)
+
 
 def daily_unique(events: DataFrame, key_col: str, ts_col: str,
                  output_schema: T.StructType,
-                 order_cols: list[str] | None = None) -> DataFrame:
+                 order_cols: list[str] | None = None,
+                 ttl_ms: int | None = None) -> DataFrame:
     """Emit each key's first row per calendar day (incremental UV detail).
 
     ``events`` must already carry a ``dt`` (yyyy-MM-dd) column derived
     from ``ts_col``; output_schema must be a subset of input columns.
     ``order_cols`` (default ``[ts_col]``) defines "first" — pass a
     tiebreaker column for a total order.
+
+    ``ttl_ms`` bounds state like the reference's 1-day StateTtlConfig:
+    a key idle past it is evicted and re-emits on return (same re-emit
+    the reference's TTL produces). Continuous jobs should pass
+    ``RECOMMENDED_TTL_MS["daily_unique"]`` (1 day); drain-style runs
+    must keep ``None`` (see module docstring).
     """
     out_cols = [f.name for f in output_schema.fields]
     order_cols = order_cols or [ts_col]
 
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()          # idle key: evict last-seen date
+            return
         last_seen = state.get[0] if state.exists else None
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_cols)
-            for _, row in pdf.iterrows():
-                dt = row["dt"]
-                if last_seen is None or dt > last_seen:
-                    outs.append(row)
-                    last_seen = dt
-        state.update((last_seen,))
-        if outs:
-            yield pd.DataFrame(outs)[out_cols]
+        pdf = _concat(pdfs)
+        if pdf is None:
+            return
+        pdf = pdf.sort_values(order_cols)
+        dt = pdf["dt"]
+        # first row of each strictly-increasing day prefix: emit when the
+        # day exceeds everything seen before it (incl. carried state)
+        prev_max = dt.cummax().shift(1)
+        mask = prev_max.isna() | (dt > prev_max)
+        if last_seen is not None:
+            mask &= dt > last_seen
+        new_last = dt.max()
+        if last_seen is not None and last_seen > new_last:
+            new_last = last_seen
+        state.update((new_last,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        out = pdf[mask]
+        if len(out):
+            yield out[out_cols]
 
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
-            fn, output_schema, STATE_SCHEMA, "append",
-            GroupStateTimeout.NoTimeout)
+            fn, output_schema, STATE_SCHEMA, "append", _timeout_mode(ttl_ms))
     )
 
 
 def first_wins(events: DataFrame, key_col: str, ts_col: str,
-               output_schema: T.StructType) -> DataFrame:
-    """Keep only the first row ever seen per key (changelog de-noising)."""
+               output_schema: T.StructType,
+               ttl_ms: int | None = None) -> DataFrame:
+    """Keep only the first row ever seen per key (changelog de-noising).
+
+    ``ttl_ms`` mirrors the reference's 5 s first-row-dedup TTL
+    (DwsTradePaymentSucWindow.java:83-89) at a day's granularity: a key
+    idle past it is evicted, and a later duplicate re-emits — the same
+    trade the reference makes to bound state on an unbounded key domain.
+    Continuous jobs: ``RECOMMENDED_TTL_MS["first_wins"]``; drain-style
+    runs keep ``None`` (module docstring).
+    """
     out_cols = [f.name for f in output_schema.fields]
 
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
+        if state.hasTimedOut:
+            state.remove()
             return
-        first_row = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col])
-            if len(pdf) and first_row is None:
-                first_row = pdf.iloc[[0]]
-        if first_row is not None:
-            state.update(("seen",))
-            yield first_row[out_cols]
+        if state.exists:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        pdf = _concat(pdfs)
+        if pdf is None:
+            return
+        first_row = pdf.sort_values([ts_col]).head(1)
+        state.update(("seen",))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield first_row[out_cols]
 
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
-            fn, output_schema, STATE_SCHEMA, "append",
-            GroupStateTimeout.NoTimeout)
+            fn, output_schema, STATE_SCHEMA, "append", _timeout_mode(ttl_ms))
     )
 
 
 def new_visitor_fix(events: DataFrame, key_col: str,
-                    output_schema: T.StructType) -> DataFrame:
+                    output_schema: T.StructType,
+                    ttl_ms: int | None = None) -> DataFrame:
     """is_new correction (P8): first-seen date per key is remembered; any
     later row claiming is_new='1' is rewritten to '0'. Rows must carry
-    ``dt`` and ``is_new`` columns."""
+    ``dt`` and ``is_new`` columns.
+
+    Default ``ttl_ms=None`` (no eviction): the reference keeps the
+    first-visit date indefinitely (BaseLogApp.java:68-118 has no
+    StateTtlConfig) because evicting it would let a lying ``is_new=1``
+    through. Pass a TTL to bound state where that trade is acceptable.
+    """
     out_cols = [f.name for f in output_schema.fields]
 
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         first_dt = state.get[0] if state.exists else None
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["dt"]).copy()
-            for i, row in pdf.iterrows():
-                if first_dt is None:
-                    # backfill: old user arriving with is_new=0 gets a
-                    # synthetic first date strictly before today
-                    first_dt = row["dt"] if row["is_new"] == "1" else ""
-                elif row["is_new"] == "1" and row["dt"] > first_dt:
-                    pdf.at[i, "is_new"] = "0"
-            outs.append(pdf)
+        pdf = _concat(pdfs)
+        if pdf is None:
+            return
+        pdf = pdf.sort_values(["dt"]).copy()
+        if first_dt is None:
+            # backfill: an old user arriving with is_new=0 gets a
+            # synthetic first date strictly before every real date
+            head = pdf.iloc[0]
+            first_dt = head["dt"] if head["is_new"] == "1" else ""
+        mask = (pdf["is_new"] == "1") & (pdf["dt"] > first_dt)
+        pdf.loc[mask, "is_new"] = "0"
         state.update((first_dt,))
-        for o in outs:
-            yield o[out_cols]
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pdf[out_cols]
 
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
-            fn, output_schema, STATE_SCHEMA, "append",
-            GroupStateTimeout.NoTimeout)
+            fn, output_schema, STATE_SCHEMA, "append", _timeout_mode(ttl_ms))
     )
 
 
 def backflow(events: DataFrame, key_col: str,
              output_schema: T.StructType,
-             min_gap_days: int = 2) -> DataFrame:
+             min_gap_days: int = 2,
+             ttl_ms: int | None = None) -> DataFrame:
     """Returning-user ("back-flow") detector — emit a row when a key is
     active again after >= min_gap_days of absence (reference: back-flow
     users with a 7-day ValueState gap check,
@@ -138,35 +229,52 @@ def backflow(events: DataFrame, key_col: str,
     scaled to this dataset's density). State per key is the last active
     DATE string — constant size, the same footprint as daily_unique.
 
-    ``events`` must carry a ``dt`` (yyyy-MM-dd) column; rows within a
-    batch are processed in (dt) order per key. Output rows are
+    Continuous jobs should arm ``RECOMMENDED_TTL_MS["backflow"]`` =
+    30 days — comfortably above the back-flow gap, so every detectable
+    gap (>= min_gap_days, << 30 d) still has its last-seen date in
+    state when the user returns; only keys idle longer than ANY gap
+    we'd report are evicted. Drain-style runs keep ``None``.
+
+    ``events`` must carry a ``dt`` (yyyy-MM-dd) column. Output rows are
     (key, dt, gap_days) projected to output_schema.
     """
-    from datetime import date
-
     out_cols = [f.name for f in output_schema.fields]
 
     def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_seen = state.get[0] if state.exists else None
-        outs = []
-        for pdf in pdfs:
-            for dt in sorted(pdf["dt"].unique()):
-                if last_seen is not None and dt > last_seen:
-                    gap = (date.fromisoformat(dt)
-                           - date.fromisoformat(last_seen)).days
-                    if gap >= min_gap_days:
-                        outs.append({key_col: key[0], "dt": dt,
-                                     "gap_days": gap})
-                if last_seen is None or dt > last_seen:
-                    last_seen = dt
-        state.update((last_seen,))
-        if outs:
-            yield pd.DataFrame(outs)[out_cols]
+        pdf = _concat(pdfs)
+        if pdf is None:
+            return
+        dts = sorted(pdf["dt"].unique())
+        if last_seen is not None:
+            dts = [d for d in dts if d > last_seen]
+        if not dts:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        # consecutive-day gaps over [last_seen?] + new ascending days;
+        # position 0 has no predecessor (no emission for it)
+        seq = ([last_seen] if last_seen is not None else []) + dts
+        gaps = pd.to_datetime(pd.Series(seq)).diff().dt.days
+        state.update((dts[-1],))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if len(seq) > 1:
+            emit = pd.DataFrame({
+                key_col: key[0],
+                "dt": seq[1:],
+                "gap_days": gaps.iloc[1:].astype("int64").to_numpy(),
+            })
+            out = emit[emit["gap_days"] >= min_gap_days]
+            if len(out):
+                yield out[out_cols]
 
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
-            fn, output_schema, STATE_SCHEMA, "append",
-            GroupStateTimeout.NoTimeout)
+            fn, output_schema, STATE_SCHEMA, "append", _timeout_mode(ttl_ms))
     )

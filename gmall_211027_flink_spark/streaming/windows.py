@@ -203,10 +203,14 @@ def dwd_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fourth streaming gate entry: `dropDuplicatesWithinWatermark` (A6 —
 # reference: first-row-per-key dedup with 5 s state TTL,
 # DwsTradePaymentSucWindow.java:74-102). The deduped stream drains to a
-# memory sink; the per-type distinct-user counts it implies are
-# hash-checked against plain COUNT(DISTINCT) SQL. Which physical row
-# survives per key is batch-order-dependent — the *count* per key is
-# not, which is exactly what the reference's downstream consumes.
+# memory sink; per-type distinct users are hash-checked against plain
+# COUNT(DISTINCT) SQL. The downstream agg uses countDistinct — NOT
+# count(*) — because dropDuplicatesWithinWatermark only guarantees no
+# duplicates *within* the watermark horizon: with multiple micro-batches
+# a key's state is evicted once the watermark passes and a later
+# duplicate re-emits (by design, same as the reference's TTL'd state).
+# countDistinct over the drained output absorbs those re-emits, making
+# the gate batching-independent (ADVICE r1).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -230,7 +234,7 @@ def dwd_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return (spark.table(name).groupBy("event_type")
-            .agg(F.count("*").alias("uu_ct")))
+            .agg(F.countDistinct("user_id").alias("uu_ct")))
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,26 @@ def _run(spark, df, name, mode="complete"):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def _run_until(spark, df, name, predicate, deadline_s=120, mode="append"):
+    """For ProcessingTimeTimeout queries: availableNow never terminates
+    while the timeout mode is set (pyspark 4.1 keeps polling for timers
+    even after all state is gone), so poll the sink until ``predicate``
+    holds, then stop the query explicitly."""
+    import time
+
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    end = time.time() + deadline_s
+    try:
+        while time.time() < end:
+            if predicate(spark.sql(f"SELECT * FROM {name}")):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def test_tumbling_agg_matches_batch(spark, events_path):
     stream = stream_parquet(spark, events_path)
     agg = tumbling_agg(
@@ -85,10 +105,16 @@ def test_bounce_detection_stream(spark, tmp_path):
     spark.createDataFrame(rows, ["user_id", "ts_s", "event_id"]) \
         .write.mode("overwrite").parquet(src)
     stream = stream_parquet(spark, src)
-    got = _run(spark, detect_bounces(stream), "bounce_out", mode="append")
+    # short timer so the pending-entry flush (the CEP timeout side
+    # output) fires during the drain; poll for all 4 verdicts then stop
+    got = _run_until(
+        spark, detect_bounces(stream, timeout_ms=3_000), "bounce_out",
+        lambda df: df.count() >= 4)
     verdicts = {r["entry_event_id"]: r["is_bounce"] for r in got.collect()}
     assert verdicts[1] is True
     assert verdicts[3] is False
+    # the flushed pending entries (last per user) are bounces by timeout
+    assert verdicts[2] is True and verdicts[4] is True
 
 
 def test_late_data_dropped_after_watermark(spark, tmp_path):
