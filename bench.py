@@ -49,6 +49,8 @@ def main() -> None:
         if n == 0:
             print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
 
+    scale = _dedup_scale_probe(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -57,7 +59,49 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scale_probe": scale,
     }))
+
+
+SCALE_FACTOR = 10          # synthetic 10x documents corpus
+SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
+                 "dedup_simhash", "dedup_exact"]
+
+
+def _dedup_scale_probe(spark, sf_dir: str) -> dict:
+    """Time the dedup family on a synthetic 10x documents corpus to catch
+    quadratic candidate blowup before real scale does (VERDICT r1 #8).
+
+    Each source doc is replicated 10x with a per-replica suffix token, so
+    replicas are near-duplicates of their siblings (worst-case dup
+    density: every doc belongs to a 10-clique of near-dups). Sub-linear
+    scaling here would flag pair-generation blowup. The corpus is built
+    once and cached in /tmp across bench runs.
+    """
+    from pyspark.sql import functions as F
+
+    probe_dir = f"/tmp/spark_graft_scale{SCALE_FACTOR}x_" \
+                f"{os.path.basename(sf_dir.rstrip('/'))}"
+    docs_path = f"{probe_dir}/documents.parquet"
+    if not os.path.exists(f"{docs_path}/_SUCCESS"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        (docs.select(
+            "*", F.explode(F.sequence(
+                F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_r"))
+         .withColumn("doc_id",
+                     F.col("doc_id") * SCALE_FACTOR + F.col("_r"))
+         .withColumn("text", F.concat_ws(" ", "text",
+                                         F.concat(F.lit("rep"), F.col("_r"))))
+         .drop("_r")
+         .repartition(32)
+         .write.mode("overwrite").parquet(docs_path))
+    out: dict[str, float] = {}
+    for name in SCALE_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, probe_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    out["rows"] = spark.read.parquet(docs_path).count()
+    return out
 
 
 if __name__ == "__main__":

@@ -16,9 +16,13 @@ Scale design (the point at 100 TB):
   hashes) per doc regardless of length, and candidate generation joins
   on (band, band-key) buckets, never all-pairs. Verification (exact
   Jaccard) runs only on candidates.
-- **SimHash**: constant 32-bit sketch; pigeonhole banding (4×8-bit
+- **SimHash**: constant 60-bit sketch; pigeonhole banding (4×15-bit
   bands; hamming<=3 ⇒ at least one band equal) keeps candidate
-  generation an equi-join.
+  generation an equi-join. Band width is the scale knob: 15-bit bands
+  give 32768 bucket values, so expected bucket occupancy stays ~n/32768
+  per band — the r2 scale probe showed 8-bit bands (256 values) going
+  quadratic at 50k docs (16.3 s vs 1.9 s for 10x data); 15-bit bands
+  restore near-linear scaling.
 
 Portability: all content hashing is md5-derived (identical hex in Spark
 and DuckDB), integer math only — so every operator here has an exact
@@ -36,8 +40,10 @@ from gmall_211027_flink_spark.registry import query
 N_MINHASH = 16
 N_BANDS = 4          # 4 rows per band
 JACCARD_THRESHOLD = 0.8
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4    # 8 bits per band
+SIMHASH_BITS = 60    # 15 hex chars of md5 — fits signed 64-bit in both engines
+SIMHASH_BANDS = 4    # 15 bits per band -> 32768 bucket values per band
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 HAMMING_MAX = 3
 
 
@@ -116,7 +122,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    bench=True,
     oracle=f"""
     WITH {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -335,7 +340,7 @@ _SIMHASH_SQL = f"""
   ),
   th AS (
     SELECT doc_id, token,
-           ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+           ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
     FROM tok
   ),
   bitsum AS (
@@ -359,7 +364,7 @@ _SIMHASH_SQL = f"""
     WITH {_SIMHASH_SQL},
     banded AS (
       SELECT doc_id, simhash, k.band_id,
-             (simhash >> (8 * k.band_id)) & 255 AS band_val
+             (simhash >> (15 * k.band_id)) & 32767 AS band_val
       FROM sig, (SELECT UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS band_id) k
     ),
     cand AS (
@@ -378,18 +383,18 @@ _SIMHASH_SQL = f"""
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signature computed ENTIRELY map-side with nested higher-order
     # functions: token-hash array once (the only md5 pass), then ONE pass
-    # over the tokens accumulating all 32 per-bit sign-counters
+    # over the tokens accumulating all 60 per-bit sign-counters
     # (zip_with on an array accumulator), folded into one BIGINT — zero
     # shuffle until the banded self-join, mirroring the minhash layout
     # above. The single-pass form beats a per-bit re-scan of the token
-    # array (32 aggregates) by ~6.7x measured at sf0.1.
+    # array (per-bit aggregates) by ~6.7x measured at sf0.1.
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sig = docs.select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(text, ' ')),"
-            " t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+            " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
         ).alias("th"),
     ).select(
         "doc_id",
@@ -408,7 +413,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.range(SIMHASH_BANDS).withColumnRenamed("id", "band_id")
     banded = (
         sig.crossJoin(F.broadcast(bands))
-        .withColumn("band_val", F.expr("(simhash >> cast(band_id * 8 as int)) & 255"))
+        .withColumn("band_val", F.expr(
+            f"(simhash >> cast(band_id * {SIMHASH_BAND_BITS} as int))"
+            f" & {SIMHASH_BAND_MASK}"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -538,6 +545,9 @@ DF_CAP = 8
 
 @query(
     "dedup_ngram_jaccard_capped",
+    bench=True,   # the 100 TB-safe default: hot shingles are k^2 pair bombs,
+                  # so the DF-capped path is the headline; uncapped stays the
+                  # exact-recall audit option (VERDICT r1 #6)
     oracle=f"""
     WITH {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
