@@ -1,0 +1,285 @@
+"""Corpus-curation operators a pretraining-data pipeline runs between
+dedup and tokenization: benchmark decontamination, mixture re-weighting
+(up- AND down-sampling), greedy sequence packing, and a kNN label vote
+over embeddings (the standard "is my quality classifier sane" probe).
+
+These extend the reference's surface (a realtime analytics warehouse has
+no training-data stage) the same way the dedup/ANN/text families do —
+first-class registered queries with DuckDB oracles, designed for the
+100 TB shape first:
+
+- **decontamination** is a broadcast semi-join: the eval-suite n-gram
+  set is tiny (MBs) next to the corpus (TBs), so the corpus-side grams
+  are filtered map-side and only the (small) contaminated-id set ever
+  shuffles. At cluster scale the broadcast set naturally becomes a bloom
+  filter — same plan shape, one-sided error only.
+- **mixture re-weighting** is a pure map-side expression off the same
+  content-keyed hash bucket as `sampling.assign_split` — no shuffle, no
+  state, bit-identical across engines and across reruns.
+- **sequence packing** uses concat-then-chunk semantics (a doc belongs
+  to the sequence where it STARTS): one window cumsum per stratum, no
+  iterative bin-packing. Strata (here: lang) are the parallelism unit;
+  at 100 TB you sub-stratify (lang, hash_bucket) to bound each window
+  partition.
+- **kNN vote** re-uses the broadcast-queries / corpus-never-moves ANN
+  shape from `similarity.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.operators.sampling import hash_bucket
+from gmall_211027_flink_spark.operators.similarity import (
+    N_QUERIES,
+    _with_norm,
+)
+from gmall_211027_flink_spark.registry import query
+
+# Eval membership must be a pure function of the row (reproducible), so
+# the "benchmark suite" is carved deterministically: doc_id % EVAL_MOD.
+EVAL_MOD = 43
+NGRAM = 5            # word 5-grams: the published decontamination norm
+                     # (8-13-gram on real corpora) scaled to ~50-word docs
+PACK_BUDGET = 2048   # tokens per packed training sequence
+KNN_K = 10
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any word-5-gram
+# with the eval suite. The candidate test is an equi-join on the gram
+# string against a broadcast eval-gram set — the corpus side never
+# shuffles; only contaminated doc_ids (bounded by the eval suite's
+# near-dup footprint) reach an exchange.
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontaminate_ngram",
+    bench=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w,
+             doc_id % {EVAL_MOD} = 0 AS is_eval
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, lang, is_eval,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - {NGRAM - 1}, 0))) AS t(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+    cont AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE NOT is_eval AND g IN (SELECT g FROM eg)
+    )
+    SELECT t.lang,
+           COUNT(*) AS train_ct,
+           COUNT(c.doc_id) AS contaminated_ct,
+           COUNT(*) - COUNT(c.doc_id) AS clean_ct,
+           round(CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate
+    FROM toks t LEFT JOIN cont c USING (doc_id)
+    WHERE NOT t.is_eval
+    GROUP BY 1
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w"),
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"))
+    grams = docs.select(
+        "doc_id", "is_eval",
+        F.explode(F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(w)-{NGRAM - 1}, 0)),"
+            " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),"
+            " element_at(w,i+2), element_at(w,i+3), element_at(w,i+4))))"
+        )).alias("g"))
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    # Broadcast semi-join: corpus grams stay put; at real scale this set
+    # is the eval suite's n-grams (MBs) and degrades gracefully to a
+    # bloom filter with identical plan shape.
+    cont = (grams.filter(~F.col("is_eval"))
+            .join(F.broadcast(eval_grams), "g", "left_semi")
+            .select("doc_id").distinct()
+            .withColumn("hit", F.lit(1)))
+    train = docs.filter(~F.col("is_eval")).select("doc_id", "lang")
+    return (
+        train.join(F.broadcast(cont), "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count("*").alias("train_ct"),
+             F.count("hit").alias("contaminated_ct"),
+             (F.count("*") - F.count("hit")).alias("clean_ct"),
+             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+              .alias("contamination_rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture re-weighting: each source gets an epoch weight; weight > 1
+# duplicates docs (upsampling), weight < 1 drops them, fractional parts
+# resolved by the same content-keyed hash bucket as the split assigner —
+# deterministic, shuffle-free, nested under weight increases.
+# ---------------------------------------------------------------------------
+
+# Weight by source-id class: a stand-in for the curated per-source table
+# (wiki-like sources upsampled 2.5x, default kept, half-weighted, culled).
+_W_CASE_SQL = """CASE CAST(substr(source, 4) AS INTEGER) % 4
+    WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.0 END"""
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    WITH wts AS (
+      SELECT source, doc_id, {_W_CASE_SQL} AS wt,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    ),
+    copies AS (
+      SELECT source, wt,
+             CAST(floor(wt) AS BIGINT)
+               + CASE WHEN b < CAST(round((wt - floor(wt)) * 100) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM wts
+    )
+    SELECT source, COUNT(*) AS docs_in,
+           SUM(n_copies) AS docs_out,
+           round(CAST(SUM(n_copies) AS DOUBLE) / COUNT(*), 6)
+             AS realized_weight
+    FROM copies GROUP BY 1
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("integer")
+    wt = (F.when(src_num % 4 == 0, F.lit(2.5))
+           .when(src_num % 4 == 1, F.lit(1.0))
+           .when(src_num % 4 == 2, F.lit(0.5))
+           .otherwise(F.lit(0.0)))
+    frac_keep = hash_bucket(F.col("doc_id")) < F.round(
+        (wt - F.floor(wt)) * 100).cast("bigint")
+    n_copies = F.floor(wt).cast("bigint") + frac_keep.cast("bigint")
+    return (
+        docs.select("source", n_copies.alias("n_copies"))
+        .groupBy("source")
+        .agg(F.count("*").alias("docs_in"),
+             F.sum("n_copies").alias("docs_out"),
+             F.round(F.sum("n_copies").cast("double") / F.count("*"), 6)
+              .alias("realized_weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (concat-then-chunk): docs are laid end-to-end
+# in deterministic (doc_id) order per stratum; a doc belongs to the
+# PACK_BUDGET-token sequence its first token lands in. One window cumsum
+# — no iterative solver, no driver loop.
+# ---------------------------------------------------------------------------
+
+@query(
+    "seq_pack_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, tokens,
+             CAST(floor(
+               (SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+               / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT lang, seq_id, COUNT(*) AS n_docs,
+           SUM(tokens) AS seq_tokens, MIN(doc_id) AS first_doc
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def seq_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens"))
+                / F.lit(float(PACK_BUDGET))).cast("bigint"))
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("tokens").alias("seq_tokens"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classification over the embedding table: top-KNN_K
+# cosine neighbors per query vector, predicted label = modal neighbor
+# label (ties -> smallest label). Same broadcast-queries shape as
+# ann_cosine_topk; the vote adds one partial-aggregated groupBy on
+# (query_id, label) — KNN_K rows per query, trivially small.
+# ---------------------------------------------------------------------------
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS cand_label, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6) AS cosine
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+      FROM ranked WHERE rk <= {KNN_K} GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, cand_label) AS vrk
+      FROM votes
+    )
+    SELECT query_id, true_label, cand_label AS predicted_label, votes
+    FROM best WHERE vrk = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"),
+        F.col("emb").alias("qemb"), F.col("norm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("cand_label"), "emb", "norm")
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = (scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= KNN_K))
+    votes = (topk.groupBy("query_id", "true_label", "cand_label")
+             .agg(F.count("*").alias("votes")))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), "cand_label")
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select("query_id", "true_label",
+                F.col("cand_label").alias("predicted_label"), "votes")
+    )

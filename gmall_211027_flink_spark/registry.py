@@ -79,6 +79,11 @@ def load_all() -> None:
     import gmall_211027_flink_spark.plans.ads  # noqa: F401
     import gmall_211027_flink_spark.sources.cdc  # noqa: F401
     import gmall_211027_flink_spark.streaming.windows  # noqa: F401
+    # Round-2 modules import LAST: their (new, driver-unproven) queries
+    # must register AFTER round 1's unproven 50, which need this round's
+    # gate window first.
+    import gmall_211027_flink_spark.operators.curation  # noqa: F401
+    import gmall_211027_flink_spark.plans.tpch  # noqa: F401
 
     proven = set(_DRIVER_PROVEN)
     ordered = [n for n in QUERIES if n not in proven]
