@@ -77,18 +77,32 @@ LOG_SCHEMA = T.StructType([
 ])
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to TimestampType regardless
+    of how the parquet writer encoded it. Seen encodings across testdata
+    generations:
+      - int64 TIMESTAMP(NANOS) read as bigint nanos (via
+        spark.sql.legacy.parquet.nanosAsLong=true in session.py)
+      - timestamp[us] isAdjustedToUTC=false -> Spark TIMESTAMP_NTZ
+      - timestamp[us] UTC -> TimestampType already (no-op)
+    Event-time ops (unix_micros, withWatermark) require TIMESTAMP; under
+    the engine's fixed UTC session timezone the NTZ->TIMESTAMP cast is a
+    pure re-tag with identical micros, matching DuckDB's reading.
+    """
+    from pyspark.sql import functions as F
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # nanos -> micros truncation, same as DuckDB reading nanos
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) it
-    # arrives as int64 nanos. Truncate to micros — the same truncation
-    # DuckDB applies when reading nanos — and surface a proper timestamp.
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -34,19 +34,17 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events table (handles the TIMESTAMP(NANOS) column the
-    same way catalog.load_table does for batch reads)."""
-    from pyspark.sql import functions as F
+    """Stream the events table (normalizes the ts column the same way
+    catalog.load_table does for batch reads — bigint-nanos, TIMESTAMP_NTZ
+    and plain TIMESTAMP encodings all surface as TimestampType)."""
+    from ..catalog import normalize_event_ts
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the streaming file source requires a directory: point it at sf_dir
     # and glob-filter to the one table file
     stream = (spark.readStream.schema(batch_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def read_json(spark: SparkSession, path: str,
