@@ -18,9 +18,12 @@ first-class registered queries with DuckDB oracles, designed for the
   state, bit-identical across engines and across reruns.
 - **sequence packing** uses concat-then-chunk semantics (a doc belongs
   to the sequence where it STARTS): one window cumsum per stratum, no
-  iterative bin-packing. Strata (here: lang) are the parallelism unit;
-  at 100 TB you sub-stratify (lang, hash_bucket) to bound each window
-  partition.
+  iterative bin-packing. Strata are (lang, hash_bucket): lang alone
+  would make one giant sorted partition per language at 100 TB, so the
+  content-keyed bucket bounds every window partition to ~1/PACK_BUCKETS
+  of its language — raise PACK_BUCKETS with corpus size and each
+  stratum stays executor-sized. Budgets are per-stratum, so the result
+  is deterministic regardless of bucket count.
 - **kNN vote** re-uses the broadcast-queries / corpus-never-moves ANN
   shape from `similarity.py`.
 """
@@ -33,6 +36,7 @@ from pyspark.sql import functions as F
 from gmall_211027_flink_spark.catalog import load_table
 from gmall_211027_flink_spark.operators.sampling import hash_bucket
 from gmall_211027_flink_spark.operators.similarity import (
+    LSH_BITS,
     N_QUERIES,
     _with_norm,
 )
@@ -44,6 +48,7 @@ EVAL_MOD = 43
 NGRAM = 5            # word 5-grams: the published decontamination norm
                      # (8-13-gram on real corpora) scaled to ~50-word docs
 PACK_BUDGET = 2048   # tokens per packed training sequence
+PACK_BUCKETS = 16    # sub-strata per language; scale up with corpus size
 KNN_K = 10
 
 
@@ -177,40 +182,49 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Greedy sequence packing (concat-then-chunk): docs are laid end-to-end
 # in deterministic (doc_id) order per stratum; a doc belongs to the
 # PACK_BUDGET-token sequence its first token lands in. One window cumsum
-# — no iterative solver, no driver loop.
+# — no iterative solver, no driver loop. The stratum is (lang, bucket),
+# NOT lang alone: a per-language window is a global sort per language,
+# i.e. a handful of giant straggler/OOM partitions at 100 TB. The
+# content-keyed hash bucket (same md5 bucketing as sampling.assign_split,
+# so DuckDB mirrors it exactly) bounds every window partition to
+# ~|lang| / PACK_BUCKETS docs, and the per-stratum budget keeps the
+# output deterministic for any bucket count.
 # ---------------------------------------------------------------------------
 
 @query(
     "seq_pack_token_budget",
     oracle=f"""
     WITH toks AS (
-      SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {PACK_BUCKETS} AS bucket
       FROM documents
     ),
     packed AS (
-      SELECT lang, doc_id, tokens,
+      SELECT lang, bucket, doc_id, tokens,
              CAST(floor(
-               (SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               (SUM(tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) - tokens)
                / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
       FROM toks
     )
-    SELECT lang, seq_id, COUNT(*) AS n_docs,
+    SELECT lang, bucket, seq_id, COUNT(*) AS n_docs,
            SUM(tokens) AS seq_tokens, MIN(doc_id) AS first_doc
-    FROM packed GROUP BY 1, 2
+    FROM packed GROUP BY 1, 2, 3
     """,
 )
 def seq_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens"))
-    w = (Window.partitionBy("lang").orderBy("doc_id")
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("tokens"),
+        hash_bucket(F.col("doc_id"), PACK_BUCKETS).alias("bucket"))
+    w = (Window.partitionBy("lang", "bucket").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     packed = toks.withColumn(
         "seq_id",
         F.floor((F.sum("tokens").over(w) - F.col("tokens"))
                 / F.lit(float(PACK_BUDGET))).cast("bigint"))
     return (
-        packed.groupBy("lang", "seq_id")
+        packed.groupBy("lang", "bucket", "seq_id")
         .agg(F.count("*").alias("n_docs"),
              F.sum("tokens").alias("seq_tokens"),
              F.min("doc_id").alias("first_doc"))
@@ -223,6 +237,14 @@ def seq_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label (ties -> smallest label). Same broadcast-queries shape as
 # ann_cosine_topk; the vote adds one partial-aggregated groupBy on
 # (query_id, label) — KNN_K rows per query, trivially small.
+#
+# EXACT BRUTE-FORCE BASELINE, by intent: the broadcast-nested-loop scan
+# of the full corpus per query is the recall-1.0 reference, fine for a
+# bounded probe set (N_QUERIES). At 100 TB-scale query counts, route the
+# candidate generation through the sign-LSH buckets instead —
+# knn_label_vote_lsh below is exactly that, same vote, bucket-equi-join
+# candidates (the ann_cosine_topk / ann_lsh_bucketed trade, applied to
+# classification).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -269,6 +291,88 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(0 as double), (acc, x) -> acc + x)")
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = (scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= KNN_K))
+    votes = (topk.groupBy("query_id", "true_label", "cand_label")
+             .agg(F.count("*").alias("votes")))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), "cand_label")
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select("query_id", "true_label",
+                F.col("cand_label").alias("predicted_label"), "votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN vote, LSH-candidate-routed (the scale path): candidates come from
+# a sign-LSH bucket equi-join instead of the full-corpus scan, cutting
+# per-query work by ~2^LSH_BITS at the cost of recall (a query with no
+# bucket-mates yields no prediction). Vote semantics identical to
+# knn_label_vote; the oracle mirrors the bucketing bit-for-bit, so this
+# is exact-vs-oracle even though it is approximate-vs-exhaustive-kNN.
+# ---------------------------------------------------------------------------
+
+@query(
+    "knn_label_vote_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             list_aggregate(
+               list_transform(embedding[1:{LSH_BITS}],
+                              x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+               'string_agg', '') AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS cand_label, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6) AS cosine
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+      FROM ranked WHERE rk <= {KNN_K} GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, cand_label) AS vrk
+      FROM votes
+    )
+    SELECT query_id, true_label, cand_label AS predicted_label, votes
+    FROM best WHERE vrk = 1
+    """,
+)
+def knn_label_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket",
+        F.expr(
+            f"concat_ws('', transform(slice(embedding, 1, {LSH_BITS}),"
+            " x -> case when x >= 0 then '1' else '0' end))"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"),
+        F.col("emb").alias("qemb"), F.col("norm").alias("qnorm"), "bucket")
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("cand_label"), "emb", "norm",
+                 F.col("bucket").alias("cbucket"))
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("bucket") == F.col("cbucket"))
+               & (F.col("neighbor_id") != F.col("query_id")))
         .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
