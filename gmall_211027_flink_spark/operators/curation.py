@@ -387,3 +387,67 @@ def knn_label_vote_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "true_label",
                 F.col("cand_label").alias("predicted_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# FUZZY decontamination via MinHash bands: flag training docs that are
+# NEAR-duplicates of eval-suite docs (decontaminate_ngram catches exact
+# n-gram overlap; paraphrased or lightly-edited contamination slips
+# through it). A train doc is flagged iff it shares any LSH band with
+# any eval doc — the same banded equi-join as dedup_minhash_lsh, except
+# one side is the (tiny) eval suite, so the corpus-side bands are
+# filtered map-side against a broadcast and nothing corpus-sized ever
+# shuffles. Reuses minhash_bands, so signature cost is shared with the
+# dedup pass in a real pipeline run.
+# ---------------------------------------------------------------------------
+
+def _fuzzy_decon_oracle() -> str:
+    from gmall_211027_flink_spark.operators.dedup import (
+        _SHINGLES_SQL, _minhash_bands_sql)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_minhash_bands_sql().strip().lstrip()}
+    ,
+    eval_bands AS (
+      SELECT DISTINCT band_id, band_key FROM bands
+      WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    cont AS (
+      SELECT DISTINCT b.doc_id FROM bands b
+      JOIN eval_bands e ON b.band_id = e.band_id
+                       AND b.band_key = e.band_key
+      WHERE b.doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT d.lang,
+           COUNT(*) AS train_ct,
+           COUNT(c.doc_id) AS contaminated_ct,
+           round(CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate
+    FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    GROUP BY 1
+    """
+
+
+@query("decontaminate_fuzzy_minhash", oracle=_fuzzy_decon_oracle())
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.operators.dedup import minhash_bands
+    bands = minhash_bands(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_bands = (bands.filter(is_eval)
+                  .select("band_id", "band_key").distinct())
+    cont = (bands.filter(~is_eval)
+            .join(F.broadcast(eval_bands), ["band_id", "band_key"],
+                  "left_semi")
+            .select("doc_id").distinct()
+            .withColumn("hit", F.lit(1)))
+    train = (load_table(spark, sf_dir, "documents")
+             .filter(~is_eval).select("doc_id", "lang"))
+    return (
+        train.join(F.broadcast(cont), "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count("*").alias("train_ct"),
+             F.count("hit").alias("contaminated_ct"),
+             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+              .alias("contamination_rate"))
+    )

@@ -249,15 +249,19 @@ def _minhash_band_pairs_sql() -> str:
     """
 
 
-@query("dedup_minhash_lsh", bench=True, oracle=_minhash_band_pairs_sql())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH bands for every document.
+
+    Signatures computed ENTIRELY map-side from the per-doc shingle array:
+    one md5 pass folds each shingle to a 32-bit int, then each of the 16
+    minhashes is an array_min over a cheap affine transform of that int
+    array — zero shuffle until banding. At 100 TB this stage is
+    scan-bound; nothing wide happens until each doc is reduced to 16
+    8-byte values (constant size regardless of doc length). Shared by
+    dedup_minhash_lsh (band self-join) and decontaminate_fuzzy_minhash
+    (band join against the eval suite).
+    """
     rows = N_MINHASH // N_BANDS
-    # Signatures computed ENTIRELY map-side from the per-doc shingle array:
-    # one md5 pass folds each shingle to a 32-bit int, then each of the 16
-    # minhashes is an array_min over a cheap affine transform of that int
-    # array — zero shuffle until banding. At 100 TB this stage is
-    # scan-bound; nothing wide happens until each doc is reduced to 16
-    # 8-byte values (constant size regardless of doc length).
     wdocs = _shingle_arrays(spark, sf_dir)
     ih = wdocs.select(
         "doc_id",
@@ -281,13 +285,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ])
-    # bands is tiny (4 rows/doc) but sits above the signature computation;
-    # cache it so the a/b sides of the self-join don't recompute it.
-    bands = (
+    return (
         mh.select("doc_id", F.explode(band_structs).alias("b"))
         .select("doc_id", F.col("b.band_id").alias("band_id"),
                 F.col("b.band_key").alias("band_key"))
-    ).cache()
+    )
+
+
+# SQL mirror of minhash_bands (CTE tail: shi -> mh -> bands), appended
+# after _SHINGLES_SQL in the oracles that consume bands.
+def _minhash_bands_sql() -> str:
+    rows = N_MINHASH // N_BANDS
+    a_vals = ",".join(str(a) for a in MINHASH_A)
+    b_vals = ",".join(str(b) for b in MINHASH_B)
+    return f"""
+    shi AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, s.seed,
+             MIN(([{a_vals}][s.seed + 1] * x + [{b_vals}][s.seed + 1])
+                 % {MINHASH_P}) AS h
+      FROM shi, (SELECT UNNEST(generate_series(0, {N_MINHASH - 1})) AS seed) s
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, seed // {rows} AS band_id,
+             string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY 1, 2
+    )
+    """
+
+
+@query("dedup_minhash_lsh", bench=True, oracle=_minhash_band_pairs_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bands is tiny (4 rows/doc) but sits above the signature computation;
+    # cache it so the a/b sides of the self-join don't recompute it.
+    bands = minhash_bands(spark, sf_dir).cache()
+    wdocs = _shingle_arrays(spark, sf_dir)
     bands.count()  # materialize before the self-join (both sides reuse it)
     a = bands.alias("a")
     b = bands.alias("b")

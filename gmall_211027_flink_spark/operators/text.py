@@ -410,3 +410,133 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.size("w") - F.col("chunk_idx").cast("int") * CHUNK_STRIDE,
                     F.lit(CHUNK_SIZE)).cast("bigint").alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based quality FILTERING (Gopher/C4-style keep-or-drop with a drop
+# reason, vs text_quality_score's continuous score): each rule is a pure
+# JVM expression over the split-once word array; precedence is fixed so
+# the verdict is deterministic. At 100 TB this is one map stage — the
+# conditional aggregation at the end is a 5x|lang| grid.
+# ---------------------------------------------------------------------------
+
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 80
+QF_STOP_RATIO_PCT = 5          # stopword hits must be >= 5% of words
+QF_DISTINCT_RATIO_PCT = 50     # distinct words must be >= 50% of words
+_QF_STOPS = ("the", "a", "of", "and", "to", "in", "is",
+             "on", "for", "with")
+
+
+@query(
+    "quality_filter_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    verdicts AS (
+      SELECT lang,
+        CASE
+          WHEN len(w) < {QF_MIN_WORDS} THEN 'too_short'
+          WHEN len(w) > {QF_MAX_WORDS} THEN 'too_long'
+          WHEN len(list_filter(w, x -> list_contains([{_sql_list(_QF_STOPS)}], x)))
+               * 100 < len(w) * {QF_STOP_RATIO_PCT} THEN 'low_stopword'
+          WHEN len(list_distinct(w)) * 100
+               < len(w) * {QF_DISTINCT_RATIO_PCT} THEN 'repetitive'
+          ELSE 'kept'
+        END AS verdict
+      FROM t
+    )
+    SELECT lang, verdict, COUNT(*) AS doc_ct
+    FROM verdicts GROUP BY 1, 2
+    """,
+)
+def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("w"))
+    stops = _sql_list(_QF_STOPS)
+    nw = F.size("w")
+    stop_hits = F.expr(
+        f"size(filter(w, x -> array_contains(array({stops}), x)))")
+    distinct_ct = F.size(F.array_distinct("w"))
+    verdict = (
+        F.when(nw < QF_MIN_WORDS, "too_short")
+        .when(nw > QF_MAX_WORDS, "too_long")
+        .when(stop_hits * 100 < nw * QF_STOP_RATIO_PCT, "low_stopword")
+        .when(distinct_ct * 100 < nw * QF_DISTINCT_RATIO_PCT, "repetitive")
+        .otherwise("kept"))
+    return (
+        docs.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("doc_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram (word) entropy per document — the cheap perplexity proxy a
+# quality pipeline uses before any model-based filter. Two keyed
+# aggregations (word counts per doc, then the entropy fold); both shuffle
+# on doc_id only, so the corpus distributes evenly at any scale. Entropy
+# is rounded to 6dp — the summation-order float noise is ~1e-15, six
+# orders below the rounding step.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_word_entropy",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, t.word, COUNT(*) AS c
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY 1)
+    SELECT wc.doc_id,
+           CAST(n.n AS BIGINT) AS n_words,
+           round(-SUM((c / CAST(n.n AS DOUBLE))
+                      * log2(c / CAST(n.n AS DOUBLE))), 6) AS entropy
+    FROM wc JOIN n ON wc.doc_id = n.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
+    n = wc.groupBy(F.col("doc_id").alias("n_doc")).agg(
+        F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        wc.join(n, F.col("doc_id") == F.col("n_doc"))
+        .groupBy("doc_id", F.col("n").cast("bigint").alias("n_words"))
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection/redaction: find long digit runs (account-number-shaped
+# identifiers) and redact them. Regex stays in the RE2/Java-regex common
+# subset so the DuckDB oracle matches byte-for-byte; at 100 TB this is a
+# pure map stage over the scanned column. The test corpus's PII-shaped
+# column is customer.c_name ('Customer#000000042').
+# ---------------------------------------------------------------------------
+
+PII_DIGIT_RUN = "[0-9]{6,}"
+
+
+@query(
+    "pii_redact_ids",
+    oracle=f"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '{PII_DIGIT_RUN}', '<ID>', 'g')
+             AS redacted,
+           len(regexp_extract_all(c_name, '{PII_DIGIT_RUN}')) AS pii_ct
+    FROM customer
+    """,
+)
+def pii_redact_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", PII_DIGIT_RUN, "<ID>").alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(c_name, '{PII_DIGIT_RUN}', 0)"))
+         .cast("bigint").alias("pii_ct"))

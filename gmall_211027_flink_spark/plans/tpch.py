@@ -249,3 +249,461 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(revenue).cast("double"), 6).alias("promo_share_pct"),
             F.count("*").alias("line_ct"))
     )
+
+
+# --- round 3: the remaining canonical shapes --------------------------------
+# (TPC-H-lite adaptations; partsupp / l_commitdate / l_shipmode don't exist,
+# so Q2/Q9/Q12/Q16/Q17/Q19/Q20/Q21 predicates are re-based on available
+# columns — the graded artifact is the PLAN shape, stated per query.)
+
+
+@query(
+    "q2_min_price_part",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand, MIN(p_retailprice) AS min_price
+      FROM part WHERE p_size BETWEEN 10 AND 20 GROUP BY 1
+    )
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice AS price
+    FROM part p JOIN m ON p.p_brand = m.p_brand
+                       AND p.p_retailprice = m.min_price
+    WHERE p.p_size BETWEEN 10 AND 20
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+)
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery -> aggregate + join-back (argmin).
+    (Reference Q2 finds the min-ps_supplycost supplier per part; no
+    partsupp here, so the argmin runs per brand over p_retailprice.)
+    The aggregate side is tiny (one row per brand) and broadcasts back
+    onto the filtered scan — at 100 TB both sides read the same pushed
+    p_size filter, so the scan happens twice but each is pruned; the
+    equality join-back on the exact double avoids any float re-derive.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20))
+    m = p.groupBy(F.col("p_brand").alias("m_brand")).agg(
+        F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(F.broadcast(m),
+               (F.col("p_brand") == F.col("m_brand"))
+               & (F.col("p_retailprice") == F.col("min_price")))
+        .select("p_brand", "p_partkey", "p_name",
+                F.col("p_retailprice").alias("price"))
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
+    "q9_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y') AS o_year,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               - CAST(p.p_retailprice AS DECIMAL(18,2))
+                 * CAST(l.l_quantity AS DECIMAL(18,2))
+                 * CAST(0.06 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q9_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier-nation per year across a 5-way join.
+    (ps_supplycost doesn't exist; cost is proxied as 6% of retailprice
+    per unit, in exact decimal so partial-sum order can't change the
+    result.) part/supplier/nation broadcast; the only shuffle is
+    lineitem joining orders on orderkey, then the two-phase agg on the
+    small (nation, year) grid. The p_type filter reaches the part scan
+    and — via the broadcast join — prunes lineitem rows before the
+    orderkey shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "ECONOMY")
+         .select("p_partkey", "p_retailprice"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+              - dec("p_retailprice") * dec("l_quantity")
+                * F.lit(0.06).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(dsum_expr(amount).alias("profit"))
+    )
+
+
+@query(
+    "q12_lateness_priority",
+    oracle=f"""
+    SELECT
+      CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+           THEN 'late' ELSE 'ontime' END AS ship_bucket,
+      SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_ct,
+      SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_ct
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact⋈fact with a derived bucket + dual conditional
+    counts. (l_shipmode doesn't exist; the bucket is shipdate lateness
+    vs the order date.) One orderkey shuffle, then a two-row aggregate —
+    the CASE arithmetic is all codegen; the year filter prunes the
+    lineitem scan before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.when(late, "late").otherwise("ontime")
+                 .alias("ship_bucket"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_ct"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_ct"))
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer join + double aggregation (per-customer count,
+    then the histogram of counts). (The o_comment NOT LIKE filter is
+    re-based on orderpriority.) The filter sits in the JOIN CONDITION,
+    not a WHERE — a WHERE would turn the left join inner and drop
+    zero-order customers, the exact bug Q13 exists to catch. orders
+    shuffles on custkey; the second agg is over |distinct counts| rows.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                   "o_orderpriority")
+    co = (
+        c.join(o, (F.col("o_custkey") == F.col("c_custkey"))
+               & (F.col("o_orderpriority") != "4-NOT SPECIFIED"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue view + scalar-max subquery + equality join-back
+    (argmax, ties kept). Revenue accumulates in exact decimal so the
+    max-equality join-back is deterministic in both engines — with
+    doubles, partial-sum order could split a tie. The scalar max is a
+    1-row broadcast cross join, not a driver collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(F.sum(dec("l_extendedprice")
+                      * (F.lit(1) - dec("l_discount"))).alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: anti-join exclusion + COUNT(DISTINCT) per attribute
+    group. (partsupp doesn't exist; lineitem serves as the part-supplier
+    relation, and the complaint filter is re-based on negative acctbal.)
+    The blacklist is a broadcast anti-join (its NOT IN has no NULLs by
+    construction); the distinct-count runs as the two-shuffle expand
+    Spark plans for it, both keyed on small attribute grids.
+    """
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-key average -> aggregate + join-back.
+    The threshold l_quantity < 0.2 * avg(l_quantity) is evaluated as
+    qty * 5 * cnt < sum_qty in EXACT decimal/integer arithmetic — a
+    double avg would make the boundary engine-dependent. The per-part
+    aggregate shuffles on partkey once and joins back on the same key
+    (co-partitioned, no second shuffle of lineitem at scale); the brand
+    filter prunes via the broadcast part join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == "Brand#11").select("p_partkey"))
+    pq = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
+               F.count("*").alias("cnt")))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg((F.sum(dec("l_extendedprice")) / 7)
+             .cast("double").alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS line_ct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive multi-branch predicate spanning both join
+    sides. The branch structure means neither side's filter is implied
+    alone EXCEPT the union of brands / the quantity envelope — Catalyst
+    derives exactly those (p_brand IN (...) onto the part scan,
+    l_quantity range onto lineitem) before evaluating the full OR above
+    the broadcast join; the pushed prefilters are what keep the probe
+    side small at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(dsum_expr(revenue).alias("revenue"),
+             F.count("*").alias("line_ct"))
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle=f"""
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate
+                           + INTERVAL {LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey, COUNT(*) AS supp_ct, SUM(is_late) AS late_ct
+      FROM ol GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM ol
+    JOIN per_order po ON po.l_orderkey = ol.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ol.l_suppkey
+    WHERE ol.is_late = 1 AND po.supp_ct >= 2 AND po.late_ct = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the EXISTS / NOT-EXISTS double correlation ("another
+    supplier on the order exists; no OTHER supplier was late"),
+    REFORMULATED as one aggregation: per (order, supplier) derive
+    is_late, then per order count suppliers and late suppliers — a
+    supplier qualifies iff it was late, the order has >= 2 suppliers,
+    and exactly 1 late one. Semantically identical to the two correlated
+    subqueries but one shuffle on orderkey instead of two extra
+    self-joins — the Spark-first rewrite of this plan. (l_commitdate
+    doesn't exist; late is shipdate vs orderdate + {LATE_DAYS}d.)
+    """
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"))
+    ol = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late")))
+    per_order = (ol.groupBy(F.col("l_orderkey").alias("po_orderkey"))
+                 .agg(F.count("*").alias("supp_ct"),
+                      F.sum("is_late").alias("late_ct")))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ol.filter(F.col("is_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("supp_ct") >= 2) & (F.col("late_ct") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+      AND CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: global-average scalar subquery + anti-join ("rich
+    customers gone quiet"). The average threshold is evaluated as
+    acctbal * cnt > sum in exact decimal (a double average would make
+    the boundary engine-dependent); the scalar aggregate is a 1-row
+    broadcast; inactivity is a left-anti join against recent orders —
+    the date filter prunes the orders scan, and only o_custkey is read.
+    (c_phone country codes don't exist, so the cohort is a nationkey
+    set; every test customer has SOME order, so "never ordered" is
+    re-based to "no order since mid-2000" — same anti-join shape with a
+    non-degenerate result.)
+    """
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9)))
+    pos = (c.filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(dec("c_acctbal")).alias("total"),
+                F.count("*").alias("cnt")))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate")
+                 >= F.lit("2000-07-01").cast("timestamp"))
+         .select("o_custkey"))
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal") * F.col("cnt") > F.col("total"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
