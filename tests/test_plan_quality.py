@@ -234,3 +234,70 @@ def test_ivf_cell_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
     plan = executed_plan(probe)
     assert "PartitionFilters: [cell" in plan, plan
     assert "PushedFilters: []" in plan, plan
+
+
+def test_q13_left_join_stays_left_with_condition_filter(spark, sf_dir):
+    """Q13's priority filter lives in the JOIN CONDITION; if it ever
+    migrates to a WHERE the left join silently turns inner and
+    zero-order customers vanish — assert the plan keeps LeftOuter."""
+    from gmall_211027_flink_spark.plans.tpch import q13_order_count_distribution
+
+    df = q13_order_count_distribution(spark, str(sf_dir))
+    df.collect()
+    plan = executed_plan(df)
+    assert "LeftOuter" in plan, plan
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, sf_dir):
+    """Q16's negative-acctbal supplier exclusion must be a broadcast
+    anti-join (the blacklist is dim-sized at every scale), never a
+    shuffled one."""
+    from gmall_211027_flink_spark.plans.tpch import q16_supplier_count_by_part
+
+    df = q16_supplier_count_by_part(spark, str(sf_dir))
+    df.collect()
+    plan = executed_plan(df)
+    anti_lines = [ln for ln in plan.splitlines()
+                  if "LeftAnti" in ln and "BroadcastHashJoin" in ln]
+    assert anti_lines, plan
+    assert "LessThan(s_acctbal,0.0)" in plan, plan
+
+
+def test_q21_single_orderkey_shuffle_no_self_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS double correlation is reformulated as one
+    per-(order,supplier) aggregation: the plan must not contain the two
+    extra lineitem self-joins the literal translation would carry. The
+    only joins are lineitem⋈orders (shuffle) + two broadcasts
+    (per-order counts, supplier names)."""
+    from gmall_211027_flink_spark.plans.tpch import q21_sole_late_supplier
+
+    df = q21_sole_late_supplier(spark, str(sf_dir))
+    df.collect()
+    # optimized LOGICAL plan: li⋈orders (printed twice — the ol subtree
+    # feeds both branches; the physical plan reuses the exchange),
+    # ol⋈per_order, ⋈supplier = 4 Join nodes. The literal
+    # EXISTS/NOT-EXISTS translation adds a LeftSemi and a LeftAnti
+    # lineitem self-join on top — 6+.
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = sum(1 for ln in logical.splitlines() if "Join " in ln)
+    assert n_joins <= 4, f"{n_joins} joins\n{logical}"
+    assert "LeftSemi" not in logical and "LeftAnti" not in logical, logical
+
+
+def test_q19_derives_pushed_prefilters_from_disjunction(spark, sf_dir):
+    """Q19's OR-of-ANDs must still prune both scans: Catalyst derives
+    the brand-union filter onto part and the quantity envelope onto
+    lineitem before the join evaluates the full disjunction."""
+    from gmall_211027_flink_spark.plans.tpch import q19_disjunctive_revenue
+
+    df = q19_disjunctive_revenue(spark, str(sf_dir))
+    df.collect()
+    plan = executed_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    part_scans = [ln for ln in scan_lines if "p_brand" in ln]
+    li_scans = [ln for ln in scan_lines if "l_quantity" in ln]
+    # the brand disjunction reaches the part scan's data filters
+    assert part_scans and all("Brand#12" in ln for ln in part_scans), plan
+    # the derived quantity envelope (>=1, <=30) reaches the lineitem scan
+    assert li_scans and all(
+        "(l_quantity" in ln.split("DataFilters:")[-1] for ln in li_scans), plan
