@@ -1,0 +1,116 @@
+"""Graph analytics over relational edges — connected components on the
+part co-purchase graph (beyond-reference family; the reference's closest
+shape is its keyword/funnel ADS layer, and a product-family rollup is
+the natural next query its publisher would grow).
+
+Algorithm: bounded-round min-label propagation, the same loop as
+`dedup.dedup_cluster_canonical` — labels live in a DataFrame keyed by
+node, each round joins labels across edges and takes the elementwise
+min, and the driver loop stops at fixpoint (label propagation converges
+in <= diameter rounds; the round cap turns a pathological input into a
+loud error instead of an infinite job). All label math is 64-bit
+integer — exact in both engines, no float-boundary risk in the oracle
+compare. At 100 TB scale each round is one shuffle join keyed by node
+id; the edge list is the big side and labels are node-sized, which is
+exactly the large-graph CC shape (GraphX/Pregel does the same joins
+under the hood — this keeps it in DataFrame land so AQE/codegen apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+MIN_TOGETHER = 3      # edge threshold: co-purchased in >= 3 orders
+MAX_ROUNDS = 25
+
+
+_EDGES_SQL = f"""
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_TOGETHER}
+    ),
+    edges AS (
+      SELECT part_a AS u, part_b AS v FROM pairs
+      UNION SELECT part_b, part_a FROM pairs
+    )
+"""
+
+
+@query(
+    "graph_components_copurchase",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    reach(node, lab) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    comp AS (
+      SELECT node AS part_id, MIN(lab) AS component_id
+      FROM reach GROUP BY 1
+    )
+    SELECT part_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+           (part_id = component_id) AS is_root
+    FROM comp
+    """,
+)
+def graph_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # same posting-list pair generation as ads_copurchase_pairs: one
+    # shuffle to order grain, pairs expanded map-side from each order's
+    # (small) sorted part list — never a lineitem self-join
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .select("part_a", "part_b")
+    )
+    edges = (pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().cache())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")).cache())
+    labels.count()
+    for _ in range(MAX_ROUNDS):
+        neigh_min = (edges.join(labels, edges.v == labels.node)
+                     .groupBy("u").agg(F.min("label").alias("nlabel")))
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.u, "left")
+            .select("node",
+                    F.least("label", F.coalesce("nlabel", "label"))
+                     .alias("label"))
+            .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {MAX_ROUNDS} rounds")
+    w_sz = F.count("*").over(Window.partitionBy("component_id"))
+    return (
+        labels.select(F.col("node").alias("part_id"),
+                      F.col("label").alias("component_id"))
+        .withColumn("component_size", w_sz)
+        .withColumn("is_root", F.col("part_id") == F.col("component_id"))
+    )

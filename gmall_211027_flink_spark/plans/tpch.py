@@ -514,8 +514,8 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS cnt
       FROM lineitem GROUP BY 1
     )
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7
-                AS DOUBLE) AS avg_yearly
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN pq ON pq.pk = l.l_partkey
@@ -542,8 +542,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(pq, F.col("l_partkey") == F.col("pk"))
         .filter(dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
-        .agg((F.sum(dec("l_extendedprice")) / 7)
-             .cast("double").alias("avg_yearly"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / 7)
+             .alias("avg_yearly"))
     )
 
 

@@ -115,6 +115,7 @@ def load_all() -> None:
     # gate window first.
     import gmall_211027_flink_spark.operators.curation  # noqa: F401
     import gmall_211027_flink_spark.plans.tpch  # noqa: F401
+    import gmall_211027_flink_spark.operators.graph  # noqa: F401
 
     proven = set(_DRIVER_PROVEN)
     ordered = [n for n in QUERIES if n not in proven]
