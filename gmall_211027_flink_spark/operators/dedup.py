@@ -120,6 +120,75 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truly-overlapping docs).
 # ---------------------------------------------------------------------------
 
+def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
+                           df_cap: int | None) -> DataFrame:
+    """(doc_a, doc_b, i, na, nb) exact shared-shingle counts for every
+    pair that can reach JACCARD_THRESHOLD, via AllPairs/PPJoin prefix
+    filtering (Bayardo et al. WWW'07) — see dedup_ngram_jaccard_capped's
+    docstring for the full derivation. ``df_cap=None`` is the uncapped
+    variant: shingles with doc frequency 1 still drop (they cannot
+    contribute to any intersection — pure optimization, identical
+    output), hot shingles stay, but rarest-first prefix ordering puts
+    them LAST so they almost never enter a prefix.
+
+    Grouping on xxhash64(shingle) not the string is an ACCEPTED
+    APPROXIMATION vs the raw-shingle oracles: a 64-bit collision merges
+    two shingles' postings. Expected colliding pairs = n(n-1)/2^65 —
+    ~0.03 at 10^9 distinct shingles, ~300 at 10^11; each inflates a
+    handful of intersection counts by at most 1, far below the
+    threshold's resolution. For exact-recall audits, key on the shingle
+    string (the oracle's form) at ~4x the shuffle bytes.
+    """
+    from fractions import Fraction
+    fr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
+    tn, td = fr.numerator, fr.denominator
+    wdocs = _shingle_arrays(spark, sf_dir)
+    sh = wdocs.select(
+        "doc_id", F.size("sh_arr").alias("n"),
+        F.explode(F.expr("transform(sh_arr, s -> xxhash64(s))")).alias("k"))
+    df_pred = F.col("df") > 1
+    if df_cap is not None:
+        df_pred = df_pred & (F.col("df") <= df_cap)
+    keptdf = (sh.groupBy("k").agg(F.count("*").alias("df"))
+              .filter(df_pred).select("k", "df"))
+    # per-doc shingle set, rarest-first (struct sort on (df, k)); the
+    # exchange below this aggregate is built once and reused for the
+    # prefix explode AND both verification sides (ReusedExchange).
+    docsets = (sh.join(keptdf, "k")
+               .groupBy("doc_id", "n")
+               .agg(F.sort_array(F.collect_list(F.struct("df", "k")))
+                     .alias("skk"))
+               .select("doc_id", "n",
+                       F.expr("transform(skk, x -> x.k)").alias("arr"),
+                       F.size("skk").alias("nk")))
+    # prefix length nk - ceil(t*nk) + 1, exact integer ceil of tn*nk/td
+    plen = (F.col("nk")
+            - F.expr(f"({tn} * nk + {td} - 1) div {td}") + 1).cast("int")
+    pref = docsets.select(
+        "doc_id", "n", "nk",
+        F.explode(F.slice("arr", F.lit(1), plen)).alias("k"))
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.least(F.col("a.nk"), F.col("b.nk")) * (td + tn)
+                >= tn * (F.col("a.n") + F.col("b.n")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+        .distinct())
+    da = docsets.select(F.col("doc_id").alias("doc_a"),
+                        F.col("arr").alias("arr_a"))
+    db = docsets.select(F.col("doc_id").alias("doc_b"),
+                        F.col("arr").alias("arr_b"))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
+        .select("doc_a", "doc_b", "i", "na", "nb")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -139,47 +208,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wdocs = _shingle_arrays(spark, sf_dir)
-    # Pair generation via groupBy(shingle)+collect_list instead of a
-    # shingle self-join: one shuffle of (hash, doc_id) pairs replaces two
-    # full exploded-side shuffles + SMJ (measured ~4x faster at sf0.1;
-    # same pair multiset, so the oracle is unchanged). The groupBy key is
-    # xxhash64(shingle) — 8 bytes on the wire instead of a ~30-byte
-    # string. ACCEPTED APPROXIMATION vs the raw-shingle oracle: a 64-bit
-    # collision merges two shingles' posting lists. Expected colliding
-    # pairs = n(n-1)/2^65: ~0.03 at 10^9 distinct shingles, ~300 at
-    # 10^11 — each collision inflates a handful of intersection counts
-    # by at most 1, far below the jaccard threshold's resolution. For
-    # exact-recall audits, group on the shingle string itself (the
-    # oracle's form) at ~4x the shuffle bytes. The posting list stays
-    # tiny (doc-frequency cap is the skew guard at scale: a shingle
-    # shared by k docs yields k(k-1)/2 pairs).
-    # Each posting-list entry carries the doc's shingle-set SIZE, so the
-    # union size |A|+|B|-i falls out of the pair row itself — no sizes
-    # dimension and NO post-count joins (two shuffled joins removed;
-    # measured ~1.5x on the warm query at sf0.1). (doc_a, doc_b) alone
-    # determine (na, nb); grouping by all four keys is the same grouping.
-    sh = wdocs.select(
-        "doc_id", F.size("sh_arr").alias("n"),
-        F.explode("sh_arr").alias("shingle"))
-    groups = (
-        sh.groupBy(F.xxhash64("shingle").alias("k"))
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    inter = (
-        groups.select(F.explode(F.expr(
-            "flatten(transform(ds, (x, i) -> transform(slice(ds, i+2, size(ds)-i-1),"
-            " y -> case when x.doc_id < y.doc_id"
-            "      then struct(x.doc_id as doc_a, y.doc_id as doc_b,"
-            "                  x.n as na, y.n as nb)"
-            "      else struct(y.doc_id as doc_a, x.doc_id as doc_b,"
-            "                  y.n as na, x.n as nb) end)))"
-        )).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("i"))
-    )
+    """Exact-recall n-gram Jaccard pairs (no DF cap) via the shared
+    prefix-filtered pair generator (r3; replaced the r1 posting-list
+    expansion — same output, candidates pruned at generation instead of
+    every co-occurring pair being counted)."""
+    inter = _prefix_filtered_pairs(spark, sf_dir, df_cap=None)
     jac = (F.col("i").cast("double")
            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
     return (
@@ -531,32 +564,15 @@ _JACCARD_PAIRS_SQL = f"""
     """,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min-label propagation with pointer jumping (O(log diameter)
+    # rounds) — shared with the co-purchase component rollup
+    from gmall_211027_flink_spark.operators.graph import min_label_components
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
              .union(pairs.select(F.col("doc_b").alias("u"),
                                  F.col("doc_a").alias("v")))
              .distinct().cache())
-    labels = (edges.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node")).cache())
-    labels.count()
-    for _ in range(25):                       # diameter cap; asserts below
-        neigh_min = (edges.join(labels, edges.v == labels.node)
-                     .groupBy("u").agg(F.min("label").alias("nlabel")))
-        new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.u, "left")
-            .select("node",
-                    F.least("label", F.coalesce("nlabel", "label"))
-                     .alias("label"))
-            .cache())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("label propagation did not converge in 25 rounds")
+    labels = min_label_components(edges)
     w_sz = F.count("*").over(Window.partitionBy("canonical_doc_id"))
     return (
         labels.select(F.col("node").alias("doc_id"),
@@ -651,52 +667,10 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ACCEPTED APPROXIMATION as the uncapped variant (collision odds
     documented there); the oracle groups on the raw shingle.
     """
-    from fractions import Fraction
-    fr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
-    tn, td = fr.numerator, fr.denominator
-    wdocs = _shingle_arrays(spark, sf_dir)
-    sh = wdocs.select(
-        "doc_id", F.size("sh_arr").alias("n"),
-        F.explode(F.expr("transform(sh_arr, s -> xxhash64(s))")).alias("k"))
-    keptdf = (sh.groupBy("k").agg(F.count("*").alias("df"))
-              .filter((F.col("df") > 1) & (F.col("df") <= DF_CAP))
-              .select("k", "df"))
-    # per-doc capped shingle set, rarest-first (struct sort on (df, k));
-    # the exchange below this aggregate is built once and reused for the
-    # prefix explode AND both verification sides (ReusedExchange).
-    docsets = (sh.join(keptdf, "k")
-               .groupBy("doc_id", "n")
-               .agg(F.sort_array(F.collect_list(F.struct("df", "k")))
-                     .alias("skk"))
-               .select("doc_id", "n",
-                       F.expr("transform(skk, x -> x.k)").alias("arr"),
-                       F.size("skk").alias("nk")))
-    # prefix length nk - ceil(t*nk) + 1, exact integer ceil of tn*nk/td
-    plen = (F.col("nk")
-            - F.expr(f"({tn} * nk + {td} - 1) div {td}") + 1).cast("int")
-    pref = docsets.select(
-        "doc_id", "n", "nk",
-        F.explode(F.slice("arr", F.lit(1), plen)).alias("k"))
-    a = pref.alias("a")
-    b = pref.alias("b")
-    cand = (
-        a.join(b, (F.col("a.k") == F.col("b.k"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(F.least(F.col("a.nk"), F.col("b.nk")) * (td + tn)
-                >= tn * (F.col("a.n") + F.col("b.n")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
-        .distinct())
-    da = docsets.select(F.col("doc_id").alias("doc_a"),
-                        F.col("arr").alias("arr_a"))
-    db = docsets.select(F.col("doc_id").alias("doc_b"),
-                        F.col("arr").alias("arr_b"))
+    inter = _prefix_filtered_pairs(spark, sf_dir, df_cap=DF_CAP)
     jac = (F.col("i").cast("double")
            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
     return (
-        cand.join(da, "doc_a").join(db, "doc_b")
-        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
-        .select("doc_a", "doc_b", jac.alias("jaccard_capped"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard_capped"))
         .filter(F.col("jaccard_capped") >= JACCARD_THRESHOLD)
     )
