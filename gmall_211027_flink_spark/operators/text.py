@@ -540,3 +540,48 @@ def pii_redact_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", PII_DIGIT_RUN, "<ID>").alias("redacted"),
         F.size(F.expr(f"regexp_extract_all(c_name, '{PII_DIGIT_RUN}', 0)"))
          .cast("bigint").alias("pii_ct"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics — the tokenizer-training prep pass: global
+# word counts and adjacent-pair (bigram) counts, the exact aggregation a
+# BPE trainer's first merge iteration reads. Both are explode+groupBy on
+# content keys — fully distributed, partial-aggregated map-side; the
+# top-k is orderBy+limit (TakeOrdered, no global sort). Deterministic
+# tiebreak on the token text keeps LIMIT stable across engines.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 50
+
+
+@query(
+    "vocab_bigram_counts",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bigrams AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT bigram, COUNT(*) AS pair_ct
+    FROM bigrams GROUP BY 1
+    ORDER BY pair_ct DESC, bigram
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w"))
+    # guard 1-word docs: Spark's sequence(1, 0) infers step -1 and
+    # yields [1, 0] (element_at(w, 0) then throws); DuckDB's
+    # generate_series(1, 0) is empty. The case keeps both engines empty.
+    bigrams = docs.select(F.explode(F.expr(
+        "case when size(w) >= 2 then"
+        " transform(sequence(1, size(w) - 1),"
+        "  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+        " else array() end"
+    )).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram").agg(F.count("*").alias("pair_ct"))
+        .orderBy(F.desc("pair_ct"), "bigram")
+        .limit(VOCAB_TOP_K)
+    )
