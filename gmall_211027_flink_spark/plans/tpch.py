@@ -707,3 +707,55 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH psq AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_ps
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pq AS (SELECT pk, SUM(qty_ps) AS qty_p FROM psq GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT psq.sk FROM psq JOIN pq ON psq.pk = pq.pk
+      WHERE psq.qty_ps * 2 > pq.qty_p
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested aggregates feeding a semi-join chain ("suppliers
+    holding excess stock" re-based to "suppliers who shipped > 50% of a
+    part's 1997 volume" — partsupp doesn't exist). Both aggregates key
+    on partkey, so the second one reuses the first's partitioning with
+    no extra lineitem pass; the dominance comparison runs in exact
+    decimal (qty*2 > total — no float boundary); the qualifying-supplier
+    set reaches supplier as a left-semi join and nation broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    psq = (li.groupBy(F.col("l_partkey").alias("pk"),
+                      F.col("l_suppkey").alias("sk"))
+           .agg(F.sum(dec("l_quantity")).alias("qty_ps")))
+    pq = psq.groupBy(F.col("pk").alias("p_pk")).agg(
+        F.sum("qty_ps").alias("qty_p"))
+    dominant = (psq.join(pq, F.col("pk") == F.col("p_pk"))
+                .filter(F.col("qty_ps") * 2 > F.col("qty_p"))
+                .select("sk").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.sk, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
