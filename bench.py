@@ -76,6 +76,7 @@ def main() -> None:
 SCALE_FACTOR = 10          # synthetic 10x documents corpus
 SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
                  "dedup_simhash", "dedup_exact"]
+ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
 
 
 def _dedup_scale_probe(spark, sf_dir: str) -> dict:
@@ -105,12 +106,33 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
          .drop("_r")
          .repartition(32)
          .write.mode("overwrite").parquet(docs_path))
+    # 10x embeddings for the ANN family: replica r perturbs dim 0 by
+    # r/1000 (deterministic, keeps the corpus full of near-neighbors —
+    # worst case for candidate pruning); query ids (vec_id < N_QUERIES)
+    # keep their original vectors via replica 0.
+    emb_path = f"{probe_dir}/embeddings.parquet"
+    if not os.path.exists(f"{emb_path}/_SUCCESS"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        (emb.select(
+            "*", F.explode(F.sequence(
+                F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_r"))
+         .withColumn("vec_id",
+                     F.when(F.col("_r") == 0, F.col("vec_id"))
+                      .otherwise(F.col("vec_id") * SCALE_FACTOR + F.col("_r")
+                                 + 1_000_000))
+         .withColumn("embedding", F.expr(
+             "transform(embedding, (x, i) -> case when i = 0"
+             " then cast(x + _r / 1000.0 as float) else x end)"))
+         .drop("_r")
+         .repartition(32)
+         .write.mode("overwrite").parquet(emb_path))
     out: dict[str, float] = {}
-    for name in SCALE_QUERIES:
+    for name in SCALE_QUERIES + ANN_SCALE_QUERIES:
         t0 = time.perf_counter()
         QUERIES[name](spark, probe_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
     out["rows"] = spark.read.parquet(docs_path).count()
+    out["emb_rows"] = spark.read.parquet(emb_path).count()
     return out
 
 
