@@ -118,6 +118,8 @@ def load_all() -> None:
     import gmall_211027_flink_spark.operators.graph  # noqa: F401
 
     proven = set(_DRIVER_PROVEN)
+    overlap = proven & set(_REVERIFY)
+    assert not overlap, f"_REVERIFY names must be out of _DRIVER_PROVEN: {overlap}"
     ordered = [n for n in QUERIES if n not in proven]
     ordered += [n for n in _DRIVER_PROVEN if n in QUERIES]
     reordered = {n: QUERIES[n] for n in ordered}
