@@ -510,3 +510,41 @@ def dws_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming INGEST dedup — the continuous-crawl version of dedup_exact:
+# as document files land, maintain per-content-hash (copy count,
+# canonical = min doc_id) as a streaming aggregation. min/count are
+# order-insensitive, so the result is deterministic for any micro-batch
+# slicing and matches the batch oracle bit-for-bit; at 100 TB the state
+# is one row per DISTINCT document (the deduped size, not the crawl
+# size) and the aggregation is the same hash-shuffle as the batch op.
+# (dropDuplicates would keep an ARBITRARY row per key under streaming —
+# aggregate with min instead, exactly for determinism.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS copy_ct,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def stream_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    agg = (stream
+           .groupBy(F.md5("text").alias("content_hash"))
+           .agg(F.count("*").alias("copy_ct"),
+                F.min("doc_id").alias("canonical_doc_id")))
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
