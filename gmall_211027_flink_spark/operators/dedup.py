@@ -685,3 +685,77 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.select("doc_a", "doc_b", jac.alias("jaccard_capped"))
         .filter(F.col("jaccard_capped") >= JACCARD_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-quality evaluation: MinHash-LSH recall against the EXACT pair
+# set — the meta-check a pipeline runs before trusting a sketch config
+# at scale (here: 16 hashes / 4 bands vs Jaccard >= 0.8; the published
+# band-hit curve gives P(candidate) = 1 - (1 - s^4)^4, ~0.986 at
+# s = 0.8). LSH output is candidates-then-exact-verified, so precision
+# is 1.0 by construction and the interesting number is band-miss
+# recall. Both sides reuse the already-cached pair pipelines; the
+# comparison itself is one tiny outer join.
+# ---------------------------------------------------------------------------
+
+def _recall_oracle() -> str:
+    rows = N_MINHASH // N_BANDS
+    a_vals = ",".join(str(a) for a in MINHASH_A)
+    b_vals = ",".join(str(b) for b in MINHASH_B)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_JACCARD_PAIRS_SQL},
+    shi AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, s.seed,
+             MIN(([{a_vals}][s.seed + 1] * x + [{b_vals}][s.seed + 1])
+                 % {MINHASH_P}) AS h
+      FROM shi, (SELECT UNNEST(generate_series(0, {N_MINHASH - 1})) AS seed) s
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, seed // {rows} AS band_id,
+             string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT COUNT(*) AS exact_pairs,
+           COUNT(c.doc_a) AS lsh_found,
+           COUNT(*) - COUNT(c.doc_a) AS band_missed,
+           round(CAST(COUNT(c.doc_a) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM pairs p
+    LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    """
+
+
+@query("dedup_minhash_recall", oracle=_recall_oracle())
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand_bands = minhash_bands(spark, sf_dir)
+    a = cand_bands.alias("a")
+    b = cand_bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("c_a"), F.col("b.doc_id").alias("c_b"))
+        .distinct()
+        .withColumn("hit", F.lit(1)))
+    return (
+        exact.join(F.broadcast(cand),
+                   (F.col("doc_a") == F.col("c_a"))
+                   & (F.col("doc_b") == F.col("c_b")), "left")
+        .agg(F.count("*").alias("exact_pairs"),
+             F.count("hit").alias("lsh_found"),
+             (F.count("*") - F.count("hit")).alias("band_missed"),
+             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+              .alias("recall"))
+    )
