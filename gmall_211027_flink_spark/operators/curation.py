@@ -98,7 +98,9 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id", "is_eval",
         F.explode(F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size(w)-{NGRAM - 1}, 0)),"
+            f"array_distinct(transform("
+            f" if(size(w) >= {NGRAM}, sequence(1, size(w)-{NGRAM - 1}),"
+            "  cast(array() as array<int>)),"
             " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),"
             " element_at(w,i+2), element_at(w,i+3), element_at(w,i+4))))"
         )).alias("g"))

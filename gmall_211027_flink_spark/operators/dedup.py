@@ -66,10 +66,15 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Split ONCE into a named column before the shingle lambda: referencing
     # split(text) inside the lambda re-tokenizes per element (O(words^2) —
     # measured 6.5x slower at sf0.1).
+    # if() guard, not greatest(..., 0): Spark's sequence(1, 0) infers
+    # step -1 and yields [1, 0] -> element_at out-of-bounds on sub-3-word
+    # docs (found by the prefix-filter property test; DuckDB's
+    # generate_series(1, 0) is empty, so the oracles never saw it)
     wdocs = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
         F.expr(
-            "array_distinct(transform(sequence(1, greatest(size(w)-2, 0)),"
+            "array_distinct(transform("
+            " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
             " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
         ).alias("sh_arr"),
     ).cache()

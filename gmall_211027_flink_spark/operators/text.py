@@ -199,7 +199,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", "full_md5",
         F.expr(
-            "array_min(transform(filter(sequence(1, greatest(size(w)-2, 0)),"
+            "array_min(transform(filter("
+            " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
             " i -> i % 4 = 1),"
             " i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))))"
         ).alias("winnow_min"),
@@ -249,7 +250,8 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_max(transform(array_distinct(w),"
                " t -> size(filter(w, x -> x = t))))").alias("max_tok"),
         F.expr("greatest(size(w) - 2, 0)").alias("n3"),
-        F.expr("size(array_distinct(transform(sequence(1, greatest(size(w)-2, 0)),"
+        F.expr("size(array_distinct(transform("
+               " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
                " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),"
                " element_at(w,i+2)))))").alias("d3"),
     )

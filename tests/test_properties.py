@@ -190,3 +190,49 @@ def test_fuzzy_parity_blocking_full_recall(spark, names):
              .filter(FF.col("d") <= 1))
         cands |= {(r["ak"], r["bk"]) for r in j.collect()}
     assert cands == lev, (sorted(lev - cands), names)
+
+
+# word soup from a tiny vocab: maximizes shingle overlap, identical docs,
+# and df>cap-style hot shingles within hypothesis's small examples
+_words = st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0, max_size=12)
+
+
+@given(docs=st.lists(_words, min_size=2, max_size=10))
+@SETTINGS
+def test_prefix_filtered_jaccard_equals_bruteforce_spec(
+        spark, tmp_path_factory, docs):
+    """The AllPairs/PPJoin prefix+positional filtering in
+    dedup_ngram_jaccard must be a pure physical optimization: its output
+    equals the quadratic all-pairs specification for ANY corpus —
+    including all-identical docs (max clique), sub-3-word docs (empty
+    shingle sets), and single hot shingles shared by every doc."""
+    from gmall_211027_flink_spark.operators.dedup import (
+        JACCARD_THRESHOLD, dedup_ngram_jaccard)
+
+    d = tmp_path_factory.mktemp("pfx")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(d / "documents.parquet"))
+
+    # brute-force spec in plain Python
+    shingles = []
+    for _, text in rows:
+        ws = text.split(" ")
+        shingles.append({" ".join(ws[i:i + 3])
+                         for i in range(max(len(ws) - 2, 0))})
+    expected = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            i = len(shingles[a] & shingles[b])
+            if i == 0:
+                continue
+            jac = i / (len(shingles[a]) + len(shingles[b]) - i)
+            if jac >= JACCARD_THRESHOLD:
+                expected[(a, b)] = round(jac, 9)
+
+    got = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+           for r in dedup_ngram_jaccard(spark, str(d)).collect()}
+    assert got == expected
