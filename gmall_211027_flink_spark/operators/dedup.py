@@ -312,7 +312,12 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     rows = N_MINHASH // N_BANDS
     wdocs = _shingle_arrays(spark, sf_dir)
-    ih = wdocs.select(
+    # Docs with EMPTY shingle sets (shorter than the n-gram width) have
+    # no signature: array_min over empty is null, every such doc would
+    # share one all-null band key, and the 0-size "candidates" divide by
+    # zero at verification. The SQL-oracle form excludes them naturally
+    # (no exploded shingle rows -> no minhash rows) — match it.
+    ih = wdocs.filter(F.size("sh_arr") > 0).select(
         "doc_id",
         F.expr(
             "transform(sh_arr,"
