@@ -126,11 +126,21 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
          .drop("_r")
          .repartition(32)
          .write.mode("overwrite").parquet(emb_path))
+    # The probe measures SCALING (does 10x data cost ~10x or ~100x?),
+    # not point-in-time latency — each query runs twice and the MIN is
+    # reported. Two independent noise sources measured on this host:
+    # first-run cache-build/JIT cost, and hypervisor steal (/proc/stat
+    # steal jiffies grow in bursts; identical runs measured 6.6 s to
+    # 73 s). min-of-2 keeps the quadratic-blowup signal the probe exists
+    # to catch while shedding both.
     out: dict[str, float] = {}
     for name in SCALE_QUERIES + ANN_SCALE_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, probe_dir).count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, probe_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     out["rows"] = spark.read.parquet(docs_path).count()
     out["emb_rows"] = spark.read.parquet(emb_path).count()
     return out

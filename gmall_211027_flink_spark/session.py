@@ -33,6 +33,13 @@ def get_spark(app_name: str = "gmall_211027_flink_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The generated-class cache defaults to 100 entries; a session
+        # running this engine's 100+ distinct queries (bench, gate)
+        # overflows it and late-session executions pay full Janino
+        # recompilation per stage — measured as 3-10x slowdowns with
+        # erratic variance late in long sessions. Size it to hold the
+        # whole query corpus.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # events.parquet carries TIMESTAMP(NANOS) which the reader rejects;
         # surface as int64 nanos and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
