@@ -759,3 +759,41 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q11_important_balance_share",
+    oracle="""
+    WITH tot AS (
+      SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS grand FROM supplier
+    )
+    SELECT n.n_name,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS nation_balance
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey, tot
+    GROUP BY n.n_name, tot.grand
+    HAVING SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) * 20 > tot.grand
+    ORDER BY nation_balance DESC, n_name
+    """,
+)
+def q11_important_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped aggregate HAVING-compared against a global
+    scalar aggregate ("nations holding > 5% of total supplier balance";
+    partsupp value is re-based to s_acctbal). The scalar total is a
+    1-row broadcast cross join; the share test runs in exact decimal
+    (balance * 20 > grand — no float boundary); ordering is total-order
+    (balance desc, name) so the result is deterministic.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    tot = s.agg(F.sum(dec("s_acctbal")).alias("grand"))
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_name", "grand")
+        .agg(F.sum(dec("s_acctbal")).alias("bal"))
+        .filter(F.col("bal") * 20 > F.col("grand"))
+        .select("n_name", F.col("bal").cast("double").alias("nation_balance"))
+        .orderBy(F.desc("nation_balance"), "n_name")
+    )

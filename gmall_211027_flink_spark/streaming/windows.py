@@ -548,3 +548,65 @@ def stream_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+@query(
+    "stream_quality_filter_documents",
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    verdicts AS (
+      SELECT lang,
+        CASE
+          WHEN len(w) < 20 THEN 'too_short'
+          WHEN len(w) > 80 THEN 'too_long'
+          WHEN len(list_filter(w, x -> list_contains(
+                 ['the','a','of','and','to','in','is','on','for','with'], x)))
+               * 100 < len(w) * 5 THEN 'low_stopword'
+          WHEN len(list_distinct(w)) * 100 < len(w) * 50 THEN 'repetitive'
+          ELSE 'kept'
+        END AS verdict
+      FROM t
+    )
+    SELECT lang, verdict, COUNT(*) AS doc_ct
+    FROM verdicts GROUP BY 1, 2
+    """,
+)
+def stream_quality_filter_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Streaming ingest-time quality filtering: the same Gopher/C4-style
+    verdict expressions as the batch quality_filter_rules, applied to a
+    document file stream with a running (lang, verdict) count — all
+    verdict math is stateless/map-side, so the only state is the tiny
+    5x|lang| counter grid and throughput is scan-bound at any corpus
+    size. Counts are order-insensitive: deterministic under any
+    micro-batch slicing, hash-checked against the batch oracle.
+    """
+    from gmall_211027_flink_spark.operators.text import (
+        QF_DISTINCT_RATIO_PCT, QF_MAX_WORDS, QF_MIN_WORDS,
+        QF_STOP_RATIO_PCT, _QF_STOPS, _sql_list)
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("lang", F.split("text", " ").alias("w")))
+    stops = _sql_list(_QF_STOPS)
+    nw = F.size("w")
+    stop_hits = F.expr(
+        f"size(filter(w, x -> array_contains(array({stops}), x)))")
+    distinct_ct = F.size(F.array_distinct("w"))
+    verdict = (
+        F.when(nw < QF_MIN_WORDS, "too_short")
+        .when(nw > QF_MAX_WORDS, "too_long")
+        .when(stop_hits * 100 < nw * QF_STOP_RATIO_PCT, "low_stopword")
+        .when(distinct_ct * 100 < nw * QF_DISTINCT_RATIO_PCT, "repetitive")
+        .otherwise("kept"))
+    agg = (stream.select("lang", verdict.alias("verdict"))
+           .groupBy("lang", "verdict")
+           .agg(F.count("*").alias("doc_ct")))
+    name = f"stream_qf_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
