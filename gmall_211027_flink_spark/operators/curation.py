@@ -154,7 +154,7 @@ _W_CASE_SQL = """CASE CAST(substr(source, 4) AS INTEGER) % 4
       FROM wts
     )
     SELECT source, COUNT(*) AS docs_in,
-           SUM(n_copies) AS docs_out,
+           CAST(SUM(n_copies) AS BIGINT) AS docs_out,
            round(CAST(SUM(n_copies) AS DOUBLE) / COUNT(*), 6)
              AS realized_weight
     FROM copies GROUP BY 1
@@ -211,7 +211,7 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT lang, bucket, seq_id, COUNT(*) AS n_docs,
-           SUM(tokens) AS seq_tokens, MIN(doc_id) AS first_doc
+           CAST(SUM(tokens) AS BIGINT) AS seq_tokens, MIN(doc_id) AS first_doc
     FROM packed GROUP BY 1, 2, 3
     """,
 )

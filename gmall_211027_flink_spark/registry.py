@@ -80,16 +80,36 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ads_nation_market_share", "cdc_envelope_roundtrip",
     "dws_daily_uv_detail_streaming", "dws_backflow_streaming",
     "dws_cumulate_streaming", "dws_ohlc_streaming",
+    # round 3 (CORRECTNESS_r03.json, 47 green rows; the 5 r2-era
+    # TIMESTAMP_NTZ reverifies were re-proven and fold in here)
+    "stats_time_weighted_avg", "interval_join_click_error",
+    "dwd_bounce_detection", "dws_sessionization",
+    "dws_union_traffic_window",
+    "dedup_minhash_recall", "quality_filter_rules", "text_word_entropy",
+    "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
+    "dws_tumble_streaming", "dwd_interval_join_streaming",
+    "dwd_stream_dedup_within_watermark", "dws_session_window_streaming",
+    "dws_union_streams_window", "stream_dedup_exact_documents",
+    "stream_quality_filter_documents", "decontaminate_ngram",
+    "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
+    "q4_late_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q10_returned_items", "q14_promo_revenue_share", "q2_min_price_part",
+    "q9_type_profit", "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q21_sole_late_supplier",
+    "q22_sales_opportunity", "q20_dominant_supplier",
+    "q11_important_balance_share", "graph_components_copurchase",
 )
 
-# r1-green queries invalidated by the round-2 testdata TIMESTAMP_NTZ
-# regression (their only driver row predates the current encoding).
-# Kept OUT of _DRIVER_PROVEN for one round so the gate re-samples them
-# on the new data; fold back into the r1 block once re-proven.
+# Queries whose only driver row is red/stale and that MUST be sampled
+# first by this round's gate.  Round 4: the three round-3 rows that
+# failed hash-only on DuckDB SUM(BIGINT)->HUGEINT typing; their oracles
+# now carry the repo-conventional CAST(... AS BIGINT) (values were
+# verified bit-identical in round 3).  Fold back into _DRIVER_PROVEN
+# once re-proven.
 _REVERIFY: tuple[str, ...] = (
-    "dws_sessionization", "dwd_bounce_detection",
-    "interval_join_click_error", "dws_union_traffic_window",
-    "stats_time_weighted_avg",
+    "mixture_weighted_sample", "q12_lateness_priority",
+    "seq_pack_token_budget",
 )
 
 
@@ -120,7 +140,10 @@ def load_all() -> None:
     proven = set(_DRIVER_PROVEN)
     overlap = proven & set(_REVERIFY)
     assert not overlap, f"_REVERIFY names must be out of _DRIVER_PROVEN: {overlap}"
-    ordered = [n for n in QUERIES if n not in proven]
+    # _REVERIFY first (the gate samples registration order), then other
+    # unproven queries, then the driver-proven tail.
+    ordered = [n for n in _REVERIFY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in proven and n not in ordered]
     ordered += [n for n in _DRIVER_PROVEN if n in QUERIES]
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
