@@ -47,6 +47,33 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 HAMMING_MAX = 3
 
 
+def _threshold_fraction_floor(x: float, max_den: int = 1000):
+    """Largest fraction tn/td <= x with td <= max_den.
+
+    The exact-integer prefilters below (prefix length, size bound,
+    positional bound) use tn/td as a stand-in for the float threshold;
+    they are only sound if tn/td is a LOWER bound of x, else the
+    prefilter is stricter than the final float Jaccard filter and
+    silently drops true pairs.  ``Fraction(x).limit_denominator`` picks
+    the CLOSEST rational, which can land above x (fine for 0.8 -> 4/5,
+    wrong for e.g. 0.7 -> 7/10 > double(0.7)) — so take the floor
+    approximation explicitly.
+    """
+    from fractions import Fraction
+
+    fx = Fraction(x)  # exact rational of the double
+    best = Fraction(0)
+    for d in range(1, max_den + 1):
+        f = Fraction((fx.numerator * d) // fx.denominator, d)
+        if f > best:
+            best = f
+    assert best <= fx
+    return best.numerator, best.denominator
+
+
+_JT_NUM, _JT_DEN = _threshold_fraction_floor(JACCARD_THRESHOLD)
+
+
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_arr): the distinct word-3-gram shingle SET per doc, as
     an array column — computed in one map stage and cached.
@@ -144,9 +171,7 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
     threshold's resolution. For exact-recall audits, key on the shingle
     string (the oracle's form) at ~4x the shuffle bytes.
     """
-    from fractions import Fraction
-    fr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
-    tn, td = fr.numerator, fr.denominator
+    tn, td = _JT_NUM, _JT_DEN  # floor rational of the threshold (module top)
     wdocs = _shingle_arrays(spark, sf_dir)
     sh = wdocs.select(
         "doc_id", F.size("sh_arr").alias("n"),
@@ -760,7 +785,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1)))
     return (
-        exact.join(F.broadcast(cand),
+        # No broadcast hint: cand is the band-fanout-sized side (can be
+        # millions of pairs at scale); this is a one-off audit query, so
+        # let AQE pick the join strategy (shuffle join is safe here).
+        exact.join(cand,
                    (F.col("doc_a") == F.col("c_a"))
                    & (F.col("doc_b") == F.col("c_b")), "left")
         .agg(F.count("*").alias("exact_pairs"),

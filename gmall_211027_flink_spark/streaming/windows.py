@@ -550,21 +550,31 @@ def stream_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+from gmall_211027_flink_spark.operators.text import (  # noqa: E402
+    QF_DISTINCT_RATIO_PCT as _QF_DIST, QF_MAX_WORDS as _QF_MAX,
+    QF_MIN_WORDS as _QF_MIN, QF_STOP_RATIO_PCT as _QF_STOP,
+    _QF_STOPS, _sql_list as _qf_sql_list)
+
+
 @query(
     "stream_quality_filter_documents",
-    oracle="""
+    # Oracle built from the SAME QF_* constants the Spark side imports
+    # (operators/text.py) so editing the shared rule thresholds or the
+    # stopword list can never desync only this oracle (ADVICE r3).
+    oracle=f"""
     WITH t AS (
       SELECT lang, string_split(text, ' ') AS w FROM documents
     ),
     verdicts AS (
       SELECT lang,
         CASE
-          WHEN len(w) < 20 THEN 'too_short'
-          WHEN len(w) > 80 THEN 'too_long'
+          WHEN len(w) < {_QF_MIN} THEN 'too_short'
+          WHEN len(w) > {_QF_MAX} THEN 'too_long'
           WHEN len(list_filter(w, x -> list_contains(
-                 ['the','a','of','and','to','in','is','on','for','with'], x)))
-               * 100 < len(w) * 5 THEN 'low_stopword'
-          WHEN len(list_distinct(w)) * 100 < len(w) * 50 THEN 'repetitive'
+                 [{_qf_sql_list(_QF_STOPS)}], x)))
+               * 100 < len(w) * {_QF_STOP} THEN 'low_stopword'
+          WHEN len(list_distinct(w)) * 100 < len(w) * {_QF_DIST}
+               THEN 'repetitive'
           ELSE 'kept'
         END AS verdict
       FROM t
