@@ -797,3 +797,96 @@ def q11_important_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.col("bal").cast("double").alias("nation_balance"))
         .orderBy(F.desc("nation_balance"), "n_name")
     )
+
+
+Q8_REGION = "AMERICA"       # customer region under analysis
+Q8_NATION = "NATION_6"      # target supplier nation (in AMERICA)
+Q8_TYPE = "ECONOMY"         # part segment
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT
+        CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+        CAST(l.l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+        n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{Q8_REGION}'
+        AND p.p_type = '{Q8_TYPE}'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY 1 ORDER BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: two-level market share — the target nation's slice of
+    revenue within a (customer-region, part-segment) market, per order
+    year, as conditional-sum-over-sum.
+
+    Plan: the customer→nation→region chain and the supplier→nation
+    lookup are pure dim chains, prejoined driver-side into two small
+    broadcast maps (cust_custkey→in-region flag after filtering, and
+    suppkey→nation name), so the fact side never shuffles for
+    enrichment. The only shuffles are lineitem⋈orders on orderkey
+    (fact⋈fact, unavoidable) and the final tiny per-year aggregate.
+    Filters (p_type, region, 2-year window) are all expressed on base
+    tables for scan-time pruning; the region filter on customers prunes
+    ~4/5 of the orders before the fact join. Share math follows the
+    repo's money convention: exact DECIMAL sums, one double division at
+    the boundary (reference analog: the ADS market-share mappers,
+    gmall-publisher mapper layer; cousin shape ads_nation_market_share).
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n = load_table(spark, sf_dir, "nation")
+    # Customers restricted to the region: broadcast semi-side (dim chain).
+    c_in = (load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n.join(F.broadcast(r),
+                                     F.col("n_regionkey") == F.col("r_regionkey"))
+                              .select("n_nationkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+            .select("c_custkey"))
+    # suppkey -> nation name (broadcast dim).
+    s_nat = (load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+             .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                        F.col("n_name").alias("supp_nation"))),
+                   F.col("s_nationkey") == F.col("sn_key"))
+             .select("s_suppkey", "supp_nation"))
+    p = (load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+         .select("p_partkey"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    target = F.when(F.col("supp_nation") == Q8_NATION, F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.join(F.broadcast(c_in), F.col("o_custkey") == F.col("c_custkey"),
+                     "left_semi")
+              .select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                volume.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg(F.round(F.sum(target).cast("double")
+                     / F.sum("volume").cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
