@@ -620,3 +620,89 @@ def stream_quality_filter_documents(spark: SparkSession,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form of the DwdTradeOrderDetail order graph join (J1/J2 with
+# the reference's multi-day idle-state TTL, DwdTradeOrderDetail.java:26:
+# 3 days). TPC-H analog: orders (order_info) LEFT OUTER joined to
+# lineitem (order_detail), where a line matches only if it ships within
+# the 3-day TTL window after the order — the event-time range conjunct
+# that replaces Flink's state TTL, bounding BOTH state stores.
+#
+# The left-outer null padding (orders with no line inside the TTL) only
+# flushes once the global watermark passes the order's state expiry
+# (o_orderdate + 3 d + delay); rows younger than the final watermark
+# stay in state at stream end (Spark's documented outer-join semantics).
+# So the DRAINED sink is post-filtered to the closed business period
+# o_orderdate < CUTOFF, chosen so CUTOFF + 3 d + delay is far below the
+# final watermark (= min(max o_orderdate, max l_shipdate) - delay; the
+# testdata maxes are 2001-08-01 / 2001-11-04, giving ~4 weeks of
+# margin). The oracle is the plain batch left join with the identical
+# TTL conjunct and cutoff — within the closed period, the streaming
+# output is EXACTLY the batch join, which is the property the reference
+# relies on when it replays history through the same Flink job.
+# ---------------------------------------------------------------------------
+
+ODJ_TTL_DAYS = 3                      # reference DwdTradeOrderDetail.java:26
+ODJ_CUTOFF = "2001-07-01 00:00:00"    # closed-period cutoff (see above)
+
+
+@query(
+    "dwd_order_detail_join_streaming",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(l.l_orderkey) AS matched_line_ct,
+           CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS open_order_ct,
+           coalesce(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                    0.0) AS qty_sum
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL {ODJ_TTL_DAYS} DAY
+    WHERE o.o_orderdate < TIMESTAMP '{ODJ_CUTOFF}'
+    GROUP BY 1
+    """,
+)
+def dwd_order_detail_join_streaming(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.catalog import normalize_event_ts
+    from gmall_211027_flink_spark.functions import dec
+
+    def _side(table: str, ts_col: str, cols: list[str]) -> DataFrame:
+        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+        s = (spark.readStream.schema(schema)
+             .option("pathGlobFilter", f"{table}.parquet")
+             .parquet(sf_dir))
+        return (normalize_event_ts(s, ts_col).select(*cols)
+                .withWatermark(ts_col, "2 seconds"))
+
+    o = _side("orders", "o_orderdate",
+              ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    li = _side("lineitem", "l_shipdate",
+               ["l_orderkey", "l_quantity", "l_shipdate"])
+    joined = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate")
+           <= F.col("o_orderdate") + F.expr(f"INTERVAL {ODJ_TTL_DAYS} DAYS")),
+        "left_outer",
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate",
+             "l_orderkey", "l_quantity")
+    name = f"dwd_odj_stream_{_uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .filter(F.col("o_orderdate") < F.lit(ODJ_CUTOFF).cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("l_orderkey").alias("matched_line_ct"),
+             F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+              .cast("bigint").alias("open_order_ct"),
+             F.coalesce(F.sum(dec("l_quantity")).cast("double"), F.lit(0.0))
+              .alias("qty_sum"))
+    )
