@@ -797,3 +797,95 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.count("hit").cast("double") / F.count("*"), 6)
               .alias("recall"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (C4/RefinedWeb-style boilerplate stripping).
+# Crawl corpora repeat PASSAGES (nav bars, footers, license blurbs)
+# across documents far more often than whole documents; training
+# pipelines drop repeated passages while keeping the first occurrence.
+# The corpus here is flat word text (no newlines), so a "passage" is a
+# fixed PARA_W-word window — the segmentation is deterministic and
+# mirrored bit-for-bit by the oracle.
+#
+# Scale shape: segmentation is map-side (split + slice, zero Python);
+# the only shuffle is the per-passage ROW_NUMBER window, partitioned by
+# passage text. Group sizes are the passage's duplication count — the
+# boilerplate passages being removed are exactly the biggest groups,
+# and even a passage repeated on every page of a 10^9-doc crawl is one
+# group of 10^9 SMALL rows (doc_id, pos), not a pair explosion; for
+# truly degenerate keys the salted-window fallback in
+# operators/skew.py-style two-phase (keep global min via one extra agg)
+# applies. Reassembly is a per-doc groupBy (co-partitioned by doc_id).
+# ---------------------------------------------------------------------------
+
+PARA_W = 20     # words per passage window
+
+
+@query(
+    "dedup_passage_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               list_slice(w, i * {PARA_W} + 1, i * {PARA_W} + {PARA_W}),
+               ' ') AS chunk
+      FROM t, LATERAL unnest(generate_series(
+               0, (len(w) + {PARA_W} - 1) // {PARA_W} - 1))
+             AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_ct,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_ct,
+           md5(coalesce(
+             string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+             '')) AS clean_fp
+    FROM ranked GROUP BY 1
+    """,
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage dedup, keep-first: a PARA_W-word passage
+    instance survives only if it is the first occurrence in global
+    (doc_id, pos) order; each doc reports kept/dropped counts and the
+    md5 fingerprint of its cleaned text (order-preserving reassembly).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    nc = F.expr(f"(size(w) + {PARA_W} - 1) div {PARA_W}")
+    # empty-safe: sequence(0, -1) would auto-step backwards in Spark
+    idx = F.when(nc <= 0, F.expr("array()")).otherwise(
+        F.expr(f"sequence(0, (size(w) + {PARA_W} - 1) div {PARA_W} - 1)"))
+    chunks = (docs.select(
+        "doc_id",
+        F.explode(idx).alias("pos"),
+        "w")
+        .select("doc_id", "pos",
+                F.concat_ws(" ", F.expr(
+                    f"slice(w, pos * {PARA_W} + 1, {PARA_W})")).alias("chunk")))
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "pos"))
+    ranked = chunks.withColumn("rn", rn)
+    kept_sorted = F.expr(
+        "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN "
+        "struct(pos, chunk) END)), s -> s.chunk)")
+    return (
+        ranked.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+              .cast("bigint").alias("kept_ct"),
+             F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+              .cast("bigint").alias("dropped_ct"),
+             F.md5(F.concat_ws(" ", kept_sorted)).alias("clean_fp"))
+    )

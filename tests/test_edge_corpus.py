@@ -40,7 +40,7 @@ _EDGE_DOCS = [
 _DOC_QUERIES = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_canonical",
-    "dedup_minhash_recall",
+    "dedup_minhash_recall", "dedup_passage_exact",
     "text_lang_id", "text_quality_score", "quality_filter_rules",
     "text_token_count", "text_fingerprint", "text_repetition_ratio",
     "text_word_entropy", "text_tfidf_keywords", "text_normalize",
