@@ -373,3 +373,48 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit — the ANN twin of dedup_minhash_recall (SCALE.md §7):
+# measure recall@TOP_K of the NPROBE-cell IVF probe against the exact
+# brute-force ranking, per query. This is the knob-tuning query a
+# pipeline runs on a sample before committing (K_CENTROIDS, NPROBE) to
+# a full-corpus pass: recall too low -> raise NPROBE (probe cost grows
+# linearly) or train better centroids; recall 1.0 with tiny probe sets
+# -> cells can be split further. Both inputs are TOP_K x N_QUERIES rows,
+# so the audit join is trivially small at any corpus size.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH exact AS ({{exact}}),
+    ivf AS ({{ivf}})
+    SELECT e.query_id,
+           COUNT(*) AS exact_k,
+           COUNT(i.neighbor_id) AS found_ct,
+           round(CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+             AS recall
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """.format(exact=ORACLES["ann_cosine_topk"],
+               ivf=ORACLES["ann_ivf_probe"]),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (ann_ivf_probe(spark, sf_dir)
+           .select(F.col("query_id").alias("i_q"),
+                   F.col("neighbor_id").alias("i_n"),
+                   F.lit(1).alias("hit")))
+    return (
+        exact.join(ivf, (F.col("query_id") == F.col("i_q"))
+                   & (F.col("neighbor_id") == F.col("i_n")), "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("exact_k"),
+             F.count("hit").alias("found_ct"),
+             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+              .alias("recall"))
+    )
