@@ -236,3 +236,23 @@ def test_prefix_filtered_jaccard_equals_bruteforce_spec(
     got = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
            for r in dedup_ngram_jaccard(spark, str(d)).collect()}
     assert got == expected
+
+
+@given(x=st.floats(min_value=0.001, max_value=0.999))
+@settings(max_examples=200, deadline=None)
+def test_threshold_fraction_floor_is_tight_lower_bound(x):
+    """No Spark needed: the rational stand-in for JACCARD_THRESHOLD must
+    (a) never exceed the double (else integer prefilters over-prune —
+    ADVICE r3) and (b) be the TIGHTEST such fraction with denominator
+    <= 1000 (else prefilters are looser than necessary)."""
+    from fractions import Fraction
+
+    from gmall_211027_flink_spark.operators.dedup import (
+        _threshold_fraction_floor)
+
+    n, d = _threshold_fraction_floor(x)
+    fx = Fraction(x)
+    best = Fraction(n, d)
+    assert best <= fx
+    for dd in range(1, 1001):
+        assert Fraction((fx.numerator * dd) // fx.denominator, dd) <= best
