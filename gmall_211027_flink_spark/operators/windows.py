@@ -692,3 +692,66 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.rank().over(w).cast("bigint").alias("bal_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history. The reference's DIM layer is type-1
+# (Phoenix upsert overwrites, DimSinkFunction.java — current value only);
+# the warehouse-standard extension every analytics stack needs is type-2:
+# turn a changelog into versioned rows with validity intervals, opening a
+# new version ONLY when the tracked attribute actually changes.
+#
+# Changelog here is synthesized from lineitem (pk = order, event time =
+# shipdate, tracked attr = linestatus; tiebreak = linenumber) — the same
+# synthesize-from-real-tables pattern as cdc_envelope_roundtrip.
+#
+# Scale shape: one shuffle on pk; the change-collapse lag() and the
+# interval lead() share the identical (pk, ts, tiebreak) sort order, so
+# Catalyst evaluates both window functions over ONE Exchange+Sort (plan
+# shows a single Window operator chain, no second shuffle). State per pk
+# is its version count — no blowup possible.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dim_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT l_orderkey AS pk, l_shipdate AS ts, l_linenumber AS seq,
+             l_linestatus AS status
+      FROM lineitem
+    ),
+    changes AS (
+      SELECT pk, ts, seq, status,
+             lag(status) OVER (PARTITION BY pk ORDER BY ts, seq) AS prev
+      FROM log
+    ),
+    versions AS (
+      SELECT pk, ts, seq, status FROM changes
+      WHERE prev IS NULL OR status <> prev
+    )
+    SELECT pk, status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq),
+                    '%Y-%m-%d %H:%M:%S') AS effective_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq)
+                IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    """,
+)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("pk"), F.col("l_shipdate").alias("ts"),
+        F.col("l_linenumber").alias("seq"), F.col("l_linestatus").alias("status"))
+    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    versions = (log
+                .withColumn("prev", F.lag("status").over(w))
+                .filter(F.col("prev").isNull()
+                        | (F.col("status") != F.col("prev")))
+                .drop("prev"))
+    nxt = F.lead("ts").over(w)
+    return versions.select(
+        "pk", "status",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
