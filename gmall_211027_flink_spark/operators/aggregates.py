@@ -646,3 +646,49 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > ZSCORE_CUT)
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics: the profiling query run BEFORE choosing a join /
+# aggregation strategy at scale (salt? AQE skew split? broadcast?). For
+# a candidate shuffle key, report the top heavy hitters with their share
+# of all rows and the share of the single heaviest key — the two numbers
+# that decide whether hash-partitioning on that key is safe. Two-phase
+# agg + a 1-row broadcast total; the top-k is TakeOrdered, not a global
+# sort.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+@query(
+    "stats_key_skew",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id AS key, COUNT(*) AS row_ct FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(row_ct) AS total, COUNT(*) AS distinct_keys
+            FROM counts)
+    SELECT c.key, c.row_ct,
+           round(CAST(c.row_ct AS DOUBLE) / t.total, 6) AS share,
+           t.distinct_keys
+    FROM counts c, tot t
+    ORDER BY c.row_ct DESC, c.key
+    LIMIT {SKEW_TOP_K}
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")) \
+               .agg(F.count("*").alias("row_ct"))
+    tot = counts.agg(F.sum("row_ct").alias("total"),
+                     F.count("*").alias("distinct_keys"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("key", "row_ct",
+                F.round(F.col("row_ct").cast("double") / F.col("total"), 6)
+                 .alias("share"),
+                "distinct_keys")
+        .orderBy(F.desc("row_ct"), "key")
+        .limit(SKEW_TOP_K)
+    )

@@ -706,3 +706,49 @@ def dwd_order_detail_join_streaming(spark: SparkSession,
              F.coalesce(F.sum(dec("l_quantity")).cast("double"), F.lit(0.0))
               .alias("qty_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest sampling: the content-keyed hash-bucket sampler
+# (operators/sampling.py — split membership is a pure function of the
+# row key) applied AT INGEST on a document stream, with a per-source
+# (kept, total) counter grid. Because the verdict is stateless map-side
+# math, streaming output is deterministic under any micro-batch slicing
+# and equals the batch sampler bit-for-bit — the property that lets a
+# pipeline sample during ingestion instead of landing 100% of a crawl
+# first. Only the tiny counter grid is stateful (complete mode).
+# ---------------------------------------------------------------------------
+
+STREAM_SAMPLE_PCT = 30
+
+
+@query(
+    "stream_sample_ingest",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS total_ct,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8))::BIGINT % 100
+                              < {STREAM_SAMPLE_PCT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_ct
+    FROM documents GROUP BY 1
+    """,
+)
+def stream_sample_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.operators.sampling import hash_bucket
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    kept = F.when(hash_bucket(F.col("doc_id")) < STREAM_SAMPLE_PCT, 1) \
+            .otherwise(0)
+    agg = (stream.select("source", kept.alias("kept"))
+           .groupBy("source")
+           .agg(F.count("*").alias("total_ct"),
+                F.sum("kept").cast("bigint").alias("kept_ct")))
+    name = f"stream_sample_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
