@@ -692,3 +692,56 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("row_ct"), "key")
         .limit(SKEW_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distribution profiling: interpolated percentiles (Spark
+# `percentile` == DuckDB `quantile_cont`, both type-7/linear — verified
+# equal to 6 dp cross-engine) and Pearson correlation. The exact
+# percentile is a per-group sort — fine for grouped profiling where
+# each group fits an executor; for a whole-corpus percentile at 100 TB
+# switch to approx_percentile (t-digest, mergeable map-side) and accept
+# the documented error bound. corr() is a streaming one-pass moment
+# computation — fully mergeable, no sort, safe at any scale.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY 1
+    """,
+)
+def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+             F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"))
+    )
+
+
+@query(
+    "stats_price_qty_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_cov,
+           COUNT(*) AS line_ct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+              .alias("qty_price_corr"),
+             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
+              .alias("qty_price_cov"),
+             F.count("*").alias("line_ct"))
+    )
