@@ -752,3 +752,50 @@ def stream_sample_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (the reference's lookup-join family S7/J3 in its
+# most common Spark deployment shape): a fact STREAM enriched against a
+# STATIC dim snapshot — Spark re-plans the static side per micro-batch,
+# so a broadcast dim is re-broadcast fresh each batch (the behavior that
+# replaces the reference's JDBC lookup cache + TTL, DimUtil.java). No
+# watermark needed: stream-static inner joins are stateless (each batch
+# joins alone). The drained per-batch rows aggregate to the same result
+# as the batch join — checked against the plain SQL oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_stream_static_dim_join",
+    oracle="""
+    SELECT p.p_type,
+           COUNT(*) AS line_ct,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def dwd_stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.functions import dec
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    li = (spark.readStream.schema(batch_schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(sf_dir)
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_type"))
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    agg = (li.join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+           .select("p_type", revenue.alias("rev"))
+           .groupBy("p_type")
+           .agg(F.count("*").alias("line_ct"),
+                F.sum("rev").cast("double").alias("revenue")))
+    name = f"dwd_ss_dim_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
