@@ -702,8 +702,11 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 # new version ONLY when the tracked attribute actually changes.
 #
 # Changelog here is synthesized from lineitem (pk = order, event time =
-# shipdate, tracked attr = linestatus; tiebreak = linenumber) — the same
-# synthesize-from-real-tables pattern as cdc_envelope_roundtrip.
+# shipdate, tracked attr = linestatus; tiebreak = (linenumber, status) —
+# the synthetic data has duplicate (order, shipdate, linenumber) triples,
+# so status joins the sort key to make the version order TOTAL; exact
+# full-row duplicates are then order-independent by construction) — the
+# same synthesize-from-real-tables pattern as cdc_envelope_roundtrip.
 #
 # Scale shape: one shuffle on pk; the change-collapse lag() and the
 # interval lead() share the identical (pk, ts, tiebreak) sort order, so
@@ -722,7 +725,7 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     changes AS (
       SELECT pk, ts, seq, status,
-             lag(status) OVER (PARTITION BY pk ORDER BY ts, seq) AS prev
+             lag(status) OVER (PARTITION BY pk ORDER BY ts, seq, status) AS prev
       FROM log
     ),
     versions AS (
@@ -731,9 +734,9 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pk, status,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
-           strftime(lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq),
+           strftime(lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq, status),
                     '%Y-%m-%d %H:%M:%S') AS effective_to,
-           CASE WHEN lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq)
+           CASE WHEN lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq, status)
                 IS NULL THEN 1 ELSE 0 END AS is_current
     FROM versions
     """,
@@ -742,7 +745,7 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("pk"), F.col("l_shipdate").alias("ts"),
         F.col("l_linenumber").alias("seq"), F.col("l_linestatus").alias("status"))
-    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    w = Window.partitionBy("pk").orderBy("ts", "seq", "status")
     versions = (log
                 .withColumn("prev", F.lag("status").over(w))
                 .filter(F.col("prev").isNull()
