@@ -814,9 +814,9 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate passages being removed are exactly the biggest groups,
 # and even a passage repeated on every page of a 10^9-doc crawl is one
 # group of 10^9 SMALL rows (doc_id, pos), not a pair explosion; for
-# truly degenerate keys the salted-window fallback in
-# operators/skew.py-style two-phase (keep global min via one extra agg)
-# applies. Reassembly is a per-doc groupBy (co-partitioned by doc_id).
+# truly degenerate keys a salted two-phase form applies (per-salt min
+# then global min, like operators/joins.py::salted_groupby_count).
+# Reassembly is a per-doc groupBy (co-partitioned by doc_id).
 # ---------------------------------------------------------------------------
 
 PARA_W = 20     # words per passage window
