@@ -715,6 +715,26 @@ def window_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is its version count — no blowup possible.
 # ---------------------------------------------------------------------------
 
+def scd2_versions(log: DataFrame) -> DataFrame:
+    """Shared SCD2 core over a (pk, ts, seq, status) changelog: collapse
+    consecutive equal statuses, emit (pk, status, eff_from, eff_to,
+    is_current) with native timestamp intervals. Used by the batch query
+    below and by the incremental merge in streaming/scd2.py — both must
+    produce identical version sets by construction."""
+    w = Window.partitionBy("pk").orderBy("ts", "seq", "status")
+    versions = (log
+                .withColumn("prev", F.lag("status").over(w))
+                .filter(F.col("prev").isNull()
+                        | (F.col("status") != F.col("prev")))
+                .drop("prev"))
+    nxt = F.lead("ts").over(w)
+    return versions.select(
+        "pk", "status", F.col("ts").alias("eff_from"),
+        nxt.alias("eff_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
 @query(
     "dim_scd2_history",
     oracle="""
@@ -745,16 +765,9 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("pk"), F.col("l_shipdate").alias("ts"),
         F.col("l_linenumber").alias("seq"), F.col("l_linestatus").alias("status"))
-    w = Window.partitionBy("pk").orderBy("ts", "seq", "status")
-    versions = (log
-                .withColumn("prev", F.lag("status").over(w))
-                .filter(F.col("prev").isNull()
-                        | (F.col("status") != F.col("prev")))
-                .drop("prev"))
-    nxt = F.lead("ts").over(w)
-    return versions.select(
+    return scd2_versions(log).select(
         "pk", "status",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
-        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
-        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.date_format("eff_from", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format("eff_to", "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
+        "is_current",
     )
