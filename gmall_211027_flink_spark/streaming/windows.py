@@ -799,3 +799,55 @@ def dwd_stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(600)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# APPEND-mode windowed aggregation — the emit-on-watermark path, a
+# different engine mechanism from the complete-mode entries above: a
+# window's row is emitted exactly once, when the watermark passes its
+# end (the reference's default fire-on-window-close trigger — W2's
+# actual production semantics; complete mode has no Flink analog).
+# The final partial window can never flush (watermark stops at
+# max-event-time - delay), so BOTH the drained sink and the oracle
+# restrict to windows closing before a literal cutoff inside the closed
+# period — same closed-period technique as the TTL left join above.
+# ---------------------------------------------------------------------------
+
+TUMBLE_APPEND_CUTOFF = "2024-01-30 00:00:00"   # events span Jan 1-30 24h
+
+
+@query(
+    "dws_tumble_append_streaming",
+    oracle=f"""
+    SELECT
+      strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                              * 1000000),
+               '%Y-%m-%d %H:%M:%S') AS stt,
+      event_type,
+      COUNT(*) AS pv_ct
+    FROM events
+    WHERE make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                         * 1000000) + INTERVAL 1 HOUR
+          <= TIMESTAMP '{TUMBLE_APPEND_CUTOFF}'
+    GROUP BY 1, 2
+    """,
+)
+def dws_tumble_append_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "2 seconds")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("pv_ct"))
+           .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("stt"),
+                   F.col("window.end").alias("edt_ts"),
+                   "event_type", "pv_ct"))
+    name = f"dws_tumble_append_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.table(name)
+            .filter(F.col("edt_ts")
+                    <= F.lit(TUMBLE_APPEND_CUTOFF).cast("timestamp"))
+            .select("stt", "event_type", "pv_ct"))
