@@ -607,3 +607,50 @@ FROM rev
 @query("ads_nation_market_share", oracle=_NATION_SHARE)
 def ads_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _NATION_SHARE)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): the inverse of the pivot above — reporting
+# stores land wide metric columns (ClickHouse ADS tables are wide by
+# design) and downstream consumers want tidy (dim, metric, value) rows.
+# Spark's native form is the stack() table-generating expression: pure
+# map-side row amplification, no shuffle until the consumer aggregates.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS order_ct,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS buyer_ct
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, metric, value FROM (
+      SELECT priority, 'order_ct' AS metric, CAST(order_ct AS DOUBLE) AS value
+      FROM wide
+      UNION ALL
+      SELECT priority, 'gmv', gmv FROM wide
+      UNION ALL
+      SELECT priority, 'buyer_ct', CAST(buyer_ct AS DOUBLE) FROM wide
+    )
+    """,
+)
+def ads_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.functions import dsum
+
+    wide = (load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("order_ct"),
+                 dsum("o_totalprice").alias("gmv"),
+                 F.countDistinct("o_custkey").alias("buyer_ct")))
+    return wide.select(
+        "priority",
+        F.expr("stack(3, 'order_ct', cast(order_ct as double),"
+               " 'gmv', gmv,"
+               " 'buyer_ct', cast(buyer_ct as double))")
+        .alias("metric", "value"))

@@ -256,3 +256,49 @@ def test_threshold_fraction_floor_is_tight_lower_bound(x):
     assert best <= fx
     for dd in range(1, 1001):
         assert Fraction((fx.numerator * dd) // fx.denominator, dd) <= best
+
+
+scd2_events = st.lists(
+    st.tuples(st.integers(0, 3),                 # pk
+              st.integers(0, 20),                # ts offset (seconds)
+              st.integers(0, 5),                 # seq
+              st.sampled_from(["A", "B", "C"])),  # status
+    min_size=1, max_size=24)
+
+
+@given(events=scd2_events, cut1=st.integers(0, 20), cut2=st.integers(0, 20))
+@SETTINGS
+def test_scd2_incremental_merge_equals_batch(spark, events, cut1, cut2):
+    """Folding scd2_merge_batch over ANY ts-ordered chunking of a
+    changelog equals the one-shot batch recompute (streaming/scd2.py's
+    core invariant). Chunk boundaries are arbitrary ts cuts, so chunks
+    may be empty, split equal-status runs, or isolate single events."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from gmall_211027_flink_spark.operators.windows import scd2_versions
+    from gmall_211027_flink_spark.streaming.scd2 import scd2_merge_batch
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(pk, t0 + timedelta(seconds=ts), seq, status)
+            for pk, ts, seq, status in events]
+    schema = "pk bigint, ts timestamp, seq int, status string"
+    lo, hi = sorted([cut1, cut2])
+    chunks = [
+        [r for r in rows if r[1] < t0 + timedelta(seconds=lo)],
+        [r for r in rows if t0 + timedelta(seconds=lo) <= r[1]
+         < t0 + timedelta(seconds=hi)],
+        [r for r in rows if r[1] >= t0 + timedelta(seconds=hi)],
+    ]
+    store = spark.createDataFrame(
+        [], "pk bigint, status string, eff_from timestamp, "
+            "eff_to timestamp, is_current int")
+    for chunk in chunks:
+        if not chunk:
+            continue
+        store = scd2_merge_batch(store, spark.createDataFrame(chunk, schema))
+        store = spark.createDataFrame(store.collect(), store.schema)
+    want = scd2_versions(spark.createDataFrame(rows, schema))
+    fmt = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert fmt(store) == fmt(want)
