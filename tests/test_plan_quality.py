@@ -306,3 +306,37 @@ def test_q19_derives_pushed_prefilters_from_disjunction(spark, sf_dir):
     assert part_filter and all("Brand#12" in ln for ln in part_filter), logical
     # the derived quantity envelope prunes the lineitem side pre-join
     assert li_filter, logical
+
+
+def test_scd2_windows_share_one_exchange_and_sort(spark, sf_dir):
+    """dim_scd2_history chains the change-collapse lag and the interval
+    lead over the SAME (pk, ts, seq, status) order: the plan must carry
+    exactly one Exchange and one Sort — a second shuffle or re-sort per
+    window would double the cost of every SCD2 rebuild at scale."""
+    from gmall_211027_flink_spark.operators.windows import dim_scd2_history
+
+    df = dim_scd2_history(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    # under AQE the string carries Final AND Initial sections: count only
+    # the final (executed) one
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Sort [") == 1, final
+
+
+def test_q8_dims_broadcast_filters_pushed(spark, sf_dir):
+    """q8_market_share: every dim-chain join must be broadcast (no
+    SortMergeJoin against region/nation/supplier/part/customer) and the
+    selective filters must reach the scans."""
+    from gmall_211027_flink_spark.plans.tpch import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+    assert "EqualTo(r_name,AMERICA)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    # the only permissible SortMergeJoin is lineitem-orders (fact-fact);
+    # at this SF AQE broadcasts it, so there should be none at all
+    assert "BroadcastHashJoin" in plan, plan
