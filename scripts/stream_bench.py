@@ -91,6 +91,55 @@ def main() -> None:
         "rows": n_input, "sec": round(sec, 2),
         "rows_per_sec": round(n_input / sec)}
 
+    # 4. stream-static dim enrichment (per-batch broadcast of the dim)
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    t0 = time.perf_counter()
+    li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    li = (spark.readStream.schema(li_schema)
+          .option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir)
+          .select("l_partkey", "l_extendedprice"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_type")
+    enriched = (li.join(F.broadcast(part),
+                        F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("p_type").agg(F.count("*").alias("ct")))
+    name = f"sb_ssdim_{uuid.uuid4().hex[:6]}"
+    run(enriched, name, "complete")
+    sec = time.perf_counter() - t0
+    results["stream_static_dim_join"] = {
+        "rows": n_li, "sec": round(sec, 2),
+        "rows_per_sec": round(n_li / sec)}
+
+    # 5. stream-stream left outer join with the 3-day TTL bound (the
+    # DwdTradeOrderDetail shape; state = both sides until expiry)
+    n_o = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    t0 = time.perf_counter()
+    from gmall_211027_flink_spark.catalog import normalize_event_ts
+    o_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    o = normalize_event_ts(
+        spark.readStream.schema(o_schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(sf_dir),
+        "o_orderdate").select("o_orderkey", "o_orderdate") \
+        .withWatermark("o_orderdate", "2 seconds")
+    li2 = normalize_event_ts(
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir),
+        "l_shipdate").select("l_orderkey", "l_shipdate") \
+        .withWatermark("l_shipdate", "2 seconds")
+    joined = o.join(
+        li2,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate")
+           + F.expr("INTERVAL 3 DAYS")),
+        "left_outer")
+    name = f"sb_ssjoin_{uuid.uuid4().hex[:6]}"
+    run(joined, name)
+    sec = time.perf_counter() - t0
+    results["stream_stream_ttl_left_join"] = {
+        "rows": n_o + n_li, "sec": round(sec, 2),
+        "rows_per_sec": round((n_o + n_li) / sec)}
+
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
                       "paths": results}))
 
