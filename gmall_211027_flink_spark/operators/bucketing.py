@@ -41,3 +41,23 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan."""
     plan = executed_plan(df)
     return sum(1 for line in plan.splitlines() if "Exchange hashpartitioning" in line)
+
+
+def write_range_sorted(df: DataFrame, path: str, key: str,
+                       num_files: int = 32) -> None:
+    """Globally-sorted parquet export: repartitionByRange(key) +
+    sortWithinPartitions(key). Each output file covers a disjoint key
+    range (file i's max < file i+1's min), and rows are sorted inside —
+    the layout consumers want for merge-reads, binary-search point
+    lookups, and min/max-statistics data skipping.
+
+    This is how a "global ORDER BY export" scales: a true global sort
+    into one file serializes on a single writer; range partitioning
+    samples the key distribution (RangePartitioner) to cut balanced
+    ranges, then every partition sorts independently — one pass, fully
+    parallel, and the concatenation of files in range order IS the
+    total order.
+    """
+    (df.repartitionByRange(num_files, key)
+       .sortWithinPartitions(key)
+       .write.mode("overwrite").parquet(path))

@@ -62,3 +62,34 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
            .groupBy("l_orderkey").agg(F.count("*").alias("ct")))
     agg.collect()
     assert shuffle_count(agg) == 0, executed_plan(agg)
+
+
+def test_range_sorted_export_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_range_sorted: files must hold disjoint, internally-sorted
+    key ranges whose concatenation is the global order — the property
+    that makes the export merge-readable and min/max-skippable."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.operators.bucketing import write_range_sorted
+
+    out = str(tmp_path / "sorted_orders")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    write_range_sorted(df, out, "o_orderkey", num_files=8)
+
+    spans = []
+    total = 0
+    for f in _glob.glob(f"{out}/part-*.parquet"):
+        pdf = spark.read.parquet(f).select("o_orderkey").collect()
+        if not pdf:
+            continue
+        keys = [r[0] for r in pdf]
+        assert keys == sorted(keys), f"file {f} not internally sorted"
+        spans.append((keys[0], keys[-1]))
+        total += len(keys)
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "file key ranges overlap"
+    assert total == df.count()
