@@ -587,3 +587,78 @@ def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_ct"), "bigram")
         .limit(VOCAB_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (CCNet-style quality signal): train an
+# add-one-smoothed bigram model ON THE CORPUS ITSELF, then score each
+# document by its mean bigram log-probability — low scores flag
+# machine-garbled / unnatural-token-order text that length and stopword
+# heuristics miss. (CCNet/KenLM score against a reference-corpus model;
+# the operator takes any (w1 -> count) / (bigram -> count) tables, so
+# swapping in Wikipedia counts is a join-input change, not a new plan.)
+#
+# Scale shape: counts are two-phase aggs; scoring joins each bigram
+# INSTANCE to the model on the bigram key (hash shuffle — the model side
+# can exceed broadcast size at corpus scale) and the unigram context
+# count rides along from a second, smaller join; per-doc mean is one
+# final groupBy(doc_id). Smoothed logprob math is double with a 6-dp
+# round at the boundary; the mean over a doc is order-insensitive to
+# well below that rounding.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    inst AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bigram
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM
+        (SELECT doc_id, unnest(w) AS w1 FROM toks) GROUP BY 1
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    big AS (SELECT bigram, COUNT(*) AS c2 FROM inst GROUP BY 1)
+    SELECT i.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(SUM(ln(CAST(b.c2 + 1 AS DOUBLE) / (u.c1 + vocab.v)))
+                 / COUNT(*), 6) AS avg_logprob
+    FROM inst i
+    JOIN big b ON b.bigram = i.bigram
+    JOIN uni u ON u.w1 = i.w1
+    CROSS JOIN vocab
+    GROUP BY 1
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    inst = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "case when size(w) >= 2 then"
+            " transform(sequence(1, size(w) - 1),"
+            "  i -> struct(element_at(w, i) as w1,"
+            "   concat_ws(' ', element_at(w, i), element_at(w, i + 1))"
+            "   as bigram))"
+            " else array() end")).alias("p")
+    ).select("doc_id", "p.w1", "p.bigram")
+    uni = (docs.select(F.explode("w").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    vocab = uni.agg(F.count("*").alias("v"))
+    big = inst.groupBy("bigram").agg(F.count("*").alias("c2"))
+    logprob = F.log((F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")))
+    return (
+        inst.join(big, "bigram")
+        # no broadcast hint on uni: a web-scale vocab is GBs (Zipf keeps
+        # it sublinear but not broadcast-small); AQE broadcasts when it
+        # actually fits
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.sum(logprob) / F.count("*"), 6).alias("avg_logprob"))
+    )

@@ -43,7 +43,7 @@ _DOC_QUERIES = [
     "dedup_minhash_recall", "dedup_passage_exact",
     "text_lang_id", "text_quality_score", "quality_filter_rules",
     "text_token_count", "text_fingerprint", "text_repetition_ratio",
-    "text_word_entropy", "text_tfidf_keywords", "text_normalize",
+    "text_word_entropy", "text_tfidf_keywords", "text_normalize", "text_lm_score",
     "text_chunk_windows", "vocab_bigram_counts",
     "decontaminate_ngram", "decontaminate_fuzzy_minhash",
     "mixture_weighted_sample", "seq_pack_token_budget",
