@@ -70,9 +70,27 @@ def run_scd2_stream(changelog_stream: DataFrame, store_path: str,
     foreachBatch. Returns the StreamingQuery (availableNow callers wait
     on it)."""
 
+    import os
+
+    marker = store_path + "._epoch"
+
+    def _last_epoch() -> int:
+        try:
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
+            return
+        # Replay guard (same scheme as ParquetUpsertSink): the merge is
+        # NOT idempotent — re-applying a committed batch would feed
+        # already-folded events back through the collapse against the
+        # post-merge open rows and corrupt version order. foreachBatch
+        # re-delivers the same epoch_id after a crash; skip it.
+        if epoch_id <= _last_epoch():
             return
         try:
             store = spark.read.parquet(store_path)
@@ -87,6 +105,10 @@ def run_scd2_stream(changelog_stream: DataFrame, store_path: str,
         new_store.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(store_path)
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            fh.write(str(epoch_id))
+        os.replace(tmp_marker, marker)
 
     return (changelog_stream.writeStream
             .foreachBatch(merge)

@@ -96,3 +96,31 @@ def test_scd2_stream_store_matches_batch_operator(spark, sf_dir, tmp_path):
         "is_current").collect()}
     want = {tuple(r) for r in dim_scd2_history(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_scd2_stream_replayed_epoch_is_noop(spark, tmp_path):
+    """Crash-replay safety: re-delivering a committed epoch must not
+    touch the store (the merge itself is not idempotent — the guard is
+    the epoch marker, as in ParquetUpsertSink)."""
+    from gmall_211027_flink_spark.streaming.scd2 import run_scd2_stream
+
+    log_dir = str(tmp_path / "log")
+    rows = [(1, _T(2024, 1, 1), 1, "A"), (1, _T(2024, 1, 2), 2, "B")]
+    _log_df(spark, rows).write.parquet(log_dir)
+    stream = (spark.readStream
+              .schema("pk bigint, ts timestamp, seq int, status string")
+              .parquet(log_dir))
+    store_path = str(tmp_path / "store")
+    q = run_scd2_stream(stream, store_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    before = _fmt(spark.read.parquet(store_path))
+
+    # simulate a crash-replay: a FRESH checkpoint restarts epoch ids at
+    # 0, which the marker must treat as already-committed
+    stream2 = (spark.readStream
+               .schema("pk bigint, ts timestamp, seq int, status string")
+               .parquet(log_dir))
+    q2 = run_scd2_stream(stream2, store_path, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(300)
+    after = _fmt(spark.read.parquet(store_path))
+    assert after == before
