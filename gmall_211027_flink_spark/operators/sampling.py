@@ -124,3 +124,51 @@ def sample_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("kept").cast("double") / F.count("*"))
               .alias("realized_rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order randomization): training
+# wants corpus order decorrelated from crawl/source order, reproducibly
+# — the same seed must give the same order on any cluster, any
+# partitioning, any engine. df.orderBy(rand()) fails all of that, and a
+# true global sort serializes. The standard shape: shard by a keyed
+# hash (shards = the parallel read units downstream), order within each
+# shard by an independent salted hash. Shuffle quality is the hash's;
+# reproducibility is bit-level (md5 integer math, same as the split
+# assigner above); scale cost is one hash shuffle + per-shard sort —
+# no global bottleneck, and re-seeding is a salt change.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "seed42"
+
+
+@query(
+    "sample_deterministic_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {SHUFFLE_SHARDS} AS shard,
+             md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    )
+    SELECT shard,
+           ROW_NUMBER() OVER (PARTITION BY shard
+                              ORDER BY ord_key, doc_id) AS position,
+           doc_id
+    FROM keyed
+    """,
+)
+def sample_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), SHUFFLE_SHARDS).alias("shard"),
+        F.md5(F.concat(F.lit(SHUFFLE_SALT),
+                       F.col("doc_id").cast("string"))).alias("ord_key"))
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return keyed.select(
+        "shard", F.row_number().over(w).alias("position"), "doc_id")

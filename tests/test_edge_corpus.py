@@ -48,6 +48,7 @@ _DOC_QUERIES = [
     "decontaminate_ngram", "decontaminate_fuzzy_minhash",
     "mixture_weighted_sample", "seq_pack_token_budget",
     "sample_split_stratified", "sample_stratified_downsample",
+    "sample_deterministic_shuffle",
     "stream_dedup_exact_documents", "stream_sample_ingest",
 ]
 
