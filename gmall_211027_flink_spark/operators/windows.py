@@ -771,3 +771,96 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("eff_to", "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time temporal (versioned-table) join — Flink's
+# `FOR SYSTEM_TIME AS OF <event time>` against a versioned dim, the
+# event-time sibling of the reference's processing-time lookup join
+# (J3). Each fact row is enriched with the dim VERSION that was valid
+# at the fact's (shifted) event time, from the SCD2 history above.
+#
+# Scale shape: interval-containment joins nest-loop in Spark, so the
+# join is re-expressed as an as-of carry-forward — union version rows
+# (at eff_from) with fact probes (at lookup time), one window per pk
+# carries the latest version status forward, fact rows read it. One
+# shuffle on pk, one sort; no range explosion, no nested loop — the
+# same shape as asof_join_window, which is this repo's documented
+# scale pattern for as-of semantics.
+#
+# Demo wiring: the versioned dim is the SCD2 history of each user's
+# event_type (their "activity state" timeline), and each event probes
+# the state as of one hour earlier — "what was this user doing an hour
+# ago" — aggregated to (current_type, prior_state) transition counts.
+# ---------------------------------------------------------------------------
+
+TEMPORAL_SHIFT_MIN = 60
+
+
+@query(
+    "dwd_temporal_scd2_join",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id AS pk, ts, event_id AS seq, event_type AS status
+      FROM events
+    ),
+    changes AS (
+      SELECT pk, ts, seq, status,
+             lag(status) OVER (PARTITION BY pk ORDER BY ts, seq, status)
+               AS prev
+      FROM log
+    ),
+    versions AS (
+      SELECT pk, ts AS eff_from, status FROM changes
+      WHERE prev IS NULL OR status <> prev
+    ),
+    tl AS (
+      SELECT pk, eff_from AS t, 0 AS kind, status, NULL::VARCHAR AS cur
+      FROM versions
+      UNION ALL
+      SELECT user_id, ts - INTERVAL {TEMPORAL_SHIFT_MIN} MINUTE, 1,
+             NULL, event_type
+      FROM events
+    ),
+    carried AS (
+      SELECT pk, kind, cur,
+             last_value(status IGNORE NULLS) OVER (
+               PARTITION BY pk ORDER BY t, kind, status NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) AS asof_status
+      FROM tl
+    )
+    SELECT cur AS event_type,
+           coalesce(asof_status, '<none>') AS state_1h_ago,
+           COUNT(*) AS event_ct
+    FROM carried WHERE kind = 1 GROUP BY 1, 2
+    """,
+)
+def dwd_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(F.col("user_id").alias("pk"), "ts",
+                    F.col("event_id").alias("seq"),
+                    F.col("event_type").alias("status"))
+    versions = scd2_versions(log).select("pk", "eff_from", "status")
+    tl = versions.select(
+        "pk", F.col("eff_from").alias("t"), F.lit(0).alias("kind"),
+        "status", F.lit(None).cast("string").alias("cur"),
+    ).unionByName(ev.select(
+        F.col("user_id").alias("pk"),
+        (F.col("ts") - F.expr(f"INTERVAL {TEMPORAL_SHIFT_MIN} MINUTES"))
+            .alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("event_type").alias("cur")))
+    w = (Window.partitionBy("pk")
+         .orderBy(F.col("t"), F.col("kind"), F.col("status").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tl.select(
+        "kind", "cur",
+        F.last("status", ignorenulls=True).over(w).alias("asof_status"))
+    return (
+        carried.filter(F.col("kind") == 1)
+        .groupBy(F.col("cur").alias("event_type"),
+                 F.coalesce("asof_status", F.lit("<none>"))
+                  .alias("state_1h_ago"))
+        .agg(F.count("*").alias("event_ct"))
+    )
