@@ -817,6 +817,12 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truly degenerate keys a salted two-phase form applies (per-salt min
 # then global min, like operators/joins.py::salted_groupby_count).
 # Reassembly is a per-doc groupBy (co-partitioned by doc_id).
+# 100 TB byte-cut variant (not needed at bench scale, where both
+# shuffles fit comfortably): run the keep-first window over
+# (xxhash64(chunk), doc_id, pos) ONLY — a 24-byte row — then rejoin the
+# verdict to the text rows by (doc_id, pos); passage text then crosses
+# the wire once (for reassembly) instead of twice, at the cost of the
+# same 2^-64 collision approximation the jaccard family documents.
 # ---------------------------------------------------------------------------
 
 PARA_W = 20     # words per passage window
