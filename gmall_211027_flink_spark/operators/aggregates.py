@@ -745,3 +745,103 @@ def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("qty_price_cov"),
              F.count("*").alias("line_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with LINEAR INTERPOLATION — the other half of the LOCF query
+# above: telemetry consumers (dashboards, anomaly scorers) usually want
+# gaps interpolated between the surrounding observations, not held
+# flat. Same spine + bucket-agg skeleton; the interpolation needs BOTH
+# directions, so each gap row reads the nearest observation backward
+# (last ignore-nulls, unbounded preceding) and forward (first
+# ignore-nulls, unbounded following) in one windowed pass — still one
+# shuffle on the series key. Leading/trailing gaps have no bracketing
+# pair and stay NULL (the honest answer; extrapolation is a policy).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_gapfill_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(MIN(ts)) / 600) AS BIGINT) AS b0,
+             CAST(floor(epoch(MAX(ts)) / 600) AS BIGINT) AS b1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.b AS b, et.event_type
+      FROM bounds, UNNEST(generate_series(b0, b1)) AS t(b),
+           (SELECT DISTINCT event_type FROM events) et
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS b, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.b, s.event_type, a.vs
+      FROM spine s LEFT JOIN agg a ON s.b = a.b AND s.event_type = a.event_type
+    ),
+    br AS (
+      SELECT b, event_type, vs,
+        last_value(vs IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY b
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN vs IS NOT NULL THEN b END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY b
+          ROWS UNBOUNDED PRECEDING) AS pb,
+        first_value(vs IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN vs IS NOT NULL THEN b END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT strftime(make_timestamp(b * 600 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           (vs IS NULL) AS gap_filled,
+           round(CASE
+             WHEN vs IS NOT NULL THEN vs
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) * (b - pb) / (nb - pb)
+           END, 6) AS value_interp
+    FROM br
+    """,
+)
+def dws_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor(F.unix_timestamp("ts") / 600).cast("bigint")
+    bounds = ev.agg(F.min(b).alias("b0"), F.max(b).alias("b1"))
+    types = ev.select("event_type").distinct()
+    spine = (bounds.select(F.explode(F.sequence("b0", "b1")).alias("b"))
+             .crossJoin(types))
+    agg = (ev.groupBy(b.alias("b"), "event_type")
+           .agg(F.sum(dec("value")).cast("double").alias("vs")))
+    j = spine.join(agg, ["b", "event_type"], "left")
+    back = (Window.partitionBy("event_type").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    fwd = (Window.partitionBy("event_type").orderBy("b")
+           .rowsBetween(0, Window.unboundedFollowing))
+    b_obs = F.when(F.col("vs").isNotNull(), F.col("b"))
+    br = j.select(
+        "b", "event_type", "vs",
+        F.last("vs", ignorenulls=True).over(back).alias("pv"),
+        F.last(b_obs, ignorenulls=True).over(back).alias("pb"),
+        F.first("vs", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(b_obs, ignorenulls=True).over(fwd).alias("nb"))
+    interp = (
+        F.when(F.col("vs").isNotNull(), F.col("vs"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv"))
+                   * (F.col("b") - F.col("pb"))
+                   / (F.col("nb") - F.col("pb"))))
+    return br.select(
+        F.date_format(F.timestamp_seconds(F.col("b") * 600),
+                      "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        F.col("vs").isNull().alias("gap_filled"),
+        F.round(interp, 6).alias("value_interp"),
+    )
