@@ -774,7 +774,7 @@ def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS b, event_type,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+             SUM(CAST(value AS DECIMAL(18,2))) AS vs
       FROM events GROUP BY 1, 2
     ),
     j AS (
@@ -797,15 +797,23 @@ def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
       FROM j
     )
+    -- interpolation numerator pv*(nb-b) + nv*(b-pb) is EXACT decimal
+    -- (both engines) and the only float op is ONE double division of
+    -- identical inputs, so the raw double is bit-identical across
+    -- engines -- no rounding. (round(x, 6) was tried and is WRONG
+    -- here: power-of-2 gap widths make exact decimal midpoints like
+    -- 33.1896875 common, and Spark rounds half-up where DuckDB rounds
+    -- half-even.)
     SELECT strftime(make_timestamp(b * 600 * 1000000),
                     '%Y-%m-%d %H:%M:%S') AS stt,
            event_type,
            (vs IS NULL) AS gap_filled,
-           round(CASE
-             WHEN vs IS NOT NULL THEN vs
+           CASE
+             WHEN vs IS NOT NULL THEN CAST(vs AS DOUBLE)
              WHEN pv IS NULL OR nv IS NULL THEN NULL
-             ELSE pv + (nv - pv) * (b - pb) / (nb - pb)
-           END, 6) AS value_interp
+             ELSE CAST(pv * (nb - b) + nv * (b - pb) AS DOUBLE)
+                  / (nb - pb)
+           END AS value_interp
     FROM br
     """,
 )
@@ -819,7 +827,7 @@ def dws_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = (bounds.select(F.explode(F.sequence("b0", "b1")).alias("b"))
              .crossJoin(types))
     agg = (ev.groupBy(b.alias("b"), "event_type")
-           .agg(F.sum(dec("value")).cast("double").alias("vs")))
+           .agg(F.sum(dec("value")).alias("vs")))   # stays exact DECIMAL
     j = spine.join(agg, ["b", "event_type"], "left")
     back = (Window.partitionBy("event_type").orderBy("b")
             .rowsBetween(Window.unboundedPreceding, 0))
@@ -832,16 +840,18 @@ def dws_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(b_obs, ignorenulls=True).over(back).alias("pb"),
         F.first("vs", ignorenulls=True).over(fwd).alias("nv"),
         F.first(b_obs, ignorenulls=True).over(fwd).alias("nb"))
+    # exact-decimal numerator, one double division (see oracle comment)
+    numer = (F.col("pv") * (F.col("nb") - F.col("b"))
+             + F.col("nv") * (F.col("b") - F.col("pb")))
     interp = (
-        F.when(F.col("vs").isNotNull(), F.col("vs"))
+        F.when(F.col("vs").isNotNull(), F.col("vs").cast("double"))
         .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
-        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv"))
-                   * (F.col("b") - F.col("pb"))
+        .otherwise(numer.cast("double")
                    / (F.col("nb") - F.col("pb"))))
     return br.select(
         F.date_format(F.timestamp_seconds(F.col("b") * 600),
                       "yyyy-MM-dd HH:mm:ss").alias("stt"),
         "event_type",
         F.col("vs").isNull().alias("gap_filled"),
-        F.round(interp, 6).alias("value_interp"),
+        interp.alias("value_interp"),
     )
