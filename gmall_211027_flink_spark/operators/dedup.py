@@ -765,7 +765,11 @@ def _recall_oracle() -> str:
     SELECT COUNT(*) AS exact_pairs,
            COUNT(c.doc_a) AS lsh_found,
            COUNT(*) - COUNT(c.doc_a) AS band_missed,
-           round(CAST(COUNT(c.doc_a) AS DOUBLE) / COUNT(*), 6) AS recall
+           -- integer half-up to ppm, then exact /1e6: float round()
+           -- semantics differ across engines at exact 7-digit
+           -- midpoints, which k/2^m ratios produce systematically
+           CAST((2 * COUNT(c.doc_a) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS recall
     FROM pairs p
     LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
     """
@@ -794,7 +798,9 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_pairs"),
              F.count("hit").alias("lsh_found"),
              (F.count("*") - F.count("hit")).alias("band_missed"),
-             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+             # ppm integer half-up (see oracle comment): midpoint-proof
+             (F.expr("(2 * count(hit) * 1000000 + count(*))"
+                     " div (2 * count(*))").cast("double") / 1000000)
               .alias("recall"))
     )
 
