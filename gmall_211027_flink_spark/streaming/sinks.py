@@ -63,11 +63,20 @@ class ParquetUpsertSink:
 
     def __init__(self, path: str, key_cols: list[str], order_col: str,
                  num_buckets: int | None = DEFAULT_BUCKETS,
-                 run_tag: str = "default"):
+                 run_tag: str = "default", op_col: str | None = None,
+                 delete_value: str = "delete"):
+        """``op_col``: optional changelog-op column (Maxwell ``type``).
+        When set, a key whose LAST row in the batch (by ``order_col``)
+        carries ``delete_value`` is REMOVED from the store instead of
+        upserted — the reference's dim-delete path (DimSinkFunction
+        deletes the Phoenix row for Maxwell deletes). The op column is
+        stripped from stored rows."""
         self.path = path.rstrip("/")
         self.key_cols = key_cols
         self.order_col = order_col
         self.num_buckets = num_buckets
+        self.op_col = op_col
+        self.delete_value = delete_value
         # Identity of the writing query (e.g. its checkpoint location).
         # Epoch replay-skip applies only to the same run_tag: if a
         # checkpoint is reset (epoch ids restart at 0) under a NEW tag,
@@ -152,15 +161,22 @@ class ParquetUpsertSink:
         self._sweep_staging()  # clear orphans from any crashed swap
         spark = batch.sparkSession
         compacted = self._compact(batch)
+        # tombstone split: ALL compacted keys leave the old store (the
+        # left-anti below); only the non-delete survivors re-enter
+        if self.op_col is not None:
+            survivors = compacted.filter(
+                F.col(self.op_col) != self.delete_value).drop(self.op_col)
+        else:
+            survivors = compacted
         if self.num_buckets is None:
             if os.path.exists(self.path):
                 existing = spark.read.parquet(self.path)
                 keep = existing.join(
                     compacted.select(*self.key_cols).distinct(),
                     self.key_cols, "left_anti")
-                merged = keep.unionByName(compacted)
+                merged = keep.unionByName(survivors)
             else:
-                merged = compacted
+                merged = survivors
             self._atomic_swap(merged, self.path)
         else:
             bucketed = compacted.withColumn("_b", self._bucket_col()).cache()
@@ -171,10 +187,14 @@ class ParquetUpsertSink:
             for b in affected:
                 bdir = os.path.join(self.path, f"bucket={b}")
                 part = bucketed.filter(F.col("_b") == b).drop("_b")
+                touched_keys = part.select(*self.key_cols).distinct()
+                if self.op_col is not None:
+                    part = part.filter(
+                        F.col(self.op_col) != self.delete_value
+                    ).drop(self.op_col)
                 if os.path.exists(bdir):
                     keep = spark.read.parquet(bdir).join(
-                        part.select(*self.key_cols).distinct(),
-                        self.key_cols, "left_anti")
+                        touched_keys, self.key_cols, "left_anti")
                     part = keep.unionByName(part)
                 self._atomic_swap(part, bdir)
             bucketed.unpersist()

@@ -180,3 +180,36 @@ def test_observe_metrics_surface_in_progress(spark, tmp_path):
     observed = [m for m in observed if m]
     assert observed and observed[0]["rows"] == 7
     assert observed[0]["max_first_col"] == 6
+
+
+def test_upsert_sink_delete_tombstones(spark, tmp_path):
+    """op_col delete semantics (reference DimSinkFunction's Maxwell
+    delete path): last-wins per key INCLUDING deletes — a key whose
+    final batch row is a delete leaves the store; delete-then-reinsert
+    across batches reinserts; deleting an absent key is a no-op."""
+    from gmall_211027_flink_spark.streaming.sinks import ParquetUpsertSink
+
+    for buckets in (None, 4):
+        store = str(tmp_path / f"dim_{buckets}")
+        sink = ParquetUpsertSink(store, ["id"], "ts", num_buckets=buckets,
+                                 op_col="op")
+        b0 = spark.createDataFrame(
+            [(1, 10, "insert", "a"), (2, 11, "insert", "b"),
+             (3, 12, "insert", "c"),
+             # in-batch: upsert then delete (by ts order) -> deleted
+             (2, 20, "delete", "b2"),
+             # in-batch: delete then upsert -> upserted
+             (3, 13, "delete", "x"), (3, 14, "update", "c2"),
+             # delete of a key never present: no-op
+             (9, 15, "delete", "zz")],
+            "id int, ts int, op string, v string")
+        sink.write_batch(b0, 0)
+        rows = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+        assert rows == {1: "a", 3: "c2"}
+        # next batch: delete 1, re-insert 2
+        b1 = spark.createDataFrame(
+            [(1, 30, "delete", "-"), (2, 31, "insert", "b3")],
+            "id int, ts int, op string, v string")
+        sink.write_batch(b1, 1)
+        rows = {r["id"]: r["v"] for r in sink.read(spark).collect()}
+        assert rows == {2: "b3", 3: "c2"}
