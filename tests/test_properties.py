@@ -302,3 +302,35 @@ def test_scd2_incremental_merge_equals_batch(spark, events, cut1, cut2):
     want = scd2_versions(spark.createDataFrame(rows, schema))
     fmt = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert fmt(store) == fmt(want)
+
+
+inc_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+    min_size=1, max_size=30)
+
+
+@given(rows=inc_rows, cut1=st.integers(0, 30), cut2=st.integers(0, 30))
+@SETTINGS
+def test_incremental_agg_fold_equals_batch(spark, tmp_path_factory,
+                                           rows, cut1, cut2):
+    """Any slicing of the input folded through IncrementalAggStore
+    equals the one-shot batch aggregate (streaming/incremental.py's
+    core invariant)."""
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    tmp = tmp_path_factory.mktemp("inc")
+    lo, hi = sorted([cut1, cut2])
+    chunks = [rows[:lo], rows[lo:hi], rows[hi:]]
+    specs = {"ct": ("count", None), "s": ("sum", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")}
+    store = IncrementalAggStore(str(tmp / "s"), ["k"], specs)
+    for i, ch in enumerate(chunks):
+        if ch:
+            store.write_batch(
+                spark.createDataFrame(ch, "k string, v int"), i)
+    got = sorted(tuple(r) for r in store.read(spark).collect())
+    truth = spark.createDataFrame(rows, "k string, v int").groupBy("k").agg(
+        F.count("*").alias("ct"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"))
+    assert got == sorted(tuple(r) for r in truth.collect())
