@@ -851,3 +851,50 @@ def dws_tumble_append_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("edt_ts")
                     <= F.lit(TUMBLE_APPEND_CUTOFF).cast("timestamp"))
             .select("stt", "event_type", "pv_ct"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated form of the incremental aggregate store: the events table
+# is folded through IncrementalAggStore in three deterministic
+# event-time slices (simulating three micro-batch commits), and the
+# final store must hash-match the plain one-shot SQL aggregate. This is
+# the O(batch)-per-commit DWS maintenance shape actually deployable at
+# 100 TB (complete mode re-emits O(state) every batch).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dws_incremental_agg_maintenance(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        F.col("value").cast("decimal(18,2)").alias("v"), "ts")
+    d = tempfile.mkdtemp(prefix="inc_agg_gate_")
+    store = IncrementalAggStore(
+        f"{d}/store", ["event_type", "dt"],
+        {"pv_ct": ("count", None), "value_sum": ("sum", "v")})
+    # three deterministic event-time slices = three commits
+    cuts = ["2024-01-11", "2024-01-21"]
+    slices = [
+        events.filter(F.col("dt") < cuts[0]),
+        events.filter((F.col("dt") >= cuts[0]) & (F.col("dt") < cuts[1])),
+        events.filter(F.col("dt") >= cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        store.write_batch(sl, i)
+    return store.read(spark).select(
+        "event_type", "dt", "pv_ct",
+        F.col("value_sum").cast("double").alias("value_sum"))
