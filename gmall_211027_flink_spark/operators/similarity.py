@@ -418,3 +418,38 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.count("hit").cast("double") / F.count("*"), 6)
               .alias("recall"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-class centroids (class prototypes / one k-means step / the "mean
+# pooling by label" every embedding pipeline runs). Emitted in LONG form
+# (label, dim, centroid) — element-wise aggregation over array columns
+# distributes as posexplode → two-phase avg per (label, dim) → nothing
+# but scalars ever shuffles, and the output shape sidesteps array
+# construction-order parity questions. At 100 TB: the explode is
+# map-side ×dim row amplification of scalar rows (8 B values), partial
+# aggregation collapses it before the exchange, and the final state is
+# |labels|×dim cells regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_label_centroids",
+    oracle="""
+    SELECT e.label, CAST(g.i - 1 AS BIGINT) AS dim,
+           round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM embeddings e,
+         UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    GROUP BY 1, 2
+    """,
+)
+def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim", "x"))
+    return (
+        e.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"),
+             F.count("*").alias("n_vecs"))
+    )
