@@ -453,3 +453,72 @@ def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("centroid"),
              F.count("*").alias("n_vecs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid confusion audit: assign every vector to its nearest
+# class centroid and cross-tab against the true label — the purity
+# check for centroid classifiers and (same math) for how well IVF cells
+# line up with labels. Long-form join shape: exploded (vec, dim, x)
+# scalar rows join centroids on dim, partial-agg squared distance per
+# (vec, candidate), argmin with a (d2, label) total order. At 100 TB
+# prefer the broadcast-matrix mapInPandas form (ann_cosine_topk_pandas)
+# — one matmul per Arrow batch — over the x|labels| row amplification;
+# the SQL shape here is the oracle-checkable reference semantics.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_nearest_centroid_confusion",
+    oracle="""
+    WITH cen AS (
+      SELECT e.label, CAST(g.i - 1 AS BIGINT) AS dim,
+             round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS centroid
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT e.vec_id, e.label AS true_label, CAST(g.i - 1 AS BIGINT) AS dim,
+             CAST(e.embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    d AS (
+      SELECT ex.vec_id, ex.true_label, c.label AS cand,
+             round(SUM((ex.x - c.centroid) * (ex.x - c.centroid)), 6) AS d2
+      FROM ex JOIN cen c ON c.dim = ex.dim
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (
+      SELECT vec_id, true_label, cand,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cand) AS rk
+      FROM d
+    )
+    SELECT true_label, cand AS assigned_label, COUNT(*) AS vec_ct
+    FROM assign WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def ann_nearest_centroid_confusion(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    cen = ann_label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cand"), "dim", "centroid")
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim_i", "x")
+    ).select("vec_id", "true_label",
+             F.col("dim_i").cast("bigint").alias("dim"), "x")
+    d = (ex.join(F.broadcast(cen), "dim")
+         .groupBy("vec_id", "true_label", "cand")
+         .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
+                            * (F.col("x") - F.col("centroid"))), 6)
+               .alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_label", F.col("cand").alias("assigned_label"))
+        .agg(F.count("*").alias("vec_ct"))
+    )
