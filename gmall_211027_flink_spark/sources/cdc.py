@@ -144,3 +144,56 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_ct"),
              F.sum("total_amount").cast("double").alias("gmv"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated dirty-side query (P1): the reference routes unparseable
+# topic_db payloads to a side output ("脏数据", BaseApp/DimApp pattern)
+# instead of crashing or dropping them silently. Here a deterministic
+# subset of synthesized envelopes is corrupted (truncated JSON), and the
+# clean/dirty split must reproduce the arithmetic the oracle derives
+# from the corruption rule — proving both that bad payloads never reach
+# the clean pipeline and that they are COUNTED, not lost.
+# ---------------------------------------------------------------------------
+
+DIRTY_MOD = 37   # orders with o_orderkey % 37 == 0 get truncated JSON
+
+
+@query(
+    "cdc_dirty_side_output",
+    oracle=f"""
+    SELECT 'clean' AS side, o_orderstatus AS status, COUNT(*) AS row_ct
+    FROM orders WHERE o_orderkey % {DIRTY_MOD} <> 0 GROUP BY 1, 2
+    UNION ALL
+    SELECT 'dirty', NULL, COUNT(*)
+    FROM orders WHERE o_orderkey % {DIRTY_MOD} = 0
+    """,
+)
+def cdc_dirty_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    env = F.to_json(F.struct(
+        F.lit("gmall").alias("database"),
+        F.lit("order_info").alias("table"),
+        F.lit("insert").alias("type"),
+        F.unix_millis(F.current_timestamp()).alias("ts"),
+        F.create_map(
+            F.lit("id"), F.col("o_orderkey").cast("string"),
+            F.lit("order_status"), F.col("o_orderstatus"),
+        ).alias("data"),
+    ))
+    raw = orders.select(
+        F.when(F.col("o_orderkey") % DIRTY_MOD == 0,
+               F.substring(env, 1, 20))   # truncated -> unparseable
+         .otherwise(env).alias("value"))
+    clean, dirty = parse_cdc(raw)
+    proj = project_table(clean, "order_info", ("insert",),
+                         {"id": "bigint", "order_status": "string"})
+    return (
+        proj.groupBy(F.lit("clean").alias("side"),
+                     F.col("order_status").alias("status"))
+        .agg(F.count("*").alias("row_ct"))
+        .unionByName(
+            dirty.agg(F.count("*").alias("row_ct"))
+            .select(F.lit("dirty").alias("side"),
+                    F.lit(None).cast("string").alias("status"), "row_ct"))
+    )
