@@ -197,3 +197,66 @@ def cdc_dirty_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("dirty").alias("side"),
                     F.lit(None).cast("string").alias("status"), "row_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated old-value delta query (P4 + P5): the reference's cart-add
+# job turns an UPDATE's (new - old) quantity into an increment, reading
+# the pre-image from the Maxwell `old` map, which carries ONLY changed
+# columns (DwdTradeCartAdd.java:43). Envelopes are synthesized from
+# lineitem in three deterministic classes — insert, update-with-changed
+# -qty, update-where-qty-unchanged (old map lacks the key) — and the
+# per-flag delta sums must match the class arithmetic the oracle
+# derives directly from lineitem. floor() is applied on BOTH sides
+# before int conversion: Spark's string->int CAST truncates while
+# DuckDB's rounds, so the raw double never crosses an implicit cast.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_update_delta",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CASE
+             WHEN l_linenumber % 2 = 1 THEN CAST(floor(l_quantity) AS BIGINT)
+             WHEN l_linenumber % 3 = 0 THEN CAST(floor(l_quantity) AS BIGINT)
+             ELSE l_linenumber
+           END) AS BIGINT) AS qty_delta_sum,
+           COUNT(*) AS event_ct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def cdc_update_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor("l_quantity").cast("int")
+    is_insert = F.col("l_linenumber") % 2 == 1
+    qty_unchanged = (~is_insert) & (F.col("l_linenumber") % 3 == 0)
+    old_map = (
+        F.when(is_insert, F.lit(None).cast("map<string,string>"))
+        .when(qty_unchanged, F.create_map(F.lit("coupon"), F.lit("1")))
+        .otherwise(F.create_map(
+            F.lit("sku_num"),
+            (qty - F.col("l_linenumber")).cast("string"))))
+    raw = li.select(
+        F.to_json(F.struct(
+            F.lit("gmall").alias("database"),
+            F.lit("cart_info").alias("table"),
+            F.when(is_insert, "insert").otherwise("update").alias("type"),
+            F.unix_millis(F.current_timestamp()).alias("ts"),
+            F.create_map(
+                F.lit("id"), F.col("l_orderkey").cast("string"),
+                F.lit("flag"), F.col("l_returnflag"),
+                F.lit("sku_num"), qty.cast("string"),
+            ).alias("data"),
+            old_map.alias("old"),
+        )).alias("value"))
+    clean, _dirty = parse_cdc(raw)
+    proj = clean.filter((F.col("table") == "cart_info")
+                        & F.col("type").isin("insert", "update"))
+    delta = delta_int(proj, "sku_num")
+    return (
+        proj.select(F.col("data")["flag"].alias("flag"),
+                    delta.alias("d"))
+        .groupBy("flag")
+        .agg(F.sum("d").cast("bigint").alias("qty_delta_sum"),
+             F.count("*").alias("event_ct"))
+    )
