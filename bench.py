@@ -87,7 +87,7 @@ def main() -> None:
 
 SCALE_FACTOR = 10          # synthetic 10x documents corpus
 SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
-                 "dedup_simhash", "dedup_exact"]
+                 "dedup_simhash", "dedup_exact", "dedup_passage_exact"]
 ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
 
 
