@@ -153,7 +153,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
-                           df_cap: int | None) -> DataFrame:
+                           df_cap: int | None,
+                           threshold: float | None = None) -> DataFrame:
     """(doc_a, doc_b, i, na, nb) exact shared-shingle counts for every
     pair that can reach JACCARD_THRESHOLD, via AllPairs/PPJoin prefix
     filtering (Bayardo et al. WWW'07) — see dedup_ngram_jaccard_capped's
@@ -171,7 +172,11 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
     threshold's resolution. For exact-recall audits, key on the shingle
     string (the oracle's form) at ~4x the shuffle bytes.
     """
-    tn, td = _JT_NUM, _JT_DEN  # floor rational of the threshold (module top)
+    # floor rational of the threshold (module top), or of an explicit
+    # sweep threshold — the shingle/docset subtree is threshold-free and
+    # cached, so sweeps at several thresholds share one Exchange
+    tn, td = ((_JT_NUM, _JT_DEN) if threshold is None
+              else _threshold_fraction_floor(threshold))
     wdocs = _shingle_arrays(spark, sf_dir)
     sh = wdocs.select(
         "doc_id", F.size("sh_arr").alias("n"),
@@ -900,4 +905,56 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
               .cast("bigint").alias("dropped_ct"),
              F.md5(F.concat_ws(" ", kept_sorted)).alias("clean_fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold sweep — the exact-dedup sibling of the minhash/IVF
+# recall audits: pair counts per threshold band, measured BEFORE
+# committing a near-dup threshold to a full-corpus pass (too low melts
+# distinct documents together; too high leaves templated near-dups in).
+# One prefix-filtered pair generation at the LOWEST threshold feeds all
+# bands; the shingle/docset subtree is shared with the 0.8 pipelines via
+# the session cache.
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (0.7, 0.8, 0.9)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {{sh}},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT band, COUNT(*) AS pair_ct FROM (
+      SELECT CASE WHEN j >= 0.9 THEN '0.9'
+                  WHEN j >= 0.8 THEN '0.8'
+                  ELSE '0.7' END AS band
+      FROM jac WHERE j >= 0.7
+    ) GROUP BY 1
+    """.format(sh=_SHINGLES_SQL),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = _prefix_filtered_pairs(spark, sf_dir, df_cap=None,
+                                   threshold=min(SWEEP_THRESHOLDS))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+    band = (F.when(jac >= 0.9, "0.9")
+            .when(jac >= 0.8, "0.8")
+            .otherwise("0.7"))
+    return (
+        inter.filter(jac >= min(SWEEP_THRESHOLDS))
+        .select(band.alias("band"))
+        .groupBy("band").agg(F.count("*").alias("pair_ct"))
     )
