@@ -140,6 +140,44 @@ def main() -> None:
         "rows": n_o + n_li, "sec": round(sec, 2),
         "rows_per_sec": round((n_o + n_li) / sec)}
 
+    # 6. incremental aggregate maintenance (O(batch) DWS store merge)
+    t0 = time.perf_counter()
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore, run_incremental_agg)
+    tmp6 = tempfile.mkdtemp(prefix="sb_inc_")
+    inc_stream = (stream_events(spark, sf_dir)
+                  .select(F.col("event_type").alias("k"),
+                          F.col("value").cast("decimal(18,2)").alias("v")))
+    inc_store = IncrementalAggStore(
+        f"{tmp6}/store", ["k"],
+        {"ct": ("count", None), "vs": ("sum", "v")})
+    q = run_incremental_agg(inc_stream, inc_store, f"{tmp6}/ckpt")
+    q.awaitTermination(600)
+    sec = time.perf_counter() - t0
+    results["incremental_agg_maintenance"] = {
+        "rows": n_input, "sec": round(sec, 2),
+        "rows_per_sec": round(n_input / sec)}
+
+    # 7. SCD2 store maintenance (changelog -> versioned dim merge)
+    t0 = time.perf_counter()
+    from gmall_211027_flink_spark.catalog import normalize_event_ts as _nts
+    from gmall_211027_flink_spark.streaming.scd2 import run_scd2_stream
+    tmp7 = tempfile.mkdtemp(prefix="sb_scd2_")
+    log = _nts(
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir),
+        "l_shipdate").select(
+            F.col("l_orderkey").alias("pk"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_linenumber").alias("seq"),
+            F.col("l_linestatus").alias("status"))
+    q = run_scd2_stream(log, f"{tmp7}/store", f"{tmp7}/ckpt")
+    q.awaitTermination(600)
+    sec = time.perf_counter() - t0
+    results["scd2_store_maintenance"] = {
+        "rows": n_li, "sec": round(sec, 2),
+        "rows_per_sec": round(n_li / sec)}
+
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
                       "paths": results}))
 
