@@ -6,6 +6,10 @@ and order-insensitive values (exact for ints/strings; exact-first with a
 reported max-abs-diff for floats, since the driver value-hashes).
 
 Usage: python scripts/check.py [sf_dir] [name_filter ...]
+       --repeat N   run each query N times (catches nondeterministic
+                    plans: ambiguous window orders, ties — the class of
+                    bug a single green run hides; the dim_scd2_history
+                    tie bug was found exactly this way)
 """
 
 from __future__ import annotations
@@ -77,8 +81,14 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in args:
+        i = args.index("--repeat")
+        repeat = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
     load_all()
     spark = get_spark("check")
     con = duck_conn(sf_dir)
@@ -91,6 +101,12 @@ def main() -> int:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = [tuple(r) for r in df.collect()]
+            for _ in range(repeat - 1):
+                again = [tuple(r) for r in fn(spark, sf_dir).collect()]
+                if sorted(map(str, again)) != sorted(map(str, spark_rows)):
+                    raise RuntimeError(
+                        "NONDETERMINISTIC: two runs differ "
+                        f"({len(spark_rows)} vs {len(again)} rows)")
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)

@@ -340,3 +340,16 @@ def test_q8_dims_broadcast_filters_pushed(spark, sf_dir):
     # the only permissible SortMergeJoin is lineitem-orders (fact-fact);
     # at this SF AQE broadcasts it, so there should be none at all
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_like_prefix_filter_pushes_to_scan(spark, sf_dir):
+    """LIKE 'x%' must reach the parquet reader as StringStartsWith —
+    prefix predicates are min/max-stat skippable at the row-group level,
+    which at 100 TB is the difference between scanning a partition and
+    skipping it."""
+    df = (load_table(spark, sf_dir, "orders")
+          .filter(F.col("o_orderpriority").like("1-%"))
+          .select("o_orderkey"))
+    df.collect()
+    plan = executed_plan(df)
+    assert "StringStartsWith(o_orderpriority,1-)" in plan, plan
