@@ -864,3 +864,45 @@ def dwd_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("state_1h_ago"))
         .agg(F.count("*").alias("event_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k WITH ties (§2.6 sibling of topk_orders_by_price): RANK() <= k
+# keeps every row tied at the boundary — SQL:2008 FETCH ... WITH TIES /
+# ClickHouse LIMIT WITH TIES semantics, which a plain orderBy().limit(k)
+# (TakeOrdered) cannot express because the result size is data-driven.
+# Plan: the rank window partitions by priority over a PRE-AGGREGATED
+# input (one row per priority+day), so each window partition is tiny;
+# never rank raw facts through an unpartitioned window at scale.
+# ---------------------------------------------------------------------------
+
+TOPK_TIES_K = 10
+
+
+@query(
+    "topk_gmv_days_with_ties",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS dt,
+             COUNT(*) AS order_ct
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY order_ct DESC) AS rk
+      FROM daily
+    )
+    SELECT o_orderpriority, dt, order_ct, rk
+    FROM ranked WHERE rk <= {TOPK_TIES_K}
+    """,
+)
+def topk_gmv_days_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (load_table(spark, sf_dir, "orders")
+             .groupBy("o_orderpriority",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+             .agg(F.count("*").alias("order_ct")))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("order_ct"))
+    return (daily.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= TOPK_TIES_K)
+            .select("o_orderpriority", "dt", "order_ct",
+                    F.col("rk").cast("bigint").alias("rk")))
