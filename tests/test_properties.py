@@ -334,3 +334,45 @@ def test_incremental_agg_fold_equals_batch(spark, tmp_path_factory,
         F.count("*").alias("ct"), F.sum("v").alias("s"),
         F.min("v").alias("mn"), F.max("v").alias("mx"))
     assert got == sorted(tuple(r) for r in truth.collect())
+
+
+words = st.sampled_from(["a", "b", "c", "d"])
+docs_corpus = st.lists(
+    st.lists(words, min_size=0, max_size=50), min_size=1, max_size=8)
+
+
+@given(texts=docs_corpus)
+@SETTINGS
+def test_passage_dedup_matches_python_spec(spark, tmp_path_factory, texts):
+    """dedup_passage_exact vs a direct Python spec: same keep/drop
+    decisions and same cleaned-text fingerprints for ANY corpus,
+    including empty docs, sub-window docs, and heavy cross-doc
+    duplication (small alphabet forces repeated passages)."""
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.dedup import (
+        PARA_W, dedup_passage_exact)
+
+    rows = [(i, " ".join(t), "en", "src", len(" ".join(t)))
+            for i, t in enumerate(texts)]
+    d = tmp_path_factory.mktemp("pd")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(d / "documents.parquet")))
+
+    # python spec: split EXACTLY like the engine (split on ' ' keeps
+    # empty strings, so an empty text is one empty word)
+    seen = set()
+    want = {}
+    for doc_id, text, *_ in rows:
+        w = text.split(" ")
+        chunks = [" ".join(w[i * PARA_W:(i + 1) * PARA_W])
+                  for i in range((len(w) + PARA_W - 1) // PARA_W)]
+        kept = [c for c in chunks if (c not in seen, seen.add(c))[0]]
+        want[doc_id] = (len(kept), len(chunks) - len(kept),
+                        hashlib.md5(" ".join(kept).encode()).hexdigest())
+    got = {r["doc_id"]: (r["kept_ct"], r["dropped_ct"], r["clean_fp"])
+           for r in dedup_passage_exact(spark, str(d)).collect()}
+    assert got == want
