@@ -77,3 +77,30 @@ def test_streaming_layers_end_to_end(spark, tmp_path):
     # and the helper produces the same numbers
     helper = ads_cart_uu(dws).first()
     assert helper["cart_add_uu_total"] == 3 and helper["days"] == 2
+
+
+def test_parquet_schema_evolution_policy(spark, tmp_path):
+    """Ingestion policy for schema drift on parquet landings: a new
+    column appearing in later files is invisible to a plain read (Spark
+    takes one footer's schema — which file wins is not guaranteed) and
+    surfaces ONLY under mergeSchema=true, null-padded for old files.
+    Pipelines here pin explicit schemas for JSON/CSV (sources/files.py)
+    and must opt in to mergeSchema for evolving parquet landings — this
+    test documents that contract."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a")], "id int, v string") \
+        .coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame([(2, "b", "new")],
+                          "id int, v string, extra string") \
+        .coalesce(1).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows == {1: None, 2: "new"}
+    # explicit-schema read is the other safe form: drift is simply
+    # projected away, old and new files both conform
+    pinned = spark.read.schema("id int, v string").parquet(d)
+    assert pinned.count() == 2 and set(pinned.columns) == {"id", "v"}
