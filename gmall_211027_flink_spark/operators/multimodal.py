@@ -197,3 +197,62 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decode_binary_metadata(media).select(
         "doc_id", "width", "height", "content_digest")
     return resize_images(meta)
+
+
+# ---------------------------------------------------------------------------
+# Content-type sniffing — REAL, not stubbed: format detection reads
+# magic bytes, not pixels, so no decoder library is needed. Ingest
+# pipelines run exactly this check to catch payloads whose container
+# metadata lies (a "jpg" that is actually PNG, truncated uploads, ...).
+# Payloads here are synthesized with genuine magic prefixes (JPEG
+# FFD8FF, PNG 89504E47, RIFF 52494646) chosen by a doc_id class
+# independent of the CLAIMED media_type class, so the claimed-vs-sniffed
+# grid is fully populated and oracle-checkable by arithmetic. The sniff
+# itself — hex(substring(payload, 1, 4)) prefix dispatch — is JVM-side,
+# scan-shaped, and is the production code path for real files.
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_sniff_magic_bytes",
+    oracle="""
+    SELECT
+      CASE WHEN doc_id % 3 = 0 THEN 'image'
+           WHEN doc_id % 3 = 1 THEN 'audio'
+           ELSE 'video' END AS claimed_type,
+      CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+           WHEN doc_id % 4 = 1 THEN 'png'
+           WHEN doc_id % 4 = 2 THEN 'riff'
+           ELSE 'unknown' END AS sniffed_format,
+      COUNT(*) AS doc_ct,
+      CAST(SUM(length(text)) AS BIGINT) AS payload_bytes
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def multimodal_sniff_magic_bytes(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("89504E47")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("52494646")))
+        .otherwise(F.unhex(F.lit("00000000"))))
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("claimed_type"),
+        F.concat(magic, F.col("text").cast("binary")).alias("payload"))
+    # the actual sniff: first-4-byte hex prefix dispatch (real rule set)
+    head = F.hex(F.expr("substring(payload, 1, 4)"))
+    sniffed = (
+        F.when(head.startswith("FFD8FF"), "jpeg")
+        .when(head.startswith("89504E47"), "png")
+        .when(head.startswith("52494646"), "riff")
+        .otherwise("unknown"))
+    return (
+        media.select("claimed_type", sniffed.alias("sniffed_format"),
+                     (F.length("payload") - 4).alias("body_len"))
+        .groupBy("claimed_type", "sniffed_format")
+        .agg(F.count("*").alias("doc_ct"),
+             F.sum("body_len").cast("bigint").alias("payload_bytes"))
+    )
