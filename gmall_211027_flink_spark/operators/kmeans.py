@@ -1,0 +1,290 @@
+"""Distributed Lloyd's k-means over the embedding corpus + an IVF-ANN
+variant whose coarse quantizer is the TRAINED centroids.
+
+This closes the operational loop documented in SCALE.md §7 ("recall
+below floor -> train real centroids into the same plan"): `ann_ivf_probe`
+uses data-independent cells (the first-K vectors); `kmeans_lloyd` trains
+proper centroids with a fixed, deterministic number of Lloyd iterations;
+`ann_ivf_kmeans_recall` re-runs the IVF probe with those centroids and
+measures recall@k against the exact baseline — all three are
+oracle-checked against DuckDB.
+
+Scale design (the reference has no ML operators; this is §2.11
+beyond-reference surface for a training-data pipeline):
+
+- **Long-form element rows** (vec_id, dim, x) — same shape as
+  `ann_label_centroids`: every aggregation is over scalars, partial
+  (map-side) aggregation collapses the xK row amplification before any
+  exchange, and centroid state is K x dim cells regardless of corpus
+  size.
+- **Centroids broadcast every iteration** (K x dim rows ~ KBs); the
+  corpus NEVER shuffles during assignment — one broadcast-join map
+  stage per iteration, exactly the Lloyd-on-MapReduce shape.
+- **`localCheckpoint` per iteration** truncates the growing lineage —
+  the same bounded-round discipline as `operators/graph.py` (pointer
+  jumping); without it the plan doubles per iteration.
+- **Determinism / oracle parity**: a FIXED iteration count (no
+  convergence test — cross-engine float drift could flip a <-epsilon
+  stop test), deterministic init (vec_id < K), distances rounded to
+  6 dp *before* the argmin with (d2, cluster) total-order tie-break,
+  centroids re-rounded to 6 dp each update so both engines re-sync
+  every iteration, inertia summed in DECIMAL(18,6) (associative,
+  partition-order-proof). The DuckDB oracle is the SAME loop unrolled
+  into a CTE chain by `_kmeans_ctes` — one generator, two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.operators.similarity import (
+    N_QUERIES, TOP_K)
+from gmall_211027_flink_spark.registry import ORACLES, query
+
+K_CLUSTERS = 8
+N_ITER = 2       # fixed Lloyd iterations (see determinism note above)
+NPROBE = 2       # cells probed per query in the trained-IVF variant
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle generator: the unrolled Lloyd loop as DuckDB CTEs.
+# ---------------------------------------------------------------------------
+
+def _kmeans_ctes(n_iter: int = N_ITER, k: int = K_CLUSTERS) -> str:
+    """CTE chain `ex, c0, d1, a1, c1, ... c{n}` mirroring the Spark loop.
+
+    `ex` is the long-form element table; `c{i}` the centroids after i
+    updates; `d{i}`/`a{i}` the per-iteration distances/assignments.
+    """
+    ctes = [f"""
+    ex AS (
+      SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+             CAST(e.embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS c, dim, x AS centroid FROM ex WHERE vec_id < {k}
+    )"""]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""
+    d{it} AS (
+      SELECT ex.vec_id, p.c,
+             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
+      FROM ex JOIN {prev} p ON p.dim = ex.dim
+      GROUP BY 1, 2
+    ),
+    a{it} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        FROM d{it}
+      ) WHERE rk = 1
+    ),
+    c{it} AS (
+      SELECT a.c, ex.dim, round(avg(ex.x), 6) AS centroid
+      FROM ex JOIN a{it} a ON a.vec_id = ex.vec_id
+      GROUP BY 1, 2
+    )""")
+    return ",".join(ctes)
+
+
+# Final assignment against the trained centroids (re-used by both
+# queries below): distances + argmin, keeping d2 for the inertia sum.
+_FINAL_ASSIGN = f"""
+    dfin AS (
+      SELECT ex.vec_id, p.c,
+             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
+      FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
+      GROUP BY 1, 2
+    ),
+    afin AS (
+      SELECT vec_id, c, d2 FROM (
+        SELECT vec_id, c, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        FROM dfin
+      ) WHERE rk = 1
+    )"""
+
+
+def _assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: (vec_id, c, d2) argmin rows."""
+    d = (ex.join(F.broadcast(cent), "dim")
+         .groupBy("vec_id", "c")
+         .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
+                            * (F.col("x") - F.col("centroid"))), 6)
+               .alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "c")
+    return (d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).select("vec_id", "c", "d2"))
+
+
+def _long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+         .alias("dim_i", "x"),
+    ).select("vec_id", F.col("dim_i").cast("bigint").alias("dim"), "x")
+
+
+def train_centroids(spark: SparkSession, sf_dir: str,
+                    n_iter: int = N_ITER) -> DataFrame:
+    """Lloyd's loop -> trained centroid frame (c, dim, centroid)."""
+    ex = _long_form(spark, sf_dir)
+    cent = (ex.filter(F.col("vec_id") < K_CLUSTERS)
+            .select(F.col("vec_id").alias("c"), "dim",
+                    F.col("x").alias("centroid")))
+    for _ in range(n_iter):
+        assign = _assign(ex, cent)
+        cent = (ex.join(assign.select("vec_id", "c"), "vec_id")
+                .groupBy("c", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("centroid"))
+                # K x dim rows: truncate the per-iteration lineage growth
+                # (graph.py's bounded-round discipline)
+                .localCheckpoint())
+    return cent
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    {_FINAL_ASSIGN}
+    SELECT c AS cluster, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+    FROM afin GROUP BY 1
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (K=8, 2 Lloyd iterations, vec_id<K init) cluster summary.
+
+    Output: one row per surviving cluster with its population and exact
+    decimal-summed inertia (sum of 6-dp-rounded squared distances).
+    """
+    ex = _long_form(spark, sf_dir)
+    cent = train_centroids(spark, sf_dir)
+    final = _assign(ex, cent)
+    return (final.groupBy(F.col("c").alias("cluster"))
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
+                  .alias("inertia")))
+
+
+# ---------------------------------------------------------------------------
+# IVF with the trained quantizer: assign corpus + queries to trained
+# cells, probe NPROBE nearest cells, exact-rank within candidates, and
+# report recall@TOP_K vs the brute-force baseline — the measurement a
+# pipeline runs to decide whether trained cells beat the data-independent
+# `ann_ivf_probe` layout (SCALE.md records both).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_kmeans_recall",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    dall AS (
+      SELECT ex.vec_id, p.c,
+             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
+      FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
+      GROUP BY 1, 2
+    ),
+    ranked_cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS crk
+      FROM dall
+    ),
+    cells AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c AS cell FROM ranked_cells
+      WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT p.query_id, cc.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM probes p
+      JOIN cells cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id
+      JOIN e c ON c.vec_id = cc.vec_id
+      JOIN e q ON q.vec_id = p.query_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    exact AS ({ORACLES["ann_cosine_topk"]})
+    SELECT e.query_id, COUNT(*) AS exact_k,
+           COUNT(i.neighbor_id) AS found_ct,
+           round(CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+             AS recall
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.operators.similarity import ann_cosine_topk
+
+    ex = _long_form(spark, sf_dir)
+    cent = train_centroids(spark, sf_dir)
+    d = (ex.join(F.broadcast(cent), "dim")
+         .groupBy("vec_id", "c")
+         .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
+                            * (F.col("x") - F.col("centroid"))), 6)
+               .alias("d2")))
+    wcell = Window.partitionBy("vec_id").orderBy("d2", "c")
+    ranked_cells = d.select("vec_id", "c",
+                            F.row_number().over(wcell).alias("crk"))
+    cells = (ranked_cells.filter(F.col("crk") == 1)
+             .select("vec_id", F.col("c").alias("cell")))
+    probes = (ranked_cells
+              .filter((F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERIES))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("c").alias("cell")))
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+         .withColumn("norm", F.expr(
+             "sqrt(aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x))"))
+         .select("vec_id", "emb", "norm"))
+    q = (e.join(probes, e.vec_id == probes.query_id)
+         .select("query_id", "cell", F.col("emb").alias("qemb"),
+                 F.col("norm").alias("qnorm")))
+    c = (e.join(cells, "vec_id")
+         .select(F.col("vec_id").alias("neighbor_id"), "emb", "norm", "cell"))
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (
+        c.join(F.broadcast(q),
+               (c.cell == q.cell) & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cosine", F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    ivf = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= TOP_K)
+           .select(F.col("query_id").alias("i_q"),
+                   F.col("neighbor_id").alias("i_n"),
+                   F.lit(1).alias("hit")))
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(ivf, (F.col("query_id") == F.col("i_q"))
+                   & (F.col("neighbor_id") == F.col("i_n")), "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("exact_k"),
+             F.count("hit").alias("found_ct"),
+             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+              .alias("recall"))
+    )
