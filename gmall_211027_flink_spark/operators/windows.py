@@ -223,6 +223,108 @@ def dwd_bounce_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W7-alt — the reference's COMMENTED-OUT strict-neighbor CEP pattern
+# (DwdTrafficUserJumpDetail.java:74-82): begin("first": last_page_id ==
+# null).times(2).consecutive().within(10 s) — a jump is TWO entry events
+# with NO event between them (严格近邻 / strict contiguity), second within
+# the timeout; the match emits the FIRST event. Batch analog on `events`:
+# entry proxy = event_type 'view'; strict neighbor = LEAD over (user_id,
+# ts, event_id); timeout rescaled to the repo's 30-min session cadence
+# (the 10 s in the reference matches its page-log beat). Flink CEP's
+# default no-skip strategy counts overlapping matches ((A,B) and (B,C)
+# for three consecutive entries) — LEAD reproduces exactly that.
+# Scale: one window pass per user partition, then a scalar group-by; no
+# self-join. 100 TB: identical shape, keyed shuffle on user_id only.
+# ---------------------------------------------------------------------------
+
+JUMP_WITHIN_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "dwd_jump_consecutive_entries",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS next_type,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS jump_ct,
+           COUNT(DISTINCT user_id) AS jump_users
+    FROM seq
+    WHERE event_type = 'view' AND next_type = 'view'
+      AND next_gap_us <= {JUMP_WITHIN_US}
+    GROUP BY 1
+    """,
+)
+def dwd_jump_consecutive_entries(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id", "ts", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
+    )
+    return (
+        seq.filter((F.col("event_type") == "view")
+                   & (F.col("next_type") == "view")
+                   & (F.col("next_gap_us") <= JUMP_WITHIN_US))
+        .groupBy(day_str("ts").alias("dt"))
+        .agg(F.count("*").alias("jump_ct"),
+             F.countDistinct("user_id").alias("jump_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-path transition matrix (the classic traffic-domain path analysis
+# the reference's DWS traffic layer feeds): count event_type ->
+# next-event_type transitions WITHIN a session (strict neighbor, same
+# 30-min gap rule as dws_sessionization), per user-day fan-in to a
+# |types|^2-cell matrix. Scale: single keyed window pass + scalar
+# group-by on a tiny key space — partial aggregation collapses
+# everything map-side; no join, no self-join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_path_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER w AS next_type,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS transition_ct
+    FROM seq
+    WHERE next_type IS NOT NULL AND next_gap_us <= {JUMP_WITHIN_US}
+    GROUP BY 1, 2
+    """,
+)
+def ads_path_transition_matrix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull()
+                   & (F.col("next_gap_us") <= JUMP_WITHIN_US))
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transition_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # W8 — sessionization (reference counts session starts as
 # last_page_id IS NULL; generalized here to gap-based sessions:
 # new session when >30 min since the user's previous event).
