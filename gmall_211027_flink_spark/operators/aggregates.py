@@ -855,3 +855,41 @@ def dws_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vs").isNull().alias("gap_filled"),
         interp.alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accuracy audit: Spark's approx_count_distinct (HLL++, rsd=2%)
+# checked against the EXACT distinct count, per group — the measurement
+# a pipeline runs before replacing exact COUNT(DISTINCT) (a full
+# shuffle of every key) with the mergeable constant-size sketch at
+# 100 TB. The oracle computes the exact side and asserts the 5%
+# contract; Spark computes both and reports whether the sketch kept it
+# — a red driver row here means the sketch config is outside tolerance
+# on this corpus, which is exactly what the audit exists to catch.
+# l_orderkey per returnflag is the high-cardinality stressor (beyond
+# the sketch's sparse-exact range at sf>=0.1).
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.02
+HLL_TOL_PCT = 5
+
+
+@query(
+    "stats_hll_accuracy_audit",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_ct,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def stats_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_ct"),
+        F.expr(f"approx_count_distinct(l_orderkey, {HLL_RSD})")
+         .alias("approx_ct"))
+    within = (F.abs(F.col("approx_ct") - F.col("exact_ct"))
+              * 100 <= F.col("exact_ct") * HLL_TOL_PCT)
+    return agg.select("l_returnflag", "exact_ct",
+                      within.alias("approx_within_5pct"))

@@ -172,3 +172,53 @@ def sample_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
     return keyed.select(
         "shard", F.row_number().over(w).alias("position"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis / PPSWOR):
+# top-n per stratum by the exponential key  -ln(u) / w  with u a
+# content-keyed deterministic uniform — docs with larger weight
+# (n_chars here: prefer long documents) win proportionally more often,
+# no replacement, reproducible across engines and runs. The 100 TB
+# shape: one map pass computes keys, per-stratum top-n is a bounded
+# window (every stratum's candidate set streams through its partition;
+# for a single giant stratum switch the window to the two-phase
+# per-partition-top-n + merge used by ann_cosine_topk_pandas).
+# u = (first-8-hex-of-md5 + 0.5) / 2^32  in (0,1) — same md5 keying as
+# hash_bucket, so DuckDB reproduces it bit-for-bit; ln is 1-ulp across
+# engines and keys are ~1e-5 apart at this corpus, so raw-double
+# ranking with a doc_id tie-break is cross-engine stable.
+# ---------------------------------------------------------------------------
+
+PPSWOR_N = 5
+
+
+@query(
+    "sample_weighted_ppswor",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 0.5) / 4294967296.0)
+               / GREATEST(n_chars, 1) AS k
+      FROM documents
+    )
+    SELECT source, rk, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= {PPSWOR_N}
+    """,
+)
+def sample_weighted_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("bigint").cast("double") + 0.5) / (2.0 ** 32)
+    k = -F.log(v) / F.greatest(F.col("n_chars"), F.lit(1))
+    keyed = docs.select("source", "doc_id", "n_chars", k.alias("k"))
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (keyed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= PPSWOR_N)
+            .select("source", "rk", "doc_id", "n_chars"))
