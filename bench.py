@@ -46,14 +46,16 @@ def main() -> None:
                 print(f"WARNING: warmup {name}: {exc}", file=sys.stderr)
         spark.catalog.clearCache()  # drop warm-dir caches before timing
 
-    # min-of-2 per headline query: the host's burst noise (steal, GC —
+    # min-of-3 per headline query: the host's burst noise (steal, GC —
     # see scale-probe comment below) otherwise reads as a regression in
-    # round-over-round comparisons of a single-shot timing
+    # round-over-round comparisons of a single-shot timing (measured:
+    # back-to-back capped-jaccard runs of 7.1/4.1/5.4 s on an idle host)
     timings: dict[str, float] = {}
+    hl_c0, hl_s0 = _jvm_cpu_seconds(), _host_steal_seconds()
     for name in names:
         best = float("inf")
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
@@ -61,6 +63,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         if n == 0:
             print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
+    # same self-diagnosis as the scale probe, over the whole headline
+    # loop: a high total with high steal is a noisy-host artifact, not a
+    # regression (identical back-to-back totals measured 16.5/21.0/26.2 s)
+    hl_cpu = round(_jvm_cpu_seconds() - hl_c0, 1)
+    hl_steal = round(_host_steal_seconds() - hl_s0, 1)
 
     # Drop the sf-dir caches before the probe: the 10x corpus gets its
     # own cache entries, and carrying both inflates GC pauses into the
@@ -74,11 +81,13 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        # methodology marker: headline timings are min-of-2 since r4
-        # (r1-r3 were single-shot) — the second run can reuse
+        # methodology marker: headline timings are min-of-N since r4
+        # (r1-r3 were single-shot) — repeat runs can reuse
         # session-level caches (e.g. the shared shingle arrays), so
         # cross-round comparisons should note the change
-        "headline_runs": 2,
+        "headline_runs": 3,
+        "headline_cpu_s": hl_cpu,
+        "headline_steal_s": hl_steal,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale_probe": scale,
