@@ -1,0 +1,230 @@
+"""Embedding-space corpus curation beyond candidate search: SemDeDup
+cluster-pruning and Johnson-Lindenstrauss random projection.
+
+Two training-data-pipeline operators the similarity/kmeans modules
+don't cover (§2.11 beyond-reference surface; the reference Flink repo
+has no ML operators):
+
+- ``semdedup_prune`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  k-means-cluster the embedding corpus, then drop near-duplicate
+  vectors *within* each cluster (cosine >= tau against any lower-id
+  cluster-mate). The clustering is what makes semantic dedup tractable
+  at 100 TB: the quadratic pair comparison is confined to one cluster,
+  and K is chosen so |cluster| ~ corpus/K stays bounded (K grows with
+  the corpus; the per-cluster work is then constant and the whole op is
+  one cluster-keyed shuffle). Reuses the driver-proven Lloyd trainer
+  (`operators/kmeans.py`) so the cluster assignment itself is
+  oracle-checked.
+
+- ``embedding_random_projection`` — JL sign projection (Achlioptas
+  2003): project 64-d embeddings to 16-d with a deterministic {+1,-1}
+  matrix derived from integer arithmetic (identical in Spark and
+  DuckDB — no RNG), and audit pairwise-distance distortion on a fixed
+  vector sample. This is the standard pre-ANN compression step: 4x
+  smaller vectors -> 4x cheaper brute-force scoring and smaller LSH
+  sketch input, with distance distortion bounded by JL. The projection
+  itself is pure map-side array math (zero shuffle, zero UDF); the
+  audit's pair join is over a broadcast-sized sample.
+
+Determinism/oracle conventions follow kmeans.py: element-order
+`aggregate` sums (sequential in both engines), 6-dp rounds at compare
+boundaries, DECIMAL sums for order-insensitive means, explicit
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.operators.kmeans import (
+    _FINAL_ASSIGN, _assign, _kmeans_ctes, _long_form, train_centroids)
+from gmall_211027_flink_spark.operators.similarity import _with_norm
+from gmall_211027_flink_spark.registry import query
+
+# SemDeDup cosine threshold. The synthetic embedding corpus has no true
+# near-duplicates (max in-cluster cosine ~0.51 at sf0.01, ~0.60 at
+# sf0.1), so tau sits at the top of the observed similarity range to
+# exercise the prune path end-to-end; a production run on a real corpus
+# uses tau ~0.95+ — a constant change, same plan.
+SEMDEDUP_TAU = 0.45
+
+IN_DIM = 64      # embeddings table dimensionality (TESTDATA.md)
+OUT_DIM = 16     # JL target dimensionality
+JL_SAMPLE = 50   # vec_id < JL_SAMPLE form the distortion-audit pairs
+
+# Deterministic {+1,-1} matrix entry for (in-dim d, out-dim j): mix the
+# indices through an odd modulus, then take parity. Pure BIGINT
+# arithmetic -> bit-identical in Spark and DuckDB, no RNG state. (Odd
+# modulus matters: parity of d*odd + j*odd alone is just parity(d+j).)
+_SIGN = ("(CASE WHEN ((CAST({d} AS BIGINT) * 1315423911"
+         " + CAST({j} AS BIGINT) * 2654435761)"
+         " % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)")
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    {_FINAL_ASSIGN},
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id, b.c AS cluster
+      FROM afin a JOIN afin b ON a.c = b.c AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.emb, eb.emb)
+                  / (ea.norm * eb.norm), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT f.c AS cluster, COUNT(*) AS n_vecs,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_pruned,
+           CAST(COUNT(*) - COUNT(p.vec_id) AS BIGINT) AS n_kept,
+           round(CAST(COUNT(*) - COUNT(p.vec_id) AS DOUBLE) / COUNT(*), 6)
+             AS keep_rate
+    FROM afin f LEFT JOIN pruned p ON p.vec_id = f.vec_id
+    GROUP BY 1
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: per-cluster near-duplicate pruning summary.
+
+    A vector is pruned when some lower-id vector in the SAME k-means
+    cluster has cosine >= tau with it (keep-first, deterministic).
+    Output: one row per cluster with population, pruned/kept counts and
+    keep rate.
+
+    Scale shape: assignment is the broadcast-centroid map stage from
+    `kmeans_lloyd` (corpus never shuffles); the pair join is keyed on
+    cluster id, so the quadratic comparison is confined per-cluster —
+    at 100 TB you raise K so clusters stay ~1e4 vectors and the join
+    stays balanced (K here is the gate-scale 8, which makes the
+    cluster key low-cardinality; AQE skew-split covers the demo case).
+    """
+    cent = train_centroids(spark, sf_dir)
+    assign = (_assign(_long_form(spark, sf_dir), cent)
+              .select("vec_id", F.col("c").alias("cluster")))
+    e = (_with_norm(load_table(spark, sf_dir, "embeddings"))
+         .select("vec_id", "emb", "norm"))
+    m = e.join(assign, "vec_id")
+    a = m.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+                 F.col("norm").alias("a_norm"), "cluster")
+    b = m.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+                 F.col("norm").alias("b_norm"), "cluster")
+    dot = F.expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y),"
+                 " cast(0 as double), (acc, x) -> acc + x)")
+    pruned = (a.join(b, ["cluster"])
+              .filter(F.col("a_id") < F.col("b_id"))
+              .withColumn("cosine",
+                          F.round(dot / (F.col("a_norm") * F.col("b_norm")), 6))
+              .filter(F.col("cosine") >= SEMDEDUP_TAU)
+              .select("cluster", F.col("b_id").alias("vec_id"))
+              .distinct())
+    return (assign.join(pruned.withColumn("is_pruned", F.lit(1))
+                        .select("vec_id", "is_pruned"), "vec_id", "left")
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.count("is_pruned").alias("n_pruned"),
+                 (F.count("*") - F.count("is_pruned")).alias("n_kept"),
+                 F.round((F.count("*") - F.count("is_pruned"))
+                         .cast("double") / F.count("*"), 6)
+                  .alias("keep_rate")))
+
+
+def project_embeddings(df: DataFrame) -> DataFrame:
+    """JL sign-projection: (vec_id, proj: array<double>[OUT_DIM]).
+
+    Pure map-side expression — the full-corpus projection never
+    shuffles and never leaves the JVM. ``df`` needs an ``emb``
+    array<double> column (see `_with_norm`).
+    """
+    # Spark arrays: emb[d] subscript is 0-based.
+    terms = " + ".join(
+        f"emb[{d}] * {_SIGN.format(d=d, j='j')}" for d in range(IN_DIM))
+    proj = (f"transform(sequence(0, {OUT_DIM - 1}),"
+            f" j -> {terms})")
+    return df.select("vec_id", F.expr(proj).alias("proj"))
+
+
+def _jl_oracle() -> str:
+    # DuckDB lists are 1-based; d below is the 0-based logical index.
+    terms = " + ".join(
+        f"emb[{d + 1}] * {_SIGN.format(d=d, j='(j - 1)')}"
+        for d in range(IN_DIM))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id < {JL_SAMPLE}
+    ),
+    p AS (
+      SELECT vec_id, emb,
+             list_transform(generate_series(1, {OUT_DIM}),
+                            j -> {terms}) AS proj
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        sqrt(list_sum(list_transform(generate_series(1, {IN_DIM}),
+             i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i])))) AS d_orig,
+        sqrt(list_sum(list_transform(generate_series(1, {OUT_DIM}),
+             i -> (a.proj[i] - b.proj[i]) * (a.proj[i] - b.proj[i]))))
+          AS d_proj
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ),
+    r AS (
+      SELECT round(d_proj / (sqrt({OUT_DIM}.0) * d_orig), 6) AS ratio
+      FROM pairs WHERE d_orig > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ratio,
+           MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+    FROM r
+    """
+
+
+@query("embedding_random_projection", oracle=_jl_oracle())
+def embedding_random_projection(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """JL 64->16 projection + distance-distortion audit (one row).
+
+    ``ratio`` is pairwise euclidean distance after projection over
+    sqrt(OUT_DIM) x the original distance — expectation 1.0 under the
+    JL lemma; mean/min/max over the fixed ``vec_id < JL_SAMPLE`` pair
+    set quantify how much ANN recall a 4x compression would cost
+    BEFORE re-running the (much more expensive) `ann_*_recall` audits
+    on projected vectors. The audit join is over a broadcast-sized
+    sample; the projection operator itself (`project_embeddings`) is
+    corpus-wide and shuffle-free.
+    """
+    e = (_with_norm(load_table(spark, sf_dir, "embeddings"))
+         .filter(F.col("vec_id") < JL_SAMPLE)
+         .select("vec_id", "emb"))
+    p = e.join(project_embeddings(e), "vec_id")
+    a = p.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+                 F.col("proj").alias("a_proj"))
+    b = p.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+                 F.col("proj").alias("b_proj"))
+    d_orig = F.expr(
+        "sqrt(aggregate(zip_with(a_emb, b_emb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, x) -> acc + x))")
+    d_proj = F.expr(
+        "sqrt(aggregate(zip_with(a_proj, b_proj, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as double), (acc, x) -> acc + x))")
+    pairs = (a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+             .withColumn("d_orig", d_orig).withColumn("d_proj", d_proj)
+             .filter(F.col("d_orig") > 0)
+             .withColumn("ratio", F.round(
+                 F.col("d_proj") / (F.lit(float(OUT_DIM) ** 0.5)
+                                    * F.col("d_orig")), 6)))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+                / F.count("*"), 6).alias("mean_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"))

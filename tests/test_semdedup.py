@@ -1,0 +1,49 @@
+"""Semantic checks for operators/semdedup.py beyond the oracle parity
+run: keep-first invariants for SemDeDup and JL distortion bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.operators.semdedup import (
+    IN_DIM, JL_SAMPLE, OUT_DIM, embedding_random_projection,
+    project_embeddings, semdedup_prune)
+from gmall_211027_flink_spark.operators.similarity import _with_norm
+
+
+def test_semdedup_totals_and_keep_first(spark, sf_dir):
+    out = semdedup_prune(spark, sf_dir).collect()
+    n_vecs = sum(r.n_vecs for r in out)
+    total = load_table(spark, sf_dir, "embeddings").count()
+    # every vector lands in exactly one cluster row
+    assert n_vecs == total
+    for r in out:
+        assert r.n_pruned + r.n_kept == r.n_vecs
+        # keep-first: at least one survivor per non-empty cluster (the
+        # cluster-min id can never have a lower-id mate)
+        assert r.n_kept >= 1
+        assert 0.0 <= r.keep_rate <= 1.0
+
+
+def test_jl_projection_shape_and_determinism(spark, sf_dir):
+    e = (_with_norm(load_table(spark, sf_dir, "embeddings"))
+         .filter(F.col("vec_id") < 10).select("vec_id", "emb"))
+    p1 = {r.vec_id: r.proj for r in project_embeddings(e).collect()}
+    p2 = {r.vec_id: r.proj for r in project_embeddings(e).collect()}
+    assert p1 == p2  # no RNG state anywhere
+    assert all(len(v) == OUT_DIM for v in p1.values())
+    # the sign matrix actually mixes: projected dims differ per vector
+    assert any(len(set(v)) > 1 for v in p1.values())
+
+
+def test_jl_distortion_within_loose_bounds(spark, sf_dir):
+    row = embedding_random_projection(spark, sf_dir).collect()[0]
+    assert row.n_pairs == JL_SAMPLE * (JL_SAMPLE - 1) // 2
+    # JL with k=16 of d=64: expect ratio ~1 with heavy-ish tails; these
+    # bounds are loose sanity (a sign-matrix bug drives ratio far off)
+    assert 0.7 <= row.mean_ratio <= 1.3
+    assert row.min_ratio > 0.05
+    assert row.max_ratio < 4.0
+    assert row.min_ratio <= row.mean_ratio <= row.max_ratio
+    assert IN_DIM == 64 and OUT_DIM == 16
