@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
-from gmall_211027_flink_spark.registry import query
+from gmall_211027_flink_spark.registry import ORACLES, query
 
 # tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
 STOPWORDS = {
@@ -662,3 +662,156 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bigrams"),
              F.round(F.sum(logprob) / F.count("*"), 6).alias("avg_logprob"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: rank adjacent word pairs by pointwise mutual
+# information — the classic phrase-mining signal (Church & Hanks 1990)
+# a tokenizer-vocabulary pipeline runs to promote multi-word units.
+#
+# Scale shape: two two-phase counts (unigrams, adjacent bigrams — both
+# map-side partial), the two scalar totals ride in as broadcast rows,
+# the bigram->unigram joins are keyed hash joins (vocab can exceed
+# broadcast size; AQE decides), and the final top-k is a rank over one
+# small filtered set. PMI is ln of double ratios of exact counts with
+# the repo's 6-dp boundary round; ties at equal rounded PMI break on
+# the bigram string, so the top-k cut is a total order in both engines.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR_CT = 5     # ignore rare pairs (PMI explodes on singletons)
+PMI_TOP_K = 50
+
+
+@query(
+    "vocab_pmi_topk",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    inst AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    uni AS (
+      SELECT w1 AS word, COUNT(*) AS c FROM
+        (SELECT unnest(w) AS w1 FROM toks) GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM inst) AS n2
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY 1, 2
+      HAVING COUNT(*) >= {PMI_MIN_PAIR_CT}
+    ),
+    scored AS (
+      SELECT b.w1 || ' ' || b.w2 AS bigram, b.c2 AS pair_ct,
+             round(ln((CAST(b.c2 AS DOUBLE) / t.n2)
+                      / ((CAST(ua.c AS DOUBLE) / t.n1)
+                         * (CAST(ub.c AS DOUBLE) / t.n1))), 6) AS pmi
+      FROM big b
+      JOIN uni ua ON ua.word = b.w1
+      JOIN uni ub ON ub.word = b.w2
+      CROSS JOIN tot t
+    )
+    SELECT bigram, pair_ct, pmi FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rk
+      FROM scored
+    ) WHERE rk <= {PMI_TOP_K}
+    """,
+)
+def vocab_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-pair collocations by PMI (pair count >= threshold)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w"))
+    inst = docs.select(F.explode(F.expr(
+        "case when size(w) >= 2 then"
+        " transform(sequence(1, size(w) - 1),"
+        "  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"
+        " else array() end")).alias("p")).select("p.w1", "p.w2")
+    uni = (docs.select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n1")).crossJoin(
+        inst.agg(F.count("*").cast("bigint").alias("n2")))
+    big = (inst.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+           .filter(F.col("c2") >= PMI_MIN_PAIR_CT))
+    ua = uni.select(F.col("word").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("c").alias("cb"))
+    scored = (big.join(ua, "w1").join(ub, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  F.concat_ws(" ", "w1", "w2").alias("bigram"),
+                  F.col("c2").alias("pair_ct"),
+                  F.round(F.log(
+                      (F.col("c2").cast("double") / F.col("n2"))
+                      / ((F.col("ca").cast("double") / F.col("n1"))
+                         * (F.col("cb").cast("double") / F.col("n1")))), 6)
+                   .alias("pmi")))
+    w = Window.orderBy(F.desc("pmi"), "bigram")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= PMI_TOP_K)
+            .select("bigram", "pair_ct", "pmi"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold calibration: instead of hand-picking an LM-score
+# cutoff, set it so a TARGET fraction of the corpus survives (the CCNet
+# recipe: keep the best X% by perplexity), then report the per-language
+# keep rates that cutoff implies — the skew report a curation run reads
+# before freezing the threshold (a global cutoff silently starves
+# languages the LM models badly).
+#
+# Scale shape: scores come from the driver-proven text_lm_score plan;
+# the exact interpolated percentile is one single-reduction aggregate
+# over the scalar score column (at 100 TB swap in approx_percentile —
+# same plan, bounded-error knob); the cutoff broadcasts back as one row
+# and the verdict count is a (lang) two-phase agg. Both engines compute
+# the same (n-1)*p linear interpolation (Spark `percentile` == DuckDB
+# `quantile_cont`), re-synced by the 6-dp boundary round.
+# ---------------------------------------------------------------------------
+
+QCAL_KEEP_TARGET = 0.8      # keep the top 80% of docs by LM score
+
+
+@query(
+    "quality_threshold_calibration",
+    oracle=f"""
+    WITH scores AS ({{lm}}),
+    cut AS (
+      SELECT round(quantile_cont(avg_logprob, {1 - QCAL_KEEP_TARGET}), 6)
+        AS threshold
+      FROM scores
+    )
+    SELECT d.lang, cut.threshold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.avg_logprob >= cut.threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN s.avg_logprob >= cut.threshold
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS keep_rate
+    FROM scores s
+    JOIN documents d ON d.doc_id = s.doc_id
+    CROSS JOIN cut
+    GROUP BY 1, 2
+    """,
+)
+def quality_threshold_calibration(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Keep-rate-calibrated LM-score cutoff + per-language keep rates."""
+    scores = text_lm_score(spark, sf_dir)
+    cut = scores.agg(F.round(
+        F.expr(f"percentile(avg_logprob, {1 - QCAL_KEEP_TARGET})"), 6)
+        .alias("threshold"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = F.sum(F.when(F.col("avg_logprob") >= F.col("threshold"), 1)
+                 .otherwise(0))
+    return (scores.join(docs, "doc_id")
+            .crossJoin(F.broadcast(cut))
+            .groupBy("lang", "threshold")
+            .agg(F.count("*").alias("n_docs"),
+                 kept.cast("bigint").alias("n_kept"),
+                 F.round(kept.cast("double") / F.count("*"), 6)
+                  .alias("keep_rate")))
+
+
+ORACLES["quality_threshold_calibration"] = (
+    ORACLES["quality_threshold_calibration"].format(
+        lm=ORACLES["text_lm_score"]))
