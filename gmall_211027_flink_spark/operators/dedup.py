@@ -340,8 +340,26 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh (band self-join) and decontaminate_fuzzy_minhash
     (band join against the eval suite).
     """
+    return _bands_from_shingle_arrays(_shingle_arrays(spark, sf_dir))
+
+
+def bands_for_docs(docs: DataFrame) -> DataFrame:
+    """LSH bands for an arbitrary (doc_id, text) frame — the
+    per-micro-batch entry point for streaming ingest dedup (no cache:
+    each batch is consumed once)."""
+    wdocs = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform("
+            " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
+            " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
+        ).alias("sh_arr"),
+    )
+    return _bands_from_shingle_arrays(wdocs)
+
+
+def _bands_from_shingle_arrays(wdocs: DataFrame) -> DataFrame:
     rows = N_MINHASH // N_BANDS
-    wdocs = _shingle_arrays(spark, sf_dir)
     # Docs with EMPTY shingle sets (shorter than the n-gram width) have
     # no signature: array_min over empty is null, every such doc would
     # share one all-null band key, and the 0-size "candidates" divide by

@@ -898,3 +898,96 @@ def dws_incremental_agg_maintenance(spark: SparkSession,
     return store.read(spark).select(
         "event_type", "dt", "pv_ct",
         F.col("value_sum").cast("double").alias("value_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingest: maintain the MinHash-LSH bucket store one
+# micro-batch at a time. Each commit computes the batch's constant-size
+# band signatures map-side (operators/dedup.py::bands_for_docs — the
+# same math as the driver-proven dedup_minhash_lsh) and min-merges
+# (bucket -> canonical doc_id, population) into the keyed store: commit
+# cost is O(batch), store size is O(distinct buckets), and because
+# MIN/COUNT are order-insensitive the final store is identical for ANY
+# slicing/ordering of the crawl — which is what the oracle checks by
+# comparing against the one-shot batch computation. The dup verdict
+# ("shares a bucket with a lower-id doc") is then a band join against
+# the store: at 100 TB the per-batch verdict join touches only the
+# batch's buckets (O(batch)); the corpus-wide summary emitted here is
+# the end-of-crawl audit read.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_dedup_minhash_incremental",
+    oracle=None,  # assigned below (reuses dedup.py band CTE fragments)
+)
+def stream_dedup_minhash_incremental(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gmall_211027_flink_spark.operators.dedup import (
+        bands_for_docs, minhash_bands)
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    from gmall_211027_flink_spark.catalog import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="lsh_store_gate_")
+    store = IncrementalAggStore(
+        f"{d}/store", ["band_id", "band_key"],
+        {"min_doc": ("min", "doc_id"), "n_docs": ("count", None)})
+    # three deterministic crawl slices = three commits (doc_id mod 3 —
+    # deliberately interleaved, NOT contiguous ranges, so the
+    # order-insensitivity claim is actually exercised)
+    for i in range(3):
+        sl = bands_for_docs(docs.filter(F.col("doc_id") % 3 == i))
+        store.write_batch(sl, i)
+    buckets = store.read(spark)
+    bands = minhash_bands(spark, sf_dir)
+    per_doc = (bands.join(buckets, ["band_id", "band_key"])
+               .groupBy("doc_id")
+               .agg(F.min("min_doc").alias("best_mate")))
+    verdicts = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("best_mate") < F.col("doc_id"), 1).otherwise(0))
+         .cast("bigint").alias("n_dup_candidates"))
+    bucket_stats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+         .cast("bigint").alias("n_collision_buckets"))
+    return (verdicts.crossJoin(bucket_stats)
+            .select("n_docs", "n_dup_candidates",
+                    (F.col("n_docs") - F.col("n_dup_candidates"))
+                    .alias("n_kept"),
+                    "n_buckets", "n_collision_buckets"))
+
+
+def _lsh_incremental_oracle() -> str:
+    from gmall_211027_flink_spark.operators.dedup import (
+        _SHINGLES_SQL, _minhash_bands_sql)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_minhash_bands_sql()},
+    mins AS (
+      SELECT band_id, band_key, MIN(doc_id) AS min_doc, COUNT(*) AS c
+      FROM bands GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT b.doc_id, MIN(m.min_doc) AS best_mate
+      FROM bands b JOIN mins m
+        ON m.band_id = b.band_id AND m.band_key = b.band_key
+      GROUP BY 1
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc) AS n_docs,
+      (SELECT CAST(SUM(CASE WHEN best_mate < doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) FROM per_doc) AS n_dup_candidates,
+      (SELECT CAST(SUM(CASE WHEN best_mate >= doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) FROM per_doc) AS n_kept,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM mins) AS n_buckets,
+      (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM mins) AS n_collision_buckets
+    """
+
+
+from gmall_211027_flink_spark.registry import ORACLES as _OR  # noqa: E402
+_OR["stream_dedup_minhash_incremental"] = _lsh_incremental_oracle()

@@ -71,3 +71,32 @@ def test_unmergeable_spec_rejected(tmp_path):
     with pytest.raises(ValueError, match="avg"):
         IncrementalAggStore(str(tmp_path / "x"), ["k"],
                             {"a": ("avg", "v")})
+
+
+def test_lsh_store_slicing_invariant(spark, sf_dir, tmp_path):
+    """The MinHash bucket store is identical whatever micro-batch
+    slicing the crawl arrives in (MIN/COUNT are order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.dedup import bands_for_docs
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fold(path, slices):
+        store = IncrementalAggStore(
+            str(path), ["band_id", "band_key"],
+            {"min_doc": ("min", "doc_id"), "n_docs": ("count", None)})
+        for i, sl in enumerate(slices):
+            store.write_batch(bands_for_docs(sl), i)
+        return sorted(map(tuple, store.read(spark).collect()))
+
+    one = fold(tmp_path / "one", [docs])
+    mod3 = fold(tmp_path / "mod3",
+                [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)])
+    rev = fold(tmp_path / "rev",
+               [docs.filter(F.col("doc_id") % 3 == i) for i in (2, 0, 1)])
+    assert one == mod3 == rev
+    assert len(one) > 0
