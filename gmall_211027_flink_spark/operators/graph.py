@@ -143,3 +143,94 @@ def graph_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component_size", w_sz)
         .withColumn("is_root", F.col("part_id") == F.col("component_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration) over the same co-purchase graph — the
+# canonical iterative-propagation workload beyond min-label CC (the
+# part-importance ranking the publisher's "top products" page would
+# want weighted by co-purchase structure, and the template for any
+# random-walk scoring at 100 TB).
+#
+# Determinism/oracle strategy (kmeans.py conventions): FIXED iteration
+# count, exact DECIMAL(28,14) contribution sums (associative ->
+# partition-order-proof; double SUM would be order-sensitive), the
+# per-iteration rank re-synced in both engines by the decimal cast, and
+# one 8-dp boundary round at output. The symmetrized edge list has no
+# dangling nodes (every node has out-degree >= 1), so no dangling-mass
+# term. Scale shape: each iteration is ONE shuffle join keyed by node
+# (ranks are node-sized, edges are the big side — the Pregel layout);
+# localCheckpoint truncates the per-round lineage like CC above.
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITER = 3
+
+
+def _pagerank_ctes() -> str:
+    ctes = [f"""
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / n.n_nodes AS r FROM deg, n)"""]
+    for it in range(1, PR_ITER + 1):
+        prev = f"r{it - 1}"
+        ctes.append(f"""
+    r{it} AS (
+      SELECT e.v AS node,
+             (1 - {PR_DAMPING}) / n.n_nodes
+             + {PR_DAMPING} * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(28,14)))
+                                   AS DOUBLE) AS r
+      FROM edges e
+      JOIN {prev} p ON p.node = e.u
+      JOIN deg ON deg.u = e.u
+      CROSS JOIN n
+      GROUP BY 1, n.n_nodes
+    )""")
+    return ",".join(ctes)
+
+
+@query(
+    "graph_pagerank_copurchase",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_pagerank_ctes()}
+    SELECT node AS part_id, round(r, 8) AS pagerank
+    FROM r{PR_ITER}
+    """,
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 iterations) over the co-purchase graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (op.alias("a").join(op.alias("b"),
+             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+             & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count("*").alias("ct"))
+             .filter(F.col("ct") >= MIN_TOGETHER)
+             .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint())
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    n_nodes = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = (deg.crossJoin(F.broadcast(n_nodes))
+             .select(F.col("u").alias("node"),
+                     (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+             .localCheckpoint())
+    for _ in range(PR_ITER):
+        contrib = (edges.join(ranks, edges.u == ranks.node)
+                   .join(deg, "u")
+                   .select("v", (F.col("r") / F.col("d"))
+                           .cast("decimal(28,14)").alias("c")))
+        ranks = (contrib.groupBy(F.col("v").alias("node"))
+                 .agg(F.sum("c").cast("double").alias("s"))
+                 .crossJoin(F.broadcast(n_nodes))
+                 .select("node",
+                         ((1 - PR_DAMPING) / F.col("n_nodes")
+                          + PR_DAMPING * F.col("s")).alias("r"))
+                 .localCheckpoint())
+    return ranks.select(F.col("node").alias("part_id"),
+                        F.round("r", 8).alias("pagerank"))

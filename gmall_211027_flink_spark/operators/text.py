@@ -815,3 +815,64 @@ def quality_threshold_calibration(spark: SparkSession,
 ORACLES["quality_threshold_calibration"] = (
     ORACLES["quality_threshold_calibration"].format(
         lm=ORACLES["text_lm_score"]))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction, step 1: corpus-weighted adjacent-symbol-pair
+# counts. This is the distributed-expensive half of BPE training
+# (Sennrich et al. 2016): count every adjacent character pair weighted
+# by word frequency; the argmax pair becomes the next merge rule. The
+# driver-side training loop then applies the merge and re-counts —
+# each round is exactly this plan over a (small, cached) vocab table,
+# so the gate query covers the round shape once.
+#
+# Scale shape: the word-frequency table is the only corpus-sized agg
+# (two-phase count over the token explode); pair expansion runs over
+# the VOCAB (Zipf: orders of magnitude smaller than the corpus) with
+# integer weights — all-exact arithmetic, no float boundary at all.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 50
+
+
+@query(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w1 AS word, COUNT(*) AS ct FROM
+        (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2, ct
+      FROM wc, UNNEST(generate_series(1, len(word) - 1)) AS t(i)
+      WHERE len(word) >= 2
+    ),
+    agg AS (
+      SELECT c1 || c2 AS merge_pair, CAST(SUM(ct) AS BIGINT) AS pair_ct
+      FROM p GROUP BY 1
+    )
+    SELECT merge_pair, pair_ct FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_ct DESC, merge_pair) AS rk
+      FROM agg
+    ) WHERE rk <= {BPE_TOP_K}
+    """,
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BPE merge candidates (adjacent char pairs, corpus-weighted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("ct")))
+    p = wc.select(
+        "ct",
+        F.explode(F.expr(
+            "case when length(word) >= 2 then"
+            " transform(sequence(1, length(word) - 1),"
+            "  i -> concat(substring(word, i, 1), substring(word, i + 1, 1)))"
+            " else array() end")).alias("merge_pair"))
+    agg = (p.groupBy("merge_pair")
+           .agg(F.sum("ct").cast("bigint").alias("pair_ct")))
+    w = Window.orderBy(F.desc("pair_ct"), "merge_pair")
+    return (agg.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= BPE_TOP_K)
+            .select("merge_pair", "pair_ct"))
