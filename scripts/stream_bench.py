@@ -178,6 +178,26 @@ def main() -> None:
         "rows": n_li, "sec": round(sec, 2),
         "rows_per_sec": round(n_li / sec)}
 
+    # 8. incremental MinHash-LSH bucket store (streaming near-dup ingest)
+    t0 = time.perf_counter()
+    from gmall_211027_flink_spark.operators.dedup import bands_for_docs
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    tmp8 = tempfile.mkdtemp(prefix="sb_lsh_")
+    doc_stream = (spark.readStream.schema(doc_schema)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf_dir).select("doc_id", "text"))
+    lsh_store = IncrementalAggStore(
+        f"{tmp8}/store", ["band_id", "band_key"],
+        {"min_doc": ("min", "doc_id"), "n_docs": ("count", None)})
+    q = run_incremental_agg(bands_for_docs(doc_stream), lsh_store,
+                            f"{tmp8}/ckpt")
+    q.awaitTermination(600)
+    sec = time.perf_counter() - t0
+    results["lsh_bucket_store_maintenance"] = {
+        "rows": n_docs, "sec": round(sec, 2),
+        "rows_per_sec": round(n_docs / sec)}
+
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
                       "paths": results}))
 

@@ -353,3 +353,37 @@ def test_like_prefix_filter_pushes_to_scan(spark, sf_dir):
     df.collect()
     plan = executed_plan(df)
     assert "StringStartsWith(o_orderpriority,1-)" in plan, plan
+
+
+def test_jl_projection_is_shuffle_free(spark, sf_dir):
+    """project_embeddings must be a pure map stage: no Exchange, no UDF."""
+    from gmall_211027_flink_spark.operators.semdedup import project_embeddings
+    from gmall_211027_flink_spark.operators.similarity import _with_norm
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb")
+    p = project_embeddings(e)
+    p.collect()
+    plan = executed_plan(p)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_semdedup_pair_join_is_cluster_keyed_hash_join(spark, sf_dir):
+    """The quadratic comparison must be an equi-join on the cluster key,
+    never a cartesian/nested-loop over the corpus."""
+    from gmall_211027_flink_spark.operators.semdedup import semdedup_prune
+    df = semdedup_prune(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_iteration_joins_stay_keyed(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.graph import (
+        graph_pagerank_copurchase)
+    df = graph_pagerank_copurchase(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    # final iteration: contribution join keyed by node, no nested loop
+    # (the only BroadcastNestedLoop allowed is the 1-row n_nodes attach)
+    assert "CartesianProduct" not in plan, plan
