@@ -222,3 +222,92 @@ def sample_weighted_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (keyed.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= PPSWOR_N)
             .select("source", "rk", "doc_id", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff: classify every primary key across two corpus
+# versions as added / removed / changed / unchanged — the audit a
+# pipeline runs between crawl refreshes before retraining ("how much
+# actually moved?"), and the input to incremental reprocessing (only
+# added+changed docs re-enter the dedup/quality stages).
+#
+# The v2 snapshot here is derived deterministically from v1 so both
+# engines see identical inputs: doc_id % 11 == 3 dropped (removals),
+# doc_id % 7 == 0 re-texted (changes), and a doc_id+offset slice
+# re-keyed (additions). The operator itself is version-agnostic: a full
+# outer join on the pk comparing content digests. At 100 TB both
+# snapshots are bucketed by pk at write time, so the diff is a
+# zero-shuffle co-located merge (operators/bucketing.py shape) and the
+# per-status counts are two-phase aggs.
+# ---------------------------------------------------------------------------
+
+SNAP_ADD_OFFSET = 1_000_000
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
+                  digest_col: str) -> DataFrame:
+    """(pk, status) for every key in either snapshot; digest_col is a
+    precomputed content-hash column present in both frames."""
+    o = old.select(F.col(pk).alias("k"), F.col(digest_col).alias("oh"))
+    n = new.select(F.col(pk).alias("k"), F.col(digest_col).alias("nh"))
+    return (o.join(n, "k", "full_outer")
+            .select("k",
+                    F.when(F.col("oh").isNull(), F.lit("added"))
+                     .when(F.col("nh").isNull(), F.lit("removed"))
+                     .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+                     .otherwise(F.lit("unchanged")).alias("status")))
+
+
+@query(
+    "dataset_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h, source FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') ELSE md5(text)
+             END AS h,
+             source
+      FROM documents WHERE doc_id % 11 <> 3
+      UNION ALL
+      SELECT doc_id + {SNAP_ADD_OFFSET}, md5(text), source
+      FROM documents WHERE doc_id % 13 = 5
+    ),
+    d AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS k,
+             COALESCE(v2.source, v1.source) AS source,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM d GROUP BY 1, 2
+    """,
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source added/removed/changed/unchanged counts between two
+    deterministic snapshot versions of the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"), "source")
+    v2 = (docs.filter(F.col("doc_id") % 11 != 3)
+          .select("doc_id",
+                  F.when(F.col("doc_id") % 7 == 0,
+                         F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+                   .otherwise(F.md5("text")).alias("h"),
+                  "source")
+          .unionAll(docs.filter(F.col("doc_id") % 13 == 5)
+                    .select((F.col("doc_id") + SNAP_ADD_OFFSET)
+                            .alias("doc_id"),
+                            F.md5("text").alias("h"), "source")))
+    o = v1.select(F.col("doc_id").alias("k"), F.col("h").alias("oh"),
+                  F.col("source").alias("os"))
+    n = v2.select(F.col("doc_id").alias("k"), F.col("h").alias("nh"),
+                  F.col("source").alias("ns"))
+    d = (o.join(n, "k", "full_outer")
+         .select(F.coalesce("ns", "os").alias("source"),
+                 F.when(F.col("oh").isNull(), F.lit("added"))
+                  .when(F.col("nh").isNull(), F.lit("removed"))
+                  .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+                  .otherwise(F.lit("unchanged")).alias("status")))
+    return d.groupBy("source", "status").agg(F.count("*").alias("n_docs"))
