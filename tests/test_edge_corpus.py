@@ -50,6 +50,9 @@ _DOC_QUERIES = [
     "sample_split_stratified", "sample_stratified_downsample",
     "sample_deterministic_shuffle",
     "stream_dedup_exact_documents", "stream_sample_ingest",
+    # round-4 additions
+    "vocab_pmi_topk", "quality_threshold_calibration", "bpe_top_merges",
+    "dataset_snapshot_diff", "stream_dedup_minhash_incremental",
 ]
 
 
