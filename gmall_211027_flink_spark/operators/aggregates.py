@@ -893,3 +893,48 @@ def stats_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               * 100 <= F.col("exact_ct") * HLL_TOL_PCT)
     return agg.select("l_returnflag", "exact_ct",
                       within.alias("approx_within_5pct"))
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile accuracy audit — the quantile twin of the HLL audit
+# above: Spark's Greenwald-Khanna sketch guarantees RANK error
+# <= 1/accuracy, so the audited claim is that the approximate median's
+# value lies between the exact interpolated percentiles at p +/- the
+# rank bound (doubled for slack). The oracle can't reproduce the sketch
+# (and must not — that's the point of an audit), but it reproduces the
+# exact bracket and asserts the verdict column TRUE: if Spark's sketch
+# ever violated its bound, the Spark side would emit FALSE and the row
+# would hash-mismatch. This is the pre-flight a pipeline runs before
+# replacing exact `percentile` (single-reduction, memory-heavy at
+# 100 TB) with the mergeable constant-memory sketch.
+# ---------------------------------------------------------------------------
+
+APCT_ACCURACY = 100       # GK accuracy knob -> rank error <= 1/100
+APCT_P = 0.5
+
+
+@query(
+    "stats_approx_percentile_audit",
+    oracle=f"""
+    SELECT event_type,
+           round(quantile_cont(value, {APCT_P}), 6) AS exact_p50,
+           TRUE AS approx_within_rank_bound
+    FROM events GROUP BY 1
+    """,
+)
+def stats_approx_percentile_audit(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # bracket at p +/- 2/accuracy: doubled rank-bound slack
+    agg = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {APCT_P})").alias("exact_raw"),
+        F.expr(f"percentile(value, {APCT_P - 2.0 / APCT_ACCURACY})")
+         .alias("lo"),
+        F.expr(f"percentile(value, {APCT_P + 2.0 / APCT_ACCURACY})")
+         .alias("hi"),
+        F.expr(f"approx_percentile(value, {APCT_P}, {APCT_ACCURACY})")
+         .alias("approx"))
+    within = (F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))
+    return agg.select("event_type",
+                      F.round("exact_raw", 6).alias("exact_p50"),
+                      within.alias("approx_within_rank_bound"))
