@@ -228,3 +228,98 @@ def embedding_random_projection(spark: SparkSession,
                 / F.count("*"), 6).alias("mean_ratio"),
         F.min("ratio").alias("min_ratio"),
         F.max("ratio").alias("max_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Recall cost of the 4x compression: brute-force top-k in the PROJECTED
+# 16-d space vs the exact 64-d ranking. This is the measurement that
+# decides whether the JL-projected corpus can replace the full-width
+# one for candidate generation (recall ~1 -> score in 16-d and
+# re-rank only the top candidates in 64-d; recall low -> raise OUT_DIM).
+# Same shape as ann_ivf_recall: the exact baseline reuses the
+# driver-proven ann_cosine_topk oracle verbatim.
+# ---------------------------------------------------------------------------
+
+def _projected_recall_oracle() -> str:
+    from gmall_211027_flink_spark.operators.similarity import (
+        N_QUERIES, TOP_K)
+    from gmall_211027_flink_spark.registry import ORACLES
+    terms = " + ".join(
+        f"emb[{d + 1}] * {_SIGN.format(d=d, j='(j - 1)')}"
+        for d in range(IN_DIM))
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {OUT_DIM}),
+                            j -> {terms}) AS proj
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    pn AS (
+      SELECT vec_id, proj,
+             sqrt(list_dot_product(proj, proj)) AS norm FROM p
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.proj, c.proj) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM pn q JOIN pn c ON q.vec_id < {N_QUERIES}
+                         AND c.vec_id <> q.vec_id
+    ),
+    proj_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    exact AS ({ORACLES["ann_cosine_topk"]})
+    SELECT e.query_id, COUNT(*) AS exact_k,
+           COUNT(pt.neighbor_id) AS found_ct,
+           round(CAST(COUNT(pt.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN proj_topk pt ON pt.query_id = e.query_id
+                          AND pt.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("ann_projected_recall", oracle=_projected_recall_oracle())
+def ann_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of brute-force top-k in JL-projected 16-d space vs the
+    exact 64-d ranking, per query vector."""
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.operators.similarity import (
+        N_QUERIES, TOP_K, ann_cosine_topk)
+
+    e = (_with_norm(load_table(spark, sf_dir, "embeddings"))
+         .select("vec_id", "emb"))
+    p = (project_embeddings(e)
+         .withColumn("norm", F.expr(
+             "sqrt(aggregate(proj, cast(0 as double),"
+             " (acc, x) -> acc + x * x))")))
+    q = (p.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("proj").alias("qp"), F.col("norm").alias("qn")))
+    c = p.select(F.col("vec_id").alias("neighbor_id"), "proj", "norm")
+    dot = F.expr("aggregate(zip_with(qp, proj, (x, y) -> x * y),"
+                 " cast(0 as double), (acc, x) -> acc + x)")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               "neighbor_id")
+    proj_topk = (c.join(F.broadcast(q),
+                        F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("cosine",
+                             F.round(dot / (F.col("qn") * F.col("norm")), 6))
+                 .withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= TOP_K)
+                 .select("query_id", "neighbor_id",
+                         F.lit(1).alias("hit")))
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (exact.join(proj_topk, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("exact_k"),
+                 F.count("hit").alias("found_ct"),
+                 F.round(F.count("hit").cast("double") / F.count("*"), 6)
+                  .alias("recall_at_k")))
