@@ -47,3 +47,36 @@ def test_jl_distortion_within_loose_bounds(spark, sf_dir):
     assert row.max_ratio < 4.0
     assert row.min_ratio <= row.mean_ratio <= row.max_ratio
     assert IN_DIM == 64 and OUT_DIM == 16
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Ranks stay positive and total mass ~1 (symmetrized graph, no
+    dangling nodes, so PageRank mass is conserved each iteration)."""
+    from gmall_211027_flink_spark.operators.graph import (
+        graph_pagerank_copurchase)
+    rows = graph_pagerank_copurchase(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.pagerank > 0 for r in rows)
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-4
+
+
+def test_snapshot_diff_counts_match_modular_classes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sampling import (
+        dataset_snapshot_diff)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    removed = docs.filter(F.col("doc_id") % 11 == 3).count()
+    added = docs.filter(F.col("doc_id") % 13 == 5).count()
+    by = {s: 0 for s in ("added", "removed", "changed", "unchanged")}
+    for r in dataset_snapshot_diff(spark, sf_dir).collect():
+        by[r.status] += r.n_docs
+    assert by["removed"] == removed
+    assert by["added"] == added
+    # changed = doc_id % 7 == 0 among the surviving keys
+    changed = docs.filter((F.col("doc_id") % 7 == 0)
+                          & (F.col("doc_id") % 11 != 3)).count()
+    assert by["changed"] == changed
+    assert sum(by.values()) == n + added
