@@ -256,3 +256,61 @@ def multimodal_sniff_magic_bytes(spark: SparkSession,
         .agg(F.count("*").alias("doc_ct"),
              F.sum("body_len").cast("bigint").alias("payload_bytes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Payload-level exact dedup across modalities: the image/audio twin of
+# dedup_exact — digest the binary payload, count copies per digest, and
+# report per-modality dedup potential (distinct payloads, duplicate
+# copies, bytes reclaimable). At 100 TB the digest is computed in the
+# scan stage (the payload column never shuffles — only the 16-byte
+# digest and byte_len do) and both aggregations are two-phase.
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS digest,
+             CAST(length(text) AS BIGINT) AS byte_len
+      FROM documents
+    ),
+    per_digest AS (
+      SELECT media_type, digest, COUNT(*) AS copies,
+             MIN(byte_len) AS byte_len
+      FROM media GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(SUM(copies) AS BIGINT) AS n_payloads,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(copies - 1) AS BIGINT) AS n_dup_copies,
+           CAST(SUM((copies - 1) * byte_len) AS BIGINT) AS bytes_reclaimable
+    FROM per_digest GROUP BY 1
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality duplicate-payload summary over the binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    per_digest = (media.select(
+        "media_type", F.md5("payload").alias("digest"),
+        F.length("payload").cast("bigint").alias("byte_len"))
+        .groupBy("media_type", "digest")
+        .agg(F.count("*").alias("copies"), F.min("byte_len").alias("bl")))
+    return (per_digest.groupBy("media_type")
+            .agg(F.sum("copies").cast("bigint").alias("n_payloads"),
+                 F.count("*").alias("n_distinct"),
+                 F.sum(F.col("copies") - 1).cast("bigint")
+                  .alias("n_dup_copies"),
+                 F.sum((F.col("copies") - 1) * F.col("bl")).cast("bigint")
+                  .alias("bytes_reclaimable")))
