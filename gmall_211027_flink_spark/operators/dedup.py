@@ -74,6 +74,19 @@ def _threshold_fraction_floor(x: float, max_den: int = 1000):
 _JT_NUM, _JT_DEN = _threshold_fraction_floor(JACCARD_THRESHOLD)
 
 
+# Shared word-3-gram shingle-SET expression (input column `w` = split
+# words). The if() guard matters: Spark's sequence(1, 0) infers step -1
+# and yields [1, 0] -> element_at out-of-bounds on sub-3-word docs
+# (DuckDB's generate_series(1, 0) is empty, so oracles never see it).
+# ONE definition for batch (_shingle_arrays) and streaming
+# (bands_for_docs) so the two paths cannot silently diverge.
+_SHINGLE_ARR_SQL = (
+    "array_distinct(transform("
+    " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
+    " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
+)
+
+
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_arr): the distinct word-3-gram shingle SET per doc, as
     an array column — computed in one map stage and cached.
@@ -98,13 +111,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs (found by the prefix-filter property test; DuckDB's
     # generate_series(1, 0) is empty, so the oracles never saw it)
     wdocs = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform("
-            " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
-            " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
-        ).alias("sh_arr"),
-    ).cache()
+        "doc_id", F.expr(_SHINGLE_ARR_SQL).alias("sh_arr")).cache()
     wdocs.count()  # materialize eagerly: parallel downstream stages would
     # otherwise race to recompute the cached subtree
     return wdocs
@@ -346,16 +353,11 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bands_for_docs(docs: DataFrame) -> DataFrame:
     """LSH bands for an arbitrary (doc_id, text) frame — the
     per-micro-batch entry point for streaming ingest dedup (no cache:
-    each batch is consumed once)."""
-    wdocs = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform("
-            " if(size(w) >= 3, sequence(1, size(w)-2), cast(array() as array<int>)),"
-            " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
-        ).alias("sh_arr"),
-    )
-    return _bands_from_shingle_arrays(wdocs)
+    each batch is consumed once). Shares the shingle expression with
+    the batch path so stream and batch bands can never diverge."""
+    return _bands_from_shingle_arrays(
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.expr(_SHINGLE_ARR_SQL).alias("sh_arr")))
 
 
 def _bands_from_shingle_arrays(wdocs: DataFrame) -> DataFrame:

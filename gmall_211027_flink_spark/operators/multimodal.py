@@ -276,7 +276,9 @@ def multimodal_sniff_magic_bytes(spark: SparkSession,
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS media_type,
              md5(text) AS digest,
-             CAST(length(text) AS BIGINT) AS byte_len
+             -- octets, not characters: Spark's length(BINARY) counts
+             -- UTF-8 bytes, so a non-ASCII corpus must still match
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
       FROM documents
     ),
     per_digest AS (

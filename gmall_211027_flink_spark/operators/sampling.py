@@ -245,17 +245,30 @@ SNAP_ADD_OFFSET = 1_000_000
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
-                  digest_col: str) -> DataFrame:
-    """(pk, status) for every key in either snapshot; digest_col is a
-    precomputed content-hash column present in both frames."""
-    o = old.select(F.col(pk).alias("k"), F.col(digest_col).alias("oh"))
-    n = new.select(F.col(pk).alias("k"), F.col(digest_col).alias("nh"))
+                  digest_col: str, carry: list[str] | None = None) -> DataFrame:
+    """(pk, status, *carry) for every key in either snapshot; digest_col
+    is a precomputed content-hash column present in both frames.
+
+    Presence is judged by explicit side markers, NOT by digest
+    null-ness — a NULL digest (e.g. md5 of a NULL payload) on both
+    sides must classify as unchanged, not added. ``carry`` columns are
+    taken from the new side when present, else the old side.
+    """
+    carry = carry or []
+    o = old.select(F.col(pk).alias("k"), F.col(digest_col).alias("oh"),
+                   F.lit(1).alias("in_old"),
+                   *[F.col(c).alias(f"o_{c}") for c in carry])
+    n = new.select(F.col(pk).alias("k"), F.col(digest_col).alias("nh"),
+                   F.lit(1).alias("in_new"),
+                   *[F.col(c).alias(f"n_{c}") for c in carry])
+    status = (F.when(F.col("in_old").isNull(), F.lit("added"))
+              .when(F.col("in_new").isNull(), F.lit("removed"))
+              .when(~F.col("oh").eqNullSafe(F.col("nh")), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
     return (o.join(n, "k", "full_outer")
-            .select("k",
-                    F.when(F.col("oh").isNull(), F.lit("added"))
-                     .when(F.col("nh").isNull(), F.lit("removed"))
-                     .when(F.col("oh") != F.col("nh"), F.lit("changed"))
-                     .otherwise(F.lit("unchanged")).alias("status")))
+            .select("k", status.alias("status"),
+                    *[F.coalesce(f"n_{c}", f"o_{c}").alias(c)
+                      for c in carry]))
 
 
 @query(
@@ -277,7 +290,7 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
              COALESCE(v2.source, v1.source) AS source,
              CASE WHEN v1.doc_id IS NULL THEN 'added'
                   WHEN v2.doc_id IS NULL THEN 'removed'
-                  WHEN v1.h <> v2.h THEN 'changed'
+                  WHEN v1.h IS DISTINCT FROM v2.h THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
     )
@@ -300,14 +313,5 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select((F.col("doc_id") + SNAP_ADD_OFFSET)
                             .alias("doc_id"),
                             F.md5("text").alias("h"), "source")))
-    o = v1.select(F.col("doc_id").alias("k"), F.col("h").alias("oh"),
-                  F.col("source").alias("os"))
-    n = v2.select(F.col("doc_id").alias("k"), F.col("h").alias("nh"),
-                  F.col("source").alias("ns"))
-    d = (o.join(n, "k", "full_outer")
-         .select(F.coalesce("ns", "os").alias("source"),
-                 F.when(F.col("oh").isNull(), F.lit("added"))
-                  .when(F.col("nh").isNull(), F.lit("removed"))
-                  .when(F.col("oh") != F.col("nh"), F.lit("changed"))
-                  .otherwise(F.lit("unchanged")).alias("status")))
+    d = snapshot_diff(v1, v2, "doc_id", "h", carry=["source"])
     return d.groupBy("source", "status").agg(F.count("*").alias("n_docs"))

@@ -179,11 +179,14 @@ def main() -> None:
         "rows_per_sec": round(n_li / sec)}
 
     # 8. incremental MinHash-LSH bucket store (streaming near-dup ingest)
-    t0 = time.perf_counter()
+    # (count + schema read BEFORE the timer — sections time only the
+    # streaming fold, same methodology as 1-7)
     from gmall_211027_flink_spark.operators.dedup import bands_for_docs
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs_batch.count()
+    doc_schema = docs_batch.schema
     tmp8 = tempfile.mkdtemp(prefix="sb_lsh_")
+    t0 = time.perf_counter()
     doc_stream = (spark.readStream.schema(doc_schema)
                   .option("pathGlobFilter", "documents.parquet")
                   .parquet(sf_dir).select("doc_id", "text"))

@@ -53,6 +53,7 @@ _DOC_QUERIES = [
     # round-4 additions
     "vocab_pmi_topk", "quality_threshold_calibration", "bpe_top_merges",
     "dataset_snapshot_diff", "stream_dedup_minhash_incremental",
+    "multimodal_payload_dedup",
 ]
 
 
