@@ -991,3 +991,56 @@ def _lsh_incremental_oracle() -> str:
 
 from gmall_211027_flink_spark.registry import ORACLES as _OR  # noqa: E402
 _OR["stream_dedup_minhash_incremental"] = _lsh_incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated form of the streaming SCD2 store: the lineitem changelog
+# is folded through scd2_merge_batch in three deterministic event-time
+# slices (three commits, same harness shape as
+# dws_incremental_agg_maintenance) and the final versioned store must
+# hash-match the one-shot batch operator's oracle (dim_scd2_history).
+# This promotes the streaming SCD2 path from test-only evidence to a
+# driver row: commit cost is O(touched keys) — closed history is
+# immutable and untouched keys never re-enter the collapse.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dim_scd2_stream_maintenance",
+    oracle=None,  # assigned below: identical to the batch dim_scd2_history
+)
+def dim_scd2_stream_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.streaming.scd2 import scd2_merge_batch
+
+    log = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("pk"), F.col("l_shipdate").alias("ts"),
+        F.col("l_linenumber").alias("seq"),
+        F.col("l_linestatus").alias("status"))
+    store = spark.createDataFrame(
+        [], "pk bigint, status string, eff_from timestamp, "
+            "eff_to timestamp, is_current int")
+    cuts = ["1994-01-01", "1996-01-01"]
+    slices = [
+        log.filter(F.col("ts") < cuts[0]),
+        log.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        log.filter(F.col("ts") >= cuts[1]),
+    ]
+    for sl in slices:
+        # localCheckpoint stands in for the parquet store rewrite the
+        # foreachBatch driver (run_scd2_stream) performs per commit
+        store = scd2_merge_batch(store, sl).localCheckpoint()
+    return store.select(
+        "pk", "status",
+        F.date_format("eff_from", "yyyy-MM-dd HH:mm:ss")
+         .alias("effective_from"),
+        F.date_format("eff_to", "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
+        "is_current")
+
+
+def _scd2_stream_oracle() -> str:
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["dim_scd2_history"]
+
+
+_OR["dim_scd2_stream_maintenance"] = _scd2_stream_oracle()
