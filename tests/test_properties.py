@@ -376,3 +376,94 @@ def test_passage_dedup_matches_python_spec(spark, tmp_path_factory, texts):
     got = {r["doc_id"]: (r["kept_ct"], r["dropped_ct"], r["clean_fp"])
            for r in dedup_passage_exact(spark, str(d)).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators vs pure-Python specs.
+# ---------------------------------------------------------------------------
+
+_snap_texts = st.lists(
+    st.tuples(st.integers(0, 30), st.text(alphabet="abc ", max_size=8)),
+    min_size=0, max_size=25, unique_by=lambda t: t[0])
+
+
+@given(old=_snap_texts, new=_snap_texts)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_diff_matches_python_spec(spark, old, new):
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.operators.sampling import snapshot_diff
+
+    schema = "doc_id long, text string"
+    o = spark.createDataFrame(old or [], schema).withColumn(
+        "h", F.md5("text"))
+    n = spark.createDataFrame(new or [], schema).withColumn(
+        "h", F.md5("text"))
+    got = {r.k: r.status
+           for r in snapshot_diff(o, n, "doc_id", "h").collect()}
+    od, nd = dict(old), dict(new)
+    want = {}
+    for k in set(od) | set(nd):
+        if k not in od:
+            want[k] = "added"
+        elif k not in nd:
+            want[k] = "removed"
+        elif od[k] != nd[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+_edges_strat = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+        lambda t: t[0] != t[1]),
+    min_size=1, max_size=20)
+
+
+@given(raw=_edges_strat)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_iteration_matches_python_spec(spark, raw):
+    """The DataFrame PageRank loop must equal a dict-based reference
+    implementation of the same fixed-iteration recurrence."""
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.operators.graph import PR_DAMPING, PR_ITER
+
+    sym = sorted({(u, v) for u, v in raw} | {(v, u) for u, v in raw})
+    edges = spark.createDataFrame(sym, "u long, v long").localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    n_nodes = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = (deg.crossJoin(F.broadcast(n_nodes))
+             .select(F.col("u").alias("node"),
+                     (F.lit(1.0) / F.col("n_nodes")).alias("r")))
+    for _ in range(PR_ITER):
+        contrib = (edges.join(ranks, edges.u == ranks.node).join(deg, "u")
+                   .select("v", (F.col("r") / F.col("d"))
+                           .cast("decimal(28,14)").alias("c")))
+        ranks = (contrib.groupBy(F.col("v").alias("node"))
+                 .agg(F.sum("c").cast("double").alias("s"))
+                 .crossJoin(F.broadcast(n_nodes))
+                 .select("node", ((1 - PR_DAMPING) / F.col("n_nodes")
+                                  + PR_DAMPING * F.col("s")).alias("r")))
+    got = {r.node: r.r for r in ranks.collect()}
+
+    # pure-python spec (decimal-quantized contributions like the plan)
+    from decimal import Decimal
+
+    nodes = sorted({u for u, _ in sym})
+    out = {u: sum(1 for a, _ in sym if a == u) for u in nodes}
+    nn = float(len(nodes))
+    r = {u: 1.0 / nn for u in nodes}
+    q = Decimal(1).scaleb(-14)
+    for _ in range(PR_ITER):
+        acc = {u: Decimal(0) for u in nodes}
+        for u, v in sym:
+            acc[v] += Decimal(r[u] / out[u]).quantize(q, rounding="ROUND_HALF_UP")
+        r = {u: (1 - PR_DAMPING) / nn + PR_DAMPING * float(acc[u])
+             for u in nodes}
+    assert set(got) == set(r)
+    for k in r:
+        assert abs(got[k] - r[k]) < 1e-9, (k, got[k], r[k])
