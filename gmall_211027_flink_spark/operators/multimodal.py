@@ -1,12 +1,15 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The image/audio libraries are not in this container, so the *decode step*
-is a deterministic fake (md5-derived pseudo-metadata) clearly marked
-below; everything around it — binary column handling, schema declaration,
-Arrow batch shape, partition-parallel UDF execution — is the real
-production plumbing. Swap ``_fake_decode_batch`` for a PIL/ffmpeg call
-and nothing else changes.
+The image/audio libraries are not in this container. PIXEL/SAMPLE
+decode stays a deterministic fake (md5-derived pseudo-metadata, clearly
+marked below) — but CONTAINER-HEADER decode is REAL: PNG/GIF/BMP/WAV
+geometry is struct-unpacked from the actual payload bytes with pure
+stdlib (`multimodal_header_decode`/`decode_header`). Everything around
+the fakes — binary column handling, schema declaration, Arrow batch
+shape, partition-parallel UDF execution — is the real production
+plumbing; swap ``_fake_decode_batch`` for a PIL/ffmpeg call and nothing
+else changes.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches per partition —
 constant memory per executor regardless of corpus size; the binary
@@ -316,3 +319,143 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_dup_copies"),
                  F.sum((F.col("copies") - 1) * F.col("bl")).cast("bigint")
                   .alias("bytes_reclaimable")))
+
+
+# ---------------------------------------------------------------------------
+# REAL container-header decode (pure stdlib — no PIL/ffmpeg needed):
+# PNG / GIF / BMP / WAV dimensions and audio geometry are plain
+# struct-packed header fields, so this decoder genuinely parses the
+# payload BYTES (magic sniff -> offset/endianness-correct unpack), not
+# an md5 fake. Only pixel/sample decoding still needs the absent media
+# libs. Payload synthesis builds VALID minimal containers with
+# md5-derived geometry so the DuckDB oracle can state the expected
+# fields from the same derivation — the decode path itself never sees
+# the derivation, only the bytes.
+# ---------------------------------------------------------------------------
+
+import struct  # noqa: E402
+
+HEADER_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+])
+
+
+def _geometry(h: str) -> dict:
+    """md5-hex -> synthetic media geometry (mirrored in the SQL oracle)."""
+    return {
+        "w": 16 + int(h[0:2], 16),
+        "ht": 16 + int(h[2:4], 16),
+        "ch": 1 + int(h[4], 16) % 2,
+        "rate": 8000 + int(h[5:9], 16) % 40000,
+        "nfr": 1 + int(h[9:12], 16) % 4096,
+    }
+
+
+def synthesize_payload(doc_id: int, h: str) -> bytes:
+    """A VALID minimal container for doc_id's format class."""
+    g = _geometry(h)
+    kind = doc_id % 4
+    if kind == 0:   # PNG: sig + IHDR chunk (CRC zeroed; not verified)
+        ihdr = struct.pack(">II5B", g["w"], g["ht"], 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + b"\x00\x00\x00\x00")
+    if kind == 1:   # GIF89a: header + logical screen descriptor
+        return b"GIF89a" + struct.pack("<HH3B", g["w"], g["ht"], 0, 0, 0)
+    if kind == 2:   # BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+        return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, g["w"], g["ht"], 1, 24,
+                              0, 0, 0, 0, 0, 0))
+    # WAV: RIFF/fmt/data with real zeroed PCM16 sample data
+    data = b"\x00" * (g["ch"] * 2 * g["nfr"])
+    fmt = struct.pack("<HHIIHH", 1, g["ch"], g["rate"],
+                      g["rate"] * g["ch"] * 2, g["ch"] * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_header(payload: bytes) -> dict:
+    """Parse format + geometry out of real container bytes."""
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, ht = struct.unpack(">II", payload[16:24])
+        return dict(fmt="png", width=w, height=ht, channels=None,
+                    sample_rate=None, n_frames=None, byte_len=n)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, ht = struct.unpack("<HH", payload[6:10])
+        return dict(fmt="gif", width=w, height=ht, channels=None,
+                    sample_rate=None, n_frames=None, byte_len=n)
+    if payload[:2] == b"BM":
+        w, ht = struct.unpack("<ii", payload[18:26])
+        return dict(fmt="bmp", width=w, height=abs(ht), channels=None,
+                    sample_rate=None, n_frames=None, byte_len=n)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        ch, rate = struct.unpack("<HI", payload[22:28])
+        data_size = struct.unpack("<I", payload[40:44])[0]
+        return dict(fmt="wav", width=None, height=None, channels=ch,
+                    sample_rate=rate, n_frames=data_size // (ch * 2),
+                    byte_len=n)
+    return dict(fmt="unknown", width=None, height=None, channels=None,
+                sample_rate=None, n_frames=None, byte_len=n)
+
+
+@query(
+    "multimodal_header_decode",
+    # Oracle states the md5-derived geometry (what synthesis embedded);
+    # the Spark side must RECOVER it from the bytes alone.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    geo AS (
+      SELECT doc_id,
+        CAST(16 + ('0x' || substr(h, 1, 2))::BIGINT AS BIGINT) AS w,
+        CAST(16 + ('0x' || substr(h, 3, 2))::BIGINT AS BIGINT) AS ht,
+        CAST(1 + ('0x' || substr(h, 5, 1))::BIGINT % 2 AS BIGINT) AS ch,
+        CAST(8000 + ('0x' || substr(h, 6, 4))::BIGINT % 40000 AS BIGINT)
+          AS rate,
+        CAST(1 + ('0x' || substr(h, 10, 3))::BIGINT % 4096 AS BIGINT)
+          AS nfr
+      FROM g
+    )
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                      WHEN 2 THEN 'bmp' ELSE 'wav' END AS fmt,
+      CASE WHEN doc_id % 4 <= 2 THEN w END AS width,
+      CASE WHEN doc_id % 4 <= 2 THEN ht END AS height,
+      CASE WHEN doc_id % 4 = 3 THEN ch END AS channels,
+      CASE WHEN doc_id % 4 = 3 THEN rate END AS sample_rate,
+      CASE WHEN doc_id % 4 = 3 THEN nfr END AS n_frames,
+      CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+           ELSE 44 + ch * 2 * nfr END AS BIGINT) AS byte_len
+    FROM geo
+    """,
+)
+def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize valid PNG/GIF/BMP/WAV containers, then REALLY decode
+    their headers (struct-unpacked fields, not derived metadata) via
+    Arrow-batched mapInPandas. Scale shape: both stages are map-side
+    over the payload partition; only the small typed header row ever
+    leaves the decode stage."""
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_payload(int(doc_id), h)
+                rec = decode_header(payload)
+                rec["doc_id"] = int(doc_id)
+                out.append(rec)
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in HEADER_SCHEMA.fields]]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_decode_batch, HEADER_SCHEMA)

@@ -80,3 +80,31 @@ def test_snapshot_diff_counts_match_modular_classes(spark, sf_dir):
                           & (F.col("doc_id") % 11 != 3)).count()
     assert by["changed"] == changed
     assert sum(by.values()) == n + added
+
+
+def test_header_decoder_roundtrips_all_container_formats():
+    """decode_header is a REAL byte parser: synthesize every format with
+    known geometry and recover it from the bytes alone."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _geometry, decode_header, synthesize_payload)
+    h = "0123456789abcdef0123456789abcdef"
+    g = _geometry(h)
+    for doc_id, fmt in ((0, "png"), (1, "gif"), (2, "bmp"), (3, "wav")):
+        rec = decode_header(synthesize_payload(doc_id, h))
+        assert rec["fmt"] == fmt
+        if fmt == "wav":
+            assert rec["channels"] == g["ch"]
+            assert rec["sample_rate"] == g["rate"]
+            assert rec["n_frames"] == g["nfr"]
+        else:
+            assert rec["width"] == g["w"]
+            assert rec["height"] == g["ht"]
+    # and the stdlib wave module agrees with our WAV parser
+    import io
+    import wave
+    wav = synthesize_payload(3, h)
+    with wave.open(io.BytesIO(wav)) as w:
+        assert w.getnchannels() == g["ch"]
+        assert w.getframerate() == g["rate"]
+        assert w.getnframes() == g["nfr"]
+    assert decode_header(b"\x00garbage")["fmt"] == "unknown"
