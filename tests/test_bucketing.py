@@ -93,3 +93,45 @@ def test_range_sorted_export_files_cover_disjoint_ranges(spark, sf_dir, tmp_path
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, "file key ranges overlap"
     assert total == df.count()
+
+
+def test_compact_small_files_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.bucketing import (
+        compact_small_files)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    p = str(tmp_path / "frag")
+    # simulate 40 micro-batch commits' worth of tiny files
+    ev.repartition(40).write.parquet(p)
+    before = sorted(r.event_id for r in spark.read.parquet(p).collect())
+    stats = compact_small_files(spark, p, target_bytes=64 * 1024 * 1024)
+    after_df = spark.read.parquet(p)
+    after = sorted(r.event_id for r in after_df.collect())
+    assert after == before                      # content preserved
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1            # tiny table -> one file
+
+
+def test_compact_with_partition_col_keeps_key_clustered(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.bucketing import (
+        compact_small_files, shuffle_count)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    p = str(tmp_path / "frag2")
+    ev.repartition(20).write.parquet(p)
+    compact_small_files(spark, p, target_bytes=1024,
+                        partition_col="user_id")
+    # rows with the same user_id must land in the same output file
+    df = spark.read.parquet(p).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    n_violations = (df.groupBy("user_id")
+                    .agg(F.countDistinct("f").alias("nf"))
+                    .filter(F.col("nf") > 1).count())
+    assert n_violations == 0
