@@ -938,3 +938,62 @@ def stats_approx_percentile_audit(spark: SparkSession,
     return agg.select("event_type",
                       F.round("exact_raw", 6).alias("exact_p50"),
                       within.alias("approx_within_rank_bound"))
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection via MAD (median absolute deviation): the
+# heavy-tail-safe twin of stats_zscore_outliers — mean/stddev are
+# dragged by the very outliers they're supposed to flag, while the
+# median/MAD pair has a 50% breakdown point (Hampel). Flag rule:
+# |x - median| > K * MAD with the standard K=3 on the 1.4826
+# consistency-scaled MAD.
+#
+# Scale shape: two single-reduction exact medians per group (the
+# approx_percentile swap documented on the audit above applies here
+# identically), then one map-side pass to flag. Output only the flagged
+# rows — outliers are by construction a tiny fraction of 100 TB.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+MAD_SCALE = 1.4826
+
+
+@query(
+    "stats_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           round(abs(e.value - m.med) / ({MAD_SCALE} * d.mad), 6)
+             AS robust_z
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    WHERE d.mad > 0
+      AND abs(e.value - m.med) > {MAD_K} * {MAD_SCALE} * d.mad
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
+    mad = (ev.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.round(F.expr("percentile(abs(value - med), 0.5)"), 6)
+                .alias("mad")))
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (ev.join(F.broadcast(med), "event_type")
+            .join(F.broadcast(mad), "event_type")
+            .filter((F.col("mad") > 0)
+                    & (dev > MAD_K * MAD_SCALE * F.col("mad")))
+            .select("event_id", "event_type", "value", "med",
+                    F.round(dev / (MAD_SCALE * F.col("mad")), 6)
+                     .alias("robust_z")))

@@ -522,3 +522,61 @@ def ann_nearest_centroid_confusion(spark: SparkSession,
         .groupBy("true_label", F.col("cand").alias("assigned_label"))
         .agg(F.count("*").alias("vec_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training pairs: for each query
+# vector, the top-k most-similar corpus vectors with a DIFFERENT label
+# (the near-miss negatives that make embedding/classifier training
+# sharp; same recipe as DPR/contrastive retrieval data prep — similar
+# enough to confuse, labeled differently). Same broadcast-query scan
+# shape as ann_cosine_topk with the label-inequality pushed into the
+# join, so non-candidates are dropped before scoring.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6)
+               AS cosine
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES}
+                       AND c.label <> q.label
+    )
+    SELECT query_id, query_label, rk AS rank, negative_id,
+           negative_label, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k different-label near neighbors per query (hard negatives)."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"), F.col("norm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("negative_id"),
+                 F.col("label").alias("negative_label"), "emb", "norm")
+    dot = F.expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+                 " cast(0 as double), (acc, x) -> acc + x)")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               "negative_id")
+    return (c.join(F.broadcast(q),
+                   F.col("negative_label") != F.col("query_label"))
+            .withColumn("cosine",
+                        F.round(dot / (F.col("qnorm") * F.col("norm")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "query_label", "rank", "negative_id",
+                    "negative_label", "cosine"))
