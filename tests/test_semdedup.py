@@ -108,3 +108,37 @@ def test_header_decoder_roundtrips_all_container_formats():
         assert w.getframerate() == g["rate"]
         assert w.getnframes() == g["nfr"]
     assert decode_header(b"\x00garbage")["fmt"] == "unknown"
+
+
+def test_hard_negatives_never_share_query_label(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.similarity import (
+        TOP_K, ann_hard_negatives)
+    rows = ann_hard_negatives(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.negative_label != r.query_label for r in rows)
+    # ranks are 1..k per query and cosine is non-increasing within one
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:]))
+
+
+def test_mad_outliers_agree_with_flag_definition(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        MAD_K, MAD_SCALE, stats_mad_outliers)
+    out = stats_mad_outliers(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # every flagged row genuinely exceeds the threshold
+    assert all(r.robust_z > MAD_K for r in rows)
+    # and flagged rows are a small fraction (robustness sanity)
+    total = load_table(spark, sf_dir, "events").count()
+    assert len(rows) < total * 0.2
+    assert MAD_SCALE == 1.4826
