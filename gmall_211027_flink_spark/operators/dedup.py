@@ -978,3 +978,79 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(band.alias("band"))
         .groupBy("band").agg(F.count("*").alias("pair_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric): containment(A in B) = |A∩B| / |A|
+# over shingle sets. Jaccard misses inclusion pairs — a short doc
+# quoted wholesale inside a long one has tiny |A∩B|/|A∪B| but
+# containment ~1. This is the screen for quote/boilerplate inclusion
+# and for training-eval leakage where the eval item is embedded in a
+# larger page (the decontaminate_* ops are the eval-side special case).
+#
+# Scale shape: same inverted-index (shingle-keyed) co-occurrence join
+# as dedup_ngram_jaccard — pair generation touches only docs that
+# actually share a shingle, df-capped to drop degenerate hot shingles;
+# the containment test is then a map-side ratio of exact integer
+# counts. The AllPairs prefix trick specializes to containment too
+# (prefix size |A| - ceil(t*|A|) + 1) if generation ever dominates.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_DF_CAP = 200
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    df AS (
+      SELECT shingle FROM sh GROUP BY 1
+      HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+             COUNT(*) AS i
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_contained, doc_container,
+           sa.n AS n_contained, sb.n AS n_container,
+           round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_contained
+    JOIN sizes sb ON sb.doc_id = doc_container
+    WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (shared shingles / contained-doc
+    size >= threshold). The shared-shingle count uses only shingles
+    below the df cap; the containment denominator is the TRUE shingle
+    count, so capping can only lose candidates, never inflate scores."""
+    sh = _shingles(spark, sf_dir)
+    df_ok = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+             .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+             .select("shingle"))
+    shc = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shc.select(F.col("doc_id").alias("doc_contained"), "shingle")
+    b = shc.select(F.col("doc_id").alias("doc_container"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_contained") != F.col("doc_container"))
+             .groupBy("doc_contained", "doc_container")
+             .agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_contained"),
+                      F.col("n").alias("n_contained"))
+    sb = sizes.select(F.col("doc_id").alias("doc_container"),
+                      F.col("n").alias("n_container"))
+    return (inter.join(sa, "doc_contained").join(sb, "doc_container")
+            .filter(F.col("i").cast("double") / F.col("n_contained")
+                    >= CONTAINMENT_THRESHOLD)
+            .select("doc_contained", "doc_container", "n_contained",
+                    "n_container",
+                    F.round(F.col("i").cast("double")
+                            / F.col("n_contained"), 6).alias("containment")))

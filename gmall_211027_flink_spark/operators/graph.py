@@ -234,3 +234,73 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .localCheckpoint())
     return ranks.select(F.col("node").alias("part_id"),
                         F.round("r", 8).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the standard graph-density/cohesion metric (and
+# the classic MapReduce-join benchmark shape). Algorithm: orient every
+# edge low->high, join the oriented list with itself on the shared low
+# endpoint to enumerate wedges (u<v, u<w), then semi-join wedges
+# against the oriented edge list to keep closed ones. Orientation makes
+# each triangle counted exactly ONCE and bounds the wedge fan-out by
+# the max out-degree under the low->high ordering (the degeneracy
+# trick: high-degree hubs mostly receive edges, so their wedge count
+# collapses — this is what keeps the join tractable on skewed graphs).
+# All-integer arithmetic; per-node counts credit each corner.
+# ---------------------------------------------------------------------------
+
+TRI_MIN_TOGETHER = 2   # denser edge set than CC/PageRank: at the CC
+# threshold (3 co-orders) the sf0.01/sf0.1 graphs are triangle-free
+
+
+@query(
+    "graph_triangles_copurchase",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oriented AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {TRI_MIN_TOGETHER}
+    ),
+    wedges AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM oriented a JOIN oriented b ON a.u = b.u AND a.v < b.v
+    ),
+    tri AS (
+      SELECT w.x, w.y, w.z FROM wedges w
+      JOIN oriented e ON e.u = w.y AND e.v = w.z
+    ),
+    corners AS (
+      SELECT x AS node FROM tri UNION ALL
+      SELECT y FROM tri UNION ALL
+      SELECT z FROM tri
+    )
+    SELECT node AS part_id, COUNT(*) AS triangle_ct
+    FROM corners GROUP BY 1
+    """,
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (op.alias("a").join(op.alias("b"),
+             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+             & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("u"),
+                      F.col("b.l_partkey").alias("v"))
+             .agg(F.count("*").alias("ct"))
+             .filter(F.col("ct") >= TRI_MIN_TOGETHER)
+             .select("u", "v"))   # already oriented u < v
+    oriented = pairs.localCheckpoint()
+    a = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    b = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = a.join(b, "x").filter(F.col("y") < F.col("z"))
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"], "left_semi")
+    corners = (tri.select(F.col("x").alias("node"))
+               .unionAll(tri.select(F.col("y").alias("node")))
+               .unionAll(tri.select(F.col("z").alias("node"))))
+    return (corners.groupBy(F.col("node").alias("part_id"))
+            .agg(F.count("*").alias("triangle_ct")))
