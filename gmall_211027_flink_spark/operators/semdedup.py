@@ -323,3 +323,165 @@ def ann_projected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("hit").alias("found_ct"),
                  F.round(F.count("hit").cast("double") / F.count("*"), 6)
                   .alias("recall_at_k")))
+
+
+# ---------------------------------------------------------------------------
+# MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+# diversified top-k: greedily pick the candidate maximizing
+# lambda*sim(query, d) - (1-lambda)*max_{s in selected} sim(d, s) —
+# the standard de-redundancy re-rank over an ANN candidate pool
+# (retrieval-augmented data curation picks diverse exemplars, not five
+# copies of the same cluster).
+#
+# Determinism/oracle: the greedy loop is UNROLLED to MMR_K fixed
+# selection rounds (kmeans.py convention); the similarity INPUTS are
+# 6-dp rounded but the mmr score itself is NOT — 0.7 x a 6-dp value
+# lands exactly on 7-decimal half-way ties where the engines' round()
+# disagree (found by the gate), while the unrounded IEEE combination
+# of identical inputs is bit-identical in both engines. Ties break on
+# neighbor_id, so both engines pick identical items. Scale shape: the
+# candidate pool per query is the TOP_POOL ANN prefilter (broadcast-
+# sized per query), each round is one window argmax per query — the
+# greedy is O(k * pool) per query and embarrassingly parallel across
+# queries.
+# ---------------------------------------------------------------------------
+
+MMR_K = 3          # selections per query (unrolled rounds)
+MMR_LAMBDA = 0.7
+MMR_POOL = 10      # ANN prefilter pool size fed to the greedy
+
+
+def _mmr_oracle() -> str:
+    from gmall_211027_flink_spark.operators.similarity import N_QUERIES
+    sel_ctes = []
+    for r in range(1, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{i}" for i in range(1, r))
+        if r == 1:
+            score = f"({MMR_LAMBDA} * cosine)"
+            pen_join = ""
+        else:
+            score = (f"({MMR_LAMBDA} * p.cosine"
+                     f" - {1 - MMR_LAMBDA} * pen.mx)")
+            pen_join = f"""
+      JOIN (
+        SELECT p2.query_id, p2.neighbor_id, MAX(pp.cos_nn) AS mx
+        FROM pool p2
+        JOIN ({prev_sel}) sel ON sel.query_id = p2.query_id
+        JOIN pairsim pp ON pp.a = p2.neighbor_id AND pp.b = sel.neighbor_id
+        GROUP BY 1, 2
+      ) pen ON pen.query_id = p.query_id AND pen.neighbor_id = p.neighbor_id"""
+        not_sel = (f" WHERE NOT EXISTS (SELECT 1 FROM ({prev_sel}) ps"
+                   f" WHERE ps.query_id = p.query_id"
+                   f" AND ps.neighbor_id = p.neighbor_id)"
+                   if r > 1 else "")
+        sel_ctes.append(f"""
+    s{r} AS (
+      SELECT query_id, neighbor_id, {r} AS pick, score FROM (
+        SELECT p.query_id, p.neighbor_id, {score} AS score,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {score} DESC, p.neighbor_id) AS rk
+        FROM pool p{pen_join}{not_sel}
+      ) WHERE rk = 1
+    )""")
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.emb, c.emb) / (q.norm * c.norm), 6)
+                 AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.emb, c.emb)
+                                / (q.norm * c.norm), 6) DESC, c.vec_id) AS rk
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES}
+                         AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {MMR_POOL}
+    ),
+    pairsim AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6)
+               AS cos_nn
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id IN (SELECT DISTINCT neighbor_id FROM pool)
+        AND b.vec_id IN (SELECT DISTINCT neighbor_id FROM pool)
+    ),
+    {",".join(sel_ctes)}
+    SELECT query_id, pick, neighbor_id, score FROM ({picks})
+    """
+
+
+@query("ann_mmr_diversified", oracle=_mmr_oracle())
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-MMR_K per query over an ANN candidate pool."""
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.operators.similarity import N_QUERIES
+
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "norm")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "emb", "norm")
+    dot_qc = F.expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+                    " cast(0 as double), (acc, x) -> acc + x)")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                "neighbor_id")
+    pool = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine",
+                        F.round(dot_qc / (F.col("qnorm") * F.col("norm")), 6))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= MMR_POOL)
+            .select("query_id", "neighbor_id", "cosine")
+            .localCheckpoint())
+    pool_ids = pool.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    pe = e.join(pool_ids, "vec_id")
+    pa = pe.select(F.col("vec_id").alias("a"), F.col("emb").alias("aemb"),
+                   F.col("norm").alias("anorm"))
+    pb = pe.select(F.col("vec_id").alias("b"), F.col("emb").alias("bemb"),
+                   F.col("norm").alias("bnorm"))
+    dot_ab = F.expr("aggregate(zip_with(aemb, bemb, (x, y) -> x * y),"
+                    " cast(0 as double), (acc, x) -> acc + x)")
+    pairsim = (pa.join(pb, F.col("a") != F.col("b"))
+               .withColumn("cos_nn",
+                           F.round(dot_ab / (F.col("anorm") * F.col("bnorm")), 6))
+               .select("a", "b", "cos_nn").localCheckpoint())
+    selected = None   # (query_id, pick, neighbor_id, score)
+    for r in range(1, MMR_K + 1):
+        if selected is None:
+            scored = pool.withColumn(
+                "score", F.lit(MMR_LAMBDA) * F.col("cosine"))
+        else:
+            pen = (pool.join(selected.select("query_id",
+                                             F.col("neighbor_id").alias("sid")),
+                             "query_id")
+                   .join(pairsim, (F.col("neighbor_id") == F.col("a"))
+                         & (F.col("sid") == F.col("b")))
+                   .groupBy("query_id", "neighbor_id")
+                   .agg(F.max("cos_nn").alias("mx")))
+            scored = (pool.join(pen, ["query_id", "neighbor_id"])
+                      .join(selected.select(
+                          "query_id",
+                          F.col("neighbor_id").alias("neighbor_id"),
+                          F.lit(1).alias("_taken")),
+                          ["query_id", "neighbor_id"], "left_anti")
+                      .withColumn("score",
+                                  F.lit(MMR_LAMBDA) * F.col("cosine")
+                                  - F.lit(1 - MMR_LAMBDA) * F.col("mx")))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   "neighbor_id")
+        pick = (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("query_id", F.lit(r).alias("pick"),
+                        "neighbor_id", "score"))
+        selected = pick if selected is None else \
+            selected.unionByName(pick).localCheckpoint()
+    return selected
