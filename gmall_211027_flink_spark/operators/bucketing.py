@@ -73,7 +73,9 @@ def compact_small_files(spark: SparkSession, path: str,
     file is ~``target_bytes``.
 
     Mechanics: measure the current on-disk size, compute the file count
-    that hits the target, and rewrite atomically (stage -> swap) via
+    that hits the target, and rewrite via a crash-recoverable
+    stage -> swap (unique-suffix dirs; interrupted swaps are repaired on
+    the next call) using
     ``repartition(n)`` — or ``repartition(n, partition_col)`` to keep a
     downstream-join key clustered through the rewrite. Returns
     before/after file counts and bytes. At 100 TB this runs per
@@ -93,16 +95,44 @@ def compact_small_files(spark: SparkSession, path: str,
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
 
+    import glob
+    import uuid
+
+    base = path.rstrip("/")
+    # Stale stage/backup dirs from a prior crashed run would make the
+    # renames below fail; clear them first.  A leftover ._precompact.*
+    # means a prior run crashed AFTER moving the live dataset aside but
+    # BEFORE promoting its staged copy — restore it if the live path is
+    # gone, else drop it (the live path superseded it).
+    for leftover in glob.glob(base + "._compacting.*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    for leftover in glob.glob(base + "._precompact.*"):
+        if not os.path.exists(path):
+            os.rename(leftover, path)
+        else:
+            shutil.rmtree(leftover, ignore_errors=True)
+
     files_before, bytes_total = _stats(path)
     n_out = max(1, -(-bytes_total // target_bytes))  # ceil
     df = spark.read.parquet(path)
     rep = (df.repartition(n_out, partition_col) if partition_col
            else df.repartition(n_out))
-    staged = path.rstrip("/") + "._compacting"
+    run_id = uuid.uuid4().hex[:12]
+    staged = f"{base}._compacting.{run_id}"
+    old = f"{base}._precompact.{run_id}"
     rep.write.mode("overwrite").parquet(staged)
-    old = path.rstrip("/") + "._precompact"
+    # Two renames can't be one atomic op on POSIX; make the gap
+    # recoverable instead: move live aside, promote staged, and roll the
+    # original back if promotion fails.  A crash inside the gap leaves a
+    # ._precompact.* dir that the stale-leftover sweep above restores on
+    # the next invocation, so no state is ever stranded.
     os.rename(path, old)
-    os.rename(staged, path)
+    try:
+        os.rename(staged, path)
+    except OSError:
+        os.rename(old, path)   # roll back to the original dataset
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     files_after, bytes_after = _stats(path)
     return {"files_before": files_before, "files_after": files_after,

@@ -382,26 +382,34 @@ def synthesize_payload(doc_id: int, h: str) -> bytes:
 
 
 def decode_header(payload: bytes) -> dict:
-    """Parse format + geometry out of real container bytes."""
+    """Parse format + geometry out of real container bytes.
+
+    A valid magic prefix on a TRUNCATED payload (e.g. ``b"BM"`` alone, a
+    RIFF header shorter than 44 bytes, a PNG signature without an IHDR)
+    must not raise ``struct.error`` — each branch checks the minimum
+    length its unpack needs and falls through to the ``unknown`` record
+    otherwise, so arbitrary external bytes are safe to feed through.
+    """
     n = len(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24:
         w, ht = struct.unpack(">II", payload[16:24])
         return dict(fmt="png", width=w, height=ht, channels=None,
                     sample_rate=None, n_frames=None, byte_len=n)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    if payload[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
         w, ht = struct.unpack("<HH", payload[6:10])
         return dict(fmt="gif", width=w, height=ht, channels=None,
                     sample_rate=None, n_frames=None, byte_len=n)
-    if payload[:2] == b"BM":
+    if payload[:2] == b"BM" and n >= 26:
         w, ht = struct.unpack("<ii", payload[18:26])
         return dict(fmt="bmp", width=w, height=abs(ht), channels=None,
                     sample_rate=None, n_frames=None, byte_len=n)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and n >= 44:
         ch, rate = struct.unpack("<HI", payload[22:28])
         data_size = struct.unpack("<I", payload[40:44])[0]
-        return dict(fmt="wav", width=None, height=None, channels=ch,
-                    sample_rate=rate, n_frames=data_size // (ch * 2),
-                    byte_len=n)
+        if ch > 0:
+            return dict(fmt="wav", width=None, height=None, channels=ch,
+                        sample_rate=rate, n_frames=data_size // (ch * 2),
+                        byte_len=n)
     return dict(fmt="unknown", width=None, height=None, channels=None,
                 sample_rate=None, n_frames=None, byte_len=n)
 

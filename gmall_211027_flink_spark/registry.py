@@ -99,22 +99,40 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "q19_disjunctive_revenue", "q21_sole_late_supplier",
     "q22_sales_opportunity", "q20_dominant_supplier",
     "q11_important_balance_share", "graph_components_copurchase",
+    # round 4 (CORRECTNESS_r04.json, 50/50 green — includes the three
+    # HUGEINT-typing reverifies, now re-proven)
+    "mixture_weighted_sample", "q12_lateness_priority",
+    "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
+    "stats_price_qty_corr", "dws_gapfill_interpolate",
+    "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
+    "stats_mad_outliers", "dwd_jump_consecutive_entries",
+    "ads_path_transition_matrix", "dim_scd2_history",
+    "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
+    "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
+    "ann_ivf_recall", "ann_label_centroids",
+    "ann_nearest_centroid_confusion", "ann_hard_negatives",
+    "text_lm_score", "vocab_pmi_topk", "quality_threshold_calibration",
+    "bpe_top_merges", "multimodal_sniff_magic_bytes",
+    "multimodal_payload_dedup", "multimodal_header_decode",
+    "sample_deterministic_shuffle", "sample_weighted_ppswor",
+    "dataset_snapshot_diff", "ads_unpivot_metrics",
+    "cdc_dirty_side_output", "cdc_update_delta",
+    "dwd_order_detail_join_streaming", "stream_sample_ingest",
+    "dwd_stream_static_dim_join", "dws_tumble_append_streaming",
+    "dws_incremental_agg_maintenance", "stream_dedup_minhash_incremental",
+    "dim_scd2_stream_maintenance", "q8_market_share",
+    "graph_pagerank_copurchase", "graph_triangles_copurchase",
+    "dwd_log_split_fanout", "kmeans_lloyd", "ann_ivf_kmeans_recall",
+    "semdedup_prune", "embedding_random_projection",
 )
 
-# NOTE (r4): 51 queries are driver-unproven but the gate samples 50 —
-# the one that overflows the window is ann_projected_recall (last in
-# registration order; locally green at all three SFs, repeat-2). It
-# gets its driver row in round 5 along with anything else added late.
-
-# Queries whose only driver row is red/stale and that MUST be sampled
-# first by this round's gate.  Round 4: the three round-3 rows that
-# failed hash-only on DuckDB SUM(BIGINT)->HUGEINT typing; their oracles
-# now carry the repo-conventional CAST(... AS BIGINT) (values were
-# verified bit-identical in round 3).  Fold back into _DRIVER_PROVEN
-# once re-proven.
+# Queries that MUST be sampled first by this round's gate.  Round 5:
+# the two round-4 additions that landed after the 50-query sample
+# window closed and therefore have no driver row yet (both locally
+# green at sf0.001/sf0.01/sf0.1 via scripts/check.py).  Fold into
+# _DRIVER_PROVEN once proven.
 _REVERIFY: tuple[str, ...] = (
-    "mixture_weighted_sample", "q12_lateness_priority",
-    "seq_pack_token_budget",
+    "ann_projected_recall", "ann_mmr_diversified",
 )
 
 

@@ -929,36 +929,47 @@ def stream_dedup_minhash_incremental(spark: SparkSession,
     from gmall_211027_flink_spark.streaming.incremental import (
         IncrementalAggStore)
 
+    import shutil
+
     from gmall_211027_flink_spark.catalog import load_table
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = tempfile.mkdtemp(prefix="lsh_store_gate_")
-    store = IncrementalAggStore(
-        f"{d}/store", ["band_id", "band_key"],
-        {"min_doc": ("min", "doc_id"), "n_docs": ("count", None)})
-    # three deterministic crawl slices = three commits (doc_id mod 3 —
-    # deliberately interleaved, NOT contiguous ranges, so the
-    # order-insensitivity claim is actually exercised)
-    for i in range(3):
-        sl = bands_for_docs(docs.filter(F.col("doc_id") % 3 == i))
-        store.write_batch(sl, i)
-    buckets = store.read(spark)
-    bands = minhash_bands(spark, sf_dir)
-    per_doc = (bands.join(buckets, ["band_id", "band_key"])
-               .groupBy("doc_id")
-               .agg(F.min("min_doc").alias("best_mate")))
-    verdicts = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("best_mate") < F.col("doc_id"), 1).otherwise(0))
-         .cast("bigint").alias("n_dup_candidates"))
-    bucket_stats = buckets.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-         .cast("bigint").alias("n_collision_buckets"))
-    return (verdicts.crossJoin(bucket_stats)
-            .select("n_docs", "n_dup_candidates",
-                    (F.col("n_docs") - F.col("n_dup_candidates"))
-                    .alias("n_kept"),
-                    "n_buckets", "n_collision_buckets"))
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["band_id", "band_key"],
+            {"min_doc": ("min", "doc_id"), "n_docs": ("count", None)})
+        # three deterministic crawl slices = three commits (doc_id mod 3
+        # — deliberately interleaved, NOT contiguous ranges, so the
+        # order-insensitivity claim is actually exercised)
+        for i in range(3):
+            sl = bands_for_docs(docs.filter(F.col("doc_id") % 3 == i))
+            store.write_batch(sl, i)
+        buckets = store.read(spark)
+        bands = minhash_bands(spark, sf_dir)
+        per_doc = (bands.join(buckets, ["band_id", "band_key"])
+                   .groupBy("doc_id")
+                   .agg(F.min("min_doc").alias("best_mate")))
+        verdicts = per_doc.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("best_mate") < F.col("doc_id"), 1)
+                  .otherwise(0))
+             .cast("bigint").alias("n_dup_candidates"))
+        bucket_stats = buckets.agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_collision_buckets"))
+        out = (verdicts.crossJoin(bucket_stats)
+               .select("n_docs", "n_dup_candidates",
+                       (F.col("n_docs") - F.col("n_dup_candidates"))
+                       .alias("n_kept"),
+                       "n_buckets", "n_collision_buckets"))
+        # The store dir must outlive only THIS materialization — force
+        # the fold's result out of it before removing (repeated driver
+        # runs were accumulating lsh_store_gate_* temp dirs otherwise).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _lsh_incremental_oracle() -> str:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -31,10 +32,21 @@ from gmall_211027_flink_spark.streaming.state import daily_unique  # noqa: E402
 from gmall_211027_flink_spark.streaming.windows import tumbling_agg  # noqa: E402
 
 
+def _await(q, section: str) -> None:
+    """Block until the query drains; a timeout must NOT be silently
+    recorded as a ~600 s measurement (the section's rows_per_sec would
+    be bogus), so raise instead."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"stream_bench section {section!r} timed out "
+                           "after 600s; refusing to record a partial "
+                           "throughput measurement")
+
+
 def run(df, name: str, mode: str = "append") -> None:
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await(q, name)
 
 
 def main() -> None:
@@ -152,7 +164,7 @@ def main() -> None:
         f"{tmp6}/store", ["k"],
         {"ct": ("count", None), "vs": ("sum", "v")})
     q = run_incremental_agg(inc_stream, inc_store, f"{tmp6}/ckpt")
-    q.awaitTermination(600)
+    _await(q, "incremental_agg_maintenance")
     sec = time.perf_counter() - t0
     results["incremental_agg_maintenance"] = {
         "rows": n_input, "sec": round(sec, 2),
@@ -172,7 +184,7 @@ def main() -> None:
             F.col("l_linenumber").alias("seq"),
             F.col("l_linestatus").alias("status"))
     q = run_scd2_stream(log, f"{tmp7}/store", f"{tmp7}/ckpt")
-    q.awaitTermination(600)
+    _await(q, "scd2_store_maintenance")
     sec = time.perf_counter() - t0
     results["scd2_store_maintenance"] = {
         "rows": n_li, "sec": round(sec, 2),
@@ -195,12 +207,14 @@ def main() -> None:
         {"min_doc": ("min", "doc_id"), "n_docs": ("count", None)})
     q = run_incremental_agg(bands_for_docs(doc_stream), lsh_store,
                             f"{tmp8}/ckpt")
-    q.awaitTermination(600)
+    _await(q, "lsh_bucket_store_maintenance")
     sec = time.perf_counter() - t0
     results["lsh_bucket_store_maintenance"] = {
         "rows": n_docs, "sec": round(sec, 2),
         "rows_per_sec": round(n_docs / sec)}
 
+    for d in (tmp6, tmp7, tmp8):
+        shutil.rmtree(d, ignore_errors=True)
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
                       "paths": results}))
 
