@@ -15,7 +15,7 @@ DuckDB oracle (explicit epoch arithmetic) hashes identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
@@ -997,3 +997,132 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value", "med",
                     F.round(dev / (MAD_SCALE * F.col("mad")), 6)
                      .alias("robust_z")))
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (regr_slope / regr_intercept / corr): value vs
+# seconds-since-2024-01-01, by event type — the drift/trend monitor an
+# ops pipeline runs over metric streams.
+#
+# Cross-engine determinism: the five moment sums are EXACT (x is a
+# bigint second offset, y rides as DECIMAL(18,2); products are summed
+# as DECIMAL(38,x) so even 1e12-row groups cannot overflow or lose
+# bits) — only the final slope/intercept/corr arithmetic drops to
+# double, with identical expression text in both engines, then rounds
+# at the 6-dp boundary. Scale: one two-phase aggregation, map-side
+# partials carry five numbers per group.
+# ---------------------------------------------------------------------------
+
+_TREND_EPOCH0 = 1704067200   # 2024-01-01 00:00:00 UTC
+
+
+@query(
+    "stats_regression_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0}
+                      AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+             SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0})
+                      * (CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0})
+                      AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0}
+                      AS DECIMAL(19,0))
+                 * CAST(value AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS syy
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+      round((CAST(sy AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS corr
+    FROM m
+    """,
+)
+def stats_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH0))
+    y = F.col("value").cast("decimal(18,2)")
+    m = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(x.cast("decimal(19,0)") * y).alias("sxy"),
+        F.sum(y * y).alias("syy"))
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n_d * sxy - sx * sy
+    den = n_d * sxx - sx * sx
+    slope = num / den
+    return m.select(
+        "event_type", F.col("n").cast("bigint").alias("n_events"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n_d, 6).alias("intercept"),
+        F.round(num / F.sqrt(den * (n_d * syy - sy * sy)), 6)
+         .alias("corr"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (decile bins of o_totalprice): the exact-audit
+# companion to stats_approx_percentile_audit — ntile over a total order
+# gives bit-exact bin boundaries to validate a sketch against.
+#
+# Scale note: exact ntile is a GLOBAL sort (single-partition window) —
+# this operator is the small-side auditor, not the production path; at
+# 100 TB the production histogram is approx_percentile (sketch, fully
+# distributed — see stats_approx_percentile_audit), and this exact form
+# runs on a sampled or per-partition slice to bound the sketch's error.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 10
+
+
+@query(
+    "stats_histogram_equi_depth",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile({HIST_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM ranked GROUP BY 1
+    """,
+)
+def stats_histogram_equi_depth(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = orders.select(
+        "o_totalprice",
+        F.ntile(HIST_BINS).over(
+            Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"))
+    return (ranked.groupBy(F.col("bin").cast("bigint").alias("bin"))
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))

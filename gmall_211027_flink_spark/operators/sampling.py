@@ -315,3 +315,42 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.md5("text").alias("h"), "source")))
     d = snapshot_diff(v1, v2, "doc_id", "h", carry=["source"])
     return d.groupBy("source", "status").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group "reservoir": exactly k docs per language,
+# chosen by content-hash rank — the distributed stand-in for reservoir
+# sampling (same uniform-without-replacement guarantee, but stateless
+# and re-runnable: the sample is a pure function of content, not of
+# arrival order). One shuffle on lang; at 100 TB the per-lang rank is
+# a top-k (takeOrdered) per partition-group, never a full sort of the
+# corpus, because row_number over (hash) prunes to k after the window.
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 5
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    SELECT lang, rnk, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+      FROM documents
+    ) WHERE rnk <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"))
+    return (docs.select("lang", "doc_id",
+                        F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= RESERVOIR_K)
+            .select("lang", "rnk", "doc_id"))

@@ -580,3 +580,84 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "query_label", "rank", "negative_id",
                     "negative_label", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Int8 symmetric quantization audit: per-vector absmax scale, codes in
+# [-127, 127], reconstruction error — the storage-compression check run
+# before shipping a quantized ANN index (4x memory cut at 100 TB means
+# the corpus side of every ANN probe above fits 4x more vectors per
+# executor).
+#
+# Determinism: codes are floor(x/scale + 0.5) — floor on doubles is
+# exact in both engines (no decimal-repr HALF_UP ambiguity, the round-4
+# MMR lesson); code_l1 is an exact integer check that the two engines
+# derived IDENTICAL codes, so mse/max_abs_err only have to agree at the
+# usual 6-dp boundary. absmax/max are order-insensitive; the error sum
+# mirrors the list_dot_product <-> aggregate() fold pairing used by
+# every ANN oracle in this module. All map-side: zero shuffles.
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_int8_quant_audit",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0
+               AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, emb, scale,
+             CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+                  ELSE list_transform(emb, x -> floor(x / scale + 0.5))
+             END AS codes
+      FROM s
+    ),
+    err AS (
+      SELECT vec_id, scale, codes,
+             list_transform(list_zip(emb, codes),
+                            p -> p[1] - p[2] * scale) AS e
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           round(scale, 6) AS scale,
+           CAST(list_aggregate(list_transform(codes, x -> abs(x)), 'sum')
+                AS BIGINT) AS code_l1,
+           round(list_dot_product(e, e) / len(codes), 6) AS mse,
+           round(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 6)
+             AS max_abs_err
+    FROM err
+    """,
+)
+def embedding_int8_quant_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"))
+    s = e.withColumn(
+        "scale",
+        F.expr("array_max(transform(emb, x -> abs(x)))") / 127.0)
+    q = s.withColumn(
+        "codes",
+        F.expr("if(scale = 0, transform(emb, x -> cast(0.0 as double)),"
+               " transform(emb, x -> floor(x / scale + 0.5)))"))
+    err = q.withColumn(
+        "e", F.expr("zip_with(emb, codes, (x, c) -> x - c * scale)"))
+    return err.select(
+        "vec_id",
+        F.size("codes").cast("bigint").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        F.expr("aggregate(transform(codes, x -> abs(x)),"
+               " cast(0 as double), (acc, x) -> acc + x)")
+         .cast("bigint").alias("code_l1"),
+        F.round(
+            F.expr("aggregate(zip_with(e, e, (x, y) -> x * y),"
+                   " cast(0 as double), (acc, x) -> acc + x)")
+            / F.size("codes"), 6).alias("mse"),
+        F.round(F.expr("array_max(transform(e, x -> abs(x)))"), 6)
+         .alias("max_abs_err"))

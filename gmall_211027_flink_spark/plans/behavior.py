@@ -1,0 +1,296 @@
+"""Behavior-sequence analytics over the events stream — windowed
+funnel, sequence-match with negation, top-N + OTHERS rollup, and
+audience-segment overlap.
+
+Reference parity: the reference computes per-user behavior paths with
+keyed Flink state / CEP (app/dwd/log/DwdTrafficUserJumpDetail.java:44-88
+for the CEP pattern, app/dws/...UserUserLoginWindow.java for
+login/back-flow per-user sequences) and ships funnel-style reports to
+ClickHouse, where the classic analogs are windowFunnel() / sequenceMatch()
+/ retention(). Here each is re-expressed as ONE pass of per-user window
+functions over the event-time order — no CEP engine, no per-user loops.
+
+The per-user total order is (epoch_second, event_id): running MAX over a
+ROWS UNBOUNDED PRECEDING .. 1 PRECEDING frame gives "latest qualifying
+event strictly earlier", which turns exists-a-chain questions into
+running-state checks. The same frame spec is mirrored verbatim in the
+DuckDB oracles, so cross-engine agreement doesn't hinge on tie
+conventions. Scale shape: every query is one shuffle on user_id followed
+by a per-user sort — the Flink-keyed-stream plan, minus the state
+backend; greedy latest-anchor propagation is provably equivalent to the
+exists-formulation (a later anchor only extends each deadline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+FUNNEL_WINDOW_S = 3600   # all funnel steps within 1h of the anchoring view
+
+
+@query(
+    "ads_window_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    x AS (
+      SELECT *, MAX(CASE WHEN event_type = 'view' THEN es END) OVER (
+        PARTITION BY user_id ORDER BY es, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      FROM e
+    ),
+    y AS (
+      SELECT *, CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                      AND es - lv <= {FUNNEL_WINDOW_S} THEN lv END AS ca
+      FROM x
+    ),
+    z AS (
+      SELECT *, MAX(ca) OVER (
+        PARTITION BY user_id ORDER BY es, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS am
+      FROM y
+    ),
+    u AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+        MAX(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS l2,
+        MAX(CASE WHEN event_type = 'purchase' AND am IS NOT NULL
+                  AND es - am <= {FUNNEL_WINDOW_S} THEN 1 ELSE 0 END) AS l3
+      FROM z GROUP BY 1
+    )
+    SELECT CAST(CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+                     WHEN l1 = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u GROUP BY 1
+    """,
+)
+def ads_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel('view'->'click'->'purchase', 1h) analog:
+    deepest funnel level per user where every step lands within
+    FUNNEL_WINDOW_S of the anchoring view, then a level histogram.
+
+    Greedy running-anchor argument: for a click c the only view worth
+    keeping is the latest strictly-earlier one (earlier views only
+    shrink the deadline), and for a purchase the best click-anchor is
+    the max anchoring-view timestamp seen so far — so two running MAXes
+    replace the exists-chain self-joins. One shuffle on user_id; both
+    window passes share the same sort.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    w_prev = (Window.partitionBy("user_id").orderBy("es", "event_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    x = e.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view",
+                           F.col("es"))).over(w_prev))
+    y = x.withColumn(
+        "ca", F.when((F.col("event_type") == "click")
+                     & F.col("lv").isNotNull()
+                     & (F.col("es") - F.col("lv") <= FUNNEL_WINDOW_S),
+                     F.col("lv")))
+    z = y.withColumn("am", F.max("ca").over(w_prev))
+    u = z.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+         .alias("l1"),
+        F.max(F.when(F.col("ca").isNotNull(), 1).otherwise(0)).alias("l2"),
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & F.col("am").isNotNull()
+                     & (F.col("es") - F.col("am") <= FUNNEL_WINDOW_S),
+                     1).otherwise(0)).alias("l3"))
+    level = (F.when(F.col("l3") == 1, 3).when(F.col("l2") == 1, 2)
+             .when(F.col("l1") == 1, 1).otherwise(0))
+    return (u.select(level.cast("bigint").alias("funnel_level"))
+            .groupBy("funnel_level")
+            .agg(F.count("*").cast("bigint").alias("n_users")))
+
+
+@query(
+    "ads_sequence_match_negation",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS idx
+      FROM events
+    ),
+    x AS (
+      SELECT *,
+        MAX(CASE WHEN event_type = 'signup' THEN idx END) OVER (
+          PARTITION BY user_id ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls,
+        MAX(CASE WHEN event_type = 'error' THEN idx END) OVER (
+          PARTITION BY user_id ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS le
+      FROM e
+    )
+    SELECT user_id,
+      CAST(MAX(CASE WHEN event_type = 'purchase' AND ls IS NOT NULL
+                     AND (le IS NULL OR le < ls)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS matched
+    FROM x GROUP BY user_id
+    """,
+)
+def ads_sequence_match_negation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """sequenceMatch analog with negation: per user, does a
+    signup -> purchase chain exist with NO error event between the two?
+
+    Events are first given a per-user ordinal (so every comparison is
+    on a tie-free total order); the running "latest signup ordinal" /
+    "latest error ordinal" pair then makes the negation a single
+    comparison: some signup -> purchase chain is error-free iff, at the
+    purchase, latest_error < latest_signup (an error inside any EARLIER
+    signup's chain also sits after that earlier signup, so checking the
+    latest anchor suffices — this greedy/exists equivalence is
+    brute-force-verified in tests/test_behavior.py). One shuffle on
+    user_id; both window passes share the sort.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    w_ord = Window.partitionBy("user_id").orderBy("es", "event_id")
+    e = e.withColumn("idx", F.row_number().over(w_ord))
+    w_prev = (Window.partitionBy("user_id").orderBy("idx")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    x = e.select(
+        "user_id", "event_type",
+        F.max(F.when(F.col("event_type") == "signup", F.col("idx")))
+         .over(w_prev).alias("ls"),
+        F.max(F.when(F.col("event_type") == "error", F.col("idx")))
+         .over(w_prev).alias("le"))
+    hit = ((F.col("event_type") == "purchase") & F.col("ls").isNotNull()
+           & (F.col("le").isNull() | (F.col("le") < F.col("ls"))))
+    return (x.groupBy("user_id")
+            .agg(F.max(F.when(hit, 1).otherwise(0)).cast("bigint")
+                 .alias("matched")))
+
+
+TOPN_N = 5
+
+
+@query(
+    "ads_topn_with_others",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, n_name) AS rnk
+      FROM rev
+    )
+    SELECT CASE WHEN rnk <= {TOPN_N} THEN n_name ELSE 'OTHERS' END
+             AS nation_label,
+           CAST(CASE WHEN rnk <= {TOPN_N} THEN rnk ELSE {TOPN_N} + 1 END
+                AS BIGINT) AS rnk,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def ads_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N nations by order revenue with the long tail rolled into one
+    OTHERS row — the standard reporting shape the reference ships to its
+    ClickHouse ADS layer (e.g. app/ads province/keyword stats).
+
+    Scale: revenue aggregates two-phase to nation grain first (25 rows),
+    the rank + OTHERS rollup then run on the tiny aggregate; customer
+    and nation dims broadcast into the orders scan. Revenue ties break
+    on nation name so the cut is a total order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (orders
+           .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                 orders.o_custkey == F.col("c_custkey"))
+           .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("revenue"),
+                F.count("*").alias("n_orders")))
+    ranked = rev.withColumn(
+        "rnk", F.row_number().over(
+            Window.orderBy(F.desc("revenue"), F.col("n_name"))))
+    label = F.when(F.col("rnk") <= TOPN_N,
+                   F.col("n_name")).otherwise(F.lit("OTHERS"))
+    rnk_out = (F.when(F.col("rnk") <= TOPN_N, F.col("rnk"))
+               .otherwise(F.lit(TOPN_N + 1)))
+    return (ranked
+            .select(label.alias("nation_label"),
+                    rnk_out.cast("bigint").alias("rnk"),
+                    "revenue", "n_orders")
+            .groupBy("nation_label", "rnk")
+            .agg(F.sum("revenue").cast("double").alias("revenue"),
+                 F.sum("n_orders").cast("bigint").alias("n_orders")))
+
+
+@query(
+    "ads_segment_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS ct FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           round(CAST(p.n_both AS DOUBLE)
+                 / (sa.ct + sb.ct - p.n_both), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def ads_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-segment overlap matrix: for every pair of event types,
+    how many users did both, and the Jaccard overlap of the two user
+    sets (the bitmap-AND report ClickHouse builds with groupBitmapAnd).
+
+    Scale: user sets dedup map-side to (user, type) pairs first — the
+    self-join then carries <= |types| rows per user and the pair space
+    is |types| choose 2, so the output is constant-size regardless of
+    corpus scale. Segment sizes broadcast back onto the pair rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("ct"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("n_both")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("ct").alias("ct_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("ct").alias("ct_b"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b",
+                    F.col("n_both").cast("bigint").alias("n_both"),
+                    F.round(F.col("n_both").cast("double")
+                            / (F.col("ct_a") + F.col("ct_b")
+                               - F.col("n_both")), 6).alias("jaccard")))

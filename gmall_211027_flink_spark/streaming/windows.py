@@ -1055,3 +1055,94 @@ def _scd2_stream_oracle() -> str:
 
 
 _OR["dim_scd2_stream_maintenance"] = _scd2_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination at ingest: the benchmark suite is STATIC
+# (eval docs are fixed before the crawl starts); training documents
+# stream in and are checked against the broadcast eval n-gram set as
+# they arrive — the real-world deployment shape of decontaminate_ngram
+# (operators/curation.py), where re-crawling must not wait for a batch
+# decon pass.
+#
+# Two structured-streaming queries share the file stream: (1) per-lang
+# train-doc counters (stateless map + tiny counter grid); (2) the
+# contaminated-doc set, found by exploding each arriving doc's distinct
+# grams map-side and stream-static LEFT SEMI joining the broadcast eval
+# grams — state is O(contaminated docs), bounded by the eval suite's
+# near-dup footprint in the corpus, NOT by corpus size. Both folds are
+# order-insensitive counts/sets, so the drained result is identical
+# under any micro-batch slicing and must hash-match the one-shot batch
+# oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_decontaminate_ingest",
+    oracle=None,  # assigned below: identical to batch decontaminate_ngram
+)
+def stream_decontaminate_ingest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.operators.curation import EVAL_MOD, NGRAM
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    grams_expr = F.expr(
+        f"array_distinct(transform("
+        f" if(size(w) >= {NGRAM}, sequence(1, size(w)-{NGRAM - 1}),"
+        "  cast(array() as array<int>)),"
+        " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),"
+        " element_at(w,i+2), element_at(w,i+3), element_at(w,i+4))))")
+
+    # static side: the fixed benchmark suite's distinct grams
+    eval_grams = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .filter(F.col("doc_id") % EVAL_MOD == 0)
+                  .select(F.split("text", " ").alias("w"))
+                  .select(F.explode(grams_expr).alias("g"))
+                  .distinct())
+
+    stream = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .filter(F.col("doc_id") % EVAL_MOD != 0)
+              .select("doc_id", "lang", F.split("text", " ").alias("w")))
+
+    run = _uuid.uuid4().hex[:8]
+    # (1) stateless per-lang train counters
+    t_name = f"sdi_train_{run}"
+    qt = (stream.groupBy("lang").agg(F.count("*").alias("train_ct"))
+          .writeStream.format("memory").queryName(t_name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    # (2) contaminated-doc set via map-side gram explode + stream-static
+    # semi join against the broadcast eval grams
+    c_name = f"sdi_cont_{run}"
+    qc = (stream.select("doc_id", "lang", F.explode(grams_expr).alias("g"))
+          .join(F.broadcast(eval_grams), "g", "left_semi")
+          .groupBy("lang", "doc_id").agg(F.count("*").alias("hits"))
+          .writeStream.format("memory").queryName(c_name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    qt.awaitTermination(600)
+    qc.awaitTermination(600)
+    cont = (spark.table(c_name).groupBy("lang")
+            .agg(F.count("*").alias("contaminated_ct")))
+    return (spark.table(t_name).join(cont, "lang", "left")
+            .select(
+                "lang", "train_ct",
+                F.coalesce("contaminated_ct", F.lit(0)).cast("bigint")
+                 .alias("contaminated_ct"),
+                (F.col("train_ct")
+                 - F.coalesce("contaminated_ct", F.lit(0))).cast("bigint")
+                 .alias("clean_ct"),
+                F.round(F.coalesce("contaminated_ct", F.lit(0))
+                        .cast("double") / F.col("train_ct"), 6)
+                 .alias("contamination_rate")))
+
+
+def _stream_decon_oracle() -> str:
+    # curation registers later in load_all's order — import it now so
+    # its oracle exists (idempotent; ordering is rebuilt at load_all end)
+    import gmall_211027_flink_spark.operators.curation  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["decontaminate_ngram"]
+
+
+_OR["stream_decontaminate_ingest"] = _stream_decon_oracle()

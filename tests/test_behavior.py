@@ -1,0 +1,85 @@
+"""Behavior-sequence analytics: the window-function (greedy
+running-anchor) formulations in plans/behavior.py claim equivalence to
+the naive exists-a-chain semantics. The DuckDB oracles mirror the SAME
+window formulation, so these tests verify the claim against an
+INDEPENDENT brute-force O(n^2) reference over the real sf0.001 events.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from gmall_211027_flink_spark.plans.behavior import (
+    FUNNEL_WINDOW_S,
+    ads_sequence_match_negation,
+    ads_window_funnel,
+)
+from tests.conftest import SF_DIR
+
+
+def _user_events():
+    """{user_id: [(es, event_id, type), ...] sorted by (es, event_id)}."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT),
+                   event_id, event_type
+            FROM '{SF_DIR}/events.parquet'
+            ORDER BY user_id, 2, 3""").fetchall()
+    users: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, es, eid, typ in rows:
+        users.setdefault(uid, []).append((es, eid, typ))
+    return users
+
+
+def _brute_funnel_level(evs, window_s):
+    """Deepest view -> click -> purchase chain, strict order, all steps
+    within window_s of the anchoring view. O(n^2) per user."""
+    best = 0
+    views = [i for i, e in enumerate(evs) if e[2] == "view"]
+    if views:
+        best = 1
+    for vi in views:
+        v_es = evs[vi][0]
+        for ci in range(vi + 1, len(evs)):
+            c_es, _c_id, c_typ = evs[ci]
+            if c_typ != "click" or c_es - v_es > window_s:
+                continue
+            best = max(best, 2)
+            for pi in range(ci + 1, len(evs)):
+                p_es, _p_id, p_typ = evs[pi]
+                if p_typ == "purchase" and p_es - v_es <= window_s:
+                    return 3
+    return best
+
+
+def _brute_seq_match(evs):
+    """Exists signup -> purchase (strict order) with no error strictly
+    between the two."""
+    for si, (_s_es, _s_id, s_typ) in enumerate(evs):
+        if s_typ != "signup":
+            continue
+        for pi in range(si + 1, len(evs)):
+            p_typ = evs[pi][2]
+            if p_typ == "error":
+                break   # this signup's chain is poisoned from here on
+            if p_typ == "purchase":
+                return 1
+    return 0
+
+
+def test_window_funnel_matches_bruteforce(spark, sf_dir):
+    got = {r.funnel_level: r.n_users
+           for r in ads_window_funnel(spark, sf_dir).collect()}
+    want: dict[int, int] = {}
+    for evs in _user_events().values():
+        lvl = _brute_funnel_level(evs, FUNNEL_WINDOW_S)
+        want[lvl] = want.get(lvl, 0) + 1
+    assert got == want
+
+
+def test_sequence_match_negation_matches_bruteforce(spark, sf_dir):
+    got = {r.user_id: r.matched
+           for r in ads_sequence_match_negation(spark, sf_dir).collect()}
+    want = {uid: _brute_seq_match(evs)
+            for uid, evs in _user_events().items()}
+    assert got == want

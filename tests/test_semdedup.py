@@ -110,6 +110,35 @@ def test_header_decoder_roundtrips_all_container_formats():
     assert decode_header(b"\x00garbage")["fmt"] == "unknown"
 
 
+def test_header_decoder_truncated_payloads_fall_through_to_unknown():
+    """A valid magic prefix on a truncated body must yield 'unknown',
+    not struct.error (ADVICE r4): the parser is exported for arbitrary
+    external bytes, not only the synthesized containers."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_header, synthesize_payload)
+    truncated = [
+        b"BM",                                   # BMP magic alone
+        b"\x89PNG\r\n\x1a\n",                    # PNG sig, no IHDR
+        b"GIF89a",                               # GIF header, no LSD
+        b"RIFF\x00\x00\x00\x00WAVE",             # RIFF/WAVE, no fmt/data
+        b"RIFF\x24\x00\x00\x00WAVEfmt ",         # short of the 44-byte min
+    ]
+    h = "0123456789abcdef0123456789abcdef"
+    for doc_id in range(4):
+        full = synthesize_payload(doc_id, h)
+        truncated.extend(full[:n] for n in (1, 3, 9, len(full) - 1))
+    for payload in truncated:
+        rec = decode_header(payload)          # must not raise
+        if rec["fmt"] != "unknown":
+            # a truncation that still satisfies the branch's minimum
+            # length is allowed to parse; it must carry the byte_len
+            assert rec["byte_len"] == len(payload)
+    # zero-channel WAV would divide by zero in n_frames; guard -> unknown
+    bad_wav = bytearray(synthesize_payload(3, h))
+    bad_wav[22:24] = b"\x00\x00"
+    assert decode_header(bytes(bad_wav))["fmt"] == "unknown"
+
+
 def test_hard_negatives_never_share_query_label(spark, sf_dir):
     from gmall_211027_flink_spark.operators.similarity import (
         TOP_K, ann_hard_negatives)
