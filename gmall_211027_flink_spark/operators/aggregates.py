@@ -1126,3 +1126,89 @@ def stats_histogram_equi_depth(spark: SparkSession,
             .agg(F.count("*").cast("bigint").alias("n_orders"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi")))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test: compare the document-length
+# distribution of two source cohorts — the distribution-drift monitor a
+# data pipeline runs when a crawl source changes behavior between
+# snapshots.
+#
+# Exactness: the empirical CDFs are running sums of exact integer
+# counts over the DISTINCT length values (the corpus compresses to
+# <= |distinct lengths| rows before any window), so the KS statistic is
+# a max over |count_ratio - count_ratio| doubles computed identically
+# in both engines; max is order-insensitive. Scale note: the
+# single-partition window runs over the compressed value domain, not
+# the corpus — for unbounded domains, pre-bin to a fixed grid first.
+# ---------------------------------------------------------------------------
+
+KS_ALPHA_C = "1.358"   # c(alpha) at alpha = 0.05 (two-sided)
+
+
+@query(
+    "stats_ks_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                  THEN 'a' ELSE 'b' END AS cohort
+      FROM documents
+    ),
+    vals AS (
+      SELECT n_chars,
+             SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM tagged GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vals
+    ),
+    ecdf AS (
+      SELECT n_chars,
+             SUM(ca) OVER (ORDER BY n_chars) AS cum_a,
+             SUM(cb) OVER (ORDER BY n_chars) AS cum_b
+      FROM vals
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           round(MAX(abs(CAST(e.cum_a AS DOUBLE) / t.na
+                         - CAST(e.cum_b AS DOUBLE) / t.nb)), 6) AS ks_stat,
+           round({KS_ALPHA_C} * sqrt((t.na + t.nb)
+                 / (CAST(t.na AS DOUBLE) * t.nb)), 6) AS critical_005,
+           CAST(MAX(abs(CAST(e.cum_a AS DOUBLE) / t.na
+                        - CAST(e.cum_b AS DOUBLE) / t.nb))
+                > {KS_ALPHA_C} * sqrt((t.na + t.nb)
+                  / (CAST(t.na AS DOUBLE) * t.nb)) AS BOOLEAN) AS drifted
+    FROM ecdf e CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cohort = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0,
+        "a").otherwise("b")
+    vals = (docs.select("n_chars", cohort.alias("cohort"))
+            .groupBy("n_chars")
+            .agg(F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0))
+                 .alias("ca"),
+                 F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0))
+                 .alias("cb")))
+    tot = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = (Window.orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ecdf = vals.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"))
+    d = F.abs(F.col("cum_a").cast("double") / F.col("na")
+              - F.col("cum_b").cast("double") / F.col("nb"))
+    crit = (F.expr(KS_ALPHA_C)
+            * F.sqrt((F.col("na") + F.col("nb"))
+                     / (F.col("na").cast("double") * F.col("nb"))))
+    return (ecdf.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("na").cast("bigint").alias("n_a"),
+                     F.col("nb").cast("bigint").alias("n_b"))
+            .agg(F.round(F.max(d), 6).alias("ks_stat"),
+                 F.round(F.first(crit), 6).alias("critical_005"),
+                 (F.max(d) > F.first(crit)).alias("drifted")))

@@ -1054,3 +1054,119 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_container",
                     F.round(F.col("i").cast("double")
                             / F.col("n_contained"), 6).alias("containment")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership audit: the ingest-time "have we crawled this
+# before?" gate a 100 TB pipeline runs BEFORE any expensive dedup — a
+# constant-size bit set answers most negatives without touching the
+# seen-corpus. This operator builds the filter relationally (distinct
+# bit positions from BLOOM_K md5 slices of each seen doc), probes the
+# incoming half of the corpus, and reports the measured false-positive
+# rate against exact membership — the calibration read before trusting
+# (m, k) at a new corpus scale, same audit role as dedup_minhash_recall.
+#
+# Scale shape: the bit set is <= BLOOM_M rows (broadcast); probes are a
+# map-side explode + one broadcast semi-join + per-doc count — the
+# corpus never shuffles. Exact membership is an md5 equi-join (keyed).
+# All-integer math; the one ratio rounds at the 6-dp boundary.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096   # bits; deliberately small so the audit SEES collisions
+BLOOM_K = 3      # md5 32-bit slices used as hash functions
+
+
+def _bloom_pos_sql(text: str) -> str:
+    """DuckDB: list of BLOOM_K bit positions for a text expression."""
+    slices = ", ".join(
+        f"('0x' || substr(md5({text}), {i * 8 + 1}, 8))::BIGINT % {BLOOM_M}"
+        for i in range(BLOOM_K))
+    return f"[{slices}]"
+
+
+@query(
+    "dedup_bloom_membership_audit",
+    oracle=f"""
+    WITH seen AS (
+      SELECT md5(text) AS h, {_bloom_pos_sql('text')} AS pos
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    bits AS (SELECT DISTINCT unnest(pos) AS b FROM seen),
+    inc AS (
+      SELECT doc_id, md5(text) AS h,
+             list_distinct({_bloom_pos_sql('text')}) AS pos
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    probe_hits AS (
+      SELECT u.doc_id, COUNT(*) AS n_hit
+      FROM (SELECT doc_id, unnest(pos) AS p FROM inc) u
+      JOIN bits ON bits.b = u.p
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT i.doc_id, len(i.pos) AS n_pos,
+             coalesce(ph.n_hit, 0) AS n_hit,
+             i.h IN (SELECT h FROM seen) AS is_exact
+      FROM inc i LEFT JOIN probe_hits ph USING (doc_id)
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_incoming,
+      CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_exact_dup,
+      CAST(SUM(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bloom_positive,
+      CAST(SUM(CASE WHEN n_hit = n_pos AND NOT is_exact
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+      round(CAST(SUM(CASE WHEN n_hit = n_pos AND NOT is_exact
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+            / greatest(COUNT(*) - SUM(CASE WHEN is_exact THEN 1 ELSE 0
+                                      END), 1), 6) AS fpr,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+    FROM probe
+    """,
+)
+def dedup_bloom_membership_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos_expr = F.array(*[
+        (F.conv(F.substring(F.md5("text"), i * 8 + 1, 8), 16, 10)
+         .cast("bigint") % BLOOM_M)
+        for i in range(BLOOM_K)])
+    seen = (docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.md5("text").alias("h"), pos_expr.alias("pos")))
+    bits = seen.select(F.explode("pos").alias("b")).distinct()
+    seen_h = seen.select("h").distinct()
+    inc = (docs.filter(F.col("doc_id") % 2 == 1)
+           .select("doc_id", F.md5("text").alias("h"),
+                   F.array_distinct(pos_expr).alias("pos")))
+    hits = (inc.select("doc_id", F.size("pos").alias("n_pos"),
+                       F.explode("pos").alias("b"))
+            .join(F.broadcast(bits), "b")
+            .groupBy("doc_id", "n_pos")
+            .agg(F.count("*").alias("n_hit")))
+    probe = (inc
+             .join(hits.select("doc_id", "n_hit"), "doc_id", "left")
+             .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+             .join(F.broadcast(seen_h.withColumn("is_exact", F.lit(True))),
+                   "h", "left")
+             .withColumn("is_exact",
+                         F.coalesce("is_exact", F.lit(False)))
+             .withColumn("positive",
+                         F.col("n_hit") == F.size("pos")))
+    n_bits = bits.agg(F.count("*").cast("bigint").alias("bits_set"))
+    return (probe.agg(
+        F.count("*").cast("bigint").alias("n_incoming"),
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).cast("bigint")
+         .alias("n_exact_dup"),
+        F.sum(F.when(F.col("positive"), 1).otherwise(0)).cast("bigint")
+         .alias("n_bloom_positive"),
+        F.sum(F.when(F.col("positive") & ~F.col("is_exact"), 1)
+              .otherwise(0)).cast("bigint").alias("n_false_positive"),
+        F.round(
+            F.sum(F.when(F.col("positive") & ~F.col("is_exact"), 1)
+                  .otherwise(0)).cast("double")
+            / F.greatest(
+                F.count("*")
+                - F.sum(F.when(F.col("is_exact"), 1).otherwise(0)),
+                F.lit(1)), 6).alias("fpr"))
+        .crossJoin(F.broadcast(n_bits)))

@@ -300,3 +300,87 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
                            .otherwise(0)).cast("double") / F.count("*"),
                      6).alias("novelty_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over the
+# top ZIPF_R vocabulary — the tokenizer/vocab health check (natural
+# text fits slope ~ -1; a flat slope flags synthetic or templated
+# corpora). Determinism: ln values are rounded at the 6-dp boundary
+# FIRST and then summed as DECIMAL(18,6) (exact, order-insensitive),
+# so the OLS moments are bit-stable; only the final slope/intercept
+# arithmetic runs in double, with identical expression text in both
+# engines. Scale: one two-phase word count, one top-R rank over the
+# (tiny, skew-compressed) frequency table, then constant work.
+# ---------------------------------------------------------------------------
+
+ZIPF_R = 100
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    topr AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+      FROM freq
+      ORDER BY c DESC, w LIMIT {ZIPF_R}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM topr
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        AS zipf_slope,
+      round((CAST(sy AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        AS intercept
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w").agg(F.count("*").alias("c")))
+    topr = (freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
+        .filter(F.col("rnk") <= ZIPF_R))
+    pts = topr.select(
+        F.round(F.log(F.col("rnk").cast("double")), 6)
+         .cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6)
+         .cast("decimal(18,6)").alias("y"))
+    m = pts.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n_d, 6).alias("intercept"))

@@ -294,3 +294,53 @@ def ads_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_both").cast("double")
                             / (F.col("ct_a") + F.col("ct_b")
                                - F.col("n_both")), 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Pre-purchase paths: the 2-step event-type path leading into each
+# purchase (the "top converting paths" report next to the full markov
+# transition matrix, ads_path_transition_matrix). Pure lag windows on
+# the per-user ordinal — one shuffle, no self-joins; the path space is
+# |types|^2 so the output is constant-size at any corpus scale.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_prepurchase_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type,
+             lag(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY es, event_id) AS prev1,
+             lag(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY es, event_id) AS prev2
+      FROM e
+    )
+    SELECT coalesce(prev2, 'START') || '>' || coalesce(prev1, 'START')
+             || '>purchase' AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM lagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def ads_prepurchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    lagged = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"))
+    path = F.concat_ws(
+        ">",
+        F.coalesce("prev2", F.lit("START")),
+        F.coalesce("prev1", F.lit("START")),
+        F.lit("purchase"))
+    return (lagged.filter(F.col("event_type") == "purchase")
+            .groupBy(path.alias("path"))
+            .agg(F.count("*").cast("bigint").alias("n_purchases")))

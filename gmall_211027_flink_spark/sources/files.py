@@ -69,3 +69,79 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType,
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
             .csv(path))
+
+
+# ---------------------------------------------------------------------------
+# Format round-trip gate queries: prove the CSV and JSON sources above
+# are lossless for the engine's core scalar types (bigint / string /
+# double) by exporting the events table through each format, reading it
+# back with the EXPLICIT schemas declared here, and aggregating — the
+# result must hash-match the DuckDB oracle computed on the original
+# parquet. Doubles survive because Spark writes shortest-round-trip
+# decimal text; the aggregate sums ride as DECIMAL(18,2) per repo
+# convention. Temp exports are removed after the result materializes.
+# ---------------------------------------------------------------------------
+
+_RT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY 1
+"""
+
+_RT_SCHEMA = ("event_id bigint, user_id bigint, event_type string, "
+              "value double")
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix=f"rt_{fmt}_")
+    try:
+        path = f"{d}/events_{fmt}"
+        if fmt == "csv":
+            src.write.option("header", "true").csv(path)
+            back = read_csv(spark, path,
+                            T._parse_datatype_string(_RT_SCHEMA)
+                            ).drop("_corrupt")
+        else:
+            src.write.json(path)
+            back = read_json(spark, path,
+                             T._parse_datatype_string(_RT_SCHEMA))
+        out = (back.groupBy("event_type")
+               .agg(F.count("*").cast("bigint").alias("n_events"),
+                    F.countDistinct("user_id").cast("bigint")
+                     .alias("n_users"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("value_sum"),
+                    F.min("event_id").cast("bigint").alias("min_event_id"),
+                    F.max("event_id").cast("bigint").alias("max_event_id")))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _register_roundtrips() -> None:
+    from ..registry import query
+
+    @query("source_csv_roundtrip", oracle=_RT_ORACLE)
+    def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _roundtrip(spark, sf_dir, "csv")
+
+    @query("source_json_roundtrip", oracle=_RT_ORACLE)
+    def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _roundtrip(spark, sf_dir, "json")
+
+
+_register_roundtrips()
