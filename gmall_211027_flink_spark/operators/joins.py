@@ -698,3 +698,57 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
                 "total_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window join (Flink's TUMBLE-aligned stream join, distinct from the
+# interval join above: both sides are first assigned to the SAME
+# tumbling window, then equi-joined on (key, window) — Flink SQL
+# `... FROM TABLE(TUMBLE(...)) A JOIN TABLE(TUMBLE(...)) B ON A.key =
+# B.key AND A.window_start = B.window_start`). Spark shape: the window
+# bucket is just another join key, so this is a plain keyed hash join —
+# state in the streaming form is bounded by one window per side, and at
+# 100 TB the batch form co-partitions both facts on (user, bucket) with
+# no range condition to evaluate (cheaper than the interval join when
+# window alignment is acceptable).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_window_join_click_error",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b3600,
+             event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b3600,
+             event_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS pair_ct,
+           CAST(COUNT(DISTINCT a.b3600) AS BIGINT) AS window_ct,
+           CAST(MIN(a.b3600) AS BIGINT) AS first_window,
+           CAST(MAX(a.b3600) AS BIGINT) AS last_window
+    FROM a JOIN b ON a.user_id = b.user_id AND a.b3600 = b.b3600
+    GROUP BY 1
+    """,
+)
+def dwd_window_join_click_error(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b3600 = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    a = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", b3600.alias("b3600"),
+                 F.col("event_id").alias("a_id")))
+    b = (ev.filter(F.col("event_type") == "error")
+         .select("user_id", b3600.alias("b3600"),
+                 F.col("event_id").alias("b_id")))
+    return (a.join(b, ["user_id", "b3600"])
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("pair_ct"),
+                 F.countDistinct("b3600").cast("bigint")
+                  .alias("window_ct"),
+                 F.min("b3600").cast("bigint").alias("first_window"),
+                 F.max("b3600").cast("bigint").alias("last_window")))

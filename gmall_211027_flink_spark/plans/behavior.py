@@ -344,3 +344,46 @@ def ads_prepurchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lagged.filter(F.col("event_type") == "purchase")
             .groupBy(path.alias("path"))
             .agg(F.count("*").cast("bigint").alias("n_purchases")))
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day x day-of-week traffic heatmap: the seasonality profile
+# behind every ops dashboard (and the input to load-aware crawl
+# scheduling). One two-phase count over derived calendar keys; the
+# share denominator broadcasts back. Output is a constant 7x24 grid.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_hour_dow_heatmap",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_purchases
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_events) AS t FROM g)
+    SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events, n_purchases,
+           round(CAST(n_events AS DOUBLE) / tot.t, 6) AS traffic_share
+    FROM g CROSS JOIN tot
+    """,
+)
+def ads_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # dow convention: Spark dayofweek is 1=Sunday..7=Saturday, DuckDB's
+    # is 0=Sunday..6=Saturday — subtract 1 here to align on DuckDB's.
+    g = (ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"))
+         .agg(F.count("*").alias("n_events"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast("bigint").alias("n_purchases")))
+    tot = g.agg(F.sum("n_events").alias("t"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("dow", "hod",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    "n_purchases",
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("t"), 6).alias("traffic_share")))

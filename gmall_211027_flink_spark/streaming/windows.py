@@ -1146,3 +1146,130 @@ def _stream_decon_oracle() -> str:
 
 
 _OR["stream_decontaminate_ingest"] = _stream_decon_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-value compaction (A7 at ingest): the upsert-kafka
+# "last row per key wins" semantics (reference sink DDL,
+# e.g. DwdTradeOrderDetail.java upsert sink) maintained INCREMENTALLY —
+# each micro-batch folds max(encoded (ts, seq, value)) into the keyed
+# store, so commit cost is O(batch), store is O(keys), and because MAX
+# over the fixed-width encoding is associative/commutative the final
+# compacted state is identical under ANY micro-batch slicing. The
+# encoding packs the full payload behind a lexicographic (ts, seq)
+# prefix, so the store needs no join-back to recover the winning row.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_last_value_compaction",
+    oracle="""
+    SELECT user_id, es AS last_es, event_id AS last_event_id,
+           event_type AS last_event_type
+    FROM (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+             event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+                        event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_last_value_compaction(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.sources.files import stream_events
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore, run_incremental_agg)
+
+    enc = F.concat(
+        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.col("event_type"))
+    d = tempfile.mkdtemp(prefix="lastval_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["user_id"], {"last_enc": ("max", "enc")})
+        stream = stream_events(spark, sf_dir).select(
+            "user_id", enc.alias("enc"))
+        q = run_incremental_agg(stream, store, f"{d}/ckpt")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_last_value_compaction timed out")
+        out = store.read(spark).select(
+            "user_id",
+            F.substring("last_enc", 1, 12).cast("bigint").alias("last_es"),
+            F.substring("last_enc", 13, 12).cast("bigint")
+             .alias("last_event_id"),
+            F.substring("last_enc", 25, 100).alias("last_event_type"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Top-k over an incrementally maintained aggregate: per-day GMV sums
+# fold O(batch) into the keyed store (same mergeable-decimal discipline
+# as dws_incremental_agg_maintenance); the top-5-days-with-ties report
+# is a RANK read over the tiny store — the pattern that replaces
+# "re-aggregate the fact table for every leaderboard refresh" at 100 TB.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_topk_gmv_maintenance",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gmv
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT order_day, CAST(gmv AS DOUBLE) AS gmv,
+             rank() OVER (ORDER BY gmv DESC, order_day) AS rnk
+      FROM daily
+    )
+    SELECT order_day, gmv, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def stream_topk_gmv_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore, run_incremental_agg)
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    d = tempfile.mkdtemp(prefix="topk_gmv_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["order_day"], {"gmv": ("sum", "gmv_part")})
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "orders.parquet")
+                  .parquet(sf_dir)
+                  .select(
+                      F.date_format("o_orderdate", "yyyy-MM-dd")
+                       .alias("order_day"),
+                      F.col("o_totalprice").cast("decimal(18,2)")
+                       .alias("gmv_part")))
+        q = run_incremental_agg(stream, store, f"{d}/ckpt")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_topk_gmv_maintenance timed out")
+        w = Window.orderBy(F.desc("gmv"), "order_day")
+        out = (store.read(spark)
+               .select("order_day", F.col("gmv").cast("double")
+                       .alias("gmv"))
+               .withColumn("rnk", F.rank().over(w).cast("bigint"))
+               .filter(F.col("rnk") <= 5))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
