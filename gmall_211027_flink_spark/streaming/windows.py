@@ -1273,3 +1273,88 @@ def stream_topk_gmv_maintenance(spark: SparkSession,
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming inverted-index statistics maintenance: the BM25 corpus
+# statistics (document frequency + total term frequency per query
+# term) kept current as documents stream in — the "index at ingest"
+# path that lets text_bm25_search (operators/search.py) serve without
+# a batch rebuild. Per batch: tokenize map-side, filter to the query
+# vocabulary BEFORE any state, reduce to per-(doc, term) counts, fold
+# count/sum into the keyed store (O(batch) commit, store O(vocab)).
+# COUNT/SUM are order-insensitive, so the drained store equals the
+# batch statistics under any micro-batch slicing — which is what the
+# oracle checks.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_index_stats_maintenance",
+    oracle=None,  # assigned below (shares the term list with search.py)
+)
+def stream_index_stats_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.operators.search import _ALL_TERMS
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore, run_incremental_agg)
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    d = tempfile.mkdtemp(prefix="idx_stats_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["term"],
+            {"df": ("count", None), "tf_total": ("sum", "tf")})
+        stream = (spark.readStream.schema(batch_schema)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf_dir)
+                  .select("doc_id",
+                          F.explode(F.split("text", " ")).alias("term"))
+                  .filter(F.col("term").isin(list(_ALL_TERMS))))
+
+        # The stream itself stays STATELESS (no streaming aggregation
+        # state); the per-(doc, term) reduction happens inside each
+        # foreachBatch commit — correct because the file source never
+        # splits one document across micro-batches, so every (doc,
+        # term) posting finalizes within its batch.
+        def _fold(batch, epoch_id):
+            red = (batch.groupBy("doc_id", "term")
+                   .agg(F.count("*").alias("tf"))
+                   .select("term", "tf"))
+            store.write_batch(red, epoch_id)
+
+        q = (stream.writeStream.foreachBatch(_fold)
+             .option("checkpointLocation", f"{d}/ckpt")
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_index_stats_maintenance timed out")
+        out = (store.read(spark)
+               .select("term", F.col("df").cast("bigint").alias("df"),
+                       F.col("tf_total").cast("bigint").alias("tf_total")))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _index_stats_oracle() -> str:
+    from gmall_211027_flink_spark.operators.search import _ALL_TERMS
+    in_list = ", ".join(f"'{t}'" for t in _ALL_TERMS)
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ({in_list})
+      GROUP BY 1, 2
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total
+    FROM tf GROUP BY 1
+    """
+
+
+_OR["stream_index_stats_maintenance"] = _index_stats_oracle()
