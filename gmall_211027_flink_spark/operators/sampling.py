@@ -354,3 +354,84 @@ def sample_reservoir_per_group(spark: SparkSession,
                         F.row_number().over(w).alias("rnk"))
             .filter(F.col("rnk") <= RESERVOIR_K)
             .select("lang", "rnk", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: the check a training pipeline runs after
+# assigning train/val/test — if the split key is the ROW id, duplicate
+# CONTENT can land on both sides of the split and leak eval answers
+# into training. Reports, for both keyings (row-id vs content-hash),
+# how many content groups straddle >1 split. The content-keyed assigner
+# (assign_split on md5(text) — sample_split_stratified's posture) must
+# show ZERO leaky groups by construction; the row-id keying quantifies
+# the leakage the naive choice would cause.
+#
+# Scale: one groupBy on the content digest (constant-size key) with
+# COUNT(DISTINCT split) (bounded cardinality 3) — a single two-phase
+# aggregation either way.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_split_leakage_audit",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT md5(text) AS h,
+        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 100 < {TRAIN_PCT} THEN 'train'
+             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+             ELSE 'test' END AS split_by_id,
+        CASE WHEN ('0x' || substr(md5(text), 1, 8))
+                  ::BIGINT % 100 < {TRAIN_PCT} THEN 'train'
+             WHEN ('0x' || substr(md5(text), 1, 8))
+                  ::BIGINT % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+             ELSE 'test' END AS split_by_content
+      FROM documents
+    ),
+    per_keying AS (
+      SELECT 'doc_id' AS keying, h, COUNT(*) AS n_docs,
+             COUNT(DISTINCT split_by_id) AS n_splits
+      FROM assigned GROUP BY 2
+      UNION ALL
+      SELECT 'content', h, COUNT(*), COUNT(DISTINCT split_by_content)
+      FROM assigned GROUP BY 2
+    )
+    SELECT keying,
+           CAST(COUNT(*) AS BIGINT) AS n_content_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_docs_affected
+    FROM per_keying GROUP BY 1
+    """,
+)
+def sample_split_leakage_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5("text").alias("h"))
+
+    def split_col(key):
+        b = hash_bucket(key)
+        return (F.when(b < TRAIN_PCT, "train")
+                .when(b < TRAIN_PCT + VAL_PCT, "val")
+                .otherwise("test"))
+
+    assigned = docs.select(
+        "h",
+        split_col(F.col("doc_id")).alias("split_by_id"),
+        split_col(F.col("text")).alias("split_by_content"))
+    per = None
+    for keying, col in (("doc_id", "split_by_id"),
+                        ("content", "split_by_content")):
+        g = (assigned.groupBy("h")
+             .agg(F.count("*").alias("n_docs"),
+                  F.countDistinct(col).alias("n_splits"))
+             .select(F.lit(keying).alias("keying"), "n_docs", "n_splits"))
+        per = g if per is None else per.unionAll(g)
+    return (per.groupBy("keying")
+            .agg(F.count("*").cast("bigint").alias("n_content_groups"),
+                 F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_leaky_groups"),
+                 F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs"))
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_docs_affected")))

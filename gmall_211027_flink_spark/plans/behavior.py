@@ -387,3 +387,66 @@ def ads_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_purchases",
                     F.round(F.col("n_events").cast("double")
                             / F.col("t"), 6).alias("traffic_share")))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: quartile scores on recency / frequency /
+# monetary, the classic CRM grid (the reference's publisher layer
+# computes per-customer trade stats; RFM is the standard roll-up over
+# them). Quartiles are exact ntile over a (metric, custkey) total
+# order — deterministic cross-engine; at 100 TB the ntile boundaries
+# come from approx_percentile instead (same audit posture as
+# stats_histogram_equi_depth).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey,
+        ntile(4) OVER (ORDER BY recency, o_custkey) AS r_score,
+        ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+        ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+        monetary
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def ads_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (orders.crossJoin(F.broadcast(maxd))
+                .groupBy("o_custkey")
+                .agg(F.datediff(F.first("maxd"), F.max("o_orderdate"))
+                     .alias("recency"),
+                     F.count("*").alias("frequency"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .alias("monetary")))
+    scored = per_cust.select(
+        "o_custkey", "monetary",
+        F.ntile(4).over(Window.orderBy("recency", "o_custkey"))
+         .alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+         .alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+         .alias("m_score"))
+    return (scored.groupBy(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             F.sum("monetary").cast("double").alias("segment_monetary")))
