@@ -661,3 +661,122 @@ def embedding_int8_quant_audit(spark: SparkSession,
             / F.size("codes"), 6).alias("mse"),
         F.round(F.expr("array_max(transform(e, x -> abs(x)))"), 6)
          .alias("max_abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep: mean recall@k vs the exact ranking for
+# nprobe in {1, 2, 4} — the tuning CURVE (not just the point audit
+# ann_ivf_recall gives at NPROBE) an ANN deployment reads to pick the
+# recall/cost trade-off before scaling out. Candidate generation and
+# cell assignment are computed ONCE; each sweep point only widens the
+# probe filter, so the sweep costs barely more than a single audit.
+# Per-sweep-point mean recall is a ratio of exact integer counts.
+# ---------------------------------------------------------------------------
+
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def _ivf_probe_sql(nprobe: int) -> str:
+    """The ann_ivf_probe oracle with its probe width swapped — the text
+    is reused verbatim so the sweep can never drift from the audited
+    single-point operator."""
+    base = ORACLES["ann_ivf_probe"]
+    assert f"crk <= {NPROBE}" in base
+    return base.replace(f"crk <= {NPROBE}", f"crk <= {nprobe}")
+
+
+def _sweep_oracle() -> str:
+    points = "\n      UNION ALL\n".join(
+        f"""SELECT {n} AS nprobe, e.query_id,
+             COUNT(i.neighbor_id) AS found_ct, COUNT(*) AS exact_k
+          FROM ({ORACLES["ann_cosine_topk"]}) e
+          LEFT JOIN ({_ivf_probe_sql(n)}) i
+            ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+          GROUP BY 1, 2"""
+        for n in NPROBE_SWEEP)
+    return f"""
+    WITH per_query AS (
+      {points}
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(found_ct) AS DOUBLE) / SUM(exact_k), 6)
+             AS mean_recall
+    FROM per_query GROUP BY 1
+    """
+
+
+@query("ann_ivf_nprobe_sweep", oracle=_sweep_oracle())
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("emb",
+                    F.expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("da", F.expr(
+            "aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x)"))
+        .select("vec_id", "emb", "da"))
+    cen = (e.filter(F.col("vec_id") < K_CENTROIDS)
+           .select(F.col("vec_id").alias("cid"),
+                   F.col("emb").alias("cemb"), F.col("da").alias("dc")))
+    dac = F.expr(
+        "aggregate(zip_with(emb, cemb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    dist = (e.crossJoin(F.broadcast(cen))
+            .withColumn("d2",
+                        F.round(F.col("da") - 2 * dac + F.col("dc"), 6)))
+    wcell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked_cells = dist.select(
+        "vec_id", "cid", F.row_number().over(wcell).alias("crk"))
+    cells = (ranked_cells.filter(F.col("crk") == 1)
+             .select("vec_id", F.col("cid").alias("cell")))
+    exact = (ann_cosine_topk(spark, sf_dir)
+             .select("query_id", "neighbor_id"))
+
+    max_np = max(NPROBE_SWEEP)
+    probes = (ranked_cells
+              .filter((F.col("crk") <= max_np)
+                      & (F.col("vec_id") < N_QUERIES))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cid").alias("cell"), "crk"))
+    q = (e.join(probes, e.vec_id == probes.query_id)
+         .select("query_id", "cell", "crk",
+                 F.col("emb").alias("qemb"), F.col("da").alias("qda")))
+    c = (e.join(cells, "vec_id")
+         .select(F.col("vec_id").alias("neighbor_id"), "emb", "da",
+                 "cell"))
+    dot = F.expr(
+        "aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    # score each candidate once at the widest probe width; narrower
+    # sweep points re-rank the SUBSET with crk <= nprobe
+    scored = (c.join(F.broadcast(q),
+                     (c.cell == q.cell)
+                     & (F.col("neighbor_id") != F.col("query_id")))
+              .withColumn("cosine",
+                          F.round(dot / (F.sqrt("qda") * F.sqrt("da")),
+                                  6))
+              .select("query_id", "neighbor_id", "cosine", "crk"))
+    out = None
+    for n in NPROBE_SWEEP:
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                   "neighbor_id")
+        topk = (scored.filter(F.col("crk") <= n)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOP_K)
+                .select(F.col("query_id").alias("i_q"),
+                        F.col("neighbor_id").alias("i_n"),
+                        F.lit(1).alias("hit")))
+        per_q = (exact.join(topk,
+                            (F.col("query_id") == F.col("i_q"))
+                            & (F.col("neighbor_id") == F.col("i_n")),
+                            "left")
+                 .groupBy("query_id")
+                 .agg(F.count("hit").alias("found_ct"),
+                      F.count("*").alias("exact_k"))
+                 .select(F.lit(n).cast("bigint").alias("nprobe"),
+                         "found_ct", "exact_k"))
+        out = per_q if out is None else out.unionAll(per_q)
+    return (out.groupBy("nprobe")
+            .agg(F.count("*").cast("bigint").alias("n_queries"),
+                 F.round(F.sum("found_ct").cast("double")
+                         / F.sum("exact_k"), 6).alias("mean_recall")))
