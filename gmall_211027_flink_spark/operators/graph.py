@@ -304,3 +304,91 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                .unionAll(tri.select(F.col("z").alias("node"))))
     return (corners.groupBy(F.col("node").alias("part_id"))
             .agg(F.count("*").alias("triangle_ct")))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (fixed-round synchronous LPA, Raghavan
+# et al. 2007) over the same co-purchase graph — community structure
+# (densely co-purchased product families), complementing connectivity
+# (components), importance (PageRank) and cohesion (triangles).
+#
+# Determinism: classic LPA is order-sensitive; this is the SYNCHRONOUS
+# variant with a total-order update rule — each round every node takes
+# the most frequent label among its neighbors, ties broken by SMALLEST
+# label — so each round is a pure function of the previous labeling and
+# both engines agree exactly. Fixed LPA_ROUNDS rounds (no convergence
+# test: cross-engine loop exits on float/ordering are a trap; a fixed
+# budget is also the 100 TB posture — each round is one edge-keyed
+# shuffle + a (node,label) count, Pregel-shaped, lineage-truncated).
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out}_cnt AS (
+      SELECT e.u AS node, p.label, COUNT(*) AS c
+      FROM edges e JOIN {prev} p ON p.node = e.v
+      GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rk
+        FROM {out}_cnt) WHERE rk = 1
+    )"""
+
+
+def _lpa_oracle() -> str:
+    rounds = ",".join(
+        _lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))
+    return f"""
+    WITH {_EDGES_SQL},
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+    {rounds}
+    SELECT node AS part_id, label AS community_id,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+             AS community_size
+    FROM l{LPA_ROUNDS}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform("
+            "slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(LPA_ROUNDS):
+        cnt = (edges.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("u").alias("node"), "label")
+               .agg(F.count("*").alias("c")))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+        labels = (cnt.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "label")
+                  .localCheckpoint())
+    w_sz = F.count("*").over(Window.partitionBy("label"))
+    return labels.select(
+        F.col("node").alias("part_id"),
+        F.col("label").alias("community_id"),
+        w_sz.cast("bigint").alias("community_size"))
