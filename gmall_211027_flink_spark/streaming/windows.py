@@ -1331,6 +1331,12 @@ def stream_index_stats_maintenance(spark: SparkSession,
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError("stream_index_stats_maintenance timed out")
+        import os
+        if not os.path.exists(f"{d}/store"):
+            # corpus contained NO query-vocabulary postings at all: the
+            # store was never materialized — the index is validly empty
+            return spark.createDataFrame(
+                [], "term string, df bigint, tf_total bigint")
         out = (store.read(spark)
                .select("term", F.col("df").cast("bigint").alias("df"),
                        F.col("tf_total").cast("bigint").alias("tf_total")))

@@ -54,6 +54,12 @@ _DOC_QUERIES = [
     "vocab_pmi_topk", "quality_threshold_calibration", "bpe_top_merges",
     "dataset_snapshot_diff", "stream_dedup_minhash_incremental",
     "multimodal_payload_dedup",
+    # round-5 additions
+    "text_bm25_search", "dedup_span_exact", "text_ngram_novelty",
+    "text_zipf_fit", "dedup_bloom_membership_audit",
+    "sample_reservoir_per_group", "sample_split_leakage_audit",
+    "stream_decontaminate_ingest", "pipeline_training_manifest",
+    "stream_index_stats_maintenance", "stats_ks_drift",
 ]
 
 
