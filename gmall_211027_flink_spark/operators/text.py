@@ -876,3 +876,35 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= BPE_TOP_K)
             .select("merge_pair", "pair_ct"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion audit: cross-tab of labeled vs predicted
+# language from the same stopword/CJK heuristic as text_lang_id — the
+# accuracy read a pipeline takes before trusting the cheap classifier
+# to route documents at scale (per-cell counts + per-label recall).
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_lang_confusion_audit",
+    oracle=f"""
+    WITH pred AS ({{langid}})
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang), 6)
+             AS label_share
+    FROM pred
+    GROUP BY 1, 2
+    """.format(langid=_lang_id_oracle()),
+)
+def text_lang_confusion_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir)
+    w = Window.partitionBy("labeled_lang")
+    return (pred.groupBy("labeled_lang", "predicted_lang")
+            .agg(F.count("*").cast("bigint").alias("doc_ct"))
+            .withColumn(
+                "label_share",
+                F.round(F.col("doc_ct").cast("double")
+                        / F.sum("doc_ct").over(w), 6)))

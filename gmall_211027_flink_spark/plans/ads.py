@@ -654,3 +654,76 @@ def ads_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                " 'gmv', gmv,"
                " 'buyer_ct', cast(buyer_ct as double))")
         .alias("metric", "value"))
+
+
+# ---------------------------------------------------------------------------
+# Association rules from the co-purchase pairs: directed confidence
+# P(B|A) = sup(A,B)/sup(A) for both directions of every frequent pair —
+# the "customers who bought A also bought B" feed (the rule form of
+# ads_copurchase_pairs' symmetric lift). Same posting-list pair plan;
+# the only additions are the two direction rows (map-side union) and
+# the broadcast antecedent counts.
+# ---------------------------------------------------------------------------
+
+_BASKET_RULES = """
+WITH order_parts AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_ct AS (
+  SELECT l_partkey, COUNT(*) AS ct FROM order_parts GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together_ct
+  FROM order_parts a
+  JOIN order_parts b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, together_ct FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, together_ct FROM pairs
+)
+SELECT r.antecedent, r.consequent,
+       CAST(r.together_ct AS BIGINT) AS together_ct,
+       round(CAST(r.together_ct AS DOUBLE) / ca.ct, 6) AS confidence
+FROM rules r
+JOIN part_ct ca ON r.antecedent = ca.l_partkey
+"""
+
+
+@query("ads_basket_rules", oracle=_BASKET_RULES)
+def ads_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    part_ct = op.groupBy("l_partkey").agg(F.count("*").alias("ct"))
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2,"
+            " size(ps)-i-1), y -> struct(x as part_a, y as part_b))))"
+        )).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= 3))
+    rules = (pairs.select(F.col("part_a").alias("antecedent"),
+                          F.col("part_b").alias("consequent"),
+                          "together_ct")
+             .unionAll(pairs.select(F.col("part_b").alias("antecedent"),
+                                    F.col("part_a").alias("consequent"),
+                                    "together_ct")))
+    ca = part_ct.select(F.col("l_partkey").alias("antecedent"),
+                        F.col("ct").alias("ct_a"))
+    return (rules.join(F.broadcast(ca), "antecedent")
+            .select("antecedent", "consequent",
+                    F.col("together_ct").cast("bigint")
+                    .alias("together_ct"),
+                    F.round(F.col("together_ct").cast("double")
+                            / F.col("ct_a"), 6).alias("confidence")))

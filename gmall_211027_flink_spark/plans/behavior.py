@@ -450,3 +450,44 @@ def ads_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("bigint").alias("m_score"))
         .agg(F.count("*").cast("bigint").alias("n_customers"),
              F.sum("monetary").cast("double").alias("segment_monetary")))
+
+
+# ---------------------------------------------------------------------------
+# Error-burst detection: 10-minute windows whose global error count is
+# >= 2x the mean over active windows — the alerting shape the
+# reference's ops side would sink to ClickHouse. One two-phase count on
+# the window bucket; the mean rides back as a broadcast scalar, so the
+# burst verdict is a map-side comparison of an exact count against one
+# double threshold computed identically in both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_error_burst_windows",
+    oracle="""
+    WITH wins AS (
+      SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS b600,
+             COUNT(*) AS error_ct
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    ),
+    m AS (SELECT SUM(error_ct) AS tot, COUNT(*) AS n_wins FROM wins)
+    SELECT w.b600, CAST(w.error_ct AS BIGINT) AS error_ct,
+           round(CAST(m.tot AS DOUBLE) / m.n_wins, 6) AS mean_ct,
+           w.error_ct >= 2 * (CAST(m.tot AS DOUBLE) / m.n_wins) AS is_burst
+    FROM wins w CROSS JOIN m
+    """,
+)
+def dwd_error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wins = (ev.filter(F.col("event_type") == "error")
+            .groupBy((F.floor(F.unix_timestamp("ts") / 600)).cast("bigint")
+                     .alias("b600"))
+            .agg(F.count("*").alias("error_ct")))
+    m = wins.agg(F.sum("error_ct").alias("tot"),
+                 F.count("*").alias("n_wins"))
+    mean = F.col("tot").cast("double") / F.col("n_wins")
+    return (wins.crossJoin(F.broadcast(m))
+            .select("b600",
+                    F.col("error_ct").cast("bigint").alias("error_ct"),
+                    F.round(mean, 6).alias("mean_ct"),
+                    (F.col("error_ct") >= 2 * mean).alias("is_burst")))
