@@ -1170,3 +1170,122 @@ def dedup_bloom_membership_audit(spark: SparkSession,
                 - F.sum(F.when(F.col("is_exact"), 1).otherwise(0)),
                 F.lit(1)), 6).alias("fpr"))
         .crossJoin(F.broadcast(n_bits)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-tuning sweep: band-miss recall vs the exact Jaccard pair
+# set for three (bands x rows) splits of the SAME 16-hash signature —
+# (2x8) tight, (4x4) the production config dedup_minhash_lsh runs,
+# (8x2) loose. This is the tuning CURVE next to dedup_minhash_recall's
+# single-point audit (the s-curve P(candidate) = 1-(1-s^r)^b moves with
+# r and b; the sweep measures it on the actual corpus). Signatures are
+# computed ONCE map-side; each sweep point only regroups the 16 hashes
+# into different band keys, so the sweep costs ~3 band self-joins on
+# constant-size keys.
+# ---------------------------------------------------------------------------
+
+BAND_SWEEP = ((2, 8), (4, 4), (8, 2))   # (n_bands, rows_per_band)
+
+
+def _band_sweep_oracle() -> str:
+    a_vals = ",".join(str(a) for a in MINHASH_A)
+    b_vals = ",".join(str(b) for b in MINHASH_B)
+    points = []
+    for nb, rows in BAND_SWEEP:
+        points.append(f"""
+    bands_{nb} AS (
+      SELECT doc_id, seed // {rows} AS band_id,
+             string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cand_{nb} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{nb} a JOIN bands_{nb} b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    point_{nb} AS (
+      SELECT {nb} AS n_bands, {rows} AS rows_per_band,
+             COUNT(*) AS exact_pairs, COUNT(c.doc_a) AS lsh_found
+      FROM pairs p
+      LEFT JOIN cand_{nb} c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    )""")
+    union = "\n      UNION ALL\n".join(
+        f"SELECT * FROM point_{nb}" for nb, _r in BAND_SWEEP)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_JACCARD_PAIRS_SQL},
+    shi AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, s.seed,
+             MIN(([{a_vals}][s.seed + 1] * x + [{b_vals}][s.seed + 1])
+                 % {MINHASH_P}) AS h
+      FROM shi, (SELECT UNNEST(generate_series(0, {N_MINHASH - 1})) AS seed) s
+      GROUP BY 1, 2
+    ),
+    {",".join(p.strip() for p in points)}
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(lsh_found AS BIGINT) AS lsh_found,
+           CAST((2 * lsh_found * 1000000 + exact_pairs)
+                // (2 * exact_pairs) AS DOUBLE) / 1000000 AS recall
+    FROM ({union})
+    """
+
+
+@query("dedup_minhash_band_sweep", oracle=_band_sweep_oracle())
+def dedup_minhash_band_sweep(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    exact = (dedup_ngram_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    wdocs = _shingle_arrays(spark, sf_dir)
+    ih = wdocs.filter(F.size("sh_arr") > 0).select(
+        "doc_id",
+        F.expr(
+            "transform(sh_arr,"
+            " x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
+        ).alias("ih"))
+    mh = ih.select(
+        "doc_id",
+        *[F.expr(
+            f"array_min(transform(ih, x -> (x * {MINHASH_A[s]}L"
+            f" + {MINHASH_B[s]}L) % {MINHASH_P}L))").alias(f"h{s}")
+          for s in range(N_MINHASH)]).localCheckpoint()
+    out = None
+    for nb, rows in BAND_SWEEP:
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.concat_ws("|", *[F.col(f"h{b * rows + i}")
+                                   for i in range(rows)])
+                 .alias("band_key"))
+            for b in range(nb)])
+        bands = (mh.select("doc_id", F.explode(band_structs).alias("b"))
+                 .select("doc_id", "b.band_id", "b.band_key"))
+        a = bands.alias("a")
+        bb = bands.alias("b")
+        cand = (a.join(bb, (F.col("a.band_id") == F.col("b.band_id"))
+                       & (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("c_a"),
+                        F.col("b.doc_id").alias("c_b"))
+                .distinct().withColumn("hit", F.lit(1)))
+        point = (exact.join(cand, (F.col("doc_a") == F.col("c_a"))
+                            & (F.col("doc_b") == F.col("c_b")), "left")
+                 .agg(F.count("*").alias("exact_pairs"),
+                      F.count("hit").alias("lsh_found"))
+                 .select(F.lit(nb).cast("bigint").alias("n_bands"),
+                         F.lit(rows).cast("bigint").alias("rows_per_band"),
+                         F.col("exact_pairs").cast("bigint"),
+                         F.col("lsh_found").cast("bigint")))
+        out = point if out is None else out.unionAll(point)
+    # ppm integer half-up, same midpoint-proof form as
+    # dedup_minhash_recall (see _recall_oracle comment)
+    return out.withColumn(
+        "recall",
+        F.expr("(2 * lsh_found * 1000000 + exact_pairs)"
+               " div (2 * exact_pairs)").cast("double") / 1000000)
