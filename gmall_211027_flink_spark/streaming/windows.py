@@ -1364,3 +1364,64 @@ def _index_stats_oracle() -> str:
 
 
 _OR["stream_index_stats_maintenance"] = _index_stats_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming form of the Flink TUMBLE-aligned window join (batch analog:
+# operators/joins.py::dwd_window_join_click_error, same oracle): both
+# sides watermarked and bucketed by the SAME tumbling window, then
+# equi-joined on (user, window). This is the join whose streaming state
+# Spark can fully bound from the window equality alone — each side
+# holds at most one window past the watermark, vs the interval join's
+# range-conditioned retention. Inner pairs emit immediately, so
+# availableNow drains the complete result; the memory-sink output is
+# aggregated and hash-checked against the SAME SQL oracle as the batch
+# operator.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_window_join_streaming",
+    oracle=None,  # assigned below: identical to the batch window join
+)
+def dwd_window_join_streaming(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+
+    clicks = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select("user_id", F.window("ts", "1 hour").alias("win"),
+                      F.col("ts").alias("a_ts"))
+              .withWatermark("a_ts", "2 seconds"))
+    errors = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("b_user"),
+                      F.window("ts", "1 hour").alias("b_win"),
+                      F.col("ts").alias("b_ts"))
+              .withWatermark("b_ts", "2 seconds"))
+    pairs = (clicks.join(
+        errors,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("win") == F.col("b_win")))
+        .select("user_id",
+                (F.unix_timestamp(F.col("win.start")) / 3600)
+                .cast("bigint").alias("b3600")))
+    name = f"dwd_window_join_stream_{_uuid.uuid4().hex[:8]}"
+    q = (pairs.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("dwd_window_join_streaming timed out")
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("pair_ct"),
+                 F.countDistinct("b3600").cast("bigint")
+                  .alias("window_ct"),
+                 F.min("b3600").cast("bigint").alias("first_window"),
+                 F.max("b3600").cast("bigint").alias("last_window")))
+
+
+def _window_join_stream_oracle() -> str:
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["dwd_window_join_click_error"]
+
+
+_OR["dwd_window_join_streaming"] = _window_join_stream_oracle()
