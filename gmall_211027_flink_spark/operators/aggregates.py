@@ -1212,3 +1212,62 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.max(d), 6).alias("ks_stat"),
                  F.round(F.first(crit), 6).alias("critical_005"),
                  (F.max(d) > F.first(crit)).alias("drifted")))
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue — the inequality read behind
+# "top 1% of customers drive X% of GMV" (and, in the curation setting,
+# source-concentration of a corpus). Exact: revenue rides as
+# DECIMAL(18,2), ranks are a total order (revenue, custkey), the
+# weighted sum i*x_i accumulates as DECIMAL(38,2), and the Gini formula
+# G = (2*S_ix)/(n*S_x) - (n+1)/n drops to double only at the end.
+# Scale note: the global rank is the same exact-audit posture as
+# stats_histogram_equi_depth — at 100 TB, bucket by approx percentile
+# and compute the within-bucket correction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_gini_revenue",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+      FROM per_cust
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(rev) AS s,
+             SUM(CAST(i AS DECIMAL(19,0)) * rev) AS si
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(si AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM m
+    """,
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .alias("rev")))
+    ranked = per_cust.select(
+        "rev", F.row_number().over(
+            Window.orderBy("rev", "o_custkey")).alias("i"))
+    m = ranked.agg(
+        F.count("*").alias("n"), F.sum("rev").alias("s"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("rev"))
+         .alias("si"))
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        s_d.alias("total_revenue"),
+        F.round(2.0 * F.col("si").cast("double") / (n_d * s_d)
+                - (n_d + 1.0) / n_d, 6).alias("gini"))

@@ -453,3 +453,92 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.count("hit").cast("double") / F.count("*"), 6)
               .alias("contamination_rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level contamination report: not just WHICH training docs share
+# an eval 5-gram (decontaminate_ngram's verdict) but WHERE and HOW MUCH
+# — per contaminated doc, the number of matching gram positions and the
+# longest contiguous run (gaps-and-islands over positions, same trick
+# as dedup_span_exact). The excise-vs-drop decision needs exactly this:
+# a doc with one stray gram is excisable, one with a long run is a real
+# leak. Positions keep the corpus side map-side; only (doc, pos) rows
+# whose gram hits the broadcast eval set reach the island window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontaminate_span_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             doc_id % {EVAL_MOD} = 0 AS is_eval
+      FROM documents
+    ),
+    pos_grams AS (
+      SELECT doc_id, is_eval, i AS pos,
+             len(w) - {NGRAM - 1} AS n_positions,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS g
+      FROM toks, UNNEST(generate_series(1,
+             greatest(len(w) - {NGRAM - 1}, 0))) AS t(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM pos_grams WHERE is_eval),
+    hits AS (
+      SELECT doc_id, n_positions, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM pos_grams
+      WHERE NOT is_eval AND g IN (SELECT g FROM eg)
+    ),
+    runs AS (
+      SELECT doc_id, n_positions, grp, COUNT(*) AS n_pos,
+             MAX(pos) - MIN(pos) + {NGRAM} AS run_tokens
+      FROM hits GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n_positions AS BIGINT) AS n_positions,
+           CAST(SUM(n_pos) AS BIGINT) AS n_hit_positions,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+           round(CAST(SUM(n_pos) AS DOUBLE) / n_positions, 6)
+             AS hit_ratio
+    FROM runs GROUP BY doc_id, n_positions
+    """,
+)
+def decontaminate_span_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"),
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"))
+    pos_grams = docs.select(
+        "doc_id", "is_eval",
+        (F.size("w") - (NGRAM - 1)).alias("n_positions"),
+        F.explode(F.expr(
+            f"transform(if(size(w) >= {NGRAM},"
+            f" sequence(1, size(w)-{NGRAM - 1}),"
+            " cast(array() as array<int>)),"
+            " i -> struct(i as pos, concat_ws(' ', element_at(w,i),"
+            " element_at(w,i+1), element_at(w,i+2), element_at(w,i+3),"
+            " element_at(w,i+4)) as g))")).alias("p")
+    ).select("doc_id", "is_eval", "n_positions", "p.pos", "p.g")
+    eg = pos_grams.filter("is_eval").select("g").distinct()
+    hits = (pos_grams.filter(~F.col("is_eval"))
+            .join(F.broadcast(eg), "g", "left_semi")
+            .withColumn("grp", F.col("pos") - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos"))))
+    runs = (hits.groupBy("doc_id", "n_positions", "grp")
+            .agg(F.count("*").alias("n_pos"),
+                 (F.max("pos") - F.min("pos") + NGRAM)
+                 .alias("run_tokens")))
+    return (runs.groupBy("doc_id", "n_positions")
+            .agg(F.sum("n_pos").cast("bigint").alias("n_hit_positions"),
+                 F.count("*").cast("bigint").alias("n_runs"),
+                 F.max("run_tokens").cast("bigint")
+                 .alias("max_run_tokens"),
+                 F.round(F.sum("n_pos").cast("double")
+                         / F.col("n_positions"), 6).alias("hit_ratio"))
+            .select("doc_id", F.col("n_positions").cast("bigint")
+                    .alias("n_positions"), "n_hit_positions", "n_runs",
+                    "max_run_tokens", "hit_ratio"))
