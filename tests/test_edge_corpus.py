@@ -60,6 +60,8 @@ _DOC_QUERIES = [
     "sample_reservoir_per_group", "sample_split_leakage_audit",
     "stream_decontaminate_ingest", "pipeline_training_manifest",
     "stream_index_stats_maintenance", "stats_ks_drift",
+    "text_lang_confusion_audit", "dedup_minhash_band_sweep",
+    "decontaminate_span_report",
 ]
 
 
