@@ -278,3 +278,78 @@ def backflow(events: DataFrame, key_col: str,
         .applyInPandasWithState(
             fn, output_schema, STATE_SCHEMA, "append", _timeout_mode(ttl_ms))
     )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("lv", T.LongType()),    # latest view epoch-second
+    T.StructField("am", T.LongType()),    # best anchoring-view es from a valid click
+    T.StructField("l1", T.IntegerType()),
+    T.StructField("l2", T.IntegerType()),
+    T.StructField("l3", T.IntegerType()),
+])
+
+
+def funnel_levels(events: DataFrame, window_s: int,
+                  output_schema: T.StructType,
+                  ttl_ms: int | None = None) -> DataFrame:
+    """Per-user windowed-funnel level (view -> click -> purchase within
+    ``window_s`` of the anchoring view) as KEYED STATE — the streaming
+    form of plans/behavior.py::ads_window_funnel's greedy running
+    anchors (the CEP pattern the reference builds with Flink CEP,
+    DwdTrafficUserJumpDetail.java:44-88, here as two running maxima in
+    state). Emits each user's level-so-far once per micro-batch; the
+    level is monotone non-decreasing across batches (state carries the
+    anchors), so the drained final level is MAX over emissions —
+    batching-independent.
+
+    Input must carry (user_id, es, event_id, event_type). Vectorized
+    pandas (cummax/shift) — no per-row loops.
+    """
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        if state.hasTimedOut:
+            state.remove()
+            return
+        lv, am, l1, l2, l3 = (state.get if state.exists
+                              else (None, None, 0, 0, 0))
+        pdf = _concat(pdfs)
+        if pdf is None:
+            return
+        pdf = pdf.sort_values(["es", "event_id"])
+        es = pdf["es"].to_numpy()
+        typ = pdf["event_type"].to_numpy()
+        neg = np.int64(-(1 << 62))
+        # running "latest view strictly earlier", seeded by state
+        v = np.where(typ == "view", es, neg)
+        lv_run = np.maximum.accumulate(v)
+        lv_prev = np.concatenate(([neg], lv_run[:-1]))
+        if lv is not None:
+            lv_prev = np.maximum(lv_prev, lv)
+        is_click = typ == "click"
+        ca = np.where(is_click & (lv_prev > neg)
+                      & (es - lv_prev <= window_s), lv_prev, neg)
+        am_run = np.maximum.accumulate(ca)
+        am_prev = np.concatenate(([neg], am_run[:-1]))
+        if am is not None:
+            am_prev = np.maximum(am_prev, am)
+        hit3 = ((typ == "purchase") & (am_prev > neg)
+                & (es - am_prev <= window_s))
+        l1 = max(l1, int((typ == "view").any()))
+        l2 = max(l2, int((ca > neg).any()))
+        l3 = max(l3, int(hit3.any()))
+        new_lv = int(lv_run[-1]) if lv_run[-1] > neg else lv
+        if lv is not None and new_lv is not None:
+            new_lv = max(new_lv, lv)
+        new_am = int(am_run[-1]) if am_run[-1] > neg else am
+        if am is not None and new_am is not None:
+            new_am = max(new_am, am)
+        state.update((new_lv, new_am, l1, l2, l3))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        level = 3 if l3 else (2 if l2 else (1 if l1 else 0))
+        yield pd.DataFrame({"user_id": [key[0]], "level": [level]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                fn, output_schema, FUNNEL_STATE_SCHEMA, "append",
+                _timeout_mode(ttl_ms)))

@@ -1425,3 +1425,55 @@ def _window_join_stream_oracle() -> str:
 
 
 _OR["dwd_window_join_streaming"] = _window_join_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed funnel (CEP-as-state): the per-user view -> click
+# -> purchase funnel level maintained in keyed state
+# (streaming/state.py::funnel_levels — two running anchor maxima, the
+# stateful twin of the batch window-function form). The drained
+# per-batch emissions fold by MAX per user (the level is monotone in
+# state), then histogram — hash-checked against the SAME oracle as the
+# batch ads_window_funnel.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_funnel_streaming",
+    oracle=None,  # assigned below: identical to batch ads_window_funnel
+)
+def dws_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from gmall_211027_flink_spark.plans.behavior import FUNNEL_WINDOW_S
+    from gmall_211027_flink_spark.sources.files import stream_events
+    from gmall_211027_flink_spark.streaming.state import funnel_levels
+
+    stream = stream_events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_id",
+        "event_type")
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("level", T.LongType()),
+    ])
+    levels = funnel_levels(stream, FUNNEL_WINDOW_S, out_schema)
+    name = f"dws_funnel_stream_{_uuid.uuid4().hex[:8]}"
+    q = (levels.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("dws_funnel_streaming timed out")
+    return (spark.table(name)
+            .groupBy("user_id").agg(F.max("level").alias("funnel_level"))
+            .groupBy(F.col("funnel_level").cast("bigint")
+                     .alias("funnel_level"))
+            .agg(F.count("*").cast("bigint").alias("n_users")))
+
+
+def _funnel_stream_oracle() -> str:
+    import gmall_211027_flink_spark.plans.behavior  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["ads_window_funnel"]
+
+
+_OR["dws_funnel_streaming"] = _funnel_stream_oracle()

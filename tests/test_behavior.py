@@ -83,3 +83,52 @@ def test_sequence_match_negation_matches_bruteforce(spark, sf_dir):
     want = {uid: _brute_seq_match(evs)
             for uid, evs in _user_events().items()}
     assert got == want
+
+
+def test_streaming_funnel_state_carries_across_micro_batches(
+        spark, sf_dir, tmp_path):
+    """Split events into three event-time slices landing in SEPARATE
+    micro-batches (maxFilesPerTrigger=1): anchors set in an early batch
+    must complete chains in later ones, and the max-folded levels must
+    equal the batch window-function funnel exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.plans.behavior import (
+        FUNNEL_WINDOW_S, ads_window_funnel)
+    from gmall_211027_flink_spark.streaming.state import funnel_levels
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_id",
+        "event_type")
+    cuts = (ev.approxQuantile("es", [0.33, 0.66], 0.0))
+    d = str(tmp_path / "slices")
+    ev.filter(F.col("es") < cuts[0]).coalesce(1) \
+        .write.parquet(f"{d}/s0.parquet")
+    ev.filter((F.col("es") >= cuts[0]) & (F.col("es") < cuts[1])) \
+        .coalesce(1).write.parquet(f"{d}/s1.parquet")
+    ev.filter(F.col("es") >= cuts[1]).coalesce(1) \
+        .write.parquet(f"{d}/s2.parquet")
+
+    schema = ev.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{d}/*.parquet"))
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("level", T.LongType()),
+    ])
+    levels = funnel_levels(stream, FUNNEL_WINDOW_S, out_schema)
+    name = "funnel_slice_test"
+    q = (levels.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(600)
+    assert q.lastProgress["batchId"] >= 2, "expected >= 3 micro-batches"
+    got = {r.funnel_level: r.n_users for r in
+           (spark.table(name)
+            .groupBy("user_id").agg(F.max("level").alias("funnel_level"))
+            .groupBy("funnel_level").agg(F.count("*").alias("n_users"))
+            .collect())}
+    want = {r.funnel_level: r.n_users
+            for r in ads_window_funnel(spark, sf_dir).collect()}
+    assert got == want
