@@ -126,6 +126,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
                      .cast("double").alias("value_sum"),
                     F.min("event_id").cast("bigint").alias("min_event_id"),
                     F.max("event_id").cast("bigint").alias("max_event_id")))
+        # gate-harness materialization only: the temp export is removed
+        # in `finally`, so the (tiny, per-type) aggregate must leave it
+        # first; production reads land in real table paths
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:

@@ -1205,6 +1205,9 @@ def stream_last_value_compaction(spark: SparkSession,
             F.substring("last_enc", 13, 12).cast("bigint")
              .alias("last_event_id"),
             F.substring("last_enc", 25, 100).alias("last_event_type"))
+        # gate-harness materialization only (the temp store is removed
+        # in `finally`, so the frame must leave it first); production
+        # reads the persistent store directly — no driver collect
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
@@ -1269,6 +1272,8 @@ def stream_topk_gmv_maintenance(spark: SparkSession,
                        .alias("gmv"))
                .withColumn("rnk", F.rank().over(w).cast("bigint"))
                .filter(F.col("rnk") <= 5))
+        # gate-harness materialization (temp store removed in finally);
+        # production reads the persistent store — no driver collect
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
@@ -1340,6 +1345,8 @@ def stream_index_stats_maintenance(spark: SparkSession,
         out = (store.read(spark)
                .select("term", F.col("df").cast("bigint").alias("df"),
                        F.col("tf_total").cast("bigint").alias("tf_total")))
+        # gate-harness materialization (temp store removed in finally);
+        # production reads the persistent store — no driver collect
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
