@@ -96,7 +96,11 @@ def main() -> None:
 
 SCALE_FACTOR = 10          # synthetic 10x documents corpus
 SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
-                 "dedup_simhash", "dedup_exact", "dedup_passage_exact"]
+                 "dedup_simhash", "dedup_exact", "dedup_passage_exact",
+                 # round-5 corpus-scaling ops: span-level dedup and the
+                 # inverted-index BM25 (worst-case dup density exercises
+                 # the duplicated-window explosion / postings fan-out)
+                 "dedup_span_exact", "text_bm25_search"]
 ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
 
 
