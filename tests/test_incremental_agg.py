@@ -100,3 +100,41 @@ def test_lsh_store_slicing_invariant(spark, sf_dir, tmp_path):
                [docs.filter(F.col("doc_id") % 3 == i) for i in (2, 0, 1)])
     assert one == mod3 == rev
     assert len(one) > 0
+
+
+def test_last_value_encoding_slicing_invariant(spark, sf_dir, tmp_path):
+    """stream_last_value_compaction's MAX over the fixed-width
+    (ts, seq, payload) encoding must yield the IDENTICAL compacted
+    store for any micro-batch slicing — fold the events in two
+    different slicings and compare against the batch last-row truth."""
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    ev = load_table(spark, sf_dir, "events")
+    enc = F.concat(
+        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.col("event_type"))
+    keyed = ev.select("user_id", enc.alias("enc"),
+                      (F.col("event_id") % 4).alias("m4"),
+                      (F.col("event_id") % 3).alias("m3"))
+
+    results = []
+    for col, parts in (("m4", 4), ("m3", 3)):
+        store = IncrementalAggStore(
+            str(tmp_path / f"store_{col}"), ["user_id"],
+            {"last_enc": ("max", "enc")})
+        for i in range(parts):
+            store.write_batch(
+                keyed.filter(F.col(col) == i).select("user_id", "enc"), i)
+        results.append(sorted(
+            tuple(r) for r in store.read(spark)
+            .select("user_id", "last_enc").collect()))
+    assert results[0] == results[1]
+
+    truth = sorted(
+        tuple(r) for r in
+        keyed.groupBy("user_id").agg(F.max("enc").alias("last_enc"))
+        .collect())
+    assert results[0] == truth
