@@ -384,3 +384,74 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_points"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n_d, 6).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: share of all token OCCURRENCES covered by
+# the top-K vocabulary, for K in COVERAGE_KS — the measurement that
+# sizes a tokenizer vocab (pick K where the curve flattens; everything
+# past it becomes <unk>/byte-fallback). One two-phase word count, one
+# rank over the Zipf-compressed frequency table, a cumulative window
+# over <= max(K) rows. Exact integer ratios rounded at the 6-dp
+# boundary; rank ties break on the token string.
+# ---------------------------------------------------------------------------
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH freq AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS t, COUNT(*) AS vocab FROM freq),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+      FROM freq
+    ),
+    cum AS (
+      SELECT rnk, SUM(c) OVER (ORDER BY rnk) AS cum_c
+      FROM ranked WHERE rnk <= {max(COVERAGE_KS)}
+    )
+    SELECT k, CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(covered AS BIGINT) AS covered_occurrences,
+           CAST(t AS BIGINT) AS total_occurrences,
+           round(CAST(covered AS DOUBLE) / t, 6) AS coverage
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT {k} AS k,"
+        f" coalesce((SELECT MAX(cum_c) FROM cum WHERE rnk <= {k}), 0)"
+        f" AS covered"
+        for k in COVERAGE_KS)}
+    ) CROSS JOIN tot
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w").agg(F.count("*").alias("c")))
+    tot = freq.agg(F.sum("c").alias("t"), F.count("*").alias("vocab"))
+    ranked = (freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
+        .filter(F.col("rnk") <= max(COVERAGE_KS)))
+    cum = ranked.select(
+        "rnk", F.sum("c").over(
+            Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"))
+    out = None
+    for k in COVERAGE_KS:
+        pt = (cum.filter(F.col("rnk") <= k)
+              .agg(F.coalesce(F.max("cum_c"), F.lit(0)).alias("covered"))
+              .select(F.lit(k).cast("bigint").alias("k"), "covered"))
+        out = pt if out is None else out.unionAll(pt)
+    return (out.crossJoin(F.broadcast(tot))
+            .select("k", F.col("vocab").cast("bigint").alias("vocab_size"),
+                    F.col("covered").cast("bigint")
+                    .alias("covered_occurrences"),
+                    F.col("t").cast("bigint").alias("total_occurrences"),
+                    F.round(F.col("covered").cast("double")
+                            / F.col("t"), 6).alias("coverage")))

@@ -1484,3 +1484,83 @@ def _funnel_stream_oracle() -> str:
 
 
 _OR["dws_funnel_streaming"] = _funnel_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution-drift monitor: the two-sample KS statistic of
+# stats_ks_drift maintained at ingest — per-batch (length, cohort)
+# counts fold O(batch) into the keyed store (counts are
+# order-insensitive, so the drained store equals the batch counts under
+# any slicing); the ecdf + KS read runs over the compressed value
+# domain at query time. This is how a crawl watches a source drift
+# WITHOUT re-scanning the corpus: state is O(|distinct lengths| x 2).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_ks_drift_monitor",
+    oracle=None,  # assigned below: identical to batch stats_ks_drift
+)
+def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore, run_incremental_agg)
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    d = tempfile.mkdtemp(prefix="ks_drift_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["n_chars", "cohort"], {"ct": ("count", None)})
+        cohort = F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0,
+            "a").otherwise("b")
+        stream = (spark.readStream.schema(batch_schema)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf_dir)
+                  .select("n_chars", cohort.alias("cohort")))
+        q = run_incremental_agg(stream, store, f"{d}/ckpt")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_ks_drift_monitor timed out")
+        vals = (store.read(spark)
+                .groupBy("n_chars")
+                .agg(F.sum(F.when(F.col("cohort") == "a", F.col("ct"))
+                           .otherwise(0)).alias("ca"),
+                     F.sum(F.when(F.col("cohort") == "b", F.col("ct"))
+                           .otherwise(0)).alias("cb")))
+        tot = vals.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+        w = (Window.orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        ecdf = vals.select(
+            "n_chars",
+            F.sum("ca").over(w).alias("cum_a"),
+            F.sum("cb").over(w).alias("cum_b"))
+        dd = F.abs(F.col("cum_a").cast("double") / F.col("na")
+                   - F.col("cum_b").cast("double") / F.col("nb"))
+        from gmall_211027_flink_spark.operators.aggregates import (
+            KS_ALPHA_C)
+        crit = (F.expr(KS_ALPHA_C)
+                * F.sqrt((F.col("na") + F.col("nb"))
+                         / (F.col("na").cast("double") * F.col("nb"))))
+        out = (ecdf.crossJoin(F.broadcast(tot))
+               .groupBy(F.col("na").cast("bigint").alias("n_a"),
+                        F.col("nb").cast("bigint").alias("n_b"))
+               .agg(F.round(F.max(dd), 6).alias("ks_stat"),
+                    F.round(F.first(crit), 6).alias("critical_005"),
+                    (F.max(dd) > F.first(crit)).alias("drifted")))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ks_stream_oracle() -> str:
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_ks_drift"]
+
+
+_OR["stream_ks_drift_monitor"] = _ks_stream_oracle()
