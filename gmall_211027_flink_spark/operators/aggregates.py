@@ -1271,3 +1271,123 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_d.alias("total_revenue"),
         F.round(2.0 * F.col("si").cast("double") / (n_d * s_d)
                 - (n_d + 1.0) / n_d, 6).alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: observed first-significant-digit shares of
+# o_totalprice vs the Benford expectation log10(1 + 1/d) with a
+# chi-square distance — the classic books-cooking / synthetic-data
+# smell test a warehouse runs on money columns. Exact digit counts
+# (string head of the absolute value), expectation as literal doubles
+# identical in both engines, 6-dp boundary rounds.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS ct FROM digits GROUP BY 1),
+    tot AS (SELECT SUM(ct) AS n FROM obs)
+    SELECT o.d AS first_digit,
+           CAST(o.ct AS BIGINT) AS observed_ct,
+           round(CAST(o.ct AS DOUBLE) / t.n, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / o.d), 6) AS benford_share,
+           round((CAST(o.ct AS DOUBLE) / t.n - log10(1.0 + 1.0 / o.d))
+                 * (CAST(o.ct AS DOUBLE) / t.n - log10(1.0 + 1.0 / o.d))
+                 / log10(1.0 + 1.0 / o.d), 6) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def stats_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # floor, not a bare double->bigint cast: DuckDB CAST rounds
+    # half-even while Spark truncates — floor is identical in both
+    d = (F.substring(F.floor(F.abs(F.col("o_totalprice")))
+                     .cast("bigint").cast("string"), 1, 1).cast("bigint"))
+    obs = (orders.filter(F.col("o_totalprice") >= 1)
+           .groupBy(d.alias("d")).agg(F.count("*").alias("ct")))
+    tot = obs.agg(F.sum("ct").alias("n"))
+    share = F.col("ct").cast("double") / F.col("n")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select(F.col("d").alias("first_digit"),
+                    F.col("ct").cast("bigint").alias("observed_ct"),
+                    F.round(share, 6).alias("observed_share"),
+                    F.round(benford, 6).alias("benford_share"),
+                    F.round((share - benford) * (share - benford)
+                            / benford, 6).alias("chi2_term")))
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of hourly event counts — the time-series health
+# read (near-zero for memoryless arrivals, high for bursty/diurnal
+# load) that decides whether capacity planning can assume Poisson.
+# Hourly counts are exact; the lag join is on the hour bucket
+# (bucket+1 = next hour, missing hours skipped like the oracle); the
+# correlation runs over exact DECIMAL moment sums with double only in
+# the final formula (same discipline as stats_regression_trend).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_hourly_autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             COUNT(*) AS ct
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.ct AS x, b.ct AS y
+      FROM hourly a JOIN hourly b ON b.h = a.h + 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_hour_pairs,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS lag1_autocorr
+    FROM m
+    """,
+)
+def stats_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (events.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint").alias("h"))
+        .agg(F.count("*").alias("ct")))
+    nxt = hourly.select((F.col("h") - 1).alias("h"),
+                        F.col("ct").alias("y"))
+    pairs = (hourly.join(nxt, "h")
+             .select(F.col("ct").alias("x"), "y"))
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"))
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_hour_pairs"),
+        F.round((n_d * sxy - sx * sy)
+                / F.sqrt((n_d * sxx - sx * sx) * (n_d * syy - sy * sy)),
+                6).alias("lag1_autocorr"))
