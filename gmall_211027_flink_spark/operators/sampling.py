@@ -435,3 +435,85 @@ def sample_split_leakage_audit(spark: SparkSession,
                  F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs"))
                        .otherwise(0)).cast("bigint")
                  .alias("n_docs_affected")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture resampling (the multilingual rebalancing
+# rule from XLM-R / mT5: q_s = p_s^alpha / sum p^alpha with alpha < 1
+# flattening the source distribution): per-source keep RATES are
+# derived FROM the data (unlike mixture_weighted_sample's fixed weight
+# table), then applied with the same content-keyed ppm threshold so the
+# kept set is deterministic and engine-portable. floor(x + 0.5) for the
+# ppm threshold (never round() on doubles — the repo's quantization
+# convention); the one pow() rides through a 6-dp boundary like every
+# ln() in this repo.
+#
+# Scale: counts are one two-phase aggregation; the per-source rate
+# table is broadcast-sized; keep verdicts are a map-side hash compare.
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = "0.7"     # identical literal text in both engines
+TEMP_TARGET_FRAC = 2   # keep ~1/2 of the corpus overall
+
+
+@query(
+    "sample_temperature_rates",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    q AS (
+      SELECT c.source, c.n,
+             pow(CAST(c.n AS DOUBLE) / t.total, {TEMP_ALPHA}) AS pw,
+             t.total
+      FROM counts c CROSS JOIN tot t
+    ),
+    z AS (SELECT SUM(pw) AS zsum FROM q),
+    rates AS (
+      SELECT source, n, total,
+             CAST(floor(least(1.0,
+               (total / {TEMP_TARGET_FRAC}.0) * (pw / z.zsum) / n)
+               * 1000000 + 0.5) AS BIGINT) AS rate_ppm
+      FROM q CROSS JOIN z
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_docs,
+           round(CAST(r.n AS DOUBLE) / r.total, 6) AS p_source,
+           r.rate_ppm,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(d.text
+                    || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_ct
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sample_temperature_rates(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    q = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("pw", F.pow(F.col("n").cast("double")
+                                 / F.col("total"),
+                                 F.expr(TEMP_ALPHA))))
+    z = q.agg(F.sum("pw").alias("zsum"))
+    rate = F.floor(
+        F.least(F.lit(1.0),
+                (F.col("total") / F.expr(f"{TEMP_TARGET_FRAC}.0"))
+                * (F.col("pw") / F.col("zsum")) / F.col("n"))
+        * 1000000 + 0.5).cast("bigint")
+    rates = (q.crossJoin(F.broadcast(z))
+             .select("source", "n", "total", rate.alias("rate_ppm")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 1000000)
+    return (docs.join(F.broadcast(rates), "source")
+            .groupBy("source",
+                     F.col("n").cast("bigint").alias("n_docs"),
+                     F.round(F.col("n").cast("double") / F.col("total"),
+                             6).alias("p_source"),
+                     "rate_ppm")
+            .agg(F.sum(F.when(bucket < F.col("rate_ppm"), 1)
+                       .otherwise(0)).cast("bigint").alias("kept_ct")))

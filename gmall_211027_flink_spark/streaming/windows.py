@@ -1050,6 +1050,10 @@ def dim_scd2_stream_maintenance(spark: SparkSession,
 
 
 def _scd2_stream_oracle() -> str:
+    # the batch operator registers in operators/windows.py — import it
+    # first so this module works standalone (scripts import it directly)
+    import gmall_211027_flink_spark.operators.windows  # noqa: F401
+
     from gmall_211027_flink_spark.registry import ORACLES
     return ORACLES["dim_scd2_history"]
 
@@ -1427,6 +1431,8 @@ def dwd_window_join_streaming(spark: SparkSession,
 
 
 def _window_join_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.joins  # noqa: F401
+
     from gmall_211027_flink_spark.registry import ORACLES
     return ORACLES["dwd_window_join_click_error"]
 
@@ -1559,6 +1565,8 @@ def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ks_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
     from gmall_211027_flink_spark.registry import ORACLES
     return ORACLES["stats_ks_drift"]
 

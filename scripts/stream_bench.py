@@ -213,6 +213,25 @@ def main() -> None:
         "rows": n_docs, "sec": round(sec, 2),
         "rows_per_sec": round(n_docs / sec)}
 
+    # 9. stateful windowed funnel (CEP-as-state; numpy-vectorized
+    # applyInPandasWithState — per-user anchor maxima)
+    from pyspark.sql import types as T9
+
+    from gmall_211027_flink_spark.plans.behavior import FUNNEL_WINDOW_S
+    from gmall_211027_flink_spark.streaming.state import funnel_levels
+    t0 = time.perf_counter()
+    fstream = stream_events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "event_id",
+        "event_type")
+    fl = funnel_levels(fstream, FUNNEL_WINDOW_S, T9.StructType([
+        T9.StructField("user_id", T9.LongType()),
+        T9.StructField("level", T9.LongType())]))
+    run(fl, f"sb_funnel_{uuid.uuid4().hex[:6]}")
+    sec = time.perf_counter() - t0
+    results["stateful_window_funnel"] = {
+        "rows": n_input, "sec": round(sec, 2),
+        "rows_per_sec": round(n_input / sec)}
+
     for d in (tmp6, tmp7, tmp8):
         shutil.rmtree(d, ignore_errors=True)
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
