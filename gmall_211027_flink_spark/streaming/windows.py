@@ -1531,6 +1531,12 @@ def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError("stream_ks_drift_monitor timed out")
+        import os
+        if not os.path.exists(f"{d}/store"):
+            # no documents arrived: nothing to test drift on
+            return spark.createDataFrame(
+                [], "n_a bigint, n_b bigint, ks_stat double, "
+                    "critical_005 double, drifted boolean")
         vals = (store.read(spark)
                 .groupBy("n_chars")
                 .agg(F.sum(F.when(F.col("cohort") == "a", F.col("ct"))

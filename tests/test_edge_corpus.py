@@ -61,7 +61,8 @@ _DOC_QUERIES = [
     "stream_decontaminate_ingest", "pipeline_training_manifest",
     "stream_index_stats_maintenance", "stats_ks_drift",
     "text_lang_confusion_audit", "dedup_minhash_band_sweep",
-    "decontaminate_span_report",
+    "decontaminate_span_report", "vocab_coverage_curve",
+    "stream_ks_drift_monitor", "sample_temperature_rates",
 ]
 
 
