@@ -132,3 +132,74 @@ def test_streaming_funnel_state_carries_across_micro_batches(
     want = {r.funnel_level: r.n_users
             for r in ads_window_funnel(spark, sf_dir).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property check of the ALGORITHMIC claim (docstring of
+# ads_window_funnel / ads_sequence_match_negation): the greedy
+# running-anchor formulation equals the exists-a-chain semantics on
+# ARBITRARY event sequences, not just the shipped corpus. Pure-Python
+# mirrors of the window expressions run against the O(n^3)/O(n^2)
+# brute force under hypothesis.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["view", "click", "purchase", "signup", "error", "other"]
+
+
+def _greedy_funnel(evs, window_s):
+    """Mirror of the two running MAXes in ads_window_funnel."""
+    lv = am = None
+    l1 = l2 = l3 = 0
+    for es, _eid, typ in evs:
+        if typ == "click" and lv is not None and es - lv <= window_s:
+            l2 = 1
+            ca = lv
+        else:
+            ca = None
+        if typ == "purchase" and am is not None and es - am <= window_s:
+            l3 = 1
+        if typ == "view":
+            l1 = 1
+            lv = es if lv is None else max(lv, es)
+        if ca is not None:
+            am = ca if am is None else max(am, ca)
+    return 3 if l3 else (2 if l2 else (1 if l1 else 0))
+
+
+def _greedy_seq_match(evs):
+    """Mirror of the ordinal ls/le comparison."""
+    ls = le = None
+    hit = 0
+    for idx, (_es, _eid, typ) in enumerate(evs):
+        if typ == "purchase" and ls is not None \
+                and (le is None or le < ls):
+            hit = 1
+        if typ == "signup":
+            ls = idx
+        if typ == "error":
+            le = idx
+    return hit
+
+
+@st.composite
+def _event_seq(draw):
+    n = draw(st.integers(0, 18))
+    es = sorted(draw(st.lists(st.integers(0, 8000), min_size=n,
+                              max_size=n)))
+    return [(t, i, draw(st.sampled_from(_TYPES)))
+            for i, t in enumerate(es)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_event_seq())
+def test_funnel_greedy_equals_bruteforce_on_random_sequences(evs):
+    assert _greedy_funnel(evs, 1000) == _brute_funnel_level(evs, 1000)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_event_seq())
+def test_seqmatch_greedy_equals_bruteforce_on_random_sequences(evs):
+    assert _greedy_seq_match(evs) == _brute_seq_match(evs)
