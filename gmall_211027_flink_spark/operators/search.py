@@ -302,6 +302,26 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                      6).alias("novelty_ratio")))
 
 
+def _global_topr(freq: DataFrame, r: int) -> DataFrame:
+    """Exact global top-R rank over (c DESC, w) with a two-phase
+    pre-prune: Spark's rank-limit pushdown (WindowGroupLimit) never
+    fires on EMPTY partition specs, so a bare global row_number sorts
+    the whole frequency table in ONE partition — the bottleneck at
+    web-scale vocab. Phase 1 keeps each hash-bucket's local top-R
+    (pruning only rows that cannot be in the global top-R — exact for
+    any bucketing); phase 2 ranks the <= R x buckets survivors
+    globally. Output column: rnk (the global rank).
+    """
+    bucket = (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+              .cast("bigint") % 64)
+    local = (freq.withColumn("b", bucket)
+             .withColumn("lrk", F.row_number().over(
+                 Window.partitionBy("b").orderBy(F.desc("c"), "w")))
+             .filter(F.col("lrk") <= r).drop("b", "lrk"))
+    return local.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
+
+
 # ---------------------------------------------------------------------------
 # Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over the
 # top ZIPF_R vocabulary — the tokenizer/vocab health check (natural
@@ -362,9 +382,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (docs.select(F.explode(F.split("text", " ")).alias("w"))
             .filter(F.col("w") != "")
             .groupBy("w").agg(F.count("*").alias("c")))
-    topr = (freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
-        .filter(F.col("rnk") <= ZIPF_R))
+    topr = (_global_topr(freq, ZIPF_R)
+            .filter(F.col("rnk") <= ZIPF_R))
     pts = topr.select(
         F.round(F.log(F.col("rnk").cast("double")), 6)
          .cast("decimal(18,6)").alias("x"),
@@ -435,9 +454,8 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("w") != "")
             .groupBy("w").agg(F.count("*").alias("c")))
     tot = freq.agg(F.sum("c").alias("t"), F.count("*").alias("vocab"))
-    ranked = (freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "w")))
-        .filter(F.col("rnk") <= max(COVERAGE_KS)))
+    ranked = (_global_topr(freq, max(COVERAGE_KS))
+              .filter(F.col("rnk") <= max(COVERAGE_KS)))
     cum = ranked.select(
         "rnk", F.sum("c").over(
             Window.orderBy("rnk")
