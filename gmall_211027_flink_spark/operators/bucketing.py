@@ -98,18 +98,35 @@ def compact_small_files(spark: SparkSession, path: str,
     import glob
     import uuid
 
+    import time
+
     base = path.rstrip("/")
-    # Stale stage/backup dirs from a prior crashed run would make the
-    # renames below fail; clear them first.  A leftover ._precompact.*
-    # means a prior run crashed AFTER moving the live dataset aside but
-    # BEFORE promoting its staged copy — restore it if the live path is
-    # gone, else drop it (the live path superseded it).
-    for leftover in glob.glob(base + "._compacting.*"):
-        shutil.rmtree(leftover, ignore_errors=True)
-    for leftover in glob.glob(base + "._precompact.*"):
+    # Stale stage/backup dirs from a prior CRASHED run would make the
+    # renames below fail; clear them first.  Two guards so the sweep
+    # can't eat a CONCURRENT run's in-flight dirs: (a) glob.escape the
+    # base so paths containing glob metacharacters ([, *, ?) match
+    # literally; (b) only reap leftovers older than ``stale_s`` — an
+    # in-flight sibling compaction's staged dir is seconds old, a
+    # crashed run's leftover is not.  A leftover ._precompact.* means a
+    # prior run crashed AFTER moving the live dataset aside but BEFORE
+    # promoting its staged copy — restore it if the live path is gone
+    # (recovery beats the age gate: the dataset is otherwise lost),
+    # else drop it once stale (the live path superseded it).
+    stale_s = 3600.0
+    now = time.time()
+
+    def _stale(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) > stale_s
+        except OSError:
+            return False   # vanished underneath us — someone else owns it
+    for leftover in glob.glob(glob.escape(base) + "._compacting.*"):
+        if _stale(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+    for leftover in glob.glob(glob.escape(base) + "._precompact.*"):
         if not os.path.exists(path):
             os.rename(leftover, path)
-        else:
+        elif _stale(leftover):
             shutil.rmtree(leftover, ignore_errors=True)
 
     files_before, bytes_total = _stats(path)

@@ -242,6 +242,135 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multiscale span dedup: the fixed-W window report above under-measures
+# the STRUCTURE of long duplicated runs (Lee et al. report spans at a
+# 50-token threshold; a 200-token duplicated run is one span, not 193
+# overlapping W=8 islands). Here duplicated windows are found at a
+# W in {8, 16, 32} pyramid, every duplicated window contributes its
+# covered TOKEN interval [s, s+W-1], and the intervals merge per
+# document into maximal spans (running-max interval merge) — the
+# suffix-array maximal-match output shape, approximated by a window
+# pyramid instead of a suffix array.
+#
+# Scale: the window generation is map-side (token array re-used per
+# width); ONE shuffle groups (width, md5) constant-size keys; the
+# duplicated-window verdict joins back keyed; the interval merge is a
+# per-document sort over O(duplicated windows), never cross-document.
+# At 100 TB each width's window count is ~corpus tokens, so the pyramid
+# costs 3x the single-width shuffle — linear, probe-measured at 10x in
+# bench.py's scale_probe.
+# ---------------------------------------------------------------------------
+
+SPAN_WIDTHS = (8, 16, 32)
+
+
+def _span_multiscale_oracle() -> str:
+    widths = ", ".join(str(w) for w in SPAN_WIDTHS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sized AS (SELECT doc_id, w, len(w) AS n_tokens FROM toks),
+    wins AS (
+      SELECT doc_id, n_tokens, wd, i AS s, i + wd - 1 AS e,
+             md5(array_to_string(w[i:i + wd - 1], ' ')) AS h
+      FROM sized,
+           UNNEST([{widths}]) AS ws(wd),
+           UNNEST(generate_series(1, n_tokens - wd + 1)) AS t(i)
+      WHERE n_tokens >= wd
+    ),
+    dup_h AS (
+      SELECT wd, h FROM wins GROUP BY wd, h HAVING COUNT(*) >= 2
+    ),
+    ivals AS (
+      SELECT w.doc_id, w.n_tokens, w.s, w.e
+      FROM wins w JOIN dup_h USING (wd, h)
+    ),
+    marked AS (
+      SELECT doc_id, n_tokens, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                 PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) + 1
+               THEN 1 ELSE 0 END AS new_isl
+      FROM ivals
+    ),
+    islands AS (
+      SELECT doc_id, n_tokens, s, e,
+             SUM(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, n_tokens, isl,
+             MIN(s) AS s, MAX(e) AS e
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           round(CAST(SUM(e - s + 1) AS DOUBLE) / n_tokens, 6)
+             AS dup_ratio,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens
+    FROM merged
+    GROUP BY doc_id, n_tokens
+    """
+
+
+@query("dedup_span_multiscale", oracle=_span_multiscale_oracle())
+def dedup_span_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MERGED duplicated-span report across the
+    W in {8, 16, 32} window pyramid (docs with >= 1 duplicated window at
+    any width). ``dup_tokens`` is the union coverage of all duplicated
+    windows' token intervals; ``max_span_tokens`` the longest maximal
+    span — the Lee-et-al long-run structure the fixed-W report flattens.
+    """
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .select("doc_id", "w", F.size("w").alias("n_tokens")))
+    widths = F.array(*[F.lit(w) for w in SPAN_WIDTHS])
+    wins = (docs.filter(F.col("n_tokens") >= min(SPAN_WIDTHS))
+            .select("doc_id", "n_tokens", "w",
+                    F.explode(widths).alias("wd"))
+            .filter(F.col("n_tokens") >= F.col("wd"))
+            .select("doc_id", "n_tokens", "wd",
+                    F.explode(F.expr(
+                        "transform(sequence(1, n_tokens - wd + 1),"
+                        " i -> struct(i as s, i + wd - 1 as e,"
+                        "  md5(concat_ws(' ', slice(w, i, wd))) as h))"
+                    )).alias("p"))
+            .select("doc_id", "n_tokens", "wd", "p.s", "p.e", "p.h"))
+    dup_h = (wins.groupBy("wd", "h").agg(F.count("*").alias("ct"))
+             .filter(F.col("ct") >= 2).select("wd", "h"))
+    ivals = wins.join(dup_h, ["wd", "h"]).select(
+        "doc_id", "n_tokens", "s", "e")
+    w_prev = (Window.partitionBy("doc_id").orderBy("s", "e")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s", "e")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    marked = ivals.withColumn(
+        "new_isl",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev),
+                                       F.lit(-1)) + 1, 1).otherwise(0))
+    islands = marked.withColumn("isl", F.sum("new_isl").over(w_run))
+    merged = (islands.groupBy("doc_id", "n_tokens", "isl")
+              .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    return (merged.groupBy("doc_id", "n_tokens")
+            .agg(F.sum(F.col("e") - F.col("s") + 1).cast("bigint")
+                 .alias("dup_tokens"),
+                 F.round(F.sum(F.col("e") - F.col("s") + 1).cast("double")
+                         / F.col("n_tokens"), 6).alias("dup_ratio"),
+                 F.count("*").cast("bigint").alias("n_spans"),
+                 F.max(F.col("e") - F.col("s") + 1).cast("bigint")
+                 .alias("max_span_tokens"))
+            .select("doc_id", F.col("n_tokens").cast("bigint")
+                    .alias("n_tokens"), "dup_tokens", "dup_ratio",
+                    "n_spans", "max_span_tokens"))
+
+
+# ---------------------------------------------------------------------------
 # N-gram novelty: fraction of a document's distinct NOV_N-grams whose
 # FIRST corpus occurrence (min doc_id == crawl order) is this document
 # — the marginal-contribution audit a curation pipeline uses to rank

@@ -879,6 +879,150 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer induction, full loop: K iterated merge rounds (Sennrich
+# et al. 2016) — each round counts adjacent symbol pairs over the
+# (small, Zipf-compressed) vocab table, picks the argmax pair
+# (tie-break: count DESC, then pair lexicographic), and applies it
+# left-to-right greedy non-overlapping; the vocabulary of symbols grows
+# by one per round. bpe_top_merges above proves one counting step; this
+# proves the ROUND ITERATION, the way min_label_components proves
+# bounded label rounds.
+#
+# Scale shape: the corpus is touched ONCE (the word-count agg); all K
+# rounds run over the distinct-word vocab (orders of magnitude smaller
+# than the corpus), localCheckpoint'd per round to truncate lineage.
+# The only driver collect is the 1-row argmax per round (bounded: K
+# rows total). Merge application is F.aggregate — a JVM-side Catalyst
+# higher-order fold, no Python UDF.
+#
+# Greedy-application equivalence note: the fold merges a pair whenever
+# the accumulator top is s1 and the current symbol is s2 — leftmost-
+# first non-overlapping, identical to the oracle's islands-parity rule
+# (consecutive overlapping match positions only arise when s1 == s2,
+# where odd-ranked positions within each run merge).
+# ---------------------------------------------------------------------------
+
+BPE_SEQ_ROUNDS = 8
+
+
+def _bpe_seq_oracle() -> str:
+    """Unrolled K-round BPE training loop in pure SQL: per round, pair
+    counts via LEAD, scalar-subquery argmax, islands-parity greedy
+    merge application, and a post-merge distinct-symbol count."""
+    # every CTE MATERIALIZED: DuckDB would otherwise INLINE the chain,
+    # and the per-round multi-references (st twice, b twice, ...)
+    # compound exponentially across 8 unrolled rounds — thousands of
+    # duplicated parquet scans (observed as fd exhaustion)
+    parts = ["""
+    WITH wc AS MATERIALIZED (
+      SELECT w1 AS word, COUNT(*) AS ct FROM
+        (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents)
+      WHERE w1 <> '' GROUP BY 1
+    ),
+    seq0 AS MATERIALIZED (
+      SELECT word, ct, i AS pos, substr(word, i, 1) AS sym
+      FROM wc, UNNEST(generate_series(1, len(word))) AS t(i)
+    )"""]
+    for r in range(1, BPE_SEQ_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+    nx{r} AS MATERIALIZED (
+      SELECT word, ct, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+      FROM seq{p}
+    ),
+    pc{r} AS MATERIALIZED (
+      SELECT sym AS s1, nsym AS s2, CAST(SUM(ct) AS BIGINT) AS pct
+      FROM nx{r} WHERE nsym IS NOT NULL GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT s1, s2, pct FROM pc{r} ORDER BY pct DESC, s1, s2 LIMIT 1
+    ),
+    mk{r} AS MATERIALIZED (
+      SELECT n.*, CASE WHEN n.sym = (SELECT s1 FROM b{r})
+                        AND n.nsym = (SELECT s2 FROM b{r})
+                   THEN 1 ELSE 0 END AS m
+      FROM nx{r} n
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos, ROW_NUMBER() OVER (
+                 PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM (SELECT word, pos, pos - ROW_NUMBER() OVER (
+                       PARTITION BY word ORDER BY pos) AS grp
+              FROM mk{r} WHERE m = 1)
+      ) WHERE rn % 2 = 1
+    ),
+    seq{r} AS MATERIALIZED (
+      SELECT m.word, m.ct,
+             ROW_NUMBER() OVER (PARTITION BY m.word ORDER BY m.pos) AS pos,
+             CASE WHEN a.pos IS NOT NULL THEN m.sym || m.nsym
+                  ELSE m.sym END AS sym
+      FROM mk{r} m
+      LEFT JOIN st{r} a ON a.word = m.word AND a.pos = m.pos
+      LEFT JOIN st{r} b ON b.word = m.word AND b.pos = m.pos - 1
+      WHERE b.pos IS NULL
+    ),
+    vs{r} AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS n FROM seq{r})""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, s1 || s2 AS merge_pair, "
+        f"pct AS pair_ct, (SELECT n FROM vs{r}) AS n_symbols FROM b{r}"
+        for r in range(1, BPE_SEQ_ROUNDS + 1))
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@query("bpe_merge_sequence", oracle=_bpe_seq_oracle())
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K = BPE_SEQ_ROUNDS learned merge rules in order, each with
+    its corpus-weighted pair count and the distinct-symbol vocabulary
+    size after applying it (feeds vocab_coverage_curve-style budget
+    planning: how fast does coverage grow per merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count("*").alias("ct")))
+    vocab = wc.select(
+        "ct",
+        F.expr("transform(sequence(1, length(word)),"
+               " i -> substring(word, i, 1))").alias("syms"))
+    vocab = vocab.localCheckpoint()
+    rows = []
+    for r in range(1, BPE_SEQ_ROUNDS + 1):
+        pairs = (vocab.filter(F.size("syms") >= 2)
+                 .select("ct", F.explode(F.expr(
+                     "transform(sequence(1, size(syms) - 1),"
+                     " i -> struct(element_at(syms, i) as s1,"
+                     "  element_at(syms, i + 1) as s2))")).alias("p"))
+                 .groupBy("p.s1", "p.s2")
+                 .agg(F.sum("ct").cast("bigint").alias("pct")))
+        # 1-row bounded driver collect per round: the argmax merge rule
+        best = (pairs.orderBy(F.desc("pct"), "s1", "s2").limit(1)
+                .collect())[0]
+        s1, s2, pct = best.s1, best.s2, best.pct
+        vocab = vocab.select(
+            "ct",
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(s1))
+                    & (x == F.lit(s2)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(s1 + s2)))
+                ).otherwise(F.concat(acc, F.array(x)))).alias("syms"))
+        vocab = vocab.localCheckpoint()
+        n_sym = (vocab.select(F.explode("syms").alias("s"))
+                 .agg(F.countDistinct("s")).collect()[0][0])
+        rows.append((r, s1 + s2, int(pct), int(n_sym)))
+    return spark.createDataFrame(
+        rows, "round bigint, merge_pair string, pair_ct bigint, "
+              "n_symbols bigint")
+
+
+# ---------------------------------------------------------------------------
 # Language-ID confusion audit: cross-tab of labeled vs predicted
 # language from the same stopword/CJK heuristic as text_lang_id — the
 # accuracy read a pipeline takes before trusting the cheap classifier

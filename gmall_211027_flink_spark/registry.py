@@ -124,16 +124,37 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "graph_pagerank_copurchase", "graph_triangles_copurchase",
     "dwd_log_split_fanout", "kmeans_lloyd", "ann_ivf_kmeans_recall",
     "semdedup_prune", "embedding_random_projection",
+    # round 5 (CORRECTNESS_r05.json, 50/50 green — includes the two
+    # r4-era _REVERIFY rows ann_projected_recall / ann_mmr_diversified,
+    # now driver-proven)
+    "ann_projected_recall", "ann_mmr_diversified",
+    "stats_regression_trend", "stats_histogram_equi_depth",
+    "stats_ks_drift", "stats_gini_revenue", "stats_benford_audit",
+    "stats_hourly_autocorr", "dwd_window_join_click_error",
+    "dedup_bloom_membership_audit", "dedup_minhash_band_sweep",
+    "embedding_int8_quant_audit", "ann_ivf_nprobe_sweep",
+    "text_lang_confusion_audit", "sample_reservoir_per_group",
+    "sample_split_leakage_audit", "sample_temperature_rates",
+    "ads_basket_rules", "stream_decontaminate_ingest",
+    "decontaminate_span_report", "stream_last_value_compaction",
+    "stream_topk_gmv_maintenance", "stream_index_stats_maintenance",
+    "text_bm25_search", "dedup_span_exact", "text_ngram_novelty",
+    "text_zipf_fit", "vocab_coverage_curve", "dwd_window_join_streaming",
+    "dws_funnel_streaming", "ads_window_funnel",
+    "ads_sequence_match_negation", "ads_topn_with_others",
+    "ads_segment_overlap", "ads_prepurchase_paths",
+    "ads_hour_dow_heatmap", "ads_rfm_segmentation",
+    "dwd_error_burst_windows", "stream_ks_drift_monitor",
+    "graph_label_propagation", "source_csv_roundtrip",
+    "source_json_roundtrip", "pipeline_training_manifest",
 )
 
-# Queries that MUST be sampled first by this round's gate.  Round 5:
-# the two round-4 additions that landed after the 50-query sample
-# window closed and therefore have no driver row yet (both locally
-# green at sf0.001/sf0.01/sf0.1 via scripts/check.py).  Fold into
-# _DRIVER_PROVEN once proven.
-_REVERIFY: tuple[str, ...] = (
-    "ann_projected_recall", "ann_mmr_diversified",
-)
+# Queries that MUST be sampled first by this round's gate.  Round 6:
+# empty — every round-5 registration got a green driver row
+# (CORRECTNESS_r05 was 50/50), so the whole 50-sample window is free
+# for round-6 additions.  Fold newly-green names into _DRIVER_PROVEN
+# once CORRECTNESS_r06 lands.
+_REVERIFY: tuple[str, ...] = ()
 
 
 def load_all() -> None:

@@ -112,12 +112,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         if fmt == "csv":
             src.write.option("header", "true").csv(path)
             back = read_csv(spark, path,
-                            T._parse_datatype_string(_RT_SCHEMA)
+                            T.StructType.fromDDL(_RT_SCHEMA)
                             ).drop("_corrupt")
         else:
             src.write.json(path)
             back = read_json(spark, path,
-                             T._parse_datatype_string(_RT_SCHEMA))
+                             T.StructType.fromDDL(_RT_SCHEMA))
         out = (back.groupBy("event_type")
                .agg(F.count("*").cast("bigint").alias("n_events"),
                     F.countDistinct("user_id").cast("bigint")

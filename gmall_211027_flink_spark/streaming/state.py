@@ -286,6 +286,7 @@ FUNNEL_STATE_SCHEMA = T.StructType([
     T.StructField("l1", T.IntegerType()),
     T.StructField("l2", T.IntegerType()),
     T.StructField("l3", T.IntegerType()),
+    T.StructField("me", T.LongType()),    # max event-time seen (monotonicity check)
 ])
 
 
@@ -299,8 +300,17 @@ def funnel_levels(events: DataFrame, window_s: int,
     DwdTrafficUserJumpDetail.java:44-88, here as two running maxima in
     state). Emits each user's level-so-far once per micro-batch; the
     level is monotone non-decreasing across batches (state carries the
-    anchors), so the drained final level is MAX over emissions —
-    batching-independent.
+    anchors), so the drained final level is MAX over emissions.
+
+    ASSUMPTION (mirror of Flink CEP's watermark requirement): event
+    time must be non-decreasing ACROSS micro-batches per key.  The
+    greedy fold never revisits past events, so a view/click anchor
+    arriving in a later batch than its purchase would silently lower
+    the level.  Rather than trust the caller, the state carries the max
+    event-time seen (``me``) and the fold RAISES if a batch delivers an
+    event older than a previously processed one — loud failure instead
+    of a silently wrong funnel.  (Within a single batch any order is
+    fine: the batch is sorted before folding.)
 
     Input must carry (user_id, es, event_id, event_type). Vectorized
     pandas (cummax/shift) — no per-row loops.
@@ -310,13 +320,19 @@ def funnel_levels(events: DataFrame, window_s: int,
         if state.hasTimedOut:
             state.remove()
             return
-        lv, am, l1, l2, l3 = (state.get if state.exists
-                              else (None, None, 0, 0, 0))
+        lv, am, l1, l2, l3, me = (state.get if state.exists
+                                  else (None, None, 0, 0, 0, None))
         pdf = _concat(pdfs)
         if pdf is None:
             return
         pdf = pdf.sort_values(["es", "event_id"])
         es = pdf["es"].to_numpy()
+        if me is not None and len(es) and int(es[0]) < me:
+            raise ValueError(
+                f"funnel_levels: out-of-order batch for key {key}: event "
+                f"time {int(es[0])} precedes already-folded max {me}; the "
+                "greedy anchor fold requires event time non-decreasing "
+                "across micro-batches (see docstring)")
         typ = pdf["event_type"].to_numpy()
         neg = np.int64(-(1 << 62))
         # running "latest view strictly earlier", seeded by state
@@ -343,7 +359,10 @@ def funnel_levels(events: DataFrame, window_s: int,
         new_am = int(am_run[-1]) if am_run[-1] > neg else am
         if am is not None and new_am is not None:
             new_am = max(new_am, am)
-        state.update((new_lv, new_am, l1, l2, l3))
+        new_me = int(es[-1]) if len(es) else me
+        if me is not None and new_me is not None:
+            new_me = max(new_me, me)
+        state.update((new_lv, new_am, l1, l2, l3, new_me))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         level = 3 if l3 else (2 if l2 else (1 if l1 else 0))

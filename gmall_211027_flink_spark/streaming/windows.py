@@ -1189,9 +1189,20 @@ def stream_last_value_compaction(spark: SparkSession,
     from gmall_211027_flink_spark.streaming.incremental import (
         IncrementalAggStore, run_incremental_agg)
 
+    def _enc12(c):
+        # Spark's lpad TRUNCATES over-width input to len and a negative
+        # value's '-' sorts before every digit — either silently corrupts
+        # the lexicographic MAX fold.  Guard loudly instead: any value
+        # outside [0, 1e12) kills the batch with a clear message.
+        s = c.cast("string")
+        return (F.when((c >= 0) & (F.length(s) <= 12), F.lpad(s, 12, "0"))
+                 .otherwise(F.raise_error(F.concat(F.lit(
+                     "last_value_compaction: encode input out of "
+                     "[0, 1e12): "), s))))
+
     enc = F.concat(
-        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        _enc12(F.unix_timestamp("ts")),
+        _enc12(F.col("event_id")),
         F.col("event_type"))
     d = tempfile.mkdtemp(prefix="lastval_gate_")
     try:
@@ -1490,6 +1501,63 @@ def _funnel_stream_oracle() -> str:
 
 
 _OR["dws_funnel_streaming"] = _funnel_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP bounce detection (W7): the timeout side-output semantics
+# of the reference's Flink CEP job (DwdTrafficUserJumpDetail.java:62-107
+# — entry = no recent predecessor, bounce = no successor within the
+# timeout) run as keyed state over a file stream
+# (streaming/bounce.py::bounce_verdicts), then hash-checked against the
+# SAME lag()/lead() SQL oracle as the batch dwd_bounce_detection. The
+# drain is batching-independent: provisional trailing emissions (NULL
+# next gap) are superseded by the resolved row via max() per event.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dwd_bounce_streaming",
+    oracle=None,  # assigned below: identical to batch dwd_bounce_detection
+)
+def dwd_bounce_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.sources.files import stream_events
+    from gmall_211027_flink_spark.streaming.bounce import bounce_verdicts
+
+    stream = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    name = f"dwd_bounce_stream_{_uuid.uuid4().hex[:8]}"
+    q = (bounce_verdicts(stream).writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("dwd_bounce_streaming timed out")
+    # per-event final verdict: the resolved row's gap beats the
+    # provisional NULL (max ignores nulls); surviving NULL = stream
+    # ended with no successor = the CEP timeout side-output (bounce)
+    events = (spark.table(name)
+              .groupBy("user_id", "event_id", "es_us", "prev_gap_us")
+              .agg(F.max("next_gap_us").alias("next_gap_us")))
+    entries = events.filter(
+        F.col("prev_gap_us").isNull()
+        | (F.col("prev_gap_us") > 30 * 60 * 1_000_000))
+    return (entries.groupBy(
+                F.date_format(F.timestamp_micros("es_us"), "yyyy-MM-dd")
+                 .alias("dt"))
+            .agg(F.count("*").alias("entry_ct"),
+                 F.sum(F.when(F.col("next_gap_us").isNull()
+                              | (F.col("next_gap_us")
+                                 > 10 * 60 * 1_000_000), 1)
+                       .otherwise(0)).cast("bigint").alias("bounce_ct")))
+
+
+def _bounce_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.windows  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["dwd_bounce_detection"]
+
+
+_OR["dwd_bounce_streaming"] = _bounce_stream_oracle()
 
 
 # ---------------------------------------------------------------------------

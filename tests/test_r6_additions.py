@@ -1,0 +1,175 @@
+"""Round-6 additions: streaming CEP bounce (W7) multi-batch behavior,
+the out-of-order-batch guards, and the compaction leftover age gate."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _slice_events(spark, sf_dir, tmp_path, cols):
+    """Write events as three event-time slices so maxFilesPerTrigger=1
+    delivers them as separate, time-ordered micro-batches."""
+    from gmall_211027_flink_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    cuts = ev.approxQuantile("es", [0.33, 0.66], 0.0)
+    d = str(tmp_path / "slices")
+    ev.filter(F.col("es") < cuts[0]).coalesce(1) \
+        .write.parquet(f"{d}/s0.parquet")
+    ev.filter((F.col("es") >= cuts[0]) & (F.col("es") < cuts[1])) \
+        .coalesce(1).write.parquet(f"{d}/s1.parquet")
+    ev.filter(F.col("es") >= cuts[1]).coalesce(1) \
+        .write.parquet(f"{d}/s2.parquet")
+    return d, ev.schema
+
+
+def test_bounce_verdicts_multi_batch_equals_batch_plan(
+        spark, sf_dir, tmp_path):
+    """Entry/bounce verdicts folded across three event-time micro-batch
+    slices must equal the batch lag()/lead() plan exactly — including
+    entries whose resolving successor arrives in a LATER batch, and
+    trailing provisional emissions superseded by resolved rows."""
+    from gmall_211027_flink_spark.operators.windows import (
+        dwd_bounce_detection)
+    from gmall_211027_flink_spark.streaming.bounce import bounce_verdicts
+
+    d, schema = _slice_events(
+        spark, sf_dir, tmp_path,
+        ["user_id", "event_id", F.unix_micros("ts").alias("es")])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{d}/*.parquet")
+              .withColumnRenamed("es", "us"))
+    name = "bounce_slice_test"
+    q = (bounce_verdicts(stream).writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(600)
+    assert q.lastProgress["batchId"] >= 2, "expected >= 3 micro-batches"
+    events = (spark.table(name)
+              .groupBy("user_id", "event_id", "es_us", "prev_gap_us")
+              .agg(F.max("next_gap_us").alias("next_gap_us")))
+    got = {(r.dt, r.entry_ct, r.bounce_ct) for r in (
+        events.filter(F.col("prev_gap_us").isNull()
+                      | (F.col("prev_gap_us") > 30 * 60 * 1_000_000))
+        .groupBy(F.date_format(F.timestamp_micros("es_us"), "yyyy-MM-dd")
+                 .alias("dt"))
+        .agg(F.count("*").alias("entry_ct"),
+             F.sum(F.when(F.col("next_gap_us").isNull()
+                          | (F.col("next_gap_us") > 10 * 60 * 1_000_000),
+                          1).otherwise(0)).cast("bigint")
+             .alias("bounce_ct"))
+        .collect())}
+    want = {(r.dt, r.entry_ct, r.bounce_ct)
+            for r in dwd_bounce_detection(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_bounce_verdicts_each_event_emitted_and_resolved_once(
+        spark, sf_dir, tmp_path):
+    """Every input event appears in the drain; at most one RESOLVED row
+    per event; per-key exactly one surviving (max-folded) NULL next gap
+    — the stream-end pending."""
+    from gmall_211027_flink_spark.streaming.bounce import bounce_verdicts
+
+    d, schema = _slice_events(
+        spark, sf_dir, tmp_path,
+        ["user_id", "event_id", F.unix_micros("ts").alias("es")])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{d}/*.parquet")
+              .withColumnRenamed("es", "us"))
+    name = "bounce_slice_test2"
+    q = (bounce_verdicts(stream).writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(600)
+    out = spark.table(name)
+    n_events = spark.read.parquet(f"{d}/*.parquet").count()
+    assert out.select("event_id").distinct().count() == n_events
+    dup_resolved = (out.filter("resolved")
+                    .groupBy("event_id").count().filter("count > 1").count())
+    assert dup_resolved == 0
+    finals = (out.groupBy("user_id", "event_id")
+              .agg(F.max("next_gap_us").alias("g")))
+    pend_per_key = (finals.filter(F.col("g").isNull())
+                    .groupBy("user_id").count())
+    assert pend_per_key.filter("count != 1").count() == 0
+
+
+def _stream_should_raise(df, match: str):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    q = (df.writeStream.format("memory")
+         .queryName(f"raise_test_{int(time.time() * 1000)}")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(600)
+        raise AssertionError("stream finished; expected failure")
+    assert match in str(ei.value)
+
+
+def test_bounce_verdicts_raises_on_out_of_order_batches(spark, tmp_path):
+    """An event-time-regressing micro-batch must fail loudly, not
+    silently mis-sequence the gap fold."""
+    from gmall_211027_flink_spark.streaming.bounce import bounce_verdicts
+
+    d = str(tmp_path / "ooo")
+    schema = "user_id bigint, event_id bigint, us bigint"
+    spark.createDataFrame([(1, 10, 5_000_000)], schema) \
+        .coalesce(1).write.parquet(f"{d}/s0.parquet")
+    spark.createDataFrame([(1, 9, 1_000_000)], schema) \
+        .coalesce(1).write.parquet(f"{d}/s1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{d}/*.parquet"))
+    _stream_should_raise(bounce_verdicts(stream), "out-of-order batch")
+
+
+def test_funnel_levels_raises_on_out_of_order_batches(spark, tmp_path):
+    """Same guard on the funnel fold (ADVICE r5): a purchase folded
+    before its later-arriving view anchor would silently lower the
+    level — the state's max-es watermark turns that into an error."""
+    from gmall_211027_flink_spark.streaming.state import funnel_levels
+
+    d = str(tmp_path / "ooo_funnel")
+    schema = "user_id bigint, es bigint, event_id bigint, event_type string"
+    spark.createDataFrame([(1, 100, 10, "purchase")], schema) \
+        .coalesce(1).write.parquet(f"{d}/s0.parquet")
+    spark.createDataFrame([(1, 50, 9, "view")], schema) \
+        .coalesce(1).write.parquet(f"{d}/s1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{d}/*.parquet"))
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("level", T.LongType()),
+    ])
+    _stream_should_raise(funnel_levels(stream, 600, out_schema),
+                         "out-of-order batch")
+
+
+def test_compact_leftover_sweep_is_age_gated(spark, sf_dir, tmp_path):
+    """A FRESH ._compacting.* sibling (a concurrent run's in-flight
+    staged dir) must survive the sweep; a stale one must be reaped."""
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.bucketing import (
+        compact_small_files)
+
+    p = str(tmp_path / "ds")
+    load_table(spark, sf_dir, "events").select("event_id") \
+        .limit(100).repartition(4).write.parquet(p)
+    fresh = p + "._compacting.concurrent"
+    stale = p + "._compacting.crashed"
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    compact_small_files(spark, p, target_bytes=64 * 1024 * 1024)
+    assert os.path.exists(fresh), "fresh in-flight dir was reaped"
+    assert not os.path.exists(stale), "stale crashed dir survived"
+    os.rmdir(fresh)
+    # NOTE: paths containing glob metacharacters can't reach the sweep at
+    # all — Spark's own reader globs paths — so glob.escape there is
+    # defense-in-depth, not separately testable end-to-end.
