@@ -51,16 +51,30 @@ def main() -> None:
     # round-over-round comparisons of a single-shot timing (measured:
     # back-to-back capped-jaccard runs of 7.1/4.1/5.4 s on an idle host)
     timings: dict[str, float] = {}
+    # per-query cpu/steal for the min-wall run (VERDICT r5 #5): lets a
+    # wall-time delta be read as regression-vs-noise off the artifact
+    # alone — a query whose wall grew but whose cpu_s held is host
+    # noise; cpu growth is a real plan change
+    q_cpu: dict[str, float] = {}
+    q_steal: dict[str, float] = {}
     hl_c0, hl_s0 = _jvm_cpu_seconds(), _host_steal_seconds()
     for name in names:
         best = float("inf")
+        best_cpu = best_steal = 0.0
         n = 0
         for _ in range(3):
+            c0, s0 = _jvm_cpu_seconds(), _host_steal_seconds()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
+                best_cpu = _jvm_cpu_seconds() - c0
+                best_steal = _host_steal_seconds() - s0
         timings[name] = round(best, 3)
+        q_cpu[name] = round(best_cpu, 3)
+        q_steal[name] = round(best_steal, 3)
         if n == 0:
             print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
     # same self-diagnosis as the scale probe, over the whole headline
@@ -89,6 +103,8 @@ def main() -> None:
         "headline_cpu_s": hl_cpu,
         "headline_steal_s": hl_steal,
         "queries": timings,
+        "queries_cpu_s": q_cpu,
+        "queries_steal_s": q_steal,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale_probe": scale,
     }))
@@ -100,8 +116,15 @@ SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
                  # round-5 corpus-scaling ops: span-level dedup and the
                  # inverted-index BM25 (worst-case dup density exercises
                  # the duplicated-window explosion / postings fan-out)
-                 "dedup_span_exact", "text_bm25_search"]
+                 "dedup_span_exact", "text_bm25_search",
+                 # round-6: the multiscale pyramid must stay linear too
+                 "dedup_span_multiscale"]
 ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
+# round-6 (VERDICT r5 #6): the behavior family is a user-key-shuffle
+# plan whose skew behavior was asserted, not measured — probe it on a
+# 10x events corpus where ONE hot user absorbs 1/SCALE_FACTOR of all
+# events (worst-case key skew for the per-user window sort).
+BEHAVIOR_SCALE_QUERIES = ["ads_window_funnel"]
 
 
 def _dedup_scale_probe(spark, sf_dir: str) -> dict:
@@ -163,10 +186,31 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     #     that should reproduce across builder and driver runs)
     #   - host steal seconds observed during the min-wall run (so a
     #     noisy artifact is self-diagnosing)
+    # 10x events with one hot user: replica 0 of every event is
+    # reassigned to user_id 1 (so ~10% of the 10x corpus is one key);
+    # other replicas get fresh user/event ids. The ts column is copied
+    # verbatim (whatever encoding the source file uses — load_table
+    # normalizes at read).
+    ev_path = f"{probe_dir}/events.parquet"
+    if not os.path.exists(f"{ev_path}/_SUCCESS"):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (ev.select(
+            "*", F.explode(F.sequence(
+                F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_r"))
+         .withColumn("user_id",
+                     F.when(F.col("_r") == 0, F.lit(1).cast("bigint"))
+                      .otherwise(F.col("user_id") * SCALE_FACTOR
+                                 + F.col("_r")))
+         .withColumn("event_id",
+                     F.col("event_id") * SCALE_FACTOR + F.col("_r"))
+         .drop("_r")
+         .repartition(32)
+         .write.mode("overwrite").parquet(ev_path))
+
     out: dict[str, object] = {}
     cpu_s: dict[str, float] = {}
     steal_s: dict[str, float] = {}
-    for name in SCALE_QUERIES + ANN_SCALE_QUERIES:
+    for name in SCALE_QUERIES + ANN_SCALE_QUERIES + BEHAVIOR_SCALE_QUERIES:
         best = float("inf")
         best_cpu = best_steal = 0.0
         for _ in range(3):
@@ -183,9 +227,25 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
         steal_s[name] = round(best_steal, 3)
     out["cpu_s"] = cpu_s
     out["steal_s"] = steal_s
+    # 1x reference points for probe-only queries (not in the headline
+    # set), so the artifact carries both ends of the scaling line
+    for name in BEHAVIOR_SCALE_QUERIES:
+        best = float("inf")
+        best_cpu = 0.0
+        for _ in range(3):
+            c0 = _jvm_cpu_seconds()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
+                best_cpu = _jvm_cpu_seconds() - c0
+        out[f"{name}_1x"] = round(best, 3)
+        cpu_s[f"{name}_1x"] = round(best_cpu, 3)
     out["runs"] = 3
     out["rows"] = spark.read.parquet(docs_path).count()
     out["emb_rows"] = spark.read.parquet(emb_path).count()
+    out["event_rows"] = spark.read.parquet(ev_path).count()
     # Sketch-tuning audit (SCALE.md §7): band-miss recall of the 16/4
     # MinHash config vs the exact-Jaccard pair set, at 1x and at the
     # worst-case-density 10x corpus — the check a pipeline runs before

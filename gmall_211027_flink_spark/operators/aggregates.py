@@ -1391,3 +1391,236 @@ def stats_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n_d * sxy - sx * sy)
                 / F.sqrt((n_d * sxx - sx * sx) * (n_d * syy - sy * sy)),
                 6).alias("lag1_autocorr"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U drift test (rank-based): the nonparametric companion
+# to stats_ks_drift over the same two source cohorts — KS reacts to any
+# CDF gap, U to a location shift; a pipeline monitors both. Average
+# ranks with tie correction.
+#
+# Exactness: ranks are computed over the COMPRESSED value domain
+# (distinct n_chars with per-cohort counts), and the doubled rank sum
+# 2*R_a = sum(ca * (2*cum_before + ct + 1)) is pure BIGINT — no float
+# enters until the final z formula, which is identical literal ops in
+# both engines. Scale: two-phase count agg compresses the corpus to
+# |distinct lengths| rows before the (tiny) ranking window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_mannwhitney_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars AS v,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                  THEN 'a' ELSE 'b' END AS cohort
+      FROM documents
+    ),
+    vals AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM tagged GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, ca, cb, ca + cb AS ct,
+             COALESCE(SUM(ca + cb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS cum
+      FROM vals
+    ),
+    m AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * cum + ct + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT na AS n_a, nb AS n_b,
+      round((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE)
+             * (CAST(na AS DOUBLE) + 1.0)) / 2.0, 6) AS u_stat,
+      round(((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE)
+              * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+             - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+            / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                   * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                      - CAST(ties AS DOUBLE)
+                        / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                           * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                              - 1.0)))), 6) AS z_score
+    FROM m
+    """,
+)
+def stats_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cohort = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, "a").otherwise("b")
+    vals = (docs.select(F.col("n_chars").alias("v"), cohort.alias("cohort"))
+            .groupBy("v")
+            .agg(F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0))
+                 .cast("bigint").alias("ca"),
+                 F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0))
+                 .cast("bigint").alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (vals.withColumn("ct", F.col("ca") + F.col("cb"))
+              .withColumn("cum", F.coalesce(
+                  F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))))
+    m = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cum") + F.col("ct") + 1))
+         .cast("bigint").alias("r2a"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+         .cast("bigint").alias("ties"))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    r2a = F.col("r2a").cast("double")
+    ties = F.col("ties").cast("double")
+    u = (r2a - na * (na + F.lit(1.0))) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt(na * nb / F.lit(12.0)
+                   * ((na + nb + F.lit(1.0))
+                      - ties / ((na + nb) * (na + nb - F.lit(1.0)))))
+    return m.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: event_type x day-of-week contingency —
+# "is traffic mix independent of weekday?", the categorical-drift
+# check next to the numeric KS/U monitors.
+#
+# Exactness: observed/marginal counts are exact integers; each cell's
+# (o-e)^2/e term is rounded to 6 dp FIRST and summed as DECIMAL(18,6)
+# (exact, order-insensitive) — the same discipline as the OLS ln sums.
+# Scale: the corpus compresses to |types| x 7 cells in one two-phase
+# agg; everything after is over <= ~60 rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS rt,
+             SUM(o) OVER (PARTITION BY dow) AS ctot,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT o, rt, ctot, n,
+             CAST(round(
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term,
+             event_type, dow
+      FROM ex
+    )
+    SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS chi2_stat,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n_events
+    FROM terms
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: 1 = Sunday; DuckDB: 0 = Sunday — align to DuckDB
+    cells = (events.groupBy("event_type",
+                            (F.dayofweek("ts") - 1).alias("dow"))
+             .agg(F.count("*").alias("o")))
+    ex = (cells
+          .withColumn("rt", F.sum("o").over(
+              Window.partitionBy("event_type")))
+          .withColumn("ctot", F.sum("o").over(Window.partitionBy("dow")))
+          .withColumn("n", F.sum("o").over(
+              Window.partitionBy(F.lit(1)))))
+    o_d = F.col("o").cast("double")
+    e = (F.col("rt").cast("double") * F.col("ctot").cast("double")
+         / F.col("n").cast("double"))
+    terms = ex.withColumn(
+        "term", F.round((o_d - e) * (o_d - e) / e, 6).cast("decimal(18,6)"))
+    return terms.agg(
+        F.round(F.sum("term").cast("double"), 6).alias("chi2_stat"),
+        ((F.countDistinct("event_type") - 1)
+         * (F.countDistinct("dow") - 1)).cast("bigint").alias("dof"),
+        F.max("n").cast("bigint").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over daily GMV: the day where the cumulative
+# deviation from the global mean peaks — the classic single-changepoint
+# locator a monitoring pipeline runs on a KPI series.
+#
+# Exactness: daily sums and their prefix sums stay DECIMAL end-to-end;
+# the only float is cusum_i = CAST(prefix_i) - i * (CAST(total) / n),
+# identical literal ops per row in both engines (no float accumulation
+# across rows). Argmax carries a day tie-break. Scale: the corpus-sized
+# stage is the one two-phase daily agg; the scan window runs over
+# |days| rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS g
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT d, g,
+             SUM(g) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pre,
+             ROW_NUMBER() OVER (ORDER BY d) AS i,
+             SUM(g) OVER () AS total,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    cus AS (
+      SELECT d, i, n,
+             CAST(pre AS DOUBLE)
+             - CAST(i AS DOUBLE) * (CAST(total AS DOUBLE)
+                                    / CAST(n AS DOUBLE)) AS cusum
+      FROM pre
+    )
+    SELECT d AS cp_day, round(cusum, 6) AS cusum_at_cp,
+           CAST(n AS BIGINT) AS n_days
+    FROM cus
+    ORDER BY abs(cusum) DESC, d LIMIT 1
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("g")))
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    pre = (daily
+           .withColumn("pre", F.sum("g").over(w_run))
+           .withColumn("i", F.row_number().over(Window.orderBy("d")))
+           .withColumn("total", F.sum("g").over(w_all))
+           .withColumn("n", F.count("*").over(w_all)))
+    cusum = (F.col("pre").cast("double")
+             - F.col("i").cast("double")
+             * (F.col("total").cast("double") / F.col("n").cast("double")))
+    return (pre.select(F.col("d").alias("cp_day"),
+                       F.round(cusum, 6).alias("cusum_at_cp"),
+                       F.col("n").cast("bigint").alias("n_days"),
+                       cusum.alias("_c"))
+            .orderBy(F.abs(F.col("_c")).desc(), "cp_day").limit(1)
+            .drop("_c"))

@@ -1289,3 +1289,131 @@ def dedup_minhash_band_sweep(spark: SparkSession,
         "recall",
         F.expr("(2 * lsh_found * 1000000 + exact_pairs)"
                " div (2 * exact_pairs)").cast("double") / 1000000)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS algorithm): per document, hash every K-token gram, then in every
+# sliding window of W consecutive gram hashes select the minimum
+# (rightmost on ties); the selected (position, hash) set is the
+# document's fingerprint. Guarantees every shared run of >= W+K-1
+# tokens contributes at least one shared fingerprint — a POSITIONAL
+# locality guarantee MinHash doesn't give (MinHash samples globally;
+# winnowing covers every window). Doc-pair overlap of fingerprint hash
+# sets is the plagiarism/near-dup score.
+#
+# Selection trick: encode (hash, position) as one BIGINT
+# enc = h * M + (M - p) with M = 2^20 > any position; MIN(enc) over the
+# window frame is "min hash, ties to the RIGHTMOST position" — a plain
+# rolling MIN both engines compute identically (no argmin needed).
+#
+# Scale: gram hashing + window-min are per-document (one keyed sort);
+# the only cross-document stage is the fingerprint equi-join, which is
+# capped by dropping ubiquitous fingerprints (> WINNOW_MAXDF docs —
+# the stop-gram discipline of the paper) so no bucket goes quadratic.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5           # tokens per gram
+WINNOW_W = 4           # grams per winnowing window
+WINNOW_M = 1 << 20     # position encoding base (doc token count < 2^20)
+WINNOW_MAXDF = 50      # fingerprint doc-frequency cap (stop-grams)
+WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    docg AS (
+      SELECT doc_id, len(w) - {WINNOW_K} + 1 AS ng, w
+      FROM toks WHERE len(w) >= {WINNOW_K}
+    ),
+    grams AS (
+      SELECT doc_id, ng, i AS p,
+             ('0x' || substr(md5(array_to_string(
+                w[i:i + {WINNOW_K} - 1], ' ')), 1, 8))::BIGINT AS h
+      FROM docg, UNNEST(generate_series(1, ng)) AS t(i)
+    ),
+    wins AS (
+      SELECT doc_id, ng, p,
+             MIN(h * {WINNOW_M} + ({WINNOW_M} - p)) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS me
+      FROM grams
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, me // {WINNOW_M} AS h
+      FROM wins WHERE p <= ng - {WINNOW_W} + 1
+    ),
+    keep AS (
+      SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {WINNOW_MAXDF}
+    ),
+    fpc AS (SELECT f.doc_id, f.h FROM fp f JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS nf FROM fpc GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared
+      FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (sa.nf + sb.nf - n_shared), 6) AS score
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_fingerprints(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs with >= WINNOW_MIN_SHARED
+    shared (non-ubiquitous) fingerprints; score = Jaccard of the two
+    docs' kept-fingerprint sets."""
+    from gmall_211027_flink_spark.catalog import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("w")))
+    grams = (docs.filter(F.size("w") >= WINNOW_K)
+             .select("doc_id",
+                     (F.size("w") - WINNOW_K + 1).alias("ng"),
+                     F.explode(F.expr(
+                         f"transform(sequence(1, size(w) - {WINNOW_K} + 1),"
+                         f" i -> struct(i as p,"
+                         f"  cast(conv(substring(md5(concat_ws(' ',"
+                         f"   slice(w, i, {WINNOW_K}))), 1, 8), 16, 10)"
+                         f"   as bigint) as h))")).alias("g"))
+             .select("doc_id", "ng", "g.p", "g.h"))
+    w_roll = (Window.partitionBy("doc_id").orderBy("p")
+              .rowsBetween(0, WINNOW_W - 1))
+    wins = grams.withColumn(
+        "me", F.min(F.col("h") * WINNOW_M + (WINNOW_M - F.col("p")))
+        .over(w_roll))
+    fp = (wins.filter(F.col("p") <= F.col("ng") - WINNOW_W + 1)
+          .select("doc_id", F.expr(f"me div {WINNOW_M}").alias("h"))
+          .distinct())
+    keep = (fp.groupBy("h").agg(F.count("*").alias("dfreq"))
+            .filter(F.col("dfreq") <= WINNOW_MAXDF).select("h"))
+    fpc = fp.join(keep, "h")
+    sizes = fpc.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    a = fpc.alias("a")
+    b = fpc.alias("b")
+    pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (pairs
+            .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("sa.nf") + F.col("sb.nf")
+                               - F.col("n_shared")), 6).alias("score")))

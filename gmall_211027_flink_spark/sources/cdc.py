@@ -260,3 +260,97 @@ def cdc_update_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("bigint").alias("qty_delta_sum"),
              F.count("*").alias("event_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction with DELETE TOMBSTONES (S4 + S8): the
+# upsert-kafka sink contract — last op per primary key wins, and a
+# trailing delete removes the key entirely (Maxwell "delete" rows /
+# Kafka null-payload tombstones; reference sink DDL in e.g.
+# DwdTradeOrderDetail.java and the Phoenix delete path of
+# DimSinkFunction). A deterministic Maxwell changelog is synthesized
+# from events ('error' -> delete, 'view' -> insert, else update),
+# parsed through the real parse_cdc envelope path, and folded to final
+# per-key state — checked against the oracle's direct last-row fold.
+#
+# Scale: one keyed shuffle (the per-key rank); the fold is the same
+# shape ParquetUpsertSink applies per micro-batch, proven here over a
+# full replay.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_tombstone_compaction",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'view' THEN 'insert'
+                  ELSE 'update' END AS op,
+             value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY es DESC, event_id DESC) AS rn
+      FROM ops
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ops,
+             CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_deletes
+      FROM ops GROUP BY 1
+    )
+    SELECT a.user_id, a.n_ops, a.n_deletes,
+           CAST(CASE WHEN r.op = 'delete' THEN 0 ELSE 1 END AS BIGINT)
+             AS is_live,
+           CASE WHEN r.op = 'delete' THEN NULL ELSE r.value END
+             AS live_value
+    FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+    """,
+)
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (F.when(F.col("event_type") == "error", "delete")
+          .when(F.col("event_type") == "view", "insert")
+          .otherwise("update"))
+    raw = ev.select(F.to_json(F.struct(
+        F.lit("gmall").alias("database"),
+        F.lit("user_state").alias("table"),
+        op.alias("type"),
+        F.unix_millis(F.current_timestamp()).alias("ts"),
+        F.create_map(
+            F.lit("id"), F.col("user_id").cast("string"),
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("es"), F.unix_timestamp("ts").cast("string"),
+            F.lit("val"), F.col("value").cast("string"),
+        ).alias("data"),
+    )).alias("value"))
+    clean, _dirty = parse_cdc(raw)
+    ops = (clean.filter(F.col("table") == "user_state")
+           .select(F.col("data")["id"].cast("bigint").alias("user_id"),
+                   F.col("data")["event_id"].cast("bigint")
+                    .alias("event_id"),
+                   F.col("data")["es"].cast("bigint").alias("es"),
+                   F.col("type").alias("op"),
+                   F.col("data")["val"].cast("double").alias("value")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("es"), F.desc("event_id"))
+    ranked = ops.withColumn("rn", F.row_number().over(w))
+    agg = (ops.groupBy("user_id")
+           .agg(F.count("*").cast("bigint").alias("n_ops"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+                 .cast("bigint").alias("n_deletes")))
+    last = ranked.filter(F.col("rn") == 1).select(
+        F.col("user_id").alias("u2"), "op", "value")
+    return (agg.join(last, F.col("user_id") == F.col("u2"))
+            .select("user_id", "n_ops", "n_deletes",
+                    F.when(F.col("op") == "delete", 0).otherwise(1)
+                     .cast("bigint").alias("is_live"),
+                    F.when(F.col("op") == "delete",
+                           F.lit(None).cast("double"))
+                     .otherwise(F.col("value")).alias("live_value")))

@@ -148,3 +148,79 @@ def _register_roundtrips() -> None:
 
 
 _register_roundtrips()
+
+
+# ---------------------------------------------------------------------------
+# Hive-style partitioned write + partition-pruned read: the layout
+# discipline that makes a 100 TB fact table queryable — data written
+# under dt=YYYY-MM-DD directories, and a dt filter resolved by the
+# CATALOG (directory listing), never by scanning file contents. The
+# reference leans on Kafka topic retention for the same time-slicing;
+# on a lake the partition directory IS the retention/pruning unit.
+# tests/test_r6_additions-adjacent plan test asserts PartitionFilters
+# actually carries the predicate (pruning, not post-scan filtering).
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-10", "2024-01-15"
+
+_PRUNE_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{_PRUNE_LO}' AND '{_PRUNE_HI}'
+GROUP BY 1
+"""
+
+
+def write_partitioned_events(spark: SparkSession, sf_dir: str,
+                             path: str) -> None:
+    """Write events Hive-partitioned by event date."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    (load_table(spark, sf_dir, "events")
+     .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+     .write.mode("overwrite").partitionBy("dt").parquet(path))
+
+
+def read_pruned(spark: SparkSession, path: str, lo: str, hi: str) -> DataFrame:
+    """Read a dt-partitioned dataset with the range predicate on the
+    PARTITION column — Catalyst turns it into PartitionFilters, so only
+    the matching directories are listed and scanned."""
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(path)
+            .filter(F.col("dt").between(lo, hi)))
+
+
+def _register_partition_pruning() -> None:
+    from ..registry import query
+
+    @query("source_partitioned_pruning", oracle=_PRUNE_ORACLE)
+    def source_partitioned_pruning(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="part_prune_")
+        try:
+            p = f"{d}/events_by_dt"
+            write_partitioned_events(spark, sf_dir, p)
+            out = (read_pruned(spark, p, _PRUNE_LO, _PRUNE_HI)
+                   .groupBy("event_type")
+                   .agg(F.count("*").cast("bigint").alias("n_events"),
+                        F.countDistinct("user_id").cast("bigint")
+                         .alias("n_users")))
+            # gate-harness materialization only: the temp layout is
+            # removed in `finally`; production reads live table paths
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_register_partition_pruning()

@@ -173,3 +173,66 @@ def test_compact_leftover_sweep_is_age_gated(spark, sf_dir, tmp_path):
     # NOTE: paths containing glob metacharacters can't reach the sweep at
     # all — Spark's own reader globs paths — so glob.escape there is
     # defense-in-depth, not separately testable end-to-end.
+
+
+def test_partitioned_read_actually_prunes(spark, sf_dir, tmp_path):
+    """The dt range predicate must land in the scan's PartitionFilters
+    (catalog pruning), not survive as a post-scan Filter — the
+    difference between listing 6 directories and scanning the table."""
+    from gmall_211027_flink_spark.sources.files import (
+        read_pruned, write_partitioned_events)
+
+    p = str(tmp_path / "by_dt")
+    write_partitioned_events(spark, sf_dir, p)
+    df = read_pruned(spark, p, "2024-01-10", "2024-01-15")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "dt" in pf and "2024-01-10" in pf, pf
+    # and the matching partitions only: 6 days of data (Spark
+    # type-infers the dt partition values back as DATE)
+    dts = {str(r.dt) for r in df.select("dt").distinct().collect()}
+    assert dts == {f"2024-01-1{i}" for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing coverage guarantee (Schleimer et al. thm 1): if two docs
+# share a token run of length >= W + K - 1, they share at least one
+# fingerprint — checked on arbitrary generated corpora against a
+# pure-Python mirror of the operator's selection rule.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _winnow_py(tokens, k, w, m):
+    import hashlib
+    n = len(tokens) - k + 1
+    if n < w:
+        return set()
+    hs = [int(hashlib.md5(" ".join(tokens[i:i + k]).encode())
+              .hexdigest()[:8], 16) for i in range(n)]
+    enc = [h * m + (m - (i + 1)) for i, h in enumerate(hs)]
+    sel = set()
+    for j in range(n - w + 1):
+        sel.add(min(enc[j:j + w]))
+    return {e // m for e in sel}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    prefix_a=st.lists(st.sampled_from("abcdef"), max_size=6),
+    prefix_b=st.lists(st.sampled_from("abcdef"), max_size=6),
+    shared=st.lists(st.sampled_from("ghijkl"), min_size=8, max_size=14),
+)
+def test_winnowing_shared_run_guarantee(prefix_a, prefix_b, shared):
+    from gmall_211027_flink_spark.operators.dedup import (
+        WINNOW_K, WINNOW_M, WINNOW_W)
+
+    # shared run of len(shared) >= W + K - 1 = 8 tokens
+    a = prefix_a + shared
+    b = prefix_b + shared
+    fa = _winnow_py(a, WINNOW_K, WINNOW_W, WINNOW_M)
+    fb = _winnow_py(b, WINNOW_K, WINNOW_W, WINNOW_M)
+    assert fa & fb, "shared run of >= W+K-1 tokens must share a fingerprint"
