@@ -542,3 +542,54 @@ def decontaminate_span_report(spark: SparkSession,
             .select("doc_id", F.col("n_positions").cast("bigint")
                     .alias("n_positions"), "n_hit_positions", "n_runs",
                     "max_run_tokens", "hit_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota curation: keep at most SOURCE_QUOTA documents per
+# source, best-quality-first — the source-balancing cut a pretraining
+# mix applies so one over-crawled domain can't dominate the corpus
+# (the cap side of mixture_weighted_sample's upweighting). Quality key
+# = distinct-token ratio (the text_quality_score signal), ranked with a
+# doc_id tie-break so the cut is a total order in both engines.
+#
+# Scale: ratio is map-side; the rank is one source-keyed window sort
+# (top-N per key, WindowGroupLimit prunes to quota per partition
+# before the sort completes — no global sort, no full materialization).
+# ---------------------------------------------------------------------------
+
+SOURCE_QUOTA = 25
+
+
+@query(
+    "curation_quota_per_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, dr,
+             row_number() OVER (
+               PARTITION BY source ORDER BY dr DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT source, doc_id, round(dr, 6) AS distinct_ratio,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {SOURCE_QUOTA}
+    """,
+)
+def curation_quota_per_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    dr = (F.size(F.array_distinct(w)).cast("double")
+          / F.size(w).cast("double"))
+    t = docs.select("doc_id", "source", dr.alias("dr"))
+    wq = Window.partitionBy("source").orderBy(F.desc("dr"), "doc_id")
+    return (t.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= SOURCE_QUOTA)
+            .select("source", "doc_id",
+                    F.round("dr", 6).alias("distinct_ratio"),
+                    F.col("rk").cast("bigint").alias("rk")))

@@ -1417,3 +1417,109 @@ def dedup_winnowing_fingerprints(spark: SparkSession,
                     F.round(F.col("n_shared").cast("double")
                             / (F.col("sa.nf") + F.col("sb.nf")
                                - F.col("n_shared")), 6).alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse-cosine near-dup: lexical-vector similarity over an
+# idf-filtered vocabulary — the sparse companion to the dense
+# embedding_near_dup (catches word-overlap duplicates an embedding
+# model may smooth over, and vice versa). Vector space = terms with
+# 2 <= df and df * 10 <= N (hapaxes can't pair; ubiquitous terms are
+# the stop-term cut that also CAPS the postings join — no term bucket
+# exceeds N/10 docs, the blocking discipline of dedup_ngram_jaccard_
+# capped, which remains the asymptotically tighter path).
+#
+# Float discipline (cross-engine): tf and df are exact ints; each
+# wt = tf * ln(N/df) is one identical double expression; every SUM
+# (dot products, squared norms) first rounds its term to 6 dp and
+# accumulates as DECIMAL(18,6) — exact, partition-order-proof.
+# ---------------------------------------------------------------------------
+
+TFIDF_COS_THRESHOLD = "0.5"   # identical literal text in both engines
+
+
+@query(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t <> '' GROUP BY 1, 2
+    ),
+    stats AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    vocab AS (
+      SELECT t, df FROM dfreq, stats WHERE df >= 2 AND df * 10 <= n
+    ),
+    w AS (
+      SELECT f.doc_id, f.t,
+             CAST(f.tf AS DOUBLE)
+             * ln(CAST(s.n AS DOUBLE) / CAST(v.df AS DOUBLE)) AS wt
+      FROM tf f JOIN vocab v USING (t) CROSS JOIN stats s
+    ),
+    norms AS (
+      SELECT doc_id,
+             SUM(CAST(round(wt * wt, 6) AS DECIMAL(18,6))) AS n2
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(round(a.wt * b.wt, 6) AS DECIMAL(18,6))) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE round(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                6) >= {TFIDF_COS_THRESHOLD}
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs with idf-filtered TF-IDF cosine >= 0.5."""
+    from gmall_211027_flink_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("t"))
+          .filter(F.col("t") != "")
+          .groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    stats = tf.agg(F.countDistinct("doc_id").alias("n"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    vocab = (dfreq.crossJoin(F.broadcast(stats))
+             .filter((F.col("df") >= 2) & (F.col("df") * 10 <= F.col("n")))
+             .select("t", "df", "n"))
+    w = (tf.join(vocab, "t")
+         .select("doc_id", "t",
+                 (F.col("tf").cast("double")
+                  * F.log(F.col("n").cast("double")
+                          / F.col("df").cast("double"))).alias("wt")))
+    norms = (w.groupBy("doc_id")
+             .agg(F.sum(F.round(F.col("wt") * F.col("wt"), 6)
+                        .cast("decimal(18,6)")).alias("n2")))
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.round(F.col("a.wt") * F.col("b.wt"), 6)
+                       .cast("decimal(18,6)")).alias("dot")))
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na.n2").cast("double")
+                 * F.col("nb.n2").cast("double")), 6)
+    return (dots
+            .join(na, F.col("na.doc_id") == F.col("doc_a"))
+            .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+            .filter(cos >= float(TFIDF_COS_THRESHOLD))
+            .select("doc_a", "doc_b", cos.alias("cosine")))

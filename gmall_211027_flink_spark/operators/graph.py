@@ -392,3 +392,113 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_id"),
         F.col("label").alias("community_id"),
         w_sz.cast("bigint").alias("community_size"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel): iteratively remove nodes whose
+# degree in the REMAINING graph is < K; what survives is the K-core —
+# the dense backbone a recommender keeps when pruning the co-purchase
+# graph (low-degree fringe = noise). K is DATA-RELATIVE: 65% of the
+# initial mean degree, all-integer arithmetic (E // N * 65 // 100), so
+# the cut is meaningful at every sf (measured: the co-purchase graph's
+# degeneracy sits at ~70% of mean degree, so 65% peels real fringe —
+# 1-5 rounds, 1-4% of nodes — without collapsing the core to empty).
+# Peeling is deterministic, so a FIXED round count is exactly equal in
+# both engines whether or not the peel has converged (post-convergence
+# rounds are no-ops); Spark may early-exit when a round removes
+# nothing. KCORE_ROUNDS = 8 covers convergence on every shipped sf
+# (fixpoint asserted in tests).
+#
+# Scale: each round is one degree aggregation + two node-keyed
+# semi-joins of the shrinking edge list; lineage truncated per round
+# via localCheckpoint (min_label_components discipline). The oracle's
+# unrolled CTEs are MATERIALIZED — each e{r} is referenced twice, and
+# DuckDB's default inlining would go exponential (the BPE-oracle
+# lesson). Unlike the other graph queries this one uses the UNFILTERED
+# co-purchase pairs (no MIN_TOGETHER) — the peel itself is the noise
+# filter here, and the filtered graph is too sparse to carry a core.
+# ---------------------------------------------------------------------------
+
+KCORE_PCT = 65         # K = initial mean degree * KCORE_PCT // 100
+KCORE_ROUNDS = 8
+
+_KCORE_EDGES_SQL = """
+    op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS MATERIALIZED (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT part_a AS u, part_b AS v FROM prs
+      UNION SELECT part_b, part_a FROM prs
+    )
+"""
+
+
+def _kcore_oracle() -> str:
+    parts = [f"""WITH {_KCORE_EDGES_SQL},
+    kk AS MATERIALIZED (
+      SELECT (SUM(deg) // COUNT(*)) * {KCORE_PCT} // 100 AS k
+      FROM (SELECT u, COUNT(*) AS deg FROM e0 GROUP BY 1)
+    )"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+    k{r} AS MATERIALIZED (
+      SELECT u FROM (SELECT u, COUNT(*) AS deg FROM e{p} GROUP BY 1)
+      WHERE deg >= (SELECT k FROM kk)
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v
+      FROM e{p} e JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u
+    )""")
+    parts.append(f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{KCORE_ROUNDS} GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("graph_kcore_bounded", oracle=_kcore_oracle())
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes of the K-core (K = 65% of initial mean degree) of the
+    unfiltered co-purchase graph, with their in-core degree, after
+    up to KCORE_ROUNDS peel rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform("
+            "slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .select("p.part_a", "p.part_b").distinct())
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint())
+    # K from the initial degree distribution: one bounded 1-row collect
+    deg0 = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    row = deg0.agg((F.expr("sum(deg) div count(*)") * KCORE_PCT)
+                   .alias("x")).collect()[0]
+    k = int(row.x) // 100
+    n_edges = edges.count()
+    for _ in range(KCORE_ROUNDS):
+        keep = (edges.groupBy("u").agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= k).select("u"))
+        new_edges = (edges
+                     .join(keep, "u")
+                     .join(keep.withColumnRenamed("u", "v"), "v")
+                     .select("u", "v").localCheckpoint())
+        n_new = new_edges.count()
+        edges = new_edges
+        if n_new == n_edges:   # peel converged: further rounds no-op
+            break
+        n_edges = n_new
+    return (edges.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core_degree")))

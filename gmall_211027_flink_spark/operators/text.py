@@ -905,10 +905,12 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_SEQ_ROUNDS = 8
 
 
-def _bpe_seq_oracle() -> str:
+def _bpe_cte_body() -> str:
     """Unrolled K-round BPE training loop in pure SQL: per round, pair
     counts via LEAD, scalar-subquery argmax, islands-parity greedy
-    merge application, and a post-merge distinct-symbol count."""
+    merge application, and a post-merge distinct-symbol count. Shared
+    by the merge-sequence and fertility oracles (different final
+    SELECTs over the same chain)."""
     # every CTE MATERIALIZED: DuckDB would otherwise INLINE the chain,
     # and the per-round multi-references (st twice, b twice, ...)
     # compound exponentially across 8 unrolled rounds — thousands of
@@ -965,24 +967,26 @@ def _bpe_seq_oracle() -> str:
     ),
     vs{r} AS MATERIALIZED (
       SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS n FROM seq{r})""")
+    return "".join(parts)
+
+
+def _bpe_seq_oracle() -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, s1 || s2 AS merge_pair, "
         f"pct AS pair_ct, (SELECT n FROM vs{r}) AS n_symbols FROM b{r}"
         for r in range(1, BPE_SEQ_ROUNDS + 1))
-    parts.append(f"\n    {unions}")
-    return "".join(parts)
+    return f"{_bpe_cte_body()}\n    {unions}"
 
 
-@query("bpe_merge_sequence", oracle=_bpe_seq_oracle())
-def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The K = BPE_SEQ_ROUNDS learned merge rules in order, each with
-    its corpus-weighted pair count and the distinct-symbol vocabulary
-    size after applying it (feeds vocab_coverage_curve-style budget
-    planning: how fast does coverage grow per merge)."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared K-round training loop: returns (merge_rows, wc, vocab) —
+    the learned rules, the word-count table, and the post-merge symbol
+    table (ct, syms)."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
           .filter(F.col("word") != "")
-          .groupBy("word").agg(F.count("*").alias("ct")))
+          .groupBy("word").agg(F.count("*").alias("ct"))
+          .localCheckpoint())
     vocab = wc.select(
         "ct",
         F.expr("transform(sequence(1, length(word)),"
@@ -1017,9 +1021,56 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sym = (vocab.select(F.explode("syms").alias("s"))
                  .agg(F.countDistinct("s")).collect()[0][0])
         rows.append((r, s1 + s2, int(pct), int(n_sym)))
+    return rows, wc, vocab
+
+
+@query("bpe_merge_sequence", oracle=_bpe_seq_oracle())
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K = BPE_SEQ_ROUNDS learned merge rules in order, each with
+    its corpus-weighted pair count and the distinct-symbol vocabulary
+    size after applying it (feeds vocab_coverage_curve-style budget
+    planning: how fast does coverage grow per merge)."""
+    rows, _wc, _vocab = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         rows, "round bigint, merge_pair string, pair_ct bigint, "
               "n_symbols bigint")
+
+
+def _bpe_fertility_oracle() -> str:
+    r = BPE_SEQ_ROUNDS
+    return f"""{_bpe_cte_body()},
+    after AS (
+      SELECT word, MAX(ct) AS ct, COUNT(*) AS ns
+      FROM seq{r} GROUP BY word
+    )
+    SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM wc) AS n_word_tokens,
+      round((SELECT CAST(SUM(ct * len(word)) AS DOUBLE) FROM wc)
+            / (SELECT CAST(SUM(ct) AS DOUBLE) FROM wc), 6)
+        AS chars_per_word,
+      round((SELECT CAST(SUM(ct * ns) AS DOUBLE) FROM after)
+            / (SELECT CAST(SUM(ct) AS DOUBLE) FROM after), 6)
+        AS syms_per_word
+    """
+
+
+@query("bpe_apply_fertility", oracle=_bpe_fertility_oracle())
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: corpus-weighted symbols-per-word
+    before (= chars) and after the BPE_SEQ_ROUNDS learned merges — the
+    compression read a tokenizer team takes to size a merge budget.
+    All sums are exact integers; two 6-dp divisions at the boundary.
+    NOTE: words absent from ``after`` can't exist — every wc word has
+    >= 1 symbol, so both denominators are the same corpus word count.
+    """
+    _rows, wc, vocab = _bpe_train(spark, sf_dir)
+    before = wc.agg(
+        F.sum("ct").cast("bigint").alias("n_word_tokens"),
+        F.round(F.sum(F.col("ct") * F.length("word")).cast("double")
+                / F.sum("ct").cast("double"), 6).alias("chars_per_word"))
+    after = vocab.agg(
+        F.round(F.sum(F.col("ct") * F.size("syms")).cast("double")
+                / F.sum("ct").cast("double"), 6).alias("syms_per_word"))
+    return before.crossJoin(after)
 
 
 # ---------------------------------------------------------------------------

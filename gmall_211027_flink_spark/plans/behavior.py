@@ -491,3 +491,72 @@ def dwd_error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("error_ct").cast("bigint").alias("error_ct"),
                     F.round(mean, 6).alias("mean_ct"),
                     (F.col("error_ct") >= 2 * mean).alias("is_burst")))
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: every purchase is credited to the user's most
+# recent NON-purchase event within ATTR_WINDOW_S before it (else
+# 'direct') — the marketing-attribution fold ClickHouse sites express
+# with argMax over a sessionized stream. One user-keyed shuffle + one
+# shared window sort (the behavior-family plan shape); both the touch
+# TYPE and its TIME come from the same IGNORE-NULLS running last_value
+# over the same frame, so the two reads can't diverge.
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 3600
+
+
+@query(
+    "ads_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS lt_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w
+               AS lt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+      SELECT CASE WHEN lt_us IS NOT NULL
+                   AND us - lt_us <= CAST({ATTR_WINDOW_S} AS BIGINT)
+                                     * 1000000
+                  THEN lt_type ELSE 'direct' END AS touch_type
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+             AS share
+    FROM attributed GROUP BY 1
+    """,
+)
+def ads_last_touch_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.last(F.when(F.col("event_type") != "purchase",
+                      F.col("event_type")), ignorenulls=True)
+         .over(w).alias("lt_type"),
+        F.last(F.when(F.col("event_type") != "purchase", us),
+               ignorenulls=True).over(w).alias("lt_us"))
+    touch = F.when(
+        F.col("lt_us").isNotNull()
+        & (F.col("us") - F.col("lt_us") <= ATTR_WINDOW_S * 1_000_000),
+        F.col("lt_type")).otherwise("direct")
+    attributed = (seq.filter(F.col("event_type") == "purchase")
+                  .select(touch.alias("touch_type")))
+    w_all = Window.partitionBy(F.lit(1))
+    return (attributed.groupBy("touch_type")
+            .agg(F.count("*").cast("bigint").alias("n_purchases"))
+            .withColumn("share", F.round(
+                F.col("n_purchases").cast("double")
+                / F.sum("n_purchases").over(w_all), 6)))

@@ -1561,6 +1561,84 @@ _OR["dwd_bounce_streaming"] = _bounce_stream_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Streaming CUSUM changepoint monitor: the daily-GMV cumulative-
+# deviation scan of stats_cusum_changepoint maintained at ingest —
+# per-batch decimal partial sums fold O(batch) into the day-keyed store
+# (exact and order-insensitive, so the drained store equals the batch
+# daily table under any slicing); the CUSUM scan + argmax runs over the
+# |days|-sized store at query time. KS watches the SHAPE of a
+# distribution drift; CUSUM locates WHEN a level shift happened — the
+# monitoring pair. Hash-checked against the batch oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_cusum_monitor",
+    oracle=None,  # assigned below: identical to batch stats_cusum_changepoint
+)
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore, run_incremental_agg)
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    d = tempfile.mkdtemp(prefix="cusum_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["d"], {"g": ("sum", "g_part")})
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "orders.parquet")
+                  .parquet(sf_dir)
+                  .select(
+                      F.date_format("o_orderdate", "yyyy-MM-dd")
+                       .alias("d"),
+                      F.col("o_totalprice").cast("decimal(18,2)")
+                       .alias("g_part")))
+        q = run_incremental_agg(stream, store, f"{d}/ckpt")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_cusum_monitor timed out")
+        daily = store.read(spark).select("d", "g")
+        w_run = Window.orderBy("d").rowsBetween(
+            Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy(F.lit(1))
+        pre = (daily
+               .withColumn("pre", F.sum("g").over(w_run))
+               .withColumn("i", F.row_number().over(Window.orderBy("d")))
+               .withColumn("total", F.sum("g").over(w_all))
+               .withColumn("n", F.count("*").over(w_all)))
+        cusum = (F.col("pre").cast("double")
+                 - F.col("i").cast("double")
+                 * (F.col("total").cast("double")
+                    / F.col("n").cast("double")))
+        out = (pre.select(F.col("d").alias("cp_day"),
+                          F.round(cusum, 6).alias("cusum_at_cp"),
+                          F.col("n").cast("bigint").alias("n_days"),
+                          cusum.alias("_c"))
+               .orderBy(F.abs(F.col("_c")).desc(), "cp_day").limit(1)
+               .drop("_c"))
+        # gate-harness materialization (temp store removed in finally);
+        # production reads the persistent store — no driver collect
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _cusum_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_cusum_changepoint"]
+
+
+_OR["stream_cusum_monitor"] = _cusum_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Streaming distribution-drift monitor: the two-sample KS statistic of
 # stats_ks_drift maintained at ingest — per-batch (length, cohort)
 # counts fold O(batch) into the keyed store (counts are

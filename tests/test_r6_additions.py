@@ -236,3 +236,64 @@ def test_winnowing_shared_run_guarantee(prefix_a, prefix_b, shared):
     fa = _winnow_py(a, WINNOW_K, WINNOW_W, WINNOW_M)
     fb = _winnow_py(b, WINNOW_K, WINNOW_W, WINNOW_M)
     assert fa & fb, "shared run of >= W+K-1 tokens must share a fingerprint"
+
+
+def test_kcore_peel_converges_and_is_fixpoint(spark, sf_dir):
+    """Every node the bounded peel keeps must still have degree >= K in
+    the induced subgraph — i.e. KCORE_ROUNDS sufficed and the output IS
+    the k-core fixpoint, not a partial peel — and the core is nonempty
+    (the data-relative K is below the graph's degeneracy)."""
+    import duckdb
+
+    from gmall_211027_flink_spark.operators.graph import (
+        KCORE_PCT, graph_kcore_bounded)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                f"FROM '{sf_dir}/lineitem.parquet'")
+    k = con.execute(f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        prs AS (SELECT a.l_partkey pa, b.l_partkey pb
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+        e0 AS (SELECT pa u, pb v FROM prs UNION SELECT pb, pa FROM prs)
+        SELECT (SUM(deg) // COUNT(*)) * {KCORE_PCT} // 100
+        FROM (SELECT u, COUNT(*) deg FROM e0 GROUP BY 1)""").fetchone()[0]
+    out = graph_kcore_bounded(spark, sf_dir)
+    assert out.count() > 0
+    assert out.filter(f"core_degree < {k}").count() == 0
+
+
+def test_tombstone_compaction_classes(spark, sf_dir):
+    """Keys whose last event is an error must be tombstoned (no live
+    value); live keys carry the exact last value."""
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.sources.cdc import (
+        cdc_tombstone_compaction)
+
+    out = cdc_tombstone_compaction(spark, sf_dir)
+    assert out.filter("is_live = 0 AND live_value IS NOT NULL").count() == 0
+    assert out.filter("is_live = 1 AND live_value IS NULL").count() == 0
+    # every user that ever emitted an op appears exactly once
+    from gmall_211027_flink_spark.catalog import load_table
+    n_users = (load_table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
+
+
+def test_bpe_merge_sequence_monotone(spark, sf_dir):
+    """Merge-pair counts are non-increasing across rounds (greedy
+    argmax can't find a better pair after removing the best one —
+    counts of other pairs only shrink or stay), and vocab grows by at
+    most 1 symbol per round."""
+    from gmall_211027_flink_spark.operators.text import bpe_merge_sequence
+
+    rows = sorted(bpe_merge_sequence(spark, sf_dir).collect(),
+                  key=lambda r: r["round"])
+    cts = [r.pair_ct for r in rows]
+    assert all(a >= b for a, b in zip(cts, cts[1:])), cts
+    syms = [r.n_symbols for r in rows]
+    assert all(b - a <= 1 for a, b in zip(syms, syms[1:])), syms
