@@ -780,3 +780,88 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_queries"),
                  F.round(F.sum("found_ct").cast("double")
                          / F.sum("exact_k"), 6).alias("mean_recall")))
+
+
+# ---------------------------------------------------------------------------
+# Binary-sketch (sign-bit) retrieval audit: quantize every embedding to
+# its per-dimension SIGN (1 bit/dim — 32x smaller than int8, 256x
+# smaller than float32) and rank candidates by Hamming similarity,
+# then measure recall@k against the exact cosine top-k. The trick that
+# keeps everything exact: with signs encoded as +-1.0, the sign-vector
+# dot product equals (matches - mismatches) = 2*matches - dim, so
+# Hamming rank == +-1-dot rank and both engines compute identical
+# INTEGER-VALUED doubles — no float boundary at all until the final
+# recall division.
+#
+# Scale: the sketch is map-side; ranking is the brute-force audit shape
+# (broadcast N_QUERIES sign vectors over the corpus, one window top-k)
+# — at 100 TB the sketch feeds a Hamming-bucketed index instead; this
+# query is the quality gate that justifies (or rejects) that switch.
+# ---------------------------------------------------------------------------
+
+def _signbit_recall_oracle() -> str:
+    return f"""
+    WITH cos AS ({ORACLES["ann_cosine_topk"]}),
+    s AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CASE WHEN x >= 0 THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END) AS sb
+      FROM embeddings
+    ),
+    ham AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.sb, c.sb) AS sdot
+      FROM s q JOIN s c ON q.vec_id < {N_QUERIES}
+                       AND c.vec_id <> q.vec_id
+    ),
+    hr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sdot DESC, neighbor_id) AS rk
+      FROM ham
+    ),
+    htop AS (SELECT query_id, neighbor_id FROM hr WHERE rk <= {TOP_K})
+    SELECT c.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(COUNT(h.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+             AS recall
+    FROM cos c
+    LEFT JOIN htop h ON h.query_id = c.query_id
+                    AND h.neighbor_id = c.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("ann_signbit_recall", oracle=_signbit_recall_oracle())
+def ann_signbit_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("sb", F.expr(
+             "transform(embedding, x -> case when x >= cast(0 as float)"
+             " then cast(1.0 as double) else cast(-1.0 as double) end)"))
+         .select("vec_id", "sb"))
+    q = (s.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("sb").alias("qb")))
+    c = s.select(F.col("vec_id").alias("neighbor_id"), "sb")
+    sdot = F.expr(
+        "aggregate(zip_with(qb, sb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    ham = (c.join(F.broadcast(q),
+                  F.col("neighbor_id") != F.col("query_id"))
+           .withColumn("sdot", sdot))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sdot"),
+                                               "neighbor_id")
+    htop = (ham.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select(F.col("query_id").alias("h_q"),
+                    F.col("neighbor_id").alias("h_n"),
+                    F.lit(1).alias("hit")))
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id",
+                                                  "neighbor_id")
+    return (exact.join(htop, (F.col("query_id") == F.col("h_q"))
+                       & (F.col("neighbor_id") == F.col("h_n")), "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").cast("bigint").alias("n_overlap"),
+                 F.round(F.count("hit").cast("double") / TOP_K, 6)
+                  .alias("recall")))
