@@ -454,3 +454,50 @@ def test_int8_quant_audit_is_shuffle_free(spark, sf_dir):
     plan = executed_plan(df)
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_winnowing_no_cartesian_and_keyed_window(spark, sf_dir):
+    """Winnowing's only cross-document stage must be the fingerprint
+    equi-join (stop-gram capped) — no cartesian/nested-loop anywhere,
+    and the rolling window min is per-document, not a global sort."""
+    from gmall_211027_flink_spark.operators.dedup import (
+        dedup_winnowing_fingerprints)
+    df = dedup_winnowing_fingerprints(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_cosine_postings_equi_join(spark, sf_dir):
+    """The sparse dot-product must be a term-keyed equi-join over the
+    idf-capped postings — never a doc-pair cartesian."""
+    from gmall_211027_flink_spark.operators.dedup import dedup_tfidf_cosine
+    df = dedup_tfidf_cosine(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_span_multiscale_per_doc_windows_no_cartesian(spark, sf_dir):
+    """The pyramid shuffles (width, md5) keys once and merges intervals
+    per document — no cartesian, windows partitioned by doc."""
+    from gmall_211027_flink_spark.operators.search import (
+        dedup_span_multiscale)
+    df = dedup_span_multiscale(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quota_per_source_uses_window_group_limit(spark, sf_dir):
+    """The per-source top-N cut must be WindowGroupLimit-pruned (each
+    partition keeps <= quota rows before the final sort), not a full
+    materialize-then-filter."""
+    from gmall_211027_flink_spark.operators.curation import (
+        curation_quota_per_source)
+    df = curation_quota_per_source(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
