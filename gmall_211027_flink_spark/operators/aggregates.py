@@ -1624,3 +1624,144 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cusum.alias("_c"))
             .orderBy(F.abs(F.col("_c")).desc(), "cp_day").limit(1)
             .drop("_c"))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of daily GMV: median of all pairwise slopes —
+# outlier-resistant where OLS (stats_regression_trend) is not; the pair
+# a monitoring pipeline keeps side by side (divergence = heavy-tailed
+# days dragging OLS).
+#
+# Scale note: the pair set is O(|days|^2) over the DAY DOMAIN (~2.9M
+# pairs for 6.5 years), CONSTANT in corpus size — the corpus-sized
+# stage is the one two-phase daily agg. Slopes are identical double
+# expressions per pair; the median is an exact order statistic with a
+# full (slope, i, j) tie-break, so the selection is a total order in
+# both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS g
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, g, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+    ),
+    slopes AS (
+      SELECT a.i AS ia, b.i AS ib,
+             (CAST(b.g AS DOUBLE) - CAST(a.g AS DOUBLE))
+             / (b.i - a.i) AS s
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, ia, ib) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT round(s, 6) AS slope_median,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def stats_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("g")))
+    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("d")))
+    a = idx.select(F.col("i").alias("ia"), F.col("g").alias("ga"))
+    b = idx.select(F.col("i").alias("ib"), F.col("g").alias("gb"))
+    slopes = (a.join(b, F.col("ib") > F.col("ia"))
+              .select("ia", "ib",
+                      ((F.col("gb").cast("double")
+                        - F.col("ga").cast("double"))
+                       / (F.col("ib") - F.col("ia"))).alias("s")))
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = (slopes
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy("s", "ia", "ib")))
+              .withColumn("n", F.count("*").over(w_all)))
+    return (ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.round("s", 6).alias("slope_median"),
+                    F.col("n").cast("bigint").alias("n_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# Table profile: per-column null count, exact distinct count, min/max —
+# the completeness/cardinality read every warehouse runs before
+# trusting a new snapshot (and the stats a cost-based planner wants).
+# ONE corpus pass computes every metric (a single multi-agg row);
+# formatting pins cross-engine text: numerics via DECIMAL casts,
+# timestamps via an explicit format string.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+def _profile_minmax_sql(c: str, fn: str) -> str:
+    if c == "o_totalprice":
+        return f"CAST(CAST({fn}({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if c == "o_orderdate":
+        return f"strftime({fn}({c}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({fn}({c}) AS VARCHAR)"
+
+
+def _profile_oracle() -> str:
+    aggs = ["COUNT(*) AS n_rows"]
+    for c in _PROFILE_COLS:
+        aggs += [
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}",
+            f"COUNT(DISTINCT {c}) AS nd_{c}",
+            f"{_profile_minmax_sql(c, 'MIN')} AS mn_{c}",
+            f"{_profile_minmax_sql(c, 'MAX')} AS mx_{c}",
+        ]
+    branches = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST(n_rows AS BIGINT) AS n_rows, "
+        f"CAST(nn_{c} AS BIGINT) AS n_nulls, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct, "
+        f"mn_{c} AS min_str, mx_{c} AS max_str FROM m"
+        for c in _PROFILE_COLS)
+    return f"""
+    WITH m AS MATERIALIZED (SELECT {", ".join(aggs)} FROM orders)
+    {branches}
+    """
+
+
+@query("stats_table_profile", oracle=_profile_oracle())
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def mm(c: str, fn):
+        if c == "o_totalprice":
+            return fn(c).cast("decimal(18,2)").cast("string")
+        if c == "o_orderdate":
+            return F.date_format(fn(c), "yyyy-MM-dd HH:mm:ss")
+        return fn(c).cast("string")
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            mm(c, F.min).alias(f"mn_{c}"),
+            mm(c, F.max).alias(f"mx_{c}"),
+        ]
+    m = orders.agg(*aggs).localCheckpoint()   # one corpus pass
+    out = None
+    for c in _PROFILE_COLS:
+        row = m.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(f"nn_{c}").cast("bigint").alias("n_nulls"),
+            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str"))
+        out = row if out is None else out.unionAll(row)
+    return out

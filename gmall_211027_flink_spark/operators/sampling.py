@@ -517,3 +517,97 @@ def sample_temperature_rates(spark: SparkSession,
                      "rate_ppm")
             .agg(F.sum(F.when(bucket < F.col("rate_ppm"), 1)
                        .otherwise(0)).cast("bigint").alias("kept_ct")))
+
+
+# ---------------------------------------------------------------------------
+# Chronological train/test split with EMBARGO: train strictly before
+# t1, test at/after t2, the [t1, t2) gap dropped — the temporal-leakage
+# discipline for forecasting/eval on time series (a random split leaks
+# the future into train; an adjacent split leaks through autocorrelated
+# boundary windows — the embargo buys a decorrelation gap). Companion
+# to sample_split_leakage_audit, which checks CONTENT leakage.
+#
+# The audit row reports the realized gap in seconds (must cover the
+# embargo) and how many users span both sides — expected nonzero (the
+# same user existing on both sides is fine; the same TIME would not
+# be), reported so the modeler sees the entity overlap they're
+# accepting. All counts exact; one corpus pass + one tiny distinct-user
+# semi-join.
+# ---------------------------------------------------------------------------
+
+EMBARGO_T1 = "2024-01-20"
+EMBARGO_T2 = "2024-01-22"
+
+
+@query(
+    "sample_time_split_embargo",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN ts <  TIMESTAMP '{EMBARGO_T1} 00:00:00' THEN 'train'
+                  WHEN ts >= TIMESTAMP '{EMBARGO_T2} 00:00:00' THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM events
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_train,
+        CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_embargo,
+        CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_test,
+        MAX(CASE WHEN split = 'train' THEN us END) AS max_train_us,
+        MIN(CASE WHEN split = 'test' THEN us END) AS min_test_us
+      FROM tagged
+    ),
+    ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_users FROM (
+        SELECT user_id FROM tagged WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM tagged WHERE split = 'test')
+    )
+    SELECT n_train, n_embargo, n_test,
+           CAST((min_test_us - max_train_us) // 1000000 AS BIGINT)
+             AS gap_seconds,
+           (min_test_us - max_train_us) >= CAST(172800 AS BIGINT) * 1000000
+             AS embargo_ok,
+           ov.n_overlap_users
+    FROM m CROSS JOIN ov
+    """,
+)
+def sample_time_split_embargo(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"),
+        F.when(F.col("ts") < F.lit(f"{EMBARGO_T1} 00:00:00")
+               .cast("timestamp"), "train")
+         .when(F.col("ts") >= F.lit(f"{EMBARGO_T2} 00:00:00")
+               .cast("timestamp"), "test")
+         .otherwise("embargo").alias("split"))
+    m = tagged.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+         .cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("split") == "embargo", 1).otherwise(0))
+         .cast("bigint").alias("n_embargo"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+         .cast("bigint").alias("n_test"),
+        F.max(F.when(F.col("split") == "train", F.col("us")))
+         .alias("max_train_us"),
+        F.min(F.when(F.col("split") == "test", F.col("us")))
+         .alias("min_test_us"))
+    tr = (tagged.filter(F.col("split") == "train")
+          .select("user_id").distinct())
+    te = (tagged.filter(F.col("split") == "test")
+          .select("user_id").distinct())
+    ov = (tr.join(te, "user_id")
+          .agg(F.count("*").cast("bigint").alias("n_overlap_users")))
+    gap = F.col("min_test_us") - F.col("max_train_us")
+    return (m.crossJoin(F.broadcast(ov))
+            .select("n_train", "n_embargo", "n_test",
+                    F.expr("(min_test_us - max_train_us) div 1000000")
+                     .cast("bigint").alias("gap_seconds"),
+                    (gap >= F.lit(172800).cast("bigint") * 1000000)
+                     .alias("embargo_ok"),
+                    "n_overlap_users"))
