@@ -1320,9 +1320,7 @@ WINNOW_MAXDF = 50      # fingerprint doc-frequency cap (stop-grams)
 WINNOW_MIN_SHARED = 2
 
 
-@query(
-    "dedup_winnowing_fingerprints",
-    oracle=f"""
+_WINNOW_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -1366,18 +1364,16 @@ WINNOW_MIN_SHARED = 2
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_shared >= {WINNOW_MIN_SHARED}
-    """,
-)
-def dedup_winnowing_fingerprints(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    """Winnowed-fingerprint near-dup pairs with >= WINNOW_MIN_SHARED
-    shared (non-ubiquitous) fingerprints; score = Jaccard of the two
-    docs' kept-fingerprint sets."""
-    from gmall_211027_flink_spark.catalog import load_table
+    """
 
-    docs = (load_table(spark, sf_dir, "documents")
-            .select("doc_id", F.split("text", " ").alias("w")))
-    grams = (docs.filter(F.size("w") >= WINNOW_K)
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) winnowed fingerprint set (pre stop-gram cap) for a
+    frame carrying (doc_id, text). Per-document computation only —
+    valid on a micro-batch inside foreachBatch (the streaming index
+    maintenance path) exactly as on the full corpus."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (toks.filter(F.size("w") >= WINNOW_K)
              .select("doc_id",
                      (F.size("w") - WINNOW_K + 1).alias("ng"),
                      F.explode(F.expr(
@@ -1392,9 +1388,15 @@ def dedup_winnowing_fingerprints(spark: SparkSession,
     wins = grams.withColumn(
         "me", F.min(F.col("h") * WINNOW_M + (WINNOW_M - F.col("p")))
         .over(w_roll))
-    fp = (wins.filter(F.col("p") <= F.col("ng") - WINNOW_W + 1)
-          .select("doc_id", F.expr(f"me div {WINNOW_M}").alias("h"))
-          .distinct())
+    return (wins.filter(F.col("p") <= F.col("ng") - WINNOW_W + 1)
+            .select("doc_id", F.expr(f"me div {WINNOW_M}").alias("h"))
+            .distinct())
+
+
+def winnow_pairs(fp: DataFrame) -> DataFrame:
+    """Stop-gram-capped pair scores over a (doc_id, h) fingerprint set
+    — the read-side shared by the batch operator and the streaming
+    index store."""
     keep = (fp.groupBy("h").agg(F.count("*").alias("dfreq"))
             .filter(F.col("dfreq") <= WINNOW_MAXDF).select("h"))
     fpc = fp.join(keep, "h")
@@ -1417,6 +1419,18 @@ def dedup_winnowing_fingerprints(spark: SparkSession,
                     F.round(F.col("n_shared").cast("double")
                             / (F.col("sa.nf") + F.col("sb.nf")
                                - F.col("n_shared")), 6).alias("score")))
+
+
+@query("dedup_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def dedup_winnowing_fingerprints(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs with >= WINNOW_MIN_SHARED
+    shared (non-ubiquitous) fingerprints; score = Jaccard of the two
+    docs' kept-fingerprint sets."""
+    from gmall_211027_flink_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_pairs(winnow_fingerprints(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -1724,3 +1724,64 @@ def _ks_stream_oracle() -> str:
 
 
 _OR["stream_ks_drift_monitor"] = _ks_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming winnowing fingerprint index: the MOSS fingerprint set of
+# dedup_winnowing_fingerprints maintained at ingest. Winnowing selection
+# (window-min over K-gram hashes) is PER-DOCUMENT — a micro-batch
+# carrying whole documents computes exactly the fingerprints the batch
+# operator would, so each commit appends O(batch fingerprints) to the
+# keyed (doc_id, h) store and no cross-document state is touched at
+# write time. The cross-document read (stop-gram cap + pair Jaccard,
+# winnow_pairs) runs over the drained store and must hash-match the
+# one-shot batch oracle — the plagiarism-index analog of the
+# MinHash-LSH bucket store (stream_dedup_minhash_incremental).
+# Reference anchor: the same ingest-time index maintenance shape as
+# DwsTrafficVcChArIsNewPageViewWindow.java:118-180 (incremental reduce),
+# applied to the SIGMOD'03 winnowing fingerprint set.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_winnowing_index_store",
+    oracle=None,  # assigned below: identical to the batch winnowing op
+)
+def stream_winnowing_index_store(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.dedup import (
+        winnow_fingerprints, winnow_pairs)
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="winnow_store_gate_")
+    try:
+        # (doc_id, h) is the store grain; n_batches is a trivially
+        # mergeable carrier (a fingerprint re-observed on replay would
+        # bump it, never duplicate the key — reads stay set-semantic).
+        store = IncrementalAggStore(
+            f"{d}/store", ["doc_id", "h"], {"n_batches": ("count", None)})
+        # three interleaved crawl slices = three commits (doc_id mod 3,
+        # NOT contiguous ranges, so slicing-invariance is exercised)
+        for i in range(3):
+            sl = winnow_fingerprints(docs.filter(F.col("doc_id") % 3 == i))
+            store.write_batch(sl, i)
+        fp = store.read(spark).select("doc_id", "h")
+        out = winnow_pairs(fp)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _winnow_stream_oracle() -> str:
+    from gmall_211027_flink_spark.operators.dedup import _WINNOW_ORACLE
+    return _WINNOW_ORACLE
+
+
+_OR["stream_winnowing_index_store"] = _winnow_stream_oracle()

@@ -138,3 +138,44 @@ def test_last_value_encoding_slicing_invariant(spark, sf_dir, tmp_path):
         keyed.groupBy("user_id").agg(F.max("enc").alias("last_enc"))
         .collect())
     assert results[0] == truth
+
+
+def test_winnow_store_slicing_invariant(spark, sf_dir, tmp_path):
+    """The winnowing fingerprint index is per-document, so folding any
+    micro-batch slicing of the corpus yields the same (doc_id, h) set
+    as the one-shot batch fingerprinting — and therefore the same
+    pair scores at read time."""
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.dedup import (
+        winnow_fingerprints, winnow_pairs)
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_fp = sorted(
+        tuple(r) for r in winnow_fingerprints(docs).collect())
+
+    def fold(path, order):
+        store = IncrementalAggStore(
+            str(path), ["doc_id", "h"], {"n_batches": ("count", None)})
+        for i, m in enumerate(order):
+            store.write_batch(
+                winnow_fingerprints(docs.filter(F.col("doc_id") % 3 == m)),
+                i)
+        return store.read(spark).select("doc_id", "h")
+
+    fwd = fold(tmp_path / "fwd", (0, 1, 2))
+    rev = fold(tmp_path / "rev", (2, 0, 1))
+    assert sorted(tuple(r) for r in fwd.collect()) == batch_fp
+    assert sorted(tuple(r) for r in rev.collect()) == batch_fp
+    assert len(batch_fp) > 0
+
+    pair_cols = ("doc_a", "doc_b", "n_shared", "score")
+    batch_pairs = sorted(
+        tuple(r) for r in winnow_pairs(winnow_fingerprints(docs))
+        .select(*pair_cols).collect())
+    store_pairs = sorted(
+        tuple(r) for r in winnow_pairs(fwd).select(*pair_cols).collect())
+    assert store_pairs == batch_pairs
