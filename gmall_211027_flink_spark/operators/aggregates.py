@@ -1765,3 +1765,190 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"mx_{c}").alias("max_str"))
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between per-user activity (event count) and
+# per-user spend (summed value): "do my most active users spend most?"
+# — the monotone-association readout Pearson (stats_price_qty_corr)
+# misses under non-linear engagement curves.
+#
+# Exactness: ties get AVERAGE ranks; the doubled average rank
+# 2·avgrank = 2·RANK() + |ties| − 1 is an INTEGER, so the centered
+# deviations d = 2·avgrank − (n+1) and all three cross-sums Σdxdy,
+# Σdx², Σdy² stay BIGINT (|d| ≤ n keeps Σ under 2^63 to n ≈ 2 M users;
+# beyond that the sums move to DECIMAL(38,0) unchanged). The only
+# floats are the two final sqrts — identical IEEE ops in both engines.
+# Spend sums are per-value DECIMAL(18,6) casts (exact, order-free).
+#
+# Scale: the corpus-sized stage is the per-user two-phase agg; ranks
+# run over |users| rows. The global ORDER BY in the rank window is the
+# textbook single-partition pinch at extreme |users| — the fix (range-
+# partitioned two-phase ranking, offsets from partition counts) is
+# mechanical and orthogonal to the statistic; Catalyst's rangepartition
+# sort handles the sizes tested here.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS a,
+             SUM(CAST(value AS DECIMAL(18,6))) AS b
+      FROM events GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user),
+    ranked AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY a) - 1
+          + COUNT(*) OVER (PARTITION BY a) AS dra,
+        2 * RANK() OVER (ORDER BY b) - 1
+          + COUNT(*) OVER (PARTITION BY b) AS drb
+      FROM per_user
+    ),
+    d AS (
+      SELECT CAST(dra - (SELECT n FROM n) - 1 AS BIGINT) AS dx,
+             CAST(drb - (SELECT n FROM n) - 1 AS BIGINT) AS dy
+      FROM ranked
+    )
+    SELECT (SELECT n FROM n) AS n_users,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+           round(CAST(SUM(dx * dy) AS DOUBLE)
+                 / (sqrt(CAST(SUM(dx * dx) AS DOUBLE))
+                    * sqrt(CAST(SUM(dy * dy) AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM d
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = (events.groupBy("user_id")
+                .agg(F.count("*").alias("a"),
+                     F.sum(F.col("value").cast("decimal(18,6)"))
+                     .alias("b")))
+    # doubled average rank: 2·RANK − 1 + tie-group size (an integer)
+    dra = (2 * F.rank().over(Window.orderBy("a")) - 1
+           + F.count("*").over(Window.partitionBy("a")))
+    drb = (2 * F.rank().over(Window.orderBy("b")) - 1
+           + F.count("*").over(Window.partitionBy("b")))
+    ranked = per_user.select(dra.alias("dra"), drb.alias("drb"))
+    nrow = per_user.agg(F.count("*").cast("bigint").alias("n"))
+    d = (ranked.crossJoin(F.broadcast(nrow))
+         .select("n",
+                 (F.col("dra") - F.col("n") - 1).cast("bigint").alias("dx"),
+                 (F.col("drb") - F.col("n") - 1).cast("bigint").alias("dy")))
+    sxy = F.sum(F.col("dx") * F.col("dy"))
+    return d.agg(
+        F.max("n").alias("n_users"),
+        sxy.cast("bigint").alias("sxy"),
+        F.round(sxy.cast("double")
+                / (F.sqrt(F.sum(F.col("dx") * F.col("dx")).cast("double"))
+                   * F.sqrt(F.sum(F.col("dy") * F.col("dy"))
+                            .cast("double"))), 6).alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (and entropies) of the source × lang contingency:
+# how much knowing a document's source tells you about its language —
+# the information-theoretic companion to stats_chi2_independence
+# (chi2 answers "is there association"; MI answers "how many nats").
+# A curation pipeline reads this as a mixture-diversity audit: near-zero
+# MI means languages are spread evenly over sources; high MI means
+# language coverage collapses when a source is dropped.
+#
+# Exactness (the chi2 discipline): all counts are exact integers; each
+# per-cell term (p·ln terms) is computed in identical double ops, then
+# rounded to 6 dp and summed as DECIMAL(18,6) — order-insensitive.
+# Scale: one two-phase count over the corpus; everything after runs on
+# |sources|×|langs| cells.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT source, lang, o,
+             SUM(o) OVER (PARTITION BY source) AS rt,
+             SUM(o) OVER (PARTITION BY lang) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    mi_terms AS (
+      SELECT CAST(round(
+        (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))), 6)
+        AS DECIMAL(18,6)) AS term
+      FROM ex
+    ),
+    hs_terms AS (
+      SELECT CAST(round(
+        -(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6)) AS term
+      FROM (SELECT source, COUNT(*) AS rt,
+                   CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n
+            FROM documents GROUP BY 1)
+    ),
+    hl_terms AS (
+      SELECT CAST(round(
+        -(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6)) AS term
+      FROM (SELECT lang, COUNT(*) AS ct,
+                   CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n
+            FROM documents GROUP BY 1)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+      (SELECT round(CAST(SUM(term) AS DOUBLE), 6) FROM mi_terms)
+        AS mi_nats,
+      (SELECT round(CAST(SUM(term) AS DOUBLE), 6) FROM hs_terms)
+        AS h_source_nats,
+      (SELECT round(CAST(SUM(term) AS DOUBLE), 6) FROM hl_terms)
+        AS h_lang_nats,
+      round((SELECT CAST(SUM(term) AS DOUBLE) FROM mi_terms)
+            / LEAST((SELECT CAST(SUM(term) AS DOUBLE) FROM hs_terms),
+                    (SELECT CAST(SUM(term) AS DOUBLE) FROM hl_terms)),
+            6) AS nmi
+    """,
+)
+def stats_mutual_information(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    ex = (cells
+          .withColumn("rt", F.sum("o").over(Window.partitionBy("source")))
+          .withColumn("ct", F.sum("o").over(Window.partitionBy("lang")))
+          .withColumn("n", F.sum("o").over(Window.partitionBy(F.lit(1)))))
+    od, nd = F.col("o").cast("double"), F.col("n").cast("double")
+    rtd, ctd = F.col("rt").cast("double"), F.col("ct").cast("double")
+    mi_t = ex.select(F.round(
+        (od / nd) * F.log(od * nd / (rtd * ctd)), 6)
+        .cast("decimal(18,6)").alias("term"))
+
+    def _marg_entropy(col: str) -> DataFrame:
+        m = (docs.groupBy(col).agg(F.count("*").alias("c"))
+             .withColumn("n", F.sum("c").over(Window.partitionBy(F.lit(1)))))
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        return m.select(F.round(-p * F.log(p), 6)
+                        .cast("decimal(18,6)").alias("term"))
+
+    mi = mi_t.agg(F.sum("term").cast("double").alias("v"))
+    hs = _marg_entropy("source").agg(
+        F.sum("term").cast("double").alias("v"))
+    hl = _marg_entropy("lang").agg(
+        F.sum("term").cast("double").alias("v"))
+    nc = cells.agg(F.count("*").cast("bigint").alias("n_cells"))
+    return (nc.crossJoin(F.broadcast(mi.select(F.col("v").alias("mi"))))
+            .crossJoin(F.broadcast(hs.select(F.col("v").alias("hs"))))
+            .crossJoin(F.broadcast(hl.select(F.col("v").alias("hl"))))
+            .select("n_cells",
+                    F.round("mi", 6).alias("mi_nats"),
+                    F.round("hs", 6).alias("h_source_nats"),
+                    F.round("hl", 6).alias("h_lang_nats"),
+                    F.round(F.col("mi")
+                            / F.least("hs", "hl"), 6).alias("nmi")))

@@ -593,3 +593,236 @@ def curation_quota_per_source(spark: SparkSession,
             .select("source", "doc_id",
                     F.round("dr", 6).alias("distinct_ratio"),
                     F.col("rk").cast("bigint").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: pairwise word-5-gram Jaccard between
+# sources — the curation dashboard that tells you two crawls are
+# substantially the same corpus BEFORE you pay to dedup their union
+# (the cross-source analog of dedup_winnowing_fingerprints' doc pairs).
+#
+# Plan shape for 100 TB: the corpus-sized stage is one DISTINCT over
+# (source, gram) — per-source gram SETS, so a gram repeated within a
+# source costs one row. The only cross-source stage is the gram
+# equi-join, capped by the stop-gram discipline (grams present in more
+# than OVERLAP_MAXSRC sources are boilerplate and dropped), so bucket
+# fan-out is bounded by OVERLAP_MAXSRC, never |sources|. At cluster
+# scale the join key becomes a 64-bit gram hash (winnowing's trick) to
+# shrink shuffle width; the string key is kept here for an exact,
+# hash-free oracle.
+# ---------------------------------------------------------------------------
+
+OVERLAP_NGRAM = 5     # word 5-grams (decontaminate_ngram's granularity)
+OVERLAP_MAXSRC = 10   # stop-gram cap: shared by > this many sources
+
+
+@query(
+    "curation_source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             array_to_string(w[i:i + {OVERLAP_NGRAM} - 1], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, len(w) - {OVERLAP_NGRAM} + 1)) AS t(i)
+      WHERE len(w) >= {OVERLAP_NGRAM}
+    ),
+    keep AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(*) <= {OVERLAP_MAXSRC}
+    ),
+    gk AS (SELECT g.source, g.gram FROM g JOIN keep USING (gram)),
+    sizes AS (SELECT source, COUNT(*) AS ng FROM gk GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM gk a JOIN gk b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (sa.ng + sb.ng - n_shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def curation_source_overlap_matrix(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("w"))
+    g = (toks.filter(F.size("w") >= OVERLAP_NGRAM)
+         .select("source", F.explode(F.expr(
+             f"transform(sequence(1, size(w) - {OVERLAP_NGRAM} + 1),"
+             f" i -> concat_ws(' ', slice(w, i, {OVERLAP_NGRAM})))"))
+             .alias("gram"))
+         .distinct())
+    keep = (g.groupBy("gram").agg(F.count("*").alias("nsrc"))
+            .filter(F.col("nsrc") <= OVERLAP_MAXSRC).select("gram"))
+    gk = g.join(keep, "gram")
+    sizes = gk.groupBy("source").agg(F.count("*").alias("ng"))
+    a, b = gk.alias("a"), gk.alias("b")
+    pairs = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.count("*").alias("n_shared")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (pairs
+            .join(F.broadcast(sa), F.col("sa.source") == F.col("source_a"))
+            .join(F.broadcast(sb), F.col("sb.source") == F.col("source_b"))
+            .select("source_a", "source_b",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("sa.ng") + F.col("sb.ng")
+                               - F.col("n_shared")), 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch scheduler: allocate a training-token budget across
+# sources proportionally to a value weight (distinct-vocabulary size —
+# dedup-aware worth, not raw bulk), subject to a repetition cap of
+# MAX_EPOCHS passes over any single source (the data-constrained
+# scaling rule: repeating a source beyond ~4 epochs stops buying loss).
+# Classic water-filling, run as EPOCH_ROUNDS bounded redistribution
+# rounds: capped sources freeze at cap, their unused share re-divides
+# among the still-active sources by weight. Bounded unrolling (not
+# fixpoint) keeps both engines bit-identical even pre-convergence —
+# the min_label_components / graph_kcore_bounded discipline.
+#
+# Exactness: every quantity is BIGINT (token counts, vocab counts,
+# floor-divided allocations); the single float is the final
+# epochs = alloc/toks readout. Scale: per-source aggregates are the
+# only corpus-sized stage (two-phase sum + distinct); the K rounds run
+# over |sources| rows with broadcast scalar totals — no corpus re-scan.
+# ---------------------------------------------------------------------------
+
+EPOCH_BUDGET_X = 3   # token budget = this many × the corpus token count
+MAX_EPOCHS = 3       # repetition cap: no source is read more than this
+EPOCH_ROUNDS = 3     # bounded water-filling redistribution rounds
+
+
+def _epoch_schedule_oracle() -> str:
+    x, m = EPOCH_BUDGET_X, MAX_EPOCHS
+    # unrolled bounded water-filling; every multiply-referenced CTE is
+    # MATERIALIZED (DuckDB inlines CTEs exponentially otherwise)
+    rounds = []
+    prev_r, prev_t = "r1", "t1"
+    for k in range(2, EPOCH_ROUNDS + 1):
+        rounds.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT {prev_r}.source, {prev_r}.toks, {prev_r}.vocab_w,
+             {prev_r}.cap,
+             {prev_r}.capped OR COALESCE(
+               ({prev_t}.b * {prev_r}.vocab_w) // {prev_t}.wv
+                 >= {prev_r}.cap, FALSE) AS capped
+      FROM {prev_r}, {prev_t}
+    ),
+    t{k} AS MATERIALIZED (
+      SELECT (SELECT b FROM t0)
+               - CAST(COALESCE(SUM(cap) FILTER (WHERE capped), 0)
+                      AS BIGINT) AS b,
+             CAST(SUM(vocab_w) FILTER (WHERE NOT capped) AS BIGINT) AS wv
+      FROM r{k}
+    )""")
+        prev_r, prev_t = f"r{k}", f"t{k}"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    src_toks AS MATERIALIZED (
+      SELECT source, CAST(SUM(len(w)) AS BIGINT) AS toks
+      FROM toks GROUP BY 1
+    ),
+    src_vocab AS MATERIALIZED (
+      SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_w
+      FROM toks, UNNEST(w) AS u(tok) GROUP BY 1
+    ),
+    base AS MATERIALIZED (
+      SELECT s.source, s.toks, v.vocab_w, {m} * s.toks AS cap
+      FROM src_toks s JOIN src_vocab v USING (source)
+    ),
+    t0 AS MATERIALIZED (
+      SELECT {x} * CAST(SUM(toks) AS BIGINT) AS b,
+             CAST(SUM(vocab_w) AS BIGINT) AS wv
+      FROM base
+    ),
+    r1 AS MATERIALIZED (
+      SELECT base.*, COALESCE(
+        (t0.b * vocab_w) // t0.wv >= cap, FALSE) AS capped
+      FROM base, t0
+    ),
+    t1 AS MATERIALIZED (
+      SELECT (SELECT b FROM t0)
+               - CAST(COALESCE(SUM(cap) FILTER (WHERE capped), 0)
+                      AS BIGINT) AS b,
+             CAST(SUM(vocab_w) FILTER (WHERE NOT capped) AS BIGINT) AS wv
+      FROM r1
+    ),{','.join(rounds)}
+    SELECT source, toks, vocab_w,
+           CAST(CASE WHEN capped THEN cap
+                ELSE LEAST(COALESCE(({prev_t}.b * vocab_w)
+                                    // {prev_t}.wv, 0), cap)
+                END AS BIGINT) AS alloc_tokens,
+           round(CAST(CASE WHEN capped THEN cap
+                      ELSE LEAST(COALESCE(({prev_t}.b * vocab_w)
+                                          // {prev_t}.wv, 0), cap)
+                      END AS DOUBLE) / toks, 6) AS epochs,
+           capped
+    FROM {prev_r}, {prev_t}
+    """
+
+
+@query("curation_epoch_schedule", oracle=_epoch_schedule_oracle())
+def curation_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("w"))
+    src_toks = (toks.groupBy("source")
+                .agg(F.sum(F.size("w")).cast("bigint").alias("toks")))
+    src_vocab = (toks.select("source", F.explode("w").alias("tok"))
+                 .groupBy("source")
+                 .agg(F.countDistinct("tok").cast("bigint")
+                      .alias("vocab_w")))
+    base = (src_toks.join(src_vocab, "source")
+            .withColumn("cap", F.lit(MAX_EPOCHS) * F.col("toks")))
+    t0 = base.agg(
+        (F.lit(EPOCH_BUDGET_X) * F.sum("toks")).cast("bigint").alias("b"),
+        F.sum("vocab_w").cast("bigint").alias("wv"))
+    # b0 rides along so later rounds recompute B_k = B0 − Σ capped caps
+    cur = (base.crossJoin(F.broadcast(t0.select(
+               F.col("b").alias("b0"), F.col("b"), F.col("wv"))))
+           .withColumn("capped", F.coalesce(
+               F.expr("(b * vocab_w) div wv") >= F.col("cap"),
+               F.lit(False)))
+           .drop("b", "wv"))
+    for _ in range(EPOCH_ROUNDS - 1):
+        tk = cur.agg(
+            (F.max("b0") - F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)))
+            .cast("bigint").alias("b"),
+            F.sum(F.when(~F.col("capped"), F.col("vocab_w")))
+            .cast("bigint").alias("wv"))
+        cur = (cur.crossJoin(F.broadcast(tk))
+               .withColumn("capped", F.col("capped") | F.coalesce(
+                   F.expr("(b * vocab_w) div wv") >= F.col("cap"),
+                   F.lit(False)))
+               .drop("b", "wv"))
+    tf = cur.agg(
+        (F.max("b0") - F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(~F.col("capped"), F.col("vocab_w")))
+        .cast("bigint").alias("wv"))
+    # the cap is HARD: a still-active source's share may exceed its cap
+    # if the bounded rounds stopped before it was frozen — clamp it
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.least(F.coalesce(F.expr("(b * vocab_w) div wv"), F.lit(0)),
+                F.col("cap")))
+    return (cur.crossJoin(F.broadcast(tf))
+            .select("source", "toks", "vocab_w",
+                    alloc.cast("bigint").alias("alloc_tokens"),
+                    F.round(alloc.cast("double") / F.col("toks"), 6)
+                    .alias("epochs"),
+                    "capped"))

@@ -297,3 +297,72 @@ def test_bpe_merge_sequence_monotone(spark, sf_dir):
     assert all(a >= b for a, b in zip(cts, cts[1:])), cts
     syms = [r.n_symbols for r in rows]
     assert all(b - a <= 1 for a, b in zip(syms, syms[1:])), syms
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    """Overlap pairs are ordered, positive, and Jaccard-bounded; no
+    source pairs with itself."""
+    from gmall_211027_flink_spark.operators.curation import (
+        curation_source_overlap_matrix)
+
+    rows = curation_source_overlap_matrix(spark, sf_dir).collect()
+    assert rows, "synthetic corpus should have cross-source overlap"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared >= 1
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_epoch_schedule_budget_and_cap(spark, sf_dir):
+    """Water-filling invariants: no source exceeds the MAX_EPOCHS hard
+    cap (the clamp), capped sources sit exactly at cap, and the total
+    allocation never exceeds the budget."""
+    from gmall_211027_flink_spark.operators.curation import (
+        EPOCH_BUDGET_X, MAX_EPOCHS, curation_epoch_schedule)
+
+    rows = curation_epoch_schedule(spark, sf_dir).collect()
+    assert rows
+    total_toks = sum(r.toks for r in rows)
+    budget = EPOCH_BUDGET_X * total_toks
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    for r in rows:
+        cap = MAX_EPOCHS * r.toks
+        assert r.alloc_tokens <= cap, (r.source, r.alloc_tokens, cap)
+        if r.capped:
+            assert r.alloc_tokens == cap
+        assert r.epochs <= MAX_EPOCHS + 1e-9
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """The doubled-average-rank integer formulation equals pandas'
+    spearman (average-rank Pearson) to rounding tolerance."""
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_spearman_corr)
+
+    row = stats_spearman_corr(spark, sf_dir).collect()[0]
+    assert -1.0 <= row.spearman_rho <= 1.0
+
+    pdf = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").alias("a"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("b"))
+           .toPandas())
+    # average-rank Pearson == Spearman (scipy-free formulation)
+    expected = pdf["a"].astype(float).rank().corr(
+        pdf["b"].astype(float).rank())
+    assert abs(row.spearman_rho - expected) < 1e-5
+    assert row.n_users == len(pdf)
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    """0 <= MI <= min(H_source, H_lang); NMI in [0, 1]."""
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_mutual_information)
+
+    r = stats_mutual_information(spark, sf_dir).collect()[0]
+    assert r.h_source_nats > 0 and r.h_lang_nats > 0
+    # per-term 6dp rounding can push the sum a hair past the bound
+    assert -1e-4 <= r.mi_nats <= min(r.h_source_nats,
+                                     r.h_lang_nats) + 1e-4
+    assert -1e-4 <= r.nmi <= 1.0 + 1e-4
