@@ -467,3 +467,191 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_decode_batch, HEADER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode + perceptual average-hash over BMP payloads.
+#
+# The pixel-level gap the earlier ops left open (PIL/ffmpeg absent) is
+# closed for the one image container whose pixel array is raw bytes:
+# 24-bit BMP needs no codec. Synthesis embeds an actual pixel array (a
+# deterministic gradient g(x,y) = (a·x + b·y + c) mod 256 with
+# md5-derived slopes); the decoder then parses bfOffBits / biWidth /
+# biHeight / biBitCount out of the REAL header, undoes 4-byte row
+# padding and bottom-up row order, and hands (h, w) grayscale pixels to
+# the hash — none of which ever sees the generating formula. The DuckDB
+# oracle re-derives the same pixels analytically, so a decode bug
+# (stride off-by-one, flipped rows, wrong channel offset) breaks the
+# value hash.
+#
+# aHash is computed INTEGER-EXACT: the 8×8 block bit is
+# cell_sum · N > total_sum · cell_count (cross-multiplied BIGINTs), so
+# no float mean ever enters the fingerprint — bit-identical across
+# engines and replicas by construction.
+#
+# Scale shape: synthesis+decode+hash is one Arrow-batched mapInPandas
+# over the payload partition — embarrassingly parallel, zero shuffle;
+# only the 64-bit fingerprint row leaves the stage. Near-dup search
+# over the fingerprints is then Hamming-band LSH (dedup_simhash's
+# plan); fingerprinting is the corpus-sized stage and it is map-only.
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8   # 8×8 block grid -> 64-bit fingerprint
+
+
+def _bmp_gradient_params(h: str) -> dict:
+    """md5-hex -> gradient slopes (hex positions disjoint from
+    _geometry's so either derivation can evolve independently)."""
+    return {
+        "a": 1 + int(h[12:14], 16) % 7,
+        "b": 1 + int(h[14:16], 16) % 5,
+        "c": int(h[16:18], 16),
+    }
+
+
+def synthesize_bmp_with_pixels(doc_id: int, h: str) -> bytes:
+    """A fully valid 24-bit BMP: header + padded bottom-up pixel rows
+    carrying the deterministic gradient."""
+    import numpy as np
+
+    g = _geometry(h)
+    p = _bmp_gradient_params(h)
+    w, ht = g["w"], g["ht"]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(ht, dtype=np.int64)[:, None]
+    gray = ((p["a"] * x + p["b"] * y + p["c"]) % 256).astype(np.uint8)
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((ht, stride), dtype=np.uint8)
+    rows[:, 0:3 * w:3] = gray          # B
+    rows[:, 1:3 * w:3] = gray          # G
+    rows[:, 2:3 * w:3] = gray          # R
+    pix = rows[::-1].tobytes()         # BMP stores rows bottom-up
+    header = (b"BM"
+              + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, ht, 1, 24, 0,
+                            len(pix), 0, 0, 0, 0))
+    return header + pix
+
+
+def decode_bmp_gray(payload: bytes):
+    """Parse a 24-bit uncompressed BMP's REAL bytes into a top-down
+    (height, width) grayscale array (blue channel; synthesis writes
+    equal B=G=R). Raises on anything that isn't plain BI_RGB 24-bit —
+    honest scope, not silent garbage."""
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", payload[10:14])
+    w, ht = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    flip = ht > 0
+    ht = abs(ht)
+    stride = (3 * w + 3) // 4 * 4
+    body = np.frombuffer(payload, dtype=np.uint8,
+                         count=ht * stride, offset=off)
+    rows = body.reshape(ht, stride)[:, 0:3 * w:3]   # blue bytes
+    return w, ht, (rows[::-1] if flip else rows)
+
+
+def ahash_bits(gray) -> str:
+    """64-char '0'/'1' fingerprint: block-mean vs global mean, decided
+    by integer cross-multiplication (no float means)."""
+    import numpy as np
+
+    ht, w = gray.shape
+    cy = (np.arange(ht, dtype=np.int64) * AHASH_GRID) // ht
+    cx = (np.arange(w, dtype=np.int64) * AHASH_GRID) // w
+    cell = cy[:, None] * AHASH_GRID + cx[None, :]
+    sums = np.bincount(cell.ravel(), weights=None,
+                       minlength=AHASH_GRID * AHASH_GRID).astype(np.int64)
+    gsum = np.bincount(cell.ravel(), weights=gray.ravel(),
+                       minlength=AHASH_GRID * AHASH_GRID).astype(np.int64)
+    total_s, total_n = int(gsum.sum()), int(sums.sum())
+    bits = gsum * total_n > total_s * sums
+    return "".join("1" if b else "0" for b in bits)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("ahash_bits", T.StringType()),
+    T.StructField("n_set_bits", T.LongType()),
+])
+
+
+@query(
+    "multimodal_ahash_fingerprint",
+    # the oracle re-derives the gradient analytically; the Spark side
+    # must recover it from the container BYTES (real decode)
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 2
+    ),
+    geo AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht,
+             ((i % w) * {AHASH_GRID}) // w AS cx,
+             ((i // w) * {AHASH_GRID}) // ht AS cy,
+             (a * (i % w) + b * (i // w) + c) % 256 AS gv
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    cells AS (
+      SELECT doc_id, w, ht, cy, cx,
+             CAST(SUM(gv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM px GROUP BY 1, 2, 3, 4, 5
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts,
+             CAST(SUM(cnt) AS BIGINT) AS tn
+      FROM cells GROUP BY 1
+    ),
+    bits AS (
+      SELECT c.doc_id, c.w, c.ht, c.cy, c.cx,
+             CASE WHEN c.s * t.tn > t.ts * c.cnt
+                  THEN '1' ELSE '0' END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+           string_agg(bit, '' ORDER BY cy, cx) AS ahash_bits,
+           CAST(SUM(CASE WHEN bit = '1' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_set_bits
+    FROM bits GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_ahash_fingerprint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Synthesize pixel-bearing BMPs, REALLY decode the pixel array from
+    the bytes, and emit the integer-exact 64-bit average-hash."""
+
+    def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_bmp_with_pixels(int(doc_id), h)
+                w, ht, gray = decode_bmp_gray(payload)
+                bits = ahash_bits(gray)
+                out.append(dict(doc_id=int(doc_id), width=w, height=ht,
+                                ahash_bits=bits,
+                                n_set_bits=bits.count("1")))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in AHASH_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 2)
+            .select("doc_id", "text"))
+    return docs.mapInPandas(_hash_batch, AHASH_SCHEMA)

@@ -366,3 +366,62 @@ def test_mutual_information_bounds(spark, sf_dir):
     assert -1e-4 <= r.mi_nats <= min(r.h_source_nats,
                                      r.h_lang_nats) + 1e-4
     assert -1e-4 <= r.nmi <= 1.0 + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# BMP pixel decode + integer-exact aHash (multimodal_ahash_fingerprint)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_recovers_gradient():
+    """decode_bmp_gray must undo stride padding and bottom-up row order:
+    the decoded array equals the analytic gradient for odd widths too."""
+    import hashlib
+
+    import numpy as np
+
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _bmp_gradient_params, _geometry, decode_bmp_gray,
+        synthesize_bmp_with_pixels)
+
+    for text in ["alpha", "odd-width probe", "xyzzy", "pad3"]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        g, p = _geometry(h), _bmp_gradient_params(h)
+        w, ht, gray = decode_bmp_gray(synthesize_bmp_with_pixels(0, h))
+        assert (w, ht) == (g["w"], g["ht"])
+        x = np.arange(w)[None, :]
+        y = np.arange(ht)[:, None]
+        want = (p["a"] * x + p["b"] * y + p["c"]) % 256
+        assert np.array_equal(gray.astype(np.int64), want)
+
+
+def test_decode_bmp_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from gmall_211027_flink_spark.operators.multimodal import decode_bmp_gray
+
+    with _pytest.raises(ValueError):
+        decode_bmp_gray(b"GIF89a" + b"\x00" * 60)
+    with _pytest.raises(ValueError):
+        decode_bmp_gray(b"BM" + b"\x00" * 10)        # truncated header
+    # 8-bpp BMP: valid container class, out of scope -> must raise
+    hdr = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 0, 0, 0, 0, 0))
+    with _pytest.raises(ValueError):
+        decode_bmp_gray(hdr + b"\x00" * 64)
+
+
+def test_ahash_bits_block_structure():
+    """Constant image -> no strict winner -> all-zero fingerprint; a
+    bright-top image sets exactly the top half's 32 bits."""
+    import numpy as np
+
+    from gmall_211027_flink_spark.operators.multimodal import ahash_bits
+
+    assert ahash_bits(np.full((20, 20), 7, dtype=np.uint8)) == "0" * 64
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :] = 255
+    bits = ahash_bits(img)
+    assert bits == "1" * 32 + "0" * 32
