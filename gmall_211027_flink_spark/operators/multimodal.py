@@ -655,3 +655,288 @@ def multimodal_ahash_fingerprint(spark: SparkSession,
             .filter(F.col("doc_id") % 4 == 2)
             .select("doc_id", "text"))
     return docs.mapInPandas(_hash_batch, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# aHash Hamming near-dup join: image-level analog of dedup_simhash.
+#
+# Fingerprinting is the corpus-sized stage and it is map-only (the
+# mapInPandas above); candidate generation is then a 4×16-bit pigeonhole
+# band self-join. With 4 bands, hamming <= 3 GUARANTEES at least one
+# shared band, so the banded plan is provably EXACT for the h<=3
+# predicate — the oracle can be the all-pairs definition while the Spark
+# side never goes all-pairs. Reference parity: this is the "near-dup
+# images" path a training pipeline runs after payload-exact dedup
+# (operators/dedup.py:523 simhash plan, reapplied to pixels).
+# ---------------------------------------------------------------------------
+
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 16
+AHASH_HAMMING_MAX = AHASH_BANDS - 1   # pigeonhole-exact threshold
+
+
+def ahash_signed64(bits: str) -> int:
+    """'0'/'1'×64 -> signed two's-complement int64 (bit j at shift j)."""
+    v = 0
+    for j, b in enumerate(bits):
+        if b == "1":
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_AHASH_PAIR_FPS = f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 2
+    ),
+    geo AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht,
+             ((i % w) * {AHASH_GRID}) // w AS cx,
+             ((i // w) * {AHASH_GRID}) // ht AS cy,
+             (a * (i % w) + b * (i // w) + c) % 256 AS gv
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    cells AS (
+      SELECT doc_id, cy, cx, CAST(SUM(gv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts,
+             CAST(SUM(cnt) AS BIGINT) AS tn
+      FROM cells GROUP BY 1
+    ),
+    fps AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.s * t.tn > t.ts * c.cnt
+                             THEN '1' ELSE '0' END, ''
+                        ORDER BY c.cy, c.cx) AS fp
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+"""
+
+
+@query(
+    "multimodal_ahash_neardup",
+    # ALL-PAIRS definition: the Spark side must reproduce it with the
+    # banded plan (exact for h <= 3 by pigeonhole).
+    oracle=_AHASH_PAIR_FPS + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(length(list_filter(range(1, 65),
+                i -> substr(a.fp, i, 1) <> substr(b.fp, i, 1)))
+             AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE length(list_filter(range(1, 65),
+          i -> substr(a.fp, i, 1) <> substr(b.fp, i, 1)))
+          <= {AHASH_HAMMING_MAX}
+    """,
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (aHash hamming <= 3) via banded LSH.
+
+    Plan: map-only pixel decode + fingerprint (zero shuffle), broadcast
+    4-band explode, equi-join on (band_id, band_val), map-side hamming
+    filter BEFORE the distinct — the same collision-then-verify shape as
+    dedup_simhash, so candidate volume is O(band collisions), never
+    O(n^2), and the h<=3 answer set is exact."""
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash_sig", T.LongType()),
+    ])
+
+    def _sig_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                _, _, gray = decode_bmp_gray(
+                    synthesize_bmp_with_pixels(int(doc_id), h))
+                out.append(dict(doc_id=int(doc_id),
+                                ahash_sig=ahash_signed64(ahash_bits(gray))))
+            yield pd.DataFrame(out)[["doc_id", "ahash_sig"]]
+
+    sig = (load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") % 4 == 2)
+           .select("doc_id", "text")
+           .mapInPandas(_sig_batch, sig_schema)
+           .cache())
+    sig.count()   # materialize once; the band join reads it twice
+    bands = spark.range(AHASH_BANDS).withColumnRenamed("id", "band_id")
+    banded = (sig.crossJoin(F.broadcast(bands))
+              .withColumn("band_val", F.expr(
+                  f"shiftright(ahash_sig, cast(band_id * {AHASH_BAND_BITS}"
+                  f" as int)) & {(1 << AHASH_BAND_BITS) - 1}")))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.ahash_sig").bitwiseXOR(F.col("b.ahash_sig"))).cast("bigint")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV sample decode + integer-exact audio features.
+#
+# Same honesty contract as the BMP path: synthesis embeds an actual
+# PCM16 sample array (deterministic ramp s(i) = ((a·i + b) mod 65536)
+# − 32768 with md5-derived a, b); the decoder walks the REAL RIFF chunk
+# list (fmt / data, skipping unknown chunks), de-interleaves channels,
+# and computes features from the recovered int16 array. The oracle
+# re-derives the samples analytically, so a decode bug (wrong chunk
+# offset, channel stride, endianness) breaks the value hash. Every
+# feature is integer arithmetic — no float ever enters the compare.
+#
+# Scale shape: one Arrow-batched mapInPandas over the payload
+# partition, map-only, zero shuffle; only the fixed-width feature row
+# leaves the stage.
+# ---------------------------------------------------------------------------
+
+
+def _wav_ramp_params(h: str) -> dict:
+    """md5-hex -> PCM ramp slope/offset (hex positions disjoint from
+    _geometry's and _bmp_gradient_params')."""
+    return {
+        "a": 1 + int(h[18:20], 16) % 31,
+        "b": int(h[20:24], 16),
+    }
+
+
+def synthesize_wav_with_samples(doc_id: int, h: str) -> bytes:
+    """A fully valid PCM16 WAV whose data chunk carries the
+    deterministic ramp, identical across channels per frame."""
+    import numpy as np
+
+    g = _geometry(h)
+    p = _wav_ramp_params(h)
+    ch, rate, nfr = g["ch"], g["rate"], g["nfr"]
+    i = np.arange(nfr, dtype=np.int64)
+    s = ((p["a"] * i + p["b"]) % 65536 - 32768).astype(np.int16)
+    frames = np.repeat(s, ch)                       # interleave ch copies
+    data = frames.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Walk the real RIFF chunk list; return (channels, sample_rate,
+    channel-0 int16 numpy array). Raises on non-PCM16 — honest scope."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, ch, rate, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bps = struct.unpack("<HHIIHH",
+                                                           body[:16])
+            if audio_fmt != 1 or bps != 16:
+                raise ValueError(f"unsupported WAV: fmt={audio_fmt}"
+                                 f" bits={bps}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)                # RIFF word alignment
+    if ch is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return ch, rate, samples.reshape(-1, ch)[:, 0].astype(np.int64)
+
+
+WAV_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak_abs", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+@query(
+    "multimodal_wav_features",
+    # analytic re-derivation of the embedded ramp; lag() gives the
+    # sign-change count (sign(0) counts as non-negative on both sides)
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 3
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 5, 1))::BIGINT % 2 AS ch,
+             8000 + ('0x' || substr(h, 6, 4))::BIGINT % 40000 AS rate,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT % 4096 AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b
+      FROM g
+    ),
+    smp AS (
+      SELECT doc_id, ch, rate, nfr, i,
+             (a * i + b) % 65536 - 32768 AS s
+      FROM geo, UNNEST(generate_series(0, nfr - 1)) AS t(i)
+    ),
+    lagged AS (
+      SELECT doc_id, ch, rate, nfr, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM smp
+    )
+    SELECT doc_id,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(nfr AS BIGINT) AS n_frames,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (s >= 0) <> (prev >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize PCM16 WAVs with a real sample ramp, REALLY decode the
+    RIFF chunks back into int16 arrays, and emit integer-exact audio
+    features (abs-energy, squared-energy, peak, zero-crossing count)."""
+    import numpy as np
+
+    def _feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                ch, rate, s = decode_wav_pcm16(
+                    synthesize_wav_with_samples(int(doc_id), h))
+                nonneg = s >= 0
+                zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                out.append(dict(doc_id=int(doc_id), channels=ch,
+                                sample_rate=rate, n_frames=len(s),
+                                sum_abs=int(np.abs(s).sum()),
+                                sum_sq=int((s * s).sum()),
+                                peak_abs=int(np.abs(s).max()),
+                                zero_crossings=zc))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in WAV_FEATURE_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 3)
+            .select("doc_id", "text"))
+    return docs.mapInPandas(_feat_batch, WAV_FEATURE_SCHEMA)

@@ -425,3 +425,60 @@ def test_ahash_bits_block_structure():
     img[:8, :] = 255
     bits = ahash_bits(img)
     assert bits == "1" * 32 + "0" * 32
+
+
+def test_wav_roundtrip_recovers_ramp_and_skips_unknown_chunks():
+    """decode_wav_pcm16 must walk the chunk list (not fixed offsets):
+    an inserted LIST chunk before fmt/data must not break decode."""
+    import hashlib
+
+    import numpy as np
+
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _geometry, _wav_ramp_params, decode_wav_pcm16,
+        synthesize_wav_with_samples)
+
+    h = hashlib.md5(b"stereo probe").hexdigest()
+    g, p = _geometry(h), _wav_ramp_params(h)
+    payload = synthesize_wav_with_samples(0, h)
+    ch, rate, s = decode_wav_pcm16(payload)
+    assert (ch, rate, len(s)) == (g["ch"], g["rate"], g["nfr"])
+    i = np.arange(g["nfr"], dtype=np.int64)
+    want = (p["a"] * i + p["b"]) % 65536 - 32768
+    assert np.array_equal(s, want)
+
+    # splice an odd-sized LIST chunk between header and fmt
+    import struct as _st
+    extra = b"LIST" + _st.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = payload[:12] + extra + payload[12:]
+    fixed = spliced[:4] + _st.pack("<I", len(spliced) - 8) + spliced[8:]
+    ch2, rate2, s2 = decode_wav_pcm16(fixed)
+    assert ch2 == ch and rate2 == rate and np.array_equal(s2, s)
+
+
+def test_ahash_band_pigeonhole_is_exact():
+    """Any pair with hamming <= 3 must share one of the 4 16-bit bands
+    (the claim that makes the banded plan equal the all-pairs oracle);
+    ahash_signed64 must be a faithful two's-complement encoding."""
+    import random
+
+    from gmall_211027_flink_spark.operators.multimodal import (
+        AHASH_BAND_BITS, AHASH_BANDS, AHASH_HAMMING_MAX, ahash_signed64)
+
+    rng = random.Random(42)
+    for _ in range(200):
+        x = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, AHASH_HAMMING_MAX))
+        y = x
+        for j in flips:
+            y ^= 1 << j
+        shared = any(
+            (x >> (b * AHASH_BAND_BITS)) & 0xFFFF
+            == (y >> (b * AHASH_BAND_BITS)) & 0xFFFF
+            for b in range(AHASH_BANDS))
+        assert shared
+
+    for v in (0, 1, (1 << 63) - 1, 1 << 63, (1 << 64) - 1):
+        bits = "".join("1" if (v >> j) & 1 else "0" for j in range(64))
+        sv = ahash_signed64(bits)
+        assert sv & ((1 << 64) - 1) == v and -(1 << 63) <= sv < (1 << 63)
