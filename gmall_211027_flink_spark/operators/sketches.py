@@ -1,0 +1,256 @@
+"""Streaming-friendly frequency / cardinality sketches with exactness
+audits — the fixed-memory summaries a 100 TB ingest runs where exact
+state would not fit.
+
+- **Count-Min**: d×w counter grid (d=4 seeds, w=512 buckets here —
+  constant size, merge = cell-wise add). Building it is a two-phase
+  aggregation: exact per-token partial counts first (map-side combine),
+  then the token→(seed,bucket) projection collapses to d·w cells, so
+  the only corpus-sized shuffle is the one any word-count already pays
+  and the sketch itself is broadcastable. Estimates never under-count
+  (audited below).
+- **KMV (k-minimum-values)**: keep the k smallest distinct hash values;
+  the kth smallest estimates distinct count as (k−1)·H/h_k over hash
+  space H. Merge = union + re-truncate to k, which is how the union
+  estimate below works without ever shuffling the union's raw keys at
+  full width. Spark's sort+limit compiles to TakeOrdered (per-partition
+  bottom-k, driver merge of k·P values) — no global sort.
+- **Heavy-hitter skew audit**: the exact diagnosis pass a pipeline runs
+  before picking a salting factor for a skewed shuffle key; everything
+  is a two-phase count so the corpus is touched once.
+
+All arithmetic is integer (hash spaces sized so products fit in int64),
+so the DuckDB oracles match bit-for-bit with no float tolerance.
+
+Reference parity: the reference keeps per-key Flink `ValueState` counts
+(e.g. app/dws/DwsTrafficVcChArIsNewPageViewWindow.java keyed counters);
+these sketches are the bounded-memory replacement a 100 TB corpus
+forces, audited against the exact answers the reference would compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+CM_DEPTH = 4      # independent hash rows
+CM_WIDTH = 512    # buckets per row
+CM_TOPK = 20      # audited tokens
+
+KMV_K = 256                 # sketch size
+KMV_HEX = 13                # md5 prefix chars -> 52-bit hash space
+KMV_SPACE = 1 << (4 * KMV_HEX)
+
+HH_TOPK = 10
+HH_PARTITIONS = 32          # assumed shuffle width for the salt hint
+
+
+@query(
+    "sketch_countmin_freq_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ),
+    seeds AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS seed),
+    cells AS (
+      SELECT s.seed,
+             ('0x' || substr(md5(s.seed || ':' || e.token), 1, 15))::BIGINT
+               % {CM_WIDTH} AS bucket,
+             CAST(SUM(e.exact_cnt) AS BIGINT) AS cell_cnt
+      FROM exact e, seeds s
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token, exact_cnt
+      FROM exact
+      ORDER BY exact_cnt DESC, token
+      LIMIT {CM_TOPK}
+    ),
+    est AS (
+      SELECT t.token, t.exact_cnt,
+             MIN(c.cell_cnt) AS cm_estimate
+      FROM top t
+      JOIN seeds s ON TRUE
+      JOIN cells c
+        ON c.seed = s.seed
+       AND c.bucket = ('0x' || substr(md5(s.seed || ':' || t.token), 1, 15))
+                        ::BIGINT % {CM_WIDTH}
+      GROUP BY 1, 2
+    )
+    SELECT token, exact_cnt, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def sketch_countmin_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4×512 Count-Min sketch over document tokens and audit the
+    top-20 tokens' estimates against exact counts (CM never
+    under-counts, so overestimate >= 0 — asserted by the oracle's value
+    hash).
+
+    Plan: ONE corpus-sized shuffle (exact token counts, map-side
+    combined); the sketch is the 2048-cell collapse of those partials
+    and the probe side is a broadcast of 20 rows. At 100 TB the sketch
+    build rides the word-count shuffle and the grid stays 2048 cells
+    regardless of corpus size."""
+    tok = (load_table(spark, sf_dir, "documents")
+           .select(F.explode(F.split("text", " ")).alias("token")))
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_cnt"))
+    exact = exact.cache()
+    seeds = spark.range(CM_DEPTH).withColumnRenamed("id", "seed")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat(cast(seed as string), ':', token)),"
+        f" 1, 15), 16, 10) as bigint) % {CM_WIDTH}")
+    cells = (exact.crossJoin(F.broadcast(seeds))
+             .select("seed", bucket.alias("bucket"), "exact_cnt")
+             .groupBy("seed", "bucket")
+             .agg(F.sum("exact_cnt").cast("bigint").alias("cell_cnt")))
+    top = (exact.orderBy(F.desc("exact_cnt"), F.asc("token"))
+           .limit(CM_TOPK))
+    probes = (top.crossJoin(F.broadcast(seeds))
+              .select("token", "exact_cnt", "seed", bucket.alias("bucket")))
+    return (probes.join(F.broadcast(cells), ["seed", "bucket"])
+            .groupBy("token", "exact_cnt")
+            .agg(F.min("cell_cnt").cast("bigint").alias("cm_estimate"))
+            .withColumn("overestimate",
+                        (F.col("cm_estimate") - F.col("exact_cnt"))
+                        .cast("bigint")))
+
+
+_KMV_HASH_DUCK = (
+    f"('0x' || substr(md5(CAST(k AS VARCHAR)), 1, {KMV_HEX}))::BIGINT")
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT 'events_users' AS source, user_id AS k FROM events
+      UNION ALL
+      SELECT 'customers', c_custkey FROM customer
+      UNION ALL
+      SELECT 'union', user_id FROM events
+      UNION ALL
+      SELECT 'union', c_custkey FROM customer
+    ),
+    hashed AS (
+      SELECT DISTINCT source, k, {_KMV_HASH_DUCK} AS h FROM keyed
+    ),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM (SELECT DISTINCT source, h FROM hashed)
+    ),
+    kth AS (
+      SELECT source, MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_distinct
+      FROM keyed GROUP BY source
+    )
+    SELECT e.source, e.exact_distinct,
+           CAST(CASE WHEN k.n_kept < {KMV_K} THEN k.n_kept
+                ELSE ({KMV_K} - 1) * {KMV_SPACE} // k.h_k END AS BIGINT)
+             AS kmv_estimate,
+           CAST(ABS(CASE WHEN k.n_kept < {KMV_K} THEN k.n_kept
+                ELSE ({KMV_K} - 1) * {KMV_SPACE} // k.h_k END
+                - e.exact_distinct) AS BIGINT) AS abs_err
+    FROM exact e JOIN kth k USING (source)
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over event users,
+    customers, and their union, audited against exact COUNT(DISTINCT).
+
+    The union row demonstrates sketch mergeability: its estimate comes
+    from the same bottom-k rule applied to the merged key stream —
+    at 100 TB each source keeps k=256 hashes and the merge is k-sized,
+    while the exact union count would shuffle every key. Spark's
+    sort+limit compiles to TakeOrdered (per-partition bottom-k), so no
+    stage ever sees a global sort."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.lit("events_users").alias("source"), F.col("user_id").alias("k"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customers").alias("source"), F.col("c_custkey").alias("k"))
+    union = (events.union(cust)).select(F.lit("union").alias("source"), "k")
+    keyed = events.union(cust).union(union)
+    hashed = keyed.select(
+        "source",
+        F.expr(f"cast(conv(substring(md5(cast(k as string)), 1, {KMV_HEX}),"
+               " 16, 10) as bigint)").alias("h"),
+        "k")
+    from pyspark.sql import Window
+    distinct_h = hashed.select("source", "h").distinct()
+    ranked = distinct_h.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("source").orderBy("h")))
+    kth = (ranked.filter(F.col("rn") <= KMV_K)
+           .groupBy("source")
+           .agg(F.max("h").alias("h_k"),
+                F.count("*").cast("bigint").alias("n_kept")))
+    exact = keyed.groupBy("source").agg(
+        F.count_distinct("k").cast("bigint").alias("exact_distinct"))
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"div(({KMV_K} - 1) * cast({KMV_SPACE} as bigint), h_k)"))
+    return (exact.join(kth, "source")
+            .select("source", "exact_distinct",
+                    est.cast("bigint").alias("kmv_estimate"),
+                    F.abs(est.cast("bigint")
+                          - F.col("exact_distinct")).cast("bigint")
+                    .alias("abs_err")))
+
+
+@query(
+    "sketch_heavy_hitter_skew",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM cnt
+    )
+    SELECT c.user_id, c.cnt,
+           CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST((c.cnt * {HH_PARTITIONS} + t.total - 1) // t.total
+             AS BIGINT) AS salt_factor
+    FROM cnt c, tot t
+    ORDER BY c.cnt DESC, c.user_id
+    LIMIT {HH_TOPK}
+    """,
+)
+def sketch_heavy_hitter_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter skew audit on the events shuffle key: top-10
+    hottest user_ids with traffic share (ppm) and the salt factor that
+    would level each one across {HH_PARTITIONS} shuffle partitions
+    (ceil(key_cnt · P / total)).
+
+    This is the diagnosis pass run before enabling salting/AQE skew
+    join on a key: two-phase count (map-side combine), a broadcast
+    scalar total, and a TakeOrdered top-10 — the corpus is scanned
+    once and nothing global-sorts."""
+    cnt = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").cast("bigint").alias("cnt")))
+    tot = cnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select(
+                "user_id", "cnt",
+                F.expr("div(cnt * 1000000, total)").cast("bigint")
+                .alias("share_ppm"),
+                F.expr(f"div(cnt * {HH_PARTITIONS} + total - 1, total)")
+                .cast("bigint").alias("salt_factor"))
+            .orderBy(F.desc("cnt"), F.asc("user_id"))
+            .limit(HH_TOPK))

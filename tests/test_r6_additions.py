@@ -482,3 +482,62 @@ def test_ahash_band_pigeonhole_is_exact():
         bits = "".join("1" if (v >> j) & 1 else "0" for j in range(64))
         sv = ahash_signed64(bits)
         assert sv & ((1 << 64) - 1) == v and -(1 << 63) <= sv < (1 << 63)
+
+
+# ---------------------------------------------------------------------------
+# Sketches: Count-Min / KMV / heavy-hitter audit invariants
+# ---------------------------------------------------------------------------
+
+def test_countmin_never_undercounts_any_token(spark, sf_dir):
+    """The CM guarantee must hold for EVERY token, not just the audited
+    top-20: estimate >= exact everywhere."""
+    from pyspark.sql import functions as F2
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sketches import (
+        CM_DEPTH, CM_WIDTH)
+
+    tok = (load_table(spark, sf_dir, "documents")
+           .select(F2.explode(F2.split("text", " ")).alias("token")))
+    exact = tok.groupBy("token").agg(F2.count("*").alias("exact_cnt"))
+    seeds = spark.range(CM_DEPTH).withColumnRenamed("id", "seed")
+    bucket = F2.expr(
+        "cast(conv(substring(md5(concat(cast(seed as string), ':', token)),"
+        f" 1, 15), 16, 10) as bigint) % {CM_WIDTH}")
+    cells = (exact.crossJoin(F2.broadcast(seeds))
+             .select("seed", bucket.alias("bucket"), "exact_cnt")
+             .groupBy("seed", "bucket")
+             .agg(F2.sum("exact_cnt").alias("cell_cnt")))
+    probes = (exact.crossJoin(F2.broadcast(seeds))
+              .select("token", "exact_cnt", "seed", bucket.alias("bucket")))
+    bad = (probes.join(cells, ["seed", "bucket"])
+           .groupBy("token", "exact_cnt")
+           .agg(F2.min("cell_cnt").alias("est"))
+           .filter(F2.col("est") < F2.col("exact_cnt"))
+           .count())
+    assert bad == 0
+
+
+def test_kmv_estimate_within_sampling_error(spark, sf_dir):
+    """KMV with k=256 has relative sd ~ 1/sqrt(k) = 6.25%; all three
+    audited sources must land within 5 sigma."""
+    from gmall_211027_flink_spark.operators.sketches import (
+        KMV_K, sketch_kmv_distinct)
+
+    for r in sketch_kmv_distinct(spark, sf_dir).collect():
+        assert r.kmv_estimate > 0
+        tol = max(5 * r.exact_distinct / (KMV_K ** 0.5), 5)
+        assert r.abs_err <= tol, (r.source, r.exact_distinct,
+                                  r.kmv_estimate)
+
+
+def test_heavy_hitter_salt_and_share_bounds(spark, sf_dir):
+    rows = __import__(
+        "gmall_211027_flink_spark.operators.sketches",
+        fromlist=["sketch_heavy_hitter_skew"],
+    ).sketch_heavy_hitter_skew(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.salt_factor >= 1 for r in rows)
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
