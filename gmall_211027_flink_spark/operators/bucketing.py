@@ -154,3 +154,133 @@ def compact_small_files(spark: SparkSession, path: str,
     files_after, bytes_after = _stats(path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes_before": bytes_total, "bytes_after": bytes_after}
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering + locality audit.
+#
+# Bucketing co-locates ONE key; when scans filter on TWO independent
+# dimensions, linear sort order gives perfect pruning on the leading
+# dim and none on the other. Interleaving the dimensions' bits (the
+# Delta/Iceberg OPTIMIZE ZORDER layout) bounds every file's bounding
+# box in BOTH dims, so min/max file statistics prune on either
+# predicate. The audit below measures exactly that: per-tile bounding
+# spans under linear vs z-order layout over the same rows.
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16     # per-dimension resolution
+ZORDER_TILES = 64    # simulated file count
+
+
+def _zorder_audit_oracle() -> str:
+    b = ZORDER_BITS
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey AS x, l_suppkey AS y
+      FROM lineitem
+    ),
+    ext AS (
+      SELECT MIN(x) AS xmin, GREATEST(MAX(x) - MIN(x), 1) AS xrng,
+             MIN(y) AS ymin, GREATEST(MAX(y) - MIN(y), 1) AS yrng
+      FROM base
+    ),
+    norm AS (
+      SELECT l_orderkey, l_linenumber,
+             (x - e.xmin) * {(1 << b) - 1} // e.xrng AS bx,
+             (y - e.ymin) * {(1 << b) - 1} // e.yrng AS by
+      FROM base, ext e
+    ),
+    keyed AS (
+      SELECT l_orderkey, l_linenumber, bx, by,
+             CAST(list_sum(list_transform(range(0, {b}), i ->
+               ((bx >> i) & 1) * (1::BIGINT << (2 * i))
+               + ((by >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+               AS BIGINT) AS zval
+      FROM norm
+    ),
+    tiled AS (
+      SELECT 'zorder' AS layout, bx, by,
+             NTILE({ZORDER_TILES}) OVER
+               (ORDER BY zval, l_orderkey, l_linenumber) AS tile
+      FROM keyed
+      UNION ALL
+      SELECT 'linear', bx, by,
+             NTILE({ZORDER_TILES}) OVER
+               (ORDER BY bx, by, l_orderkey, l_linenumber)
+      FROM keyed
+    ),
+    spans AS (
+      SELECT layout, tile,
+             MAX(bx) - MIN(bx) + 1 AS span_x,
+             MAX(by) - MIN(by) + 1 AS span_y
+      FROM tiled GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(span_x) AS BIGINT) AS total_span_x,
+           CAST(SUM(span_y) AS BIGINT) AS total_span_y
+    FROM spans GROUP BY layout
+    """
+
+
+def _register_zorder() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.registry import query
+
+    @query("layout_zorder_locality", oracle=_zorder_audit_oracle())
+    def layout_zorder_locality(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """Per-tile bounding-box audit: z-order vs linear clustering of
+        lineitem on (l_partkey, l_suppkey), {ZORDER_TILES} simulated
+        files. total_span_y collapses by orders of magnitude under
+        z-order (both dims prunable) while linear keeps span_y at full
+        range in every tile.
+
+        Scale shape: the audited WRITE path at 100 TB is
+        repartitionByRange(zval) + sortWithinPartitions(zval) — a
+        single range shuffle, same cost class as any sorted export; the
+        z-value itself is a map-side bit-interleave expression. The
+        audit's NTILE total order exists only to make the tile
+        assignment deterministic for the oracle at test scale."""
+        b = ZORDER_BITS
+        base = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+        ext = base.agg(
+            F.min("x").alias("xmin"),
+            F.greatest(F.max("x") - F.min("x"), F.lit(1)).alias("xrng"),
+            F.min("y").alias("ymin"),
+            F.greatest(F.max("y") - F.min("y"), F.lit(1)).alias("yrng"))
+        norm = base.crossJoin(F.broadcast(ext)).select(
+            "l_orderkey", "l_linenumber",
+            F.expr(f"div((x - xmin) * {(1 << b) - 1}, xrng)").alias("bx"),
+            F.expr(f"div((y - ymin) * {(1 << b) - 1}, yrng)").alias("by"))
+        keyed = norm.withColumn("zval", F.expr(
+            f"aggregate(sequence(0, {b - 1}), cast(0 as bigint),"
+            " (acc, i) -> acc"
+            "   + shiftleft(cast((bx >> i) & 1 as bigint), 2 * i)"
+            "   + shiftleft(cast((by >> i) & 1 as bigint), 2 * i + 1))"))
+        ztile = keyed.select(
+            F.lit("zorder").alias("layout"), "bx", "by",
+            F.ntile(ZORDER_TILES).over(
+                Window.orderBy("zval", "l_orderkey", "l_linenumber"))
+            .alias("tile"))
+        ltile = keyed.select(
+            F.lit("linear").alias("layout"), "bx", "by",
+            F.ntile(ZORDER_TILES).over(
+                Window.orderBy("bx", "by", "l_orderkey", "l_linenumber"))
+            .alias("tile"))
+        spans = (ztile.unionAll(ltile)
+                 .groupBy("layout", "tile")
+                 .agg((F.max("bx") - F.min("bx") + 1).alias("span_x"),
+                      (F.max("by") - F.min("by") + 1).alias("span_y")))
+        return (spans.groupBy("layout")
+                .agg(F.count("*").cast("bigint").alias("n_tiles"),
+                     F.sum("span_x").cast("bigint").alias("total_span_x"),
+                     F.sum("span_y").cast("bigint").alias("total_span_y")))
+
+
+_register_zorder()

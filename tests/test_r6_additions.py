@@ -541,3 +541,19 @@ def test_heavy_hitter_salt_and_share_bounds(spark, sf_dir):
     assert sum(r.share_ppm for r in rows) <= 1_000_000
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """The point of the layout: linear order leaves the second dim's
+    per-tile span at ~full range (its WORST dim), while z-order bounds
+    BOTH dims — each z total must beat linear's worst dim by >= 2x."""
+    from gmall_211027_flink_spark.operators.bucketing import (
+        _register_zorder)  # noqa: F401  (registered at import)
+    from gmall_211027_flink_spark.registry import QUERIES
+
+    rows = {r.layout: r for r in
+            QUERIES["layout_zorder_locality"](spark, sf_dir).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z.n_tiles == lin.n_tiles
+    assert z.total_span_y * 4 <= lin.total_span_y
+    assert max(z.total_span_x, z.total_span_y) * 2 <= lin.total_span_y
