@@ -51,19 +51,22 @@ def main() -> None:
     # round-over-round comparisons of a single-shot timing (measured:
     # back-to-back capped-jaccard runs of 7.1/4.1/5.4 s on an idle host)
     timings: dict[str, float] = {}
-    # per-query cpu/steal for the min-wall run (VERDICT r5 #5): lets a
-    # wall-time delta be read as regression-vs-noise off the artifact
-    # alone — a query whose wall grew but whose cpu_s held is host
-    # noise; cpu growth is a real plan change
+    # per-query cpu/steal/gc for the min-wall run (VERDICT r5 #5, r6 #4):
+    # lets a wall-time delta be read as regression-vs-noise off the
+    # artifact alone — a query whose wall grew but whose cpu_s held is
+    # host noise; cpu growth with gc_s growth is heap pressure from
+    # neighbors sharing the JVM; cpu growth without gc is a plan change
     q_cpu: dict[str, float] = {}
     q_steal: dict[str, float] = {}
+    q_gc: dict[str, float] = {}
     hl_c0, hl_s0 = _jvm_cpu_seconds(), _host_steal_seconds()
     for name in names:
         best = float("inf")
-        best_cpu = best_steal = 0.0
+        best_cpu = best_steal = best_gc = 0.0
         n = 0
         for _ in range(3):
             c0, s0 = _jvm_cpu_seconds(), _host_steal_seconds()
+            g0 = _jvm_gc_seconds(spark)
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
@@ -72,9 +75,11 @@ def main() -> None:
                 best = wall
                 best_cpu = _jvm_cpu_seconds() - c0
                 best_steal = _host_steal_seconds() - s0
+                best_gc = _jvm_gc_seconds(spark) - g0
         timings[name] = round(best, 3)
         q_cpu[name] = round(best_cpu, 3)
         q_steal[name] = round(best_steal, 3)
+        q_gc[name] = round(best_gc, 3)
         if n == 0:
             print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
     # same self-diagnosis as the scale probe, over the whole headline
@@ -91,7 +96,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -105,9 +111,38 @@ def main() -> None:
         "queries": timings,
         "queries_cpu_s": q_cpu,
         "queries_steal_s": q_steal,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_gc_s": q_gc,
+        "sf": sf_val,
         "scale_probe": scale,
-    }))
+    }
+    # Full telemetry blob FIRST (one line, for humans / scripts that read
+    # whole stdout), then a compact headline-only line LAST.  The driver
+    # captures only a ~2 KB tail of stdout and parses its final JSON line;
+    # in r6 the telemetry detail grew past that window and the driver
+    # artifact lost the headline wall totals entirely ("parsed": null in
+    # BENCH_r06.json — VERDICT r6 #1).  The compact line stays well under
+    # 1 KB by construction: 13 query names × ~25 bytes plus the envelope.
+    print(json.dumps(detail))
+    # Also persist the full blob next to the repo so the detail survives
+    # regardless of tail-capture limits.
+    try:
+        with open(Path(__file__).resolve().parent / "bench_out.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"WARNING: bench_out.json not written: {exc}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1000:  # hard guard: driver tail capture is ~2 KB
+        line = json.dumps({"metric": compact["metric"], "value": total,
+                           "unit": "sec", "sf": sf_val,
+                           "queries_detail": "see bench_out.json"})
+    print(line)
 
 
 SCALE_FACTOR = 10          # synthetic 10x documents corpus
@@ -210,11 +245,13 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     out: dict[str, object] = {}
     cpu_s: dict[str, float] = {}
     steal_s: dict[str, float] = {}
+    gc_s: dict[str, float] = {}
     for name in SCALE_QUERIES + ANN_SCALE_QUERIES + BEHAVIOR_SCALE_QUERIES:
         best = float("inf")
-        best_cpu = best_steal = 0.0
+        best_cpu = best_steal = best_gc = 0.0
         for _ in range(3):
             c0, s0 = _jvm_cpu_seconds(), _host_steal_seconds()
+            g0 = _jvm_gc_seconds(spark)
             t0 = time.perf_counter()
             QUERIES[name](spark, probe_dir).count()
             wall = time.perf_counter() - t0
@@ -222,11 +259,14 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
                 best = wall
                 best_cpu = _jvm_cpu_seconds() - c0
                 best_steal = _host_steal_seconds() - s0
+                best_gc = _jvm_gc_seconds(spark) - g0
         out[name] = round(best, 3)
         cpu_s[name] = round(best_cpu, 3)
         steal_s[name] = round(best_steal, 3)
+        gc_s[name] = round(best_gc, 3)
     out["cpu_s"] = cpu_s
     out["steal_s"] = steal_s
+    out["gc_s"] = gc_s
     # 1x reference points for probe-only queries (not in the headline
     # set), so the artifact carries both ends of the scaling line
     for name in BEHAVIOR_SCALE_QUERIES:
@@ -258,6 +298,23 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
             "band_missed": row["band_missed"],
             "sec": round(time.perf_counter() - t0, 3)}
     return out
+
+
+def _jvm_gc_seconds(spark) -> float:
+    """Cumulative JVM GC time in seconds, summed over all collectors via
+    ``GarbageCollectorMXBean.getCollectionTime`` (VERDICT r6 #4).  Deltas
+    around a run attribute cpu_s growth to heap pressure (GC) vs plan
+    change — the r6 probe saw cpu_s double on unchanged dedup code and
+    the artifact couldn't say why.  0.0 if the JVM gateway is unreachable
+    (never fails the bench)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        beans = jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime()
+                   for i in range(beans.size())) / 1000.0
+    except Exception:
+        return 0.0
 
 
 def _jvm_cpu_seconds() -> float:

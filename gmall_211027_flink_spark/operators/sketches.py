@@ -104,7 +104,10 @@ def sketch_countmin_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.explode(F.split("text", " ")).alias("token")))
     exact = tok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("exact_cnt"))
-    exact = exact.cache()
+    # localCheckpoint, not cache(): its blocks are released by the
+    # ContextCleaner when the plan is GC'd, so repeated bench/driver runs
+    # don't accumulate permanent storage entries (ADVICE r6)
+    exact = exact.localCheckpoint()
     seeds = spark.range(CM_DEPTH).withColumnRenamed("id", "seed")
     bucket = F.expr(
         f"cast(conv(substring(md5(concat(cast(seed as string), ':', token)),"

@@ -378,6 +378,70 @@ def dws_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W8 batch form with Spark's NATIVE session_window (VERDICT r6 #5): the
+# lag()/sum() gaps-and-islands plan above proves the semantics; this one
+# proves the engine's built-in session operator produces the identical
+# sessions in a plain batch groupBy — the operator a Spark user would
+# actually reach for, and the exact same code path the streaming gate
+# (dws_session_window_streaming) runs with merge-on-arrival state.
+# Reference: DwsTrafficVcChArIsNewPageViewWindow.java:96-99 counts
+# session STARTS; session_window generalizes to full session extents.
+#
+# Scale shape: one shuffle on the grouping keys, then a per-key sort to
+# merge overlapping windows — identical cost to the window-function
+# sessionization, but expressed declaratively so Catalyst keeps it
+# inside the aggregation operator (no separate Window exchange).
+# Keyed by (user_id, event_type) with a 45-min gap so the result set is
+# disjoint from dws_sessionization's.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_session_window_agg",
+    # gaps-and-islands with the strict break `gap >= 45 min` — Spark
+    # merges sessions only on strict overlap (an event landing exactly
+    # at prev_ts + gap starts a NEW session); edt = last event + gap,
+    # Spark's session-end definition
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 2700000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, event_type,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(MAX(ts) + INTERVAL 45 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+           COUNT(*) AS event_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, event_type, session_id
+    """,
+)
+def dws_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "45 minutes"),
+                   "user_id", "event_type")
+        .agg(F.count("*").alias("event_ct"),
+             dsum("value").alias("value_sum"))
+        .select(
+            "user_id", "event_type",
+            F.date_format(F.col("session_window.start"),
+                          "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.col("session_window.end"),
+                          "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_ct", "value_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.5 — ranking / top-k per group (the reference's ADS only sorts;
 # row_number is our A7 building block — exposed here as a first-class
 # top-k-per-group operator with a deterministic tiebreak).

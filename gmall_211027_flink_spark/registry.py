@@ -147,13 +147,30 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dwd_error_burst_windows", "stream_ks_drift_monitor",
     "graph_label_propagation", "source_csv_roundtrip",
     "source_json_roundtrip", "pipeline_training_manifest",
+    # round 6 (CORRECTNESS_r06.json, 50/50 green — the 31 round-6
+    # additions below plus 19 re-sampled already-proven names)
+    "stats_mannwhitney_drift", "stats_chi2_independence",
+    "stats_cusum_changepoint", "stats_theilsen_trend",
+    "stats_table_profile", "stats_spearman_corr",
+    "stats_mutual_information", "dedup_winnowing_fingerprints",
+    "dedup_tfidf_cosine", "ann_signbit_recall", "bpe_merge_sequence",
+    "bpe_apply_fertility", "multimodal_ahash_fingerprint",
+    "multimodal_ahash_neardup", "multimodal_wav_features",
+    "sample_time_split_embargo", "cdc_tombstone_compaction",
+    "curation_quota_per_source", "curation_source_overlap_matrix",
+    "curation_epoch_schedule", "dedup_span_multiscale",
+    "ads_last_touch_attribution", "dwd_bounce_streaming",
+    "stream_cusum_monitor", "stream_winnowing_index_store",
+    "graph_kcore_bounded", "source_partitioned_pruning",
+    "sketch_countmin_freq_audit", "sketch_kmv_distinct",
+    "sketch_heavy_hitter_skew", "layout_zorder_locality",
 )
 
-# Queries that MUST be sampled first by this round's gate.  Round 6:
-# empty — every round-5 registration got a green driver row
-# (CORRECTNESS_r05 was 50/50), so the whole 50-sample window is free
-# for round-6 additions.  Fold newly-green names into _DRIVER_PROVEN
-# once CORRECTNESS_r06 lands.
+# Queries that MUST be sampled first by this round's gate.  Round 7:
+# empty — every round-6 registration got a green driver row
+# (CORRECTNESS_r06 was 50/50), so the whole 50-sample window is free
+# for round-7 additions.  Fold newly-green names into _DRIVER_PROVEN
+# once CORRECTNESS_r07 lands.
 _REVERIFY: tuple[str, ...] = ()
 
 

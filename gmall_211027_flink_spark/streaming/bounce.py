@@ -161,6 +161,16 @@ def bounce_verdicts(events: DataFrame, key_col: str = "user_id",
             raise ValueError(
                 f"bounce_verdicts: out-of-order batch for key {key}: "
                 f"{int(us[0])} precedes already-folded max {max_us}")
+        # a timestamp TIE with the carried pending event is also an
+        # ordering violation when the new event_id sorts before it: the
+        # fold pins the pending event first, diverging from the batch
+        # (ts, event_id) total order at per-event granularity (ADVICE r6)
+        if (max_us is not None and int(us[0]) == max_us
+                and l_id is not None and int(ids[0]) < l_id):
+            raise ValueError(
+                f"bounce_verdicts: timestamp tie out of id order for key "
+                f"{key}: event {int(ids[0])}@{int(us[0])} precedes folded "
+                f"event {l_id}@{max_us}")
         # row 0 of the fold is the carried pending event (if any): its
         # prev gap is the one STORED with it, not recomputed
         prev = [l_pg if l_us is not None else None]

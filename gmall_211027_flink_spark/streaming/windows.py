@@ -1785,3 +1785,118 @@ def _winnow_stream_oracle() -> str:
 
 
 _OR["stream_winnowing_index_store"] = _winnow_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Late-data drop gate (W3 — the one SURVEY §2.9 row that was
+# test-pass-only, now driver-gated; VERDICT r6 #6): a windowed
+# aggregation over a 4-batch file stream where the LAST batch is
+# entirely late (its event times precede a watermark advanced two
+# batches earlier), so every row in it must be dropped by the watermark
+# — the Flink `allowedLateness(0)` default the reference's window jobs
+# rely on. The DuckDB oracle aggregates ONLY the on-time slices; if the
+# engine failed to drop the late batch, the counts and decimal sums in
+# the compared windows would differ and the value hash breaks.
+#
+# Batch layout (file source, maxFilesPerTrigger=1, mtime-ordered):
+#   a: events with us <= mid                      (on time)
+#   b: events with us >  mx - 2h                  (advances watermark to mx-10s)
+#   c: EMPTY                                      (buffer batch — Spark's late
+#      filter in batch N uses the watermark committed by batch N-1, which
+#      lags the data by one batch; the empty batch lets b's watermark
+#      become the filter watermark before d arrives — measured, not
+#      assumed: without the buffer the late rows merge-then-evict in the
+#      same batch and are NOT dropped)
+#   d: events with mid < us <= mx - 2h            (ALL LATE — dropped)
+# Compared set: windows with end <= mx - 1h, hour-aligned and strictly
+# below the final watermark, so emission is deterministic regardless of
+# the engine's <-vs-<= eviction boundary. Late rows' windows all end
+# <= mx - 1h, so they sit INSIDE the compared set — the drop is what
+# keeps the hashes equal.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_late_data_drop",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us,
+             epoch_us(MAX(ts)) AS mx_us
+      FROM events
+    ),
+    inc AS (
+      SELECT e.ts, e.value FROM events e, b
+      WHERE epoch_us(e.ts) <= b.mid_us
+         OR epoch_us(e.ts) > b.mx_us - 7200000000
+    ),
+    w AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                            * 1000000) AS wstart,
+             value
+      FROM inc
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+           COUNT(*) AS event_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM w, b
+    WHERE epoch_us(wstart) + 3600000000 <= b.mx_us - 3600000000
+    GROUP BY 1
+    """,
+)
+def dws_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    mid = (mn + mx) // 2
+    hi = mx - 2 * 3600 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    d = tempfile.mkdtemp(prefix="late_drop_gate_")
+    try:
+        src = f"{d}/src"
+        os.makedirs(src)
+        slices = [
+            ("a", ev.filter(us <= F.lit(mid))),
+            ("b", ev.filter(us > F.lit(hi))),
+            ("c", ev.limit(0)),                               # buffer batch
+            ("d", ev.filter((us > F.lit(mid)) & (us <= F.lit(hi)))),  # LATE
+        ]
+        for i, (tag, sl) in enumerate(slices):
+            stage = f"{d}/stage_{tag}"
+            sl.coalesce(1).write.mode("overwrite").parquet(stage)
+            parts = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+            assert parts, f"slice {tag} wrote no part file"
+            for p in parts:
+                dst = f"{src}/{tag}_{p}"
+                shutil.copy(f"{stage}/{p}", dst)
+                os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+        sch = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        agg = (stream.withWatermark("ts", "10 seconds")
+               .groupBy(F.window("ts", "1 hour"))
+               .agg(F.count("*").cast("bigint").alias("event_ct"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("value_sum"))
+               .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("stt"),
+                       F.unix_micros(F.col("window.end")).alias("end_us"),
+                       "event_ct", "value_sum"))
+        name = f"dws_late_drop_{_uuid.uuid4().hex[:8]}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("dws_late_data_drop timed out")
+        out = (spark.table(name)
+               .filter(F.col("end_us") <= F.lit(mx - 3600 * 1_000_000))
+               .select("stt", "event_ct", "value_sum"))
+        # gate-harness materialization (temp stream dir removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
