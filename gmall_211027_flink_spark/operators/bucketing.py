@@ -172,6 +172,36 @@ ZORDER_BITS = 16     # per-dimension resolution
 ZORDER_TILES = 64    # simulated file count
 
 
+def zorder_write_path(df: DataFrame, xcol: str, ycol: str,
+                      xmin: int, xrng: int, ymin: int, yrng: int,
+                      num_files: int = 32) -> DataFrame:
+    """The z-order WRITE path exactly as it runs at 100 TB: scan →
+    map-side bit-interleave projection (bx/by/zval are pure expressions,
+    no shuffle) → ONE range exchange on zval → within-partition sort.
+    Writing the result with ``.write.parquet`` yields files whose
+    (x, y) bounding boxes are bounded in BOTH dims — the layout
+    `layout_zorder_locality` audits.
+
+    The extents come in as scalars: at scale they're computed once by a
+    separate bounded agg (or known from table statistics), so the write
+    plan itself stays a single-pass scan + one Exchange — asserted by
+    ``tests/test_plan_quality.py::test_zorder_write_path_single_range_exchange``.
+    """
+    from pyspark.sql import functions as F
+
+    b = ZORDER_BITS
+    mx = (1 << b) - 1
+    z = (df.withColumn("bx", F.expr(f"div(({xcol} - {xmin}) * {mx}, {xrng})"))
+           .withColumn("by", F.expr(f"div(({ycol} - {ymin}) * {mx}, {yrng})"))
+           .withColumn("zval", F.expr(
+               f"aggregate(sequence(0, {b - 1}), cast(0 as bigint),"
+               " (acc, i) -> acc"
+               "   + shiftleft(cast((bx >> i) & 1 as bigint), 2 * i)"
+               "   + shiftleft(cast((by >> i) & 1 as bigint), 2 * i + 1))"))
+           .drop("bx", "by"))
+    return z.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
+
+
 def _zorder_audit_oracle() -> str:
     b = ZORDER_BITS
     return f"""

@@ -501,3 +501,43 @@ def test_quota_per_source_uses_window_group_limit(spark, sf_dir):
     df.collect()
     plan = executed_plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_zorder_write_path_single_range_exchange(spark, sf_dir, tmp_path):
+    """The z-order write path must be exactly ONE range exchange on zval
+    with the bit-interleave computed map-side (VERDICT r6 #7): no hash
+    shuffle, no second exchange, and a within-partition (non-global)
+    sort on zval. At 100 TB an accidental extra exchange or global sort
+    here doubles the most expensive stage of the layout job."""
+    from gmall_211027_flink_spark.operators.bucketing import zorder_write_path
+
+    base = (load_table(spark, str(sf_dir), "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    ext = base.agg(
+        F.min("l_partkey"), F.greatest(F.max("l_partkey") - F.min("l_partkey"), F.lit(1)),
+        F.min("l_suppkey"), F.greatest(F.max("l_suppkey") - F.min("l_suppkey"), F.lit(1)),
+    ).first()
+    out = zorder_write_path(base, "l_partkey", "l_suppkey",
+                            ext[0], ext[1], ext[2], ext[3], num_files=8)
+    path = str(tmp_path / "zorder_layout")
+    out.write.mode("overwrite").parquet(path)
+    plan = executed_plan(out)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    assert "rangepartitioning(zval" in exchanges[0], plan
+    assert "hashpartitioning" not in plan, plan
+    # the sort must be within-partition (global=false), not a global sort
+    sorts = [ln for ln in plan.splitlines() if "Sort [zval" in ln]
+    assert sorts and all("false" in ln for ln in sorts), plan
+    # and the files written under the single exchange are range-disjoint
+    # in zval — file i's max below file i+1's min
+    import glob as _glob
+    spans = []
+    for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+        pf = spark.read.parquet(f).agg(F.min("zval"), F.max("zval")).first()
+        if pf[0] is not None:
+            spans.append((pf[0], pf[1]))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
