@@ -1952,3 +1952,95 @@ def stats_mutual_information(spark: SparkSession,
                     F.round("hl", 6).alias("h_lang_nats"),
                     F.round(F.col("mi")
                             / F.least("hs", "hl"), 6).alias("nmi")))
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test: the parametric partner of the
+# Mann-Whitney drift test above — compares MEANS of two slices (click
+# vs purchase event values) without assuming equal variances, with the
+# Welch–Satterthwaite degrees of freedom. Determinism contract: the
+# per-group (n, Σx, Σx²) come out of EXACT DECIMAL sums (value has 2dp
+# → x² has 4dp, both representable), so the double-precision t/df
+# arithmetic starts from bit-identical inputs in both engines; the
+# final statistics are rounded to 6dp at the compare boundary.
+#
+# Scale shape: one map-side-combined aggregation over the fact table —
+# the same two-phase moment pattern as every stats_* operator here.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'click' THEN s1 END) AS a1,
+        MAX(CASE WHEN event_type = 'click' THEN s2 END) AS q1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a2,
+        MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS q2
+      FROM m
+    ),
+    d AS (
+      SELECT n1, n2,
+             a1 / n1 AS m1, a2 / n2 AS m2,
+             (q1 - a1 * a1 / n1) / (n1 - 1) AS v1,
+             (q2 - a2 * a2 / n2) / (n2 - 1) AS v2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           round(m1, 6) AS mean_click,
+           round(m2, 6) AS mean_purchase,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df
+    FROM d
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_type", F.col("value").cast("decimal(18,2)")
+                  .alias("v")))
+    m = (ev.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("v").cast("double").alias("s1"),
+              F.sum(F.col("v") * F.col("v")).cast("double").alias("s2")))
+    g = m.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s1"))).alias("a2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s2"))).alias("q2"))
+    d = g.select(
+        "n1", "n2",
+        (F.col("a1") / F.col("n1")).alias("m1"),
+        (F.col("a2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("a1") * F.col("a1") / F.col("n1"))
+         / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("a2") * F.col("a2") / F.col("n2"))
+         / (F.col("n2") - 1)).alias("v2"))
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return d.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        F.round("m1", 6).alias("mean_click"),
+        F.round("m2", 6).alias("mean_purchase"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6)
+         .alias("t_stat"),
+        F.round(F.pow(se2, 2)
+                / (F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                   + F.pow(F.col("v2") / F.col("n2"), 2)
+                   / (F.col("n2") - 1)), 6).alias("welch_df"))

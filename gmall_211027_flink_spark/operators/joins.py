@@ -752,3 +752,58 @@ def dwd_window_join_click_error(spark: SparkSession,
                   .alias("window_ct"),
                  F.min("b3600").cast("bigint").alias("first_window"),
                  F.max("b3600").cast("bigint").alias("last_window")))
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted shuffle join: the manual fallback when a fact table's hot
+# key overwhelms one reducer and the dim side is too big to broadcast
+# (AQE skew-join splits partitions but can't split ONE key's hash
+# bucket). Salting multiplies the key space: the fact side derives
+# salt = pmod(event_id, S) (deterministic, not rand() — re-runs and
+# retried tasks must route rows identically), the dim side replicates
+# each row S times via a broadcast explode (dim grows S×, but it's the
+# SMALL side), and the join key becomes (key, salt) — the hot key's
+# rows now land on S reducers instead of one. The result is provably
+# identical to the plain join, which is exactly what the oracle checks;
+# `tests/test_plan_quality.py::test_salted_join_spreads_key` asserts
+# the physical plan shape (shuffle join on both key AND salt).
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, salt_src: str,
+                n_salts: int = SALT_BUCKETS) -> DataFrame:
+    """Equi-join ``fact`` to ``dim`` on ``fact_key = dim_key`` with the
+    shuffle spread over ``n_salts`` buckets per key. ``salt_src`` is any
+    fact column with per-row variation (an id, NOT the join key)."""
+    spark = fact.sparkSession
+    salts = spark.range(n_salts).withColumnRenamed("id", "_salt")
+    f = fact.withColumn("_salt", F.pmod(F.col(salt_src), n_salts))
+    d = dim.crossJoin(F.broadcast(salts))
+    return f.join(d, (F.col(fact_key) == F.col(dim_key))
+                  & (f["_salt"] == d["_salt"])).drop("_salt")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS event_ct,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ customer via the salted plan — the oracle is the PLAIN
+    join, proving salting changes the shuffle layout, never the rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, "user_id", "c_custkey", "event_id")
+    return (joined.groupBy("c_nationkey")
+            .agg(F.count("*").cast("bigint").alias("event_ct"),
+                 dsum("value").alias("value_sum")))

@@ -611,3 +611,58 @@ def sample_time_split_embargo(spark: SparkSession,
                     (gap >= F.lit(172800).cast("bigint") * 1000000)
                      .alias("embargo_ok"),
                     "n_overlap_users"))
+
+
+# ---------------------------------------------------------------------------
+# Group-aware holdout (GroupKFold posture): for behavioral data the
+# leakage unit is the USER, not the event — if one user's events
+# straddle train and test, the model sees the test user's behavior at
+# train time. The split key is therefore the group id (user_id): every
+# event inherits its group's hash bucket, so straddling is impossible
+# BY CONSTRUCTION — and the audit still measures it from the assigned
+# data (straddle_groups must be 0) rather than trusting the
+# construction. Complements sample_split_leakage_audit (content
+# leakage) and sample_time_split_embargo (temporal leakage).
+#
+# Scale shape: split assignment is a map-side hash expression; the
+# audit is one groupBy(user_id) + one groupBy(split) — same cost class
+# as any distinct-count over the fact table.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_group_holdout",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < {TRAIN_PCT} THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    per AS (
+      SELECT split, COUNT(DISTINCT user_id) AS group_ct,
+             COUNT(*) AS event_ct
+      FROM assigned GROUP BY 1
+    ),
+    str AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS straddle_groups FROM (
+        SELECT user_id FROM assigned
+        GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT per.split, per.group_ct, per.event_ct, str.straddle_groups
+    FROM per, str
+    """,
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = assign_split(load_table(spark, sf_dir, "events"), "user_id")
+    per = (ev.groupBy("split")
+           .agg(F.countDistinct("user_id").cast("bigint").alias("group_ct"),
+                F.count("*").cast("bigint").alias("event_ct")))
+    straddle = (ev.groupBy("user_id")
+                .agg(F.countDistinct("split").alias("n_splits"))
+                .filter(F.col("n_splits") > 1)
+                .agg(F.count("*").cast("bigint").alias("straddle_groups")))
+    return per.crossJoin(F.broadcast(straddle))

@@ -865,3 +865,88 @@ def ann_signbit_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("hit").cast("bigint").alias("n_overlap"),
                  F.round(F.count("hit").cast("double") / TOP_K, 6)
                   .alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: modern embedding models (MRL-trained)
+# front-load information so the FIRST k dims alone rank nearly as well
+# as the full vector — serving stacks exploit this by retrieving with a
+# 4x-cheaper truncated dot product and re-ranking with the full one.
+# Before trusting that switch on a new corpus, measure it: top-k recall
+# of first-16-dims cosine against the exact 64-dim top-k. Same
+# broadcast-probe plan as the sign-bit audit (corpus never shuffles;
+# only the per-query overlap counts leave the stage).
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = 16
+
+
+def _matryoshka_recall_oracle() -> str:
+    return f"""
+    WITH cos AS ({ORACLES["ann_cosine_topk"]}),
+    s AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:{MATRYOSHKA_DIMS}] AS tr
+      FROM embeddings
+    ),
+    tc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.tr, c.tr)
+                   / (sqrt(list_dot_product(q.tr, q.tr))
+                      * sqrt(list_dot_product(c.tr, c.tr))), 6) AS tcos
+      FROM s q JOIN s c ON q.vec_id < {N_QUERIES}
+                       AND c.vec_id <> q.vec_id
+    ),
+    tr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY tcos DESC, neighbor_id) AS rk
+      FROM tc
+    ),
+    ttop AS (SELECT query_id, neighbor_id FROM tr WHERE rk <= {TOP_K})
+    SELECT c.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+             AS recall
+    FROM cos c
+    LEFT JOIN ttop t ON t.query_id = c.query_id
+                    AND t.neighbor_id = c.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("ann_matryoshka_recall", oracle=_matryoshka_recall_oracle())
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("tr", F.expr(
+             f"transform(slice(embedding, 1, {MATRYOSHKA_DIMS}),"
+             " x -> cast(x as double))"))
+         .withColumn("tnorm", F.expr(
+             "sqrt(aggregate(tr, cast(0 as double),"
+             " (acc, x) -> acc + x * x))"))
+         .select("vec_id", "tr", "tnorm"))
+    q = (s.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("tr").alias("qtr"), F.col("tnorm").alias("qn")))
+    c = s.select(F.col("vec_id").alias("neighbor_id"), "tr", "tnorm")
+    tdot = F.expr(
+        "aggregate(zip_with(qtr, tr, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    scored = (c.join(F.broadcast(q),
+                     F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("tcos", F.round(
+                  tdot / (F.col("qn") * F.col("tnorm")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("tcos"),
+                                               "neighbor_id")
+    ttop = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select(F.col("query_id").alias("t_q"),
+                    F.col("neighbor_id").alias("t_n"),
+                    F.lit(1).alias("hit")))
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id",
+                                                  "neighbor_id")
+    return (exact.join(ttop, (F.col("query_id") == F.col("t_q"))
+                       & (F.col("neighbor_id") == F.col("t_n")), "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").cast("bigint").alias("n_overlap"),
+                 F.round(F.count("hit").cast("double") / TOP_K, 6)
+                  .alias("recall")))

@@ -541,3 +541,42 @@ def test_zorder_write_path_single_range_exchange(spark, sf_dir, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
+
+
+def test_salted_join_spreads_key_across_shuffle(spark, sf_dir):
+    """The salted join must shuffle on (key, salt) — the whole point is
+    that a hot key's rows hash to n_salts different reducers. Broadcast
+    is disabled to force the shuffle plan (at real scale the dim is too
+    big to broadcast — that's when salting is reached for)."""
+    from gmall_211027_flink_spark.operators.joins import salted_join
+
+    saved = {}
+    for k, v in {"spark.sql.autoBroadcastJoinThreshold": "-1",
+                 "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev = load_table(spark, str(sf_dir), "events").select(
+            "event_id", "user_id", "value")
+        cust = load_table(spark, str(sf_dir), "customer").select(
+            "c_custkey", "c_nationkey")
+        j = salted_join(ev, cust, "user_id", "c_custkey", "event_id")
+        out = j.groupBy("c_nationkey").count()
+        out.collect()
+        plan = executed_plan(out)
+        # a shuffle join (not broadcast) whose keys include the salt
+        assert "BroadcastHashJoin" not in plan, plan
+        join_lines = [ln for ln in plan.splitlines()
+                      if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+        assert join_lines, plan
+        assert any("_salt" in ln for ln in join_lines), plan
+        assert any("user_id" in ln for ln in join_lines), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
