@@ -397,15 +397,16 @@ def dws_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dws_session_window_agg",
-    # gaps-and-islands with the strict break `gap >= 45 min` — Spark
-    # merges sessions only on strict overlap (an event landing exactly
-    # at prev_ts + gap starts a NEW session); edt = last event + gap,
-    # Spark's session-end definition
+    # gaps-and-islands with the break `gap > 45 min` — Spark merges
+    # session windows that TOUCH (an event landing exactly at
+    # prev_ts + gap extends the session; measured empirically, see
+    # tests/test_r7_additions.py::test_session_window_touch_boundary);
+    # edt = last event + gap, Spark's session-end definition
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type, event_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 2700000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 2700000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)

@@ -243,10 +243,13 @@ def dwd_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
 # NULL, DwsTrafficVcChArIsNewPageViewWindow.java:96-99; this is the
 # generalized form: sessions merge on arrival, close when the gap
 # exceeds 30 min). Oracle is gaps-and-islands SQL with the break
-# condition `gap >= 30 min` — mirroring Spark's merge rule exactly
-# (windows merge only on strict overlap: an event landing exactly at
-# prev_ts + gap starts a NEW session). Output edt = last event + gap,
-# Spark's session-end definition.
+# condition `gap > 30 min` — mirroring Spark's merge rule exactly
+# (session windows that TOUCH merge: an event landing exactly at
+# prev_ts + gap extends the session — measured in
+# tests/test_r7_additions.py::test_session_window_touch_boundary; with
+# microsecond event times an exact tie is vanishingly rare, but the
+# oracle should encode the engine's real rule). Output edt = last
+# event + gap, Spark's session-end definition.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -255,7 +258,7 @@ def dwd_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     WITH seq AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

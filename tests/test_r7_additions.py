@@ -1,0 +1,282 @@
+"""Round-7 additions: real PNG/GIF pixel decode honesty, WAV chunk
+validation, the bounce tie guard, native session windows, the salted
+join, group holdout, Welch t-test, and the late-data drop."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- PNG ------
+
+def _png_doc(doc_id: int = 4, text: str = "png test doc"):
+    from gmall_211027_flink_spark.operators.multimodal import (
+        synthesize_png_with_pixels)
+    h = hashlib.md5(text.encode()).hexdigest()
+    return synthesize_png_with_pixels(doc_id, h), h
+
+
+def test_png_roundtrip_matches_analytic_gradient():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _bmp_gradient_params, _geometry, decode_png_gray)
+    for text in ("a", "quick brown fox", "päyload"):
+        payload, h = _png_doc(text=text)
+        w, ht, gray = decode_png_gray(payload)
+        g, p = _geometry(h), _bmp_gradient_params(h)
+        assert (w, ht) == (g["w"], g["ht"])
+        x = np.arange(w)[None, :]
+        y = np.arange(ht)[:, None]
+        assert (gray == (p["a"] * x + p["b"] * y + p["c"]) % 256).all()
+
+
+def test_png_exercises_all_five_filters():
+    # filter type cycles (c + row) % 5, and every image has >= 16 rows,
+    # so all five filters appear in every payload's scanlines
+    import zlib
+
+    payload, h = _png_doc()
+    # IDAT body: find chunk, inflate, read filter bytes per scanline
+    from gmall_211027_flink_spark.operators.multimodal import _geometry
+    g = _geometry(h)
+    idx = payload.index(b"IDAT")
+    import struct
+    (size,) = struct.unpack(">I", payload[idx - 4:idx])
+    stream = zlib.decompress(payload[idx + 4:idx + 4 + size])
+    ftypes = {stream[r * (g["w"] + 1)] for r in range(g["ht"])}
+    assert ftypes == {0, 1, 2, 3, 4}
+
+
+def test_png_corruption_and_truncation_raise():
+    from gmall_211027_flink_spark.operators.multimodal import decode_png_gray
+    payload, _ = _png_doc()
+    bad = bytearray(payload)
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png_gray(payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_gray(b"BM" + payload)
+
+
+# --------------------------------------------------------------- GIF ------
+
+def test_gif_lzw_kwkwk_case():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif)
+    # 'abababab...' forces the code==next-free (KwKwK) decode branch
+    data = b"ab" * 500
+    assert _lzw_decode_gif(_lzw_encode_gif(data)) == data
+
+
+def test_gif_decoder_uses_palette_not_raw_indices():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _bmp_gradient_params, _geometry, decode_gif_gray,
+        synthesize_gif_with_pixels)
+    h = hashlib.md5(b"palette honesty").hexdigest()
+    payload = synthesize_gif_with_pixels(1, h)
+    w, ht, gray = decode_gif_gray(payload)
+    g, p = _geometry(h), _bmp_gradient_params(h)
+    x = np.arange(w)[None, :]
+    y = np.arange(ht)[:, None]
+    expect = (p["a"] * x + p["b"] * y + p["c"]) % 256
+    # stored index is 255 - g; a decoder skipping the palette would
+    # return the complement
+    assert (gray == expect).all()
+    assert not (gray == (255 - expect)).all()
+
+
+def test_gif_rejects_malformed_blocks():
+    from gmall_211027_flink_spark.operators.multimodal import decode_gif_gray
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_gray(b"PNG whatever")
+    h = hashlib.md5(b"x").hexdigest()
+    from gmall_211027_flink_spark.operators.multimodal import (
+        synthesize_gif_with_pixels)
+    payload = bytearray(synthesize_gif_with_pixels(1, h))
+    payload[13 + 3 * 256] = 0x99          # image separator -> junk
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        decode_gif_gray(bytes(payload))
+
+
+# --------------------------------------------------------------- WAV ------
+
+def test_wav_truncated_data_chunk_raises_cleanly():
+    import struct
+
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_wav_pcm16, synthesize_wav_with_samples)
+    h = hashlib.md5(b"wav guard").hexdigest()
+    payload = bytearray(synthesize_wav_with_samples(3, h))
+    # inflate the declared data-chunk size beyond the actual payload
+    idx = payload.index(b"data")
+    (size,) = struct.unpack("<I", payload[idx + 4:idx + 8])
+    payload[idx + 4:idx + 8] = struct.pack("<I", size + 64)
+    with pytest.raises(ValueError, match="truncated data chunk"):
+        decode_wav_pcm16(bytes(payload))
+
+
+# ------------------------------------------------------------- bounce -----
+
+def test_bounce_tie_with_smaller_id_across_batches_raises(spark):
+    from pyspark.sql import types as T
+
+    from gmall_211027_flink_spark.streaming.bounce import bounce_verdicts
+
+    sch = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("us", T.LongType()),
+    ])
+    import tempfile
+    import shutil
+    import os
+    d = tempfile.mkdtemp(prefix="bounce_tie_")
+    try:
+        b1 = spark.createDataFrame([(1, 10, 1000)], sch).coalesce(1)
+        b2 = spark.createDataFrame([(1, 5, 1000)], sch).coalesce(1)
+        for i, df in enumerate([b1, b2]):
+            stage = f"{d}/stage{i}"
+            df.write.parquet(stage)
+            for p in os.listdir(stage):
+                if p.endswith(".parquet"):
+                    shutil.copy(f"{stage}/{p}", f"{d}/src_{i}.parquet")
+                    os.utime(f"{d}/src_{i}.parquet",
+                             (1000 * (i + 1), 1000 * (i + 1)))
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", "1")
+                  .option("pathGlobFilter", "src_*.parquet").parquet(d))
+        q = (bounce_verdicts(stream).writeStream.format("memory")
+             .queryName("bounce_tie_t").outputMode("append")
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="timestamp tie"):
+            q.awaitTermination(120)
+            if q.exception():
+                raise q.exception()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ----------------------------------------------------- session window -----
+
+def test_session_window_touch_boundary(spark):
+    """Spark merges session windows that TOUCH: an event at exactly
+    prev + gap extends the session, one microsecond past it starts a
+    new one. The gaps-and-islands oracles encode this as break on
+    `gap > threshold` (not >=)."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def sessions(rows):
+        df = spark.createDataFrame(rows, sch)
+        out = (df.groupBy(F.session_window("ts", "45 minutes"), "k")
+               .agg(F.count("*").alias("ct"))
+               .orderBy("session_window.start").collect())
+        return [r["ct"] for r in out]
+
+    # exactly at gap -> merges
+    assert sessions([(1, t0),
+                     (1, t0 + dt.timedelta(minutes=45)),
+                     (1, t0 + dt.timedelta(minutes=46))]) == [3]
+    # one microsecond past the gap -> new session
+    assert sessions([(1, t0),
+                     (1, t0 + dt.timedelta(minutes=45, microseconds=1)),
+                     (1, t0 + dt.timedelta(minutes=46))]) == [1, 2]
+
+
+# -------------------------------------------------------- salted join -----
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    salted = (salted_join(ev, cust, "user_id", "c_custkey", "event_id")
+              .groupBy("c_nationkey").count())
+    plain = (ev.join(cust, ev.user_id == cust.c_custkey)
+             .groupBy("c_nationkey").count())
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+# ------------------------------------------------------ group holdout -----
+
+def test_group_holdout_has_zero_straddle(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_group_holdout)
+    rows = sample_group_holdout(spark, sf_dir).collect()
+    assert rows and all(r["straddle_groups"] == 0 for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+# ------------------------------------------------------- Welch t-test -----
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_welch_ttest)
+
+    row = stats_welch_ttest(spark, sf_dir).first()
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_type", "value").collect())
+    a = np.array([r["value"] for r in ev if r["event_type"] == "click"])
+    b = np.array([r["value"] for r in ev if r["event_type"] == "purchase"])
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2 ** 2 / ((v1 / len(a)) ** 2 / (len(a) - 1)
+                     + (v2 / len(b)) ** 2 / (len(b) - 1))
+    assert row["n_click"] == len(a) and row["n_purchase"] == len(b)
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["welch_df"] - df) < 1e-3
+
+
+# ----------------------------------------------------- late-data drop -----
+
+def test_late_data_drop_actually_drops(spark, sf_dir):
+    """The streamed result over the compared windows must equal the
+    on-time-only batch aggregate AND be strictly below the
+    with-late-rows aggregate — i.e. the watermark really dropped the
+    late batch, and dropping mattered."""
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.streaming.windows import (
+        dws_late_data_drop)
+
+    got = {r["stt"]: r["event_ct"]
+           for r in dws_late_data_drop(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    mn, mx = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    mid = (mn + mx) // 2
+    hi = mx - 2 * 3600 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    hour = F.date_format(
+        F.timestamp_seconds(F.floor(us / 3_600_000_000) * 3600),
+        "yyyy-MM-dd HH:mm:ss")
+    end_ok = (F.floor(us / 3_600_000_000) + 1) * 3_600_000_000 \
+        <= mx - 3600 * 1_000_000
+
+    def agg(df):
+        return {r["stt"]: r["ct"] for r in
+                df.filter(end_ok).groupBy(hour.alias("stt"))
+                .agg(F.count("*").alias("ct")).collect()}
+
+    on_time = agg(ev.filter((us <= mid) | (us > hi)))
+    with_late = agg(ev)
+    assert got == on_time
+    assert sum(got.values()) < sum(with_late.values())
