@@ -2044,3 +2044,77 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
                    + F.pow(F.col("v2") / F.col("n2"), 2)
                    / (F.col("n2") - 1)), 6).alias("welch_df"))
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across ALL event types (k groups): does the event type
+# explain variance in value? Generalizes the two-sample Welch test
+# above. Determinism: per-group (n, Σx, Σx²) are exact decimals; the
+# per-group SSB/SSW terms are computed in double from those exact
+# inputs, ROUNDED to 6dp, then summed as DECIMAL(38,6) so the
+# cross-group accumulation is order-insensitive (groupBy emission order
+# differs between engines).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE) AS gm
+      FROM m
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(round(n * (s / n - g.gm) * (s / n - g.gm), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS ssb,
+             CAST(SUM(CAST(round(q - s * s / n, 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+      FROM m, g
+    )
+    SELECT g.k AS k_groups, g.n_total,
+           CAST(g.k - 1 AS BIGINT) AS df_between,
+           CAST(g.n_total - g.k AS BIGINT) AS df_within,
+           round((t.ssb / (g.k - 1)) / (t.ssw / (g.n_total - g.k)), 6)
+             AS f_stat
+    FROM g, terms t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.col("value").cast("decimal(18,2)").alias("v")))
+    m = (ev.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("v").cast("double").alias("s"),
+              F.sum(F.col("v") * F.col("v")).cast("double").alias("q")))
+    g = m.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        (F.sum(F.col("s").cast("decimal(38,6)")).cast("double")
+         / F.sum("n").cast("double")).alias("gm"))
+    terms = (m.crossJoin(F.broadcast(g))
+             .select(
+                 F.round(F.col("n") * (F.col("s") / F.col("n") - F.col("gm"))
+                         * (F.col("s") / F.col("n") - F.col("gm")), 6)
+                  .cast("decimal(38,6)").alias("ssb_t"),
+                 F.round(F.col("q") - F.col("s") * F.col("s") / F.col("n"), 6)
+                  .cast("decimal(38,6)").alias("ssw_t"))
+             .agg(F.sum("ssb_t").cast("double").alias("ssb"),
+                  F.sum("ssw_t").cast("double").alias("ssw")))
+    return (g.crossJoin(F.broadcast(terms))
+            .select(F.col("k").alias("k_groups"), "n_total",
+                    (F.col("k") - 1).cast("bigint").alias("df_between"),
+                    (F.col("n_total") - F.col("k")).cast("bigint")
+                     .alias("df_within"),
+                    F.round((F.col("ssb") / (F.col("k") - 1))
+                            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+                            6).alias("f_stat")))

@@ -502,3 +502,47 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_edges = n_new
     return (edges.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").cast("bigint").alias("core_degree")))
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph: the first diagnostic a
+# pipeline runs on any graph before iterating on it — a heavy-tailed
+# degree histogram predicts hot-key skew in every edge-keyed shuffle
+# (PageRank's contribution join, LPA's neighbor vote), and the max
+# degree bounds the worst partition. Pure integer counts end to end.
+# Plan: the posting-list pair expansion (one shuffle to order grain),
+# then two count aggregations — no self-join, no iteration.
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS node_ct
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .select("part_a", "part_b")
+    )
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v"))))
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count("*").cast("bigint").alias("node_ct")))

@@ -1551,3 +1551,111 @@ def multimodal_wav_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") % 4 == 3)
             .select("doc_id", "text"))
     return docs.mapInPandas(_ac_batch, WAV_AC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Cross-format container rollup: the corpus-level media inventory a
+# pipeline materializes after ingest — every document decoded through
+# its REAL container path (PNG inflate+unfilter, GIF LZW, BMP raw rows,
+# WAV RIFF chunks) and rolled up per format with integer-exact content
+# checksums (Σgray for images, Σ|sample| for audio). Exercises all four
+# decoders in ONE map-only pass; the oracle re-derives every checksum
+# analytically, so any decoder regression surfaces here even if the
+# per-format query is skipped. Payload byte lengths are intentionally
+# NOT compared: PNG/GIF sizes depend on the compressor and are not
+# SQL-derivable — an honest limit, not an oversight.
+# ---------------------------------------------------------------------------
+
+CONTAINER_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("units", T.LongType()),       # pixels (img) / frames (wav)
+    T.StructField("checksum", T.LongType()),    # Σgray (img) / Σ|s| (wav)
+])
+
+
+@query(
+    "multimodal_container_stats",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+    geo AS (
+      SELECT doc_id, doc_id % 4 AS m,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT % 4096 AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS wa,
+             ('0x' || substr(h, 21, 4))::BIGINT AS wb
+      FROM g
+    ),
+    img AS (
+      SELECT doc_id,
+             CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END
+               AS fmt,
+             w * ht AS units,
+             (a * (i % w) + b * (i // w) + c) % 256 AS gv
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+      WHERE m <= 2
+    ),
+    img_docs AS (
+      SELECT doc_id, fmt, units, CAST(SUM(gv) AS BIGINT) AS checksum
+      FROM img GROUP BY 1, 2, 3
+    ),
+    wav_docs AS (
+      SELECT doc_id, 'wav' AS fmt, nfr AS units,
+             CAST(SUM(ABS((wa * i + wb) % 65536 - 32768)) AS BIGINT)
+               AS checksum
+      FROM geo, UNNEST(generate_series(0, nfr - 1)) AS t(i)
+      WHERE m = 3 GROUP BY 1, 2, 3
+    ),
+    per_doc AS (SELECT * FROM img_docs UNION ALL SELECT * FROM wav_docs)
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(units) AS BIGINT) AS total_units,
+           CAST(SUM(checksum) AS BIGINT) AS total_checksum
+    FROM per_doc GROUP BY 1
+    """,
+)
+def multimodal_container_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Decode every document's container (format chosen by doc_id % 4)
+    and roll up per-format counts, units, and content checksums."""
+    import numpy as np
+
+    def _stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                m = doc_id % 4
+                if m == 0:
+                    w, ht, gray = decode_png_gray(
+                        synthesize_png_with_pixels(doc_id, h))
+                    rec = ("png", w * ht, int(gray.sum()))
+                elif m == 1:
+                    w, ht, gray = decode_gif_gray(
+                        synthesize_gif_with_pixels(doc_id, h))
+                    rec = ("gif", w * ht, int(gray.sum()))
+                elif m == 2:
+                    w, ht, gray = decode_bmp_gray(
+                        synthesize_bmp_with_pixels(doc_id, h))
+                    rec = ("bmp", w * ht, int(gray.astype(np.int64).sum()))
+                else:
+                    _, _, s = decode_wav_pcm16(
+                        synthesize_wav_with_samples(doc_id, h))
+                    rec = ("wav", len(s), int(np.abs(s).sum()))
+                out.append(dict(doc_id=doc_id, fmt=rec[0], units=rec[1],
+                                checksum=rec[2]))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in CONTAINER_STATS_SCHEMA.fields]]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = docs.mapInPandas(_stats_batch, CONTAINER_STATS_SCHEMA)
+    return (per_doc.groupBy("fmt")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("units").cast("bigint").alias("total_units"),
+                 F.sum("checksum").cast("bigint").alias("total_checksum")))

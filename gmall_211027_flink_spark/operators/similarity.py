@@ -950,3 +950,165 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("hit").cast("bigint").alias("n_overlap"),
                  F.round(F.count("hit").cast("double") / TOP_K, 6)
                   .alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-imbalance audit: the partition-balance check a pipeline runs
+# BEFORE trusting an IVF layout at scale — a skewed cell assignment
+# means one partition holds most of the corpus and probe latency
+# collapses to brute force on the hot cell (the ANN analog of join-key
+# skew). Reports min/max/avg cell population and the exact Gini
+# coefficient over cell sizes (integer arithmetic until the final
+# division; the k×k pair sum is over K_CENTROIDS rows, driver-trivial).
+# ---------------------------------------------------------------------------
+
+def _ivf_imbalance_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS da
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT vec_id AS cid, emb AS cemb, da AS dc FROM e
+      WHERE vec_id < {K_CENTROIDS}
+    ),
+    dist AS (
+      SELECT e.vec_id, cen.cid,
+             round(e.da - 2 * list_dot_product(e.emb, cen.cemb) + cen.dc, 6) AS d2
+      FROM e CROSS JOIN cen
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS crk
+      FROM dist
+    ),
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked_cells WHERE crk = 1 GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(ABS(a.n - b.n)) AS BIGINT) AS absdiff
+      FROM sizes a CROSS JOIN sizes b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(MIN(n) AS BIGINT) AS min_cell,
+             CAST(MAX(n) AS BIGINT) AS max_cell
+      FROM sizes
+    )
+    SELECT t.k AS k_cells, t.n_total, t.min_cell, t.max_cell,
+           round(CAST(t.max_cell AS DOUBLE) * t.k / t.n_total, 6)
+             AS max_over_avg,
+           round(CAST(p.absdiff AS DOUBLE) / (2 * t.k * t.n_total), 6)
+             AS gini
+    FROM tot t, pairs p
+    """
+
+
+@query("ann_ivf_imbalance_audit", oracle=_ivf_imbalance_oracle())
+def ann_ivf_imbalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("emb", F.expr(
+             "transform(embedding, x -> cast(x as double))"))
+         .withColumn("da", F.expr(
+             "aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x)"))
+         .select("vec_id", "emb", "da"))
+    cen = (e.filter(F.col("vec_id") < K_CENTROIDS)
+           .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"),
+                   F.col("da").alias("dc")))
+    dac = F.expr(
+        "aggregate(zip_with(emb, cemb, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)")
+    wcell = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    sizes = (e.crossJoin(F.broadcast(cen))
+             .withColumn("d2", F.round(F.col("da") - 2 * dac + F.col("dc"), 6))
+             .withColumn("crk", F.row_number().over(wcell))
+             .filter(F.col("crk") == 1)
+             .groupBy("cid")
+             .agg(F.count("*").cast("bigint").alias("n")))
+    a = sizes.select(F.col("n").alias("na"))
+    b = sizes.select(F.col("n").alias("nb"))
+    pairs = (a.crossJoin(b)
+             .agg(F.sum(F.abs(F.col("na") - F.col("nb")))
+                  .cast("bigint").alias("absdiff")))
+    tot = sizes.agg(F.count("*").cast("bigint").alias("k"),
+                    F.sum("n").cast("bigint").alias("n_total"),
+                    F.min("n").cast("bigint").alias("min_cell"),
+                    F.max("n").cast("bigint").alias("max_cell"))
+    return (tot.crossJoin(F.broadcast(pairs))
+            .select(F.col("k").alias("k_cells"), "n_total", "min_cell",
+                    "max_cell",
+                    F.round(F.col("max_cell").cast("double") * F.col("k")
+                            / F.col("n_total"), 6).alias("max_over_avg"),
+                    F.round(F.col("absdiff").cast("double")
+                            / (2 * F.col("k") * F.col("n_total")), 6)
+                     .alias("gini")))
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding profile: mean/std/extent of every coordinate
+# across the corpus — the triage that catches dead dimensions (std≈0),
+# mis-scaled shards, and drift between embedding-model versions (this
+# corpus is unit-normalized, so the NORM is a useless diagnostic — the
+# per-dimension distribution is where anomalies show). Determinism:
+# components rounded to 6dp feed DECIMAL(38,6) sums, so the per-dim
+# moments are order-insensitive; one corpus pass via posexplode, one
+# 64-key aggregation.
+# ---------------------------------------------------------------------------
+
+def _dim_profile_oracle() -> str:
+    # components are quantized floor(x·1e6 + 0.5) — the repo's standard
+    # tie-unambiguous integer code (round() half-vs-even differs between
+    # engines at exact .5 boundaries, measured as 1e-6 std drift) — so
+    # every moment is BIGINT-exact and the final double math is
+    # bit-identical on both sides
+    return """
+    WITH c AS (
+      SELECT CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5)
+                  AS BIGINT) AS x6
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    m AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x6) AS BIGINT) AS s6,
+             CAST(SUM(x6 * x6) AS BIGINT) AS q12,
+             CAST(MIN(x6) AS BIGINT) AS mn6, CAST(MAX(x6) AS BIGINT) AS mx6
+      FROM c GROUP BY 1
+    )
+    SELECT dim, n,
+           round(CAST(s6 AS DOUBLE) / 1e6 / n, 6) AS mean,
+           round(sqrt((CAST(q12 AS DOUBLE) / 1e12
+                       - CAST(s6 AS DOUBLE) / 1e6 * CAST(s6 AS DOUBLE)
+                         / 1e6 / n) / (n - 1)), 6) AS std,
+           round(CAST(mn6 AS DOUBLE) / 1e6, 6) AS min_val,
+           round(CAST(mx6 AS DOUBLE) / 1e6, 6) AS max_val
+    FROM m
+    """
+
+
+@query("embedding_dim_profile", oracle=_dim_profile_oracle())
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "embeddings")
+         .select(F.posexplode(F.expr(
+             "transform(embedding, x -> cast(floor(cast(x as double)"
+             " * 1000000 + 0.5) as bigint))")).alias("dim", "x6"))
+         .select(F.col("dim").cast("bigint").alias("dim"), "x6"))
+    m = (c.groupBy("dim")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("x6").cast("bigint").alias("s6"),
+              F.sum(F.col("x6") * F.col("x6")).cast("bigint").alias("q12"),
+              F.min("x6").cast("bigint").alias("mn6"),
+              F.max("x6").cast("bigint").alias("mx6")))
+    s = F.col("s6").cast("double") / 1e6
+    q = F.col("q12").cast("double") / 1e12
+    return m.select(
+        "dim", "n",
+        F.round(s / F.col("n"), 6).alias("mean"),
+        F.round(F.sqrt((q - s * s / F.col("n")) / (F.col("n") - 1)), 6)
+         .alias("std"),
+        F.round(F.col("mn6").cast("double") / 1e6, 6).alias("min_val"),
+        F.round(F.col("mx6").cast("double") / 1e6, 6).alias("max_val"))

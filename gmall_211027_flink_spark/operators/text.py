@@ -1103,3 +1103,116 @@ def text_lang_confusion_audit(spark: SparkSession,
                 "label_share",
                 F.round(F.col("doc_ct").cast("double")
                         / F.sum("doc_ct").over(w), 6)))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup accounting: the first dedup key a web
+# corpus uses is the CANONICAL URL (case-folded host, default port and
+# fragment dropped, tracking params stripped, trailing slash removed) —
+# crawls re-fetch the same page under dozens of surface forms. The
+# corpus has no URL column, so deterministic surface forms are
+# synthesized from (source, doc_id) with the SAME shared formula in
+# both engines (the multimodal synthesis posture); each engine then
+# canonicalizes with its OWN string pipeline, so any divergence in the
+# canonicalization logic — not the synthesis — breaks the counts.
+# All string expressions are JVM-side; one groupBy(source) shuffle.
+# ---------------------------------------------------------------------------
+
+_URL_SYNTH_DUCK = """
+      'https://'
+      || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+      || '.Example.COM'
+      || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      || '/p/' || CAST(doc_id // 10 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=news&id=' || CAST((doc_id // 10) % 100 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+              THEN '?id=' || CAST((doc_id // 10) % 100 AS VARCHAR)
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END
+"""
+
+
+@query(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT source, {_URL_SYNTH_DUCK} AS url FROM documents
+    ),
+    defrag AS (
+      SELECT source, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ),
+    split AS (
+      SELECT source, substr(u, 9) AS rest0 FROM defrag
+    ),
+    hosted AS (
+      SELECT source,
+             replace(lower(substr(rest0, 1, strpos(rest0, '/') - 1)),
+                     ':443', '') AS host,
+             substr(rest0, strpos(rest0, '/')) AS rest
+      FROM split
+    ),
+    qsplit AS (
+      SELECT source, host,
+             CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, 1, strpos(rest, '?') - 1)
+                  ELSE rest END AS path,
+             CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, strpos(rest, '?'))
+                  ELSE '' END AS qs
+      FROM hosted
+    ),
+    canon AS (
+      SELECT source,
+             'https://' || host
+             || regexp_replace(path, '/+$', '')
+             || regexp_replace(regexp_replace(qs, 'utm_source=[^&]*&', ''),
+                               '\\?utm_source=[^&]*$', '') AS curl
+      FROM qsplit
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS dup_urls
+    FROM canon GROUP BY 1
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.col("doc_id")
+    grp = F.expr("cast(div(doc_id, 10) as string)")
+    gid = F.expr("cast(div(doc_id, 10) % 100 as string)")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(m % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(m % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), grp,
+        F.when(m % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m % 3 == 0, F.concat(F.lit("?utm_source=news&id="), gid))
+         .when(m % 3 == 1, F.concat(F.lit("?id="), gid))
+         .otherwise(F.lit("")),
+        F.when(m % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")))
+    u = F.regexp_replace(raw, "#.*$", "")
+    rest0 = F.substring(u, 9, 1 << 20)
+    slash = F.instr(rest0, "/")
+    host = F.replace(F.lower(F.substring(rest0, F.lit(1), slash - 1)),
+                     F.lit(":443"), F.lit(""))
+    rest = F.substring(rest0, slash, F.lit(1 << 20))
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0,
+                  F.substring(rest, F.lit(1), qpos - 1)).otherwise(rest)
+    qs = F.when(qpos > 0,
+                F.substring(rest, qpos, F.lit(1 << 20))).otherwise(F.lit(""))
+    qs = F.regexp_replace(
+        F.regexp_replace(qs, "utm_source=[^&]*&", ""),
+        "[?]utm_source=[^&]*$", "")
+    canon = F.concat(F.lit("https://"), host,
+                     F.regexp_replace(path, "/+$", ""), qs)
+    return (d.select("source", canon.alias("curl"))
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+                 (F.count("*") - F.countDistinct("curl")).cast("bigint")
+                  .alias("dup_urls")))

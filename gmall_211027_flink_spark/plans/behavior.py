@@ -560,3 +560,95 @@ def ads_last_touch_attribution(spark: SparkSession,
             .withColumn("share", F.round(
                 F.col("n_purchases").cast("double")
                 / F.sum("n_purchases").over(w_all), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution: the companion to
+# last-touch above — each purchase's credit is split 40% to the FIRST
+# touch in the window, 40% to the LAST, and 20% evenly across the
+# middles (1 touch → 100%, 2 touches → 50/50, none → 'direct').
+# Plan: an interval join (user equi-key + time-range conjunct, the J5
+# shape — never a cross join), one per-purchase window rank, then a
+# map-side credit expression. Determinism: the middle share
+# 0.2/(n-2) is rounded to 6dp per credit BEFORE the DECIMAL(38,6)
+# sum, so cross-engine accumulation order can't matter.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_position_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type, epoch_us(ts) AS tus
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT p.pid, t.event_type, t.tus, t.tid
+      FROM p JOIN t ON p.user_id = t.user_id
+                   AND t.tus < p.pus
+                   AND t.tus >= p.pus - CAST({ATTR_WINDOW_S} AS BIGINT)
+                                        * 1000000
+    ),
+    r AS (
+      SELECT pid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tus, tid) AS rk,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM j
+    ),
+    credited AS (
+      SELECT event_type AS touch_type,
+             CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN rk = 1 OR rk = n THEN CAST(0.4 AS DOUBLE)
+                  ELSE round(CAST(0.2 AS DOUBLE) / (n - 2), 6) END AS credit
+      FROM r
+    ),
+    direct AS (
+      SELECT 'direct' AS touch_type, CAST(1.0 AS DOUBLE) AS credit
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
+    ),
+    allc AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(round(credit, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_credit
+    FROM allc GROUP BY 1
+    """,
+)
+def ads_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("pid"),
+                 us.alias("pus")))
+    t = (ev.filter(F.col("event_type") != "purchase")
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("event_id").alias("tid"), "event_type",
+                 us.alias("tus")))
+    j = p.join(t, (F.col("user_id") == F.col("t_user"))
+               & (F.col("tus") < F.col("pus"))
+               & (F.col("tus") >= F.col("pus")
+                  - ATTR_WINDOW_S * 1_000_000))
+    wr = Window.partitionBy("pid").orderBy("tus", "tid")
+    wn = Window.partitionBy("pid")
+    r = j.select("pid", "event_type",
+                 F.row_number().over(wr).alias("rk"),
+                 F.count("*").over(wn).alias("n"))
+    credit = (F.when(F.col("n") == 1, F.lit(1.0))
+              .when(F.col("n") == 2, F.lit(0.5))
+              .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")),
+                    F.lit(0.4))
+              .otherwise(F.round(F.lit(0.2) / (F.col("n") - 2), 6)))
+    credited = r.select(F.col("event_type").alias("touch_type"),
+                        credit.alias("credit"))
+    direct = (p.join(j.select("pid").distinct(), "pid", "left_anti")
+              .select(F.lit("direct").alias("touch_type"),
+                      F.lit(1.0).alias("credit")))
+    return (credited.unionByName(direct)
+            .groupBy("touch_type")
+            .agg(F.count("*").cast("bigint").alias("n_credits"),
+                 F.sum(F.round("credit", 6).cast("decimal(38,6)"))
+                  .cast("double").alias("total_credit")))

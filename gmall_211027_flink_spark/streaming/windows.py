@@ -1903,3 +1903,81 @@ def dws_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min maintenance: the CM grid of
+# sketch_countmin_freq_audit maintained at ingest. CM merge is
+# cell-wise ADDITION — exactly the mergeable-sum contract of
+# IncrementalAggStore keyed by (seed, bucket) — so per-batch partial
+# grids fold O(d·w) per commit (never O(vocabulary)), and the drained
+# grid is equal under ANY batch slicing to the one-shot batch build.
+# The read-time audit (top-20 exact counts vs grid minima) must
+# hash-match the batch oracle verbatim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_countmin_maintenance",
+    oracle=None,   # assigned below: identical to batch CM audit
+)
+def stream_countmin_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sketches import (
+        CM_DEPTH, CM_TOPK, CM_WIDTH)
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = spark.range(CM_DEPTH).withColumnRenamed("id", "seed")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat(cast(seed as string), ':', token)),"
+        f" 1, 15), 16, 10) as bigint) % {CM_WIDTH}")
+    d = tempfile.mkdtemp(prefix="cm_store_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["seed", "bucket"], {"cell_cnt": ("sum", "part")})
+        # three interleaved crawl slices = three commits (mod-3 slicing,
+        # so per-batch partial grids overlap heavily — the merge is
+        # genuinely additive, not disjoint appends)
+        for i in range(3):
+            sl = (docs.filter(F.col("doc_id") % 3 == i)
+                  .select(F.explode(F.split("text", " ")).alias("token"))
+                  .groupBy("token")
+                  .agg(F.count("*").cast("bigint").alias("part"))
+                  .crossJoin(F.broadcast(seeds))
+                  .select("seed", bucket.alias("bucket"), "part"))
+            store.write_batch(sl, i)
+        grid = store.read(spark).select("seed", "bucket", "cell_cnt")
+        exact = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+                 .groupBy("token")
+                 .agg(F.count("*").cast("bigint").alias("exact_cnt")))
+        top = (exact.orderBy(F.desc("exact_cnt"), F.asc("token"))
+               .limit(CM_TOPK))
+        probes = (top.crossJoin(F.broadcast(seeds))
+                  .select("token", "exact_cnt", "seed",
+                          bucket.alias("bucket")))
+        out = (probes.join(F.broadcast(grid), ["seed", "bucket"])
+               .groupBy("token", "exact_cnt")
+               .agg(F.min("cell_cnt").cast("bigint").alias("cm_estimate"))
+               .withColumn("overestimate",
+                           (F.col("cm_estimate") - F.col("exact_cnt"))
+                           .cast("bigint")))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _cm_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.sketches  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["sketch_countmin_freq_audit"]
+
+
+_OR["stream_countmin_maintenance"] = _cm_stream_oracle()
