@@ -2118,3 +2118,209 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("ssb") / (F.col("k") - 1))
                             / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
                             6).alias("f_stat")))
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on daily GMV vs its median: is the series'
+# above/below-median pattern random, or does it trend/cluster (the
+# nonparametric cousin of the CUSUM changepoint scan — CUSUM locates a
+# shift, the runs test detects serial dependence)? Everything up to the
+# z-statistic is integer/decimal-exact: daily GMV is a DECIMAL sum, the
+# median is the exact lower-median row, runs/n1/n2 are counts; ties at
+# the median are excluded per the standard test.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gmv
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT gmv AS m FROM (
+        SELECT gmv, ROW_NUMBER() OVER (ORDER BY gmv, d) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT d, CASE WHEN gmv > m THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE gmv <> m
+    ),
+    runs AS (
+      SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                     OR LAG(s) OVER (ORDER BY d) <> s
+                     THEN 1 ELSE 0 END AS is_new
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(is_new) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))),
+                 6) AS z_stat
+    FROM agg
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (load_table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("gmv")))
+    wmed = Window.orderBy("gmv", "d")
+    med = (daily.select("gmv",
+                        F.row_number().over(wmed).alias("rn"),
+                        F.count("*").over(
+                            Window.partitionBy(F.lit(1))).alias("n"))
+           .filter(F.col("rn") == (F.col("n") + 1).cast("bigint")
+                   / F.lit(2).cast("bigint"))
+           .select(F.col("gmv").alias("m")))
+    signs = (daily.crossJoin(F.broadcast(med))
+             .filter(F.col("gmv") != F.col("m"))
+             .select("d", F.when(F.col("gmv") > F.col("m"), 1)
+                     .otherwise(0).alias("s")))
+    wd = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(F.lag("s").over(wd).isNull()
+               | (F.lag("s").over(wd) != F.col("s")), 1)
+         .otherwise(0).alias("is_new"))
+    agg = runs.agg(F.sum("is_new").cast("bigint").alias("r"),
+                   F.sum("s").cast("bigint").alias("n1"),
+                   (F.count("*") - F.sum("s")).cast("bigint").alias("n2"))
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1)))
+    return agg.select(r.alias("n_runs"), n1.alias("n_above"),
+                      n2.alias("n_below"),
+                      F.round(er, 6).alias("expected_runs"),
+                      F.round((r - er) / F.sqrt(var), 6).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality index: mean daily GMV per weekday divided by
+# the overall mean daily GMV — the multiplicative seasonal profile a
+# forecasting pipeline divides out before trend fitting. Exact decimal
+# daily sums; the dow convention is aligned to DuckDB's 0=Sunday (Spark
+# dayofweek is 1=Sunday, so subtract 1).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_seasonality_dow_index",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS gmv
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(gmv) AS DOUBLE) / COUNT(*) AS overall_mean FROM daily
+    ),
+    per AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(gmv) AS DOUBLE) / COUNT(*) AS dow_mean
+      FROM daily GROUP BY 1
+    )
+    SELECT p.dow, p.n_days, round(p.dow_mean, 6) AS dow_mean,
+           round(p.dow_mean / t.overall_mean, 6) AS seasonal_index
+    FROM per p, tot t
+    """,
+)
+def ads_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (load_table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(38,2)").alias("gmv")))
+    tot = daily.agg((F.sum("gmv").cast("double")
+                     / F.count("*")).alias("overall_mean"))
+    per = (daily.groupBy((F.dayofweek("d") - 1).cast("bigint").alias("dow"))
+           .agg(F.count("*").cast("bigint").alias("n_days"),
+                (F.sum("gmv").cast("double") / F.count("*"))
+                .alias("dow_mean")))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("dow", "n_days",
+                    F.round("dow_mean", 6).alias("dow_mean"),
+                    F.round(F.col("dow_mean") / F.col("overall_mean"), 6)
+                     .alias("seasonal_index")))
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan foreign keys across the schema's
+# load-bearing relationships — the data-quality gate an ingest runs
+# before joins silently drop (inner) or null-pad (outer) unmatched
+# rows. Each relationship is one left-anti join; counts are exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'events.user_id->customer' AS relationship,
+           (SELECT COUNT(*) FROM events) AS fact_rows,
+           CAST((SELECT COUNT(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = e.user_id))
+                AS BIGINT) AS orphan_rows,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = e.user_id))
+                AS BIGINT) AS orphan_keys
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    """,
+)
+def quality_referential_integrity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    def audit(name, fact, fk, dim, pk):
+        orphans = fact.join(dim, fact[fk] == dim[pk], "left_anti")
+        return (fact.agg(F.count("*").alias("fact_rows"))
+                .crossJoin(F.broadcast(
+                    orphans.agg(
+                        F.count("*").cast("bigint").alias("orphan_rows"),
+                        F.countDistinct(fk).cast("bigint")
+                         .alias("orphan_keys"))))
+                .select(F.lit(name).alias("relationship"), "fact_rows",
+                        "orphan_rows", "orphan_keys"))
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (audit("events.user_id->customer", ev, "user_id",
+                  cust, "c_custkey")
+            .unionByName(audit("orders.o_custkey->customer", orders,
+                               "o_custkey", cust, "c_custkey"))
+            .unionByName(audit("lineitem.l_orderkey->orders", li,
+                               "l_orderkey", orders, "o_orderkey")))

@@ -121,3 +121,59 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return ev.groupBy("user_id").applyInPandas(per_user, _ASOF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join (merge_asof direction='forward'): for each
+# purchase, the user's NEXT strictly-later error event within a
+# tolerance — "did this purchase precede a failure?" — the mirror of
+# the backward carry: FIRST_VALUE over the FOLLOWING frame, same single
+# key shuffle, fully JVM-side.
+# ---------------------------------------------------------------------------
+
+ASOF_FWD_TOLERANCE_US = 24 * 3600 * 1_000_000    # 1 day
+
+
+@query(
+    "asof_join_forward",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             FIRST_VALUE(CASE WHEN event_type = 'error' THEN event_id END
+                         IGNORE NULLS) OVER w AS next_error_id,
+             FIRST_VALUE(CASE WHEN event_type = 'error' THEN epoch_us(ts)
+                         END IGNORE NULLS) OVER w AS next_error_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN next_error_us - epoch_us(ts)
+                     <= {ASOF_FWD_TOLERANCE_US}
+                THEN next_error_id END AS next_error_id,
+           CASE WHEN next_error_us - epoch_us(ts)
+                     <= {ASOF_FWD_TOLERANCE_US}
+                THEN CAST(next_error_us - epoch_us(ts) AS BIGINT)
+                END AS buy_to_error_us
+    FROM seq
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, Window.unboundedFollowing))
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    err_us = F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+    seq = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.first(err_id, ignorenulls=True).over(w).alias("next_error_id"),
+        F.first(err_us, ignorenulls=True).over(w).alias("next_error_us"))
+    gap = F.col("next_error_us") - F.unix_micros("ts")
+    within = gap <= ASOF_FWD_TOLERANCE_US
+    return (seq.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    F.when(within, F.col("next_error_id"))
+                     .alias("next_error_id"),
+                    F.when(within, gap).cast("bigint")
+                     .alias("buy_to_error_us")))

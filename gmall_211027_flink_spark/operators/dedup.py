@@ -1537,3 +1537,50 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
             .filter(cos >= float(TFIDF_COS_THRESHOLD))
             .select("doc_a", "doc_b", cos.alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup-rate accounting by source: the per-source duplicate report a
+# curation pipeline publishes after exact dedup — which crawl sources
+# are re-serving the same bytes, and what fraction of each source's
+# volume survives. Exact-hash grain (md5 of text), two count
+# aggregations, one shuffle on (source, hash) then one on source.
+# ---------------------------------------------------------------------------
+
+def _register_dedup_rate() -> None:
+    from pyspark.sql import SparkSession
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.registry import query
+
+    @query(
+        "curation_dedup_rate_by_source",
+        oracle="""
+        WITH per AS (
+          SELECT source, md5(text) AS h, COUNT(*) AS copies
+          FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(copies) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(copies) - COUNT(*) AS BIGINT) AS dup_docs,
+               round(CAST(SUM(copies) - COUNT(*) AS DOUBLE) / SUM(copies), 6)
+                 AS dup_rate
+        FROM per GROUP BY 1
+        """,
+    )
+    def curation_dedup_rate_by_source(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+        per = (load_table(spark, sf_dir, "documents")
+               .groupBy("source", F.md5("text").alias("h"))
+               .agg(F.count("*").alias("copies")))
+        return (per.groupBy("source")
+                .agg(F.sum("copies").cast("bigint").alias("n_docs"),
+                     F.count("*").cast("bigint").alias("n_unique"),
+                     (F.sum("copies") - F.count("*")).cast("bigint")
+                      .alias("dup_docs"),
+                     F.round((F.sum("copies") - F.count("*")).cast("double")
+                             / F.sum("copies"), 6).alias("dup_rate")))
+
+
+_register_dedup_rate()

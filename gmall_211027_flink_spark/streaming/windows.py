@@ -1981,3 +1981,87 @@ def _cm_stream_oracle() -> str:
 
 
 _OR["stream_countmin_maintenance"] = _cm_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV maintenance with BOUNDED state: the bottom-k hash set
+# per source kept current at ingest. KMV's merge law makes the state
+# k-sized: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ B), so each commit
+# unions the k stored hashes with the batch's distinct hashes and
+# re-truncates — state never exceeds k rows per source no matter how
+# many batches arrive (unlike a naive distinct-hash store that grows
+# with cardinality). The drained sketch's estimate must hash-match the
+# one-shot batch KMV oracle under the mod-3 slicing.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_kmv_maintenance",
+    oracle=None,   # assigned below: identical to batch KMV audit
+)
+def stream_kmv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sketches import (
+        KMV_HEX, KMV_K, KMV_SPACE)
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.lit("events_users").alias("source"),
+        F.col("user_id").alias("k"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customers").alias("source"), F.col("c_custkey").alias("k"))
+    union = events.union(cust).select(F.lit("union").alias("source"), "k")
+    keyed = events.union(cust).union(union)
+    hashed = keyed.select(
+        "source",
+        F.expr(f"cast(conv(substring(md5(cast(k as string)), 1, {KMV_HEX}),"
+               " 16, 10) as bigint)").alias("h"), "k")
+    d = tempfile.mkdtemp(prefix="kmv_store_gate_")
+    wk = Window.partitionBy("source").orderBy("h")
+    try:
+        state = None    # the k-sized per-source bottom-k set
+        for i in range(3):
+            batch = (hashed.filter(F.col("k") % 3 == i)
+                     .select("source", "h").distinct())
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.distinct()
+                     .withColumn("rn", F.row_number().over(wk))
+                     .filter(F.col("rn") <= KMV_K)
+                     .select("source", "h"))
+            # commit the k-sized state (the store IS the sketch)
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.groupBy("source").count().agg(
+                F.max("count")).first()[0]
+            assert n <= KMV_K, f"state exceeded k: {n}"
+        kth = (state.groupBy("source")
+               .agg(F.max("h").alias("h_k"),
+                    F.count("*").cast("bigint").alias("n_kept")))
+        exact = keyed.groupBy("source").agg(
+            F.count_distinct("k").cast("bigint").alias("exact_distinct"))
+        est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+            F.expr(f"div(({KMV_K} - 1) * cast({KMV_SPACE} as bigint), h_k)"))
+        out = (exact.join(kth, "source")
+               .select("source", "exact_distinct",
+                       est.cast("bigint").alias("kmv_estimate"),
+                       F.abs(est.cast("bigint") - F.col("exact_distinct"))
+                        .cast("bigint").alias("abs_err")))
+        # gate-harness materialization (temp state removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _kmv_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.sketches  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["sketch_kmv_distinct"]
+
+
+_OR["stream_kmv_maintenance"] = _kmv_stream_oracle()
