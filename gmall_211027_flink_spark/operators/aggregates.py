@@ -2324,3 +2324,60 @@ def quality_referential_integrity(spark: SparkSession,
                                "o_custkey", cust, "c_custkey"))
             .unionByName(audit("lineitem.l_orderkey->orders", li,
                                "l_orderkey", orders, "o_orderkey")))
+
+
+# ---------------------------------------------------------------------------
+# Order-total consistency audit: does o_totalprice equal the rollup of
+# its lines (Σ extendedprice · (1+tax) · (1−discount))? The classic
+# cross-table invariant check an ingest runs alongside the referential
+# audit above — on real data a drift here means a partial load or a
+# currency/rounding bug. All terms are cast to DECIMAL before the
+# multiply, so both engines do the same exact arithmetic; the verdict
+# uses a 1-cent tolerance. (On this synthetic data the invariant does
+# NOT hold — the audit's job is to report that, exactly.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_order_total_consistency",
+    oracle="""
+    WITH rolled AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 + CAST(l_tax AS DECIMAL(8,2)))
+                 * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS line_total
+      FROM lineitem GROUP BY 1
+    ),
+    cmp AS (
+      SELECT o.o_orderstatus,
+             ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - r.line_total)
+               AS adiff
+      FROM orders o JOIN rolled r ON r.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN adiff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           CAST(round(MAX(adiff), 2) AS DOUBLE) AS max_abs_diff
+    FROM cmp GROUP BY 1
+    """,
+)
+def quality_order_total_consistency(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rolled = (li.groupBy("l_orderkey")
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                         * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+                         * (F.lit(1) - F.col("l_discount")
+                            .cast("decimal(8,2)"))).alias("line_total")))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"))
+    cmp = (o.join(rolled, o.o_orderkey == rolled.l_orderkey)
+           .select("o_orderstatus",
+                   F.abs(F.col("tp") - F.col("line_total")).alias("adiff")))
+    return (cmp.groupBy("o_orderstatus")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.sum(F.when(F.col("adiff") > 0.01, 1).otherwise(0))
+                  .cast("bigint").alias("n_mismatch"),
+                 F.round(F.max("adiff"), 2).cast("double")
+                  .alias("max_abs_diff")))

@@ -1112,3 +1112,115 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("std"),
         F.round(F.col("mn6").cast("double") / 1e6, 6).alias("min_val"),
         F.round(F.col("mx6").cast("double") / 1e6, 6).alias("max_val"))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieve-then-rerank: the standard serving plan matryoshka
+# truncation enables — stage 1 ranks the corpus with the cheap 16-dim
+# dot product and keeps RERANK_CAND candidates, stage 2 reranks only
+# those with the full 64-dim cosine. The output is the reranked top-k
+# with a per-row flag marking whether it appears in the exact top-k, so
+# the gate pins BOTH the mechanics and the quality of the cascade.
+# Scale shape: stage 1 is the broadcast-probe plan (corpus never
+# shuffles); stage 2 touches RERANK_CAND × N_QUERIES rows only.
+# ---------------------------------------------------------------------------
+
+RERANK_CAND = 50
+
+
+def _two_stage_oracle() -> str:
+    return f"""
+    WITH exact AS ({ORACLES["ann_cosine_topk"]}),
+    s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             (embedding::DOUBLE[])[1:{MATRYOSHKA_DIMS}] AS tr
+      FROM embeddings
+    ),
+    stage1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.tr, c.tr)
+                              / (sqrt(list_dot_product(q.tr, q.tr))
+                                 * sqrt(list_dot_product(c.tr, c.tr))), 6)
+                        DESC, c.vec_id) AS rk1
+      FROM s q JOIN s c ON q.vec_id < {N_QUERIES}
+                       AND c.vec_id <> q.vec_id
+    ),
+    cand AS (SELECT query_id, neighbor_id FROM stage1
+             WHERE rk1 <= {RERANK_CAND}),
+    stage2 AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_dot_product(q.emb, c.emb)
+                   / (sqrt(list_dot_product(q.emb, q.emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+      FROM cand cd
+      JOIN s q ON q.vec_id = cd.query_id
+      JOIN s c ON c.vec_id = cd.neighbor_id
+    ),
+    reranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM stage2
+    )
+    SELECT r.query_id, CAST(r.rk AS BIGINT) AS rank, r.neighbor_id,
+           r.cosine,
+           (e.neighbor_id IS NOT NULL) AS in_exact_topk
+    FROM reranked r
+    LEFT JOIN exact e ON e.query_id = r.query_id
+                     AND e.neighbor_id = r.neighbor_id
+    WHERE r.rk <= {TOP_K}
+    """
+
+
+@query("ann_two_stage_rerank", oracle=_two_stage_oracle())
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("emb", F.expr(
+             "transform(embedding, x -> cast(x as double))"))
+         .withColumn("tr", F.expr(
+             f"slice(emb, 1, {MATRYOSHKA_DIMS})"))
+         .withColumn("nfull", F.expr(
+             "sqrt(aggregate(emb, cast(0 as double),"
+             " (acc, x) -> acc + x * x))"))
+         .withColumn("ntr", F.expr(
+             "sqrt(aggregate(tr, cast(0 as double),"
+             " (acc, x) -> acc + x * x))"))
+         .select("vec_id", "emb", "tr", "nfull", "ntr"))
+    q = (s.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("tr").alias("qtr"), F.col("ntr").alias("qntr"),
+                 F.col("emb").alias("qemb"), F.col("nfull").alias("qn")))
+    c = s.select(F.col("vec_id").alias("neighbor_id"), "emb", "tr",
+                 "nfull", "ntr")
+    tdot = F.expr("aggregate(zip_with(qtr, tr, (x, y) -> x * y),"
+                  " cast(0 as double), (acc, x) -> acc + x)")
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("tcos"),
+                                                "neighbor_id")
+    cand = (c.join(F.broadcast(q),
+                   F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("tcos", F.round(
+                tdot / (F.col("qntr") * F.col("ntr")), 6))
+            .withColumn("rk1", F.row_number().over(w1))
+            .filter(F.col("rk1") <= RERANK_CAND))
+    fdot = F.expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+                  " cast(0 as double), (acc, x) -> acc + x)")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                "neighbor_id")
+    reranked = (cand
+                .withColumn("cosine", F.round(
+                    fdot / (F.col("qn") * F.col("nfull")), 6))
+                .withColumn("rank", F.row_number().over(w2))
+                .filter(F.col("rank") <= TOP_K)
+                .select("query_id", F.col("rank").cast("bigint")
+                        .alias("rank"), "neighbor_id", "cosine"))
+    exact = (ann_cosine_topk(spark, sf_dir)
+             .select(F.col("query_id").alias("e_q"),
+                     F.col("neighbor_id").alias("e_n"),
+                     F.lit(True).alias("hit")))
+    return (reranked.join(
+        exact, (F.col("query_id") == F.col("e_q"))
+        & (F.col("neighbor_id") == F.col("e_n")), "left")
+        .select("query_id", "rank", "neighbor_id", "cosine",
+                F.coalesce("hit", F.lit(False)).alias("in_exact_topk")))

@@ -1073,3 +1073,54 @@ def topk_gmv_days_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= TOPK_TIES_K)
             .select("o_orderpriority", "dt", "order_ct",
                     F.col("rk").cast("bigint").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# Session-depth distribution: how many sessions have 1, 2, 3… events —
+# the engagement histogram every traffic team derives right after
+# sessionization (the reference's session-start counters are its
+# degenerate 1-bucket form). Builds on the same gaps-and-islands
+# session ids as dws_sessionization (30-min gap, strict > break per the
+# engine's touch-merge rule), then two count aggregations. Integer
+# counts end to end.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_session_depth_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    ), depth AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS depth
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS session_ct
+    FROM depth GROUP BY 1
+    """,
+)
+def dws_session_depth_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((us - F.lag(us).over(w)) > 30 * 60 * 1_000_000), 1)
+         .otherwise(0))
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    depth = (sess.groupBy("user_id", "session_id")
+             .agg(F.count("*").cast("bigint").alias("depth")))
+    return (depth.groupBy("depth")
+            .agg(F.count("*").cast("bigint").alias("session_ct")))
