@@ -2381,3 +2381,118 @@ def quality_order_total_consistency(spark: SparkSession,
                   .cast("bigint").alias("n_mismatch"),
                  F.round(F.max("adiff"), 2).cast("double")
                   .alias("max_abs_diff")))
+
+
+# ---------------------------------------------------------------------------
+# Q-Q decile comparison between two slices: where the KS test gives one
+# max-gap number, the Q-Q table says WHERE the distributions diverge —
+# the drift report a data monitor renders. Interpolated quantiles
+# (percentile ≡ quantile_cont, the stats_exact_percentiles precedent)
+# at the 9 deciles for click vs purchase values, plus their ratio.
+# One map-side-combined pass per slice.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_qq_quantiles",
+    oracle="""
+    WITH a AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qa
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(i AS BIGINT) AS decile,
+           round(a.qa[i], 6) AS q_click,
+           round(b.qb[i], 6) AS q_purchase,
+           round(a.qa[i] / b.qb[i], 6) AS qq_ratio
+    FROM a, b, UNNEST(generate_series(1, 9)) AS t(i)
+    """,
+)
+def stats_qq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    decs = [i / 10.0 for i in range(1, 10)]
+
+    def side(tag, alias):
+        return (ev.filter(F.col("event_type") == tag)
+                .agg(F.expr(f"percentile(value, array({','.join(map(str, decs))}))")
+                     .alias(alias)))
+
+    a = side("click", "qa").select(
+        F.posexplode("qa").alias("i", "q_click"))
+    b = side("purchase", "qb").select(
+        F.posexplode("qb").alias("j", "q_purchase"))
+    return (a.join(b, a.i == b.j)
+            .select((F.col("i") + 1).cast("bigint").alias("decile"),
+                    F.round("q_click", 6).alias("q_click"),
+                    F.round("q_purchase", 6).alias("q_purchase"),
+                    F.round(F.col("q_click") / F.col("q_purchase"), 6)
+                     .alias("qq_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Lorenz-curve concentration report: cumulative GMV share of customers
+# ranked by spend, read at the deciles — the shape behind the Gini
+# number stats_gini_revenue already reports ("top 10% of customers
+# carry X% of revenue"). Exact decimal spend sums; the rank cut uses
+# integer positions so the decile boundaries are engine-identical.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_pareto_lorenz",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS rn,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(s) OVER () AS DOUBLE) AS tot
+      FROM spend
+    ),
+    cum AS (
+      SELECT rn, n, tot,
+             CAST(SUM(s) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) AS c
+      FROM ranked
+    )
+    SELECT CAST(dec AS BIGINT) AS top_pct_x10,
+           CAST(MAX(CASE WHEN rn <= n * dec // 10 THEN rn END) AS BIGINT)
+             AS n_customers,
+           round(MAX(CASE WHEN rn <= n * dec // 10 THEN c END)
+                 / MAX(tot), 6) AS gmv_share
+    FROM cum, UNNEST(generate_series(1, 9)) AS t(dec)
+    GROUP BY dec
+    """,
+)
+def ads_pareto_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (load_table(spark, sf_dir, "orders")
+             .groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("s")))
+    wr = Window.orderBy(F.desc("s"), "o_custkey")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = spend.select(
+        "s", F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("s").over(wall).cast("double").alias("tot"))
+    cum = ranked.withColumn(
+        "c", F.sum("s").over(
+            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double"))
+    decs = (load_table(spark, sf_dir, "orders").sparkSession
+            .range(1, 10).withColumnRenamed("id", "dec"))
+    return (cum.crossJoin(F.broadcast(decs))
+            .groupBy(F.col("dec").cast("bigint").alias("top_pct_x10"))
+            .agg(F.max(F.when(
+                F.col("rn") <= F.expr("div(n * dec, 10)"), F.col("rn")))
+                .cast("bigint").alias("n_customers"),
+                F.round(F.max(F.when(
+                    F.col("rn") <= F.expr("div(n * dec, 10)"), F.col("c")))
+                    / F.max("tot"), 6).alias("gmv_share")))

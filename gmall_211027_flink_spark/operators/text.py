@@ -1216,3 +1216,70 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("curl").cast("bigint").alias("n_canonical"),
                  (F.count("*") - F.countDistinct("curl")).cast("bigint")
                   .alias("dup_urls")))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection: the phrases that recur across the MOST
+# documents (nav bars, license footers, cookie banners in a real crawl)
+# — C4/Gopher-style pipelines strip them before dedup because they
+# dominate shingle space and glue unrelated docs into near-dup
+# clusters. Document frequency of distinct 8-grams, top-20 with their
+# df ratio. Plan: per-doc distinct grams are map-side dedup'd before
+# the one gram-keyed shuffle; top-20 is TakeOrdered, no global sort.
+# ---------------------------------------------------------------------------
+
+BOILER_N = 8
+BOILER_TOPK = 20
+
+
+def _register_boilerplate() -> None:
+    from gmall_211027_flink_spark.registry import query as _q
+
+    @_q(
+        "curation_boilerplate_ngrams",
+        oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(w[i:i + {BOILER_N} - 1], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, len(w) - {BOILER_N} + 1))
+                       AS t(i)
+          WHERE len(w) >= {BOILER_N}
+        ),
+        df AS (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+          FROM grams GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT gram, doc_freq,
+               round(CAST(doc_freq AS DOUBLE) / t.n_docs, 6) AS df_ratio
+        FROM df, tot t
+        ORDER BY doc_freq DESC, gram
+        LIMIT {BOILER_TOPK}
+        """,
+    )
+    def curation_boilerplate_ngrams(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w"))
+        grams = (docs.filter(F.size("w") >= BOILER_N)
+                 .select("doc_id", F.explode(F.expr(
+                     f"transform(sequence(1, size(w) - {BOILER_N} + 1),"
+                     f" i -> concat_ws(' ', slice(w, i, {BOILER_N})))"
+                 )).alias("gram"))
+                 .distinct())
+        df = grams.groupBy("gram").agg(
+            F.count("*").cast("bigint").alias("doc_freq"))
+        tot = (load_table(spark, sf_dir, "documents")
+               .agg(F.count("*").cast("bigint").alias("n_docs")))
+        return (df.crossJoin(F.broadcast(tot))
+                .select("gram", "doc_freq",
+                        F.round(F.col("doc_freq").cast("double")
+                                / F.col("n_docs"), 6).alias("df_ratio"))
+                .orderBy(F.desc("doc_freq"), "gram")
+                .limit(BOILER_TOPK))
+
+
+_register_boilerplate()
