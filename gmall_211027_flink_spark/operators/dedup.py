@@ -1584,3 +1584,109 @@ def _register_dedup_rate() -> None:
 
 
 _register_dedup_rate()
+
+
+# ---------------------------------------------------------------------------
+# MinHash ESTIMATE bias audit: the recall audit (dedup_minhash_recall)
+# asks "did the bands find the pairs?"; this one asks "how good is the
+# signature-agreement Jaccard ESTIMATE itself?" — matches/16 vs the
+# exact shingle Jaccard, per banded candidate pair. The per-pair error
+# is what a pipeline consults before replacing exact verification with
+# the estimate at scale (16 hashes ⇒ ±1/16 quantization). n_agree is an
+# integer, the estimate is an exact multiple of 1/16, and the exact
+# Jaccard is the same integer ratio both engines compute — no float
+# boundary risk.
+# ---------------------------------------------------------------------------
+
+def _mh_estimate_bias_oracle() -> str:
+    rows = N_MINHASH // N_BANDS
+    return f"""
+    WITH {_SHINGLES_SQL},
+    {_minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cand c
+      JOIN mh a ON a.doc_id = c.doc_a
+      JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b, g.n_agree,
+           round(g.n_agree / {N_MINHASH}.0, 6) AS mh_estimate,
+           round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS exact_jaccard,
+           round(ABS(g.n_agree / {N_MINHASH}.0
+                     - CAST(COALESCE(i.i, 0) AS DOUBLE)
+                       / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    JOIN sizes sa ON g.doc_a = sa.doc_id
+    JOIN sizes sb ON g.doc_b = sb.doc_id
+    """
+
+
+def _register_mh_estimate_bias() -> None:
+    from gmall_211027_flink_spark.registry import query as _q
+
+    @_q("dedup_minhash_estimate_bias", oracle=_mh_estimate_bias_oracle())
+    def dedup_minhash_estimate_bias(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        wdocs = _shingle_arrays(spark, sf_dir)
+        ih = wdocs.filter(F.size("sh_arr") > 0).select(
+            "doc_id", "sh_arr",
+            F.expr("transform(sh_arr, x -> cast(conv(substring(md5(x), 1, 8),"
+                   " 16, 10) as bigint))").alias("ih"))
+        sig = ih.select(
+            "doc_id", "sh_arr",
+            F.array(*[F.expr(
+                f"array_min(transform(ih, x -> (x * {MINHASH_A[s]}L"
+                f" + {MINHASH_B[s]}L) % {MINHASH_P}L))")
+                for s in range(N_MINHASH)]).alias("sig"))
+        bands = minhash_bands(spark, sf_dir)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                       & (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+        sa = sig.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sig").alias("sig_a"),
+                        F.col("sh_arr").alias("sh_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sig").alias("sig_b"),
+                        F.col("sh_arr").alias("sh_b"))
+        joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+        n_agree = F.expr(
+            "aggregate(zip_with(sig_a, sig_b,"
+            " (x, y) -> if(x = y, 1, 0)), 0, (acc, x) -> acc + x)"
+        ).cast("bigint")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        uni = (F.size("sh_a") + F.size("sh_b")).cast("bigint") - inter
+        est = F.col("n_agree").cast("double") / N_MINHASH
+        exact = F.col("i").cast("double") / F.col("u")
+        return (joined
+                .select("doc_a", "doc_b", n_agree.alias("n_agree"),
+                        inter.alias("i"), uni.alias("u"))
+                .select("doc_a", "doc_b", "n_agree",
+                        F.round(est, 6).alias("mh_estimate"),
+                        F.round(exact, 6).alias("exact_jaccard"),
+                        F.round(F.abs(est - exact), 6).alias("abs_err")))
+
+
+_register_mh_estimate_bias()
