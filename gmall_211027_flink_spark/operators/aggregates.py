@@ -2496,3 +2496,59 @@ def ads_pareto_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.max(F.when(
                     F.col("rn") <= F.expr("div(n * dec, 10)"), F.col("c")))
                     / F.max("tot"), 6).alias("gmv_share")))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-primary-key audit across every table that declares one —
+# the third leg of the DQ family (referential integrity, invariant
+# consistency, key uniqueness). A duplicated PK silently doubles rows
+# through every downstream join; this is the one-line report that
+# catches a replayed ingest. Each table is one distinct-count pass.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_duplicate_pk_audit",
+    oracle="""
+    SELECT 'events.event_id' AS pk, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_rows
+    FROM events
+    UNION ALL
+    SELECT 'orders.o_orderkey', COUNT(*),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', COUNT(*),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'documents.doc_id', COUNT(*),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings.vec_id', COUNT(*),
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT)
+    FROM embeddings
+    """,
+)
+def quality_duplicate_pk_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    def audit(table, pk):
+        t = load_table(spark, sf_dir, table)
+        return t.agg(
+            F.lit(f"{table}.{pk}").alias("pk"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(pk).cast("bigint").alias("n_distinct"),
+            (F.count("*") - F.countDistinct(pk)).cast("bigint")
+             .alias("dup_rows")).select("pk", "n_rows", "n_distinct",
+                                        "dup_rows")
+
+    out = audit("events", "event_id")
+    for t, k in [("orders", "o_orderkey"), ("customer", "c_custkey"),
+                 ("documents", "doc_id"), ("embeddings", "vec_id")]:
+        out = out.unionByName(audit(t, k))
+    return out

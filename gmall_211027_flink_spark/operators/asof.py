@@ -177,3 +177,40 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("next_error_id"),
                     F.when(within, gap).cast("bigint")
                      .alias("buy_to_error_us")))
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency distribution: quantiles of the view→purchase gap
+# the as-of join above computes — "how long before a view converts" is
+# the number the attribution window (ATTR_WINDOW_S) should be tuned
+# from, closing the loop between the two operators. Interpolated
+# percentile over exact BIGINT microsecond gaps.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_conversion_latency_quantiles",
+    oracle=f"""
+    WITH conv AS ({_ASOF_ORACLE}),
+    g AS (SELECT view_to_buy_us FROM conv WHERE view_to_buy_us IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(view_to_buy_us, 0.25), 6) AS p25_us,
+           round(quantile_cont(view_to_buy_us, 0.5), 6) AS p50_us,
+           round(quantile_cont(view_to_buy_us, 0.75), 6) AS p75_us,
+           round(quantile_cont(view_to_buy_us, 0.9), 6) AS p90_us
+    FROM g
+    """,
+)
+def ads_conversion_latency_quantiles(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    gaps = (asof_join_window(spark, sf_dir)
+            .filter(F.col("view_to_buy_us").isNotNull()))
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.round(F.expr("percentile(view_to_buy_us, 0.25)"), 6)
+         .alias("p25_us"),
+        F.round(F.expr("percentile(view_to_buy_us, 0.5)"), 6)
+         .alias("p50_us"),
+        F.round(F.expr("percentile(view_to_buy_us, 0.75)"), 6)
+         .alias("p75_us"),
+        F.round(F.expr("percentile(view_to_buy_us, 0.9)"), 6)
+         .alias("p90_us"))

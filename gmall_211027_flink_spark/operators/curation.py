@@ -826,3 +826,68 @@ def curation_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(alloc.cast("double") / F.col("toks"), 6)
                     .alias("epochs"),
                     "capped"))
+
+
+# ---------------------------------------------------------------------------
+# Contamination rollup by SOURCE: the same eval-suite 5-gram overlap as
+# decontaminate_ngram, reported per crawl source instead of per
+# language — the view that tells a pipeline WHICH feed is leaking eval
+# data (a benchmarks-mirror source shows up immediately). Same
+# broadcast semi-join plan; corpus grams never shuffle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "curation_contamination_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             doc_id % {EVAL_MOD} = 0 AS is_eval
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, is_eval,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - {NGRAM - 1}, 0))) AS t(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+    cont AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE NOT is_eval AND g IN (SELECT g FROM eg)
+    )
+    SELECT t.source,
+           COUNT(*) AS train_ct,
+           COUNT(c.doc_id) AS contaminated_ct,
+           round(CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate
+    FROM toks t LEFT JOIN cont c USING (doc_id)
+    WHERE NOT t.is_eval
+    GROUP BY 1
+    """,
+)
+def curation_contamination_by_source(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w"),
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"))
+    grams = docs.select(
+        "doc_id", "is_eval",
+        F.explode(F.expr(
+            f"array_distinct(transform("
+            f" if(size(w) >= {NGRAM}, sequence(1, size(w)-{NGRAM - 1}),"
+            "  cast(array() as array<int>)),"
+            " i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),"
+            " element_at(w,i+2), element_at(w,i+3), element_at(w,i+4))))"
+        )).alias("g"))
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    cont = (grams.filter(~F.col("is_eval"))
+            .join(F.broadcast(eval_grams), "g", "left_semi")
+            .select("doc_id").distinct()
+            .withColumn("hit", F.lit(1)))
+    train = docs.filter(~F.col("is_eval")).select("doc_id", "source")
+    return (train.join(F.broadcast(cont), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("train_ct"),
+                 F.count("hit").alias("contaminated_ct"),
+                 F.round(F.count("hit").cast("double") / F.count("*"), 6)
+                  .alias("contamination_rate")))

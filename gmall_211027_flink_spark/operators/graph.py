@@ -546,3 +546,84 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
     return (deg.groupBy("degree")
             .agg(F.count("*").cast("bigint").alias("node_ct")))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph: Pearson correlation of
+# endpoint degrees over the (symmetric) edge list — do hubs attach to
+# hubs (assortative, r > 0) or to leaves (disassortative, r < 0)? With
+# the degree distribution above it pins the graph's shuffle behavior:
+# a disassortative hub graph concentrates whole neighborhoods on one
+# key. Every sum is BIGINT-exact (degrees × edges fit comfortably); the
+# final r is one double expression, NULLIF-guarded for degenerate
+# (constant-degree) graphs so both engines return NULL rather than
+# divide by zero.
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    ed AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e
+      JOIN deg du ON du.u = e.u
+      JOIN deg dv ON dv.u = e.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .select("part_a", "part_b")
+    )
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v"))))
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    du = deg.select(F.col("u").alias("ku"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("kv"), F.col("d").alias("y"))
+    ed = (edges.join(du, edges.u == du.ku)
+          .join(dv, edges.v == dv.kv).select("x", "y"))
+    s = ed.agg(F.count("*").cast("bigint").alias("n"),
+               F.sum("x").cast("bigint").alias("sx"),
+               F.sum("y").cast("bigint").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
+    den = F.sqrt((n * F.col("sxx") - sx * F.col("sx"))
+                 * (n * F.col("syy") - sy * F.col("sy")))
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round((n * F.col("sxy") - sx * sy)
+                / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"))

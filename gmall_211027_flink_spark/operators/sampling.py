@@ -666,3 +666,54 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n_splits") > 1)
                 .agg(F.count("*").cast("bigint").alias("straddle_groups")))
     return per.crossJoin(F.broadcast(straddle))
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling: cap every label at the minority class's
+# size — the classifier-training rebalance pass. The kept set is the
+# bottom-m rows per label under the content-keyed md5 order (stable
+# under repartition/append, identical across engines, and NESTED: if m
+# grows, previously-kept rows stay kept). One window rank per label
+# after a broadcast of the 10-row class-size table.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH sized AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+    ),
+    m AS (SELECT MIN(n) AS m FROM sized),
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT r.label,
+           CAST(COUNT(*) AS BIGINT) AS total_ct,
+           CAST(SUM(CASE WHEN r.rn <= m.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_ct,
+           round(CAST(SUM(CASE WHEN r.rn <= m.m THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS keep_rate
+    FROM ranked r, m GROUP BY r.label
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    m = (e.groupBy("label").count()
+         .agg(F.min("count").alias("m")))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    return (ranked.crossJoin(F.broadcast(m))
+            .groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("total_ct"),
+                 F.sum(F.when(F.col("rn") <= F.col("m"), 1).otherwise(0))
+                  .cast("bigint").alias("kept_ct"),
+                 F.round(F.sum(F.when(F.col("rn") <= F.col("m"), 1)
+                               .otherwise(0)).cast("double")
+                         / F.count("*"), 6).alias("keep_rate")))

@@ -1224,3 +1224,73 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("neighbor_id") == F.col("e_n")), "left")
         .select("query_id", "rank", "neighbor_id", "cosine",
                 F.coalesce("hit", F.lit(False)).alias("in_exact_topk")))
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid drift between corpus halves: split by vec_id parity
+# (stand-in for "shard A vs shard B" / "yesterday vs today"), compute
+# each label's centroid in both halves from integer-quantized component
+# sums, and report the L2 distance — the embedding-model drift monitor
+# that fires when a re-embedded shard lands in a different region of
+# space. Per-dim squared diffs are rounded to 6dp then DECIMAL-summed,
+# so the 64-term accumulation is order-insensitive.
+# ---------------------------------------------------------------------------
+
+def _centroid_drift_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT label, vec_id % 2 AS half, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5)
+                  AS BIGINT) AS x6
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    m AS (
+      SELECT label, half, dim, CAST(SUM(x6) AS BIGINT) AS s6,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT a.label, a.dim,
+             a.s6 / 1e6 / a.n AS ca, b.s6 / 1e6 / b.n AS cb,
+             a.n AS n_a, b.n AS n_b
+      FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(MAX(n_a) AS BIGINT) AS n_even,
+           CAST(MAX(n_b) AS BIGINT) AS n_odd,
+           round(sqrt(CAST(SUM(CAST(round((ca - cb) * (ca - cb), 6)
+                                    AS DECIMAL(38,6))) AS DOUBLE)), 6)
+             AS centroid_l2
+    FROM p GROUP BY 1
+    """
+
+
+@query("embedding_label_centroid_drift", oracle=_centroid_drift_oracle())
+def embedding_label_centroid_drift(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "embeddings")
+         .select("label", (F.col("vec_id") % 2).alias("half"),
+                 F.posexplode(F.expr(
+                     "transform(embedding, x -> cast(floor(cast(x as double)"
+                     " * 1000000 + 0.5) as bigint))")).alias("dim", "x6")))
+    m = (c.groupBy("label", "half",
+                   F.col("dim").cast("bigint").alias("dim"))
+         .agg(F.sum("x6").cast("bigint").alias("s6"),
+              F.count("*").cast("bigint").alias("n")))
+    a = m.filter(F.col("half") == 0).select(
+        "label", "dim", (F.col("s6").cast("double") / 1e6 / F.col("n"))
+        .alias("ca"), F.col("n").alias("n_a"))
+    b = m.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"),
+        (F.col("s6").cast("double") / 1e6 / F.col("n")).alias("cb"),
+        F.col("n").alias("n_b"))
+    p = a.join(b, (a.label == b.lb) & (a.dim == b.db))
+    term = F.round((F.col("ca") - F.col("cb"))
+                   * (F.col("ca") - F.col("cb")), 6).cast("decimal(38,6)")
+    return (p.groupBy("label")
+            .agg(F.max("n_a").cast("bigint").alias("n_even"),
+                 F.max("n_b").cast("bigint").alias("n_odd"),
+                 F.round(F.sqrt(F.sum(term).cast("double")), 6)
+                  .alias("centroid_l2")))
