@@ -280,3 +280,52 @@ def test_late_data_drop_actually_drops(spark, sf_dir):
     with_late = agg(ev)
     assert got == on_time
     assert sum(got.values()) < sum(with_late.values())
+
+
+# ------------------------------------------------------ class balance -----
+
+def test_class_balance_caps_every_label_at_minority(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_class_balance)
+    rows = sample_class_balance(spark, sf_dir).collect()
+    m = min(r["total_ct"] for r in rows)
+    assert all(r["kept_ct"] == m for r in rows)
+
+
+# ----------------------------------------------- minhash estimate bias ----
+
+def test_minhash_estimate_is_sixteenth_quantized(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.dedup import N_MINHASH
+    from gmall_211027_flink_spark.registry import QUERIES, load_all
+    load_all()
+    rows = QUERIES["dedup_minhash_estimate_bias"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        q = r["mh_estimate"] * N_MINHASH
+        assert abs(q - round(q)) < 1e-9
+        assert abs(r["abs_err"]
+                   - abs(r["mh_estimate"] - r["exact_jaccard"])) < 2e-6
+
+
+# ------------------------------------------------------ two-stage ANN -----
+
+def test_two_stage_rerank_emits_topk_per_query(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.similarity import (
+        N_QUERIES, TOP_K, ann_two_stage_rerank)
+    rows = ann_two_stage_rerank(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, TOP_K + 1))
+               for v in per.values())
+
+
+# ------------------------------------------------------- DQ audits --------
+
+def test_pk_audit_clean_on_testdata(spark, sf_dir):
+    from gmall_211027_flink_spark.registry import QUERIES, load_all
+    load_all()
+    rows = QUERIES["quality_duplicate_pk_audit"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["dup_rows"] == 0 for r in rows)
