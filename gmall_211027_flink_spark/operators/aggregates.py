@@ -2552,3 +2552,93 @@ def quality_duplicate_pk_audit(spark: SparkSession,
                  ("documents", "doc_id"), ("embeddings", "vec_id")]:
         out = out.unionByName(audit(t, k))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion (burstiness) index: variance-to-mean ratio of
+# per-10-minute event counts — ≈1 for a Poisson arrival process, ≫1
+# for bursty traffic. The one-number companion to the error-burst
+# window detector: it says whether bursts are the regime or the
+# exception. Counts are integers; moments come from BIGINT sums, so
+# the final double division is engine-identical.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_poisson_dispersion",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM buckets
+    )
+    SELECT n AS n_buckets, s AS n_events,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_per_bucket,
+           round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (n - 1), 6) AS var_per_bucket,
+           round(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) / (CAST(s AS DOUBLE) / n), 6)
+             AS dispersion_index
+    FROM m
+    """,
+)
+def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = (load_table(spark, sf_dir, "events")
+               .groupBy(F.floor(F.unix_timestamp("ts") / 600)
+                        .cast("bigint").alias("b"))
+               .agg(F.count("*").cast("bigint").alias("c")))
+    m = buckets.agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("c").cast("bigint").alias("s"),
+                    F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"))
+    n, s, q = (F.col("n"), F.col("s").cast("double"),
+               F.col("q").cast("double"))
+    mean = s / n
+    var = (q - s * F.col("s") / n) / (n - 1)
+    return m.select(F.col("n").alias("n_buckets"),
+                    F.col("s").alias("n_events"),
+                    F.round(mean, 6).alias("mean_per_bucket"),
+                    F.round(var, 6).alias("var_per_bucket"),
+                    F.round(var / mean, 6).alias("dispersion_index"))
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase rate: share of purchasing users who purchase on more
+# than one distinct day — the retention KPI next to back-flow users
+# (A5) that every commerce ADS layer publishes. Two distinct-count
+# aggregations, integer end to end.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_repeat_purchase_rate",
+    oracle="""
+    WITH pd AS (
+      SELECT user_id,
+             CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+               AS purchase_days
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS purchasing_users,
+           CAST(SUM(CASE WHEN purchase_days > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS repeat_users,
+           round(CAST(SUM(CASE WHEN purchase_days > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS repeat_rate
+    FROM pd
+    """,
+)
+def ads_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pd_ = (load_table(spark, sf_dir, "events")
+           .filter(F.col("event_type") == "purchase")
+           .groupBy("user_id")
+           .agg(F.countDistinct(F.date_format("ts", "yyyy-MM-dd"))
+                .cast("bigint").alias("purchase_days")))
+    return pd_.agg(
+        F.count("*").cast("bigint").alias("purchasing_users"),
+        F.sum(F.when(F.col("purchase_days") > 1, 1).otherwise(0))
+         .cast("bigint").alias("repeat_users"),
+        F.round(F.sum(F.when(F.col("purchase_days") > 1, 1).otherwise(0))
+                .cast("double") / F.count("*"), 6).alias("repeat_rate"))

@@ -627,3 +627,79 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round((n * F.col("sxy") - sx * sy)
                 / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient: 3·triangles / wedges over the same
+# TRI_MIN_TOGETHER edge set as the per-node triangle counts — the
+# one-number cohesion summary ("what fraction of open triads close")
+# that, with degree distribution and assortativity, completes the
+# graph-profile triptych. Triangle total reuses the oriented-wedge
+# semi-join plan (no new shuffle shape); wedge total is Σ d·(d−1)/2
+# over the degree table — all BIGINT-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oriented AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {TRI_MIN_TOGETHER}
+    ),
+    wedges AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM oriented a JOIN oriented b ON a.u = b.u AND a.v < b.v
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tri FROM wedges w
+      JOIN oriented e ON e.u = w.y AND e.v = w.z
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM oriented UNION ALL SELECT v FROM oriented
+      ) GROUP BY 1
+    ),
+    wed AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT t.n_tri AS n_triangles, w.n_wedges,
+           round(3.0 * t.n_tri / NULLIF(w.n_wedges, 0), 6)
+             AS global_clustering
+    FROM tri t, wed w
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    oriented = (op.alias("a").join(
+        op.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") >= TRI_MIN_TOGETHER)
+        .select("u", "v")
+        .localCheckpoint())
+    a = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    b = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = a.join(b, "x").filter(F.col("y") < F.col("z"))
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (wedges.join(closing, ["y", "z"], "left_semi")
+           .agg(F.count("*").cast("bigint").alias("n_tri")))
+    deg = (oriented.select(F.col("u").alias("node"))
+           .unionAll(oriented.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("d")))
+    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                  .cast("bigint").alias("n_wedges"))
+    return (tri.crossJoin(F.broadcast(wed))
+            .select(F.col("n_tri").alias("n_triangles"), "n_wedges",
+                    F.round(3.0 * F.col("n_tri")
+                            / F.nullif(F.col("n_wedges").cast("double"),
+                                       F.lit(0.0)), 6)
+                     .alias("global_clustering")))
