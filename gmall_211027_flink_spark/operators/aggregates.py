@@ -2182,8 +2182,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(wmed).alias("rn"),
                         F.count("*").over(
                             Window.partitionBy(F.lit(1))).alias("n"))
-           .filter(F.col("rn") == (F.col("n") + 1).cast("bigint")
-                   / F.lit(2).cast("bigint"))
+           .filter(F.col("rn") == F.expr("div(n + 1, 2)"))
            .select(F.col("gmv").alias("m")))
     signs = (daily.crossJoin(F.broadcast(med))
              .filter(F.col("gmv") != F.col("m"))
