@@ -159,7 +159,10 @@ ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
 # plan whose skew behavior was asserted, not measured — probe it on a
 # 10x events corpus where ONE hot user absorbs 1/SCALE_FACTOR of all
 # events (worst-case key skew for the per-user window sort).
-BEHAVIOR_SCALE_QUERIES = ["ads_window_funnel"]
+# round-7: the salted join rides the same hot-key corpus — user_id 1
+# carries ~10% of all fact rows, exactly the regime salting exists for;
+# the probe measures that the salted plan stays linear under it.
+BEHAVIOR_SCALE_QUERIES = ["ads_window_funnel", "join_salted_skew"]
 
 
 def _dedup_scale_probe(spark, sf_dir: str) -> dict:
@@ -226,6 +229,13 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     # other replicas get fresh user/event ids. The ts column is copied
     # verbatim (whatever encoding the source file uses — load_table
     # normalizes at read).
+    # the customer DIM is copied 1x (unscaled) into the probe dir: dims
+    # don't grow with the fact table — that asymmetry is what makes the
+    # salted join's broadcast-explode side cheap
+    cust_path = f"{probe_dir}/customer.parquet"
+    if not os.path.exists(f"{cust_path}/_SUCCESS"):
+        (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .write.mode("overwrite").parquet(cust_path))
     ev_path = f"{probe_dir}/events.parquet"
     if not os.path.exists(f"{ev_path}/_SUCCESS"):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
