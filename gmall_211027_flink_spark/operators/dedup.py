@@ -1690,3 +1690,73 @@ def _register_mh_estimate_bias() -> None:
 
 
 _register_mh_estimate_bias()
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution near-dup by banded edit distance — the classic
+# record-linkage comparator (Levenshtein) made shuffle-safe with
+# standard blocking: candidates must share a 16-char prefix block AND
+# sit within a character-length band, so the quadratic DP only ever
+# runs inside blocks. Complements the set-based comparators (Jaccard /
+# MinHash / SimHash): edit distance catches in-place typo edits that
+# barely move shingle sets but matter for citation/record linkage.
+#
+# Scale shape: the self-join is an EQUI-join on the prefix block key
+# (never all-pairs); the length band is a residual predicate inside
+# the block. The comparator runs on a 120-char prefix window, never
+# the full document — full-doc O(n*m) DP is not a thing you run at
+# 100 TB, and for near-identical records the prefix window decides.
+# Both engines implement standard Levenshtein (unit insert/delete/
+# substitute), so the distance itself is integer-exact in the oracle.
+# ---------------------------------------------------------------------------
+
+ED_BLOCK_PFX = 16       # chars of shared prefix forming the block key
+ED_LEN_BAND = 24        # max |len_a - len_b| inside a block
+ED_WINDOW = 120         # comparator window (chars)
+ED_MAX_DIST = 20        # accept pairs at or under this distance
+
+
+@query(
+    "dedup_edit_distance_banded",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             substr(text, 1, {ED_BLOCK_PFX}) AS blk,
+             substr(text, 1, {ED_WINDOW}) AS win
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.win, b.win) AS BIGINT) AS edit_dist,
+           CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS len_diff
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {ED_LEN_BAND}
+    WHERE levenshtein(a.win, b.win) <= {ED_MAX_DIST}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Levenshtein distance <= {ED_MAX_DIST} on a
+    {ED_WINDOW}-char window, candidates blocked by shared
+    {ED_BLOCK_PFX}-char prefix + length band {ED_LEN_BAND}."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "n_chars",
+                 F.substring("text", 1, ED_BLOCK_PFX).alias("blk"),
+                 F.substring("text", 1, ED_WINDOW).alias("win")))
+    a = d.select(F.col("doc_id").alias("doc_a"),
+                 F.col("n_chars").alias("len_a"),
+                 F.col("blk"), F.col("win").alias("win_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"),
+                 F.col("n_chars").alias("len_b"),
+                 F.col("blk"), F.col("win").alias("win_b"))
+    return (a.join(b, "blk")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (F.abs(F.col("len_a") - F.col("len_b"))
+                       <= ED_LEN_BAND))
+            .withColumn("edit_dist",
+                        F.levenshtein("win_a", "win_b").cast("bigint"))
+            .filter(F.col("edit_dist") <= ED_MAX_DIST)
+            .select("doc_a", "doc_b", "edit_dist",
+                    F.abs(F.col("len_a") - F.col("len_b")).cast("bigint")
+                    .alias("len_diff"))
+            .orderBy("doc_a", "doc_b"))

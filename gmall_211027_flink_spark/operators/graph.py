@@ -703,3 +703,121 @@ def graph_clustering_coefficient(spark: SparkSession,
                             / F.nullif(F.col("n_wedges").cast("double"),
                                        F.lit(0.0)), 6)
                      .alias("global_clustering")))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common neighbors + Jaccard (Liben-Nowell & Kleinberg
+# 2003) on the co-purchase graph — "parts frequently bought alongside
+# the same third parts, but never yet together" is the recommendation
+# candidate list the reference's publisher would build from its ADS
+# keyword/product layer.
+#
+# Scale shape: candidate pairs are WEDGES (two neighbors of a shared
+# center), enumerated the posting-list way — one shuffle to center
+# grain, pairs expanded map-side from each center's sorted adjacency
+# list. Wedge fan-out is sum(deg^2), so hub centers are capped at
+# LP_HUB_CAP neighbors and skipped (standard in production link
+# prediction: a hub's wedges are its popularity, not an affinity
+# signal — and the cap is what bounds the explosion at 100 TB). The
+# already-connected filter is a broadcast-or-shuffle anti-join on the
+# oriented edge list; no step is all-pairs.
+#
+# Determinism: scores are cn/(deg_y + deg_z - cn) with int64 inputs —
+# the one double division rides through the repo's 6-dp boundary, and
+# the top-k cut orders by (rounded score, cn, y, z), all exact ties.
+# ---------------------------------------------------------------------------
+
+LP_HUB_CAP = 64     # max adjacency size for a wedge center
+LP_TOPK = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oriented AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {TRI_MIN_TOGETHER}
+    ),
+    adj AS (
+      SELECT u AS center, v AS leaf FROM oriented
+      UNION ALL SELECT v, u FROM oriented
+    ),
+    deg AS (
+      SELECT center AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY 1
+    ),
+    wedge AS (
+      SELECT a.leaf AS y, b.leaf AS z,
+             CAST(COUNT(*) AS BIGINT) AS common_ct
+      FROM adj a
+      JOIN deg cd ON cd.node = a.center AND cd.d <= {LP_HUB_CAP}
+      JOIN adj b ON a.center = b.center AND a.leaf < b.leaf
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.y, w.z, w.common_ct
+      FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM oriented e
+                        WHERE e.u = w.y AND e.v = w.z)
+    )
+    SELECT c.y AS part_a, c.z AS part_b, c.common_ct,
+           round(CAST(c.common_ct AS DOUBLE)
+                 / (dy.d + dz.d - c.common_ct), 6) AS jaccard
+    FROM cand c
+    JOIN deg dy ON dy.node = c.y
+    JOIN deg dz ON dz.node = c.z
+    ORDER BY jaccard DESC, c.common_ct DESC, c.y, c.z
+    LIMIT {LP_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOPK} predicted co-purchase links: unconnected part pairs
+    ranked by neighborhood Jaccard (common neighbors over union of
+    neighborhoods), with hub centers above {LP_HUB_CAP} neighbors
+    excluded from wedge generation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    oriented = (op.alias("a").join(
+        op.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") >= TRI_MIN_TOGETHER)
+        .select("u", "v")
+        .localCheckpoint())
+    adj = (oriented.select(F.col("u").alias("center"), F.col("v").alias("leaf"))
+           .unionAll(oriented.select(F.col("v").alias("center"),
+                                     F.col("u").alias("leaf"))))
+    deg = (adj.groupBy(F.col("center").alias("node"))
+           .agg(F.count("*").cast("bigint").alias("d")))
+    # posting-list wedge expansion: one shuffle to center grain, pairs
+    # generated map-side from each center's sorted (capped) adjacency
+    wedge = (adj.groupBy("center")
+             .agg(F.sort_array(F.collect_list("leaf")).alias("ps"))
+             .filter((F.size("ps") > 1) & (F.size("ps") <= LP_HUB_CAP))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ps, (x, i) -> transform("
+                 "slice(ps, i+2, size(ps)-i-1),"
+                 " y -> struct(x as y, y as z))))")).alias("p"))
+             .groupBy("p.y", "p.z")
+             .agg(F.count("*").cast("bigint").alias("common_ct")))
+    cand = wedge.join(
+        oriented, (wedge.y == oriented.u) & (wedge.z == oriented.v),
+        "left_anti")
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    dz = deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))
+    return (cand.join(dy, "y").join(dz, "z")
+            .select(F.col("y").alias("part_a"), F.col("z").alias("part_b"),
+                    "common_ct",
+                    F.round(F.col("common_ct").cast("double")
+                            / (F.col("dy") + F.col("dz")
+                               - F.col("common_ct")), 6).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), F.desc("common_ct"),
+                     "part_a", "part_b")
+            .limit(LP_TOPK))

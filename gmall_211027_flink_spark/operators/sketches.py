@@ -30,10 +30,11 @@ forces, audited against the exact answers the reference would compute.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.functions.scalar import hex_to_long
 from gmall_211027_flink_spark.registry import query
 
 CM_DEPTH = 4      # independent hash rows
@@ -257,3 +258,227 @@ def sketch_heavy_hitter_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("salt_factor"))
             .orderBy(F.desc("cnt"), F.asc("user_id"))
             .limit(HH_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation by Count-Min inner product (AGMS/Alon-
+# Matias-Szegedy lineage; CM variant per Cormode & Muthukrishnan §4.2):
+# |A join B on k| = sum_key fA(key)*fB(key), and the CM estimate is
+# min over seed rows of sum_bucket cmA[s][b]*cmB[s][b] — never an
+# under-count, because colliding keys only ADD cross terms. This is the
+# planner-style pre-flight a 100 TB pipeline runs BEFORE committing to
+# a shuffle join: both sketches ride the per-key count aggregations
+# (map-side combined), the sketch-sketch join is 2048 x 2048 cells, and
+# no row-level join ever executes — the EXACT answer below is likewise
+# computed from the two per-key count tables (sum of count products),
+# so even the audit never materializes the join.
+#
+# All arithmetic is int64 (cell counts x cell counts at these
+# cardinalities stay far under 2^63; DuckDB's HUGEINT sums are cast
+# back per repo convention), so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _cm_cells_sql(src_sql: str, key: str) -> str:
+    """Per-(seed,bucket) cell counts of a CM sketch over ``key``."""
+    return f"""(
+      SELECT s.seed,
+             ('0x' || substr(md5(s.seed || ':' || CAST(x.{key} AS VARCHAR)),
+                             1, 15))::BIGINT % {CM_WIDTH} AS bucket,
+             CAST(SUM(x.cnt) AS BIGINT) AS cnt
+      FROM (SELECT {key}, COUNT(*) AS cnt FROM {src_sql} GROUP BY 1) x,
+           (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS seed) s
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "sketch_join_size_estimate",
+    oracle=f"""
+    WITH ca AS {_cm_cells_sql("events", "user_id")},
+    cb AS {_cm_cells_sql("orders", "o_custkey")},
+    per_seed AS (
+      SELECT ca.seed, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS est
+      FROM ca JOIN cb ON ca.seed = cb.seed AND ca.bucket = cb.bucket
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_size
+      FROM (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1) a
+      JOIN (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1) b
+        ON a.k = b.k
+    )
+    SELECT e.exact_size,
+           CAST(MIN(p.est) AS BIGINT) AS cm_estimate,
+           CAST(MIN(p.est) - e.exact_size AS BIGINT) AS overestimate
+    FROM per_seed p, exact e
+    GROUP BY e.exact_size
+    """,
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |events ⋈ orders ON user_id = o_custkey| from two
+    Count-Min sketches (min over seeds of the cell-wise inner product)
+    and audit against the exact size — computed from per-key count
+    tables as Σ fA·fB, so neither path runs the row-level join.
+
+    Plan: each side is one map-side-combined per-key count aggregation
+    collapsed to {CM_DEPTH}×{CM_WIDTH} cells; the inner product joins
+    two 2048-row sketches. At 100 TB the sketches are broadcast-sized
+    and mergeable (cell-wise add across partitions/days), which is how
+    a planner keeps running join-size stats without touching the join.
+
+    Reference parity: the reference sizes its interval-join state by
+    assumption (app/dwd/DwdTradeOrderDetail.java TTL choice); this is
+    the measurement that replaces the assumption at scale."""
+    seeds = spark.range(CM_DEPTH).withColumnRenamed("id", "seed")
+
+    def cells(df: DataFrame, key: str) -> DataFrame:
+        per_key = (df.groupBy(F.col(key).alias("k"))
+                   .agg(F.count("*").alias("cnt")))
+        return (per_key.crossJoin(F.broadcast(seeds))
+                .select(
+                    "seed",
+                    F.pmod(hex_to_long(F.md5(F.concat_ws(
+                        ":", F.col("seed"), F.col("k").cast("string")))),
+                        F.lit(CM_WIDTH)).alias("bucket"),
+                    "cnt")
+                .groupBy("seed", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    ca = cells(ev, "user_id")
+    cb = cells(od, "o_custkey")
+    per_seed = (ca.alias("a").join(
+        cb.alias("b"),
+        (F.col("a.seed") == F.col("b.seed"))
+        & (F.col("a.bucket") == F.col("b.bucket")))
+        .groupBy("a.seed")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("est")))
+    exact = (ev.groupBy(F.col("user_id").alias("k"))
+             .agg(F.count("*").alias("ca"))
+             .join(od.groupBy(F.col("o_custkey").alias("k"))
+                   .agg(F.count("*").alias("cb")), "k")
+             .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint")
+                  .alias("exact_size")))
+    return (per_seed.agg(F.min("est").cast("bigint").alias("cm_estimate"))
+            .crossJoin(F.broadcast(exact))
+            .select("exact_size", "cm_estimate",
+                    (F.col("cm_estimate") - F.col("exact_size"))
+                    .cast("bigint").alias("overestimate")))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-grid quantile sketch (equi-width histogram with
+# linear interpolation inside the hit bin — the classic pre-t-digest
+# streaming quantile summary; Greenwald-Khanna/t-digest refine the same
+# idea with adaptive bins). The grid is DECLARED, not data-derived:
+# 256 bins x 2500 over [0, 640000) chosen from the o_totalprice domain
+# spec, so sketches from different partitions/days merge by cell-wise
+# add with no re-binning pass. The audit compares the sketch's P50/P90/
+# P99 against exact percentile() — the acceptance check a pipeline runs
+# once per new corpus before trusting the sketch in production.
+# ---------------------------------------------------------------------------
+
+QH_BINS = 256
+QH_WIDTH = 2500          # bin width; grid covers [0, 640000)
+QH_QS = ("0.5", "0.9", "0.99")    # identical literal text in both engines
+
+
+@query(
+    "sketch_quantile_histogram",
+    oracle=f"""
+    WITH bins AS (
+      SELECT LEAST(CAST(floor(o_totalprice / {QH_WIDTH}) AS BIGINT),
+                   {QH_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(COALESCE(SUM(cnt) OVER (
+               ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM bins
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    qs AS (SELECT unnest([{", ".join(QH_QS)}]) AS q),
+    targets AS (
+      SELECT q, GREATEST(CAST(ceil(q * n.n) AS BIGINT), 1) AS rank
+      FROM qs, n
+    ),
+    hit AS (
+      SELECT t.q, t.rank, MIN(c.bin) AS bin
+      FROM targets t JOIN cum c ON c.cum >= t.rank
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT h.q,
+             h.bin * {QH_WIDTH}
+             + {QH_WIDTH} * (h.rank - c.cum_before) / c.cnt AS est_q
+      FROM hit h JOIN cum c ON c.bin = h.bin
+    ),
+    exact AS (
+      SELECT q, ex FROM (
+        SELECT unnest([{", ".join(QH_QS)}]) AS q,
+               unnest(quantile_cont(o_totalprice,
+                                    [{", ".join(QH_QS)}])) AS ex
+        FROM orders
+      )
+    )
+    SELECT CAST(e.q AS DOUBLE) AS q, round(e.est_q, 6) AS est_quantile,
+           round(x.ex, 6) AS exact_quantile,
+           round(abs(e.est_q - x.ex), 6) AS abs_err
+    FROM est e JOIN exact x ON e.q = x.q
+    ORDER BY e.q
+    """,
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90/P99 of o_totalprice from a 256-bin equi-width histogram
+    sketch (rank walk + linear interpolation in the hit bin), audited
+    against exact percentile().
+
+    Plan: the corpus pays ONE map-side-combined bin-count aggregation;
+    every later step (cumulative walk, rank probe, interpolation) runs
+    on the constant 256-row summary, so the window sort is O(bins) no
+    matter the corpus size. The sketch merges by cell-wise add — per-
+    day/per-partition histograms roll up without re-binning, unlike
+    exact percentile whose state is O(rows). Exact percentile here is
+    the audit only; at 100 TB you run it once per corpus, not per query."""
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bins = (od.select(
+        F.least(F.floor(F.col("o_totalprice") / QH_WIDTH).cast("bigint"),
+                F.lit(QH_BINS - 1)).alias("bin"))
+        .groupBy("bin").agg(F.count("*").cast("bigint").alias("cnt")))
+    w = Window.orderBy("bin")
+    cum = (bins
+           .withColumn("cum", F.sum("cnt").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+           .withColumn("cum_before", F.coalesce(F.sum("cnt").over(
+               w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+               .cast("bigint")))
+    n = od.agg(F.count("*").cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(float(q),) for q in QH_QS], "q double")
+    targets = (qs.crossJoin(F.broadcast(n))
+               .select("q", F.greatest(
+                   F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+                   F.lit(1)).alias("rank")))
+    hit = (targets.join(cum, cum.cum >= targets.rank)
+           .groupBy("q", "rank").agg(F.min("bin").alias("bin")))
+    est = (hit.join(cum.select("bin", "cnt", "cum_before"), "bin")
+           .select("q", (F.col("bin") * QH_WIDTH
+                         + QH_WIDTH * (F.col("rank") - F.col("cum_before"))
+                         / F.col("cnt")).alias("est_q")))
+    exact = (od.agg(F.percentile(
+        F.col("o_totalprice"),
+        F.array(*[F.lit(float(q)) for q in QH_QS])).alias("ex"))
+        .select(F.posexplode("ex").alias("pos", "ex"))
+        .select(F.element_at(F.array(*[F.lit(float(q)) for q in QH_QS]),
+                             F.col("pos") + 1).alias("q"), "ex"))
+    return (est.join(exact, "q")
+            .select("q", F.round("est_q", 6).alias("est_quantile"),
+                    F.round("ex", 6).alias("exact_quantile"),
+                    F.round(F.abs(F.col("est_q") - F.col("ex")), 6)
+                    .alias("abs_err"))
+            .orderBy("q"))
