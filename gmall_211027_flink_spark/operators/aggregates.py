@@ -2641,3 +2641,186 @@ def ads_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").alias("repeat_users"),
         F.round(F.sum(F.when(F.col("purchase_days") > 1, 1).otherwise(0))
                 .cast("double") / F.count("*"), 6).alias("repeat_rate"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel-order causality audit: purchases by users with NO earlier
+# 'view' event are instrumentation bugs (lost events, clock skew,
+# replayed sessions) — the data-quality twin of the funnel/attribution
+# family, and the audit the reference's publisher would run before
+# trusting its conversion ADS tables (reference funnel logic:
+# app/dws/DwsTradeTrademarkCategoryUserRefundWindow-style keyed
+# rollups assume the stream is causally ordered).
+#
+# Plan: ONE user-keyed shuffle; the "any view strictly before me" test
+# is a conditional running count over the per-user (ts, event_id)
+# order — no self-join, constant output (day grain).
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_funnel_order_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             strftime(ts, '%Y-%m-%d') AS day
+      FROM events
+    ),
+    flagged AS (
+      SELECT day, event_type,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS views_before
+      FROM e
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN views_before = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan,
+           round(CAST(SUM(CASE WHEN views_before = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS orphan_rate
+    FROM flagged WHERE event_type = 'purchase'
+    GROUP BY day ORDER BY day
+    """,
+)
+def quality_funnel_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day count of 'orphan' purchases — purchase events whose user
+    has no strictly-earlier view event in the whole stream."""
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "event_type", "event_id",
+                 F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+                 day_str("ts").alias("day")))
+    w = (Window.partitionBy("user_id").orderBy("es", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = e.withColumn(
+        "views_before",
+        F.coalesce(F.sum(F.when(F.col("event_type") == "view", 1)
+                         .otherwise(0)).over(w), F.lit(0)).cast("bigint"))
+    orphan = F.sum(F.when(F.col("views_before") == 0, 1).otherwise(0))
+    return (flagged.filter(F.col("event_type") == "purchase")
+            .groupBy("day")
+            .agg(F.count("*").cast("bigint").alias("n_purchases"),
+                 orphan.cast("bigint").alias("n_orphan"),
+                 F.round(orphan.cast("double") / F.count("*"), 6)
+                 .alias("orphan_rate"))
+            .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart on daily revenue (Roberts 1959; the EWMA chart
+# from statistical process control): smooth = weighted sum of the last
+# EWMA_LAGS days with geometric weights alpha*(1-alpha)^k, anomaly =
+# day whose revenue sits more than EWMA_K sigma from the PREVIOUS
+# day's smooth (so the tested day never defends itself). The truncated
+# explicit-weight form replaces the recursive definition: it is ONE
+# window expression instead of an unbounded recurrence, which is what
+# makes it a Spark plan — and the truncation error is bounded by
+# (1-alpha)^LAGS (~2.8% of weight at 10 lags, identical in both
+# engines because the weights are shared decimal literals).
+#
+# Determinism: the day series is aggregated with DECIMAL sums
+# (order-proof); the weighted sum uses IDENTICAL literal weights in
+# both engines added in the same lag order; residual moments go
+# through the repo's round-then-DECIMAL-sum convention so the sigma
+# threshold is bit-stable.
+#
+# Scale: the corpus pays one day-grain aggregation (map-side
+# combined). The lag window runs on the DAY series — a time-bounded
+# domain (thousands of rows at ANY corpus size), so the single-series
+# window sort is O(days), never O(rows).
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 10
+EWMA_K = 3              # sigma multiplier for the control band
+
+# shared literal weights: alpha*(1-alpha)^k, 12 dp, same text in both
+# engines so the weighted sums are IEEE-identical
+_EWMA_W = [f"{0.3 * (0.7 ** k):.12f}" for k in range(EWMA_LAGS)]
+
+
+def _ewma_sql_terms(col: str) -> str:
+    """num/den SQL for the truncated EWMA at the current row."""
+    num = " + ".join(
+        f"COALESCE(lag({col}, {k}) OVER w * {w}, 0)"
+        for k, w in enumerate(_EWMA_W))
+    den = " + ".join(
+        f"CASE WHEN lag({col}, {k}) OVER w IS NULL THEN 0 ELSE {w} END"
+        for k, w in enumerate(_EWMA_W))
+    return f"({num}) / ({den})"
+
+
+@query(
+    "stats_ewma_anomaly",
+    oracle=f"""
+    WITH day_rev AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    smoothed AS (
+      SELECT day, rev,
+             {_ewma_sql_terms("rev")} AS ewma
+      FROM day_rev
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    resid AS (
+      SELECT day, rev, ewma,
+             round(rev - lag(ewma, 1) OVER (ORDER BY day), 6) AS r
+      FROM smoothed
+    ),
+    sigma AS (
+      SELECT CAST(COUNT(r) AS BIGINT) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS q
+      FROM resid
+    ),
+    thr AS (
+      SELECT round({EWMA_K} * sqrt((q - s * s / n) / (n - 1)), 6) AS t
+      FROM sigma
+    )
+    SELECT CAST(COUNT(r) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN abs(r) > t.t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(MAX(abs(r)), 6) AS max_abs_resid,
+           MIN(t.t) AS threshold
+    FROM resid, thr t
+    """,
+)
+def stats_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of daily-revenue anomalies under a {EWMA_K}-sigma EWMA
+    control band (alpha={EWMA_ALPHA}, {EWMA_LAGS}-lag truncation)."""
+    day_rev = (load_table(spark, sf_dir, "orders")
+               .groupBy(day_str("o_orderdate").alias("day"))
+               .agg(dsum("o_totalprice").alias("rev")))
+    w = Window.orderBy("day")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        lagged = F.lag("rev", k).over(w) if k else F.col("rev")
+        term = F.coalesce(lagged * F.lit(float(wt)), F.lit(0.0))
+        mask = F.when(lagged.isNull(), 0.0).otherwise(float(wt))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    smoothed = day_rev.withColumn("ewma", num / den)
+    resid = smoothed.withColumn(
+        "r", F.round(F.col("rev") - F.lag("ewma", 1).over(w), 6))
+    rdec = F.col("r").cast("decimal(38,12)")
+    sigma = resid.agg(
+        F.count("r").cast("bigint").alias("n"),
+        F.sum(rdec).cast("double").alias("s"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,12)"))
+         .cast("double").alias("q"))
+    thr = sigma.select(F.round(
+        EWMA_K * F.sqrt((F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+                        / (F.col("n") - 1)), 6).alias("t"))
+    return (resid.crossJoin(F.broadcast(thr))
+            .agg(F.count("r").cast("bigint").alias("n_days"),
+                 F.sum(F.when(F.abs("r") > F.col("t"), 1).otherwise(0))
+                 .cast("bigint").alias("n_anomalies"),
+                 F.round(F.max(F.abs("r")), 6).alias("max_abs_resid"),
+                 F.min("t").alias("threshold")))

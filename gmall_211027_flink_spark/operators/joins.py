@@ -807,3 +807,86 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("c_nationkey")
             .agg(F.count("*").cast("bigint").alias("event_ct"),
                  dsum("value").alias("value_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter (Bloom 1970; the "bloom-join" of
+# distributed query processing, and what Spark's own runtime row-level
+# filtering — spark.sql.optimizer.runtime.bloomFilter.enabled — does
+# inside the engine): summarize the build side's join keys into a
+# fixed-size BIT-POSITION set, broadcast it, and drop fact rows whose
+# k hash positions aren't all present BEFORE the shuffle join. False
+# positives pass (and are removed by the exact join that follows);
+# false negatives are impossible, which is why the oracle is simply
+# the PLAIN join — the bloom pass must change the shuffle volume,
+# never the rows.
+#
+# DataFrame realization: the bit array becomes a distinct-position
+# table (at most BLOOM_M rows — broadcast-sized by construction, far
+# smaller than the dim it summarizes), and "all k bits set" becomes k
+# chained BROADCAST LEFT-SEMI joins, one per hash function. At 100 TB
+# the dim is too big to broadcast (hence the shuffle join) but its
+# bloom never is: 2^16 positions bound the summary no matter how many
+# keys fold into it. tests/test_plan_quality.py asserts the semi-joins
+# broadcast and that no extra fact shuffle precedes them.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16     # bit-array size (max distinct positions)
+BLOOM_K = 4           # hash functions
+BLOOM_NATIONS = 3     # dim subset: customers in nations 0..2
+
+
+def _bloom_pos_sql(seed: int) -> str:
+    return (f"('0x' || substr(md5({seed} || ':' ||"
+            f" CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % {BLOOM_M}")
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS event_ct,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_nationkey < {BLOOM_NATIONS}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ (customers of {BLOOM_NATIONS} nations) with a
+    {BLOOM_K}-hash / 2^16-bit bloom prefilter on the fact side; the
+    oracle is the plain join — bloom may only shrink the shuffle."""
+    dim = (load_table(spark, sf_dir, "customer")
+           .filter(F.col("c_nationkey") < BLOOM_NATIONS)
+           .select("c_custkey", "c_nationkey"))
+
+    def pos(key: F.Column | str, seed: int) -> F.Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(seed), F.col(key).cast("string"))), 1, 15),
+                16, 10).cast("bigint"),
+            F.lit(BLOOM_M))
+
+    # the "bit array": distinct set positions across all k hashes —
+    # bounded at BLOOM_M rows regardless of dim cardinality
+    bits = None
+    for s in range(BLOOM_K):
+        p = dim.select(pos("c_custkey", s).alias("p"))
+        bits = p if bits is None else bits.unionAll(p)
+    bits = bits.distinct()
+
+    fact = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # membership = ALL k positions set: k chained broadcast semi-joins
+    for s in range(BLOOM_K):
+        probe = fact.withColumn("_p", pos("user_id", s))
+        fact = (probe.join(F.broadcast(bits),
+                           probe["_p"] == bits["p"], "left_semi")
+                .drop("_p"))
+    # exact join clears bloom false positives; at scale this is the
+    # shuffle join whose input the bloom just shrank
+    return (fact.join(dim, fact.user_id == dim.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").cast("bigint").alias("event_ct"),
+                 dsum("value").alias("value_sum"))
+            .orderBy("c_nationkey"))

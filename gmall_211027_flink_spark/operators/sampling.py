@@ -717,3 +717,58 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.when(F.col("rn") <= F.col("m"), 1)
                                .otherwise(0)).cast("double")
                          / F.count("*"), 6).alias("keep_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement by PRIORITY (Efraimidis &
+# Spirakis 2006): each row draws u ~ Uniform(0,1] and gets key
+# u^(1/w); the K largest keys are a weighted sample without
+# replacement. Equivalently (and numerically safer) rank by
+# -ln(u)/w ASCENDING — an exponential race where weight w runs at
+# rate w. Deterministic u comes from the repo's md5 convention
+# (content-derived, replay-identical), so the "random" sample is
+# reproducible across runs/engines — the property a training-data
+# pipeline needs for auditable corpus draws.
+#
+# Scale: rank is a map-side expression; the top-K cut is orderBy+LIMIT
+# which Spark executes as TakeOrdered (per-partition bottom-K, driver
+# merge of K*P candidates) — no global sort. The rank is quantized to
+# an int64 picoseconds-style grid (x1e12) BEFORE the cut so the
+# cross-engine ordering has no float boundary, with doc_id as the
+# total-order tie-break.
+# ---------------------------------------------------------------------------
+
+WPS_K = 100
+WPS_SPACE = 1 << 32      # 8 hex chars of md5 -> u in (0, 1]
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT + 1) / {float(WPS_SPACE)})
+               / GREATEST(n_chars, 1) * 1e12 + 0.5) AS BIGINT) AS rank_q
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rank_q
+    FROM keyed
+    ORDER BY rank_q, doc_id
+    LIMIT {WPS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {WPS_K}-doc weighted sample (weight = n_chars) via
+    Efraimidis-Spirakis priority keys on a content-derived uniform."""
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("bigint") + 1) / F.lit(float(WPS_SPACE)))
+    rank_q = F.floor(
+        -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1e12 + 0.5
+    ).cast("bigint")
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars",
+                    rank_q.alias("rank_q"))
+            .orderBy("rank_q", "doc_id")
+            .limit(WPS_K))

@@ -580,3 +580,48 @@ def test_salted_join_spreads_key_across_shuffle(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_broadcasts_bit_positions(spark, sf_dir):
+    """The bloom membership test must be k BROADCAST left-semi joins on
+    the bit-position table (the whole point: the fact side is pruned
+    with zero extra shuffles before the exact join), and nothing in the
+    plan may degenerate to a cartesian product."""
+    from gmall_211027_flink_spark.operators.joins import (
+        BLOOM_K, join_bloom_prefilter)
+
+    out = join_bloom_prefilter(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    semis = [ln for ln in plan.splitlines()
+             if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+    assert len(semis) >= BLOOM_K, plan
+
+
+def test_link_prediction_no_cartesian_and_capped_wedges(spark, sf_dir):
+    """Wedge generation must stay posting-list shaped: equi-joins only
+    (no cartesian), and the hub cap must appear as a size() filter on
+    the collected adjacency so fan-out is bounded at plan level."""
+    from gmall_211027_flink_spark.operators.graph import (
+        graph_link_prediction)
+
+    out = graph_link_prediction(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "size(ps" in plan, plan
+
+
+def test_edit_distance_join_is_equi_on_block_key(spark, sf_dir):
+    """The ER self-join must be an equi-join on the prefix block key —
+    a cartesian with a levenshtein residual would be the classic
+    quadratic blow-up this operator exists to avoid."""
+    from gmall_211027_flink_spark.operators.dedup import (
+        dedup_edit_distance_banded)
+
+    out = dedup_edit_distance_banded(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
