@@ -1283,3 +1283,75 @@ def _register_boilerplate() -> None:
 
 
 _register_boilerplate()
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease (Flesch 1948): 206.835 - 1.015*(words/sentences)
+# - 84.6*(syllables/words), with the standard cheap proxies — syllable
+# ~= vowel-group count, sentence ~= terminal-punctuation run. A core
+# curation signal next to the Gopher rules and LM quality score:
+# readability bands are how corpus mixes balance encyclopedic vs
+# conversational text. All three counts are integers from shared regex
+# literals (identical character-class semantics in Java regex and
+# DuckDB's RE2), so the per-doc score is one deterministic double
+# expression; per-source means use the round-then-DECIMAL-sum
+# convention. Map-side everything + one source-keyed aggregation.
+# ---------------------------------------------------------------------------
+
+FLESCH_EASY = 60.0      # scores >= this read as "plain English"
+
+
+@query(
+    "text_flesch_readability",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syll,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sents
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / sents)
+                   - 84.6 * (CAST(syll AS DOUBLE) / words), 6) AS flesch
+      FROM counts WHERE words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(flesch AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_flesch,
+           round(CAST(SUM(CASE WHEN flesch >= {FLESCH_EASY}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS easy_share
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile (vowel-group syllable
+    proxy, punctuation-run sentence proxy)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    syll = F.size(F.expr(
+        "regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1))
+    scored = (d.select("source", words.alias("words"),
+                       syll.alias("syll"), sents.alias("sents"))
+              .filter(F.col("words") > 0)
+              .select("source", F.round(
+                  206.835
+                  - 1.015 * (F.col("words").cast("double") / F.col("sents"))
+                  - 84.6 * (F.col("syll").cast("double") / F.col("words")),
+                  6).alias("flesch")))
+    fdec = F.col("flesch").cast("decimal(38,6)")
+    return (scored.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.round(F.sum(fdec).cast("double") / F.count("*"), 6)
+                 .alias("avg_flesch"),
+                 F.round(F.sum(F.when(F.col("flesch") >= FLESCH_EASY, 1)
+                               .otherwise(0)).cast("double")
+                         / F.count("*"), 6).alias("easy_share"))
+            .orderBy("source"))

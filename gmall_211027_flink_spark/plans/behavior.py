@@ -652,3 +652,95 @@ def ads_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_credits"),
                  F.sum(F.round("credit", 6).cast("decimal(38,6)"))
                   .cast("double").alias("total_credit")))
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution — third member of the attribution family
+# (last-touch r6, position/U-shape r7): each pre-purchase touch gets
+# weight 0.5^(age / half-life) and credits are normalized per purchase,
+# so recent touches dominate smoothly instead of by cliff. Same plan
+# shape as position attribution (one user-keyed interval join, pid-
+# keyed windows); the only new math is the pow(), which both engines
+# compute from the SAME expression text. Per-purchase normalization
+# uses the repo's round-then-DECIMAL-sum convention so the window
+# denominator is partition-order-proof.
+# ---------------------------------------------------------------------------
+
+DECAY_HALFLIFE_S = 900      # 15 min half-life inside the 1 h window
+
+
+@query(
+    "ads_time_decay_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type, epoch_us(ts) AS tus
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT p.pid, t.event_type, t.tid,
+             CAST(round(
+               pow(0.5, (p.pus - t.tus)
+                        / ({DECAY_HALFLIFE_S} * 1000000.0)), 6)
+               AS DECIMAL(38,6)) AS w
+      FROM p JOIN t ON p.user_id = t.user_id
+                   AND t.tus < p.pus
+                   AND t.tus >= p.pus - CAST({ATTR_WINDOW_S} AS BIGINT)
+                                        * 1000000
+    ),
+    norm AS (
+      SELECT pid, event_type,
+             round(CAST(w AS DOUBLE)
+                   / CAST(SUM(w) OVER (PARTITION BY pid) AS DOUBLE), 6)
+               AS credit
+      FROM j
+    ),
+    direct AS (
+      SELECT 'direct' AS touch_type, CAST(1.0 AS DOUBLE) AS credit
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
+    ),
+    allc AS (
+      SELECT event_type AS touch_type, credit FROM norm
+      UNION ALL SELECT * FROM direct
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(credit AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_credit
+    FROM allc GROUP BY 1
+    """,
+)
+def ads_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("pid"),
+                 us.alias("pus")))
+    t = (ev.filter(F.col("event_type") != "purchase")
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("event_id").alias("tid"), "event_type",
+                 us.alias("tus")))
+    w = F.round(
+        F.pow(F.lit(0.5), (F.col("pus") - F.col("tus"))
+              / (DECAY_HALFLIFE_S * 1_000_000.0)), 6).cast("decimal(38,6)")
+    j = (p.join(t, (F.col("user_id") == F.col("t_user"))
+                & (F.col("tus") < F.col("pus"))
+                & (F.col("tus") >= F.col("pus")
+                   - ATTR_WINDOW_S * 1_000_000))
+         .select("pid", "event_type", "tid", w.alias("w")))
+    wn = Window.partitionBy("pid")
+    norm = j.select(
+        F.col("event_type").alias("touch_type"),
+        F.round(F.col("w").cast("double")
+                / F.sum("w").over(wn).cast("double"), 6).alias("credit"))
+    direct = (p.join(j.select("pid").distinct(), "pid", "left_anti")
+              .select(F.lit("direct").alias("touch_type"),
+                      F.lit(1.0).alias("credit")))
+    return (norm.unionByName(direct)
+            .groupBy("touch_type")
+            .agg(F.count("*").cast("bigint").alias("n_credits"),
+                 F.sum(F.col("credit").cast("decimal(38,6)"))
+                  .cast("double").alias("total_credit")))
