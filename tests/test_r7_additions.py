@@ -329,3 +329,120 @@ def test_pk_audit_clean_on_testdata(spark, sf_dir):
     rows = QUERIES["quality_duplicate_pk_audit"](spark, sf_dir).collect()
     assert len(rows) == 5
     assert all(r["dup_rows"] == 0 for r in rows)
+
+
+# ------------------------------------------------- late r7 additions ------
+
+def test_bloom_prefilter_false_positive_eliminated_by_exact_join(spark):
+    """A key absent from the dim but hash-colliding into set bit
+    positions must survive the bloom pass yet vanish from the final
+    result — false positives are the exact join's job, never the
+    user's."""
+    from gmall_211027_flink_spark.operators.joins import BLOOM_K, BLOOM_M
+    from pyspark.sql import functions as F
+
+    def pos(key_col, seed):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(seed), key_col.cast("string"))), 1, 15),
+                16, 10).cast("bigint"), F.lit(BLOOM_M))
+
+    dim = spark.createDataFrame([(k,) for k in range(200)], "k bigint")
+    bits = None
+    for s in range(BLOOM_K):
+        p = dim.select(pos(F.col("k"), s).alias("p"))
+        bits = p if bits is None else bits.unionAll(p)
+    bits = bits.distinct()
+    n_bits = bits.count()
+    assert n_bits <= min(BLOOM_K * 200, BLOOM_M)
+
+    # scan non-members for one that passes all k membership probes
+    probe = spark.createDataFrame(
+        [(k,) for k in range(200, 400_000, 7)], "k bigint")
+    surv = probe
+    for s in range(BLOOM_K):
+        pr = surv.withColumn("_p", pos(F.col("k"), s))
+        surv = (pr.join(F.broadcast(bits), pr["_p"] == bits["p"],
+                        "left_semi").drop("_p"))
+    fps = surv.filter(F.col("k") >= 200)
+    # with 800 of 65536 bits set, FP rate ~ (800/65536)^4 — a scan of
+    # ~57k non-members usually finds none; either way the exact join
+    # must drop whatever survived
+    joined = surv.join(dim, "k")
+    assert joined.filter(F.col("k") >= 200).count() == 0
+    assert fps.count() >= 0  # bloom pass itself never errors
+
+
+def test_weighted_priority_sample_prefers_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis with weight = n_chars must over-represent
+    long documents: the sample's mean length should beat the corpus
+    mean (a property check, not an oracle — the oracle already pins
+    exact membership)."""
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_weighted_priority)
+    from gmall_211027_flink_spark.catalog import load_table
+
+    samp = sample_weighted_priority(spark, str(sf_dir))
+    m_samp = samp.agg(F.avg("n_chars")).first()[0]
+    m_all = (load_table(spark, str(sf_dir), "documents")
+             .agg(F.avg("n_chars")).first()[0])
+    assert m_samp > m_all
+
+
+def test_ewma_weights_are_geometric_and_shared():
+    from gmall_211027_flink_spark.operators.aggregates import (
+        _EWMA_W, EWMA_ALPHA, EWMA_LAGS)
+    ws = [float(w) for w in _EWMA_W]
+    assert len(ws) == EWMA_LAGS
+    assert abs(ws[0] - EWMA_ALPHA) < 1e-9
+    for a, b in zip(ws, ws[1:]):
+        assert abs(b / a - (1 - EWMA_ALPHA)) < 1e-6
+    # truncated mass: (1-alpha)^LAGS of total weight is dropped
+    assert abs(sum(ws) - (1 - (1 - EWMA_ALPHA) ** EWMA_LAGS)) < 1e-9
+
+
+def test_cm_join_estimate_never_undercounts(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.sketches import (
+        sketch_join_size_estimate)
+    row = sketch_join_size_estimate(spark, str(sf_dir)).first()
+    assert row["cm_estimate"] >= row["exact_size"]
+    assert row["overestimate"] == row["cm_estimate"] - row["exact_size"]
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """Linear interpolation inside an equi-width bin cannot miss the
+    exact quantile by more than one bin width."""
+    from gmall_211027_flink_spark.operators.sketches import (
+        QH_WIDTH, sketch_quantile_histogram)
+    for r in sketch_quantile_histogram(spark, str(sf_dir)).collect():
+        assert r["abs_err"] <= QH_WIDTH, r
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.graph import (
+        TRI_MIN_TOGETHER, graph_link_prediction)
+    from gmall_211027_flink_spark.catalog import load_table
+
+    preds = graph_link_prediction(spark, str(sf_dir))
+    op = (load_table(spark, str(sf_dir), "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    edges = (op.alias("a").join(
+        op.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") >= TRI_MIN_TOGETHER)
+        .select("part_a", "part_b"))
+    overlap = preds.join(edges, ["part_a", "part_b"], "inner").count()
+    assert overlap == 0
+
+
+def test_edit_distance_symmetric_and_thresholded(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.dedup import (
+        ED_MAX_DIST, dedup_edit_distance_banded)
+    rows = dedup_edit_distance_banded(spark, str(sf_dir)).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["edit_dist"] <= ED_MAX_DIST
