@@ -1703,7 +1703,12 @@ _register_mh_estimate_bias()
 #
 # Scale shape: the self-join is an EQUI-join on the prefix block key
 # (never all-pairs); the length band is a residual predicate inside
-# the block. The comparator runs on a 120-char prefix window, never
+# the block, and blocks larger than ED_BLOCK_CAP docs are DROPPED
+# before pair generation (the DF_CAP rationale from the shingle
+# pipeline: a prefix shared by thousands of docs is boilerplate, and
+# its k^2/2 pairs are the exact quadratic blow-up blocking exists to
+# prevent — at 100 TB the cap is what makes worst-case cost
+# O(blocks * cap^2) instead of O(hottest_block^2)). The comparator runs on a 120-char prefix window, never
 # the full document — full-doc O(n*m) DP is not a thing you run at
 # 100 TB, and for near-identical records the prefix window decides.
 # Both engines implement standard Levenshtein (unit insert/delete/
@@ -1714,17 +1719,23 @@ ED_BLOCK_PFX = 16       # chars of shared prefix forming the block key
 ED_LEN_BAND = 24        # max |len_a - len_b| inside a block
 ED_WINDOW = 120         # comparator window (chars)
 ED_MAX_DIST = 20        # accept pairs at or under this distance
+ED_BLOCK_CAP = 64       # drop degenerate blocks bigger than this
 
 
 @query(
     "dedup_edit_distance_banded",
     oracle=f"""
-    WITH d AS (
+    WITH d0 AS (
       SELECT doc_id, n_chars,
              substr(text, 1, {ED_BLOCK_PFX}) AS blk,
              substr(text, 1, {ED_WINDOW}) AS win
       FROM documents
-    )
+    ),
+    ok AS (
+      SELECT blk FROM d0 GROUP BY blk
+      HAVING COUNT(*) <= {ED_BLOCK_CAP}
+    ),
+    d AS (SELECT d0.* FROM d0 JOIN ok ON d0.blk = ok.blk)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.win, b.win) AS BIGINT) AS edit_dist,
            CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS len_diff
@@ -1739,10 +1750,13 @@ def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by Levenshtein distance <= {ED_MAX_DIST} on a
     {ED_WINDOW}-char window, candidates blocked by shared
     {ED_BLOCK_PFX}-char prefix + length band {ED_LEN_BAND}."""
-    d = (load_table(spark, sf_dir, "documents")
-         .select("doc_id", "n_chars",
-                 F.substring("text", 1, ED_BLOCK_PFX).alias("blk"),
-                 F.substring("text", 1, ED_WINDOW).alias("win")))
+    d0 = (load_table(spark, sf_dir, "documents")
+          .select("doc_id", "n_chars",
+                  F.substring("text", 1, ED_BLOCK_PFX).alias("blk"),
+                  F.substring("text", 1, ED_WINDOW).alias("win")))
+    ok = (d0.groupBy("blk").agg(F.count("*").alias("bn"))
+          .filter(F.col("bn") <= ED_BLOCK_CAP).select("blk"))
+    d = d0.join(ok, "blk", "left_semi")
     a = d.select(F.col("doc_id").alias("doc_a"),
                  F.col("n_chars").alias("len_a"),
                  F.col("blk"), F.col("win").alias("win_a"))
