@@ -63,6 +63,21 @@ _DOC_QUERIES = [
     "text_lang_confusion_audit", "dedup_minhash_band_sweep",
     "decontaminate_span_report", "vocab_coverage_curve",
     "stream_ks_drift_monitor", "sample_temperature_rates",
+    # round-6 additions
+    "dedup_winnowing_fingerprints", "dedup_tfidf_cosine",
+    "dedup_span_multiscale", "sketch_countmin_freq_audit",
+    "bpe_merge_sequence", "bpe_apply_fertility",
+    "curation_quota_per_source", "curation_source_overlap_matrix",
+    "curation_epoch_schedule", "multimodal_ahash_fingerprint",
+    "multimodal_ahash_neardup", "multimodal_wav_features",
+    "stream_winnowing_index_store", "dedup_minhash_estimate_bias",
+    # round-7 additions
+    "multimodal_png_pixels", "multimodal_gif_pixels",
+    "multimodal_wav_autocorr", "multimodal_container_stats",
+    "curation_dedup_rate_by_source", "curation_contamination_by_source",
+    "text_url_canonicalize", "curation_boilerplate_ngrams",
+    "dedup_edit_distance_banded", "text_flesch_readability",
+    "sample_weighted_priority",
 ]
 
 
