@@ -467,3 +467,80 @@ def test_pagerank_iteration_matches_python_spec(spark, raw):
     assert set(got) == set(r)
     for k in r:
         assert abs(got[k] - r[k]) < 1e-9, (k, got[k], r[k])
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+    min_size=1, max_size=40),
+    dim=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                 min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    n_salts=st.integers(2, 6))
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, data, dim, n_salts):
+    """salted_join must be row-identical to the plain equi-join for any
+    fact/dim/salt-width combination — including hot keys, keys missing
+    from the dim, and single-row sides."""
+    from gmall_211027_flink_spark.operators.joins import salted_join
+    fact = spark.createDataFrame(data, "k int, rid int")
+    d = spark.createDataFrame(dim, "dk int, attr int")
+    got = sorted((r["rid"], r["attr"]) for r in salted_join(
+        fact, d, "k", "dk", "rid", n_salts=n_salts).collect())
+    want = sorted((r["rid"], r["attr"]) for r in fact.join(
+        d, fact.k == d.dk).collect())
+    assert got == want
+
+
+@given(member=st.lists(st.integers(0, 1000), min_size=1, max_size=30,
+                       unique=True))
+@SETTINGS
+def test_bloom_positions_have_no_false_negatives(spark, member):
+    """Every member key must pass all k bloom probes — false negatives
+    are impossible by construction for any key set."""
+    from gmall_211027_flink_spark.operators.joins import BLOOM_K, BLOOM_M
+
+    def pos(col, seed):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(seed), col.cast("string"))), 1, 15),
+                16, 10).cast("bigint"), F.lit(BLOOM_M))
+
+    dim = spark.createDataFrame([(k,) for k in member], "k bigint")
+    bits = None
+    for s in range(BLOOM_K):
+        p = dim.select(pos(F.col("k"), s).alias("p"))
+        bits = p if bits is None else bits.unionAll(p)
+    bits = bits.distinct()
+    surv = dim
+    for s in range(BLOOM_K):
+        pr = surv.withColumn("_p", pos(F.col("k"), s))
+        surv = (pr.join(F.broadcast(bits), pr["_p"] == bits["p"],
+                        "left_semi").drop("_p"))
+    assert surv.count() == len(member)
+
+
+@given(xs=st.lists(
+    st.floats(min_value=0.0, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    min_size=2, max_size=60))
+@SETTINGS
+def test_truncated_ewma_tracks_recursive_within_tail_mass(xs):
+    """The 10-lag explicit-weight EWMA must agree with the infinite
+    recursion to within the truncated tail mass (1-alpha)^LAGS of the
+    value range — pure driver-side math, no Spark needed."""
+    from gmall_211027_flink_spark.operators.aggregates import (
+        _EWMA_W, EWMA_ALPHA, EWMA_LAGS)
+    ws = [float(w) for w in _EWMA_W]
+    rec = xs[0]
+    for t, x in enumerate(xs):
+        if t == 0:
+            rec = x
+        else:
+            rec = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * rec
+        lo = max(0, t - EWMA_LAGS + 1)
+        window = xs[lo:t + 1][::-1]          # newest first
+        num = sum(w * v for w, v in zip(ws, window))
+        den = sum(ws[:len(window)])
+        trunc = num / den
+        bound = (1 - EWMA_ALPHA) ** min(t + 1, EWMA_LAGS) \
+            * (max(xs) - min(xs) + 1e-9)
+        assert abs(trunc - rec) <= bound + 1e-6
