@@ -288,3 +288,183 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.count("hit").cast("double") / F.count("*"), 6)
               .alias("recall"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011, "Product
+# quantization for nearest neighbor search"): split the 64-dim vector
+# into PQ_M contiguous subspaces, train an independent PQ_K-centroid
+# codebook per subspace (same deterministic Lloyd rules as above, just
+# keyed by subspace), encode every vector as PQ_M small codes, and
+# answer queries by ADC — asymmetric distance computation: the query
+# stays exact, each database vector's distance is the sum of its
+# codes' per-subspace distances read from a (query x subspace x code)
+# lookup table. Completes the ANN compression family: int8 scalar
+# quantization (embedding_int8_quant_audit), 1-bit sign sketches
+# (ann_signbit_recall), and now the codebook path that real
+# billion-vector indexes (FAISS IVF-PQ) ship.
+#
+# Memory arithmetic at 100 TB: 64 float32 dims = 256 B/vector; PQ_M=4
+# codes of log2(8)=3 bits = 12 bits -> ~170x compression, and the ADC
+# lookup table is N_QUERIES x PQ_M x PQ_K rows (a few hundred —
+# broadcast), so query cost is one map-side join over the CODES table,
+# never the raw vectors. Embeddings are unit-norm, so L2 ADC ranking
+# is cosine ranking (L2^2 = 2 - 2cos) — recall@k is measured against
+# the same exact cosine baseline as the other ANN audits.
+#
+# Determinism: fixed iterations, vec_id<PQ_K init per subspace, 6-dp
+# rounds before every argmin with (d2, c) tie-breaks, ADC sums in
+# DECIMAL(18,6) (4 rounded terms, order-proof).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # dims per subspace (64 / PQ_M)
+PQ_K = 8          # codes per subspace codebook
+PQ_ITER = 2       # fixed Lloyd iterations per codebook
+
+
+def _pq_ctes(n_iter: int = PQ_ITER, k: int = PQ_K) -> str:
+    """CTE chain for PQ_M independent Lloyd loops, keyed by subspace m
+    (same rules as `_kmeans_ctes`, with m carried through every step)."""
+    ctes = [f"""
+    ex AS (
+      SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+             CAST((g.i - 1) // {PQ_SUBDIM} AS BIGINT) AS m,
+             CAST(e.embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    p0 AS (
+      SELECT m, vec_id AS c, dim, x AS centroid FROM ex WHERE vec_id < {k}
+    )"""]
+    for it in range(1, n_iter + 1):
+        prev = f"p{it - 1}"
+        ctes.append(f"""
+    pd{it} AS (
+      SELECT ex.vec_id, ex.m, p.c,
+             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
+      FROM ex JOIN {prev} p ON p.dim = ex.dim AND p.m = ex.m
+      GROUP BY 1, 2, 3
+    ),
+    pa{it} AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, c) AS rk
+        FROM pd{it}
+      ) WHERE rk = 1
+    ),
+    p{it} AS (
+      SELECT a.m, a.c, ex.dim, round(avg(ex.x), 6) AS centroid
+      FROM ex JOIN pa{it} a ON a.vec_id = ex.vec_id AND a.m = ex.m
+      GROUP BY 1, 2, 3
+    )""")
+    return ",".join(ctes)
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    pdfin AS (
+      SELECT ex.vec_id, ex.m, p.c,
+             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
+      FROM ex JOIN p{PQ_ITER} p ON p.dim = ex.dim AND p.m = ex.m
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, c) AS rk
+        FROM pdfin
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, c, d2 FROM pdfin
+      WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      FROM codes cd
+      JOIN lut l ON l.m = cd.m AND l.c = cd.code
+                AND cd.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rk
+        FROM adc
+      ) WHERE rk <= {TOP_K}
+    ),
+    exact AS ({ORACLES["ann_cosine_topk"]})
+    SELECT e.query_id, COUNT(*) AS exact_k,
+           COUNT(i.neighbor_id) AS found_ct,
+           round(CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+             AS recall
+    FROM exact e
+    LEFT JOIN pq i ON i.query_id = e.query_id
+                  AND i.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PQ({PQ_M}x{PQ_K}) ADC search vs the exact
+    cosine baseline, one row per query."""
+    from gmall_211027_flink_spark.operators.similarity import ann_cosine_topk
+
+    ex = (_long_form(spark, sf_dir)
+          .withColumn("m", (F.col("dim") / PQ_SUBDIM).cast("bigint"))
+          .localCheckpoint())
+    cent = (ex.filter(F.col("vec_id") < PQ_K)
+            .select("m", F.col("vec_id").alias("c"), "dim",
+                    F.col("x").alias("centroid")))
+
+    def subspace_d(cent_df: DataFrame) -> DataFrame:
+        return (ex.join(F.broadcast(cent_df), ["m", "dim"])
+                .groupBy("vec_id", "m", "c")
+                .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
+                                   * (F.col("x") - F.col("centroid"))), 6)
+                      .alias("d2")))
+
+    wm = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
+    for _ in range(PQ_ITER):
+        assign = (subspace_d(cent)
+                  .withColumn("rk", F.row_number().over(wm))
+                  .filter(F.col("rk") == 1).select("vec_id", "m", "c"))
+        cent = (ex.join(assign, ["vec_id", "m"])
+                .groupBy("m", "c", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("centroid"))
+                .localCheckpoint())
+
+    dfin = subspace_d(cent)
+    codes = (dfin.withColumn("rk", F.row_number().over(wm))
+             .filter(F.col("rk") == 1)
+             .select("vec_id", "m", F.col("c").alias("code")))
+    lut = (dfin.filter(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"), "m", "c", "d2"))
+    adc = (codes.join(
+        F.broadcast(lut),
+        (codes.m == lut.m) & (codes.code == lut.c)
+        & (codes.vec_id != lut.query_id))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
+              .alias("adist")))
+    wq = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    pq = (adc.withColumn("rk", F.row_number().over(wq))
+          .filter(F.col("rk") <= TOP_K)
+          .select(F.col("query_id").alias("i_q"),
+                  F.col("neighbor_id").alias("i_n"), F.lit(1).alias("hit")))
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(pq, (F.col("query_id") == F.col("i_q"))
+                   & (F.col("neighbor_id") == F.col("i_n")), "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("exact_k"),
+             F.count("hit").alias("found_ct"),
+             F.round(F.count("hit").cast("double") / F.count("*"), 6)
+              .alias("recall"))
+    )
