@@ -874,7 +874,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(BLOOM_K):
         p = dim.select(pos("c_custkey", s).alias("p"))
         bits = p if bits is None else bits.unionAll(p)
-    bits = bits.distinct()
+    # materialize the position set ONCE — without this each of the k
+    # semi-joins would rebuild the dim scan + distinct
+    bits = bits.distinct().localCheckpoint()
 
     fact = load_table(spark, sf_dir, "events").select("user_id", "value")
     # membership = ALL k positions set: k chained broadcast semi-joins

@@ -440,7 +440,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.round(F.avg("x"), 6).alias("centroid"))
                 .localCheckpoint())
 
-    dfin = subspace_d(cent)
+    # dfin feeds BOTH the code assignment and the query LUT — one
+    # materialization instead of two corpus-sized aggregations
+    dfin = subspace_d(cent).localCheckpoint()
     codes = (dfin.withColumn("rk", F.row_number().over(wm))
              .filter(F.col("rk") == 1)
              .select("vec_id", "m", F.col("c").alias("code")))
