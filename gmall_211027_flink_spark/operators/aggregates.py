@@ -2171,6 +2171,9 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The unpartitioned windows below (median rank, lag over days) run
+    # over the DAY-GRAIN series — bounded domain (~2.4k rows even for a
+    # decade of data), a single small task by design.
     from pyspark.sql import Window
 
     daily = (load_table(spark, sf_dir, "orders")
@@ -2438,7 +2441,22 @@ def stats_qq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # number stats_gini_revenue already reports ("top 10% of customers
 # carry X% of revenue"). Exact decimal spend sums; the rank cut uses
 # integer positions so the decile boundaries are engine-identical.
+#
+# Scale (restructured per ADVICE r7): the naive plan is ONE
+# unpartitioned row_number + running sum over ALL customers — an
+# O(customers) single-task sort. Instead, spends are bucketed by a
+# MONOTONE value map into PL_BUCKETS range buckets (equal spends land
+# in the same bucket, so the bucket order refines to the exact global
+# (s DESC, custkey) order): per-bucket count/sum aggregates
+# distribute, the prefix scan runs on the constant-size (<=PL_BUCKETS
+# rows) bucket summary, and row_number/running-sum windows partition
+# BY BUCKET — every per-row stage is distributed; the only single-task
+# window touches <=PL_BUCKETS summary rows. Output is bit-identical to
+# the global-sort form (decimal sums are exact, order is identical),
+# which is what the unchanged oracle checks.
 # ---------------------------------------------------------------------------
+
+PL_BUCKETS = 1024
 
 @query(
     "ads_pareto_lorenz",
@@ -2474,20 +2492,50 @@ def ads_pareto_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (load_table(spark, sf_dir, "orders")
              .groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                  .alias("s")))
-    wr = Window.orderBy(F.desc("s"), "o_custkey")
-    wall = Window.partitionBy(F.lit(1))
-    ranked = spend.select(
-        "s", F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("s").over(wall).cast("double").alias("tot"))
-    cum = ranked.withColumn(
-        "c", F.sum("s").over(
-            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double"))
-    decs = (load_table(spark, sf_dir, "orders").sparkSession
-            .range(1, 10).withColumnRenamed("id", "dec"))
-    return (cum.crossJoin(F.broadcast(decs))
+                  .alias("s"))
+             .localCheckpoint(eager=False))  # reused by 3 subplans
+    # Monotone value->bucket map (bucket 0 = highest spends). Float
+    # arithmetic here only PARTITIONS the data — any consistent
+    # monotone assignment yields the same final order, so there is no
+    # cross-engine float boundary. Degenerate all-equal-spend corpora
+    # collapse to bucket 0.
+    stats = spend.agg(F.min(F.col("s").cast("double")).alias("smin"),
+                      F.max(F.col("s").cast("double")).alias("smax"))
+    bucketed = (spend.crossJoin(F.broadcast(stats))
+                .withColumn("b", F.when(
+                    F.col("smax") > F.col("smin"),
+                    F.least(F.lit(PL_BUCKETS - 1), F.floor(
+                        (F.col("smax") - F.col("s").cast("double"))
+                        / (F.col("smax") - F.col("smin")) * PL_BUCKETS)))
+                    .otherwise(F.lit(0)))
+                .select("o_custkey", "s", "b"))
+    # Constant-size bucket summary; the only single-task window below
+    # runs over <= PL_BUCKETS rows.
+    summary = bucketed.groupBy("b").agg(
+        F.count("*").alias("cnt_b"), F.sum("s").alias("sum_b"))
+    wprefix = (Window.orderBy("b")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = summary.select(
+        "b",
+        F.coalesce(F.sum("cnt_b").over(wprefix), F.lit(0))
+         .alias("off_cnt"),
+        F.coalesce(F.sum("sum_b").over(wprefix),
+                   F.lit(0).cast("decimal(28,2)")).alias("off_sum"))
+    # Per-bucket (distributed) local rank + running sum, lifted to the
+    # exact global order by the bucket offsets.
+    wlocal = Window.partitionBy("b").orderBy(F.desc("s"), "o_custkey")
+    ranked = (bucketed.join(offsets, "b")
+              .select(
+                  (F.col("off_cnt") + F.row_number().over(wlocal))
+                  .alias("rn"),
+                  (F.col("off_sum") + F.sum("s").over(
+                      wlocal.rowsBetween(Window.unboundedPreceding, 0)))
+                  .cast("double").alias("c")))
+    totals = spend.agg(F.count("*").alias("n"),
+                       F.sum("s").cast("double").alias("tot"))
+    decs = spark.range(1, 10).withColumnRenamed("id", "dec")
+    return (ranked.crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(decs))
             .groupBy(F.col("dec").cast("bigint").alias("top_pct_x10"))
             .agg(F.max(F.when(
                 F.col("rn") <= F.expr("div(n * dec, 10)"), F.col("rn")))
@@ -2654,7 +2702,10 @@ def ads_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Plan: ONE user-keyed shuffle; the "any view strictly before me" test
 # is a conditional running count over the per-user (ts, event_id)
-# order — no self-join, constant output (day grain).
+# order — no self-join, constant output (day grain). Event order uses
+# MICROSECOND epoch (epoch_us / unix_micros) like the session and
+# as-of oracles, so sub-second view-then-purchase sequences are
+# adjudicated by true event time, not event_id (ADVICE r7).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -2662,7 +2713,7 @@ def ads_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_type, event_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(epoch_us(ts) AS BIGINT) AS eus,
              strftime(ts, '%Y-%m-%d') AS day
       FROM events
     ),
@@ -2670,7 +2721,7 @@ def ads_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, event_type,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
                                     THEN 1 ELSE 0 END) OVER (
-               PARTITION BY user_id ORDER BY es, event_id
+               PARTITION BY user_id ORDER BY eus, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS views_before
       FROM e
@@ -2690,9 +2741,9 @@ def quality_funnel_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no strictly-earlier view event in the whole stream."""
     e = (load_table(spark, sf_dir, "events")
          .select("user_id", "event_type", "event_id",
-                 F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"),
+                 F.unix_micros(F.col("ts")).cast("bigint").alias("eus"),
                  day_str("ts").alias("day")))
-    w = (Window.partitionBy("user_id").orderBy("es", "event_id")
+    w = (Window.partitionBy("user_id").orderBy("eus", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     flagged = e.withColumn(
         "views_before",
@@ -2797,6 +2848,9 @@ def stats_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_rev = (load_table(spark, sf_dir, "orders")
                .groupBy(day_str("o_orderdate").alias("day"))
                .agg(dsum("o_totalprice").alias("rev")))
+    # Unpartitioned lag windows over the DAY-GRAIN series — bounded
+    # domain (~2.4k rows/decade), a single small task by design; the
+    # per-row work all happened in the distributed groupBy above.
     w = Window.orderBy("day")
     num = None
     den = None

@@ -1064,6 +1064,10 @@ def decode_png_gray(payload: bytes):
         if len(body) != size:
             raise ValueError(f"truncated {ctype!r} chunk: declared {size},"
                              f" payload carries {len(body)}")
+        if pos + 12 + size > len(payload):
+            # body complete but fewer than 4 CRC bytes follow — keep the
+            # documented ValueError contract (struct.error otherwise)
+            raise ValueError(f"truncated {ctype!r} chunk: CRC cut short")
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + size:pos + 12 + size])
         if zlib.crc32(ctype + body) != crc:

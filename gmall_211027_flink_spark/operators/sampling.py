@@ -733,9 +733,16 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: rank is a map-side expression; the top-K cut is orderBy+LIMIT
 # which Spark executes as TakeOrdered (per-partition bottom-K, driver
 # merge of K*P candidates) — no global sort. The rank is quantized to
-# an int64 picoseconds-style grid (x1e12) BEFORE the cut so the
-# cross-engine ordering has no float boundary, with doc_id as the
-# total-order tie-break.
+# an int64 grid BEFORE the cut with doc_id as the total-order
+# tie-break. GRID CHOICE (cross-engine float boundary): ln comes from
+# each engine's libm (JVM Math.log is 1-ulp, not correctly rounded),
+# so -ln(u)/w can differ by ~2 ulp ≈ 7e-15 absolute between engines.
+# On the repo's standard 6-dp grid (x1e6) that is ≤ ~1e-8 grid units —
+# it rides through floor(x+0.5) exactly like every other 6-dp-rounded
+# transcendental here. A finer 1e12 grid would amplify the same drift
+# to ~7e-3 grid units, a real flip risk at a .5 boundary (ADVICE r7).
+# The coarser grid costs nothing semantically: collisions at 6 dp are
+# rare and broken by doc_id identically in both engines.
 # ---------------------------------------------------------------------------
 
 WPS_K = 100
@@ -750,7 +757,7 @@ WPS_SPACE = 1 << 32      # 8 hex chars of md5 -> u in (0, 1]
              CAST(floor(
                -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                     ::BIGINT + 1) / {float(WPS_SPACE)})
-               / GREATEST(n_chars, 1) * 1e12 + 0.5) AS BIGINT) AS rank_q
+               / GREATEST(n_chars, 1) * 1e6 + 0.5) AS BIGINT) AS rank_q
       FROM documents
     )
     SELECT doc_id, source, n_chars, rank_q
@@ -765,7 +772,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                  16, 10).cast("bigint") + 1) / F.lit(float(WPS_SPACE)))
     rank_q = F.floor(
-        -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1e12 + 0.5
+        -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1e6 + 0.5
     ).cast("bigint")
     return (load_table(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars",

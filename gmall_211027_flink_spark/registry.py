@@ -40,26 +40,29 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # already-proven ones go last.  Keep this list append-only across rounds
 # (r1 block, then r2 block), EXCEPT names moved to _REVERIFY below.
 _DRIVER_PROVEN: tuple[str, ...] = (
-    # round 1 (CORRECTNESS_r01.json)
-    "q1_pricing_summary", "ads_gmv_by_day", "ads_conditional_agg",
+    # round 1 (CORRECTNESS_r01.json) — q1_pricing_summary,
+    # dim_snowflake_enrich, dws_province_order_window,
+    # rank_topk_events_per_user, dedup_minhash_lsh rotated to _REVERIFY
+    # for round 8 (staleness canary)
+    "ads_gmv_by_day", "ads_conditional_agg",
     "dws_tumble_by_type", "dws_tumble_global", "ads_rollup_priority",
     "events_json_props", "stats_quantity_distribution",
     "dws_hierarchical_rollup", "dws_gapfill_locf", "stats_value_histogram",
     "dws_ohlc_hourly", "stats_zscore_outliers",
-    "dwd_order_graph_join", "dim_lookup_join", "dim_snowflake_enrich",
+    "dwd_order_graph_join", "dim_lookup_join",
     "dwd_left_join_returns", "ads_full_outer_stats",
     "semi_join_active_customers",
-    "anti_join_dormant_customers", "dws_province_order_window",
+    "anti_join_dormant_customers",
     "set_ops_churned_customers", "q3_shipping_priority",
     "q5_local_supplier_volume", "range_join_price_band", "q18_large_orders",
     "dedup_first_per_user_day", "dedup_last_per_user", "dws_daily_uv",
     "dws_backflow_users",
-    "rank_topk_events_per_user", "window_running_gmv",
+    "window_running_gmv",
     "topk_orders_by_price",
     "window_sliding_frame_avg", "dws_hopping_window", "dws_cumulate_window",
     "window_ntile_quartiles", "dws_rolling_7d_distinct_users",
     "ads_mom_growth", "window_percentile_position", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_cluster_canonical",
     # round 2 (CORRECTNESS_r02.json, 44 green rows)
     "dedup_ngram_jaccard_capped", "ann_cosine_topk", "ann_lsh_bucketed",
@@ -164,14 +167,56 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "graph_kcore_bounded", "source_partitioned_pruning",
     "sketch_countmin_freq_audit", "sketch_kmv_distinct",
     "sketch_heavy_hitter_skew", "layout_zorder_locality",
+    # round 7 (CORRECTNESS_r07.json, 50/50 green — exactly the 50
+    # round-7 additions; the gate window was fully owned by them)
+    "stats_welch_ttest", "stats_anova_oneway", "stats_runs_test",
+    "ads_seasonality_dow_index", "quality_referential_integrity",
+    "quality_order_total_consistency", "stats_qq_quantiles",
+    "quality_duplicate_pk_audit",
+    "stats_poisson_dispersion", "ads_repeat_purchase_rate",
+    "stats_ewma_anomaly",
+    "join_salted_skew", "join_bloom_prefilter", "dws_session_window_agg",
+    "dws_session_depth_histogram", "curation_dedup_rate_by_source",
+    "dedup_minhash_estimate_bias", "dedup_edit_distance_banded",
+    "ann_matryoshka_recall", "ann_ivf_imbalance_audit",
+    "embedding_dim_profile", "ann_two_stage_rerank",
+    "embedding_label_centroid_drift", "text_url_canonicalize",
+    "curation_boilerplate_ngrams", "text_flesch_readability",
+    "multimodal_png_pixels", "multimodal_gif_pixels",
+    "multimodal_wav_autocorr", "multimodal_container_stats",
+    "asof_join_forward", "ads_conversion_latency_quantiles",
+    "sample_group_holdout", "sample_class_balance",
+    "curation_contamination_by_source",
+    "ads_position_attribution", "ads_time_decay_attribution",
+    "dws_late_data_drop", "stream_countmin_maintenance",
+    "sketch_join_size_estimate", "sketch_quantile_histogram",
+    "stream_kmv_maintenance", "graph_degree_distribution",
+    "graph_assortativity", "graph_clustering_coefficient",
+    "graph_link_prediction", "ann_pq_recall",
 )
 
-# Queries that MUST be sampled first by this round's gate.  Round 7:
-# empty — every round-6 registration got a green driver row
-# (CORRECTNESS_r06 was 50/50), so the whole 50-sample window is free
-# for round-7 additions.  Fold newly-green names into _DRIVER_PROVEN
-# once CORRECTNESS_r07 lands.
-_REVERIFY: tuple[str, ...] = ()
+# Queries that MUST be sampled first by this round's gate.  Round 8
+# starts the STALENESS CANARY rotation (VERDICT r7 item 1): each round
+# ~5 of the OLDEST driver-proven names move here so their proofs get
+# refreshed by the driver instead of relying on judge spot-checks.
+# These five are r1-vintage (CORRECTNESS_r01, now 7 rounds old) and
+# span five different operator families (TPC-H agg, dim join chain,
+# exact windowed COUNT DISTINCT, OVER-window rank, MinHash-LSH dedup).
+# Fold back into _DRIVER_PROVEN once CORRECTNESS_r08 lands, and rotate
+# the next-oldest five in round 9.
+_REVERIFY: tuple[str, ...] = (
+    # changed in r8 (ADVICE r7) — the r7 proofs are stale, re-gate:
+    # 1e12 -> 1e6 quantization grid:
+    "sample_weighted_priority",
+    # second-grain -> microsecond event ordering:
+    # global-sort window -> distributed bucket-prefix restructure:
+    # r1-vintage staleness-canary rotation:
+    "q1_pricing_summary",
+    "dim_snowflake_enrich",
+    "dws_province_order_window",
+    "rank_topk_events_per_user",
+    "dedup_minhash_lsh",
+)
 
 
 def load_all() -> None:
