@@ -1,15 +1,17 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The image/audio libraries are not in this container. PIXEL/SAMPLE
-decode stays a deterministic fake (md5-derived pseudo-metadata, clearly
-marked below) — but CONTAINER-HEADER decode is REAL: PNG/GIF/BMP/WAV
-geometry is struct-unpacked from the actual payload bytes with pure
-stdlib (`multimodal_header_decode`/`decode_header`). Everything around
-the fakes — binary column handling, schema declaration, Arrow batch
-shape, partition-parallel UDF execution — is the real production
-plumbing; swap ``_fake_decode_batch`` for a PIL/ffmpeg call and nothing
-else changes.
+The image/audio libraries are not in this container, but PIXEL decode
+is REAL for the three stdlib-decodable containers — BMP (raw rows),
+PNG (zlib inflate + 5-filter unfilter, CRC-verified), GIF (variable
+code-size LZW, multi-frame) — and CONTAINER-HEADER decode is real for
+all four incl. WAV (`multimodal_header_decode`/`decode_header`).
+``multimodal_resize`` box-downsamples REAL decoded PNG pixels with
+integer-exact arithmetic; ``multimodal_frame_sample`` LZW-decodes REAL
+animated-GIF frames and samples every other one. Only JPEG pixels stay
+honestly out of scope (needs a DCT codec); ``decode_binary_metadata``
+keeps one clearly-marked deterministic fake to demonstrate the
+swap-in-PIL plumbing shape for such codecs.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches per partition —
 constant memory per executor regardless of corpus size; the binary
@@ -99,42 +101,92 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_binary_metadata(media)
 
 
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_sum", T.LongType()),
+    T.StructField("frame_digest", T.StringType()),
+])
+
+FRAME_STRIDE = 2      # sample every other frame
+FRAME_DELTA = 37      # per-frame gradient offset in the synthetic GIFs
+
+
 @query(
     "multimodal_frame_sample",
-    # Frame sampling: one row per sampled frame index (every other frame).
-    oracle="""
-    WITH meta AS (
+    # REAL multi-frame decode (reworked r8, was a fake-decode digest):
+    # Spark synthesizes ANIMATED GIF89a payloads (2-5 full-size frames,
+    # each LZW-compressed through the reversed palette), REALLY decodes
+    # every frame back out of the bytes, samples every FRAME_STRIDE-th
+    # frame, and emits each sampled frame's integer pixel sum + a digest
+    # of its row-major pixel values. The oracle re-derives the per-frame
+    # gradient analytically — the Spark side can only match by running
+    # the real LZW/palette decode on the real bytes.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 1
+    ),
+    geo AS (
       SELECT doc_id,
-             CAST(1 + ('0x' || substr(md5(text), 5, 1))::BIGINT AS BIGINT) AS n_frames,
-             md5(text) AS content_digest
-      FROM documents
+             8 + ('0x' || substr(h, 1, 2))::BIGINT % 16 AS w,
+             8 + ('0x' || substr(h, 3, 2))::BIGINT % 16 AS ht,
+             2 + ('0x' || substr(h, 6, 1))::BIGINT % 4 AS nf,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    frames AS (
+      SELECT doc_id, w, ht, nf, a, b, c, f
+      FROM geo,
+           UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT),
+                                  {FRAME_STRIDE})) AS t(f)
+    ),
+    px AS (
+      SELECT doc_id, nf, f, i,
+             (a * (i % w) + b * (i // w) + c + {FRAME_DELTA} * f) % 256 AS gv
+      FROM frames, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
     )
-    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-           md5(content_digest || ':' || CAST(i AS VARCHAR)) AS frame_digest
-    FROM meta, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS t(i)
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(SUM(gv) AS BIGINT) AS frame_sum,
+           md5(string_agg(CAST(gv AS VARCHAR), ',' ORDER BY i))
+             AS frame_digest
+    FROM px GROUP BY 1, 2, 3
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: decode → explode sampled frame indices →
-    per-frame digest (stand-in for a per-frame feature extractor)."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.lit("video").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    meta = decode_binary_metadata(media)
-    return (
-        meta.select(
-            "doc_id", "content_digest",
-            F.explode(F.expr("sequence(cast(0 as bigint), n_frames - 1, 2)"))
-             .alias("frame_idx"))
-        .select(
-            "doc_id", "frame_idx",
-            F.md5(F.concat_ws(":", "content_digest",
-                              F.col("frame_idx").cast("string")))
-             .alias("frame_digest"))
-    )
+    """Synthesize animated GIFs, REALLY decode all frames (multi-image
+    LZW walk), sample every {FRAME_STRIDE}-th frame, fingerprint each.
+
+    Scale shape: Arrow-batched mapInPandas, map-only, zero shuffle —
+    one task per payload partition; only (doc_id, idx, sum, digest)
+    rows leave the stage, never pixels."""
+
+    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_animated_gif(int(doc_id), h)
+                w, ht, frames = decode_gif_frames(payload)
+                for f in range(0, len(frames), FRAME_STRIDE):
+                    arr = frames[f]
+                    flat = ",".join(str(int(v)) for v in arr.ravel())
+                    out.append(dict(
+                        doc_id=int(doc_id), n_frames=len(frames),
+                        frame_idx=f, frame_sum=int(arr.sum()),
+                        frame_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in FRAME_SAMPLE_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 1)
+            .select("doc_id", "text"))
+    return docs.mapInPandas(_frames_batch, FRAME_SAMPLE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -143,63 +195,100 @@ RESIZED_SCHEMA = T.StructType([
     T.StructField("height", T.LongType()),
     T.StructField("target_w", T.LongType()),
     T.StructField("target_h", T.LongType()),
+    T.StructField("resized_sum", T.LongType()),
     T.StructField("resized_digest", T.StringType()),
 ])
 
-TARGET_W = 64
-
-
-def resize_images(meta: DataFrame) -> DataFrame:
-    """Resize plumbing: aspect-preserving target dims (integer math) +
-    per-image output digest, via Arrow-batched mapInPandas. REAL PIXEL
-    RESAMPLING IS STUBBED (no PIL in this container): the output digest
-    is md5(content_digest:WxH) — swap the digest line for
-    `PIL.Image.resize` and the plumbing is unchanged."""
-
-    def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            target_h = (pdf["height"] * TARGET_W // pdf["width"]).astype("int64")
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": pdf["width"],
-                "height": pdf["height"],
-                "target_w": pd.Series([TARGET_W] * len(pdf)).astype("int64"),
-                "target_h": target_h,
-                "resized_digest": [
-                    hashlib.md5(f"{d}:{TARGET_W}x{h}".encode()).hexdigest()
-                    for d, h in zip(pdf["content_digest"], target_h)
-                ],
-            })
-
-    return meta.mapInPandas(_fake_resize_batch, RESIZED_SCHEMA)
+TARGET_W = 16
 
 
 @query(
     "multimodal_resize",
+    # REAL pixel resize (reworked r8, was a fake-decode digest): Spark
+    # synthesizes filter-cycling grayscale PNGs, REALLY decodes the
+    # pixel array (CRC walk + zlib inflate + 5-filter unfilter), then
+    # BOX-DOWNSAMPLES to an aspect-preserving TARGET_W-wide grid with
+    # integer-exact arithmetic: source pixel (x, y) lands in cell
+    # (y*th//ht, x*tw//w); output value = floor(cell_sum / cell_count).
+    # No float enters the pipeline, so the per-image value digest is
+    # engine-exact. The oracle re-derives the same downsample from the
+    # gradient analytically — matching it requires the real decode.
     oracle=f"""
-    WITH meta AS (
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+    ),
+    geo AS (
       SELECT doc_id,
-             CAST(16 + ('0x' || substr(md5(text), 1, 2))::BIGINT AS BIGINT) AS width,
-             CAST(16 + ('0x' || substr(md5(text), 3, 2))::BIGINT AS BIGINT) AS height,
-             md5(text) AS content_digest
-      FROM documents WHERE doc_id % 3 = 0
+             16 + ('0x' || substr(h, 1, 2))::BIGINT AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    geo2 AS (
+      SELECT *, GREATEST(1, ht * {TARGET_W} // w) AS th FROM geo
+    ),
+    px AS (
+      SELECT doc_id, w, ht, th,
+             ((i % w) * {TARGET_W}) // w AS cx,
+             ((i // w) * th) // ht AS cy,
+             (a * (i % w) + b * (i // w) + c) % 256 AS gv
+      FROM geo2, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    cells AS (
+      SELECT doc_id, w, ht, th, cy, cx,
+             CAST(SUM(gv) // COUNT(*) AS BIGINT) AS rv
+      FROM px GROUP BY 1, 2, 3, 4, 5, 6
     )
-    SELECT doc_id, width, height,
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
            CAST({TARGET_W} AS BIGINT) AS target_w,
-           height * {TARGET_W} // width AS target_h,
-           md5(content_digest || ':{TARGET_W}x'
-               || CAST(height * {TARGET_W} // width AS VARCHAR)) AS resized_digest
-    FROM meta
+           CAST(th AS BIGINT) AS target_h,
+           CAST(SUM(rv) AS BIGINT) AS resized_sum,
+           md5(string_agg(CAST(rv AS VARCHAR), ',' ORDER BY cy, cx))
+             AS resized_digest
+    FROM cells GROUP BY 1, 2, 3, 4, 5
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    media = docs.select(
-        "doc_id", F.lit("image").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"))
-    meta = decode_binary_metadata(media).select(
-        "doc_id", "width", "height", "content_digest")
-    return resize_images(meta)
+    """Integer-exact box downsample of REAL decoded PNG pixels to a
+    {TARGET_W}-wide aspect-preserving grid.
+
+    Scale shape: Arrow-batched mapInPandas, map-only, zero shuffle; the
+    full-resolution pixel array lives only inside the task — just the
+    {TARGET_W}*th downsample summary (sum + digest) leaves the stage."""
+    import numpy as np
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_png_with_pixels(int(doc_id), h)
+                w, ht, gray = decode_png_gray(payload)
+                th = max(1, ht * TARGET_W // w)
+                cx = (np.arange(w, dtype=np.int64) * TARGET_W) // w
+                cy = (np.arange(ht, dtype=np.int64) * th) // ht
+                sums = np.zeros((th, TARGET_W), dtype=np.int64)
+                cnts = np.zeros((th, TARGET_W), dtype=np.int64)
+                np.add.at(sums, (cy[:, None], cx[None, :]), gray)
+                np.add.at(cnts, (cy[:, None], cx[None, :]), 1)
+                vals = sums // cnts
+                flat = ",".join(str(int(v)) for v in vals.ravel())
+                out.append(dict(
+                    doc_id=int(doc_id), width=w, height=ht,
+                    target_w=TARGET_W, target_h=th,
+                    resized_sum=int(vals.sum()),
+                    resized_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text"))
+    return docs.mapInPandas(_resize_batch, RESIZED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1406,6 +1495,104 @@ def decode_gif_gray(payload: bytes):
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     raise ValueError("no image block in GIF")
+
+
+def synthesize_animated_gif(doc_id: int, h: str) -> bytes:
+    """A fully valid ANIMATED GIF89a: logical screen descriptor, the
+    reversed-grayscale global color table, then per frame a graphic
+    control extension (exercises the decoder's extension-skip path)
+    followed by a full-size image descriptor with its own LZW stream.
+    Frame f carries gradient (a*x + b*y + c + FRAME_DELTA*f) % 256 on a
+    small (8..23)^2 canvas so the pure-Python LZW stays cheap."""
+    import numpy as np
+
+    w = 8 + int(h[0:2], 16) % 16
+    ht = 8 + int(h[2:4], 16) % 16
+    nf = 2 + int(h[5], 16) % 4
+    p = _bmp_gradient_params(h)
+    palette = bytes(b for i in range(256) for b in (255 - i,) * 3)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(ht, dtype=np.int64)[:, None]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, ht, 0xF7, 0, 0)   # GCT, 256 entries
+    out += palette
+    for f in range(nf):
+        # graphic control extension: delay 4/100 s, no transparency
+        out += b"\x21\xF9\x04" + struct.pack("<BHB", 0, 4, 0) + b"\x00"
+        gray = ((p["a"] * x + p["b"] * y + p["c"] + FRAME_DELTA * f)
+                % 256).astype(np.uint8)
+        lzw = _lzw_encode_gif((255 - gray).tobytes())
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, ht, 0)
+        out.append(8)                                  # LZW min code size
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)                                  # block terminator
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Parse an animated GIF's REAL bytes into (width, height,
+    [frame arrays]): walks EVERY image descriptor (unlike
+    :func:`decode_gif_gray`, which stops at the first), skipping
+    extension blocks, LZW-decoding each frame and applying the global
+    palette. Raises on partial frames, local color tables, or
+    interlace — honest scope."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:                            # extension: skip
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:                          # image descriptor
+            left, top, w, ht, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10])
+            if ipacked & 0x80:
+                raise ValueError("local color table unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, w, ht) != (0, 0, sw, sh):
+                raise ValueError("partial-canvas frame unsupported")
+            if palette is None:
+                raise ValueError("no global color table")
+            pos += 10
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                lzw.extend(payload[pos + 1:pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            indices = _lzw_decode_gif(bytes(lzw), min_code)
+            if len(indices) != w * ht:
+                raise ValueError(f"LZW yielded {len(indices)} indices"
+                                 f" for {w}x{ht}")
+            idx = np.frombuffer(indices, dtype=np.uint8).astype(np.int64)
+            pal = np.frombuffer(palette, dtype=np.uint8)[::3].astype(np.int64)
+            frames.append(pal[idx].reshape(ht, w))
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("no image block in GIF")
+    return sw, sh, frames
 
 
 @query(

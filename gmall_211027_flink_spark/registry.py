@@ -70,7 +70,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_repetition_ratio", "text_tfidf_keywords",
     "text_normalize", "text_chunk_windows", "multimodal_decode_meta",
-    "multimodal_frame_sample", "multimodal_resize", "asof_join_pandas",
+    # multimodal_frame_sample / multimodal_resize reworked in r8 to REAL
+    # decode (animated-GIF LZW frames; PNG box downsample) -> re-gate
+    "asof_join_pandas",
     "fuzzy_join_customer_names", "sample_split_stratified",
     "sample_stratified_downsample", "ads_union_metrics",
     "ads_keyword_split", "ads_traffic_channel_stats",
@@ -209,7 +211,9 @@ _REVERIFY: tuple[str, ...] = (
     # 1e12 -> 1e6 quantization grid:
     "sample_weighted_priority",
     # second-grain -> microsecond event ordering:
+    "quality_funnel_order_audit",
     # global-sort window -> distributed bucket-prefix restructure:
+    "ads_pareto_lorenz",
     # r1-vintage staleness-canary rotation:
     "q1_pricing_summary",
     "dim_snowflake_enrich",

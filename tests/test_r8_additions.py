@@ -1,0 +1,128 @@
+"""Round-8 additions: real box-downsample resize, real animated-GIF
+frame decode, the PNG truncated-CRC contract, and the 6-dp priority
+grid."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------ resize ------
+
+def test_resize_matches_bruteforce_box_downsample():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        TARGET_W, decode_png_gray, synthesize_png_with_pixels)
+    for text in ("a", "resize me", "x" * 300):
+        h = hashlib.md5(text.encode()).hexdigest()
+        w, ht, gray = decode_png_gray(synthesize_png_with_pixels(0, h))
+        th = max(1, ht * TARGET_W // w)
+        brute = np.zeros((th, TARGET_W), dtype=np.int64)
+        cnt = np.zeros((th, TARGET_W), dtype=np.int64)
+        for y in range(ht):
+            for x in range(w):
+                brute[y * th // ht, x * TARGET_W // w] += gray[y, x]
+                cnt[y * th // ht, x * TARGET_W // w] += 1
+        assert (cnt > 0).all()          # w >= TARGET_W makes cells dense
+        expect = brute // cnt
+        cx = (np.arange(w) * TARGET_W) // w
+        cy = (np.arange(ht) * th) // ht
+        sums = np.zeros((th, TARGET_W), dtype=np.int64)
+        cnts = np.zeros((th, TARGET_W), dtype=np.int64)
+        np.add.at(sums, (cy[:, None], cx[None, :]), gray)
+        np.add.at(cnts, (cy[:, None], cx[None, :]), 1)
+        assert (sums // cnts == expect).all()
+
+
+def test_resize_cells_cover_grid_for_min_geometry():
+    # smallest synthetic PNG is 16x16 == TARGET_W, the dense-cell edge
+    from gmall_211027_flink_spark.operators.multimodal import TARGET_W
+    w = ht = 16
+    th = max(1, ht * TARGET_W // w)
+    cx = set((np.arange(w) * TARGET_W) // w)
+    cy = set((np.arange(ht) * th) // ht)
+    assert cx == set(range(TARGET_W)) and cy == set(range(th))
+
+
+# ------------------------------------------------- animated GIF frames ----
+
+def test_animated_gif_roundtrip_all_frames():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        FRAME_DELTA, _bmp_gradient_params, decode_gif_frames,
+        synthesize_animated_gif)
+    for text in ("one", "frame sample doc", "päyload" * 40):
+        h = hashlib.md5(text.encode()).hexdigest()
+        w, ht, frames = decode_gif_frames(synthesize_animated_gif(1, h))
+        assert (w, ht) == (8 + int(h[0:2], 16) % 16, 8 + int(h[2:4], 16) % 16)
+        assert len(frames) == 2 + int(h[5], 16) % 4
+        p = _bmp_gradient_params(h)
+        x = np.arange(w)[None, :]
+        y = np.arange(ht)[:, None]
+        for f, arr in enumerate(frames):
+            exp = (p["a"] * x + p["b"] * y + p["c"] + FRAME_DELTA * f) % 256
+            assert (arr == exp).all()
+
+
+def test_animated_gif_frames_differ():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_gif_frames, synthesize_animated_gif)
+    h = hashlib.md5(b"two frames differ").hexdigest()
+    _, _, frames = decode_gif_frames(synthesize_animated_gif(1, h))
+    assert len(frames) >= 2
+    assert not (frames[0] == frames[1]).all()
+
+
+def test_decode_gif_frames_rejects_partial_canvas():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_gif_frames, synthesize_animated_gif)
+    import struct
+    h = hashlib.md5(b"partial frame").hexdigest()
+    payload = bytearray(synthesize_animated_gif(1, h))
+    # corrupt the first image descriptor's left offset to 1
+    pos = payload.index(0x2C, 13 + 768)
+    payload[pos + 1:pos + 3] = struct.pack("<H", 1)
+    with pytest.raises(ValueError, match="partial-canvas"):
+        decode_gif_frames(bytes(payload))
+
+
+def test_decode_gif_gray_still_single_frame():
+    # the single-frame decoder keeps its first-descriptor contract
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_gif_frames, decode_gif_gray, synthesize_animated_gif)
+    h = hashlib.md5(b"single frame view").hexdigest()
+    payload = synthesize_animated_gif(1, h)
+    w1, h1, first = decode_gif_gray(payload)
+    w2, h2, frames = decode_gif_frames(payload)
+    assert (w1, h1) == (w2, h2)
+    assert (first == frames[0]).all()
+
+
+# ----------------------------------------------- PNG truncated-CRC fix ----
+
+def test_png_truncated_crc_raises_valueerror_not_struct_error():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_png_gray, synthesize_png_with_pixels)
+    h = hashlib.md5(b"crc cut short").hexdigest()
+    payload = synthesize_png_with_pixels(0, h)
+    # cut inside the IHDR chunk's CRC: sig(8) + len(4) + type(4) +
+    # body(13) + 2 of 4 CRC bytes
+    with pytest.raises(ValueError, match="CRC cut short"):
+        decode_png_gray(payload[: 8 + 4 + 4 + 13 + 2])
+
+
+# --------------------------------------------- 6-dp priority-grid drift ---
+
+def test_weighted_priority_grid_tolerates_ulp_drift():
+    # a 2-ulp perturbation of ln must not change the quantized key
+    import math
+    space = 1 << 32
+    for seed in range(200):
+        hx = hashlib.md5(str(seed).encode()).hexdigest()
+        u = (int(hx[:8], 16) + 1) / space
+        for w in (1, 7, 500, 4000):
+            x = -math.log(u) / w * 1e6
+            drift = abs(math.ulp(math.log(u))) * 2 / w * 1e6
+            assert math.floor(x + 0.5) == math.floor(x + drift + 0.5)
+            assert math.floor(x + 0.5) == math.floor(x - drift + 0.5)
