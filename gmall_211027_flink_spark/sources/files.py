@@ -224,3 +224,92 @@ def _register_partition_pruning() -> None:
 
 
 _register_partition_pruning()
+
+
+# ---------------------------------------------------------------------------
+# DYNAMIC partition pruning (the 100 TB join-pruning lever): the dt
+# filter arrives at the fact scan not as a literal predicate but as a
+# runtime subquery over the FILTERED DIM — Spark broadcasts the dim,
+# collects its join keys, and prunes fact partitions before scanning
+# them. The static gate above proves literal PartitionFilters; this one
+# proves the `dynamicpruning#N` subquery form (SubqueryBroadcast /
+# SubqueryAdaptiveBroadcast under AQE), which is what saves the scan
+# when the dt set comes from data instead of the query text.
+# DPP preconditions worth encoding (learned by probe): the dim-side
+# predicate must be LIKELY-SELECTIVE (an equality/IN against a literal
+# — a bare boolean attribute does NOT qualify), and the fact-side join
+# key must be the bare partition attribute (put any casts on the dim
+# side).
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(strftime(ts, '%d') AS INT) % 7 = 3
+GROUP BY 1
+"""
+
+
+def write_events_dt_dim(spark: SparkSession, sf_dir: str,
+                        path: str) -> None:
+    """A small dt-keyed dim: one row per event date, with a 'kind'
+    attribute whose 'promo' value marks day-of-month % 7 == 3."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    (load_table(spark, sf_dir, "events")
+     .select(F.date_format("ts", "yyyy-MM-dd").alias("dt")).distinct()
+     .withColumn("kind", F.when(
+         F.substring("dt", 9, 2).cast("int") % 7 == 3, "promo")
+         .otherwise("normal"))
+     .write.mode("overwrite").parquet(path))
+
+
+def read_dpp_pruned_join(spark: SparkSession, fact_path: str,
+                         dim_path: str) -> DataFrame:
+    """Join a dt-partitioned fact to the dim filtered kind='promo' so
+    Catalyst inserts a dynamicpruning subquery on the fact scan. The
+    fact's dt partition column is directory-inferred as DATE, so the
+    string->date cast goes on the DIM side — casting the fact key
+    would defeat DPP."""
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(fact_path)
+    dim = (spark.read.parquet(dim_path)
+           .filter(F.col("kind") == "promo")
+           .withColumn("dt", F.to_date("dt")))
+    return fact.join(F.broadcast(dim), "dt")
+
+
+def _register_dpp() -> None:
+    from ..registry import query
+
+    @query("source_dpp_pruned_join", oracle=_DPP_ORACLE)
+    def source_dpp_pruned_join(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="dpp_join_")
+        try:
+            write_partitioned_events(spark, sf_dir, f"{d}/fact")
+            write_events_dt_dim(spark, sf_dir, f"{d}/dim")
+            out = (read_dpp_pruned_join(spark, f"{d}/fact", f"{d}/dim")
+                   .groupBy("event_type")
+                   .agg(F.count("*").cast("bigint").alias("n_events"),
+                        F.countDistinct("user_id").cast("bigint")
+                         .alias("n_users")))
+            # gate-harness materialization only: the temp layout is
+            # removed in `finally`; production reads live table paths
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_register_dpp()

@@ -625,3 +625,25 @@ def test_edit_distance_join_is_equi_on_block_key(spark, sf_dir):
     plan = executed_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_subquery_on_fact_scan(spark, sf_dir, tmp_path):
+    """The dt filter that arrives FROM THE DIM at runtime must reach the
+    fact scan as a dynamicpruning subquery (DPP), not as a post-scan
+    join residual — at 100 TB this is the difference between scanning
+    6 partition directories and scanning all of them. Companion to the
+    static PartitionFilters gate (source_partitioned_pruning)."""
+    from gmall_211027_flink_spark.sources.files import (
+        read_dpp_pruned_join, write_events_dt_dim, write_partitioned_events)
+
+    write_partitioned_events(spark, str(sf_dir), str(tmp_path / "fact"))
+    write_events_dt_dim(spark, str(sf_dir), str(tmp_path / "dim"))
+    out = (read_dpp_pruned_join(spark, str(tmp_path / "fact"),
+                                str(tmp_path / "dim"))
+           .groupBy("event_type").agg(F.count("*").alias("n")))
+    out.collect()
+    plan = executed_plan(out)
+    assert "dynamicpruning#" in plan, plan
+    assert "SubqueryBroadcast" in plan or "SubqueryAdaptiveBroadcast" in plan, plan
+    # and the dim side must still broadcast (the subquery reuses it)
+    assert "BroadcastHashJoin" in plan, plan
