@@ -165,16 +165,11 @@ ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
 BEHAVIOR_SCALE_QUERIES = ["ads_window_funnel", "join_salted_skew"]
 
 
-def _dedup_scale_probe(spark, sf_dir: str) -> dict:
-    """Time the dedup family on a synthetic 10x documents corpus to catch
-    quadratic candidate blowup before real scale does (VERDICT r1 #8).
-
-    Each source doc is replicated 10x with a per-replica suffix token, so
-    replicas are near-duplicates of their siblings (worst-case dup
-    density: every doc belongs to a 10-clique of near-dups). Sub-linear
-    scaling here would flag pair-generation blowup. The corpus is built
-    once and cached in /tmp across bench runs.
-    """
+def ensure_scale_corpus(spark, sf_dir: str) -> str:
+    """Build (once, cached in /tmp across runs) the synthetic 10x probe
+    corpus — near-dup documents, near-neighbor embeddings, hot-key
+    events, 1x customer dim — and return its directory. Shared by the
+    bench scale probe and scripts/mem_probe.py."""
     from pyspark.sql import functions as F
 
     probe_dir = f"/tmp/spark_graft_scale{SCALE_FACTOR}x_" \
@@ -251,6 +246,23 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
          .drop("_r")
          .repartition(32)
          .write.mode("overwrite").parquet(ev_path))
+    return probe_dir
+
+
+def _dedup_scale_probe(spark, sf_dir: str) -> dict:
+    """Time the dedup family on a synthetic 10x documents corpus to catch
+    quadratic candidate blowup before real scale does (VERDICT r1 #8).
+
+    Each source doc is replicated 10x with a per-replica suffix token, so
+    replicas are near-duplicates of their siblings (worst-case dup
+    density: every doc belongs to a 10-clique of near-dups). Sub-linear
+    scaling here would flag pair-generation blowup. The corpus is built
+    once and cached in /tmp across bench runs.
+    """
+    probe_dir = ensure_scale_corpus(spark, sf_dir)
+    docs_path = f"{probe_dir}/documents.parquet"
+    emb_path = f"{probe_dir}/embeddings.parquet"
+    ev_path = f"{probe_dir}/events.parquet"
 
     out: dict[str, object] = {}
     cpu_s: dict[str, float] = {}
@@ -296,6 +308,12 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     out["rows"] = spark.read.parquet(docs_path).count()
     out["emb_rows"] = spark.read.parquet(emb_path).count()
     out["event_rows"] = spark.read.parquet(ev_path).count()
+    # AQE-vs-manual-salt on the same hot-key corpus (VERDICT r7 #5):
+    # times the UNSALTED shuffle join under (a) AQE defaults and (b)
+    # AQE skew-join with thresholds scaled to probe size, next to the
+    # salted plan — so SCALE.md §3 can state with numbers when manual
+    # salting beats AQE's OptimizeSkewedJoin.
+    out["aqe_vs_salt"] = _aqe_vs_salt_probe(spark, probe_dir)
     # Sketch-tuning audit (SCALE.md §7): band-miss recall of the 16/4
     # MinHash config vs the exact-Jaccard pair set, at 1x and at the
     # worst-case-density 10x corpus — the check a pipeline runs before
@@ -308,6 +326,104 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
             "band_missed": row["band_missed"],
             "sec": round(time.perf_counter() - t0, 3)}
     return out
+
+
+def _min3(spark, fn) -> dict:
+    """min-of-3 wall + cpu/gc for the min-wall run (same methodology as
+    the headline loop)."""
+    best = float("inf")
+    best_cpu = best_gc = 0.0
+    for _ in range(3):
+        c0, g0 = _jvm_cpu_seconds(), _jvm_gc_seconds(spark)
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        if wall < best:
+            best = wall
+            best_cpu = _jvm_cpu_seconds() - c0
+            best_gc = _jvm_gc_seconds(spark) - g0
+    return {"wall_s": round(best, 3), "cpu_s": round(best_cpu, 3),
+            "gc_s": round(best_gc, 3)}
+
+
+def _aqe_vs_salt_probe(spark, probe_dir: str) -> dict:
+    """Side-by-side on the 10x hot-key corpus (user_id 1 carries ~10% of
+    fact rows), with broadcast DISABLED — the regime salting exists for
+    (dim too big to broadcast at real scale):
+
+      plain_aqe_default    unsalted shuffle join, AQE skew-join at its
+                           default thresholds (256 MB partitions — far
+                           above probe size, so the hot partition stays
+                           whole: the 'one reducer drags' baseline)
+      plain_aqe_skew_tuned same join with skew thresholds scaled to the
+                           probe (100 KB threshold/advisory, factor 1.2
+                           — the hot partition is only ~MBs compressed
+                           at probe scale) so OptimizeSkewedJoin
+                           actually splits the hot partition, the way it
+                           would at 100 TB under defaults
+      salted               the manual salted plan (SALT_BUCKETS-way)
+
+    aqe_skew_fired records whether the tuned run's final plan shows a
+    skew=true sort-merge join — evidence the split actually happened
+    rather than a mis-tuned no-op. The evidence query COLLECTS ITS OWN
+    DataFrame (df.count() executes a different QueryExecution and
+    leaves df's own plan isFinalPlan=false — measured), and the agg
+    keeps a value sum so column pruning can't strip the shuffle down
+    to bare keys."""
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.joins import salted_join
+
+    ev = load_table(spark, probe_dir, "events").select(
+        "event_id", "user_id", "value")
+    cust = load_table(spark, probe_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+
+    def _agg(j):
+        return j.groupBy("c_nationkey").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vs"))
+
+    def plain():
+        return _agg(ev.join(cust, ev.user_id == cust.c_custkey))
+
+    def salted():
+        return _agg(salted_join(ev, cust, "user_id", "c_custkey",
+                                "event_id"))
+
+    conf = spark.conf
+    keys = ["spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"]
+    saved = {k: conf.get(k) for k in keys}
+    res: dict[str, object] = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res["plain_aqe_default"] = _min3(spark, lambda: plain().count())
+        conf.set("spark.sql.adaptive.skewJoin"
+                 ".skewedPartitionThresholdInBytes", "100k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        res["plain_aqe_skew_tuned"] = _min3(spark, lambda: plain().count())
+        probe_df = plain()
+        probe_df.collect()
+        res["aqe_skew_fired"] = "skew=true" in (
+            probe_df._jdf.queryExecution().executedPlan().toString())
+        for k in ("spark.sql.adaptive.skewJoin"
+                  ".skewedPartitionThresholdInBytes",
+                  "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                  "spark.sql.adaptive.skewJoin.skewedPartitionFactor"):
+            conf.set(k, saved[k])
+        res["salted"] = _min3(spark, lambda: salted().count())
+    except Exception as exc:   # probe must never fail the bench
+        res["error"] = str(exc)[:200]
+    finally:
+        for k, v in saved.items():
+            try:
+                conf.set(k, v)
+            except Exception:
+                pass
+    return res
 
 
 def _jvm_gc_seconds(spark) -> float:

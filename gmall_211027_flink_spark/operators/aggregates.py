@@ -2878,3 +2878,210 @@ def stats_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_anomalies"),
                  F.round(F.max(F.abs("r")), 6).alias("max_abs_resid"),
                  F.min("t").alias("threshold")))
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval via the POISSON BOOTSTRAP (Oza &
+# Russell 2001; Chamandy et al., "Estimating Uncertainty for Massive
+# Data Streams", Google 2012) — the bootstrap that works on MapReduce:
+# instead of resampling n rows with replacement (needs global
+# coordination), each row independently contributes to replica b with
+# multiplicity ~ Poisson(1). One pass, map-side: each row emits B
+# (replica, m*x, m) partials that partial-aggregate BEFORE the
+# shuffle, so the exchange carries B x partitions rows, never B x n.
+#
+# Determinism: multiplicity comes from md5(o_orderkey:b) mapped through
+# the EXACT Poisson(1) CDF thresholds on the 2^32 grid (integer
+# literals, identical in both engines, no runtime exp/factorial);
+# replica sums are DECIMAL (order-insensitive); the CI bounds are
+# order statistics of the B replica means (rank cut with replica-id
+# tie-break), not a float quantile interpolation.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 64                      # bootstrap replicas
+# floor(CDF_Poisson1(k) * 2^32) for k = 0..4; h >= last -> m = 5
+BOOT_THRESHOLDS = (1580030168, 3160060337, 3950075421,
+                   4213413783, 4279248373)
+BOOT_LO_RANK = 2                 # 2nd smallest of 64  ~ 2.5% bound
+BOOT_HI_RANK = BOOT_B - 1        # 63rd smallest       ~ 97.5% bound
+
+
+def _boot_mult_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}"
+        for k, t in enumerate(BOOT_THRESHOLDS))
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b,
+             round(CAST(SUM(m * CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / SUM(m), 6) AS mean_b
+      FROM (
+        SELECT o_totalprice, b,
+               {_boot_mult_sql(
+                   "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
+                   " || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT)")} AS m
+        FROM orders, UNNEST(generate_series(0, {BOOT_B - 1})) AS t(b)
+      )
+      GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk
+      FROM reps
+    ),
+    pt AS (
+      SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*), 6) AS mean_pt
+      FROM orders
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas,
+           pt.mean_pt,
+           MAX(CASE WHEN rk = {BOOT_LO_RANK} THEN mean_b END) AS ci_lo,
+           MAX(CASE WHEN rk = {BOOT_HI_RANK} THEN mean_b END) AS ci_hi
+    FROM ranked, pt GROUP BY 1, 2
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~95% Poisson-bootstrap CI for mean order price ({BOOT_B}
+    deterministic replicas; bounds are order statistics of the replica
+    means)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("o_orderkey").cast("string"),
+        F.col("b").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    m = F.lit(5)
+    for k in range(len(BOOT_THRESHOLDS) - 1, -1, -1):
+        m = F.when(h < BOOT_THRESHOLDS[k], k).otherwise(m)
+    reps = (orders.select("o_orderkey", "o_totalprice", b)
+            .withColumn("m", m)
+            .groupBy("b")
+            .agg(F.round(
+                F.sum(F.col("m") * F.col("o_totalprice")
+                      .cast("decimal(18,2)")).cast("double")
+                / F.sum("m"), 6).alias("mean_b")))
+    ranked = reps.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b", "b")).alias("rk"))
+    pt = orders.agg(F.round(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        / F.count("*"), 6).alias("mean_pt"))
+    return (ranked.crossJoin(F.broadcast(pt))
+            .groupBy("mean_pt")
+            .agg(F.max(F.when(F.col("rk") == BOOT_LO_RANK,
+                              F.col("mean_b"))).alias("ci_lo"),
+                 F.max(F.when(F.col("rk") == BOOT_HI_RANK,
+                              F.col("mean_b"))).alias("ci_hi"))
+            .select(F.lit(BOOT_B).cast("bigint").alias("n_replicas"),
+                    "mean_pt", "ci_lo", "ci_hi"))
+
+
+# ---------------------------------------------------------------------------
+# Two-factor OLS with intercept, closed form: regress l_extendedprice
+# on (l_quantity, l_discount) by solving the 3x3 normal equations
+# (X'X) beta = X'y with Cramer's rule. The entire regression is ONE
+# map-side-partial aggregation producing nine EXACT moment sums
+# (inputs are 2-dp decimals, so every product is an exact decimal —
+# no float enters until the constant-size determinant arithmetic),
+# then constant scalar math. This is the at-scale shape for linear
+# models with few features: no gradient loop, no driver iteration,
+# one pass. Extends stats_regression_trend (single-factor) to the
+# multivariate case. R^2 comes from the same sums
+# (SSE = Syy - b1*Sqy_c - b2*Sdy_c over centered moments).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_ols_two_factor",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sdy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem
+    ),
+    c AS (  -- centered second moments
+      SELECT n,
+             sqq - sq * sq / n AS cqq,
+             sqd - sq * sd / n AS cqd,
+             sdd - sd * sd / n AS cdd,
+             sqy - sq * sy / n AS cqy,
+             sdy - sd * sy / n AS cdy,
+             syy - sy * sy / n AS cyy,
+             sq / n AS mq, sd / n AS md_, sy / n AS my
+      FROM m
+    ),
+    b AS (
+      SELECT n, cyy, cqy, cdy, mq, md_, my,
+             (cqy * cdd - cdy * cqd) / (cqq * cdd - cqd * cqd) AS b_qty,
+             (cdy * cqq - cqy * cqd) / (cqq * cdd - cqd * cqd) AS b_disc
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(my - b_qty * mq - b_disc * md_, 6) AS beta0,
+           round(b_qty, 6) AS beta_qty,
+           round(b_disc, 6) AS beta_disc,
+           round((b_qty * cqy + b_disc * cdy) / cyy, 6) AS r2
+    FROM b
+    """,
+)
+def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * y).cast("double").alias("sqy"),
+        F.sum(d * y).cast("double").alias("sdy"),
+        F.sum(y * y).cast("double").alias("syy"))
+    c = m.select(
+        "n",
+        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")).alias("cqq"),
+        (F.col("sqd") - F.col("sq") * F.col("sd") / F.col("n")).alias("cqd"),
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")).alias("cdd"),
+        (F.col("sqy") - F.col("sq") * F.col("sy") / F.col("n")).alias("cqy"),
+        (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n")).alias("cdy"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sq") / F.col("n")).alias("mq"),
+        (F.col("sd") / F.col("n")).alias("md_"),
+        (F.col("sy") / F.col("n")).alias("my"))
+    det = F.col("cqq") * F.col("cdd") - F.col("cqd") * F.col("cqd")
+    b = c.select(
+        "n", "cyy", "cqy", "cdy", "mq", "md_", "my",
+        ((F.col("cqy") * F.col("cdd") - F.col("cdy") * F.col("cqd")) / det)
+        .alias("b_qty"),
+        ((F.col("cdy") * F.col("cqq") - F.col("cqy") * F.col("cqd")) / det)
+        .alias("b_disc"))
+    return b.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("my") - F.col("b_qty") * F.col("mq")
+                - F.col("b_disc") * F.col("md_"), 6).alias("beta0"),
+        F.round("b_qty", 6).alias("beta_qty"),
+        F.round("b_disc", 6).alias("beta_disc"),
+        F.round((F.col("b_qty") * F.col("cqy")
+                 + F.col("b_disc") * F.col("cdy")) / F.col("cyy"), 6)
+        .alias("r2"))

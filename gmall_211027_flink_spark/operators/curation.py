@@ -891,3 +891,100 @@ def curation_contamination_by_source(spark: SparkSession,
                  F.count("hit").alias("contaminated_ct"),
                  F.round(F.count("hit").cast("double") / F.count("*"), 6)
                   .alias("contamination_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation by WATER-FILLING: given per-source token
+# capacities T_s and a total training budget B (here 50% of the
+# corpus), allocate each source an equal share of the budget, cap at
+# capacity, and redistribute the leftover equally among the uncapped
+# sources — WFA_ROUNDS unrolled rounds (the iteration count is FIXED,
+# like kmeans/pagerank: cross-engine drift in a convergence test could
+# change the round count). This is the data-mixing computation run
+# before building a pretraining mixture: small sources contribute all
+# they have; big sources split the remainder.
+#
+# All-integer math (token counts, floor-divided shares) — exact in
+# both engines, no float boundary until the final fill_ratio. Scale:
+# capacities come from ONE distributed agg; the rounds run on the
+# n_sources-row summary (constant size, broadcast-scale) — the corpus
+# is touched exactly once.
+# ---------------------------------------------------------------------------
+
+WFA_ROUNDS = 4
+WFA_BUDGET_PCT = 50       # budget = 50% of total corpus tokens
+
+
+def _wfa_oracle() -> str:
+    ctes = [f"""
+    cap AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(t) * {WFA_BUDGET_PCT} // 100 AS BIGINT) AS budget
+      FROM cap
+    ),
+    a0 AS (
+      SELECT source, t, CAST(0 AS BIGINT) AS a FROM cap
+    )"""]
+    for r in range(1, WFA_ROUNDS + 1):
+        prev = f"a{r - 1}"
+        ctes.append(f"""
+    s{r} AS (
+      SELECT CAST(tot.budget - SUM(a) AS BIGINT) AS rem,
+             CAST(SUM(CASE WHEN a < t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open
+      FROM {prev}, tot GROUP BY tot.budget
+    ),
+    a{r} AS (
+      SELECT p.source, p.t,
+             CAST(LEAST(p.t, p.a + CASE WHEN p.a < p.t AND s.n_open > 0
+                                        THEN s.rem // s.n_open
+                                        ELSE 0 END) AS BIGINT) AS a
+      FROM {prev} p, s{r} s
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT source, t AS cap_tokens, a AS alloc_tokens,
+           round(CAST(a AS DOUBLE) / t, 6) AS fill_ratio,
+           CAST((SELECT budget - SUM(a) FROM a{WFA_ROUNDS}, tot
+                 GROUP BY budget) AS BIGINT) AS leftover
+    FROM a{WFA_ROUNDS} ORDER BY source
+    """
+
+
+@query("curation_token_budget_allocation", oracle=_wfa_oracle())
+def curation_token_budget_allocation(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """{WFA_ROUNDS}-round water-filling of a {WFA_BUDGET_PCT}% token
+    budget across sources (equal-share with capacity caps)."""
+    cap = (load_table(spark, sf_dir, "documents")
+           .groupBy("source")
+           .agg(F.sum("n_chars").cast("bigint").alias("t"))
+           .localCheckpoint(eager=False))      # the rounds reuse it
+    tot = cap.agg(F.expr(
+        f"cast(div(sum(t) * {WFA_BUDGET_PCT}, 100) as bigint)")
+        .alias("budget"))
+    a = cap.withColumn("a", F.lit(0).cast("bigint"))
+    for _ in range(WFA_ROUNDS):
+        s = (a.crossJoin(F.broadcast(tot))
+             .agg((F.first("budget") - F.sum("a")).cast("bigint")
+                  .alias("rem"),
+                  F.sum(F.when(F.col("a") < F.col("t"), 1).otherwise(0))
+                  .cast("bigint").alias("n_open")))
+        add = F.when((F.col("a") < F.col("t")) & (F.col("n_open") > 0),
+                     F.expr("div(rem, n_open)")).otherwise(F.lit(0))
+        a = (a.crossJoin(F.broadcast(s))
+             .select("source", "t",
+                     F.least(F.col("t"), F.col("a") + add)
+                     .cast("bigint").alias("a")))
+    leftover = (a.crossJoin(F.broadcast(tot))
+                .agg((F.first("budget") - F.sum("a")).cast("bigint")
+                     .alias("leftover")))
+    return (a.crossJoin(F.broadcast(leftover))
+            .select("source", F.col("t").alias("cap_tokens"),
+                    F.col("a").alias("alloc_tokens"),
+                    F.round(F.col("a").cast("double") / F.col("t"), 6)
+                    .alias("fill_ratio"), "leftover")
+            .orderBy("source"))

@@ -779,3 +779,117 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rank_q.alias("rank_q"))
             .orderBy("rank_q", "doc_id")
             .limit(WPS_K))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al.,
+# NeurIPS 2023): score every raw document by how target-like it is
+# under hashed n-gram language models, w(doc) = sum over hashed
+# feature buckets of n_b(doc) * log(p_target(b) / p_raw(b)), with
+# Laplace smoothing. Target here = the 'en' slice; raw = the whole
+# corpus; features = unigrams hashed into DSIR_BUCKETS buckets. This
+# is the standard pretraining-data selection op between dedup and
+# mixing.
+#
+# Scale shape: one token explode -> (doc, bucket) counts (the only
+# corpus-sized shuffle); the two bucket LMs are DSIR_BUCKETS-row
+# aggregates (broadcast); the per-doc weight is an exact DECIMAL dot
+# product of integer counts with 6-dp-rounded log-ratios — the per-doc
+# sum is order-insensitive (no float accumulation across buckets), so
+# the top-K cut is engine-stable with the usual doc_id tie-break.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_K = 25
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 4))
+               ::BIGINT % {DSIR_BUCKETS} AS b
+      FROM documents
+    ),
+    doc_b AS (
+      SELECT doc_id, lang, source, b, COUNT(*) AS n_b
+      FROM toks GROUP BY 1, 2, 3, 4
+    ),
+    raw_lm AS (
+      SELECT b, COUNT(*) AS ct FROM toks GROUP BY 1
+    ),
+    tgt_lm AS (
+      SELECT b, COUNT(*) AS ct FROM toks
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM toks) AS raw_tot,
+             (SELECT COUNT(*) FROM toks
+              WHERE lang = '{DSIR_TARGET_LANG}') AS tgt_tot
+    ),
+    llr AS (
+      SELECT r.b,
+             CAST(round(
+               ln((COALESCE(t.ct, 0) + 1.0)
+                  / (tots.tgt_tot + {DSIR_BUCKETS}))
+               - ln((r.ct + 1.0) / (tots.raw_tot + {DSIR_BUCKETS})), 6)
+               AS DECIMAL(18,6)) AS llr_b
+      FROM raw_lm r LEFT JOIN tgt_lm t USING (b), tots
+    ),
+    weights AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(SUM(d.n_b * l.llr_b) AS DOUBLE) AS w
+      FROM doc_b d JOIN llr l USING (b)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, source, round(w, 6) AS dsir_weight,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY round(w, 6) DESC, doc_id)
+                    AS rk
+          FROM weights)
+    WHERE rk <= {DSIR_K}
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DSIR_K} most target-like docs by hashed-unigram DSIR
+    log-importance against the '{DSIR_TARGET_LANG}' slice."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    toks = (docs.select("doc_id", "lang", "source",
+                        F.explode(F.split("text", " ")).alias("term"))
+            .select("doc_id", "lang", "source",
+                    (F.conv(F.substring(F.md5("term"), 1, 4), 16, 10)
+                     .cast("bigint") % DSIR_BUCKETS).alias("b")))
+    toks = toks.localCheckpoint(eager=False)    # reused by 4 subplans
+    doc_b = toks.groupBy("doc_id", "lang", "source", "b").agg(
+        F.count("*").alias("n_b"))
+    raw_lm = toks.groupBy("b").agg(F.count("*").alias("raw_ct"))
+    tgt_lm = (toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+              .groupBy("b").agg(F.count("*").alias("tgt_ct")))
+    tots = toks.agg(
+        F.count("*").alias("raw_tot"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+              .otherwise(0)).alias("tgt_tot"))
+    llr = (raw_lm.join(tgt_lm, "b", "left")
+           .crossJoin(F.broadcast(tots))
+           .select("b", F.round(
+               F.log((F.coalesce(F.col("tgt_ct"), F.lit(0)) + 1.0)
+                     / (F.col("tgt_tot") + DSIR_BUCKETS))
+               - F.log((F.col("raw_ct") + 1.0)
+                       / (F.col("raw_tot") + DSIR_BUCKETS)), 6)
+               .cast("decimal(18,6)").alias("llr_b")))
+    weights = (doc_b.join(F.broadcast(llr), "b")
+               .groupBy("doc_id", "lang", "source")
+               .agg(F.sum(F.col("n_b") * F.col("llr_b"))
+                    .cast("double").alias("w")))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc(F.round("w", 6)), "doc_id"))
+    return (weights.withColumn("rk", rk)
+            .filter(F.col("rk") <= DSIR_K)
+            .select("doc_id", "lang", "source",
+                    F.round("w", 6).alias("dsir_weight"),
+                    F.col("rk").cast("bigint").alias("rk")))

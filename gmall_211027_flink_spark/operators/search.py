@@ -602,3 +602,191 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("t").cast("bigint").alias("total_occurrences"),
                     F.round(F.col("covered").cast("double")
                             / F.col("t"), 6).alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+# Buettcher, SIGIR 2009): fuse a LEXICAL ranking (BM25 over tokens)
+# and a SEMANTIC ranking (cosine over the embedding column) of the
+# same corpus with score(d) = sum over systems of 1/(RRF_K + rank_d).
+# This is the retrieval shape RAG/data-curation stacks actually run —
+# neither system alone survives vocabulary mismatch (lexical) or
+# keyword-exact needs (semantic). Reference parity: generalises the
+# keyword-search surface (app/func/SplitFunction.java) the same way
+# text_bm25_search does, adding the embedding leg.
+#
+# Corpus: documents that HAVE an embedding row (doc_id = vec_id) — both
+# systems must rank the same candidate set or ranks aren't comparable.
+# Query q_i pairs BM25_QUERIES[i]'s terms with vec_id = i's vector.
+#
+# Scale shape: the lexical leg is the inverted-index plan above
+# (postings filtered to query terms BEFORE the shuffle); the semantic
+# leg broadcasts Q query vectors against the corpus (one map stage +
+# per-query top-RRF_DEPTH TakeOrdered); fusion is a per-query
+# full-outer join of two <= RRF_DEPTH-row lists — constant-size.
+# Determinism: each per-system rank rounds its score to 6 dp with a
+# doc_id tie-break; the fused score is a sum of exactly two doubles
+# (commutative in IEEE), rounded at the 6-dp boundary.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # standard RRF damping constant
+RRF_DEPTH = 20      # per-system list depth fed into fusion
+HYBRID_TOP_K = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    qt_rows = ", ".join(
+        f"({i}, '{t}')" for i, (_q, ts) in enumerate(BM25_QUERIES)
+        for t in ts)
+    in_list = ", ".join(f"'{t}'" for t in _ALL_TERMS)
+    tfn = _BM25_TF_NORM.format(
+        tf="t.tf", dl="d.dl",
+        avgdl="(CAST(s.sum_dl AS DOUBLE) / s.n_docs)")
+    idf = _BM25_IDF.format(n="s.n_docs", df="f.df")
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {qt_rows}),
+    corpus AS (
+      SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM corpus
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM corpus)
+      WHERE term IN ({in_list}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    lex AS (
+      SELECT query_id, doc_id, lex_rank FROM (
+        SELECT q.query_id, t.doc_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(SUM({idf} * {tfn}), 6) DESC, t.doc_id
+               ) AS lex_rank
+        FROM tf t
+        JOIN dfreq f USING (term)
+        JOIN qt q USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2)
+      WHERE lex_rank <= {RRF_DEPTH}
+    ),
+    qv AS (
+      SELECT q.query_id, c.emb, c.norm
+      FROM (SELECT DISTINCT query_id FROM qt) q
+      JOIN corpus c ON c.doc_id = q.query_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id, sem_rank FROM (
+        SELECT qv.query_id, c.doc_id,
+               row_number() OVER (
+                 PARTITION BY qv.query_id
+                 ORDER BY round(list_dot_product(qv.emb, c.emb)
+                                / (qv.norm * c.norm), 6) DESC, c.doc_id
+               ) AS sem_rank
+        FROM qv, corpus c)
+      WHERE sem_rank <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+             COALESCE(l.doc_id, m.doc_id) AS doc_id,
+             l.lex_rank, m.sem_rank,
+             round(COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0)
+                   + COALESCE(1.0 / ({RRF_K} + m.sem_rank), 0), 6)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN sem m
+        ON l.query_id = m.query_id AND l.doc_id = m.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank, rrf_score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {HYBRID_TOP_K}
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of BM25 and cosine rankings over the embedded corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.expr("transform(embedding, x -> cast(x as double))")
+                    .alias("emb")))
+    emb = emb.withColumn("norm", F.expr(
+        "sqrt(aggregate(emb, cast(0 as double), (acc, x) -> acc + x * x))"))
+    corpus = (docs.join(emb, "doc_id")
+              .withColumn("w", F.split("text", " "))
+              .localCheckpoint(eager=False))   # reused by both legs + qv
+
+    # ---- lexical leg: BM25 over the shared corpus -----------------------
+    dl = corpus.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    qt = spark.createDataFrame(
+        [(i, t) for i, (_q, ts) in enumerate(BM25_QUERIES) for t in ts],
+        "query_id long, term string")
+    tf = (corpus.select("doc_id", F.explode("w").alias("term"))
+          .filter(F.col("term").isin(list(_ALL_TERMS)))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfn = _BM25_TF_NORM.format(
+        tf="tf", dl="dl", avgdl="(CAST(sum_dl AS DOUBLE) / n_docs)")
+    idf = _BM25_IDF.format(n="n_docs", df="df")
+    lex_scored = (tf.join(F.broadcast(dfreq), "term")
+                  .join(F.broadcast(qt), "term")
+                  .join(dl, "doc_id")
+                  .crossJoin(F.broadcast(stats))
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.round(F.sum(F.expr(f"{idf} * {tfn}")), 6)
+                       .alias("score")))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id"))
+    lex = (lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+           .filter(F.col("lex_rank") <= RRF_DEPTH)
+           .select("query_id", "doc_id", "lex_rank"))
+
+    # ---- semantic leg: cosine of each query doc's vector ----------------
+    qv = (corpus.join(
+              qt.select("query_id").distinct(),
+              corpus.doc_id == F.col("query_id"))
+          .select("query_id", F.col("emb").alias("qemb"),
+                  F.col("norm").alias("qnorm")))
+    dot = F.expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y),"
+                 " cast(0 as double), (acc, x) -> acc + x)")
+    sem_scored = (corpus.crossJoin(F.broadcast(qv))
+                  .select("query_id", "doc_id",
+                          F.round(dot / (F.col("qnorm") * F.col("norm")), 6)
+                           .alias("cosine")))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("doc_id"))
+    sem = (sem_scored.withColumn("sem_rank", F.row_number().over(ws))
+           .filter(F.col("sem_rank") <= RRF_DEPTH)
+           .select("query_id", "doc_id", "sem_rank"))
+
+    # ---- fusion ----------------------------------------------------------
+    fused = (lex.join(sem, ["query_id", "doc_id"], "full_outer")
+             .withColumn("rrf_score", F.round(
+                 F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")),
+                              F.lit(0.0)), 6)))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("doc_id"))
+    return (fused.withColumn("rnk", F.row_number().over(wf))
+            .filter(F.col("rnk") <= HYBRID_TOP_K)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("rnk").cast("bigint").alias("rnk"), "doc_id",
+                    F.col("lex_rank").cast("bigint").alias("lex_rank"),
+                    F.col("sem_rank").cast("bigint").alias("sem_rank"),
+                    "rrf_score"))

@@ -43,10 +43,36 @@ def _await(q, section: str) -> None:
                            "throughput measurement")
 
 
-def run(df, name: str, mode: str = "append") -> None:
+def run(df, name: str, mode: str = "append"):
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
     _await(q, name)
+    return q
+
+
+def _state_series(q) -> list[dict]:
+    """Per-batch state-store telemetry from the query's progress events
+    (VERDICT r7 #6): numRowsTotal + memoryUsedBytes per stateful
+    operator per micro-batch, plus RocksDB's own memory gauge when the
+    RocksDB provider is active. This turns 'state stays O(batch)' from
+    an asserted property into a recorded series."""
+    import json as _json
+
+    series = []
+    for p in q.recentProgress:
+        if not isinstance(p, dict):       # StreamingQueryProgress object
+            p = _json.loads(p.json)
+        for op in (p.get("stateOperators") or []):
+            cm = op.get("customMetrics") or {}
+            series.append({
+                "batch": p.get("batchId"),
+                "operator": op.get("operatorName"),
+                "rows_total": op.get("numRowsTotal"),
+                "rows_updated": op.get("numRowsUpdated"),
+                "mem_bytes": op.get("memoryUsedBytes"),
+                "rocksdb_mem_bytes": cm.get("rocksdbTotalMemoryUsage"),
+            })
+    return series
 
 
 def main() -> None:
@@ -232,10 +258,52 @@ def main() -> None:
         "rows": n_input, "sec": round(sec, 2),
         "rows_per_sec": round(n_input / sec)}
 
-    for d in (tmp6, tmp7, tmp8):
+    # 10. per-batch STATE-SIZE telemetry (VERDICT r7 #6): feed events in
+    # 8 hash-split files with maxFilesPerTrigger=1 so the query runs 8
+    # micro-batches, then record each batch's state-store size for (a)
+    # a watermarked tumbling agg — numRowsTotal must PLATEAU as the
+    # watermark evicts closed windows (bounded state) — and (b) the
+    # daily-unique keyed state, whose keys grow with DISTINCT users, not
+    # rows. The series (not just the claim) lands in the artifact and
+    # SCALE.md §8.
+    tmp10 = tempfile.mkdtemp(prefix="sb_state_")
+    # range-split by ts (each file a time slice) and mtime-order the
+    # parts ascending: the file source replays them oldest-first, so
+    # the watermark advances batch by batch and closed windows actually
+    # evict — a hash split would mark batches 2..8 late instead
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .repartitionByRange(8, "ts").write.mode("overwrite")
+     .parquet(f"{tmp10}/events"))
+    import glob as _glob
+    base_mt = time.time() - 900
+    for i, part in enumerate(sorted(_glob.glob(f"{tmp10}/events/part-*"))):
+        os.utime(part, (base_mt + i, base_mt + i))
+    ev_schema = spark.read.parquet(f"{tmp10}/events").schema
+    telemetry = {}
+
+    def chunked_stream():
+        from gmall_211027_flink_spark.catalog import normalize_event_ts
+        raw = (spark.readStream.schema(ev_schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(f"{tmp10}/events"))
+        return normalize_event_ts(raw, "ts")
+
+    agg10 = tumbling_agg(
+        chunked_stream(), "ts", "10 minutes", "2 seconds",
+        ["event_type"], [F.count("*").alias("pv_ct")])
+    q = run(agg10, f"sb_tel_win_{uuid.uuid4().hex[:6]}", "append")
+    telemetry["windowed_agg"] = _state_series(q)
+
+    st10 = chunked_stream().withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd"))
+    q = run(daily_unique(st10, "user_id", "ts", out_schema),
+            f"sb_tel_uniq_{uuid.uuid4().hex[:6]}")
+    telemetry["daily_unique_state"] = _state_series(q)
+
+    for d in (tmp6, tmp7, tmp8, tmp10):
         shutil.rmtree(d, ignore_errors=True)
     print(json.dumps({"metric": "streaming_throughput", "sf_dir": sf_dir,
-                      "paths": results}))
+                      "paths": results, "state_telemetry": telemetry}))
 
 
 if __name__ == "__main__":
