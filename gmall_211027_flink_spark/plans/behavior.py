@@ -744,3 +744,222 @@ def ads_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_credits"),
                  F.sum(F.col("credit").cast("decimal(38,6)"))
                   .cast("double").alias("total_credit")))
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+# model-based companion to the last-touch / position / time-decay
+# heuristics above: build the first-order Markov chain over each
+# user's touch journey (START -> touches -> CONV at first purchase,
+# or -> LOST), then credit each channel by how much the chain's
+# K-step conversion probability DROPS when that channel is removed
+# (all transitions into it redirected to LOST).
+#
+# The metric is defined as the K=MARKOV_STEPS-step conversion
+# probability (fixed horizon, like kmeans' fixed iterations — a
+# convergence test could flip on cross-engine drift); journeys here
+# are far shorter than K, so the horizon is not a practical truncation.
+#
+# Scale shape: journey -> transition extraction is ONE user-keyed
+# shuffle + a lag window; everything after runs on the
+# constant-size transition table — and all removal variants iterate
+# JOINTLY (state space = variant x state, one join per step, K total
+# tiny jobs) instead of one chain per channel. Determinism: transition
+# probabilities are 9-dp DECIMAL; each step is an exact decimal
+# mat-vec re-rounded to 9 dp — the PCA/power-iteration discipline.
+# ---------------------------------------------------------------------------
+
+MARKOV_STEPS = 8
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_transitions_sql() -> str:
+    """CTE fragment producing (src, dst) transition pairs per journey:
+    each user's events up to and including the FIRST purchase
+    ((eus, event_id)-lexicographic cut), purchase mapped to CONV,
+    non-converting journeys closed with a -> LOST edge."""
+    return """
+    ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS eus
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, eus AS pus, event_id AS pid,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY eus, event_id) AS rk
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    cut AS (SELECT user_id, pus, pid FROM firstp WHERE rk = 1),
+    journey AS (
+      SELECT e.user_id,
+             CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+                  ELSE e.event_type END AS st,
+             e.eus, e.event_id,
+             c.pid IS NOT NULL AS converts
+      FROM ev e LEFT JOIN cut c USING (user_id)
+      WHERE c.pid IS NULL
+         OR e.eus < c.pus OR (e.eus = c.pus AND e.event_id <= c.pid)
+    ),
+    steps AS (
+      SELECT user_id, converts, st,
+             COALESCE(LAG(st) OVER (PARTITION BY user_id
+                                    ORDER BY eus, event_id),
+                      'START') AS prev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY eus DESC, event_id DESC) AS rev
+      FROM journey
+    ),
+    trans_raw AS (
+      SELECT prev AS src, st AS dst FROM steps
+      UNION ALL
+      SELECT st AS src, 'LOST' AS dst
+      FROM steps WHERE rev = 1 AND NOT converts
+    )"""
+
+
+def _markov_oracle() -> str:
+    variants = ", ".join(
+        ["('full', '')"] + [f"('-{c}', '{c}')" for c in MARKOV_CHANNELS])
+    rounds = []
+    for it in range(1, MARKOV_STEPS + 1):
+        prev = f"p{it - 1}"
+        rounds.append(f"""
+    p{it} AS MATERIALIZED (
+      SELECT t.variant, t.src AS st,
+             CAST(round(CAST(SUM(t.p * q.p) AS DOUBLE), 9)
+                  AS DECIMAL(12,9)) AS p
+      FROM tv t JOIN {prev} q
+        ON q.variant = t.variant AND q.st = t.dst
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT variant, 'CONV', CAST(1 AS DECIMAL(12,9)) FROM vlist
+      UNION ALL
+      SELECT variant, 'LOST', CAST(0 AS DECIMAL(12,9)) FROM vlist
+    )""")
+    return f"""
+    WITH {_markov_transitions_sql()},
+    counts AS (
+      SELECT src, dst, COUNT(*) AS c FROM trans_raw GROUP BY 1, 2
+    ),
+    probs AS (
+      SELECT src, dst,
+             CAST(round(CAST(c AS DOUBLE)
+                        / SUM(c) OVER (PARTITION BY src), 9)
+                  AS DECIMAL(10,9)) AS p
+      FROM counts
+    ),
+    vlist(variant, removed) AS (VALUES {variants}),
+    tv AS MATERIALIZED (
+      SELECT v.variant, src,
+             CASE WHEN dst = v.removed THEN 'LOST' ELSE dst END AS dst,
+             CAST(SUM(p) AS DECIMAL(12,9)) AS p
+      FROM probs, vlist v
+      GROUP BY 1, 2, 3
+    ),
+    p0 AS (
+      SELECT variant, 'CONV' AS st, CAST(1 AS DECIMAL(12,9)) AS p
+      FROM vlist
+    ),
+    {','.join(rounds)},
+    pconv AS MATERIALIZED (
+      SELECT variant, CAST(p AS DOUBLE) AS pc
+      FROM p{MARKOV_STEPS} WHERE st = 'START'
+    ),
+    eff AS (
+      SELECT substr(v.variant, 2) AS channel,
+             round(f.pc, 6) AS p_conv_full,
+             round(f.pc - v.pc, 6) AS removal_effect
+      FROM pconv v, pconv f
+      WHERE f.variant = 'full' AND v.variant <> 'full'
+    )
+    SELECT channel, p_conv_full, removal_effect,
+           round(removal_effect
+                 / NULLIF(SUM(removal_effect) OVER (), 0), 6) AS share
+    FROM eff ORDER BY channel
+    """
+
+
+@query("ads_markov_attribution", oracle=_markov_oracle())
+def ads_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over the first-order journey chain:
+    per channel, the drop in {MARKOV_STEPS}-step conversion probability
+    when the channel's inbound transitions are redirected to LOST."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros(F.col("ts")).cast("bigint").alias("eus")))
+    wp = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    firstp = (ev.filter(F.col("event_type") == "purchase")
+              .withColumn("rk", F.row_number().over(wp))
+              .filter(F.col("rk") == 1)
+              .select("user_id", F.col("eus").alias("pus"),
+                      F.col("event_id").alias("pid")))
+    journey = (ev.join(firstp, "user_id", "left")
+               .filter(F.col("pid").isNull()
+                       | (F.col("eus") < F.col("pus"))
+                       | ((F.col("eus") == F.col("pus"))
+                          & (F.col("event_id") <= F.col("pid"))))
+               .select("user_id", "eus", "event_id",
+                       F.when(F.col("event_type") == "purchase", "CONV")
+                       .otherwise(F.col("event_type")).alias("st"),
+                       F.col("pid").isNotNull().alias("converts")))
+    wrev = Window.partitionBy("user_id").orderBy(
+        F.desc("eus"), F.desc("event_id"))
+    steps = journey.select(
+        "converts", "st",
+        F.coalesce(F.lag("st").over(wp), F.lit("START")).alias("prev"),
+        F.row_number().over(wrev).alias("rev"))
+    trans_raw = (steps.select(F.col("prev").alias("src"),
+                              F.col("st").alias("dst"))
+                 .unionByName(
+                     steps.filter((F.col("rev") == 1) & ~F.col("converts"))
+                     .select(F.col("st").alias("src"),
+                             F.lit("LOST").alias("dst"))))
+    counts = trans_raw.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    wsrc = Window.partitionBy("src")
+    probs = counts.select(
+        "src", "dst",
+        F.round(F.col("c").cast("double") / F.sum("c").over(wsrc), 9)
+        .cast("decimal(10,9)").alias("p"))
+    vlist = spark.createDataFrame(
+        [("full", "")] + [(f"-{c}", c) for c in MARKOV_CHANNELS],
+        "variant string, removed string")
+    tv = (probs.crossJoin(F.broadcast(vlist))
+          .groupBy("variant", "src",
+                   F.when(F.col("dst") == F.col("removed"), "LOST")
+                   .otherwise(F.col("dst")).alias("dst"))
+          .agg(F.sum("p").cast("decimal(12,9)").alias("p"))
+          .localCheckpoint(eager=False))       # reused every step
+    p = vlist.select("variant", F.lit("CONV").alias("st"),
+                     F.lit(1).cast("decimal(12,9)").alias("p"))
+    fixed = (vlist.select("variant", F.lit("CONV").alias("st"),
+                          F.lit(1).cast("decimal(12,9)").alias("p"))
+             .unionByName(vlist.select(
+                 "variant", F.lit("LOST").alias("st"),
+                 F.lit(0).cast("decimal(12,9)").alias("p"))))
+    for _ in range(MARKOV_STEPS):
+        vec = (p.withColumnRenamed("st", "dst")
+               .withColumnRenamed("p", "pv"))
+        stepped = (tv.join(F.broadcast(vec), ["variant", "dst"])
+                   .groupBy("variant", F.col("src").alias("st"))
+                   .agg(F.round(F.sum(F.col("p") * F.col("pv"))
+                                .cast("double"), 9)
+                        .cast("decimal(12,9)").alias("p")))
+        p = stepped.unionByName(fixed).localCheckpoint(eager=False)
+    pconv = (p.filter(F.col("st") == "START")
+             .select("variant", F.col("p").cast("double").alias("pc")))
+    full = (pconv.filter(F.col("variant") == "full")
+            .select(F.col("pc").alias("pc_full")))
+    eff = (pconv.filter(F.col("variant") != "full")
+           .crossJoin(F.broadcast(full))
+           .select(F.expr("substr(variant, 2)").alias("channel"),
+                   F.round("pc_full", 6).alias("p_conv_full"),
+                   F.round(F.col("pc_full") - F.col("pc"), 6)
+                   .alias("removal_effect")))
+    wall = Window.partitionBy(F.lit(1))
+    return (eff.select(
+        "channel", "p_conv_full", "removal_effect",
+        F.round(F.col("removal_effect")
+                / F.nullif(F.sum("removal_effect").over(wall),
+                           F.lit(0.0)), 6).alias("share"))
+        .orderBy("channel"))
