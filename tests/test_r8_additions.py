@@ -9,6 +9,8 @@ import hashlib
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 
 # ------------------------------------------------------------ resize ------
 
@@ -126,3 +128,86 @@ def test_weighted_priority_grid_tolerates_ulp_drift():
             drift = abs(math.ulp(math.log(u))) * 2 / w * 1e6
             assert math.floor(x + 0.5) == math.floor(x + drift + 0.5)
             assert math.floor(x + 0.5) == math.floor(x - drift + 0.5)
+
+
+# --------------------------------------------- depth-op invariants --------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_water_filling_invariants(spark):
+    from gmall_211027_flink_spark.operators.curation import (
+        WFA_BUDGET_PCT, curation_token_budget_allocation)
+    rows = curation_token_budget_allocation(spark, SF_DIR).collect()
+    budget = sum(r.cap_tokens for r in rows) * WFA_BUDGET_PCT // 100
+    assert all(0 <= r.alloc_tokens <= r.cap_tokens for r in rows)
+    total = sum(r.alloc_tokens for r in rows)
+    assert total + rows[0].leftover == budget
+    # leftover is either a floor-division residue (< one token per
+    # still-open source, unallocatable by integer shares) or the
+    # everything-capped surplus
+    uncapped = [r for r in rows if r.alloc_tokens < r.cap_tokens]
+    if rows[0].leftover > 0:
+        assert not uncapped or rows[0].leftover < len(uncapped)
+
+
+def test_markov_removal_effects_nonnegative_and_bounded(spark):
+    from gmall_211027_flink_spark.plans.behavior import (
+        ads_markov_attribution)
+    rows = ads_markov_attribution(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # redirecting a channel into LOST can only lower conversion
+        assert r.removal_effect >= 0, r
+        assert r.removal_effect <= r.p_conv_full + 1e-9, r
+    assert 0 < rows[0].p_conv_full <= 1
+
+
+def test_pca_loading_unit_norm_and_psd_eigval(spark):
+    from gmall_211027_flink_spark.operators.pca import (
+        embedding_pca_power_iteration)
+    rows = embedding_pca_power_iteration(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.loading * r.loading for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3          # 6-dp rounded unit vector
+    assert rows[0].eigval >= 0              # scatter matrix is PSD
+    # sign convention: the largest-|loading| component is positive
+    top = max(rows, key=lambda r: (abs(r.loading), -r.dim))
+    assert top.loading > 0
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_bootstrap_ci)
+    r = stats_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert r.ci_lo <= r.mean_pt <= r.ci_hi
+    assert r.ci_lo < r.ci_hi
+    assert r.n_replicas == 64
+
+
+def test_dsir_weights_favor_target_language(spark):
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_dsir_importance)
+    rows = sample_dsir_importance(spark, SF_DIR).collect()
+    # the top of a target='en' importance ranking must be en-ENRICHED
+    # relative to the corpus base rate (the tiny sf0.001 corpus is too
+    # noisy for an absolute-majority assertion)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = (docs.filter(F.col("lang") == "en").count()
+            / docs.count())
+    top = sum(1 for r in rows if r.lang == "en") / len(rows)
+    assert top > base, (top, base)
+
+
+def test_hybrid_rrf_scores_decompose(spark):
+    from gmall_211027_flink_spark.operators.search import (
+        RRF_K, search_hybrid_rrf)
+    rows = search_hybrid_rrf(spark, SF_DIR).collect()
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (RRF_K + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += 1.0 / (RRF_K + r.sem_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+        assert r.lex_rank is not None or r.sem_rank is not None
