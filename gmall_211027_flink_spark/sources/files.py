@@ -313,3 +313,79 @@ def _register_dpp() -> None:
 
 
 _register_dpp()
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on the lake: a CDC-fed table gains a column
+# mid-stream (the upstream DDL the reference's Maxwell pipeline ships
+# as `bootstrap`/`alter` events). On parquet the contract is
+# mergeSchema=true at read: old files surface the new column as NULL,
+# new files carry it — no rewrite of history. The gate writes two
+# epochs with different schemas, rereads merged, and aggregates over
+# the union; the oracle replays the same two epochs in SQL. At 100 TB
+# the point is what this does NOT cost: zero data rewritten, schema
+# resolved per file footer at scan time (pay it once, then pin the
+# merged schema in the catalog — schema inference over millions of
+# footers is the anti-pattern).
+# ---------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+WITH epoch1 AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+epoch2 AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status, o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+merged AS (SELECT * FROM epoch1 UNION ALL SELECT * FROM epoch2)
+SELECT status,
+       priority IS NOT NULL AS has_priority,
+       CAST(COUNT(*) AS BIGINT) AS row_ct,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS id_ct
+FROM merged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _register_schema_evolution() -> None:
+    from ..registry import query
+
+    @query("cdc_schema_evolution_replay", oracle=_EVOLVE_ORACLE)
+    def cdc_schema_evolution_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..catalog import load_table
+
+        d = tempfile.mkdtemp(prefix="evolve_")
+        try:
+            orders = load_table(spark, sf_dir, "orders")
+            (orders.filter(F.col("o_orderkey") % 2 == 0)
+             .select(F.col("o_orderkey").alias("id"),
+                     F.col("o_orderstatus").alias("status"))
+             .write.mode("overwrite").parquet(f"{d}/t/epoch=1"))
+            (orders.filter(F.col("o_orderkey") % 2 == 1)
+             .select(F.col("o_orderkey").alias("id"),
+                     F.col("o_orderstatus").alias("status"),
+                     F.col("o_orderpriority").alias("priority"))
+             .write.mode("overwrite").parquet(f"{d}/t/epoch=2"))
+            merged = (spark.read.option("mergeSchema", "true")
+                      .parquet(f"{d}/t"))
+            out = (merged.groupBy(
+                       "status", F.col("priority").isNotNull()
+                       .alias("has_priority"))
+                   .agg(F.count("*").cast("bigint").alias("row_ct"),
+                        F.countDistinct("id").cast("bigint").alias("id_ct"))
+                   .orderBy("status", "has_priority"))
+            # gate-harness materialization (temp layout removed below)
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_register_schema_evolution()

@@ -2065,3 +2065,79 @@ def _kmv_stream_oracle() -> str:
 
 
 _OR["stream_kmv_maintenance"] = _kmv_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming PCA-scatter maintenance: the scatter-matrix moment set
+# (pairwise product sums, per-dim sums, row count) is ALGEBRAIC — each
+# partial SUM-merges — so a stream can keep the d^2-row moment store
+# current per commit at O(d^2) state regardless of how many vectors
+# have flowed. The gate slices the corpus mod 3, folds each slice into
+# the store (commit + reread, the replay-guard shape shared with the
+# CM/KMV stores), then runs the SAME fixed power iteration on the
+# DRAINED store — the principal component must hash-match the one-shot
+# batch PCA oracle exactly. This is how an embedding-drift monitor
+# maintains PC1 at ingest without ever re-scanning the corpus.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_pca_scatter_maintenance",
+    oracle=None,   # assigned below: identical to the batch PCA oracle
+)
+def stream_pca_scatter_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.operators.pca import (
+        principal_component, quantized_vecs, scatter_moments)
+
+    vecs = quantized_vecs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="pca_store_gate_")
+    try:
+        state = None   # (kind, a, b, m) long-form moment store
+        for i in range(3):
+            batch = vecs.filter(F.col("vec_id") % 3 == i)
+            pp, dimsum, tot = scatter_moments(batch)
+            partial = (
+                pp.select(F.lit("pp").alias("kind"), "a", "b",
+                          F.col("spp").cast("decimal(38,0)").alias("m"))
+                .unionByName(dimsum.select(
+                    F.lit("dim").alias("kind"),
+                    F.col("dim").alias("a"), F.lit(-1).alias("b"),
+                    F.col("s").cast("decimal(38,0)").alias("m")))
+                .unionByName(tot.select(
+                    F.lit("n").alias("kind"), F.lit(-1).alias("a"),
+                    F.lit(-1).alias("b"),
+                    F.col("n").cast("decimal(38,0)").alias("m"))))
+            merged = partial if state is None else \
+                state.unionByName(partial)
+            state = (merged.groupBy("kind", "a", "b")
+                     .agg(F.sum("m").cast("decimal(38,0)").alias("m")))
+            # commit the O(d^2) moment store; reread = the next batch
+            # folds into the PERSISTED state, not a lineage chain
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n_rows = state.count()
+            assert n_rows <= 64 * 64 + 64 + 1, f"store grew: {n_rows}"
+        pp = (state.filter(F.col("kind") == "pp")
+              .select("a", "b", F.col("m").alias("spp")))
+        dimsum = (state.filter(F.col("kind") == "dim")
+                  .select(F.col("a").alias("dim"),
+                          F.col("m").cast("decimal(28,0)").alias("s")))
+        tot = (state.filter(F.col("kind") == "n")
+               .select(F.col("m").cast("bigint").alias("n")))
+        out = principal_component(pp, dimsum, tot)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _pca_stream_oracle() -> str:
+    from gmall_211027_flink_spark.operators.pca import _PCA_ORACLE
+    return _PCA_ORACLE
+
+
+_OR["stream_pca_scatter_maintenance"] = _pca_stream_oracle()
