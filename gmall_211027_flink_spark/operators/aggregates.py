@@ -3085,3 +3085,66 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("b_qty") * F.col("cqy")
                  + F.col("b_disc") * F.col("cdy")) / F.col("cyy"), 6)
         .alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (Chapman's corrected
+# Lincoln-Petersen): estimate the TRUE distinct-user population from
+# two overlapping observation windows — n1 users seen in window 1, n2
+# in window 2, m in both => N ~ (n1+1)(n2+1)/(m+1) - 1. The ecology
+# estimator is the dedup-world audit for "how many distinct entities
+# does the full corpus hold, given two partial crawls" — a
+# cross-check against HLL/KMV that needs only two cheap
+# distinct-counts and an intersection, all integer arithmetic.
+# ---------------------------------------------------------------------------
+
+CRC_SPLIT_DAY = 15     # window 1 = days 1..15 of month, window 2 = rest
+
+
+@query(
+    "stats_capture_recapture",
+    oracle=f"""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(strftime(ts, '%d') AS INT) <= {CRC_SPLIT_DAY}
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(strftime(ts, '%d') AS INT) > {CRC_SPLIT_DAY}
+    ),
+    c AS (
+      SELECT CAST((SELECT COUNT(*) FROM w1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM w2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id))
+                  AS BIGINT) AS m,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events)
+                  AS BIGINT) AS true_n
+    )
+    SELECT n1, n2, m, true_n,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate,
+           CAST(ABS((n1 + 1) * (n2 + 1) // (m + 1) - 1 - true_n)
+                AS BIGINT) AS abs_err
+    FROM c
+    """,
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the distinct-user
+    population from two day-of-month observation windows."""
+    ev = load_table(spark, sf_dir, "events")
+    dom = F.dayofmonth("ts")
+    w1 = (ev.filter(dom <= CRC_SPLIT_DAY)
+          .select("user_id").distinct())
+    w2 = (ev.filter(dom > CRC_SPLIT_DAY)
+          .select("user_id").distinct())
+    c = (w1.agg(F.count("*").cast("bigint").alias("n1"))
+         .crossJoin(w2.agg(F.count("*").cast("bigint").alias("n2")))
+         .crossJoin(w1.join(w2, "user_id")
+                    .agg(F.count("*").cast("bigint").alias("m")))
+         .crossJoin(ev.agg(F.countDistinct("user_id").cast("bigint")
+                           .alias("true_n"))))
+    est = F.expr("cast(div((n1 + 1) * (n2 + 1), m + 1) - 1 as bigint)")
+    return c.select("n1", "n2", "m", "true_n",
+                    est.alias("chapman_estimate"),
+                    F.abs(est - F.col("true_n")).cast("bigint")
+                    .alias("abs_err"))

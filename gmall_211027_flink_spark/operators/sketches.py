@@ -482,3 +482,113 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.abs(F.col("est_q") - F.col("ex")), 6)
                     .alias("abs_err"))
             .orderBy("q"))
+
+
+# ---------------------------------------------------------------------------
+# KMV SET ALGEBRA (theta-sketch style, Dasgupta et al. 2016): estimate
+# |A ∩ B| and the Jaccard of two key sets from their k-sized sketches
+# alone. Rule: θ = the k-th smallest hash of the UNION sketch; every
+# stored hash below θ is a uniform sample of the union at rate θ/SPACE,
+# so |A ∩ B| ≈ |{h < θ : h ∈ A's sketch ∧ h ∈ B's sketch}| · SPACE/θ.
+# This is the audience-overlap query ("clickers ∩ purchasers") at the
+# cost of two 256-row sketches — the exact form shuffles every key.
+# The gate audits the estimate against the exact intersection.
+#
+# All arithmetic is integer (hash compares, counts) until the final
+# 6-dp ratios; the k-th threshold is an exact order statistic with the
+# hash itself as the total order — no float boundary anywhere.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sketch_kmv_set_algebra",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'purchase'
+    ),
+    ha AS (SELECT k, {_KMV_HASH_DUCK} AS h FROM a),
+    hb AS (SELECT k, {_KMV_HASH_DUCK} AS h FROM b),
+    ska AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM ha) WHERE rn <= {KMV_K}
+    ),
+    skb AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM hb) WHERE rn <= {KMV_K}
+    ),
+    un AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM (SELECT h FROM ska
+                                    UNION ALL SELECT h FROM skb))
+    ),
+    theta AS (
+      SELECT CASE WHEN MAX(rn) < {KMV_K} THEN {KMV_SPACE}
+                  ELSE MAX(CASE WHEN rn = {KMV_K} THEN h END)
+             END AS th,
+             CAST(LEAST(MAX(rn), {KMV_K} - 1) AS BIGINT) AS n_un
+      FROM un
+    ),
+    sample_inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM ska JOIN skb USING (h), theta
+      WHERE h < theta.th
+    ),
+    exact AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+             CAST((SELECT COUNT(*) FROM a JOIN b USING (k)) AS BIGINT)
+               AS exact_inter
+    )
+    SELECT exact.n_a, exact.n_b, exact.exact_inter,
+           CAST(sample_inter.m * {KMV_SPACE} // theta.th AS BIGINT)
+             AS est_inter,
+           round(CAST(sample_inter.m AS DOUBLE)
+                 / NULLIF(theta.n_un, 0), 6) AS est_jaccard
+    FROM exact, sample_inter, theta
+    """,
+)
+def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection / Jaccard of clickers vs purchasers from two
+    {KMV_K}-row KMV sketches, audited against the exact overlap."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def sketch(tag):
+        keys = (ev.filter(F.col("event_type") == tag)
+                .select(F.col("user_id").alias("k")).distinct())
+        hashed = keys.select(
+            F.expr(f"cast(conv(substring(md5(cast(k as string)), 1,"
+                   f" {KMV_HEX}), 16, 10) as bigint)").alias("h"))
+        rn = F.row_number().over(Window.orderBy("h"))
+        return (hashed.withColumn("rn", rn)
+                .filter(F.col("rn") <= KMV_K).select("h"), keys)
+
+    ska, a = sketch("click")
+    skb, b = sketch("purchase")
+    un = (ska.unionByName(skb).distinct()
+          .withColumn("rn", F.row_number().over(Window.orderBy("h"))))
+    theta = un.agg(
+        F.when(F.max("rn") < KMV_K, F.lit(KMV_SPACE))
+         .otherwise(F.max(F.when(F.col("rn") == KMV_K, F.col("h"))))
+         .alias("th"),
+        F.least(F.max("rn"), F.lit(KMV_K - 1)).cast("bigint")
+         .alias("n_un"))
+    sample_inter = (ska.join(skb, "h").crossJoin(F.broadcast(theta))
+                    .filter(F.col("h") < F.col("th"))
+                    .agg(F.count("*").cast("bigint").alias("m")))
+    exact = (a.agg(F.count("*").cast("bigint").alias("n_a"))
+             .crossJoin(b.agg(F.count("*").cast("bigint").alias("n_b")))
+             .crossJoin(a.join(b, "k")
+                        .agg(F.count("*").cast("bigint")
+                             .alias("exact_inter"))))
+    return (exact.crossJoin(F.broadcast(sample_inter))
+            .crossJoin(F.broadcast(theta))
+            .select("n_a", "n_b", "exact_inter",
+                    F.expr(f"cast(div(m * cast({KMV_SPACE} as bigint),"
+                           " th) as bigint)").alias("est_inter"),
+                    F.round(F.col("m").cast("double")
+                            / F.nullif(F.col("n_un"),
+                                       F.lit(0)), 6).alias("est_jaccard")))

@@ -963,3 +963,92 @@ def ads_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.sum("removal_effect").over(wall),
                            F.lit(0.0)), 6).alias("share"))
         .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: users cohorted by FIRST-SIGNUP week; for each
+# cohort and account-age week, cumulative revenue per cohort user —
+# the triangle table behind every retention-revenue dashboard, and the
+# natural revenue extension of ads_cohort_retention. Plan: one
+# user-keyed shuffle finds each user's cohort anchor; purchases join
+# back on the user key (J-shape, equi-join); the cumulative sum runs
+# per cohort over WEEK GRAIN (bounded domain) — never over raw events.
+# Revenue sums are DECIMAL; per-user normalization is one 6-dp divide.
+# ---------------------------------------------------------------------------
+
+LTV_MAX_WEEK = 8
+
+
+@query(
+    "ads_cohort_ltv_curve",
+    oracle=f"""
+    WITH anchor AS (
+      -- NB: DuckDB's // on DOUBLE is plain division (epoch() returns
+      -- DOUBLE) — day/week grains need explicit floor+cast
+      SELECT user_id,
+             MIN(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS d0
+      FROM events WHERE event_type = 'signup'
+      GROUP BY 1
+    ),
+    cohort_size AS (
+      SELECT d0 // 7 AS cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM anchor GROUP BY 1
+    ),
+    rev AS (
+      SELECT a.d0 // 7 AS cohort_week,
+             (CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - a.d0) // 7
+               AS age_week,
+             SUM(CAST(e.value AS DECIMAL(18,2))) AS wk_rev
+      FROM events e JOIN anchor a USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts) / 86400) AS BIGINT) >= a.d0
+        AND (CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - a.d0) // 7
+            <= {LTV_MAX_WEEK}
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_week,
+             CAST(SUM(wk_rev) OVER (
+               PARTITION BY cohort_week ORDER BY age_week
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+      FROM rev
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(c.age_week AS BIGINT) AS age_week,
+           s.n_users,
+           round(c.cum_rev, 2) AS cum_revenue,
+           round(c.cum_rev / s.n_users, 6) AS ltv_per_user
+    FROM cum c JOIN cohort_size s USING (cohort_week)
+    ORDER BY 1, 2
+    """,
+)
+def ads_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per cohort user by signup-cohort week and
+    account-age week (capped at {LTV_MAX_WEEK} weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("div(unix_timestamp(ts), 86400)")
+    anchor = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min(day).alias("d0")))
+    cohort_size = (anchor.groupBy(F.expr("div(d0, 7)").alias("cohort_week"))
+                   .agg(F.count("*").cast("bigint").alias("n_users")))
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .join(anchor, "user_id")
+           .withColumn("eday", day)
+           .filter(F.col("eday") >= F.col("d0"))
+           .withColumn("age_week", F.expr("div(eday - d0, 7)"))
+           .filter(F.col("age_week") <= LTV_MAX_WEEK)
+           .groupBy(F.expr("div(d0, 7)").alias("cohort_week"), "age_week")
+           .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                .alias("wk_rev")))
+    wcum = (Window.partitionBy("cohort_week").orderBy("age_week")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = rev.withColumn("cum_rev", F.sum("wk_rev").over(wcum)
+                         .cast("double"))
+    return (cum.join(cohort_size, "cohort_week")
+            .select(F.col("cohort_week").cast("bigint").alias("cohort_week"),
+                    F.col("age_week").cast("bigint").alias("age_week"),
+                    "n_users",
+                    F.round("cum_rev", 2).alias("cum_revenue"),
+                    F.round(F.col("cum_rev") / F.col("n_users"), 6)
+                    .alias("ltv_per_user"))
+            .orderBy("cohort_week", "age_week"))
