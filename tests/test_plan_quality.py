@@ -647,3 +647,49 @@ def test_dynamic_partition_pruning_subquery_on_fact_scan(spark, sf_dir, tmp_path
     assert "SubqueryBroadcast" in plan or "SubqueryAdaptiveBroadcast" in plan, plan
     # and the dim side must still broadcast (the subquery reuses it)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pca_scatter_is_mapside_partial_no_selfjoin(spark, sf_dir):
+    """The scatter matrix must come from per-vector outer products that
+    collapse in a map-side partial aggregate — a vec_id self-join of
+    the long form would shuffle n*d rows twice and explode to n*d^2 at
+    the join; the only exchange should carry d^2-keyed partials, and
+    every join in the whole plan (moments + iteration) must broadcast."""
+    from gmall_211027_flink_spark.operators.pca import (
+        embedding_pca_power_iteration)
+
+    out = embedding_pca_power_iteration(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_bucket_lms_broadcast(spark, sf_dir):
+    """The two DSIR bucket LMs are DSIR_BUCKETS-row aggregates; the
+    per-doc weight join against them must broadcast — a shuffle join
+    keyed on 256 buckets would funnel the whole corpus through 256
+    reducers."""
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_dsir_importance)
+
+    out = sample_dsir_importance(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_markov_iteration_joins_broadcast(spark, sf_dir):
+    """Journey extraction pays the one user-keyed shuffle; every
+    chain-iteration join runs on the constant-size transition table
+    and must broadcast."""
+    from gmall_211027_flink_spark.plans.behavior import (
+        ads_markov_attribution)
+
+    out = ads_markov_attribution(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
