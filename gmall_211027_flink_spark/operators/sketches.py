@@ -562,9 +562,9 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed = keys.select(
             F.expr(f"cast(conv(substring(md5(cast(k as string)), 1,"
                    f" {KMV_HEX}), 16, 10) as bigint)").alias("h"))
-        rn = F.row_number().over(Window.orderBy("h"))
-        return (hashed.withColumn("rn", rn)
-                .filter(F.col("rn") <= KMV_K).select("h"), keys)
+        # bottom-k via sort+limit = TakeOrdered (per-partition bottom-k,
+        # driver merge of k*P candidates) — never a global-sort window
+        return hashed.orderBy("h").limit(KMV_K), keys
 
     ska, a = sketch("click")
     skb, b = sketch("purchase")

@@ -78,6 +78,9 @@ _DOC_QUERIES = [
     "text_url_canonicalize", "curation_boilerplate_ngrams",
     "dedup_edit_distance_banded", "text_flesch_readability",
     "sample_weighted_priority",
+    # round-8 additions (documents-only inputs)
+    "multimodal_resize", "multimodal_frame_sample",
+    "sample_dsir_importance", "curation_token_budget_allocation",
 ]
 
 
