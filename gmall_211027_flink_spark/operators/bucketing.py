@@ -314,3 +314,102 @@ def _register_zorder() -> None:
 
 
 _register_zorder()
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (apply-changes upsert): the lake's write-side primitive —
+# given a base snapshot and a keyed changelog, produce the next
+# snapshot with UPDATE / DELETE / INSERT semantics in ONE keyed
+# full-outer join + CASE resolution (the shape Delta/Iceberg MERGE
+# compiles to). dataset_snapshot_diff computes WHAT changed; this is
+# the half that APPLIES it. Changelog synthesized deterministically
+# from the customer table: key%5==0 -> update (+100 balance),
+# key%5==1 -> delete, and a disjoint new-key range -> insert.
+#
+# Scale: the join is the only corpus-sized stage and runs on the merge
+# key — on a bucketed base table (write_bucketed above) it is
+# Exchange-free on the base side; the audit output is a constant-size
+# per-action/per-nation rollup. All-decimal balance sums.
+# ---------------------------------------------------------------------------
+
+MERGE_INSERT_OFFSET = 1_000_000   # new-key range for synthesized inserts
+
+
+def _register_merge() -> None:
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..registry import query
+
+    @query(
+        "lake_merge_upsert",
+        oracle=f"""
+        WITH base AS (
+          SELECT c_custkey AS k, c_nationkey AS nk,
+                 CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer
+        ),
+        changes AS (
+          SELECT k, nk, bal + 100 AS bal, 'update' AS op
+          FROM base WHERE k % 5 = 0
+          UNION ALL
+          SELECT k, nk, bal, 'delete' FROM base WHERE k % 5 = 1
+          UNION ALL
+          SELECT k + {MERGE_INSERT_OFFSET}, nk,
+                 CAST(500 AS DECIMAL(18,2)), 'insert'
+          FROM base WHERE k % 5 = 2
+        ),
+        merged AS (
+          SELECT COALESCE(c.k, b.k) AS k,
+                 COALESCE(c.nk, b.nk) AS nk,
+                 CASE WHEN c.op IN ('update', 'insert') THEN c.bal
+                      ELSE b.bal END AS bal,
+                 COALESCE(c.op, 'carry') AS action
+          FROM base b FULL OUTER JOIN changes c ON c.k = b.k
+          WHERE c.op IS DISTINCT FROM 'delete'
+        )
+        SELECT action, CAST(nk AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS row_ct,
+               CAST(SUM(bal) AS DOUBLE) AS bal_sum
+        FROM merged GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+    def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
+        base = base.localCheckpoint(eager=False)  # source of the changes too
+        changes = (
+            base.filter(F.col("k") % 5 == 0)
+            .select("k", "nk", (F.col("bal") + 100).alias("bal"),
+                    F.lit("update").alias("op"))
+            .unionByName(base.filter(F.col("k") % 5 == 1)
+                         .select("k", "nk", "bal",
+                                 F.lit("delete").alias("op")))
+            .unionByName(base.filter(F.col("k") % 5 == 2)
+                         .select((F.col("k") + MERGE_INSERT_OFFSET)
+                                 .alias("k"), "nk",
+                                 F.lit(500).cast("decimal(18,2)")
+                                 .alias("bal"),
+                                 F.lit("insert").alias("op"))))
+        c = changes.select(F.col("k").alias("ck"), F.col("nk").alias("cnk"),
+                           F.col("bal").alias("cbal"), "op")
+        merged = (base.join(c, base.k == c.ck, "full_outer")
+                  # IS DISTINCT FROM 'delete': keep non-matched base rows
+                  .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+                  .select(
+                      F.coalesce("ck", "k").alias("k"),
+                      F.coalesce("cnk", "nk").alias("nk"),
+                      F.when(F.col("op").isin("update", "insert"),
+                             F.col("cbal")).otherwise(F.col("bal"))
+                      .alias("bal"),
+                      F.coalesce("op", F.lit("carry")).alias("action")))
+        return (merged.groupBy("action",
+                               F.col("nk").cast("bigint").alias("nationkey"))
+                .agg(F.count("*").cast("bigint").alias("row_ct"),
+                     F.sum("bal").cast("double").alias("bal_sum"))
+                .orderBy("action", "nationkey"))
+
+
+_register_merge()

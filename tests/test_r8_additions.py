@@ -211,3 +211,65 @@ def test_hybrid_rrf_scores_decompose(spark):
             expect += 1.0 / (RRF_K + r.sem_rank)
         assert abs(r.rrf_score - round(expect, 6)) < 1e-9
         assert r.lex_rank is not None or r.sem_rank is not None
+
+
+# ------------------------------------------------- hypothesis properties ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_arbitrary_bytes(data):
+    # the GIF LZW codec must round-trip ANY byte string (animated
+    # frames feed it arbitrary gradient bytes; KwKwK and code-size
+    # growth paths are data-dependent)
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif)
+    assert _lzw_decode_gif(_lzw_encode_gif(data)) == data
+
+
+@given(st.integers(16, 120), st.integers(16, 120), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_box_downsample_conserves_mass(w, ht, seed):
+    # cell sums of the downsample grid must partition the image: total
+    # of per-cell sums == total pixel sum, counts == w*ht (no pixel
+    # dropped or double-counted by the index math)
+    import numpy as np
+    from gmall_211027_flink_spark.operators.multimodal import TARGET_W
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(ht, w), dtype=np.int64)
+    th = max(1, ht * TARGET_W // w)
+    cx = (np.arange(w) * TARGET_W) // w
+    cy = (np.arange(ht) * th) // ht
+    sums = np.zeros((th, TARGET_W), dtype=np.int64)
+    cnts = np.zeros((th, TARGET_W), dtype=np.int64)
+    np.add.at(sums, (cy[:, None], cx[None, :]), gray)
+    np.add.at(cnts, (cy[:, None], cx[None, :]), 1)
+    assert sums.sum() == gray.sum()
+    assert cnts.sum() == w * ht
+    assert (cnts > 0).all()
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=40),
+       st.integers(1, 100))
+@settings(max_examples=60, deadline=None)
+def test_water_filling_model_conserves(caps, pct):
+    # pure-python replay of the unrolled water-filling rounds: never
+    # over cap, never over budget, leftover is all-capped surplus or a
+    # sub-|open| floor residue
+    from gmall_211027_flink_spark.operators.curation import WFA_ROUNDS
+    budget = sum(caps) * pct // 100
+    a = [0] * len(caps)
+    for _ in range(WFA_ROUNDS):
+        rem = budget - sum(a)
+        n_open = sum(1 for x, c in zip(a, caps) if x < c)
+        for i, c in enumerate(caps):
+            if a[i] < c and n_open > 0:
+                a[i] = min(c, a[i] + rem // n_open)
+    assert all(0 <= x <= c for x, c in zip(a, caps))
+    leftover = budget - sum(a)
+    assert leftover >= 0
+    open_ = sum(1 for x, c in zip(a, caps) if x < c)
+    assert open_ == 0 or leftover < open_
