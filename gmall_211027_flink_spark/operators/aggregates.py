@@ -2995,6 +2995,66 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SSE = Syy - b1*Sqy_c - b2*Sdy_c over centered moments).
 # ---------------------------------------------------------------------------
 
+OLS_MOMENTS = ("n", "sq", "sd", "sy", "sqq", "sqd", "sdd",
+               "sqy", "sdy", "syy")
+
+
+def ols_moments(li: DataFrame) -> DataFrame:
+    """One-row EXACT-decimal moment set for the 2-factor OLS — an
+    algebraic (SUM-mergeable) summary, which is what lets
+    stream_ols_maintenance fold it at ingest (decimal partials merge
+    exactly; the double conversion happens once, at solve time)."""
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.agg(
+        F.count("*").cast("decimal(38,4)").alias("n"),
+        F.sum(q).cast("decimal(38,4)").alias("sq"),
+        F.sum(d).cast("decimal(38,4)").alias("sd"),
+        F.sum(y).cast("decimal(38,4)").alias("sy"),
+        F.sum(q * q).cast("decimal(38,4)").alias("sqq"),
+        F.sum(q * d).cast("decimal(38,4)").alias("sqd"),
+        F.sum(d * d).cast("decimal(38,4)").alias("sdd"),
+        F.sum(q * y).cast("decimal(38,4)").alias("sqy"),
+        F.sum(d * y).cast("decimal(38,4)").alias("sdy"),
+        F.sum(y * y).cast("decimal(38,4)").alias("syy"))
+
+
+def ols_solve(m: DataFrame) -> DataFrame:
+    """Closed-form solve from the moment row (Cramer on centered
+    moments); all inputs convert decimal->double once, identically in
+    both engines."""
+    m = m.select(*[F.col(c0).cast("double").alias(c0)
+                   for c0 in OLS_MOMENTS])
+    c = m.select(
+        "n",
+        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")).alias("cqq"),
+        (F.col("sqd") - F.col("sq") * F.col("sd") / F.col("n")).alias("cqd"),
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")).alias("cdd"),
+        (F.col("sqy") - F.col("sq") * F.col("sy") / F.col("n")).alias("cqy"),
+        (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n")).alias("cdy"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sq") / F.col("n")).alias("mq"),
+        (F.col("sd") / F.col("n")).alias("md_"),
+        (F.col("sy") / F.col("n")).alias("my"))
+    det = F.col("cqq") * F.col("cdd") - F.col("cqd") * F.col("cqd")
+    b = c.select(
+        "n", "cyy", "cqy", "cdy", "mq", "md_", "my",
+        ((F.col("cqy") * F.col("cdd") - F.col("cdy") * F.col("cqd")) / det)
+        .alias("b_qty"),
+        ((F.col("cdy") * F.col("cqq") - F.col("cqy") * F.col("cqd")) / det)
+        .alias("b_disc"))
+    return b.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("my") - F.col("b_qty") * F.col("mq")
+                - F.col("b_disc") * F.col("md_"), 6).alias("beta0"),
+        F.round("b_qty", 6).alias("beta_qty"),
+        F.round("b_disc", 6).alias("beta_disc"),
+        F.round((F.col("b_qty") * F.col("cqy")
+                 + F.col("b_disc") * F.col("cdy")) / F.col("cyy"), 6)
+        .alias("r2"))
+
+
 @query(
     "stats_ols_two_factor",
     oracle="""
@@ -3043,48 +3103,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("decimal(18,2)")
-    d = F.col("l_discount").cast("decimal(18,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
-    m = li.agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(q).cast("double").alias("sq"),
-        F.sum(d).cast("double").alias("sd"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(q * q).cast("double").alias("sqq"),
-        F.sum(q * d).cast("double").alias("sqd"),
-        F.sum(d * d).cast("double").alias("sdd"),
-        F.sum(q * y).cast("double").alias("sqy"),
-        F.sum(d * y).cast("double").alias("sdy"),
-        F.sum(y * y).cast("double").alias("syy"))
-    c = m.select(
-        "n",
-        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")).alias("cqq"),
-        (F.col("sqd") - F.col("sq") * F.col("sd") / F.col("n")).alias("cqd"),
-        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")).alias("cdd"),
-        (F.col("sqy") - F.col("sq") * F.col("sy") / F.col("n")).alias("cqy"),
-        (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n")).alias("cdy"),
-        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
-        (F.col("sq") / F.col("n")).alias("mq"),
-        (F.col("sd") / F.col("n")).alias("md_"),
-        (F.col("sy") / F.col("n")).alias("my"))
-    det = F.col("cqq") * F.col("cdd") - F.col("cqd") * F.col("cqd")
-    b = c.select(
-        "n", "cyy", "cqy", "cdy", "mq", "md_", "my",
-        ((F.col("cqy") * F.col("cdd") - F.col("cdy") * F.col("cqd")) / det)
-        .alias("b_qty"),
-        ((F.col("cdy") * F.col("cqq") - F.col("cqy") * F.col("cqd")) / det)
-        .alias("b_disc"))
-    return b.select(
-        F.col("n").cast("bigint").alias("n_rows"),
-        F.round(F.col("my") - F.col("b_qty") * F.col("mq")
-                - F.col("b_disc") * F.col("md_"), 6).alias("beta0"),
-        F.round("b_qty", 6).alias("beta_qty"),
-        F.round("b_disc", 6).alias("beta_disc"),
-        F.round((F.col("b_qty") * F.col("cqy")
-                 + F.col("b_disc") * F.col("cdy")) / F.col("cyy"), 6)
-        .alias("r2"))
+    return ols_solve(ols_moments(load_table(spark, sf_dir, "lineitem")))
 
 
 # ---------------------------------------------------------------------------

@@ -2141,3 +2141,59 @@ def _pca_stream_oracle() -> str:
 
 
 _OR["stream_pca_scatter_maintenance"] = _pca_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming OLS maintenance: the two-factor regression's moment set
+# (n, Σq, Σd, Σy, Σq², Σqd, Σd², Σqy, Σdy, Σy²) is algebraic — exact
+# decimal partials SUM-merge — so the regression stays current at
+# ingest with ONE ROW of state. The gate slices lineitem mod 3, folds
+# each slice's moment row into the store (commit + reread), then
+# solves from the drained store: betas/R² must hash-match the one-shot
+# batch stats_ols_two_factor oracle. The online-model-monitor shape:
+# refreshing a drift-watched regression costs O(batch), never a
+# corpus rescan.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_ols_maintenance",
+    oracle=None,   # assigned below: identical to the batch OLS oracle
+)
+def stream_ols_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        OLS_MOMENTS, ols_moments, ols_solve)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="ols_store_gate_")
+    try:
+        state = None   # single-row decimal moment store
+        for i in range(3):
+            part = ols_moments(li.filter(F.col("l_orderkey") % 3 == i))
+            merged = part if state is None else \
+                state.unionByName(part)
+            state = merged.agg(*[
+                F.sum(c).cast("decimal(38,4)").alias(c)
+                for c in OLS_MOMENTS])
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            assert state.count() == 1, "moment store must stay one row"
+        out = ols_solve(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ols_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_ols_two_factor"]
+
+
+_OR["stream_ols_maintenance"] = _ols_stream_oracle()
