@@ -1451,21 +1451,35 @@ def decode_gif_gray(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: screen descriptor cut")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         palette = payload[pos:pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated GIF: color table cut")
         pos += 3 * n
+    def _at(i: int) -> int:
+        # every positional read goes through the documented ValueError
+        # contract (a raw payload[i] IndexError / short struct slice
+        # would escape it — same truncation class as the PNG CRC fix)
+        if i >= len(payload):
+            raise ValueError("truncated GIF: data cut short")
+        return payload[i]
+
     while pos < len(payload):
-        b0 = payload[pos]
+        b0 = _at(pos)
         if b0 == 0x21:                            # extension: skip
             pos += 2
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while _at(pos):
+                pos += 1 + _at(pos)
             pos += 1
         elif b0 == 0x2C:                          # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF: image descriptor cut")
             _l, _t, w, ht, ipacked = struct.unpack(
                 "<HHHHB", payload[pos + 1:pos + 10])
             if ipacked & 0x80:
@@ -1475,11 +1489,13 @@ def decode_gif_gray(payload: bytes):
             if palette is None:
                 raise ValueError("no global color table")
             pos += 10
-            min_code = payload[pos]
+            min_code = _at(pos)
             pos += 1
             lzw = bytearray()
-            while payload[pos]:
-                n = payload[pos]
+            while _at(pos):
+                n = _at(pos)
+                if pos + 1 + n > len(payload):
+                    raise ValueError("truncated GIF: sub-block cut")
                 lzw.extend(payload[pos + 1:pos + 1 + n])
                 pos += 1 + n
             pos += 1
@@ -1544,22 +1560,34 @@ def decode_gif_frames(payload: bytes):
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: screen descriptor cut")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         palette = payload[pos:pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated GIF: color table cut")
         pos += 3 * n
+    def _at(i: int) -> int:
+        # ValueError truncation contract (see decode_gif_gray)
+        if i >= len(payload):
+            raise ValueError("truncated GIF: data cut short")
+        return payload[i]
+
     frames = []
     while pos < len(payload):
-        b0 = payload[pos]
+        b0 = _at(pos)
         if b0 == 0x21:                            # extension: skip
             pos += 2
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while _at(pos):
+                pos += 1 + _at(pos)
             pos += 1
         elif b0 == 0x2C:                          # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF: image descriptor cut")
             left, top, w, ht, ipacked = struct.unpack(
                 "<HHHHB", payload[pos + 1:pos + 10])
             if ipacked & 0x80:
@@ -1571,11 +1599,13 @@ def decode_gif_frames(payload: bytes):
             if palette is None:
                 raise ValueError("no global color table")
             pos += 10
-            min_code = payload[pos]
+            min_code = _at(pos)
             pos += 1
             lzw = bytearray()
-            while payload[pos]:
-                n = payload[pos]
+            while _at(pos):
+                n = _at(pos)
+                if pos + 1 + n > len(payload):
+                    raise ValueError("truncated GIF: sub-block cut")
                 lzw.extend(payload[pos + 1:pos + 1 + n])
                 pos += 1 + n
             pos += 1

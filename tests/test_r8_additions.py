@@ -273,3 +273,22 @@ def test_water_filling_model_conserves(caps, pct):
     assert leftover >= 0
     open_ = sum(1 for x, c in zip(a, caps) if x < c)
     assert open_ == 0 or leftover < open_
+
+
+@given(st.integers(0, 10**6), st.data())
+@settings(max_examples=80, deadline=None)
+def test_gif_decoders_truncation_contract(seed, data):
+    # EVERY prefix truncation must surface as the documented ValueError
+    # (never IndexError / struct.error) in BOTH GIF decoders
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_gif_frames, decode_gif_gray, synthesize_animated_gif,
+        synthesize_gif_with_pixels)
+    h = hashlib.md5(str(seed).encode()).hexdigest()
+    for payload, dec in (
+            (synthesize_animated_gif(1, h), decode_gif_frames),
+            (synthesize_gif_with_pixels(1, h), decode_gif_gray)):
+        cut = data.draw(st.integers(0, len(payload) - 1))
+        try:
+            dec(payload[:cut])
+        except ValueError:
+            pass           # the documented contract
