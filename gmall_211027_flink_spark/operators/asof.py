@@ -214,3 +214,98 @@ def ads_conversion_latency_quantiles(spark: SparkSession,
          .alias("p75_us"),
         F.round(F.expr("percentile(view_to_buy_us, 0.9)"), 6)
          .alias("p90_us"))
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of join — the third direction: each purchase matched to
+# whichever view event (same user) is CLOSEST in time, looking both
+# ways, with a tolerance cap. Completes backward (asof_join_window) and
+# forward (asof_join_forward): 'nearest' is the semantics sensor-fusion
+# and feature-at-inference pipelines usually want. Same single
+# user-keyed window pass — BOTH candidates come from one ordered frame
+# pair (IGNORE-NULLS last/first), then a constant-width CASE picks the
+# smaller |dt| (tie -> the BACKWARD match, the causal default; equal
+# distance can't flip across engines because dts are exact integers).
+# ---------------------------------------------------------------------------
+
+ASOF_NEAREST_TOL_US = 3_600_000_000   # 1 hour
+
+
+@query(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS) OVER wb AS prior_id,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER wb AS prior_us,
+             FIRST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                         IGNORE NULLS) OVER wf AS next_id,
+             FIRST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER wf AS next_us
+      FROM events
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    picked AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(epoch_us(ts) AS BIGINT) AS pus,
+             prior_id, prior_us, next_id, next_us,
+             CASE
+               WHEN prior_us IS NOT NULL
+                    AND (next_us IS NULL
+                         OR epoch_us(ts) - prior_us <= next_us - epoch_us(ts))
+                 THEN prior_id ELSE next_id END AS near_id,
+             CASE
+               WHEN prior_us IS NOT NULL
+                    AND (next_us IS NULL
+                         OR epoch_us(ts) - prior_us <= next_us - epoch_us(ts))
+                 THEN CAST(epoch_us(ts) - prior_us AS BIGINT)
+               ELSE CAST(next_us - epoch_us(ts) AS BIGINT) END AS near_dt_us,
+             CASE
+               WHEN prior_us IS NOT NULL
+                    AND (next_us IS NULL
+                         OR epoch_us(ts) - prior_us <= next_us - epoch_us(ts))
+                 THEN 'backward' ELSE 'forward' END AS direction
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT user_id, purchase_id, near_id AS view_id, near_dt_us, direction
+    FROM picked
+    WHERE near_id IS NOT NULL AND near_dt_us <= {ASOF_NEAREST_TOL_US}
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-view as-of join (both directions, 1 h tolerance,
+    backward-preferring integer tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    wb = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing))
+    vid = F.when(F.col("event_type") == "view", F.col("event_id"))
+    vus = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    seq = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.last(vid, ignorenulls=True).over(wb).alias("prior_id"),
+        F.last(vus, ignorenulls=True).over(wb).alias("prior_us"),
+        F.first(vid, ignorenulls=True).over(wf).alias("next_id"),
+        F.first(vus, ignorenulls=True).over(wf).alias("next_us"))
+    pus = F.unix_micros("ts")
+    back_wins = (F.col("prior_us").isNotNull()
+                 & (F.col("next_us").isNull()
+                    | (pus - F.col("prior_us") <= F.col("next_us") - pus)))
+    picked = (seq.filter(F.col("event_type") == "purchase")
+              .select("user_id",
+                      F.col("event_id").alias("purchase_id"),
+                      F.when(back_wins, F.col("prior_id"))
+                      .otherwise(F.col("next_id")).alias("view_id"),
+                      F.when(back_wins, (pus - F.col("prior_us")))
+                      .otherwise(F.col("next_us") - pus).cast("bigint")
+                      .alias("near_dt_us"),
+                      F.when(back_wins, F.lit("backward"))
+                      .otherwise(F.lit("forward")).alias("direction")))
+    return picked.filter(F.col("view_id").isNotNull()
+                         & (F.col("near_dt_us") <= ASOF_NEAREST_TOL_US))

@@ -821,3 +821,95 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("jaccard"), F.desc("common_ct"),
                      "part_a", "part_b")
             .limit(LP_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS distances from a seed set — the "blast radius" query
+# (how far does a recall/contamination propagate through co-purchase
+# structure). BFS_ROUNDS fixed synchronous rounds of
+# d(v) <- min(d(v), min over in-neighbors d(u) + 1), the same
+# Pregel-shaped join-per-round as components/pagerank/k-core, every
+# round lineage-truncated. All-integer distances — no float boundary.
+# Nodes beyond BFS_ROUNDS hops report dist = -1 (unreached at this
+# horizon; the fixed horizon is the determinism contract, like the
+# fixed Lloyd/power-iteration counts). Output is the bounded
+# (dist, node_ct) histogram, never per-node rows.
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 100    # seeds: part ids divisible by 100
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    for it in range(1, BFS_ROUNDS + 1):
+        prev = f"d{it - 1}"
+        rounds.append(f"""
+    d{it} AS MATERIALIZED (
+      SELECT n.node,
+             LEAST(COALESCE(p.dist, {BFS_ROUNDS + 1}),
+                   COALESCE(MIN(q.dist) + 1, {BFS_ROUNDS + 1})) AS dist
+      FROM nodes n
+      LEFT JOIN {prev} p ON p.node = n.node
+      LEFT JOIN edges e ON e.v = n.node
+      LEFT JOIN {prev} q ON q.node = e.u
+      GROUP BY 1, p.dist
+    )""")
+    return f"""
+    WITH {_EDGES_SQL},
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    d0 AS (
+      SELECT node, 0 AS dist FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+    ),
+    {','.join(rounds)}
+    SELECT CAST(CASE WHEN dist > {BFS_ROUNDS} THEN -1 ELSE dist END
+                AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS node_ct
+    FROM d{BFS_ROUNDS}
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BFS_ROUNDS}-hop BFS distance histogram from the
+    part_id % {BFS_SEED_MOD} == 0 seed set over the co-purchase graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint(eager=False))
+    nodes = edges.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    unreached = BFS_ROUNDS + 1
+    d = nodes.select(
+        "node",
+        F.when(F.col("node") % BFS_SEED_MOD == 0, 0)
+         .otherwise(unreached).alias("dist"))
+    for _ in range(BFS_ROUNDS):
+        nbr = (edges.join(d.withColumnRenamed("node", "u")
+                          .withColumnRenamed("dist", "du"), "u")
+               .groupBy(F.col("v").alias("node"))
+               .agg((F.min("du") + 1).alias("via")))
+        d = (d.join(nbr, "node", "left")
+             .select("node", F.least(
+                 "dist", F.coalesce("via", F.lit(unreached)))
+                 .alias("dist"))
+             .localCheckpoint(eager=False))
+    return (d.groupBy(F.when(F.col("dist") > BFS_ROUNDS, -1)
+                      .otherwise(F.col("dist")).cast("bigint")
+                      .alias("dist"))
+            .agg(F.count("*").cast("bigint").alias("node_ct"))
+            .orderBy("dist"))
