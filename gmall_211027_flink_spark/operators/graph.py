@@ -837,7 +837,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BFS_ROUNDS = 4
-BFS_SEED_MOD = 100    # seeds: part ids divisible by 100
+BFS_SEED_MOD = 20     # seeds: ~5% of graph nodes (node id % 20 == 0)
+BFS_MIN_TOGETHER = 2  # >=2-co-purchase edges: the >=3 graph is a
+                      # handful of nodes at bench SFs — a BFS over it
+                      # is vacuous (measured: 4 nodes at sf0.1)
 
 
 def _bfs_oracle() -> str:
@@ -855,8 +858,10 @@ def _bfs_oracle() -> str:
       LEFT JOIN {prev} q ON q.node = e.u
       GROUP BY 1, p.dist
     )""")
+    edges_sql = _EDGES_SQL.replace(
+        f"COUNT(*) >= {MIN_TOGETHER}", f"COUNT(*) >= {BFS_MIN_TOGETHER}")
     return f"""
-    WITH {_EDGES_SQL},
+    WITH {edges_sql},
     nodes AS (SELECT DISTINCT u AS node FROM edges),
     d0 AS (
       SELECT node, 0 AS dist FROM nodes WHERE node % {BFS_SEED_MOD} = 0
@@ -885,7 +890,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             " y -> struct(x as part_a, y as part_b))))")).alias("p"))
         .groupBy("p.part_a", "p.part_b")
         .agg(F.count("*").alias("together_ct"))
-        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .filter(F.col("together_ct") >= BFS_MIN_TOGETHER)
         .select("part_a", "part_b"))
     edges = (pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
              .union(pairs.select(F.col("part_b").alias("u"),
