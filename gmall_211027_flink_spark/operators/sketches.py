@@ -503,10 +503,14 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_kmv_set_algebra",
     oracle=f"""
     WITH a AS (
-      SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'click'
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE event_type = 'click'
+        AND CAST(strftime(ts, '%d') AS INT) BETWEEN 1 AND 10
     ),
     b AS (
-      SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'purchase'
+      SELECT DISTINCT user_id AS k FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(strftime(ts, '%d') AS INT) BETWEEN 8 AND 17
     ),
     ha AS (SELECT k, {_KMV_HASH_DUCK} AS h FROM a),
     hb AS (SELECT k, {_KMV_HASH_DUCK} AS h FROM b),
@@ -556,8 +560,9 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
 
-    def sketch(tag):
-        keys = (ev.filter(F.col("event_type") == tag)
+    def sketch(tag, lo, hi):
+        keys = (ev.filter((F.col("event_type") == tag)
+                          & F.dayofmonth("ts").between(lo, hi))
                 .select(F.col("user_id").alias("k")).distinct())
         hashed = keys.select(
             F.expr(f"cast(conv(substring(md5(cast(k as string)), 1,"
@@ -566,8 +571,11 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver merge of k*P candidates) — never a global-sort window
         return hashed.orderBy("h").limit(KMV_K), keys
 
-    ska, a = sketch("click")
-    skb, b = sketch("purchase")
+    # overlapping day-windowed cohorts: the all-month sets are identical
+    # in the synthetic corpus (every user does every event type), which
+    # would make the overlap estimate vacuous (Jaccard 1.0)
+    ska, a = sketch("click", 1, 10)
+    skb, b = sketch("purchase", 8, 17)
     un = (ska.unionByName(skb).distinct()
           .withColumn("rn", F.row_number().over(Window.orderBy("h"))))
     theta = un.agg(
