@@ -3117,7 +3117,12 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct-counts and an intersection, all integer arithmetic.
 # ---------------------------------------------------------------------------
 
-CRC_SPLIT_DAY = 15     # window 1 = days 1..15 of month, window 2 = rest
+# Two-day PURCHASE windows: broad windows over all event types catch
+# every user (each emits ~2 events/day — m == n1 == n2 == N and the
+# estimator is vacuous, measured); purchase-only 2-day captures mark
+# ~40-60% of the population, the regime the estimator exists for.
+CRC_W1 = (1, 2)
+CRC_W2 = (3, 4)
 
 
 @query(
@@ -3125,19 +3130,21 @@ CRC_SPLIT_DAY = 15     # window 1 = days 1..15 of month, window 2 = rest
     oracle=f"""
     WITH w1 AS (
       SELECT DISTINCT user_id FROM events
-      WHERE CAST(strftime(ts, '%d') AS INT) <= {CRC_SPLIT_DAY}
+      WHERE event_type = 'purchase'
+        AND CAST(strftime(ts, '%d') AS INT) BETWEEN {CRC_W1[0]} AND {CRC_W1[1]}
     ),
     w2 AS (
       SELECT DISTINCT user_id FROM events
-      WHERE CAST(strftime(ts, '%d') AS INT) > {CRC_SPLIT_DAY}
+      WHERE event_type = 'purchase'
+        AND CAST(strftime(ts, '%d') AS INT) BETWEEN {CRC_W2[0]} AND {CRC_W2[1]}
     ),
     c AS (
       SELECT CAST((SELECT COUNT(*) FROM w1) AS BIGINT) AS n1,
              CAST((SELECT COUNT(*) FROM w2) AS BIGINT) AS n2,
              CAST((SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id))
                   AS BIGINT) AS m,
-             CAST((SELECT COUNT(DISTINCT user_id) FROM events)
-                  AS BIGINT) AS true_n
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                   WHERE event_type = 'purchase') AS BIGINT) AS true_n
     )
     SELECT n1, n2, m, true_n,
            CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
@@ -3152,16 +3159,17 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     population from two day-of-month observation windows."""
     ev = load_table(spark, sf_dir, "events")
     dom = F.dayofmonth("ts")
-    w1 = (ev.filter(dom <= CRC_SPLIT_DAY)
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w1 = (purch.filter(dom.between(*CRC_W1))
           .select("user_id").distinct())
-    w2 = (ev.filter(dom > CRC_SPLIT_DAY)
+    w2 = (purch.filter(dom.between(*CRC_W2))
           .select("user_id").distinct())
     c = (w1.agg(F.count("*").cast("bigint").alias("n1"))
          .crossJoin(w2.agg(F.count("*").cast("bigint").alias("n2")))
          .crossJoin(w1.join(w2, "user_id")
                     .agg(F.count("*").cast("bigint").alias("m")))
-         .crossJoin(ev.agg(F.countDistinct("user_id").cast("bigint")
-                           .alias("true_n"))))
+         .crossJoin(purch.agg(F.countDistinct("user_id").cast("bigint")
+                              .alias("true_n"))))
     est = F.expr("cast(div((n1 + 1) * (n2 + 1), m + 1) - 1 as bigint)")
     return c.select("n1", "n2", "m", "true_n",
                     est.alias("chapman_estimate"),
