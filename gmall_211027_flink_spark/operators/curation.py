@@ -913,12 +913,24 @@ def curation_contamination_by_source(spark: SparkSession,
 
 WFA_ROUNDS = 4
 WFA_BUDGET_PCT = 50       # budget = 50% of total corpus tokens
+# Non-uniform TARGET WEIGHTS (mixture upweighting: source id % 4 ->
+# 1..4): with uniform weights over this corpus's near-uniform sources
+# no cap ever binds and the redistribution rounds are no-ops
+# (measured: zero capped sources, fill 0.47-0.54) — weighted demand
+# pushes high-weight sources past capacity so the water actually
+# fills: capped sources release budget that later rounds spread over
+# the open ones, weight-proportionally. Weights are powers of two
+# (1/2/4/8): the 8x sources demand ~107% of capacity at a 50% budget,
+# so caps genuinely bind and the later rounds redistribute (linear
+# 1..4 weights topped out at fill 0.86 — still no cap, measured).
+_WFA_W_SQL = "(CAST(pow(2, CAST(substr(source, 4) AS INTEGER) % 4) AS INTEGER))"
 
 
 def _wfa_oracle() -> str:
     ctes = [f"""
     cap AS (
-      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t,
+             CAST({_WFA_W_SQL} AS BIGINT) AS w
       FROM documents GROUP BY 1
     ),
     tot AS (
@@ -926,27 +938,28 @@ def _wfa_oracle() -> str:
       FROM cap
     ),
     a0 AS (
-      SELECT source, t, CAST(0 AS BIGINT) AS a FROM cap
+      SELECT source, t, w, CAST(0 AS BIGINT) AS a FROM cap
     )"""]
     for r in range(1, WFA_ROUNDS + 1):
         prev = f"a{r - 1}"
         ctes.append(f"""
     s{r} AS (
       SELECT CAST(tot.budget - SUM(a) AS BIGINT) AS rem,
-             CAST(SUM(CASE WHEN a < t THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_open
+             CAST(SUM(CASE WHEN a < t THEN w ELSE 0 END) AS BIGINT)
+               AS w_open
       FROM {prev}, tot GROUP BY tot.budget
     ),
     a{r} AS (
-      SELECT p.source, p.t,
-             CAST(LEAST(p.t, p.a + CASE WHEN p.a < p.t AND s.n_open > 0
-                                        THEN s.rem // s.n_open
+      SELECT p.source, p.t, p.w,
+             CAST(LEAST(p.t, p.a + CASE WHEN p.a < p.t AND s.w_open > 0
+                                        THEN s.rem * p.w // s.w_open
                                         ELSE 0 END) AS BIGINT) AS a
       FROM {prev} p, s{r} s
     )""")
     return f"""
     WITH {','.join(ctes)}
-    SELECT source, t AS cap_tokens, a AS alloc_tokens,
+    SELECT source, CAST(w AS BIGINT) AS target_w, t AS cap_tokens,
+           a AS alloc_tokens,
            round(CAST(a AS DOUBLE) / t, 6) AS fill_ratio,
            CAST((SELECT budget - SUM(a) FROM a{WFA_ROUNDS}, tot
                  GROUP BY budget) AS BIGINT) AS leftover
@@ -962,6 +975,8 @@ def curation_token_budget_allocation(spark: SparkSession,
     cap = (load_table(spark, sf_dir, "documents")
            .groupBy("source")
            .agg(F.sum("n_chars").cast("bigint").alias("t"))
+           .withColumn("w", F.expr(
+               f"cast({_WFA_W_SQL} as bigint)"))
            .localCheckpoint(eager=False))      # the rounds reuse it
     tot = cap.agg(F.expr(
         f"cast(div(sum(t) * {WFA_BUDGET_PCT}, 100) as bigint)")
@@ -971,19 +986,21 @@ def curation_token_budget_allocation(spark: SparkSession,
         s = (a.crossJoin(F.broadcast(tot))
              .agg((F.first("budget") - F.sum("a")).cast("bigint")
                   .alias("rem"),
-                  F.sum(F.when(F.col("a") < F.col("t"), 1).otherwise(0))
-                  .cast("bigint").alias("n_open")))
-        add = F.when((F.col("a") < F.col("t")) & (F.col("n_open") > 0),
-                     F.expr("div(rem, n_open)")).otherwise(F.lit(0))
+                  F.sum(F.when(F.col("a") < F.col("t"), F.col("w"))
+                        .otherwise(0))
+                  .cast("bigint").alias("w_open")))
+        add = F.when((F.col("a") < F.col("t")) & (F.col("w_open") > 0),
+                     F.expr("div(rem * w, w_open)")).otherwise(F.lit(0))
         a = (a.crossJoin(F.broadcast(s))
-             .select("source", "t",
+             .select("source", "t", "w",
                      F.least(F.col("t"), F.col("a") + add)
                      .cast("bigint").alias("a")))
     leftover = (a.crossJoin(F.broadcast(tot))
                 .agg((F.first("budget") - F.sum("a")).cast("bigint")
                      .alias("leftover")))
     return (a.crossJoin(F.broadcast(leftover))
-            .select("source", F.col("t").alias("cap_tokens"),
+            .select("source", F.col("w").alias("target_w"),
+                    F.col("t").alias("cap_tokens"),
                     F.col("a").alias("alloc_tokens"),
                     F.round(F.col("a").cast("double") / F.col("t"), 6)
                     .alias("fill_ratio"), "leftover")
