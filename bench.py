@@ -154,7 +154,11 @@ SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
                  "dedup_span_exact", "text_bm25_search",
                  # round-6: the multiscale pyramid must stay linear too
                  "dedup_span_multiscale"]
-ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed"]
+ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed",
+                     # r8: the PCA scatter pass is the O(n d^2)
+                     # map-side stage — the probe checks it scales
+                     # linearly in n on the 10x near-neighbor corpus
+                     "embedding_pca_power_iteration"]
 # round-6 (VERDICT r5 #6): the behavior family is a user-key-shuffle
 # plan whose skew behavior was asserted, not measured — probe it on a
 # 10x events corpus where ONE hot user absorbs 1/SCALE_FACTOR of all
@@ -291,7 +295,7 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     out["gc_s"] = gc_s
     # 1x reference points for probe-only queries (not in the headline
     # set), so the artifact carries both ends of the scaling line
-    for name in BEHAVIOR_SCALE_QUERIES:
+    for name in BEHAVIOR_SCALE_QUERIES + ["embedding_pca_power_iteration"]:
         best = float("inf")
         best_cpu = 0.0
         for _ in range(3):
