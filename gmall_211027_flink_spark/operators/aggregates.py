@@ -3175,3 +3175,135 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     est.alias("chapman_estimate"),
                     F.abs(est - F.col("true_n")).cast("bigint")
                     .alias("abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival with right-censoring (r8) — "time to second
+# order" churn curve. Reference analog: the ADS repeat-purchase /
+# retention mappers (gmall-publisher TradeStatsMapper.java) report
+# point repeat rates; the KM estimator generalizes them to a full
+# censored time-to-event curve, the standard churn deliverable.
+#
+# Censoring regime: follow-up is capped at KM_HORIZON days and at the
+# dataset's last order date, so customers whose second order falls
+# beyond their follow-up are right-censored — at sf0.01 that is ~48%
+# of subjects, a real mixed regime, not a degenerate one.
+#
+# Determinism: the survival product S(t) = prod (n_u - d_u)/n_u is
+# folded ENTIRELY in scaled-integer arithmetic — each factor is
+# round-half-up((n-d)*1e9/n) computed as (2*(n-d)*1e9 + n) DIV (2n),
+# and the cumulative product folds with (acc*x + 5e8) DIV 1e9 via
+# Spark `aggregate` / DuckDB `list_reduce`. acc*x <= 1e18 < BIGINT
+# max; no ln/exp/double enters the pipeline, so the curve is
+# engine-exact (the repo convention after the r7 sampling-boundary
+# ADVICE). Scale shape: one custkey shuffle for first/second order,
+# then everything runs on the <= KM_HORIZON+1-row day grid —
+# the unpartitioned windows are bounded day-grain by design.
+# ---------------------------------------------------------------------------
+
+KM_HORIZON = 180      # days of follow-up after the first order
+
+
+@query(
+    "stats_kaplan_meier_churn",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    life AS (
+      SELECT o_custkey, min(o_orderdate) AS f,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS s
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    subj AS (
+      SELECT CASE WHEN t_evt IS NOT NULL AND t_evt <= fup
+                  THEN t_evt ELSE fup END AS t,
+             CASE WHEN t_evt IS NOT NULL AND t_evt <= fup
+                  THEN 1 ELSE 0 END AS evt
+      FROM (SELECT LEAST({KM_HORIZON}, datediff('day', f, mxd)) AS fup,
+                   datediff('day', f, s) AS t_evt
+            FROM life, mx)
+    ),
+    grid AS (
+      SELECT CAST(t AS BIGINT) AS t, CAST(SUM(evt) AS BIGINT) AS d,
+             CAST(SUM(1 - evt) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM subj)
+               - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS n
+      FROM grid
+    ),
+    fac AS (
+      SELECT t, d, c, n,
+             (2 * (n - d) * 1000000000 + n) // (2 * n) AS factor
+      FROM risk
+    )
+    SELECT t AS t_days, n AS n_at_risk, d AS events, c AS censored,
+           CAST(list_reduce(
+             list_prepend(CAST(1000000000 AS BIGINT),
+                          list(factor) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)),
+             (acc, x) -> (acc * x + 500000000) // 1000000000)
+             AS BIGINT) AS survival_q9
+    FROM fac WHERE d > 0
+    """,
+)
+def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival of time-to-second-order, right-censored at
+    {KM_HORIZON} days / dataset end; survival folded in scaled-int
+    arithmetic (see block comment) so the curve is engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey"))
+    life = (orders.select("o_custkey", "o_orderdate", rn.alias("rn"))
+            .groupBy("o_custkey")
+            .agg(F.min("o_orderdate").alias("f"),
+                 F.min(F.when(F.col("rn") == 2,
+                              F.col("o_orderdate"))).alias("s")))
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    obs = (life.crossJoin(F.broadcast(mx))
+           .select(F.least(F.lit(KM_HORIZON),
+                           F.datediff("mxd", "f")).alias("fup"),
+                   F.datediff("s", "f").alias("t_evt")))
+    is_evt = F.col("t_evt").isNotNull() & (F.col("t_evt") <= F.col("fup"))
+    subj = obs.select(
+        F.when(is_evt, F.col("t_evt")).otherwise(F.col("fup")).alias("t"),
+        F.when(is_evt, F.lit(1)).otherwise(F.lit(0)).alias("evt"))
+    grid = (subj.groupBy(F.col("t").cast("bigint").alias("t"))
+            .agg(F.sum("evt").cast("bigint").alias("d"),
+                 F.sum(F.lit(1) - F.col("evt")).cast("bigint").alias("c")))
+    total = subj.agg(F.count("*").cast("bigint").alias("total"))
+    # bounded day-grain (<= KM_HORIZON+1 rows): the unpartitioned
+    # ordered windows below run in one task by design
+    w_prior = (Window.orderBy("t")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_upto = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = (grid.crossJoin(F.broadcast(total))
+            .withColumn("n", F.col("total")
+                        - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                     .over(w_prior).cast("bigint"),
+                                     F.lit(0).cast("bigint")))
+            .drop("total"))
+    fac = risk.withColumn(
+        "factor",
+        F.expr("(2 * (n - d) * 1000000000 + n) div (2 * n)"))
+    surv = fac.withColumn("fs", F.collect_list("factor").over(w_upto))
+    return (surv.filter(F.col("d") > 0)
+            .select(F.col("t").alias("t_days"),
+                    F.col("n").alias("n_at_risk"),
+                    F.col("d").alias("events"),
+                    F.col("c").alias("censored"),
+                    F.expr("aggregate(fs, CAST(1000000000 AS BIGINT), "
+                           "(acc, x) -> (acc * x + 500000000) "
+                           "div 1000000000)").alias("survival_q9")))
