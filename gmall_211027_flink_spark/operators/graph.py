@@ -918,3 +918,135 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("dist"))
             .agg(F.count("*").cast("bigint").alias("node_ct"))
             .orderBy("dist"))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r8) — Kleinberg's mutually-reinforcing
+# scoring on the bipartite customer->part purchase graph: a part is
+# authoritative when bought by strong hub customers; a customer is a
+# strong hub when they buy authoritative parts. The complement to
+# PageRank above (single random-walk score) for marketplace curation:
+# "power buyers" and "anchor products" in one fixed-point.
+#
+# Determinism (pca.py recipe, proven at both SFs): each half-round is
+# an exact DECIMAL(12,6) sum over the edge join; the L2 norm is taken
+# over 9-dp-rounded values (exact decimal squares within the 38-digit
+# budget — raw squares would overflow and diverge between engines),
+# and the next vector is re-synced to a 6-dp decimal in BOTH engines.
+# Top-K cut uses (score DESC, node) — a total order over exact
+# decimals, so the cut cannot flip.
+#
+# Scale shape: each half-round is ONE shuffle keyed by the side being
+# scored (the Pregel layout, same as PageRank); score vectors are
+# node-sized; the edge list is localCheckpoint'ed once and reused by
+# all 2*HITS_ITER joins. At 100 TB the edge join dominates and stays
+# a plain shuffle equi-join — nothing is all-pairs.
+# ---------------------------------------------------------------------------
+
+HITS_ITER = 4
+HITS_TOPK = 20
+
+
+def _hits_ctes() -> str:
+    """Unrolled a1/h1..a{K}/h{K} CTE chain; mirrors the Spark loop."""
+    rounds = []
+    for it in range(1, HITS_ITER + 1):
+        prev_h = f"h{it - 1}"
+        rounds.append(f"""
+    ar{it} AS MATERIALIZED (
+      SELECT e.p, SUM(h.hv) AS w
+      FROM ed e JOIN {prev_h} h USING (u) GROUP BY 1
+    ),
+    an{it} AS (
+      -- norm over 9-dp-rounded w: exact decimal squares (pca.py rule)
+      SELECT sqrt(CAST(SUM(wr * wr) AS DOUBLE)) AS nrm
+      FROM (SELECT CAST(round(CAST(w AS DOUBLE), 9) AS DECIMAL(18,9))
+                     AS wr FROM ar{it})
+    ),
+    a{it} AS MATERIALIZED (
+      SELECT p, CAST(round(CAST(w AS DOUBLE) / an{it}.nrm, 6)
+                     AS DECIMAL(12,6)) AS av
+      FROM ar{it}, an{it}
+    ),
+    hr{it} AS MATERIALIZED (
+      SELECT e.u, SUM(a.av) AS w
+      FROM ed e JOIN a{it} a USING (p) GROUP BY 1
+    ),
+    hn{it} AS (
+      SELECT sqrt(CAST(SUM(wr * wr) AS DOUBLE)) AS nrm
+      FROM (SELECT CAST(round(CAST(w AS DOUBLE), 9) AS DECIMAL(18,9))
+                     AS wr FROM hr{it})
+    ),
+    h{it} AS MATERIALIZED (
+      SELECT u, CAST(round(CAST(w AS DOUBLE) / hn{it}.nrm, 6)
+                     AS DECIMAL(12,6)) AS hv
+      FROM hr{it}, hn{it}
+    )""")
+    return ",".join(rounds)
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (
+      SELECT DISTINCT u, CAST(1 AS DECIMAL(12,6)) AS hv FROM ed
+    ),
+    {_hits_ctes()},
+    scored AS (
+      SELECT 'authority' AS role, p AS node,
+             CAST(av AS DOUBLE) AS score FROM a{HITS_ITER}
+      UNION ALL
+      SELECT 'hub' AS role, u AS node,
+             CAST(hv AS DOUBLE) AS score FROM h{HITS_ITER}
+    )
+    SELECT role, node, score
+    FROM (SELECT role, node, score,
+                 row_number() OVER (PARTITION BY role
+                                    ORDER BY score DESC, node) AS rk
+          FROM scored)
+    WHERE rk <= {HITS_TOPK}
+    """,
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS ({HITS_ITER} rounds) on the customer->part purchase
+    bipartite graph; top-{HITS_TOPK} hubs and authorities."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ed = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("u"),
+                  F.col("l_partkey").alias("p"))
+          .distinct().localCheckpoint(eager=False))
+
+    def _normalize(df: DataFrame, key: str, out: str) -> DataFrame:
+        wr = df.select(F.round(F.col("w").cast("double"), 9)
+                       .cast("decimal(18,9)").alias("wr"))
+        nrm = wr.agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))
+                            .cast("double")).alias("nrm"))
+        return (df.crossJoin(F.broadcast(nrm))
+                .select(key, F.round(F.col("w").cast("double")
+                                     / F.col("nrm"), 6)
+                        .cast("decimal(12,6)").alias(out))
+                .localCheckpoint(eager=False))
+
+    h = (ed.select("u").distinct()
+         .select("u", F.lit(1).cast("decimal(12,6)").alias("hv")))
+    for _ in range(HITS_ITER):
+        a = _normalize(ed.join(h, "u").groupBy("p")
+                       .agg(F.sum("hv").alias("w")), "p", "av")
+        h = _normalize(ed.join(a, "p").groupBy("u")
+                       .agg(F.sum("av").alias("w")), "u", "hv")
+    scored = (a.select(F.lit("authority").alias("role"),
+                       F.col("p").alias("node"),
+                       F.col("av").cast("double").alias("score"))
+              .unionAll(h.select(F.lit("hub").alias("role"),
+                                 F.col("u").alias("node"),
+                                 F.col("hv").cast("double").alias("score"))))
+    rk = F.row_number().over(Window.partitionBy("role")
+                             .orderBy(F.desc("score"), "node"))
+    return (scored.withColumn("rk", rk)
+            .filter(F.col("rk") <= HITS_TOPK)
+            .select("role", "node", "score"))
