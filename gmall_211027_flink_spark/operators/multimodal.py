@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1094,8 +1094,6 @@ def _paeth(a: int, b: int, c: int) -> int:
 def synthesize_png_with_pixels(doc_id: int, h: str) -> bytes:
     """A fully valid 8-bit grayscale PNG: IHDR + one zlib IDAT of
     filtered scanlines (row r uses filter (c + r) % 5) + IEND."""
-    import zlib
-
     import numpy as np
 
     g = _geometry(h)
@@ -1104,11 +1102,20 @@ def synthesize_png_with_pixels(doc_id: int, h: str) -> bytes:
     x = np.arange(w, dtype=np.int64)[None, :]
     y = np.arange(ht, dtype=np.int64)[:, None]
     gray = ((p["a"] * x + p["b"] * y + p["c"]) % 256).astype(np.int64)
+    return encode_png_gray(gray, p["c"])
+
+
+def encode_png_gray(gray, cseed: int) -> bytes:
+    """Filter-cycling 8-bit grayscale PNG encoder (row r uses filter
+    (cseed + r) % 5) over an (ht, w) int array."""
+    import zlib
+
+    ht, w = gray.shape
     raw_rows = gray.tolist()
     out = bytearray()
     prior = [0] * w
     for r, raw in enumerate(raw_rows):
-        ftype = (p["c"] + r) % 5
+        ftype = (cseed + r) % 5
         out.append(ftype)
         for i in range(w):
             left = raw[i - 1] if i else 0
@@ -1880,3 +1887,201 @@ def multimodal_container_stats(spark: SparkSession,
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("units").cast("bigint").alias("total_units"),
                  F.sum("checksum").cast("bigint").alias("total_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual-hash invariance audit (pHash, r8) — the
+# frequency-domain complement to the spatial aHash above, exercised
+# the way production image-dedup uses it: hash an image AND a
+# brightness-shifted rendition and measure how many fingerprint bits
+# move. Each document's REAL decoded PNG pixels (CRC walk + inflate +
+# unfilter) are box-downsampled to a fixed 8x8 grid; a +PHASH_SHIFT
+# clamped-brightness variant is re-ENCODED as a second real PNG and
+# re-DECODED (both sides of the pair round-trip the codec); both grids
+# go through an exact INTEGER 2-D DCT-II against a shared 1e6-scaled
+# cosine table; the 63 AC coefficients threshold at their median into
+# a 63-bit fingerprint. A uniform shift moves only the DC coefficient
+# (excluded), so bits flip only where clamping at 255 distorts the
+# sawtooth bands — small Hamming distances = the invariance pHash
+# promises, measured per image.
+#
+# Determinism: the cosine table is ONE Python-built list of integers —
+# the numpy path and the SQL oracle consume the same literals, so libm
+# never has to agree with itself across engines. Every product stays
+# in BIGINT (|coef| <= 8*8*255*1e6*1e6 < 2^63); each median is the
+# rank-32 value under the total order (coef, u, v). Scale shape:
+# decode + encode + DCT are map-only inside Arrow-batched mapInPandas
+# — pixels never leave the task, no shuffle at all; one summary row
+# per image leaves the stage.
+# ---------------------------------------------------------------------------
+
+PHASH_N = 8
+PHASH_SCALE = 1_000_000
+PHASH_SHIFT = 16        # brightness delta, clamped at 255
+PHASH_HAMMING_T = 8     # "same image" decision threshold
+
+
+def _phash_lut() -> list[list[int]]:
+    import math
+    return [[int(round(math.cos(math.pi * (2 * x + 1) * u
+                                / (2 * PHASH_N)) * PHASH_SCALE))
+             for x in range(PHASH_N)] for u in range(PHASH_N)]
+
+
+PHASH_LUT = _phash_lut()
+
+_PHASH_LUT_VALUES = ",".join(
+    f"({u},{x},{PHASH_LUT[u][x]})"
+    for u in range(PHASH_N) for x in range(PHASH_N))
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("phash_a", T.LongType()),
+    T.StructField("phash_b", T.LongType()),
+    T.StructField("n_set_a", T.LongType()),
+    T.StructField("n_set_b", T.LongType()),
+    T.StructField("hamming", T.LongType()),
+    T.StructField("robust", T.BooleanType()),
+])
+
+
+def _phash_of_cells(cell, lut) -> tuple[int, int, list[bool]]:
+    """(phash, n_set, 63 ordered bits) of an 8x8 integer cell grid."""
+    fmat = lut @ cell.T @ lut.T   # F[u,v] = sum cell[y,x]*lut[u,x]*lut[v,y]
+    acs = sorted((int(fmat[u, v]), u, v)
+                 for u in range(PHASH_N) for v in range(PHASH_N)
+                 if (u, v) != (0, 0))
+    m = acs[31][0]                # rank-32 under (f, u, v)
+    bits = []
+    phash = 0
+    for v in range(PHASH_N):
+        for u in range(PHASH_N):
+            if (u, v) == (0, 0):
+                continue
+            b = int(fmat[u, v]) > m
+            bits.append(b)
+            if b:
+                phash |= 1 << (v * PHASH_N + u - 1)
+    return phash, sum(bits), bits
+
+
+@query(
+    "multimodal_phash_invariance",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+    ),
+    geo AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id,
+             ((i % w) * {PHASH_N}) // w AS cx,
+             ((i // w) * {PHASH_N}) // ht AS cy,
+             (a * (i % w) + b * (i // w) + c) % 256 AS gv,
+             LEAST(255, (a * (i % w) + b * (i // w) + c) % 256
+                        + {PHASH_SHIFT}) AS gvb
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    cells AS (
+      SELECT doc_id, cy, cx,
+             CAST(SUM(gv) // COUNT(*) AS BIGINT) AS ra,
+             CAST(SUM(gvb) // COUNT(*) AS BIGINT) AS rb
+      FROM px GROUP BY 1, 2, 3
+    ),
+    lut(u, x, cv) AS (VALUES {_PHASH_LUT_VALUES}),
+    coef AS (
+      SELECT c.doc_id, lu.u, lv.u AS v,
+             CAST(SUM(c.ra * lu.cv * lv.cv) AS BIGINT) AS fa,
+             CAST(SUM(c.rb * lu.cv * lv.cv) AS BIGINT) AS fb
+      FROM cells c
+      JOIN lut lu ON lu.x = c.cx
+      JOIN lut lv ON lv.x = c.cy
+      GROUP BY 1, 2, 3
+    ),
+    ac AS (
+      SELECT doc_id, u, v, fa, fb,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY fa, u, v) AS rka,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY fb, u, v) AS rkb
+      FROM coef WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+      SELECT doc_id, MAX(CASE WHEN rka = 32 THEN fa END) AS ma,
+             MAX(CASE WHEN rkb = 32 THEN fb END) AS mb
+      FROM ac GROUP BY 1
+    )
+    SELECT ac.doc_id,
+           CAST(SUM(CASE WHEN ac.fa > med.ma
+                THEN CAST(1 AS BIGINT) << (ac.v * {PHASH_N} + ac.u - 1)
+                ELSE 0 END) AS BIGINT) AS phash_a,
+           CAST(SUM(CASE WHEN ac.fb > med.mb
+                THEN CAST(1 AS BIGINT) << (ac.v * {PHASH_N} + ac.u - 1)
+                ELSE 0 END) AS BIGINT) AS phash_b,
+           CAST(SUM(CASE WHEN ac.fa > med.ma THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_set_a,
+           CAST(SUM(CASE WHEN ac.fb > med.mb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_set_b,
+           CAST(SUM(CASE WHEN (ac.fa > med.ma) != (ac.fb > med.mb)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hamming,
+           CAST(SUM(CASE WHEN (ac.fa > med.ma) != (ac.fb > med.mb)
+                    THEN 1 ELSE 0 END) <= {PHASH_HAMMING_T}
+                AS BOOLEAN) AS robust
+    FROM ac JOIN med USING (doc_id) GROUP BY 1
+    """,
+)
+def multimodal_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit DCT pHash of each REAL decoded PNG vs a re-encoded
+    clamped +{PHASH_SHIFT} brightness variant; per-image Hamming
+    distance and <= {PHASH_HAMMING_T}-bit robustness verdict."""
+    import numpy as np
+
+    lut = np.array(PHASH_LUT, dtype=np.int64)        # [u, x]
+
+    def _downsample(gray, w: int, ht: int):
+        cx = (np.arange(w, dtype=np.int64) * PHASH_N) // w
+        cy = (np.arange(ht, dtype=np.int64) * PHASH_N) // ht
+        sums = np.zeros((PHASH_N, PHASH_N), dtype=np.int64)
+        cnts = np.zeros((PHASH_N, PHASH_N), dtype=np.int64)
+        np.add.at(sums, (cy[:, None], cx[None, :]), gray.astype(np.int64))
+        np.add.at(cnts, (cy[:, None], cx[None, :]), 1)
+        return sums // cnts
+
+    def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                cseed = _bmp_gradient_params(h)["c"]
+                pay_a = synthesize_png_with_pixels(int(doc_id), h)
+                w, ht, gray_a = decode_png_gray(pay_a)
+                # the shifted rendition round-trips the REAL codec too
+                pay_b = encode_png_gray(
+                    np.minimum(255, gray_a.astype(np.int64) + PHASH_SHIFT),
+                    cseed)
+                wb, hb, gray_b = decode_png_gray(pay_b)
+                pa, na, bits_a = _phash_of_cells(
+                    _downsample(gray_a, w, ht), lut)
+                pb, nb, bits_b = _phash_of_cells(
+                    _downsample(gray_b, wb, hb), lut)
+                ham = sum(x != y for x, y in zip(bits_a, bits_b))
+                out.append(dict(doc_id=int(doc_id), phash_a=pa,
+                                phash_b=pb, n_set_a=na, n_set_b=nb,
+                                hamming=ham,
+                                robust=ham <= PHASH_HAMMING_T))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in PHASH_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text"))
+    return docs.mapInPandas(_phash_batch, PHASH_SCHEMA)

@@ -292,3 +292,77 @@ def test_gif_decoders_truncation_contract(seed, data):
             dec(payload[:cut])
         except ValueError:
             pass           # the documented contract
+
+
+# --------------------------------------------------- pHash invariance -----
+
+def test_phash_bits_invariant_under_unclamped_shift():
+    # a uniform brightness shift moves ONLY the DC coefficient, which
+    # the 63-bit AC fingerprint excludes — exact property of the math
+    from gmall_211027_flink_spark.operators.multimodal import (
+        PHASH_LUT, _phash_of_cells)
+    lut = np.array(PHASH_LUT, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        cell = rng.integers(0, 200, size=(8, 8), dtype=np.int64)
+        p0, n0, b0 = _phash_of_cells(cell, lut)
+        p1, n1, b1 = _phash_of_cells(cell + 37, lut)   # no clamp
+        assert (p0, n0, b0) == (p1, n1, b1)
+
+
+def test_phash_distinguishes_transposed_gradient():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        PHASH_LUT, _phash_of_cells)
+    lut = np.array(PHASH_LUT, dtype=np.int64)
+    x = np.arange(8)[None, :]
+    y = np.arange(8)[:, None]
+    # quadratic-in-x pattern: a pure linear ramp has every AC
+    # coefficient <= 0 (empty fingerprint), so curvature is needed
+    # for the transpose to separate
+    gx = (3 * x * x + y) % 256
+    _, _, bx = _phash_of_cells(gx.astype(np.int64), lut)
+    _, _, by = _phash_of_cells(gx.T.astype(np.int64).copy(), lut)
+    assert sum(a != b for a, b in zip(bx, by)) > 0
+
+
+def test_png_encoder_roundtrip_arbitrary_gray():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_png_gray, encode_png_gray)
+    rng = np.random.default_rng(11)
+    for cseed in (0, 3):
+        gray = rng.integers(0, 256, size=(13, 17), dtype=np.int64)
+        w, ht, back = decode_png_gray(encode_png_gray(gray, cseed))
+        assert (w, ht) == (17, 13)
+        assert (back == gray).all()
+
+
+# -------------------------------------------------- KM survival curve -----
+
+def test_kaplan_meier_invariants(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_kaplan_meier_churn)
+    rows = (stats_kaplan_meier_churn(spark, "/root/testdata/sf0.001")
+            .orderBy("t_days").collect())
+    assert rows, "KM curve must have event steps"
+    prev_s, prev_n = 10**9, None
+    for r in rows:
+        assert 0 <= r.survival_q9 <= prev_s   # monotone non-increasing
+        assert r.events > 0                   # only event times emitted
+        if prev_n is not None:
+            assert r.n_at_risk < prev_n       # risk set shrinks
+        prev_s, prev_n = r.survival_q9, r.n_at_risk
+
+
+# ------------------------------------------------- HITS hubs/authorities --
+
+def test_hits_topk_scores_are_unit_bounded(spark):
+    from gmall_211027_flink_spark.operators.graph import (
+        HITS_TOPK, graph_hits_scores)
+    rows = graph_hits_scores(spark, "/root/testdata/sf0.001").collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r.score)
+    assert set(by_role) == {"authority", "hub"}
+    for role, scores in by_role.items():
+        assert len(scores) <= HITS_TOPK
+        assert all(0 < s <= 1.0 for s in scores), role
