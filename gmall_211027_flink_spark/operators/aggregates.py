@@ -3307,3 +3307,90 @@ def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("aggregate(fs, CAST(1000000000 AS BIGINT), "
                            "(acc, x) -> (acc * x + 500000000) "
                            "div 1000000000)").alias("survival_q9")))
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (r8) — the concordance companion to stats_spearman_corr
+# above: does a day with more orders also take more revenue, measured
+# by PAIRS of days rather than ranks. tau-b is the robust choice when
+# ties matter (integer order counts tie often); reporting C, D and
+# both tie terms makes the statistic auditable, not just a number.
+#
+# Exactness: the day grid is (day, BIGINT order count, exact
+# DECIMAL(18,2) revenue); every pairwise comparison is integer/decimal
+# sign arithmetic, so C/D/tie counts are exact BIGINTs in both
+# engines; the only floats are the final sqrts (IEEE-correctly-rounded
+# — deterministic, unlike ln/exp) and one 6-dp output round.
+#
+# Scale: the pair stage is a deliberate day×day self-join on the
+# BOUNDED day grain (~2.4k rows -> ~3M pairs) — O(days^2) by design,
+# same contract as the other day-grain ops; the corpus-sized work is
+# the single groupBy(day). At an unbounded grain the fix is
+# merge-sort inversion counting, orthogonal to the statistic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH day_grid AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.x - b.x) * sign(a.y - b.y) > 0 THEN 1
+                  ELSE 0 END AS conc,
+             CASE WHEN (a.x - b.x) * sign(a.y - b.y) < 0 THEN 1
+                  ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM day_grid a JOIN day_grid b ON a.d < b.d
+    )
+    SELECT CAST((SELECT COUNT(*) FROM day_grid) AS BIGINT) AS n_days,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CAST(SUM(tx) AS BIGINT) AS ties_x,
+           CAST(SUM(ty) AS BIGINT) AS ties_y,
+           round(CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+                 / (sqrt(CAST(COUNT(*) - SUM(tx) AS DOUBLE))
+                    * sqrt(CAST(COUNT(*) - SUM(ty) AS DOUBLE))), 6)
+             AS kendall_tau_b
+    FROM pairs
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b of (orders per day, revenue per day) via exact
+    pair concordance counting on the bounded day grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+            .agg(F.count("*").cast("bigint").alias("x"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("y")))
+    a, b = grid.alias("a"), grid.alias("b")
+    # bounded day-grain pair join (~3M pairs), O(days^2) by design
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when((F.col("a.x") - F.col("b.x"))
+               * F.signum((F.col("a.y") - F.col("b.y")).cast("double"))
+               > 0, 1).otherwise(0).alias("conc"),
+        F.when((F.col("a.x") - F.col("b.x"))
+               * F.signum((F.col("a.y") - F.col("b.y")).cast("double"))
+               < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("ty"))
+    n_days = grid.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (pairs.agg(
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+        F.sum("tx").cast("bigint").alias("ties_x"),
+        F.sum("ty").cast("bigint").alias("ties_y"),
+        F.count("*").alias("np"))
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "concordant", "discordant", "ties_x", "ties_y",
+                F.round((F.col("concordant") - F.col("discordant"))
+                        .cast("double")
+                        / (F.sqrt((F.col("np") - F.col("ties_x"))
+                                  .cast("double"))
+                           * F.sqrt((F.col("np") - F.col("ties_y"))
+                                    .cast("double"))), 6)
+                .alias("kendall_tau_b")))
