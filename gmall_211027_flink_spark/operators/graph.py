@@ -1050,3 +1050,121 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", rk)
             .filter(F.col("rk") <= HITS_TOPK)
             .select("role", "node", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (r8) — random walk with restart onto a SEED
+# SET instead of the uniform vector: the "customers who bought these
+# anchor parts also gravitate to..." recommendation score, and the
+# standard seed-expansion primitive (local community detection, spam
+# neighborhoods, related-items carousels). Global PageRank above ranks
+# the whole graph; PPR ranks it FROM somewhere.
+#
+# Same determinism contract as graph_pagerank_copurchase: fixed
+# rounds, exact DECIMAL(28,14) contribution sums, one 8-dp output
+# round; the restart mass is an exact 1/|S| double recomputed
+# identically per round in both engines. Scale shape: identical to
+# PageRank — one node-keyed shuffle join per round over the
+# localCheckpoint'ed edge list; the seed vector is node-sized.
+# ---------------------------------------------------------------------------
+
+PPR_DAMPING = 0.85
+PPR_ITER = 3
+PPR_SEED_MOD = 25      # parts with partkey % 25 == 0 are the anchors
+
+# the >=2-co-purchase graph (BFS_MIN_TOGETHER rationale above): the
+# >=3 graph is 4 nodes at sf0.1 — a walk over it is vacuous
+_PPR_EDGES_SQL = _EDGES_SQL.replace(
+    f"COUNT(*) >= {MIN_TOGETHER}", "COUNT(*) >= 2")
+
+
+def _ppr_ctes() -> str:
+    ctes = [f"""
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+    seeds AS (SELECT u FROM deg WHERE u % {PPR_SEED_MOD} = 0),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM seeds),
+    sv AS (
+      SELECT deg.u AS node,
+             CASE WHEN deg.u % {PPR_SEED_MOD} = 0
+                  THEN 1.0 / ns.n_seeds ELSE 0.0 END AS s
+      FROM deg, ns
+    ),
+    p0 AS (SELECT node, s AS r FROM sv)"""]
+    for it in range(1, PPR_ITER + 1):
+        prev = f"p{it - 1}"
+        ctes.append(f"""
+    p{it} AS (
+      SELECT sv.node,
+             (1 - {PPR_DAMPING}) * sv.s
+             + {PPR_DAMPING} * COALESCE(agg.m, 0.0) AS r
+      FROM sv LEFT JOIN (
+        SELECT e.v AS node,
+               CAST(SUM(CAST(p.r / deg.d AS DECIMAL(28,14)))
+                    AS DOUBLE) AS m
+        FROM edges e
+        JOIN {prev} p ON p.node = e.u
+        JOIN deg ON deg.u = e.u
+        GROUP BY 1
+      ) agg ON agg.node = sv.node
+    )""")
+    return ",".join(ctes)
+
+
+@query(
+    "graph_ppr_seeded",
+    oracle=f"""
+    WITH {_PPR_EDGES_SQL},
+    {_ppr_ctes()}
+    SELECT node AS part_id, (node % {PPR_SEED_MOD} = 0) AS is_seed,
+           round(r, 8) AS ppr
+    FROM p{PPR_ITER}
+    """,
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (d={PPR_DAMPING}, {PPR_ITER} rounds)
+    restarting onto the partkey % {PPR_SEED_MOD} == 0 anchor set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # posting-list pair generation (one shuffle to order grain,
+    # pairs expanded map-side) — never a lineitem self-join
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") >= 2)
+        .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint())
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    n_seeds = (deg.filter(F.col("u") % PPR_SEED_MOD == 0)
+               .agg(F.count("*").cast("double").alias("n_seeds")))
+    sv = (deg.crossJoin(F.broadcast(n_seeds))
+          .select(F.col("u").alias("node"),
+                  F.when(F.col("u") % PPR_SEED_MOD == 0,
+                         F.lit(1.0) / F.col("n_seeds"))
+                  .otherwise(F.lit(0.0)).alias("s"))
+          .localCheckpoint())
+    ranks = sv.select("node", F.col("s").alias("r"))
+    for _ in range(PPR_ITER):
+        contrib = (edges.join(ranks, edges.u == ranks.node)
+                   .join(deg, "u")
+                   .select("v", (F.col("r") / F.col("d"))
+                           .cast("decimal(28,14)").alias("c")))
+        agg = (contrib.groupBy(F.col("v").alias("node"))
+               .agg(F.sum("c").cast("double").alias("m")))
+        ranks = (sv.join(agg, "node", "left")
+                 .select("node",
+                         ((1 - PPR_DAMPING) * F.col("s")
+                          + PPR_DAMPING * F.coalesce("m", F.lit(0.0)))
+                         .alias("r"))
+                 .localCheckpoint())
+    return ranks.select(F.col("node").alias("part_id"),
+                        (F.col("node") % PPR_SEED_MOD == 0).alias("is_seed"),
+                        F.round("r", 8).alias("ppr"))
