@@ -413,3 +413,82 @@ def _register_merge() -> None:
 
 
 _register_merge()
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan (r8) — the table-maintenance half the lake family
+# was missing: given a file inventory (here a deterministic one
+# derived from orders: one "file" per (dt, order-priority), sized by
+# row count), produce the binpack plan a Delta/Iceberg OPTIMIZE
+# executes — per partition, sort files largest-first and fill bins to
+# COMPACT_TARGET_BYTES. The emitted (dt, bin, n_files, bin_bytes)
+# rows ARE the rewrite tasks.
+#
+# Bin rule (exact integer arithmetic, both engines): order files by
+# (size DESC, file id), bin = cumulative-bytes-before-this-file //
+# target — the sequential fill that binpack compaction uses;
+# over-target files land alone in their own bin by construction.
+#
+# Scale: planning runs on the FILE INVENTORY (metadata grain), not
+# the data — the windows are partitioned BY dt, so the plan
+# parallelizes across partitions exactly like a real table service;
+# no global sort, no corpus-sized shuffle beyond the initial
+# inventory aggregate.
+# ---------------------------------------------------------------------------
+
+COMPACT_ROW_BYTES = 512          # synthetic per-row footprint
+COMPACT_TARGET_BYTES = 8_192     # bin target: merges ~2-16 daily files
+
+
+def _register_compaction() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..registry import query
+
+    @query(
+        "lake_compaction_plan",
+        oracle=f"""
+        WITH inv AS (
+          SELECT CAST(o_orderdate AS DATE) AS dt,
+                 o_orderpriority AS fid,
+                 CAST(COUNT(*) * {COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+          FROM orders GROUP BY 1, 2
+        ),
+        planned AS (
+          SELECT dt, fid, bytes,
+                 COALESCE(CAST(SUM(bytes) OVER (PARTITION BY dt
+                     ORDER BY bytes DESC, fid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) // {COMPACT_TARGET_BYTES} AS bin
+          FROM inv
+        )
+        SELECT dt, CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+        FROM planned GROUP BY 1, 2
+        """,
+    )
+    def lake_compaction_plan(spark, sf_dir: str):
+        """Binpack compaction plan over the synthetic per-(dt,
+        priority) file inventory (see block comment)."""
+        orders = load_table(spark, sf_dir, "orders")
+        inv = (orders.groupBy(F.to_date("o_orderdate").alias("dt"),
+                              F.col("o_orderpriority").alias("fid"))
+               .agg((F.count("*") * COMPACT_ROW_BYTES).cast("bigint")
+                    .alias("bytes")))
+        w = (Window.partitionBy("dt")
+             .orderBy(F.desc("bytes"), "fid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        planned = inv.withColumn(
+            "bin",
+            F.floor(F.coalesce(F.sum("bytes").over(w),
+                               F.lit(0).cast("bigint"))
+                    / COMPACT_TARGET_BYTES).cast("bigint"))
+        return (planned.groupBy("dt", "bin")
+                .agg(F.count("*").cast("bigint").alias("n_files"),
+                     F.sum("bytes").cast("bigint").alias("bin_bytes")))
+
+
+_register_compaction()
