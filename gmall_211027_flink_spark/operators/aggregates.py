@@ -3394,3 +3394,82 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * F.sqrt((F.col("np") - F.col("ties_y"))
                                     .cast("double"))), 6)
                 .alias("kendall_tau_b")))
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest (r8) — the audit a forecasting pipeline runs
+# BEFORE trusting any model: score the two classic baselines
+# (seasonal-naive "same day last week" and naive "yesterday") on the
+# daily-GMV history with MAE and MAPE. Every fancier model has to
+# beat these numbers; the ADS seasonality index says the pattern
+# exists, THIS says how predictable it is.
+#
+# Exactness: daily GMV is an exact DECIMAL(18,2) sum; absolute errors
+# stay decimal; MAE = exact decimal error sum / day count (one 6-dp
+# output round of the same double in both engines); MAPE follows the
+# repo's sum-of-rounded-terms rule — each per-day ratio is rounded to
+# 6 dp FIRST, summed as exact DECIMAL, then divided (order-free).
+# Lag windows run on the bounded day grain (single-task by design).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_forecast_backtest",
+    oracle="""
+    WITH day_grid AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, y,
+             lag(y, 1) OVER (ORDER BY d) AS f_naive1,
+             lag(y, 7) OVER (ORDER BY d) AS f_seasonal7
+      FROM day_grid
+    ),
+    scored AS (
+      SELECT 'naive1' AS model, ABS(y - f_naive1) AS ae,
+             CAST(round(CAST(ABS(y - f_naive1) AS DOUBLE)
+                        / CAST(y AS DOUBLE), 6) AS DECIMAL(12,6)) AS ape
+      FROM lagged WHERE f_naive1 IS NOT NULL
+      UNION ALL
+      SELECT 'seasonal7', ABS(y - f_seasonal7),
+             CAST(round(CAST(ABS(y - f_seasonal7) AS DOUBLE)
+                        / CAST(y AS DOUBLE), 6) AS DECIMAL(12,6))
+      FROM lagged WHERE f_seasonal7 IS NOT NULL
+    )
+    SELECT model, CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+           round(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
+    FROM scored GROUP BY 1
+    """,
+)
+def stats_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MAPE of the naive-1 and seasonal-naive-7 baselines on
+    daily GMV (see block comment for the exactness rules)."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("y")))
+    # bounded day grain: unpartitioned lag windows, single-task by design
+    w = Window.orderBy("d")
+    lagged = grid.select(
+        "d", "y",
+        F.lag("y", 1).over(w).alias("f_naive1"),
+        F.lag("y", 7).over(w).alias("f_seasonal7"))
+
+    def _score(model: str, fcol: str) -> DataFrame:
+        ae = F.abs(F.col("y") - F.col(fcol))
+        return (lagged.filter(F.col(fcol).isNotNull())
+                .select(F.lit(model).alias("model"), ae.alias("ae"),
+                        F.round(ae.cast("double") / F.col("y")
+                                .cast("double"), 6)
+                        .cast("decimal(12,6)").alias("ape")))
+
+    scored = _score("naive1", "f_naive1").unionAll(
+        _score("seasonal7", "f_seasonal7"))
+    return (scored.groupBy("model")
+            .agg(F.count("*").cast("bigint").alias("n_days"),
+                 F.round(F.sum("ae").cast("double") / F.count("*"), 6)
+                 .alias("mae"),
+                 F.round(F.sum("ape").cast("double") / F.count("*"), 6)
+                 .alias("mape")))
