@@ -693,3 +693,34 @@ def test_markov_iteration_joins_broadcast(spark, sf_dir):
     plan = executed_plan(out)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_phash_invariance_is_map_only(spark, sf_dir):
+    """The pHash audit must be a pure map stage: decode + DCT inside
+    Arrow-batched python, one summary row per image out, and NO
+    Exchange — at 100 TB any shuffle here would move pixel payloads."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        multimodal_phash_invariance)
+
+    out = multimodal_phash_invariance(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_compaction_plan_windows_are_partition_parallel(spark, sf_dir):
+    """The binpack planner's windows must partition by dt (a table
+    service plans per-partition); a global unpartitioned window here
+    would single-task the whole file inventory."""
+    from gmall_211027_flink_spark.operators.bucketing import (
+        _register_compaction)  # noqa: F401  (registration side effect)
+    from gmall_211027_flink_spark.registry import QUERIES
+
+    out = QUERIES["lake_compaction_plan"](spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    # the running-bytes window is keyed by the dt partition column
+    assert "windowspecdefinition(dt#" in plan, plan
+    # and the window exchange partitions by dt, not a global singleton
+    assert "Exchange hashpartitioning(dt#" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

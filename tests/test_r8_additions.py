@@ -366,3 +366,87 @@ def test_hits_topk_scores_are_unit_bounded(spark):
     for role, scores in by_role.items():
         assert len(scores) <= HITS_TOPK
         assert all(0 < s <= 1.0 for s in scores), role
+
+
+# ------------------------------------------------- r8 depth invariants ----
+
+def test_kendall_pair_accounting(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_kendall_tau)
+    r = stats_kendall_tau(spark, "/root/testdata/sf0.001").collect()[0]
+    n_pairs = r.n_days * (r.n_days - 1) // 2
+    # C + D + (pairs tied in x or y) == all pairs; tau in [-1, 1]
+    assert r.concordant + r.discordant <= n_pairs
+    assert -1.0 <= r.kendall_tau_b <= 1.0
+
+
+def test_ppr_mass_and_seed_dominance(spark):
+    from gmall_211027_flink_spark.operators.graph import graph_ppr_seeded
+    rows = graph_ppr_seeded(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.ppr for r in rows)
+    # restart mass keeps the walk substochastic but near 1 on a
+    # symmetric graph (no dangling mass lost)
+    assert 0.5 <= total <= 1.001, total
+    assert all(r.ppr >= 0 for r in rows)
+    seeds = [r.ppr for r in rows if r.is_seed]
+    others = [r.ppr for r in rows if not r.is_seed]
+    if seeds and others:   # seeds hold restart mass -> above-average rank
+        assert max(seeds) >= max(others) * 0.5
+
+
+def test_compaction_bins_respect_sequential_fill():
+    # pure-python model of the bin rule: cumsum-before // target
+    target = 8192
+    sizes = [9000, 5000, 3000, 2000, 1000]   # sorted desc
+    cum = 0
+    bins = []
+    for s in sizes:
+        bins.append(cum // target)
+        cum += s
+    assert bins == [0, 1, 1, 2, 2]
+    # an over-target file occupies its own bin prefix
+    assert bins[0] == 0 and bins[1] == 1
+
+
+def test_forecast_backtest_models_and_bounds(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_forecast_backtest)
+    rows = {r.model: r for r in
+            stats_forecast_backtest(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"naive1", "seasonal7"}
+    for r in rows.values():
+        assert r.mae >= 0 and r.mape >= 0
+        assert r.n_days > 0
+    # seasonal7 backtests 6 fewer days than naive1 by construction
+    assert rows["naive1"].n_days - rows["seasonal7"].n_days == 6
+
+
+def test_whitening_projection_removes_pc1_component(spark):
+    """After x' = x - (v.x) v, the PC1 component of every whitened
+    vector must be ~0 (up to the 6-dp quantization of v)."""
+    from pyspark.sql import functions as F
+    from gmall_211027_flink_spark.operators.pca import (
+        normalized_scatter, power_iterate, quantized_vecs,
+        scatter_moments)
+    from gmall_211027_flink_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vecs = quantized_vecs(spark, sf)
+    pp, dimsum, tot = scatter_moments(vecs)
+    fin = power_iterate(normalized_scatter(pp, dimsum, tot))
+    varr = fin.orderBy("b").agg(
+        F.expr("transform(collect_list(struct(b, v)),"
+               " t -> cast(t.v as double))").alias("va"))
+    emb = (load_table(spark, sf, "embeddings")
+           .select(F.expr("transform(embedding, x -> cast(x as double))")
+                   .alias("emb")))
+    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+           " cast(0 as double), (acc, x) -> acc + x)")
+    resid = (emb.crossJoin(F.broadcast(varr))
+             .withColumn("s", F.expr(dot.format(a="emb", b="va")))
+             .withColumn("wemb", F.expr(
+                 "zip_with(emb, va, (x, vv) -> x - s * vv)"))
+             .withColumn("r", F.abs(F.expr(dot.format(a="wemb", b="va"))))
+             .agg(F.max("r").alias("mx")).collect()[0].mx)
+    # |v|^2 deviates from 1 by <= ~64*1e-6; residual = s*(1-|v|^2)
+    assert resid < 1e-3, resid
