@@ -893,3 +893,54 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source",
                     F.round("w", 6).alias("dsir_weight"),
                     F.col("rk").cast("bigint").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size audit (r8) — the importance-sampling
+# concentration diagnostic for length-proportional (PPS) document
+# sampling: sampling documents with probability proportional to token
+# count (the seq-packing-friendly design) concentrates mass on long
+# documents; ESS = (SUM w)^2 / SUM w^2 says how many EFFECTIVE
+# documents each source still contributes. ess_ratio near 1 = nearly
+# uniform lengths; near 1/n = one giant document dominates. This is
+# the number a curation pipeline checks before trusting any
+# weighted-sample estimate (Kish 1965).
+#
+# Exactness: w = token count (BIGINT); both moments are exact DECIMAL
+# sums; ESS is one division of exact decimals, rounded at 6 dp —
+# identical doubles in both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_ess_audit",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+           round(CAST(SUM(tok) AS DOUBLE) * CAST(SUM(tok) AS DOUBLE)
+                 / CAST(SUM(tok * tok) AS DOUBLE), 6) AS ess,
+           round(CAST(SUM(tok) AS DOUBLE) * CAST(SUM(tok) AS DOUBLE)
+                 / CAST(SUM(tok * tok) AS DOUBLE) / COUNT(*), 6)
+             AS ess_ratio
+    FROM w GROUP BY 1
+    """,
+)
+def sample_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of token-count (PPS) weights per
+    source — the weighted-sampling concentration diagnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"))
+    s = F.sum("tok").cast("double")
+    s2 = F.sum(F.col("tok") * F.col("tok")).cast("double")
+    return (w.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("tok").cast("bigint").alias("sum_tokens"),
+                 F.round(s * s / s2, 6).alias("ess"),
+                 F.round(s * s / s2 / F.count("*"), 6).alias("ess_ratio")))
