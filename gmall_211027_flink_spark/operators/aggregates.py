@@ -3473,3 +3473,64 @@ def stats_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mae"),
                  F.round(F.sum("ape").cast("double") / F.count("*"), 6)
                  .alias("mape")))
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (r8) — schema archaeology: for each
+# candidate X -> Y dependency, count the X groups carrying more than
+# one distinct Y. Profilers run exactly this to discover (or refute)
+# join keys, denormalization candidates, and silently-broken
+# invariants after an upstream schema change; the duplicate-PK audit
+# above is the special case X = declared key. The candidate list
+# mixes a key-based FD (must hold) with attribute FDs (expected
+# violated) so both verdict paths stay exercised.
+#
+# Exactness: pure integer counting. Scale: one groupBy per candidate
+# FD (two-phase count-distinct), outputs one row each — at 100 TB the
+# audit cost is the scans, and all candidates over one table could
+# share a single multi-aggregate pass if the list grows.
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    # (fd_name, table, lhs column, rhs column)
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("documents.source->lang", "documents", "source", "lang"),
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+    ("customer.c_mktsegment->c_nationkey", "customer",
+     "c_mktsegment", "c_nationkey"),
+    ("orders.o_orderstatus->o_orderpriority", "orders",
+     "o_orderstatus", "o_orderpriority"),
+]
+
+_FD_ORACLE = "\nUNION ALL\n".join(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(MAX(c) AS BIGINT) AS max_distinct_rhs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+             AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS c
+          FROM {tbl} GROUP BY 1)""" for name, tbl, lhs, rhs
+                           in _FD_CANDIDATES)
+
+
+@query("quality_functional_dependency_audit", oracle=_FD_ORACLE)
+def quality_functional_dependency_audit(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Violation counts for the candidate X -> Y dependency list
+    (see block comment)."""
+    out = None
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        grp = (t.groupBy(lhs)
+               .agg(F.countDistinct(rhs).alias("c")))
+        viol = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        row = grp.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            viol.cast("bigint").alias("violating_groups"),
+            F.max("c").cast("bigint").alias("max_distinct_rhs"),
+            (viol == 0).alias("holds"))
+        out = row if out is None else out.unionAll(row)
+    return out
