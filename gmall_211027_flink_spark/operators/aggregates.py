@@ -3534,3 +3534,183 @@ def quality_functional_dependency_audit(spark: SparkSession,
             (viol == 0).alias("holds"))
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (r8) — the hypothesis-test companion to
+# stats_kaplan_meier_churn: do BUILDING-segment customers churn
+# (time-to-second-order) at a different rate than everyone else?
+# Standard Mantel-Cox machinery: at every pooled event time, compare
+# group-1's observed events with the expectation under the pooled
+# hazard, accumulate the hypergeometric variance, and report
+# (O1-E1)^2 / V. The honest answer on this corpus is "no difference"
+# (segments are assigned independently of behavior) — the test's
+# calibration matters more than drama.
+#
+# Exactness: risk sets and observed counts are exact BIGINTs; each
+# per-time expectation/variance term is rounded to 6 dp then summed
+# as exact DECIMAL (order-free, the repo's sum-of-rounded-terms
+# rule); NULLIF guards the n-1 denominator at the final event time.
+# Scale: one custkey shuffle + a broadcast customer-dim join; all
+# windows run on the bounded day grid (single-task by design).
+# ---------------------------------------------------------------------------
+
+LOGRANK_GROUP1 = "BUILDING"
+
+
+@query(
+    "stats_logrank_test",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    life AS (
+      SELECT o_custkey, min(o_orderdate) AS f,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS s
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    subj AS (
+      SELECT CASE WHEN c.c_mktsegment = '{LOGRANK_GROUP1}'
+                  THEN 1 ELSE 0 END AS g,
+             CASE WHEN t_evt IS NOT NULL AND t_evt <= fup
+                  THEN t_evt ELSE fup END AS t,
+             CASE WHEN t_evt IS NOT NULL AND t_evt <= fup
+                  THEN 1 ELSE 0 END AS evt
+      FROM (SELECT o_custkey,
+                   LEAST({KM_HORIZON}, datediff('day', f, mxd)) AS fup,
+                   datediff('day', f, s) AS t_evt
+            FROM life, mx) l
+      JOIN customer c ON c.c_custkey = l.o_custkey
+    ),
+    grid AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN g = 1 THEN evt ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN g = 0 THEN evt ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 - evt ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 - evt ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM subj GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_0,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2_0
+      FROM subj
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             tot.n1_0 - COALESCE(CAST(SUM(d1 + c1) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS n1,
+             tot.n2_0 - COALESCE(CAST(SUM(d2 + c2) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS n2
+      FROM grid, tot
+    ),
+    terms AS (
+      SELECT d1, d1 + d2 AS d,
+             CAST(round(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2), 6)
+                  AS DECIMAL(18,6)) AS e1,
+             CAST(round(CAST(d1 + d2 AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(n1 AS DOUBLE) / (n1 + n2))
+                        * (n1 + n2 - d1 - d2)
+                        / NULLIF(n1 + n2 - 1, 0), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM risk WHERE d1 + d2 > 0
+    )
+    SELECT (SELECT n1_0 FROM tot) AS n_group1,
+           (SELECT n2_0 FROM tot) AS n_group2,
+           CAST(SUM(d1) AS BIGINT) AS o1,
+           CAST(SUM(e1) AS DOUBLE) AS e1,
+           CAST(SUM(d) - SUM(d1) AS BIGINT) AS o2,
+           CAST(SUM(d) - SUM(e1) AS DOUBLE) AS e2,
+           CAST(SUM(v) AS DOUBLE) AS var_o1,
+           round((SUM(d1) - CAST(SUM(e1) AS DOUBLE))
+                 * (SUM(d1) - CAST(SUM(e1) AS DOUBLE))
+                 / CAST(SUM(v) AS DOUBLE), 6) AS logrank_chi2
+    FROM terms
+    """,
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test of '{LOGRANK_GROUP1}'-segment vs other
+    customers on time-to-second-order (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey"))
+    life = (orders.select("o_custkey", "o_orderdate", rn.alias("rn"))
+            .groupBy("o_custkey")
+            .agg(F.min("o_orderdate").alias("f"),
+                 F.min(F.when(F.col("rn") == 2,
+                              F.col("o_orderdate"))).alias("s")))
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    seg = cust.select(F.col("c_custkey").alias("o_custkey"),
+                      F.when(F.col("c_mktsegment") == LOGRANK_GROUP1, 1)
+                      .otherwise(0).alias("g"))
+    obs = (life.crossJoin(F.broadcast(mx))
+           .join(F.broadcast(seg), "o_custkey")
+           .select("g",
+                   F.least(F.lit(KM_HORIZON),
+                           F.datediff("mxd", "f")).alias("fup"),
+                   F.datediff("s", "f").alias("t_evt")))
+    is_evt = F.col("t_evt").isNotNull() & (F.col("t_evt") <= F.col("fup"))
+    subj = obs.select(
+        "g",
+        F.when(is_evt, F.col("t_evt")).otherwise(F.col("fup")).alias("t"),
+        F.when(is_evt, F.lit(1)).otherwise(F.lit(0)).alias("evt"))
+    g1 = F.col("g") == 1
+    grid = (subj.groupBy(F.col("t").cast("bigint").alias("t"))
+            .agg(F.sum(F.when(g1, F.col("evt")).otherwise(0))
+                 .cast("bigint").alias("d1"),
+                 F.sum(F.when(~g1, F.col("evt")).otherwise(0))
+                 .cast("bigint").alias("d2"),
+                 F.sum(F.when(g1, 1 - F.col("evt")).otherwise(0))
+                 .cast("bigint").alias("c1"),
+                 F.sum(F.when(~g1, 1 - F.col("evt")).otherwise(0))
+                 .cast("bigint").alias("c2")))
+    tot = subj.agg(
+        F.sum(F.when(g1, 1).otherwise(0)).cast("bigint").alias("n1_0"),
+        F.sum(F.when(~g1, 1).otherwise(0)).cast("bigint").alias("n2_0"))
+    # bounded day grid: unpartitioned window, single-task by design
+    w_prior = (Window.orderBy("t")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (grid.crossJoin(F.broadcast(tot))
+            .select("t", "d1", "d2", "n1_0", "n2_0",
+                    (F.col("n1_0") - F.coalesce(
+                        F.sum(F.col("d1") + F.col("c1")).over(w_prior)
+                        .cast("bigint"), F.lit(0).cast("bigint")))
+                    .alias("n1"),
+                    (F.col("n2_0") - F.coalesce(
+                        F.sum(F.col("d2") + F.col("c2")).over(w_prior)
+                        .cast("bigint"), F.lit(0).cast("bigint")))
+                    .alias("n2")))
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    p1 = F.col("n1").cast("double") / n
+    terms = (risk.filter(F.col("d1") + F.col("d2") > 0)
+             .select("n1_0", "n2_0", "d1",
+                     (F.col("d1") + F.col("d2")).alias("d"),
+                     F.round(d * F.col("n1") / (F.col("n1") + F.col("n2")),
+                             6).cast("decimal(18,6)").alias("e1"),
+                     F.round(d * p1 * (1 - p1) * (n - d)
+                             / F.nullif((F.col("n1") + F.col("n2") - 1)
+                                        .cast("double"), F.lit(0.0)), 6)
+                     .cast("decimal(18,6)").alias("v")))
+    o1 = F.sum("d1").cast("bigint")
+    e1 = F.sum("e1").cast("double")
+    dd = F.sum("d")
+    return terms.agg(
+        F.max("n1_0").alias("n_group1"),
+        F.max("n2_0").alias("n_group2"),
+        o1.alias("o1"), e1.alias("e1"),
+        (dd - F.sum("d1")).cast("bigint").alias("o2"),
+        (dd.cast("double") - e1).alias("e2"),
+        F.sum("v").cast("double").alias("var_o1"),
+        F.round((o1.cast("double") - e1) * (o1.cast("double") - e1)
+                / F.sum("v").cast("double"), 6).alias("logrank_chi2"))
