@@ -544,3 +544,40 @@ def test_truncated_ewma_tracks_recursive_within_tail_mass(xs):
         bound = (1 - EWMA_ALPHA) ** min(t + 1, EWMA_LAGS) \
             * (max(xs) - min(xs) + 1e-9)
         assert abs(trunc - rec) <= bound + 1e-6
+
+
+# -------------------------------------------------- KM survival fold ------
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 5),      # events at this time
+              st.integers(0, 3)),     # censored at this time
+    min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_km_integer_fold_tracks_exact_rational(data):
+    """The scaled-BIGINT survival fold (stats_kaplan_meier_churn) must
+    stay within the accumulated half-ulp quantization bound of the
+    exact rational KM product, and be monotone non-increasing."""
+    from fractions import Fraction
+
+    total = sum(d + c for d, c in data) + 1   # keep n >= 1 at the end
+    n = total
+    acc = 10**9
+    exact = Fraction(1)
+    prev = 10**9
+    steps = 0
+    for d, c in data:
+        if n <= 0:
+            break
+        d = min(d, n)
+        factor = (2 * (n - d) * 10**9 + n) // (2 * n)       # half-up
+        acc = (acc * factor + 500_000_000) // 10**9         # half-up
+        exact *= Fraction(n - d, n)
+        n -= d + c
+        steps += 1
+        assert acc <= prev                    # monotone non-increasing
+        prev = acc
+        # each step adds <= 1 quantum of rounding error (half-up twice
+        # per step is still bounded by 1 quantum per step)
+        bound = steps + 1
+        assert abs(acc - exact * 10**9) <= bound, (acc, float(exact), data)
+    assert 0 <= acc <= 10**9
