@@ -3714,3 +3714,154 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("var_o1"),
         F.round((o1.cast("double") - e1) * (o1.cast("double") - e1)
                 / F.sum("v").cast("double"), 6).alias("logrank_chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Greenwood confidence band (r8) — the error bars for the KM curve
+# above: Var[S(t)] = S(t)^2 * sum_{u<=t} d_u / (n_u (n_u - d_u))
+# (Greenwood 1926), reported as the +-1.96 SE band a churn dashboard
+# draws around the survival estimate.
+#
+# Determinism: the variance accumulator follows the KM discipline —
+# each Greenwood term is the exact integer d*1e15 DIV (n*(n-d))
+# (bounded: d < 9e3 keeps d*1e15 < 2^63; n = d would make the term
+# infinite and yields NULL by the nullif guard — impossible here
+# while censored subjects remain), the running sum is exact BIGINT,
+# and S(t) is the engine-exact survival_q9. The only doubles are the
+# final sqrt (IEEE-correctly-rounded) and the 6-dp output rounds of
+# identical inputs. Same bounded-day-grid single-task windows as the
+# KM op; the chain deliberately mirrors stats_kaplan_meier_churn's.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_km_greenwood_band",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    life AS (
+      SELECT o_custkey, min(o_orderdate) AS f,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS s
+      FROM ranked GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    subj AS (
+      SELECT CASE WHEN t_evt IS NOT NULL AND t_evt <= fup
+                  THEN t_evt ELSE fup END AS t,
+             CASE WHEN t_evt IS NOT NULL AND t_evt <= fup
+                  THEN 1 ELSE 0 END AS evt
+      FROM (SELECT LEAST({KM_HORIZON}, datediff('day', f, mxd)) AS fup,
+                   datediff('day', f, s) AS t_evt
+            FROM life, mx)
+    ),
+    grid AS (
+      SELECT CAST(t AS BIGINT) AS t, CAST(SUM(evt) AS BIGINT) AS d,
+             CAST(SUM(1 - evt) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM subj)
+               - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS n
+      FROM grid
+    ),
+    fac AS (
+      SELECT t, d, c, n,
+             (2 * (n - d) * 1000000000 + n) // (2 * n) AS factor,
+             d * 1000000000000000 // NULLIF(n * (n - d), 0) AS gterm
+      FROM risk
+    ),
+    curve AS (
+      SELECT t, d, n,
+             CAST(list_reduce(
+               list_prepend(CAST(1000000000 AS BIGINT),
+                            list(factor) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+               (acc, x) -> (acc * x + 500000000) // 1000000000)
+               AS BIGINT) AS sq,
+             CAST(SUM(gterm) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS gsum
+      FROM fac
+    )
+    SELECT t AS t_days,
+           round(CAST(sq AS DOUBLE) / 1e9, 6) AS survival,
+           round(CAST(sq AS DOUBLE) / 1e9 * CAST(sq AS DOUBLE) / 1e9
+                 * CAST(gsum AS DOUBLE) / 1e15, 9) AS greenwood_var,
+           round(GREATEST(0, CAST(sq AS DOUBLE) / 1e9
+                 - 1.96 * sqrt(CAST(sq AS DOUBLE) / 1e9
+                               * CAST(sq AS DOUBLE) / 1e9
+                               * CAST(gsum AS DOUBLE) / 1e15)), 6) AS ci_lo,
+           round(LEAST(1, CAST(sq AS DOUBLE) / 1e9
+                 + 1.96 * sqrt(CAST(sq AS DOUBLE) / 1e9
+                               * CAST(sq AS DOUBLE) / 1e9
+                               * CAST(gsum AS DOUBLE) / 1e15)), 6) AS ci_hi
+    FROM curve WHERE d > 0
+    """,
+)
+def stats_km_greenwood_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival with the Greenwood +-1.96 SE confidence band
+    (see block comment; chain mirrors stats_kaplan_meier_churn)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey"))
+    life = (orders.select("o_custkey", "o_orderdate", rn.alias("rn"))
+            .groupBy("o_custkey")
+            .agg(F.min("o_orderdate").alias("f"),
+                 F.min(F.when(F.col("rn") == 2,
+                              F.col("o_orderdate"))).alias("s")))
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    obs = (life.crossJoin(F.broadcast(mx))
+           .select(F.least(F.lit(KM_HORIZON),
+                           F.datediff("mxd", "f")).alias("fup"),
+                   F.datediff("s", "f").alias("t_evt")))
+    is_evt = F.col("t_evt").isNotNull() & (F.col("t_evt") <= F.col("fup"))
+    subj = obs.select(
+        F.when(is_evt, F.col("t_evt")).otherwise(F.col("fup")).alias("t"),
+        F.when(is_evt, F.lit(1)).otherwise(F.lit(0)).alias("evt"))
+    grid = (subj.groupBy(F.col("t").cast("bigint").alias("t"))
+            .agg(F.sum("evt").cast("bigint").alias("d"),
+                 F.sum(F.lit(1) - F.col("evt")).cast("bigint").alias("c")))
+    total = subj.agg(F.count("*").cast("bigint").alias("total"))
+    # bounded day grid: unpartitioned single-task windows by design
+    w_prior = (Window.orderBy("t")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_upto = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = (grid.crossJoin(F.broadcast(total))
+            .withColumn("n", F.col("total")
+                        - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                     .over(w_prior).cast("bigint"),
+                                     F.lit(0).cast("bigint")))
+            .drop("total"))
+    fac = (risk
+           .withColumn("factor", F.expr(
+               "(2 * (n - d) * 1000000000 + n) div (2 * n)"))
+           .withColumn("gterm", F.expr(
+               "d * 1000000000000000 div nullif(n * (n - d), 0)")))
+    curve = (fac
+             .withColumn("fs", F.collect_list("factor").over(w_upto))
+             .withColumn("sq", F.expr(
+                 "aggregate(fs, CAST(1000000000 AS BIGINT), "
+                 "(acc, x) -> (acc * x + 500000000) div 1000000000)"))
+             .withColumn("gsum", F.sum("gterm").over(w_upto)
+                         .cast("bigint")))
+    s = F.col("sq").cast("double") / F.lit(1e9)
+    var = s * s * F.col("gsum").cast("double") / F.lit(1e15)
+    return (curve.filter(F.col("d") > 0)
+            .select(F.col("t").alias("t_days"),
+                    F.round(s, 6).alias("survival"),
+                    F.round(var, 9).alias("greenwood_var"),
+                    F.round(F.greatest(F.lit(0.0),
+                                       s - 1.96 * F.sqrt(var)), 6)
+                    .alias("ci_lo"),
+                    F.round(F.least(F.lit(1.0),
+                                    s + 1.96 * F.sqrt(var)), 6)
+                    .alias("ci_hi")))
