@@ -450,3 +450,49 @@ def test_whitening_projection_removes_pc1_component(spark):
              .agg(F.max("r").alias("mx")).collect()[0].mx)
     # |v|^2 deviates from 1 by <= ~64*1e-6; residual = s*(1-|v|^2)
     assert resid < 1e-3, resid
+
+
+def test_logrank_expectations_are_consistent(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_logrank_test)
+    r = stats_logrank_test(spark, SF_DIR).collect()[0]
+    # observed and expected totals agree across groups
+    assert abs((r.o1 + r.o2) - (r.e1 + r.e2)) < 1e-6
+    assert r.var_o1 > 0
+    assert r.logrank_chi2 >= 0
+    assert r.n_group1 > 0 and r.n_group2 > 0
+
+
+def test_greenwood_band_brackets_curve(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_km_greenwood_band)
+    rows = (stats_km_greenwood_band(spark, SF_DIR)
+            .orderBy("t_days").collect())
+    assert rows
+    prev_var = 0.0
+    for r in rows:
+        assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
+        # relative variance sum grows, and survival shrinks slowly
+        # enough early that the absolute band widens monotonically
+        # in var/S^2 terms; assert the weaker per-row sanity instead
+        assert r.greenwood_var >= 0.0
+        prev_var = r.greenwood_var
+
+
+def test_fd_audit_key_fd_holds(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        quality_functional_dependency_audit)
+    rows = {r.fd: r for r in
+            quality_functional_dependency_audit(spark, SF_DIR).collect()}
+    assert rows["documents.doc_id->lang"].holds        # key FD
+    assert not rows["part.p_brand->p_type"].holds      # attribute FD
+    for r in rows.values():
+        assert r.violating_groups <= r.n_groups
+
+
+def test_ess_audit_bounds(spark):
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_ess_audit)
+    for r in sample_ess_audit(spark, SF_DIR).collect():
+        assert 1.0 <= r.ess <= r.n_docs + 1e-6     # Kish ESS in [1, n]
+        assert 0.0 < r.ess_ratio <= 1.0 + 1e-9
