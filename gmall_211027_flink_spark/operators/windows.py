@@ -1124,3 +1124,59 @@ def dws_session_depth_histogram(spark: SparkSession,
              .agg(F.count("*").cast("bigint").alias("depth")))
     return (depth.groupBy("depth")
             .agg(F.count("*").cast("bigint").alias("session_ct")))
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (r8) — the engagement staple next to the rolling
+# 7-day WAU above: per day, distinct actives that day over distinct
+# actives in the trailing 30 days. Same plan shape as the WAU op —
+# the range join fans each (day, user) row out into at most 30 day
+# buckets (bounded expansion over the DAILY-DISTINCT grain, not raw
+# events), then one count-distinct per bucket; the corpus-sized work
+# is the initial daily-distinct aggregate. Ratio rounded at 6 dp from
+# identical BIGINT inputs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_dau_mau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT dt FROM daily),
+    mau AS (
+      SELECT d.dt, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d
+      JOIN daily u
+        ON u.dt <= d.dt
+       AND strptime(u.dt, '%Y-%m-%d')
+           > strptime(d.dt, '%Y-%m-%d') - INTERVAL 30 DAY
+      GROUP BY d.dt
+    ),
+    dau AS (
+      SELECT dt, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM daily GROUP BY 1
+    )
+    SELECT m.dt, dau.dau, m.mau,
+           round(CAST(dau.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM mau m JOIN dau USING (dt)
+    """,
+)
+def dws_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU / trailing-30-day MAU engagement ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(day_str("ts").alias("dt"), "user_id").distinct()
+    days = daily.select("dt").distinct()
+    dau = daily.groupBy("dt").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau"))
+    u = daily.select(F.col("dt").alias("udt"), "user_id")
+    mau = (days.join(
+        u,
+        (F.col("udt") <= F.col("dt"))
+        & (F.to_date("udt") > F.date_sub(F.to_date("dt"), 30)))
+        .groupBy("dt")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau")))
+    return (mau.join(dau, "dt")
+            .select("dt", "dau", "mau",
+                    F.round(F.col("dau").cast("double") / F.col("mau"), 6)
+                    .alias("stickiness")))
