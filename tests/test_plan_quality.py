@@ -724,3 +724,29 @@ def test_compaction_plan_windows_are_partition_parallel(spark, sf_dir):
     # and the window exchange partitions by dt, not a global singleton
     assert "Exchange hashpartitioning(dt#" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_hits_rounds_have_no_cartesian(spark, sf_dir):
+    """HITS half-rounds must stay keyed joins against node-sized score
+    vectors; the only crossJoins are broadcast 1-row norms."""
+    from gmall_211027_flink_spark.operators.graph import graph_hits_scores
+
+    out = graph_hits_scores(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ppr_pairs_are_posting_list_not_selfjoin(spark, sf_dir):
+    """PPR's edge build must expand pairs map-side from per-order part
+    lists — a lineitem self-join would shuffle the fact table twice."""
+    from gmall_211027_flink_spark.operators.graph import graph_ppr_seeded
+
+    out = graph_ppr_seeded(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    # the pair stage reads lineitem ONCE (posting-list expansion);
+    # localCheckpoint truncates the per-round lineage so the final
+    # plan shows no repeated lineitem scans
+    assert plan.count("lineitem.parquet") <= 1, plan
