@@ -33,6 +33,17 @@ from pyspark.sql import types as T
 from gmall_211027_flink_spark.catalog import load_table
 from gmall_211027_flink_spark.registry import query
 
+
+def decode_parallel(df: DataFrame) -> DataFrame:
+    """Spread Python decode work cluster-wide: the (doc_id, text) rows
+    are tiny but the per-row decode cost is huge, so a round-robin
+    repartition pays at EVERY scale (the SCALE.md §11 rule — the
+    small single-file test corpora otherwise run the whole decode
+    stage in ONE task; measured 15.3 s -> ~1 s for the pHash audit at
+    sf0.1)."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media_type", T.StringType()),
@@ -69,7 +80,7 @@ def decode_binary_metadata(media: DataFrame) -> DataFrame:
                 "content_digest": digests,
             })
 
-    return media.mapInPandas(_fake_decode_batch, DECODED_SCHEMA)
+    return decode_parallel(media).mapInPandas(_fake_decode_batch, DECODED_SCHEMA)
 
 
 @query(
@@ -186,7 +197,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 1)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_frames_batch, FRAME_SAMPLE_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_frames_batch, FRAME_SAMPLE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -288,7 +299,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 0)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_resize_batch, RESIZED_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_resize_batch, RESIZED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -555,7 +566,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield df[[f.name for f in HEADER_SCHEMA.fields]]
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(_decode_batch, HEADER_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_decode_batch, HEADER_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -745,7 +756,7 @@ def multimodal_ahash_fingerprint(spark: SparkSession,
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 2)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_hash_batch, AHASH_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_hash_batch, AHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -864,6 +875,7 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (load_table(spark, sf_dir, "documents")
            .filter(F.col("doc_id") % 4 == 2)
            .select("doc_id", "text")
+           .repartition(spark.sparkContext.defaultParallelism)
            .mapInPandas(_sig_batch, sig_schema)
            .localCheckpoint())
     bands = spark.range(AHASH_BANDS).withColumnRenamed("id", "band_id")
@@ -1048,7 +1060,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 3)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_feat_batch, WAV_FEATURE_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_feat_batch, WAV_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1307,7 +1319,7 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 0)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_png_batch, PNG_PIXEL_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_png_batch, PNG_PIXEL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1705,7 +1717,7 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 1)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_gif_batch, PNG_PIXEL_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_gif_batch, PNG_PIXEL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1778,7 +1790,7 @@ def multimodal_wav_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 3)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_ac_batch, WAV_AC_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_ac_batch, WAV_AC_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1882,7 +1894,7 @@ def multimodal_container_stats(spark: SparkSession,
             yield df[[f.name for f in CONTAINER_STATS_SCHEMA.fields]]
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    per_doc = docs.mapInPandas(_stats_batch, CONTAINER_STATS_SCHEMA)
+    per_doc = decode_parallel(docs).mapInPandas(_stats_batch, CONTAINER_STATS_SCHEMA)
     return (per_doc.groupBy("fmt")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("units").cast("bigint").alias("total_units"),
@@ -2084,4 +2096,4 @@ def multimodal_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 4 == 0)
             .select("doc_id", "text"))
-    return docs.mapInPandas(_phash_batch, PHASH_SCHEMA)
+    return decode_parallel(docs).mapInPandas(_phash_batch, PHASH_SCHEMA)

@@ -695,17 +695,24 @@ def test_markov_iteration_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_phash_invariance_is_map_only(spark, sf_dir):
-    """The pHash audit must be a pure map stage: decode + DCT inside
-    Arrow-batched python, one summary row per image out, and NO
-    Exchange — at 100 TB any shuffle here would move pixel payloads."""
+def test_phash_invariance_shuffles_text_never_pixels(spark, sf_dir):
+    """The pHash audit's ONLY exchange must be the deliberate
+    round-robin repartition of the tiny (doc_id, text) rows BEFORE the
+    decode (decode_parallel — spreads the CPU-heavy Python stage); at
+    100 TB any post-decode shuffle would move pixel payloads."""
     from gmall_211027_flink_spark.operators.multimodal import (
         multimodal_phash_invariance)
 
     out = multimodal_phash_invariance(spark, str(sf_dir))
     out.collect()
     plan = executed_plan(out)
-    assert "Exchange" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    # AQE prints the exchange in both the initial and final plan
+    assert exchanges, plan
+    for ln in exchanges:
+        assert "roundrobinpartitioning" in ln.lower(), plan
+        # the shuffle happens before decode: it carries text, not pixels
+        assert "phash_a" not in ln, plan
 
 
 def test_compaction_plan_windows_are_partition_parallel(spark, sf_dir):
