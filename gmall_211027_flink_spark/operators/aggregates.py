@@ -3865,3 +3865,128 @@ def stats_km_greenwood_band(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.least(F.lit(1.0),
                                     s + 1.96 * F.sqrt(var)), 6)
                     .alias("ci_hi")))
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index (r8) — per-nation supplier
+# market concentration by revenue: HHI = sum over suppliers of
+# (revenue share)^2. The antitrust-style complement to Gini/Lorenz
+# (which rank customers): near 1/n = fragmented supply, near 1 = one
+# supplier owns the nation's market. Curation pipelines compute the
+# same statistic over source shares before trusting a mixture.
+#
+# Exactness: per-supplier revenue is an exact DECIMAL(18,2) sum;
+# HHI = SUM(r_i^2) / T^2 with the squares and both sums exact decimal
+# (r^2 fits: 18+18+1 = 37 digits), ONE double division at the end,
+# rounded 6 dp from identical inputs. One shuffle to (nation,
+# supplier) grain; nation rollup is map-side after that.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(r) AS DOUBLE) AS total_rev,
+           round(CAST(SUM(r * r) AS DOUBLE)
+                 / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)), 6)
+             AS hhi
+    FROM rev GROUP BY 1
+    """,
+)
+def ads_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue HHI (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"))
+    rev = (li.join(F.broadcast(s), "l_suppkey")
+           .groupBy("nation", "l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .alias("r")))
+    return (rev.groupBy(F.col("nation").cast("bigint").alias("nation"))
+            .agg(F.count("*").cast("bigint").alias("n_suppliers"),
+                 F.sum("r").cast("double").alias("total_rev"),
+                 F.round(F.sum(F.col("r") * F.col("r")).cast("double")
+                         / (F.sum("r").cast("double")
+                            * F.sum("r").cast("double")), 6)
+                 .alias("hhi")))
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median CI by order statistics (r8) — the exact
+# binomial-rank interval: the median's 95% CI is the pair of order
+# statistics at ranks n/2 -+ 1.96*sqrt(n)/2 (normal approximation to
+# Binomial(n, 1/2) — no resampling, no distributional assumption;
+# the textbook companion to the Poisson bootstrap above, which
+# targets the MEAN). Ranks are computed from n in identical double
+# ops then floored/ceiled to exact integers, so both engines pick the
+# same rows; values at a rank are unambiguous under the
+# (price, orderkey) total order.
+#
+# Scale note: the global row_number is a single-partition sort over
+# the value column — the same documented pinch as
+# stats_exact_percentiles; the two-phase ranked-boundary fix is
+# mechanical and orthogonal to the statistic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_median_ci_orderstat",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    ranks AS (
+      SELECT n,
+             CAST((n + 1) // 2 AS BIGINT) AS k_med,
+             CAST(GREATEST(1, floor(n / 2.0
+                  - 1.96 * sqrt(CAST(n AS DOUBLE)) / 2)) AS BIGINT) AS k_lo,
+             CAST(LEAST(n, ceil(n / 2.0 + 1
+                  + 1.96 * sqrt(CAST(n AS DOUBLE)) / 2)) AS BIGINT) AS k_hi
+      FROM n
+    ),
+    ordered AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT r.n, r.k_lo, r.k_med, r.k_hi,
+           MAX(CASE WHEN o.rk = r.k_lo THEN o.o_totalprice END) AS ci_lo,
+           MAX(CASE WHEN o.rk = r.k_med THEN o.o_totalprice END) AS median,
+           MAX(CASE WHEN o.rk = r.k_hi THEN o.o_totalprice END) AS ci_hi
+    FROM ordered o, ranks r
+    WHERE o.rk IN (r.k_lo, r.k_med, r.k_hi)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def stats_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic 95% CI for the median order value (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.agg(F.count("*").cast("bigint").alias("n"))
+    sq = F.sqrt(F.col("n").cast("double"))
+    ranks = n.select(
+        "n",
+        F.expr("(n + 1) div 2").cast("bigint").alias("k_med"),
+        F.greatest(F.lit(1).cast("bigint"),
+                   F.floor(F.col("n") / 2.0 - 1.96 * sq / 2)
+                   .cast("bigint")).alias("k_lo"),
+        F.least(F.col("n"),
+                F.ceil(F.col("n") / 2.0 + 1 + 1.96 * sq / 2)
+                .cast("bigint")).alias("k_hi"))
+    # global value sort: single-partition by design (see block comment)
+    rk = F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey"))
+    ordered = orders.select("o_totalprice", rk.alias("rk"))
+    j = ordered.crossJoin(F.broadcast(ranks)).filter(
+        (F.col("rk") == F.col("k_lo")) | (F.col("rk") == F.col("k_med"))
+        | (F.col("rk") == F.col("k_hi")))
+    pick = lambda k: F.max(F.when(F.col("rk") == F.col(k),
+                                  F.col("o_totalprice")))
+    return (j.groupBy("n", "k_lo", "k_med", "k_hi")
+            .agg(pick("k_lo").alias("ci_lo"),
+                 pick("k_med").alias("median"),
+                 pick("k_hi").alias("ci_hi")))

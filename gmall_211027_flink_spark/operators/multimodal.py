@@ -2097,3 +2097,97 @@ def multimodal_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") % 4 == 0)
             .select("doc_id", "text"))
     return decode_parallel(docs).mapInPandas(_phash_batch, PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Motion energy (r8) — the video-analog temporal feature over the
+# animated-GIF corpus: per document, REALLY decode every frame (the
+# same multi-image LZW walk as multimodal_frame_sample) and measure
+# the inter-frame pixel change, sum |frame_{i+1} - frame_i| per
+# transition. A frame-sampling pipeline uses exactly this signal to
+# pick representative frames (static scenes sample sparsely, motion
+# bursts sample densely). The oracle derives each transition
+# analytically — the synthetic gradient advances +FRAME_DELTA mod
+# 256, so a pixel's |delta| is FRAME_DELTA when it doesn't wrap and
+# 256-FRAME_DELTA when it does — which the Spark side can only match
+# by decoding the real bytes. All-integer; map-only via
+# decode_parallel + mapInPandas; one row per document.
+# ---------------------------------------------------------------------------
+
+MOTION_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_transitions", T.LongType()),
+    T.StructField("total_motion", T.LongType()),
+    T.StructField("max_transition_motion", T.LongType()),
+])
+
+
+@query(
+    "multimodal_motion_energy",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 1
+    ),
+    geo AS (
+      SELECT doc_id,
+             8 + ('0x' || substr(h, 1, 2))::BIGINT % 16 AS w,
+             8 + ('0x' || substr(h, 3, 2))::BIGINT % 16 AS ht,
+             2 + ('0x' || substr(h, 6, 1))::BIGINT % 4 AS nf,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    trans AS (
+      SELECT doc_id, w, ht, nf, a, b, c, f
+      FROM geo, UNNEST(generate_series(0, CAST(nf - 2 AS BIGINT))) AS t(f)
+    ),
+    px AS (
+      SELECT doc_id, nf, f,
+             CASE WHEN (a * (i % w) + b * (i // w) + c
+                        + {FRAME_DELTA} * f) % 256 < 256 - {FRAME_DELTA}
+                  THEN {FRAME_DELTA} ELSE 256 - {FRAME_DELTA} END AS dv
+      FROM trans, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    per_t AS (
+      SELECT doc_id, nf, f, CAST(SUM(dv) AS BIGINT) AS motion
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(motion) AS BIGINT) AS total_motion,
+           CAST(MAX(motion) AS BIGINT) AS max_transition_motion
+    FROM per_t GROUP BY 1, 2
+    """,
+)
+def multimodal_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-frame |pixel delta| motion energy from REAL multi-frame
+    GIF decode (see block comment)."""
+    import numpy as np
+
+    def _motion_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_animated_gif(int(doc_id), h)
+                w, ht, frames = decode_gif_frames(payload)
+                motions = [
+                    int(np.abs(frames[i + 1].astype(np.int64)
+                               - frames[i].astype(np.int64)).sum())
+                    for i in range(len(frames) - 1)]
+                out.append(dict(
+                    doc_id=int(doc_id), n_frames=len(frames),
+                    n_transitions=len(motions),
+                    total_motion=sum(motions),
+                    max_transition_motion=max(motions)))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in MOTION_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 1)
+            .select("doc_id", "text"))
+    return decode_parallel(docs).mapInPandas(_motion_batch, MOTION_SCHEMA)

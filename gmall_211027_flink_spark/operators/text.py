@@ -1355,3 +1355,50 @@ def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .otherwise(0)).cast("double")
                          / F.count("*"), 6).alias("easy_share"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Feature-hash collision audit (r8) — the hashing trick (used by the
+# DSIR bucket LMs in sampling.py) maps an open vocabulary into
+# FH_BUCKETS fixed buckets; its statistical cost is collisions. This
+# audit reports, per bucket, how many DISTINCT terms share it and how
+# much token mass it carries — the load table you check before
+# trusting any hashed-feature model (a hot bucket conflating frequent
+# terms silently biases the LM ratio). Pure integer counting; the
+# term->bucket hash is md5-prefix mod, identical in both engines.
+# Scale: one (term) distinct + one (bucket) groupBy — bucket grain is
+# constant-size output.
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 256
+
+
+@query(
+    "text_feature_hash_collision_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.term, CAST(('0x' || substr(md5(t.term), 1, 4))::BIGINT
+                          % {FH_BUCKETS} AS BIGINT) AS b
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS term
+            FROM documents) t
+    )
+    SELECT b AS bucket,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_terms,
+           CAST(COUNT(*) AS BIGINT) AS token_mass
+    FROM toks GROUP BY 1
+    """,
+)
+def text_feature_hash_collision_audit(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Per-bucket distinct-term collisions and token mass for the
+    {FH_BUCKETS}-bucket hashing trick (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("term"))
+    b = (F.conv(F.substring(F.md5("term"), 1, 4), 16, 10)
+         .cast("bigint") % FH_BUCKETS)
+    return (toks.select("term", b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.countDistinct("term").cast("bigint")
+                 .alias("n_distinct_terms"),
+                 F.count("*").cast("bigint").alias("token_mass")))
