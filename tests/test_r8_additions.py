@@ -508,3 +508,44 @@ def test_ess_audit_bounds(spark):
     for r in sample_ess_audit(spark, SF_DIR).collect():
         assert 1.0 <= r.ess <= r.n_docs + 1e-6     # Kish ESS in [1, n]
         assert 0.0 < r.ess_ratio <= 1.0 + 1e-9
+
+
+def test_hhi_bounds(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        ads_hhi_concentration)
+    for r in ads_hhi_concentration(spark, SF_DIR).collect():
+        # HHI of n equal shares is 1/n; concentration raises it to 1
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0 + 1e-9, r
+
+
+def test_median_ci_orders_and_brackets(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_median_ci_orderstat)
+    r = stats_median_ci_orderstat(spark, SF_DIR).collect()[0]
+    assert 1 <= r.k_lo <= r.k_med <= r.k_hi <= r.n
+    assert r.ci_lo <= r.median <= r.ci_hi
+
+
+def test_feature_hash_mass_conserved(spark):
+    from pyspark.sql import functions as F
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.text import (
+        text_feature_hash_collision_audit)
+    out = text_feature_hash_collision_audit(spark, SF_DIR)
+    total = out.agg(F.sum("token_mass")).collect()[0][0]
+    toks = (load_table(spark, SF_DIR, "documents")
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .count())
+    assert total == toks
+
+
+def test_motion_energy_matches_analytic_wraparound(spark):
+    from gmall_211027_flink_spark.operators.multimodal import (
+        FRAME_DELTA, multimodal_motion_energy)
+    rows = multimodal_motion_energy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_transitions == r.n_frames - 1
+        assert r.max_transition_motion <= r.total_motion
+        # every per-pixel delta is FRAME_DELTA or 256-FRAME_DELTA
+        assert r.total_motion >= FRAME_DELTA  # at least one moving pixel
