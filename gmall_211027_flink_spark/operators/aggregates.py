@@ -3990,3 +3990,125 @@ def stats_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(pick("k_lo").alias("ci_lo"),
                  pick("k_med").alias("median"),
                  pick("k_hi").alias("ci_hi")))
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump induction (r8) — the first supervised-learning
+# primitive in the repo (OLS fits a line; this INDUCES a rule): find
+# the price threshold that best separates urgent orders, by exact
+# Gini impurity reduction over a binned feature. The depth-1 special
+# case of tree training, and the exact shape a distributed GBDT
+# iteration evaluates per feature (histogram-aggregate then scan
+# candidate splits) — at 100 TB the corpus-sized stage is ONE
+# histogram aggregate; split search runs on the bounded bin grid.
+#
+# Determinism: the histogram is exact integer (price quantized to
+# cents, bin = cents DIV BIN_CENTS); every candidate's Gini gain is
+# computed from exact BIGINT counts in identical double arithmetic —
+# same ints in, same doubles out — and the argmax breaks ties on the
+# smaller bin, a total order.
+# ---------------------------------------------------------------------------
+
+STUMP_BIN_CENTS = 1_000_000      # $10k feature bins
+
+
+@query(
+    "ml_decision_stump_split",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               // {STUMP_BIN_CENTS} AS bin,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    hist AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM pts GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+      FROM hist
+    ),
+    cand AS (
+      SELECT bin,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+             tot.nt, tot.pt
+      FROM hist, tot
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    gains AS (
+      SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
+             (1 - (CAST(pt AS DOUBLE) / nt) * (CAST(pt AS DOUBLE) / nt)
+                - (CAST(nt - pt AS DOUBLE) / nt)
+                  * (CAST(nt - pt AS DOUBLE) / nt))
+             - CAST(nl AS DOUBLE) / nt
+               * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                    - (CAST(nl - pl AS DOUBLE) / nl)
+                      * (CAST(nl - pl AS DOUBLE) / nl))
+             - CAST(nt - nl AS DOUBLE) / nt
+               * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                      * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                    - (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl))
+                      * (CAST((nt - nl) - (pt - pl) AS DOUBLE) / (nt - nl)))
+               AS gain
+      FROM cand WHERE nl > 0 AND nt - nl > 0
+    )
+    SELECT CAST(bin AS BIGINT) AS split_bin,
+           CAST((bin + 1) * {STUMP_BIN_CENTS} AS BIGINT)
+             AS split_price_cents,
+           round(gain, 9) AS gini_gain,
+           nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right
+    FROM gains
+    ORDER BY gain DESC, bin LIMIT 1
+    """,
+)
+def ml_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best urgent-vs-not price split by exact Gini gain over $10k
+    bins (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.expr(f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+               f" div {STUMP_BIN_CENTS}").alias("bin"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0).alias("y"))
+    hist = (pts.groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("y").cast("bigint").alias("pos")))
+    tot = hist.agg(F.sum("n").cast("bigint").alias("nt"),
+                   F.sum("pos").cast("bigint").alias("pt"))
+    # bounded bin grid (~60 rows): unpartitioned window by design
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cand = (hist.crossJoin(F.broadcast(tot))
+            .select("bin", "nt", "pt",
+                    F.sum("n").over(w).cast("bigint").alias("nl"),
+                    F.sum("pos").over(w).cast("bigint").alias("pl"))
+            .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)))
+
+    def gini(p, n):
+        p, n = p.cast("double"), n.cast("double")
+        return 1 - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
+
+    nl, pl = F.col("nl"), F.col("pl")
+    nt, pt = F.col("nt"), F.col("pt")
+    gain = (gini(pt, nt)
+            - nl.cast("double") / nt.cast("double") * gini(pl, nl)
+            - (nt - nl).cast("double") / nt.cast("double")
+              * gini(pt - pl, nt - nl))
+    ranked = (cand.select(
+        "bin", "nl", "pl", (nt - nl).alias("nr"), (pt - pl).alias("pr"),
+        gain.alias("gain"))
+        .withColumn("rk", F.row_number().over(
+            Window.orderBy(F.desc("gain"), "bin")))
+        .filter(F.col("rk") == 1))
+    return ranked.select(
+        F.col("bin").cast("bigint").alias("split_bin"),
+        ((F.col("bin") + 1) * STUMP_BIN_CENTS).cast("bigint")
+        .alias("split_price_cents"),
+        F.round("gain", 9).alias("gini_gain"),
+        F.col("nl").alias("n_left"), F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"), F.col("pr").alias("pos_right"))
