@@ -549,3 +549,13 @@ def test_motion_energy_matches_analytic_wraparound(spark):
         assert r.max_transition_motion <= r.total_motion
         # every per-pixel delta is FRAME_DELTA or 256-FRAME_DELTA
         assert r.total_motion >= FRAME_DELTA  # at least one moving pixel
+
+
+def test_stump_split_partitions_and_gain(spark):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        ml_decision_stump_split)
+    r = ml_decision_stump_split(spark, SF_DIR).collect()[0]
+    assert r.gini_gain >= 0            # a split never increases impurity
+    assert r.n_left > 0 and r.n_right > 0
+    assert 0 <= r.pos_left <= r.n_left
+    assert 0 <= r.pos_right <= r.n_right
