@@ -40,20 +40,27 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # already-proven ones go last.  Keep this list append-only across rounds
 # (r1 block, then r2 block), EXCEPT names moved to _REVERIFY below.
 _DRIVER_PROVEN: tuple[str, ...] = (
-    # round 1 (CORRECTNESS_r01.json) — q1_pricing_summary,
-    # dim_snowflake_enrich, dws_province_order_window,
-    # rank_topk_events_per_user, dedup_minhash_lsh rotated to _REVERIFY
-    # for round 8 (staleness canary)
-    "ads_gmv_by_day", "ads_conditional_agg",
-    "dws_tumble_by_type", "dws_tumble_global", "ads_rollup_priority",
+    # round 1 (CORRECTNESS_r01.json).  The five r1-vintage names rotated
+    # to _REVERIFY in round 8 (q1_pricing_summary, dim_snowflake_enrich,
+    # dws_province_order_window, rank_topk_events_per_user,
+    # dedup_minhash_lsh) re-passed in CORRECTNESS_r08 and are folded back
+    # in.  Round 9 rotates the NEXT-oldest five (ads_gmv_by_day,
+    # dws_tumble_by_type, dwd_order_graph_join, dwd_left_join_returns,
+    # q3_shipping_priority) plus two STREAMING names (the streaming proofs
+    # were 5-6 rounds old and exercise a different engine path).
+    "q1_pricing_summary", "dim_snowflake_enrich",
+    "dws_province_order_window", "rank_topk_events_per_user",
+    "dedup_minhash_lsh",
+    "ads_conditional_agg",
+    "dws_tumble_global", "ads_rollup_priority",
     "events_json_props", "stats_quantity_distribution",
     "dws_hierarchical_rollup", "dws_gapfill_locf", "stats_value_histogram",
     "dws_ohlc_hourly", "stats_zscore_outliers",
-    "dwd_order_graph_join", "dim_lookup_join",
-    "dwd_left_join_returns", "ads_full_outer_stats",
+    "dim_lookup_join",
+    "ads_full_outer_stats",
     "semi_join_active_customers",
     "anti_join_dormant_customers",
-    "set_ops_churned_customers", "q3_shipping_priority",
+    "set_ops_churned_customers",
     "q5_local_supplier_volume", "range_join_price_band", "q18_large_orders",
     "dedup_first_per_user_day", "dedup_last_per_user", "dws_daily_uv",
     "dws_backflow_users",
@@ -83,7 +90,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ads_cohort_retention", "ads_funnel_view_click_purchase",
     "ads_copurchase_pairs", "ads_supplier_scorecard",
     "ads_nation_market_share", "cdc_envelope_roundtrip",
-    "dws_daily_uv_detail_streaming", "dws_backflow_streaming",
+    "dws_backflow_streaming",
     "dws_cumulate_streaming", "dws_ohlc_streaming",
     # round 3 (CORRECTNESS_r03.json, 47 green rows; the 5 r2-era
     # TIMESTAMP_NTZ reverifies were re-proven and fold in here)
@@ -92,7 +99,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dws_union_traffic_window",
     "dedup_minhash_recall", "quality_filter_rules", "text_word_entropy",
     "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
-    "dws_tumble_streaming", "dwd_interval_join_streaming",
+    "dwd_interval_join_streaming",
     "dwd_stream_dedup_within_watermark", "dws_session_window_streaming",
     "dws_union_streams_window", "stream_dedup_exact_documents",
     "stream_quality_filter_documents", "decontaminate_ngram",
@@ -195,31 +202,57 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stream_kmv_maintenance", "graph_degree_distribution",
     "graph_assortativity", "graph_clustering_coefficient",
     "graph_link_prediction", "ann_pq_recall",
+    # round 8 (CORRECTNESS_r08.json, 50/50 green — the 39 round-8
+    # additions below, plus the 3 changed-in-r8 reverifies
+    # sample_weighted_priority / quality_funnel_order_audit /
+    # ads_pareto_lorenz, plus the five r1-vintage canary names folded
+    # back into the r1 block above)
+    "sample_weighted_priority", "quality_funnel_order_audit",
+    "ads_pareto_lorenz",
+    "stats_bootstrap_ci", "stats_ols_two_factor",
+    "stats_capture_recapture", "stats_kaplan_meier_churn",
+    "stats_kendall_tau", "stats_forecast_backtest",
+    "quality_functional_dependency_audit", "stats_logrank_test",
+    "stats_km_greenwood_band", "ads_hhi_concentration",
+    "stats_median_ci_orderstat", "ml_decision_stump_split",
+    "dws_dau_mau_stickiness", "text_feature_hash_collision_audit",
+    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_phash_invariance", "multimodal_motion_energy",
+    "asof_join_nearest", "sample_dsir_importance", "sample_ess_audit",
+    "curation_token_budget_allocation", "search_hybrid_rrf",
+    "ads_markov_attribution", "ads_cohort_ltv_curve",
+    "sketch_kmv_set_algebra", "stream_pca_scatter_maintenance",
+    "embedding_pca_power_iteration", "embedding_pca_variance_explained",
+    "embedding_abtt_whitening_audit", "embedding_whitening_neighbor_shift",
+    "stream_ols_maintenance", "graph_bfs_hops", "graph_hits_scores",
+    "graph_ppr_seeded", "source_dpp_pruned_join",
+    "cdc_schema_evolution_replay", "lake_merge_upsert",
+    "lake_compaction_plan",
 )
 
-# Queries that MUST be sampled first by this round's gate.  Round 8
-# starts the STALENESS CANARY rotation (VERDICT r7 item 1): each round
-# ~5 of the OLDEST driver-proven names move here so their proofs get
-# refreshed by the driver instead of relying on judge spot-checks.
-# These five are r1-vintage (CORRECTNESS_r01, now 7 rounds old) and
-# span five different operator families (TPC-H agg, dim join chain,
-# exact windowed COUNT DISTINCT, OVER-window rank, MinHash-LSH dedup).
-# Fold back into _DRIVER_PROVEN once CORRECTNESS_r08 lands, and rotate
-# the next-oldest five in round 9.
+# Queries that MUST be sampled first by this round's gate: the
+# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
+# round ~5 of the OLDEST driver-proven names move here so their proofs
+# get refreshed by the driver instead of relying on judge spot-checks.
+# Round 9 rotates the next-oldest five r1-vintage batch names (TPC-H
+# agg with filters, tumbling window agg, 3-way order graph join, left
+# outer join, Q3 top-k) PLUS — per VERDICT r8 item 4 — two STREAMING
+# names (r2/r3 proofs, 6-7 rounds old, exercising the state-store /
+# watermark-commit engine path that the batch canary never touches).
+# Fold back into _DRIVER_PROVEN once CORRECTNESS_r09 lands, and rotate
+# the next-oldest batch in round 10.  NOTE the window-count rule: the
+# gate window = count of names NOT in _DRIVER_PROVEN, which already
+# INCLUDES these — budget new queries to keep that single number <= 50.
 _REVERIFY: tuple[str, ...] = (
-    # changed in r8 (ADVICE r7) — the r7 proofs are stale, re-gate:
-    # 1e12 -> 1e6 quantization grid:
-    "sample_weighted_priority",
-    # second-grain -> microsecond event ordering:
-    "quality_funnel_order_audit",
-    # global-sort window -> distributed bucket-prefix restructure:
-    "ads_pareto_lorenz",
-    # r1-vintage staleness-canary rotation:
-    "q1_pricing_summary",
-    "dim_snowflake_enrich",
-    "dws_province_order_window",
-    "rank_topk_events_per_user",
-    "dedup_minhash_lsh",
+    # r1-vintage staleness-canary rotation (batch):
+    "ads_gmv_by_day",
+    "dws_tumble_by_type",
+    "dwd_order_graph_join",
+    "dwd_left_join_returns",
+    "q3_shipping_priority",
+    # streaming-path canary (r2/r3-vintage proofs):
+    "dws_daily_uv_detail_streaming",
+    "dws_tumble_streaming",
 )
 
 
