@@ -3844,8 +3844,18 @@ def stats_km_greenwood_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     fac = (risk
            .withColumn("factor", F.expr(
                "(2 * (n - d) * 1000000000 + n) div (2 * n)"))
+           # ADVICE r8: d * 1e15 overflows BIGINT once a single day's
+           # event count d exceeds 9223 (d*1e15 < 2^63); at this
+           # corpus max(d) is ~tens, but a larger corpus would hard-
+           # fail under ANSI with an opaque overflow. Raise a NAMED
+           # error at the exact bound instead of relying on a comment.
            .withColumn("gterm", F.expr(
-               "d * 1000000000000000 div nullif(n * (n - d), 0)")))
+               "CASE WHEN d > 9223 THEN raise_error("
+               "'stats_km_greenwood_band: per-day event count d > 9223 "
+               "exceeds the d*1e15 BIGINT headroom; split the Greenwood "
+               "scale across two factors before rerunning') "
+               "ELSE d * 1000000000000000 div nullif(n * (n - d), 0) "
+               "END")))
     curve = (fac
              .withColumn("fs", F.collect_list("factor").over(w_upto))
              .withColumn("sq", F.expr(

@@ -37,12 +37,20 @@ from gmall_211027_flink_spark.registry import query
 def decode_parallel(df: DataFrame) -> DataFrame:
     """Spread Python decode work cluster-wide: the (doc_id, text) rows
     are tiny but the per-row decode cost is huge, so a round-robin
-    repartition pays at EVERY scale (the SCALE.md §11 rule — the
-    small single-file test corpora otherwise run the whole decode
-    stage in ONE task; measured 15.3 s -> ~1 s for the pHash audit at
-    sf0.1)."""
+    repartition pays whenever the scan under-splits (the SCALE.md §11
+    rule — the small single-file test corpora otherwise run the whole
+    decode stage in ONE task; measured 15.3 s -> ~1 s for the pHash
+    audit at sf0.1).
+
+    Guard (ADVICE r8): skip the repartition when the input already has
+    >= defaultParallelism partitions — at real scale a many-split
+    corpus would otherwise pay a full payload shuffle for no extra
+    parallelism."""
     spark = df.sparkSession
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),

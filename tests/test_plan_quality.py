@@ -707,8 +707,10 @@ def test_phash_invariance_shuffles_text_never_pixels(spark, sf_dir):
     out.collect()
     plan = executed_plan(out)
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    # AQE prints the exchange in both the initial and final plan
-    assert exchanges, plan
+    # decode_parallel now SKIPS the repartition when the scan already
+    # yields >= defaultParallelism splits (ADVICE r8) — so either shape
+    # is valid: zero exchanges (already parallel), or only the
+    # pre-decode round-robin of the tiny text rows.
     for ln in exchanges:
         assert "roundrobinpartitioning" in ln.lower(), plan
         # the shuffle happens before decode: it carries text, not pixels
