@@ -76,7 +76,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "embedding_near_dup", "ann_ivf_probe", "ann_cosine_topk_pandas",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_repetition_ratio", "text_tfidf_keywords",
-    "text_normalize", "text_chunk_windows", "multimodal_decode_meta",
+    "text_normalize", "text_chunk_windows",
+    # multimodal_decode_meta REWORKED in r9 (fake decode -> real
+    # sniff-dispatch over the real PNG/GIF/BMP/WAV decoders) -> re-gate
     # multimodal_frame_sample / multimodal_resize reworked in r8 to REAL
     # decode (animated-GIF LZW frames; PNG box downsample) -> re-gate
     "asof_join_pandas",
