@@ -169,23 +169,26 @@ ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed",
 BEHAVIOR_SCALE_QUERIES = ["ads_window_funnel", "join_salted_skew"]
 
 
-def ensure_scale_corpus(spark, sf_dir: str) -> str:
-    """Build (once, cached in /tmp across runs) the synthetic 10x probe
-    corpus — near-dup documents, near-neighbor embeddings, hot-key
-    events, 1x customer dim — and return its directory. Shared by the
-    bench scale probe and scripts/mem_probe.py."""
+def ensure_scale_corpus(spark, sf_dir: str, factor: int = SCALE_FACTOR,
+                        with_events: bool = True) -> str:
+    """Build (once, cached in /tmp across runs) a synthetic ``factor``-x
+    probe corpus — near-dup documents, near-neighbor embeddings, and
+    (``with_events``) hot-key events + 1x customer dim — and return its
+    directory. Shared by the bench scale probe and scripts/mem_probe.py.
+    The 100x variant (VERDICT r8 #5) skips the event tables: only the
+    two cheapest dedup/ANN probes run there."""
     from pyspark.sql import functions as F
 
-    probe_dir = f"/tmp/spark_graft_scale{SCALE_FACTOR}x_" \
+    probe_dir = f"/tmp/spark_graft_scale{factor}x_" \
                 f"{os.path.basename(sf_dir.rstrip('/'))}"
     docs_path = f"{probe_dir}/documents.parquet"
     if not os.path.exists(f"{docs_path}/_SUCCESS"):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         (docs.select(
             "*", F.explode(F.sequence(
-                F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_r"))
+                F.lit(0), F.lit(factor - 1))).alias("_r"))
          .withColumn("doc_id",
-                     F.col("doc_id") * SCALE_FACTOR + F.col("_r"))
+                     F.col("doc_id") * factor + F.col("_r"))
          .withColumn("text", F.concat_ws(" ", "text",
                                          F.concat(F.lit("rep"), F.col("_r"))))
          .drop("_r")
@@ -200,10 +203,10 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         (emb.select(
             "*", F.explode(F.sequence(
-                F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_r"))
+                F.lit(0), F.lit(factor - 1))).alias("_r"))
          .withColumn("vec_id",
                      F.when(F.col("_r") == 0, F.col("vec_id"))
-                      .otherwise(F.col("vec_id") * SCALE_FACTOR + F.col("_r")
+                      .otherwise(F.col("vec_id") * factor + F.col("_r")
                                  + 1_000_000))
          .withColumn("embedding", F.expr(
              "transform(embedding, (x, i) -> case when i = 0"
@@ -231,6 +234,8 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
     # the customer DIM is copied 1x (unscaled) into the probe dir: dims
     # don't grow with the fact table — that asymmetry is what makes the
     # salted join's broadcast-explode side cheap
+    if not with_events:
+        return probe_dir
     cust_path = f"{probe_dir}/customer.parquet"
     if not os.path.exists(f"{cust_path}/_SUCCESS"):
         (spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -240,13 +245,13 @@ def ensure_scale_corpus(spark, sf_dir: str) -> str:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         (ev.select(
             "*", F.explode(F.sequence(
-                F.lit(0), F.lit(SCALE_FACTOR - 1))).alias("_r"))
+                F.lit(0), F.lit(factor - 1))).alias("_r"))
          .withColumn("user_id",
                      F.when(F.col("_r") == 0, F.lit(1).cast("bigint"))
-                      .otherwise(F.col("user_id") * SCALE_FACTOR
+                      .otherwise(F.col("user_id") * factor
                                  + F.col("_r")))
          .withColumn("event_id",
-                     F.col("event_id") * SCALE_FACTOR + F.col("_r"))
+                     F.col("event_id") * factor + F.col("_r"))
          .drop("_r")
          .repartition(32)
          .write.mode("overwrite").parquet(ev_path))
@@ -312,6 +317,27 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     out["rows"] = spark.read.parquet(docs_path).count()
     out["emb_rows"] = spark.read.parquet(emb_path).count()
     out["event_rows"] = spark.read.parquet(ev_path).count()
+    # 100x probe point (VERDICT r8 #5): one decade beyond the 10x line
+    # on the two cheapest probes — a superlinear term shows up here two
+    # orders of magnitude before production scale, at ~minutes of cost.
+    # min-of-2 (cost-bounded), cpu/steal for the min-wall run.
+    probe100 = ensure_scale_corpus(spark, sf_dir, factor=100,
+                                   with_events=False)
+    for name in ("dedup_exact", "ann_lsh_bucketed"):
+        best = float("inf")
+        best_cpu = best_steal = 0.0
+        for _ in range(2):
+            c0, s0 = _jvm_cpu_seconds(), _host_steal_seconds()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, probe100).count()
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
+                best_cpu = _jvm_cpu_seconds() - c0
+                best_steal = _host_steal_seconds() - s0
+        out[f"{name}_100x"] = round(best, 3)
+        cpu_s[f"{name}_100x"] = round(best_cpu, 3)
+        steal_s[f"{name}_100x"] = round(best_steal, 3)
     # AQE-vs-manual-salt on the same hot-key corpus (VERDICT r7 #5):
     # times the UNSALTED shuffle join under (a) AQE defaults and (b)
     # AQE skew-join with thresholds scaled to probe size, next to the
