@@ -11,6 +11,20 @@ pre-aggregation the reference hand-codes with ReduceFunctions.
 Window-bucket note: event-time tumbling buckets are computed with the
 native ``F.window`` (epoch-aligned), emitted as formatted strings so the
 DuckDB oracle (explicit epoch arithmetic) hashes identically.
+
+DAY-GRAIN CONTRACT (shared by every op whose comment says "bounded day
+grain" — the EWMA/runs/forecast lag windows, the Kaplan-Meier /
+Greenwood / log-rank folds, Kendall tau's pair join, seasonality
+indices): these ops first aggregate the corpus down to ONE ROW PER DAY
+(map-side partial + one shuffle, O(rows) and fully distributed), and
+only then run their unpartitioned window / O(days^2) pair logic on that
+summary. The orders table spans ~6.5 years, so the day grid is <= ~2.4k
+rows forever — O(days) single-task windows and O(days^2) ~ 3M-pair
+joins are constant-bounded BY THE CALENDAR, not by data size, and stay
+so at 100 TB. Any new op that adopts this contract must (a) reduce to a
+calendar-bounded grain FIRST, and (b) reference this note; an op whose
+"grain" grows with the corpus (user, document, key) does NOT qualify
+and must partition its windows.
 """
 
 from __future__ import annotations
@@ -2780,7 +2794,8 @@ def quality_funnel_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the corpus pays one day-grain aggregation (map-side
 # combined). The lag window runs on the DAY series — a time-bounded
 # domain (thousands of rows at ANY corpus size), so the single-series
-# window sort is O(days), never O(rows).
+# window sort is O(days), never O(rows) (DAY-GRAIN CONTRACT, module
+# docstring).
 # ---------------------------------------------------------------------------
 
 EWMA_ALPHA = 0.3
@@ -3198,7 +3213,8 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-exact (the repo convention after the r7 sampling-boundary
 # ADVICE). Scale shape: one custkey shuffle for first/second order,
 # then everything runs on the <= KM_HORIZON+1-row day grid —
-# the unpartitioned windows are bounded day-grain by design.
+# the unpartitioned windows are bounded day-grain by design
+# (DAY-GRAIN CONTRACT, module docstring).
 # ---------------------------------------------------------------------------
 
 KM_HORIZON = 180      # days of follow-up after the first order
@@ -3283,7 +3299,8 @@ def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("evt").cast("bigint").alias("d"),
                  F.sum(F.lit(1) - F.col("evt")).cast("bigint").alias("c")))
     total = subj.agg(F.count("*").cast("bigint").alias("total"))
-    # bounded day-grain (<= KM_HORIZON+1 rows): the unpartitioned
+    # bounded day-grain (<= KM_HORIZON+1 rows; DAY-GRAIN CONTRACT,
+    # module docstring): the unpartitioned
     # ordered windows below run in one task by design
     w_prior = (Window.orderBy("t")
                .rowsBetween(Window.unboundedPreceding, -1))
@@ -3324,7 +3341,7 @@ def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: the pair stage is a deliberate day×day self-join on the
 # BOUNDED day grain (~2.4k rows -> ~3M pairs) — O(days^2) by design,
-# same contract as the other day-grain ops; the corpus-sized work is
+# per the DAY-GRAIN CONTRACT (module docstring); the corpus-sized work is
 # the single groupBy(day). At an unbounded grain the fix is
 # merge-sort inversion counting, orthogonal to the statistic.
 # ---------------------------------------------------------------------------
@@ -3369,6 +3386,7 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("y")))
     a, b = grid.alias("a"), grid.alias("b")
     # bounded day-grain pair join (~3M pairs), O(days^2) by design
+    # (DAY-GRAIN CONTRACT, module docstring)
     pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
         F.when((F.col("a.x") - F.col("b.x"))
                * F.signum((F.col("a.y") - F.col("b.y")).cast("double"))
@@ -3409,7 +3427,8 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output round of the same double in both engines); MAPE follows the
 # repo's sum-of-rounded-terms rule — each per-day ratio is rounded to
 # 6 dp FIRST, summed as exact DECIMAL, then divided (order-free).
-# Lag windows run on the bounded day grain (single-task by design).
+# Lag windows run on the bounded day grain (single-task by design;
+# DAY-GRAIN CONTRACT, module docstring).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -3450,7 +3469,8 @@ def stats_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .alias("y")))
-    # bounded day grain: unpartitioned lag windows, single-task by design
+    # bounded day grain: unpartitioned lag windows, single-task by
+    # design (DAY-GRAIN CONTRACT, module docstring)
     w = Window.orderBy("d")
     lagged = grid.select(
         "d", "y",
