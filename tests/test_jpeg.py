@@ -1,0 +1,146 @@
+"""Invariants for the baseline JPEG codec (operators/jpeg.py) — pure
+Python, no Spark session needed."""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from gmall_211027_flink_spark.operators.jpeg import (
+    AC_POSITIONS, DEN, LUT, ZIGZAG, _coef_block, decode_jpeg_gray,
+    jpeg_qtable, synthesize_jpeg_gray)
+
+
+def _params(doc_id: int):
+    h = hashlib.md5(f"doc{doc_id}".encode()).hexdigest()
+    w = 8 * (1 + int(h[0:2], 16) % 3)
+    ht = 8 * (1 + int(h[2:4], 16) % 3)
+    a = 1 + int(h[12:14], 16) % 7
+    b = 1 + int(h[14:16], 16) % 5
+    c = int(h[16:18], 16)
+    return h, w, ht, a, b, c
+
+
+def _analytic_pixels(w, ht, a, b, c):
+    """Independent 5-term re-derivation (mirrors the SQL oracle)."""
+    L = LUT
+    img = np.zeros((ht, w), dtype=np.int64)
+    for by in range(ht // 8):
+        for bx in range(w // 8):
+            dc, acs = _coef_block(bx, by, a, b, c)
+            for y in range(8):
+                for x in range(8):
+                    s = dc * jpeg_qtable(0) * L[y][0] * L[x][0]
+                    for z in AC_POSITIONS:
+                        r, cc = ZIGZAG[z]
+                        s += acs[z] * jpeg_qtable(z) * L[y][r] * L[x][cc]
+                    p = (s + DEN // 2 + 1024 * DEN) // DEN - 1024 + 128
+                    img[by * 8 + y, bx * 8 + x] = min(255, max(0, p))
+    return img
+
+
+def test_roundtrip_matches_analytic_pixels():
+    for doc_id in range(25):
+        h, w, ht, a, b, c = _params(doc_id)
+        payload = synthesize_jpeg_gray(doc_id, h)
+        dw, dh, img = decode_jpeg_gray(payload)
+        assert (dw, dh) == (w, ht)
+        assert np.array_equal(img, _analytic_pixels(w, ht, a, b, c))
+
+
+def test_zigzag_is_the_standard_order():
+    assert ZIGZAG[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                           (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert ZIGZAG[-1] == (7, 7)
+    assert len(set(ZIGZAG)) == 64
+
+
+def test_byte_stuffing_roundtrips():
+    """The compact code tables keep 1-runs <= 7 bits, so a natural 0xFF
+    cannot occur in synthetic scans — exercise the stuffing/unstuffing
+    pair directly: every 0xFF byte written must be followed by 0x00 on
+    the wire and must read back transparently."""
+    from gmall_211027_flink_spark.operators.jpeg import (
+        _BitReader, _BitWriter)
+
+    bw = _BitWriter()
+    pattern = [0xFF, 0x00, 0xFF, 0xAB, 0xFF]
+    for byte in pattern:
+        bw.write(byte, 8)
+    wire = bw.flush()
+    assert wire == bytes([0xFF, 0x00, 0x00, 0xFF, 0x00, 0xAB,
+                          0xFF, 0x00])
+    br = _BitReader(wire)
+    assert [br.read_bits(8) for _ in pattern] == pattern
+
+
+def test_marker_inside_entropy_raises():
+    """A bare 0xFF followed by a non-zero byte inside entropy data is a
+    marker intrusion and must raise, not silently decode."""
+    from gmall_211027_flink_spark.operators.jpeg import _BitReader
+
+    br = _BitReader(bytes([0xFF, 0xD9]))
+    with pytest.raises(ValueError, match="unexpected marker"):
+        br.read_bits(8)
+
+
+def test_truncated_entropy_raises():
+    h, w, ht, a, b, c = _params(3)
+    payload = synthesize_jpeg_gray(3, h)
+    with pytest.raises(ValueError, match="truncated|exhausted"):
+        decode_jpeg_gray(payload[:len(payload) - 10])
+
+
+def test_progressive_sof_raises():
+    h, *_ = _params(4)
+    payload = bytearray(synthesize_jpeg_gray(4, h))
+    idx = bytes(payload).index(b"\xFF\xC0")
+    payload[idx + 1] = 0xC2          # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_gray(bytes(payload))
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_undeclared_huffman_table_raises():
+    """Point the scan at AC table 3 that no DHT declared."""
+    h, *_ = _params(5)
+    payload = bytearray(synthesize_jpeg_gray(5, h))
+    idx = bytes(payload).index(b"\xFF\xDA")
+    # SOS body: len(2) ncomp(1) comp_id(1) tables(1) ...
+    payload[idx + 6] = 0x03          # DC table 0, AC table 3
+    with pytest.raises(ValueError, match="undeclared Huffman"):
+        decode_jpeg_gray(bytes(payload))
+
+
+def test_sixteen_bit_quant_table_raises():
+    h, *_ = _params(6)
+    payload = bytearray(synthesize_jpeg_gray(6, h))
+    idx = bytes(payload).index(b"\xFF\xDB")
+    payload[idx + 4] = 0x10          # Pq=1 (16-bit)
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg_gray(bytes(payload))
+
+
+def test_dc_prediction_chains_across_blocks():
+    """Multi-block images must decode every block's ABSOLUTE DC through
+    the diff chain; corrupting one amplitude bit shifts all later
+    blocks — asserting the chain is live."""
+    for doc_id in range(40):
+        h, w, ht, a, b, c = _params(doc_id)
+        if w // 8 * (ht // 8) >= 4:
+            payload = synthesize_jpeg_gray(doc_id, h)
+            _, _, img = decode_jpeg_gray(payload)
+            ref = _analytic_pixels(w, ht, a, b, c)
+            # per-block means match, not just the global digest
+            for by in range(ht // 8):
+                for bx in range(w // 8):
+                    blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    rblk = ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    assert np.array_equal(blk, rblk)
+            return
+    raise AssertionError("no multi-block doc found in range")
