@@ -1052,3 +1052,150 @@ def ads_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cum_rev") / F.col("n_users"), 6)
                     .alias("ltv_per_user"))
             .orderBy("cohort_week", "age_week"))
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution (r9) — the game-theoretic companion to the
+# Markov removal-effect model above (Shapley 1953; applied to marketing
+# attribution e.g. in Zhao et al. 2018): treat the channel set
+# N = {click, error, signup, view} as players, define the coalition
+# value v(S) = number of CONVERTING users whose pre-purchase touch set
+# is contained in S ("conversions reachable with only S available"),
+# and pay each channel its Shapley value
+#   phi_i = sum_{S subseteq N\{i}} |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)).
+#
+# EXACT INTEGER ARITHMETIC: with n = 4 channels every Shapley weight
+# has denominator 4! = 24, so phi * 24 is an integer — computed and
+# compared as BIGINT (phi itself is reported as one 6-dp round of the
+# same integer / 24.0). Efficiency axiom (sum phi = v(N) - v(empty))
+# is asserted by a pytest invariant.
+#
+# Scale shape: ONE user-grain shuffle reduces the corpus to a 16-row
+# mask-count table (touch set as a 4-bit mask); the entire coalition
+# lattice — 16 coalitions x 16 masks subset-sum, then 4 x 8 marginal
+# terms — lives on constant-size frames (broadcast joins; nothing
+# corpus-sized ever touches the lattice math). At 100 TB only the
+# first aggregation grows.
+# ---------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")   # bit 1,2,4,8
+
+
+@query(
+    "ads_shapley_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS eus
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, eus AS pus, event_id AS pid,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY eus, event_id) AS rk
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    cut AS (SELECT user_id, pus, pid FROM firstp WHERE rk = 1),
+    touched AS (
+      SELECT e.user_id,
+             CAST(COALESCE(SUM(DISTINCT
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                 WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+               END), 0) AS BIGINT) AS mask
+      FROM cut c JOIN ev e USING (user_id)
+      WHERE e.event_type IN ('click', 'error', 'signup', 'view')
+        AND (e.eus < c.pus OR (e.eus = c.pus AND e.event_id < c.pid))
+      GROUP BY 1
+    ),
+    -- converters with zero prior touches fall out of `touched`'s join
+    -- input rows; re-add them as mask 0 via the cut anti-join
+    mask_cnt AS (
+      SELECT m.mask, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT c.user_id, COALESCE(t.mask, 0) AS mask
+            FROM cut c LEFT JOIN touched t USING (user_id)) m
+      GROUP BY 1
+    ),
+    coalition AS (
+      SELECT s.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v
+      FROM UNNEST(generate_series(0, 15)) AS s(s)
+           LEFT JOIN mask_cnt mc ON (mc.mask & ~s.s) = 0
+      GROUP BY 1
+    ),
+    chan AS (
+      SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                            ('signup', 4), ('view', 8)) AS t(channel, bit)
+    ),
+    marginal AS (
+      SELECT ch.channel,
+             CASE bit_count(CAST(co.s AS BIGINT))
+               WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6
+             END * (cw.v - co.v) AS term
+      FROM chan ch
+           JOIN coalition co ON (co.s & ch.bit) = 0
+           JOIN coalition cw ON cw.s = co.s + ch.bit
+    )
+    SELECT m.channel,
+           CAST(SUM(m.term) AS BIGINT) AS phi_x24,
+           round(CAST(SUM(m.term) AS DOUBLE) / 24.0, 6) AS phi,
+           (SELECT v FROM coalition WHERE s = 15) AS v_full,
+           (SELECT v FROM coalition WHERE s = 0) AS v_empty
+    FROM marginal m GROUP BY 1 ORDER BY 1
+    """,
+)
+def ads_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Shapley attribution over the 4-channel coalition
+    lattice (see block comment)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("eus"))
+    wrk = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    cut = (ev.filter(F.col("event_type") == "purchase")
+           .withColumn("rk", F.row_number().over(wrk))
+           .filter(F.col("rk") == 1)
+           .select("user_id", F.col("eus").alias("pus"),
+                   F.col("event_id").alias("pid")))
+    bit = (F.when(F.col("event_type") == "click", 1)
+           .when(F.col("event_type") == "error", 2)
+           .when(F.col("event_type") == "signup", 4)
+           .when(F.col("event_type") == "view", 8))
+    touched = (cut.join(ev, "user_id")
+               .filter(F.col("event_type").isin(*SHAPLEY_CHANNELS))
+               .filter((F.col("eus") < F.col("pus"))
+                       | ((F.col("eus") == F.col("pus"))
+                          & (F.col("event_id") < F.col("pid"))))
+               .select("user_id", bit.alias("bit")).distinct()
+               .groupBy("user_id")
+               .agg(F.sum("bit").cast("bigint").alias("mask")))
+    mask_cnt = (cut.join(touched, "user_id", "left")
+                .select(F.coalesce("mask", F.lit(0)).alias("mask"))
+                .groupBy("mask")
+                .agg(F.count("*").cast("bigint").alias("cnt")))
+    sets = spark.range(16).select(F.col("id").alias("s"))
+    coalition = (sets.join(
+        F.broadcast(mask_cnt),
+        F.expr("(mask & ~s) = 0"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v")))
+    chan = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(SHAPLEY_CHANNELS)],
+        "channel string, bit int")
+    weight = (F.when(F.expr("bit_count(s)") == 0, 6)
+              .when(F.expr("bit_count(s)") == 1, 2)
+              .when(F.expr("bit_count(s)") == 2, 2).otherwise(6))
+    co = coalition.localCheckpoint(eager=False)
+    marginal = (F.broadcast(chan)
+                .join(F.broadcast(co), F.expr("(s & bit) = 0"))
+                .join(F.broadcast(co.select(F.col("s").alias("s2"),
+                                            F.col("v").alias("v2"))),
+                      F.expr("s2 = s + bit"))
+                .select("channel",
+                        (weight * (F.col("v2") - F.col("v"))).alias("term")))
+    v_full = co.filter("s = 15").select(F.col("v").alias("v_full"))
+    v_empty = co.filter("s = 0").select(F.col("v").alias("v_empty"))
+    return (marginal.groupBy("channel")
+            .agg(F.sum("term").cast("bigint").alias("phi_x24"),
+                 F.round(F.sum("term").cast("double") / 24.0, 6)
+                 .alias("phi"))
+            .crossJoin(F.broadcast(v_full))
+            .crossJoin(F.broadcast(v_empty))
+            .orderBy("channel"))
