@@ -4142,3 +4142,484 @@ def ml_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gain", 9).alias("gini_gain"),
         F.col("nl").alias("n_left"), F.col("pl").alias("pos_left"),
         F.col("nr").alias("n_right"), F.col("pr").alias("pos_right"))
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson residual autocorrelation (r9) — the canonical "are my
+# regression residuals serially correlated" test (Durbin & Watson
+# 1950): fit the OLS trend of weekly order volume, then
+# DW = sum (e_t - e_{t-1})^2 / sum e_t^2. A DW far below 2 says the
+# trend residuals are momentum-laden (demand shocks persist across
+# weeks) and naive trend extrapolation will be overconfident.
+#
+# EXACTNESS: the residual is computed as the exact INTEGER
+# E_t = n*Sxx'*y_t - Sxx'*Sy + Sxy'*Sx - n*Sxy'*t  (all BIGINT; the
+# common positive scale n*Sxx' cancels in the DW ratio), squares are
+# summed in HUGEINT/DECIMAL(38,0), and the single double division is
+# 6-dp rounded from identical integers. Week grain (~340 rows) rides
+# the DAY-GRAIN CONTRACT (module docstring) — the lag window is
+# single-task on a calendar-bounded grid.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_durbin_watson",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT wk, y,
+             CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t
+      FROM wkly
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * t) AS BIGINT) AS sxx,
+             CAST(SUM(t * y) AS BIGINT) AS sxy
+      FROM idx
+    ),
+    prim AS (
+      SELECT n, sx, sy, n * sxx - sx * sx AS sxxp,
+             n * sxy - sx * sy AS sxyp
+      FROM tot
+    ),
+    resid AS (
+      SELECT i.t,
+             p.n * p.sxxp * i.y - p.sxxp * p.sy + p.sxyp * p.sx
+               - p.n * p.sxyp * i.t AS e
+      FROM idx i, prim p
+    ),
+    lagd AS (
+      SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM resid
+    )
+    SELECT (SELECT n FROM prim) AS n_weeks,
+           round(CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                          ELSE CAST(e - ep AS HUGEINT) * (e - ep) END)
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE), 6) AS dw,
+           round(1.0 - CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                            ELSE CAST(e - ep AS HUGEINT) * (e - ep) END)
+                            AS DOUBLE)
+                 / CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) / 2.0, 6)
+             AS rho1_approx
+    FROM lagd
+    """,
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of weekly-order-volume OLS residuals
+    (exact-integer residuals; see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # calendar-bounded week grid: single-task windows by design
+    # (DAY-GRAIN CONTRACT, module docstring)
+    idx = wkly.select(
+        "wk", "y",
+        F.row_number().over(Window.orderBy("wk")).cast("bigint").alias("t"))
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sxy"))
+    prim = tot.select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("sxxp"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("sxyp"))
+    resid = (idx.crossJoin(F.broadcast(prim))
+             .select("t", "n",
+                     (F.col("n") * F.col("sxxp") * F.col("y")
+                      - F.col("sxxp") * F.col("sy")
+                      + F.col("sxyp") * F.col("sx")
+                      - F.col("n") * F.col("sxyp") * F.col("t")).alias("e")))
+    lagd = resid.select(
+        "n", "e", F.lag("e").over(Window.orderBy("t")).alias("ep"))
+    dd = F.sum(F.when(F.col("ep").isNull(), F.lit(0).cast("decimal(38,0)"))
+               .otherwise((F.col("e") - F.col("ep")).cast("decimal(38,0)")
+                          * (F.col("e") - F.col("ep"))))
+    ee = F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+    return lagd.groupBy().agg(
+        F.first("n").alias("n_weeks"),
+        F.round(dd.cast("double") / ee.cast("double"), 6).alias("dw"),
+        F.round(F.lit(1.0) - dd.cast("double") / ee.cast("double") / 2.0, 6)
+        .alias("rho1_approx"))
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (r9) — Box & Pierce 1970 / Ljung & Box
+# 1978: are the first K autocorrelations of weekly order volume jointly
+# zero? Q(K) = n(n+2) sum_{k<=K} r_k^2/(n-k). The whiteness check a
+# forecasting pipeline runs on model residuals; here run directly on
+# the demeaned series (so it doubles as "is there ANY exploitable
+# autocorrelation").
+#
+# EXACTNESS: Z_t = n*y_t - Sy is exact BIGINT; each r_k is one double
+# division of exact BIGINT dot products; the cumulative Q is a
+# single-task ordered sum over K=8 identical doubles. Week grain ->
+# DAY-GRAIN CONTRACT (module docstring).
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_LAGS = 8
+
+
+@query(
+    "stats_ljung_box",
+    oracle=f"""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t
+      FROM wkly
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM idx
+    ),
+    z AS (
+      SELECT i.t, tot.n, tot.n * i.y - tot.sy AS zv FROM idx i, tot
+    ),
+    rk AS (
+      SELECT k.k, any_value(z.n) AS n,
+             CAST(SUM(zv * lag_zv) AS BIGINT) AS num,
+             (SELECT CAST(SUM(zv * zv) AS BIGINT) FROM z) AS den
+      FROM UNNEST(generate_series(1, {LJUNG_BOX_LAGS})) AS k(k)
+           JOIN (SELECT t, n, zv,
+                        lag(zv, 1) OVER (ORDER BY t) AS l1,
+                        lag(zv, 2) OVER (ORDER BY t) AS l2,
+                        lag(zv, 3) OVER (ORDER BY t) AS l3,
+                        lag(zv, 4) OVER (ORDER BY t) AS l4,
+                        lag(zv, 5) OVER (ORDER BY t) AS l5,
+                        lag(zv, 6) OVER (ORDER BY t) AS l6,
+                        lag(zv, 7) OVER (ORDER BY t) AS l7,
+                        lag(zv, 8) OVER (ORDER BY t) AS l8
+                 FROM z) z
+             ON TRUE
+           CROSS JOIN LATERAL (SELECT CASE k.k
+                 WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+                 WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+                 WHEN 7 THEN l7 ELSE l8 END AS lag_zv) lz
+      WHERE lag_zv IS NOT NULL
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT k, n, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               AS r_k,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r_raw
+      FROM rk
+    )
+    SELECT CAST(k AS BIGINT) AS lag_k, r_k,
+           round(n * (n + 2.0) * SUM(r_raw * r_raw / (n - k))
+                 OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW), 6) AS q_cum
+    FROM scored ORDER BY 1
+    """,
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over the first {LJUNG_BOX_LAGS} autocorrelations of
+    weekly order volume (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    idx = wkly.select(
+        "y", F.row_number().over(Window.orderBy("wk"))
+        .cast("bigint").alias("t"))
+    tot = idx.agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum("y").cast("bigint").alias("sy"))
+    z = (idx.crossJoin(F.broadcast(tot))
+         .select("t", "n",
+                 (F.col("n") * F.col("y") - F.col("sy")).alias("zv")))
+    # bounded week grid: single-task lag windows by design (DAY-GRAIN
+    # CONTRACT, module docstring)
+    w = Window.orderBy("t")
+    lags = z.select(
+        "t", "n", "zv",
+        *[F.lag("zv", k).over(w).alias(f"l{k}")
+          for k in range(1, LJUNG_BOX_LAGS + 1)])
+    den = z.agg(F.sum(F.col("zv") * F.col("zv"))
+                .cast("bigint").alias("den"))
+    parts = []
+    for k in range(1, LJUNG_BOX_LAGS + 1):
+        parts.append(
+            lags.filter(F.col(f"l{k}").isNotNull())
+            .groupBy()
+            .agg(F.lit(k).cast("bigint").alias("lag_k"),
+                 F.first("n").alias("n"),
+                 F.sum(F.col("zv") * F.col(f"l{k}"))
+                 .cast("bigint").alias("num")))
+    rk = parts[0]
+    for p in parts[1:]:
+        rk = rk.unionAll(p)
+    scored = (rk.crossJoin(F.broadcast(den))
+              .select("lag_k", "n",
+                      F.round(F.col("num").cast("double")
+                              / F.col("den").cast("double"), 6).alias("r_k"),
+                      (F.col("num").cast("double")
+                       / F.col("den").cast("double")).alias("r_raw")))
+    wq = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
+    return (scored.select(
+        "lag_k", "r_k",
+        F.round(F.col("n") * (F.col("n") + 2.0)
+                * F.sum(F.col("r_raw") * F.col("r_raw")
+                        / (F.col("n") - F.col("lag_k"))).over(wq), 6)
+        .alias("q_cum"))
+        .orderBy("lag_k"))
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier score (r9) — Grubbs 1950: G = max |y - ybar| / s on
+# daily revenue. The single-most-extreme-day screen an ops dashboard
+# runs before trusting a daily total (fat-finger refunds, double
+# loads). Reported for the top 3 |deviation| days so the tail shape is
+# visible, not just the champion.
+#
+# EXACTNESS: D_t = n*y_t - Sy in exact BIGINT cents; sum of squares in
+# HUGEINT/DECIMAL(38,0); G_i = |D_i| * sqrt(n-1) / sqrt(sum D^2) is
+# the identical double expression in both engines over identical
+# integers, 6-dp rounded. Day grain -> DAY-GRAIN CONTRACT.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_grubbs_outlier",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sy
+      FROM daily
+    ),
+    dev AS (
+      SELECT d, cents, t.n, t.n * cents - t.sy AS dd FROM daily, tot t
+    ),
+    ss AS (
+      SELECT CAST(SUM(CAST(dd AS HUGEINT) * dd) AS DOUBLE) AS sd2 FROM dev
+    ),
+    ranked AS (
+      SELECT d, cents, n, dd,
+             row_number() OVER (ORDER BY ABS(dd) DESC, d) AS rk
+      FROM dev
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, strftime(d, '%Y-%m-%d') AS d,
+           cents AS revenue_cents,
+           round(ABS(CAST(dd AS DOUBLE)) * sqrt(n - 1.0) / sqrt(ss.sd2), 6)
+             AS g_score
+    FROM ranked, ss WHERE rk <= 3 ORDER BY rk
+    """,
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs G for the 3 most extreme daily-revenue days (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                  .cast("bigint").alias("cents")))
+    tot = daily.agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("cents").cast("bigint").alias("sy"))
+    dev = (daily.crossJoin(F.broadcast(tot))
+           .select("d", "cents", "n",
+                   (F.col("n") * F.col("cents") - F.col("sy")).alias("dd")))
+    ss = dev.agg(F.sum(F.col("dd").cast("decimal(38,0)") * F.col("dd"))
+                 .cast("double").alias("sd2"))
+    # bounded day grain: single-task rank window by design (DAY-GRAIN
+    # CONTRACT, module docstring)
+    ranked = dev.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.abs("dd").desc(), "d")))
+    return (ranked.filter(F.col("rk") <= 3)
+            .crossJoin(F.broadcast(ss))
+            .select(F.col("rk").cast("bigint").alias("rk"),
+                    F.date_format("d", "yyyy-MM-dd").alias("d"),
+                    F.col("cents").alias("revenue_cents"),
+                    F.round(F.abs(F.col("dd").cast("double"))
+                            * F.sqrt(F.col("n") - 1.0)
+                            / F.sqrt(F.col("sd2")), 6).alias("g_score"))
+            .orderBy("rk"))
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association (r9) — the normalized effect size the chi2
+# independence test (round 6) deliberately left out: V =
+# sqrt(chi2 / (N * min(r-1, c-1))) in [0, 1], comparable across table
+# shapes. Order priority x line return flag: "does urgency change the
+# return outcome" as a single dimensionless number.
+#
+# EXACTNESS: cell/margin counts are exact integers (one shuffle to the
+# 35-cell grid); chi2 and V are the identical double formula over
+# identical integers in both engines, 6-dp rounded.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH joined AS (
+      SELECT o.o_orderpriority AS pri, l.l_returnflag AS mode
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cells AS (
+      SELECT pri, mode, CAST(COUNT(*) AS BIGINT) AS o
+      FROM joined GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT c.pri, c.mode, c.o,
+             SUM(c.o) OVER (PARTITION BY c.pri) AS r,
+             SUM(c.o) OVER (PARTITION BY c.mode) AS cl,
+             SUM(c.o) OVER () AS n
+      FROM cells c
+    ),
+    chi AS (
+      SELECT any_value(n) AS n,
+             CAST(COUNT(DISTINCT pri) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT mode) AS BIGINT) AS nc,
+             SUM(POWER(CAST(o AS DOUBLE)
+                       - CAST(r AS DOUBLE) * cl / n, 2)
+                 / (CAST(r AS DOUBLE) * cl / n)) AS chi2
+      FROM margins
+    )
+    SELECT n AS n_pairs, nr AS n_rows, nc AS n_cols,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V for order priority x return flag (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("pri"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_returnflag").alias("mode"))
+    cells = (li.join(orders, "l_orderkey")
+             .groupBy("pri", "mode")
+             .agg(F.count("*").cast("bigint").alias("o")))
+    margins = cells.select(
+        "pri", "mode", "o",
+        F.sum("o").over(Window.partitionBy("pri")).alias("r"),
+        F.sum("o").over(Window.partitionBy("mode")).alias("cl"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    e = F.col("r").cast("double") * F.col("cl") / F.col("n")
+    chi = margins.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("pri").cast("bigint").alias("nr"),
+        F.countDistinct("mode").cast("bigint").alias("nc"),
+        F.sum(F.pow(F.col("o").cast("double") - e, 2) / e).alias("chi2"))
+    return chi.select(
+        F.col("n").alias("n_pairs"), F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2")
+                       / (F.col("n") * F.least(F.col("nr") - 1,
+                                               F.col("nc") - 1))), 6)
+        .alias("cramers_v"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing (r9) — Holt 1957: level +
+# trend recursion over weekly order volume with alpha = 1/5, beta =
+# 1/10, plus the h = 1..4-week forecasts l + h*b. The next rung above
+# the EWMA monitor (round 7), which tracks level only and lags any
+# sustained trend.
+#
+# ENGINE-EXACT FOLD (the Kaplan-Meier discipline): both level and
+# trend live in one BIGINT accumulator — acc = l*2^31 + (b + 2^30)
+# with l in 1e6 scale (l < 2^32 asserted by construction: weekly
+# order counts < 4294 at any SF this corpus reaches; a larger corpus
+# must re-scale) — and each step is pure integer arithmetic:
+#   l' = (2*y*1e6 + 8*(l + b) + OFF + 5) div 10 - OFF/10... (OFF keeps
+#   the numerator positive so div == floor in BOTH engines; Spark div
+#   and DuckDB // both truncate toward zero, verified)
+#   b' = ((l' - l) + 9*b + OFF + 5) div 10 - OFF/10
+# The fold is aggregate() over the ordered week list in Spark and
+# list_reduce(list(y ORDER BY wk)) in DuckDB — identical integer
+# sequences, identical results, no floats until the 6-dp output round.
+# Week grain -> DAY-GRAIN CONTRACT (module docstring).
+# ---------------------------------------------------------------------------
+
+# shared fold step; {D} is the engine's integer-division operator
+_HOLT_STEP = (
+    "CASE WHEN acc = -1 THEN y * 1000000 * 2147483648 + 1073741824 "
+    "ELSE "
+    "((2*y*1000000 + 8*((acc {D} 2147483648) + (acc % 2147483648"
+    " - 1073741824)) + 10995116277760 + 5) {D} 10 - 1099511627776)"
+    " * 2147483648 + "
+    "((((2*y*1000000 + 8*((acc {D} 2147483648) + (acc % 2147483648"
+    " - 1073741824)) + 10995116277760 + 5) {D} 10 - 1099511627776)"
+    " - (acc {D} 2147483648)) + 9*(acc % 2147483648 - 1073741824)"
+    " + 10995116277760 + 5) {D} 10 - 1099511627776 + 1073741824 "
+    "END")
+
+
+@query(
+    "stats_holt_linear_smoothing",
+    oracle=f"""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             list_reduce(
+               list_prepend(CAST(-1 AS BIGINT), list(y ORDER BY wk)),
+               (acc, y) -> {_HOLT_STEP.format(D='//')}) AS acc
+      FROM wkly
+    ),
+    state AS (
+      SELECT n_weeks, acc // 2147483648 AS l6,
+             acc % 2147483648 - 1073741824 AS b6
+      FROM folded
+    )
+    SELECT n_weeks,
+           round(l6 / 1e6, 6) AS level,
+           round(b6 / 1e6, 6) AS trend,
+           round((l6 + 1 * b6) / 1e6, 6) AS forecast_h1,
+           round((l6 + 2 * b6) / 1e6, 6) AS forecast_h2,
+           round((l6 + 3 * b6) / 1e6, 6) AS forecast_h3,
+           round((l6 + 4 * b6) / 1e6, 6) AS forecast_h4
+    FROM state
+    """,
+)
+def stats_holt_linear_smoothing(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Holt level+trend fold over weekly order volume in one packed
+    BIGINT accumulator (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # one ordered array of the calendar-bounded week grid, folded once
+    # (DAY-GRAIN CONTRACT, module docstring)
+    step = _HOLT_STEP.format(D="div")
+    folded = (wkly
+              .agg(F.count("*").cast("bigint").alias("n_weeks"),
+                   F.expr("sort_array(collect_list(struct(wk, y)))")
+                   .alias("series"))
+              .select("n_weeks", F.expr(
+                  "aggregate(transform(series, s -> s.y),"
+                  f" CAST(-1 AS BIGINT), (acc, y) -> {step})").alias("acc")))
+    state = folded.select(
+        "n_weeks",
+        F.expr("acc div 2147483648").alias("l6"),
+        F.expr("acc % 2147483648 - 1073741824").alias("b6"))
+    cols = [F.round(F.col("l6") / 1e6, 6).alias("level"),
+            F.round(F.col("b6") / 1e6, 6).alias("trend")]
+    for h in range(1, 5):
+        cols.append(F.round((F.col("l6") + h * F.col("b6")) / 1e6, 6)
+                    .alias(f"forecast_h{h}"))
+    return state.select("n_weeks", *cols)
