@@ -600,3 +600,236 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("m").cast("double")
                             / F.nullif(F.col("n_un"),
                                        F.lit(0)), 6).alias("est_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers, built by hand (r9) — Flajolet et al. 2007:
+# the cardinality sketch behind every approx_count_distinct, but with
+# the registers themselves materialized and ENGINE-EXACT so the whole
+# estimation chain is auditable (the round-4 HLL audit trusts Spark's
+# built-in; this one owns the math). m = 512 buckets; the rank is the
+# TRAILING-zero geometric rank (rho = tz(w) + 1 — same geometric(1/2)
+# law as leading zeros for a uniform hash, and computable exactly in
+# both engines as bit_count((w & -w) - 1) + 1, no float log anywhere).
+# Z is accumulated as the INTEGER sum of 2^(44-r) (each term a power
+# of two <= 2^44, 512 terms -> < 2^53, exact), so the only doubles are
+# the final alpha*m^2/Z estimate and the linear-counting branch —
+# identical expressions over identical integers in both engines.
+#
+# Scale: one shuffle to (bucket) grain -> 512-row register table
+# (constant size, broadcast-mergeable across streams/partitions); the
+# exact COUNT(DISTINCT) it is audited against is the thing that does
+# NOT scale — that contrast is the point.
+# ---------------------------------------------------------------------------
+
+HLL_P = 9
+HLL_M = 1 << HLL_P            # 512 registers
+HLL_WBITS = 4 * KMV_HEX - HLL_P    # 43 bits left after the bucket
+HLL_RHO_CAP = HLL_WBITS + 1
+
+
+@query(
+    "sketch_hll_registers",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {KMV_HEX}))
+               ::BIGINT AS h
+      FROM events
+    ),
+    bw AS (
+      SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM hashed
+    ),
+    rho AS (
+      SELECT bucket,
+             CASE WHEN w = 0 THEN {HLL_RHO_CAP}
+                  ELSE bit_count(CAST((w & -w) - 1 AS BIGINT)) + 1
+             END AS r
+      FROM bw
+    ),
+    regs AS (
+      SELECT g.b AS bucket, CAST(COALESCE(MAX(rho.r), 0) AS BIGINT) AS reg
+      FROM UNNEST(generate_series(0, {HLL_M - 1})) AS g(b)
+           LEFT JOIN rho ON rho.bucket = g.b
+      GROUP BY 1
+    ),
+    zsum AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - reg))
+                  AS BIGINT) AS z_int,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_regs
+      FROM regs
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events
+    )
+    SELECT CAST({HLL_M} AS BIGINT) AS m, e.exact_distinct, z.zero_regs,
+           round((0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M}
+                 / (CAST(z.z_int AS DOUBLE)
+                    / (CAST(1 AS BIGINT) << {HLL_RHO_CAP})), 6)
+             AS est_raw,
+           round(CASE WHEN z.zero_regs > 0
+                 THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / z.zero_regs)
+                 END, 6) AS est_linear
+    FROM zsum z, exact e
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built 512-register HLL over event users, audited against
+    the exact distinct count (see block comment)."""
+    events = load_table(spark, sf_dir, "events")
+    hashed = events.select(F.expr(
+        f"cast(conv(substring(md5(cast(user_id as string)), 1, {KMV_HEX}),"
+        " 16, 10) as bigint)").alias("h")).distinct()
+    rho = hashed.select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w")).select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP))
+        .otherwise(F.expr("bit_count((w & -w) - 1) + 1")).alias("r"))
+    grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    regs = (grid.join(rho, "bucket", "left")
+            .groupBy("bucket")
+            .agg(F.coalesce(F.max("r"), F.lit(0)).cast("bigint")
+                 .alias("reg")))
+    zsum = regs.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint),"
+                     f" {HLL_RHO_CAP} - cast(reg as int))"))
+        .cast("bigint").alias("z_int"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint").alias("zero_regs"))
+    exact = events.agg(F.count_distinct("user_id").cast("bigint")
+                       .alias("exact_distinct"))
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    z = F.col("z_int").cast("double") / float(1 << HLL_RHO_CAP)
+    return (zsum.crossJoin(F.broadcast(exact))
+            .select(F.lit(HLL_M).cast("bigint").alias("m"),
+                    "exact_distinct", "zero_regs",
+                    F.round(F.lit(alpha) * HLL_M * HLL_M / z, 6)
+                    .alias("est_raw"),
+                    F.round(F.when(F.col("zero_regs") > 0,
+                                   HLL_M * F.log(F.lit(float(HLL_M))
+                                                 / F.col("zero_regs"))), 6)
+                    .alias("est_linear")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive rate, MEASURED (r9) — Bloom 1970: the
+# round-7 bloom prefilter join uses Spark's built-in filter; this op
+# builds the bit set BY HAND (k = 4 md5-derived positions) for two
+# filter sizes and measures the actual FPR against a guaranteed-
+# negative probe set (offset customer keys, disjoint from the member
+# key range by construction — at this corpus EVERY customer has an
+# order, so an anti-join probe set would be empty), next to the standard
+# (1 - e^(-kn/m))^k prediction. The calibration a pipeline runs before
+# sizing a semi-join prefilter at 100 TB — an undersized filter
+# silently turns the prefilter into a no-op.
+#
+# Exactness: positions are integer md5 arithmetic; a probe is a false
+# positive iff ALL k of its positions appear in the member-position
+# set (a grouped semi-join count, no bit arrays needed — the SQL
+# formulation of the same set logic). Theory column is the identical
+# double formula in both engines.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_SIZES = (4096, 16384)
+
+
+def _bloom_pos_duck(key: str, m: str) -> str:
+    return (f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '#' ||"
+            f" CAST(i.i AS VARCHAR)), 1, 8))::BIGINT % {m}")
+
+
+@query(
+    "sketch_bloom_fpr_measured",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ),
+    probes AS (
+      SELECT c_custkey + 10000000 AS k FROM customer
+    ),
+    cfg AS (SELECT * FROM (VALUES {", ".join(f"({m})" for m in BLOOM_SIZES)})
+            AS t(m)),
+    member_bits AS (
+      SELECT DISTINCT cfg.m, {_bloom_pos_duck("members.k", "cfg.m")} AS pos
+      FROM members, cfg,
+           UNNEST(generate_series(0, {BLOOM_K - 1})) AS i(i)
+    ),
+    probe_bits AS (
+      SELECT cfg.m, probes.k, {_bloom_pos_duck("probes.k", "cfg.m")} AS pos
+      FROM probes, cfg,
+           UNNEST(generate_series(0, {BLOOM_K - 1})) AS i(i)
+    ),
+    hits AS (
+      SELECT pb.m, pb.k,
+             CAST(COUNT(DISTINCT CASE WHEN mb.pos IS NOT NULL
+                                 THEN pb.pos END) AS BIGINT) AS set_bits,
+             CAST(COUNT(DISTINCT pb.pos) AS BIGINT) AS probe_bits
+      FROM probe_bits pb LEFT JOIN member_bits mb
+           ON mb.m = pb.m AND mb.pos = pb.pos
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes
+    )
+    SELECT h.m AS m_bits, CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+           s.n_members, s.n_probes,
+           CAST(SUM(CASE WHEN h.set_bits = h.probe_bits THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           round(CAST(SUM(CASE WHEN h.set_bits = h.probe_bits
+                          THEN 1 ELSE 0 END) AS DOUBLE) / s.n_probes, 6)
+             AS fpr_measured,
+           round(power(1 - exp(-{BLOOM_K}.0 * s.n_members / h.m),
+                       {BLOOM_K}), 6) AS fpr_theory
+    FROM hits h, sizes s
+    GROUP BY 1, 2, 3, 4 ORDER BY 1
+    """,
+)
+def sketch_bloom_fpr_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built Bloom filter FPR, measured vs theory for two sizes
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probes = cust.select((F.col("c_custkey") + 10000000).alias("k"))
+    cfg = spark.createDataFrame([(m,) for m in BLOOM_SIZES], "m bigint")
+    i = spark.range(BLOOM_K).select(F.col("id").alias("i"))
+    pos = F.expr("cast(conv(substring(md5(concat(cast(k as string), '#',"
+                 " cast(i as string))), 1, 8), 16, 10) as bigint) % m")
+    member_bits = (members.crossJoin(F.broadcast(cfg))
+                   .crossJoin(F.broadcast(i))
+                   .select("m", pos.alias("pos")).distinct())
+    probe_bits = (probes.crossJoin(F.broadcast(cfg))
+                  .crossJoin(F.broadcast(i))
+                  .select("m", "k", pos.alias("pos")))
+    hits = (probe_bits.join(member_bits.withColumn("hit", F.lit(1)),
+                            ["m", "pos"], "left")
+            .groupBy("m", "k")
+            .agg(F.count_distinct(F.when(F.col("hit").isNotNull(),
+                                         F.col("pos")))
+                 .cast("bigint").alias("set_bits"),
+                 F.count_distinct("pos").cast("bigint").alias("probe_bits")))
+    sizes = (members.agg(F.count("*").cast("bigint").alias("n_members"))
+             .crossJoin(probes.agg(F.count("*").cast("bigint")
+                                   .alias("n_probes"))))
+    fp = F.sum(F.when(F.col("set_bits") == F.col("probe_bits"), 1)
+               .otherwise(0)).cast("bigint")
+    agged = (hits.crossJoin(F.broadcast(sizes))
+             .groupBy(F.col("m").alias("m_bits"),
+                      F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+                      "n_members", "n_probes")
+             .agg(fp.alias("n_false_positive")))
+    return (agged.select(
+        "m_bits", "k_hashes", "n_members", "n_probes", "n_false_positive",
+        F.round(F.col("n_false_positive").cast("double")
+                / F.col("n_probes"), 6).alias("fpr_measured"),
+        F.round(F.pow(F.lit(1.0)
+                      - F.exp(-float(BLOOM_K)
+                              * F.col("n_members").cast("double")
+                              / F.col("m_bits")),
+                      float(BLOOM_K)), 6).alias("fpr_theory"))
+        .orderBy("m_bits"))
