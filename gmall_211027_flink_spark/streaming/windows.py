@@ -2197,3 +2197,94 @@ def _ols_stream_oracle() -> str:
 
 
 _OR["stream_ols_maintenance"] = _ols_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL maintenance with CONSTANT state (r9): the 512-register
+# table kept current at ingest. HLL's merge law is register-wise MAX —
+# merge(A, B)[j] = max(A[j], B[j]) — so each commit maxes the stored
+# registers with the batch's partial registers and state never exceeds
+# m = 512 rows no matter how many batches (or how many distinct users)
+# arrive. The drained register table's estimate must hash-match the
+# one-shot batch sketch_hll_registers oracle under mod-3 user slicing
+# (slices overlap in hash space, so the max-merge is genuinely doing
+# work, not concatenating disjoint registers).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_hll_maintenance",
+    oracle=None,   # assigned below: identical to the batch HLL audit
+)
+def stream_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sketches import (
+        HLL_M, HLL_RHO_CAP, KMV_HEX)
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    hashed = events.select(
+        "user_id",
+        F.expr(f"cast(conv(substring(md5(cast(user_id as string)), 1,"
+               f" {KMV_HEX}), 16, 10) as bigint)").alias("h"))
+    rho = hashed.select(
+        "user_id",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w")).select(
+        "user_id", "bucket",
+        F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP))
+        .otherwise(F.expr("bit_count((w & -w) - 1) + 1")).alias("r"))
+    d = tempfile.mkdtemp(prefix="hll_store_gate_")
+    try:
+        state = None    # the m-row register table
+        for i in range(3):
+            batch = (rho.filter(F.col("user_id") % 3 == i)
+                     .groupBy("bucket")
+                     .agg(F.max("r").cast("bigint").alias("reg")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("bucket")
+                     .agg(F.max("reg").cast("bigint").alias("reg")))
+            # commit the m-sized state (the store IS the sketch)
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            assert n <= HLL_M, f"state exceeded m: {n}"
+        grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        regs = (grid.join(state, "bucket", "left")
+                .select("bucket", F.coalesce("reg", F.lit(0))
+                        .cast("bigint").alias("reg")))
+        zsum = regs.agg(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint),"
+                         f" {HLL_RHO_CAP} - cast(reg as int))"))
+            .cast("bigint").alias("z_int"),
+            F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+            .cast("bigint").alias("zero_regs"))
+        exact = events.agg(F.count_distinct("user_id").cast("bigint")
+                           .alias("exact_distinct"))
+        alpha = 0.7213 / (1 + 1.079 / HLL_M)
+        z = F.col("z_int").cast("double") / float(1 << HLL_RHO_CAP)
+        out = (zsum.crossJoin(F.broadcast(exact))
+               .select(F.lit(HLL_M).cast("bigint").alias("m"),
+                       "exact_distinct", "zero_regs",
+                       F.round(F.lit(alpha) * HLL_M * HLL_M / z, 6)
+                       .alias("est_raw"),
+                       F.round(F.when(F.col("zero_regs") > 0,
+                                      HLL_M * F.log(F.lit(float(HLL_M))
+                                                    / F.col("zero_regs"))),
+                               6).alias("est_linear")))
+        # gate-harness materialization (temp state removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _hll_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.sketches  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["sketch_hll_registers"]
+
+
+_OR["stream_hll_maintenance"] = _hll_stream_oracle()
