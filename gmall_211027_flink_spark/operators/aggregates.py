@@ -4623,3 +4623,167 @@ def stats_holt_linear_smoothing(spark: SparkSession,
         cols.append(F.round((F.col("l6") + h * F.col("b6")) / 1e6, 6)
                     .alias(f"forecast_h{h}"))
     return state.select("n_weeks", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Cross-field date-order audit (r9) — the referential-integrity
+# audit's temporal sibling: per named invariant, how many rows violate
+# the date arithmetic the schema implies but nothing enforces
+# (lineitems shipped before their order existed, shipments absurdly
+# later than the order, orders outside the corpus's date envelope).
+# The alerting query a warehouse runs after every load; the rules mix
+# must-hold invariants with an SLA-style window expected to have a
+# real violation tail, so both verdict paths stay exercised.
+#
+# Exactness: pure integer date arithmetic + counting. Scale: ONE
+# order-lineitem join (the same join every TPC-H query pays), then
+# constant-size outputs; the envelope check reuses a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+SHIP_SLA_DAYS = 122   # l_shipdate is within [0, 122) days of order date
+
+
+@query(
+    "quality_date_order_audit",
+    oracle=f"""
+    WITH j AS (
+      SELECT o.o_orderdate AS od, l.l_shipdate AS sd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    env AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    checks AS (
+      SELECT 'ship_before_order' AS chk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN sd < od THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM j
+      UNION ALL
+      SELECT 'ship_sla_{SHIP_SLA_DAYS}d',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN datediff('day', od, sd)
+                           >= {SHIP_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'order_in_envelope',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(SUM(CASE WHEN o_orderdate < e.lo
+                              OR o_orderdate > e.hi THEN 1 ELSE 0 END)
+                     AS BIGINT)
+              FROM orders, env e)
+    )
+    SELECT chk, n_rows, n_violations,
+           CAST(n_violations * 1000000 // n_rows AS BIGINT)
+             AS violation_ppm
+    FROM checks ORDER BY chk
+    """,
+)
+def quality_date_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal cross-field invariants over the order->lineitem chain
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (li.select("l_orderkey", F.col("l_shipdate").alias("sd"))
+         .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                             F.col("o_orderdate").alias("od")),
+               "l_orderkey"))
+    c1 = j.agg(
+        F.lit("ship_before_order").alias("chk"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("sd") < F.col("od"), 1).otherwise(0))
+        .cast("bigint").alias("n_violations"))
+    c2 = j.agg(
+        F.lit(f"ship_sla_{SHIP_SLA_DAYS}d").alias("chk"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.datediff("sd", "od") >= SHIP_SLA_DAYS, 1)
+              .otherwise(0)).cast("bigint").alias("n_violations"))
+    env = orders.agg(F.min("o_orderdate").alias("lo"),
+                     F.max("o_orderdate").alias("hi"))
+    c3 = (orders.crossJoin(F.broadcast(env))
+          .agg(F.lit("order_in_envelope").alias("chk"),
+               F.count("*").cast("bigint").alias("n_rows"),
+               F.sum(F.when((F.col("o_orderdate") < F.col("lo"))
+                            | (F.col("o_orderdate") > F.col("hi")), 1)
+                     .otherwise(0)).cast("bigint").alias("n_violations")))
+    return (c1.unionAll(c2).unionAll(c3)
+            .withColumn("violation_ppm",
+                        F.expr("CAST(n_violations * 1000000"
+                               " div n_rows AS BIGINT)"))
+            .orderBy("chk"))
+
+
+# ---------------------------------------------------------------------------
+# Feed freshness-lag audit (r9) — the ops check every ingest dashboard
+# renders: per event feed (event_type), how stale is the newest row vs
+# the global high-water mark, and did last-week volume hold up against
+# the week before (a silent upstream stall shows up as ratio collapse
+# long before the lag alarm fires). Exact integer epochs and counts;
+# the volume ratio is one 6-dp round of identical integers.
+# Scale: two-phase aggregation to the ~5-row feed grain; the global
+# watermark is a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_freshness_lag_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS eus FROM events
+    ),
+    wm AS (SELECT max(eus) AS hw FROM ev),
+    feed AS (
+      SELECT event_type, max(eus) AS feed_max,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM ev GROUP BY 1
+    ),
+    vol AS (
+      SELECT e.event_type,
+             CAST(SUM(CASE WHEN e.eus > w.hw - CAST(7*86400 AS BIGINT)*1000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS last_wk,
+             CAST(SUM(CASE WHEN e.eus <= w.hw - CAST(7*86400 AS BIGINT)*1000000
+                      AND e.eus > w.hw - CAST(14*86400 AS BIGINT)*1000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS prior_wk
+      FROM ev e, wm w GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST((w.hw - f.feed_max) // 60000000 AS BIGINT)
+             AS lag_minutes,
+           f.n_total, v.last_wk, v.prior_wk,
+           round(CASE WHEN v.prior_wk > 0
+                 THEN CAST(v.last_wk AS DOUBLE) / v.prior_wk END, 6)
+             AS wow_volume_ratio,
+           (w.hw - f.feed_max) > CAST(86400 AS BIGINT) * 1000000
+             AS stale_24h
+    FROM feed f JOIN vol v USING (event_type), wm w
+    ORDER BY 1
+    """,
+)
+def quality_freshness_lag_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-feed freshness lag + week-over-week volume ratio
+    (see block comment)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("eus"))
+    wm = ev.agg(F.max("eus").alias("hw"))
+    wk = 7 * 86400 * 1000000
+    enriched = ev.crossJoin(F.broadcast(wm))
+    feed = (enriched.groupBy("event_type")
+            .agg(F.max("eus").alias("feed_max"),
+                 F.count("*").cast("bigint").alias("n_total"),
+                 F.first("hw").alias("hw"),
+                 F.sum(F.when(F.col("eus") > F.col("hw") - wk, 1)
+                       .otherwise(0)).cast("bigint").alias("last_wk"),
+                 F.sum(F.when((F.col("eus") <= F.col("hw") - wk)
+                              & (F.col("eus") > F.col("hw") - 2 * wk), 1)
+                       .otherwise(0)).cast("bigint").alias("prior_wk")))
+    return (feed.select(
+        "event_type",
+        F.expr("CAST((hw - feed_max) div 60000000 AS BIGINT)")
+        .alias("lag_minutes"),
+        "n_total", "last_wk", "prior_wk",
+        F.round(F.when(F.col("prior_wk") > 0,
+                       F.col("last_wk").cast("double")
+                       / F.col("prior_wk")), 6).alias("wow_volume_ratio"),
+        ((F.col("hw") - F.col("feed_max"))
+         > F.lit(86400 * 1000000).cast("bigint")).alias("stale_24h"))
+        .orderBy("event_type"))

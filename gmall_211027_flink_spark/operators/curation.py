@@ -1005,3 +1005,77 @@ def curation_token_budget_allocation(spark: SparkSession,
                     F.round(F.col("a").cast("double") / F.col("t"), 6)
                     .alias("fill_ratio"), "leftover")
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence (r9) — the distribution-shift score
+# a mixture designer reads next to the round-6 source-overlap matrix:
+# KL(p_source || p_corpus) over token unigrams says how far each
+# source's language drifts from the blend it is being mixed into
+# (high-KL sources need their own temperature; near-zero KL sources
+# are interchangeable filler). Smoothing-free because p is absolutely
+# continuous wrt q by construction (every source token IS a corpus
+# token).
+#
+# Determinism: each term p*log2(p/q) is rounded to 9 dp and summed as
+# exact DECIMAL (the repo's order-free sum-of-rounded-terms rule —
+# per-source vocabularies are thousands of terms, too many for the
+# raw-double summation the per-doc entropy op gets away with).
+# Scale: token grain is one shuffle (the same word-count shuffle any
+# vocab op pays); source grain after that is tiny.
+# ---------------------------------------------------------------------------
+
+@query(
+    "curation_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, t.word
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+    ),
+    sc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    corpus AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY 1
+    ),
+    ctot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM corpus),
+    terms AS (
+      SELECT sc.source,
+             CAST(round(
+               (sc.c / CAST(st.ns AS DOUBLE))
+               * log2((sc.c / CAST(st.ns AS DOUBLE))
+                      / (co.cc / CAST(ct.nc AS DOUBLE))), 9)
+               AS DECIMAL(18,9)) AS term
+      FROM sc JOIN stot st USING (source)
+              JOIN corpus co USING (word), ctot ct
+    )
+    SELECT source,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS kl_bits
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def curation_source_kl_divergence(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """KL(source unigrams || corpus unigrams) in bits, per source
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split("text", " ")).alias("word"))
+    sc = (tok.groupBy("source", "word")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    stot = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    corpus = sc.groupBy("word").agg(F.sum("c").cast("bigint").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").cast("bigint").alias("nc"))
+    p = F.col("c") / F.col("ns").cast("double")
+    q = F.col("cc") / F.col("nc").cast("double")
+    terms = (sc.join(stot, "source")
+             .join(corpus, "word")
+             .crossJoin(F.broadcast(ctot))
+             .select("source",
+                     F.round(p * F.log2(p / q), 9)
+                     .cast("decimal(18,9)").alias("term")))
+    return (terms.groupBy("source")
+            .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_bits"))
+            .orderBy("source"))

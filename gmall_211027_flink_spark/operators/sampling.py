@@ -16,7 +16,7 @@ makes a split auditable years later.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
@@ -944,3 +944,97 @@ def sample_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("tok").cast("bigint").alias("sum_tokens"),
                  F.round(s * s / s2, 6).alias("ess"),
                  F.round(s * s / s2 / F.count("*"), 6).alias("ess_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (r9) — Neyman 1934: the optimal stratified-sample
+# budget split n_h proportional to N_h * S_h (stratum size x stratum
+# std), the design that minimizes the estimator variance for a fixed
+# total budget. Run over documents stratified by source with n_chars
+# as the survey variable: sources that are BIG and INTERNALLY DIVERSE
+# get the samples; uniform sources get few. The integerization uses
+# the largest-remainder (Hamilton) method so allocations sum exactly
+# to the budget.
+#
+# Determinism: S_h comes from exact integer moments (N Sx2 - Sx^2);
+# every double (weight, quota, remainder) is the identical expression
+# over identical integers in both engines, and the remainder ranking
+# tie-breaks on source name. Scale: one shuffle to source grain
+# (~20 rows); everything after is constant-size.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH mom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+      FROM documents GROUP BY 1
+    ),
+    wgt AS (
+      SELECT source, n,
+             n * sqrt((n * sx2 - sx * sx)
+                      / (CAST(n AS DOUBLE) * (n - 1))) AS w
+      FROM mom WHERE n > 1
+    ),
+    tot AS (SELECT SUM(w) AS wtot FROM wgt),
+    quota AS (
+      SELECT source, n, w,
+             {NEYMAN_BUDGET} * w / t.wtot AS q,
+             CAST(FLOOR({NEYMAN_BUDGET} * w / t.wtot) AS BIGINT) AS base
+      FROM wgt, tot t
+    ),
+    short AS (
+      SELECT CAST({NEYMAN_BUDGET} - SUM(base) AS BIGINT) AS extra
+      FROM quota
+    ),
+    ranked AS (
+      SELECT source, n, q, base,
+             row_number() OVER (ORDER BY q - base DESC, source) AS rk
+      FROM quota
+    )
+    SELECT source, n AS stratum_size,
+           round(q, 6) AS quota,
+           CAST(base + CASE WHEN rk <= s.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS n_alloc
+    FROM ranked, short s ORDER BY source
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder Neyman allocation of {NEYMAN_BUDGET} samples
+    across document sources (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mom = (docs.groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum("n_chars").cast("bigint").alias("sx"),
+                F.sum(F.col("n_chars") * F.col("n_chars"))
+                .cast("bigint").alias("sx2")))
+    wgt = (mom.filter(F.col("n") > 1)
+           .select("source", "n",
+                   (F.col("n") * F.sqrt(
+                       (F.col("n") * F.col("sx2")
+                        - F.col("sx") * F.col("sx"))
+                       / (F.col("n").cast("double") * (F.col("n") - 1))))
+                   .alias("w")))
+    tot = wgt.agg(F.sum("w").alias("wtot"))
+    quota = (wgt.crossJoin(F.broadcast(tot))
+             .select("source", "n", "w",
+                     (NEYMAN_BUDGET * F.col("w") / F.col("wtot")).alias("q"))
+             .withColumn("base", F.floor(F.col("q")).cast("bigint")))
+    short = quota.agg((F.lit(NEYMAN_BUDGET) - F.sum("base"))
+                      .cast("bigint").alias("extra"))
+    # ~20 sources: single-task rank window on a constant-size frame
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy((F.col("q") - F.col("base")).desc(), "source")))
+    return (ranked.crossJoin(F.broadcast(short))
+            .select("source", F.col("n").alias("stratum_size"),
+                    F.round("q", 6).alias("quota"),
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("extra"), 1)
+                     .otherwise(0)).cast("bigint").alias("n_alloc"))
+            .orderBy("source"))
