@@ -1168,3 +1168,104 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part_id"),
                         (F.col("node") % PPR_SEED_MOD == 0).alias("is_seed"),
                         F.round("r", 8).alias("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Two-hop neighborhood size (r9) — the "friends of friends" reach
+# metric: for each part in the co-purchase graph, how many distinct
+# parts are at distance EXACTLY two (reachable through a shared
+# neighbor but not co-purchased directly). The audience-expansion
+# number a recommender quotes ("items one step beyond what this item
+# already sells with"), and the denominator link-prediction candidates
+# are drawn from. Same >= TRI_MIN_TOGETHER edge set and LP_HUB_CAP
+# mid-node cap as link prediction, so the wedge join cannot blow up on
+# hub parts at scale.
+#
+# Exactness: pure integer set logic (distinct counting + anti-join).
+# Scale: adjacency self-join keyed on the mid node with the hub cap
+# bounding fan-out; distance-2 distinctness is one (y, z) shuffle.
+# ---------------------------------------------------------------------------
+
+TWO_HOP_TOPK = 20
+
+
+@query(
+    "graph_two_hop_neighborhood",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oriented AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {TRI_MIN_TOGETHER}
+    ),
+    adj AS (
+      SELECT u AS center, v AS leaf FROM oriented
+      UNION ALL SELECT v, u FROM oriented
+    ),
+    deg AS (
+      SELECT center AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY 1
+    ),
+    hop2 AS (
+      SELECT DISTINCT a.leaf AS y, b.leaf AS z
+      FROM adj a
+      JOIN deg cd ON cd.node = a.center AND cd.d <= {LP_HUB_CAP}
+      JOIN adj b ON a.center = b.center AND a.leaf <> b.leaf
+    ),
+    pure2 AS (
+      SELECT h.y, h.z FROM hop2 h
+      WHERE NOT EXISTS (SELECT 1 FROM adj e
+                        WHERE e.center = h.y AND e.leaf = h.z)
+    ),
+    reach AS (
+      SELECT y AS node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+      FROM pure2 GROUP BY 1
+    )
+    SELECT r.node AS part, d.d AS degree, r.n_two_hop,
+           round(CAST(r.n_two_hop AS DOUBLE) / d.d, 6) AS expansion_ratio
+    FROM reach r JOIN deg d ON d.node = r.node
+    ORDER BY r.n_two_hop DESC, r.node LIMIT {TWO_HOP_TOPK}
+    """,
+)
+def graph_two_hop_neighborhood(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Top-{TWO_HOP_TOPK} parts by exact distance-2 reach in the
+    co-purchase graph (see block comment)."""
+    op = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk2"))
+    oriented = (op.join(b, (F.col("l_orderkey") == F.col("ok"))
+                        & (F.col("l_partkey") < F.col("pk2")))
+                .groupBy(F.col("l_partkey").alias("u"),
+                         F.col("pk2").alias("v"))
+                .agg(F.count("*").alias("ct"))
+                .filter(F.col("ct") >= TRI_MIN_TOGETHER)
+                .select("u", "v"))
+    adj = oriented.select(F.col("u").alias("center"),
+                          F.col("v").alias("leaf")).unionAll(
+        oriented.select(F.col("v").alias("center"),
+                        F.col("u").alias("leaf")))
+    deg = adj.groupBy(F.col("center").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d"))
+    capped = (adj.join(deg.filter(F.col("d") <= LP_HUB_CAP)
+                       .select(F.col("node").alias("center")), "center"))
+    right = adj.select(F.col("center").alias("center2"),
+                       F.col("leaf").alias("z"))
+    hop2 = (capped.join(right, F.col("center") == F.col("center2"))
+            .filter(F.col("leaf") != F.col("z"))
+            .select(F.col("leaf").alias("y"), "z").distinct())
+    direct = adj.select(F.col("center").alias("y"),
+                        F.col("leaf").alias("z"))
+    pure2 = hop2.join(direct, ["y", "z"], "left_anti")
+    reach = pure2.groupBy(F.col("y").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_two_hop"))
+    return (reach.join(deg, "node")
+            .select(F.col("node").alias("part"),
+                    F.col("d").alias("degree"), "n_two_hop",
+                    F.round(F.col("n_two_hop").cast("double")
+                            / F.col("d"), 6).alias("expansion_ratio"))
+            .orderBy(F.desc("n_two_hop"), "part")
+            .limit(TWO_HOP_TOPK))

@@ -1294,3 +1294,92 @@ def embedding_label_centroid_drift(spark: SparkSession,
                  F.max("n_b").cast("bigint").alias("n_odd"),
                  F.round(F.sqrt(F.sum(term).cast("double")), 6)
                   .alias("centroid_l2")))
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension clip audit (r9) — the preprocessing check before
+# feeding embeddings to a quantizer or a mixed-precision trainer: for
+# every dimension, the exact p1/p99 order statistics (on the repo's
+# 1e6 integer grid) and how many values a clip at those bounds would
+# touch. A dimension whose tails carry >> 2% of mass has outliers that
+# will eat the int8 range (the round-6 int8 audit measures the
+# aftermath; THIS measures the cause).
+#
+# Exactness: order statistics at integer ranks ceil(q*n) on quantized
+# integers — no interpolation, engine-exact. Scale: one posexplode
+# shuffle to (dim) grain; per-dim windows are parallel across the 64
+# dims (partitioned, never global).
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_clip_audit",
+    oracle="""
+    WITH ex AS (
+      SELECT u.i - 1 AS dim,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    ranked AS (
+      SELECT dim, q,
+             row_number() OVER (PARTITION BY dim ORDER BY q) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+      FROM ex
+    ),
+    bounds AS (
+      SELECT dim, any_value(n) AS n,
+             MAX(CASE WHEN rk = CAST(ceil(0.01 * any_value_n) AS BIGINT)
+                 THEN q END) AS lo,
+             MAX(CASE WHEN rk = CAST(ceil(0.99 * any_value_n) AS BIGINT)
+                 THEN q END) AS hi
+      FROM (SELECT dim, q, rk, n,
+                   MAX(n) OVER (PARTITION BY dim) AS any_value_n
+            FROM ranked)
+      GROUP BY 1
+    )
+    SELECT CAST(e.dim AS BIGINT) AS dim,
+           round(b.lo / 1e6, 6) AS p01,
+           round(b.hi / 1e6, 6) AS p99,
+           CAST(SUM(CASE WHEN e.q < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN e.q > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CASE WHEN e.q < b.lo OR e.q > b.hi THEN 1 ELSE 0 END)
+                * 1000000 // any_value(b.n) AS BIGINT) AS clip_ppm
+    FROM ex e JOIN bounds b USING (dim)
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def embedding_clip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p1/p99 clip bounds + tail mass per embedding dimension
+    (see block comment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode(F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000"
+        " + 0.5) as bigint))")).alias("dim", "q"))
+    wd = Window.partitionBy("dim")
+    ranked = ex.select(
+        "dim", "q",
+        F.row_number().over(wd.orderBy("q")).alias("rk"),
+        F.count("*").over(wd).cast("bigint").alias("n"))
+    bounds = (ranked.groupBy("dim")
+              .agg(F.first("n").alias("n"),
+                   F.max(F.when(F.col("rk")
+                                == F.ceil(0.01 * F.col("n")).cast("bigint"),
+                                F.col("q"))).alias("lo"),
+                   F.max(F.when(F.col("rk")
+                                == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                                F.col("q"))).alias("hi")))
+    return (ex.join(F.broadcast(bounds), "dim")
+            .groupBy(F.col("dim").cast("bigint").alias("dim"),
+                     F.round(F.col("lo") / 1e6, 6).alias("p01"),
+                     F.round(F.col("hi") / 1e6, 6).alias("p99"))
+            .agg(F.sum(F.when(F.col("q") < F.col("lo"), 1).otherwise(0))
+                 .cast("bigint").alias("n_below"),
+                 F.sum(F.when(F.col("q") > F.col("hi"), 1).otherwise(0))
+                 .cast("bigint").alias("n_above"),
+                 F.expr("CAST(SUM(CASE WHEN q < lo OR q > hi THEN 1 ELSE 0"
+                        " END) * 1000000 div first(n) AS BIGINT)")
+                 .alias("clip_ppm"))
+            .orderBy("dim"))
