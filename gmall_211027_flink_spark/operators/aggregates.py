@@ -4787,3 +4787,131 @@ def quality_freshness_lag_audit(spark: SparkSession,
         ((F.col("hw") - F.col("feed_max"))
          > F.lit(86400 * 1000000).cast("bigint")).alias("stale_24h"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes, exact-integer posterior (r9) — the depth-1 stump above
+# learns one numeric split; this learns a 5-binary-feature Bernoulli
+# NB classifier (Laplace-smoothed) for "is this doc from a single-
+# digit source" on the even-doc_id half and scores the odd half,
+# reporting the confusion matrix. The classic cheap lang/quality-
+# router shape for a curation pipeline.
+#
+# WHY IT IS ENGINE-EXACT (no log-space): the posterior comparison
+#   N_1 * prod_i L_1i / (N_1+2)^5  vs  N_0 * prod_i L_0i / (N_0+2)^5
+# is cross-multiplied into two INTEGER products (L_ci = n_ci + 1 or
+# N_c - n_ci + 1), compared as HUGEINT/DECIMAL(38,0) — zero floats in
+# the decision path, ties broken toward class 0 in both engines. The
+# products stay under ~1e34 at this corpus (5 factors <= N ~ 2.5e3,
+# two outer factors) — re-scale before reusing on a corpus beyond
+# ~1e6 training docs per class.
+#
+# Scale: ONE aggregation builds the 2x5 sufficient-statistics table
+# (broadcast scalar); scoring is a map-side expression; the confusion
+# matrix is a 4-row aggregate.
+# ---------------------------------------------------------------------------
+
+_NB_FEATS_DUCK = (
+    "n_chars >= 300 AS f1, "
+    "regexp_matches(text, '[0-9]') AS f2, "
+    "len(string_split(text, ' ')) >= 50 AS f3, "
+    "list_contains(string_split(text, ' '), 'the') AS f4, "
+    "n_chars % 2 = 0 AS f5")
+
+
+@query(
+    "ml_naive_bayes_binary",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, length(source) <= 4 AS y, {_NB_FEATS_DUCK}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN y AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1_1,
+             CAST(SUM(CASE WHEN y AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS a1_2,
+             CAST(SUM(CASE WHEN y AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS a1_3,
+             CAST(SUM(CASE WHEN y AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS a1_4,
+             CAST(SUM(CASE WHEN y AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS a1_5,
+             CAST(SUM(CASE WHEN NOT y AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS a0_1,
+             CAST(SUM(CASE WHEN NOT y AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS a0_2,
+             CAST(SUM(CASE WHEN NOT y AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS a0_3,
+             CAST(SUM(CASE WHEN NOT y AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS a0_4,
+             CAST(SUM(CASE WHEN NOT y AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS a0_5
+      FROM feat WHERE doc_id % 2 = 0
+    ),
+    scored AS (
+      SELECT f.y,
+             CAST(s.n1 AS HUGEINT)
+             * (CASE WHEN f.f1 THEN s.a1_1 + 1 ELSE s.n1 - s.a1_1 + 1 END)
+             * (CASE WHEN f.f2 THEN s.a1_2 + 1 ELSE s.n1 - s.a1_2 + 1 END)
+             * (CASE WHEN f.f3 THEN s.a1_3 + 1 ELSE s.n1 - s.a1_3 + 1 END)
+             * (CASE WHEN f.f4 THEN s.a1_4 + 1 ELSE s.n1 - s.a1_4 + 1 END)
+             * (CASE WHEN f.f5 THEN s.a1_5 + 1 ELSE s.n1 - s.a1_5 + 1 END)
+             * CAST(s.n0 + 2 AS HUGEINT) * (s.n0 + 2) * (s.n0 + 2)
+             * (s.n0 + 2) * (s.n0 + 2) AS score1,
+             CAST(s.n0 AS HUGEINT)
+             * (CASE WHEN f.f1 THEN s.a0_1 + 1 ELSE s.n0 - s.a0_1 + 1 END)
+             * (CASE WHEN f.f2 THEN s.a0_2 + 1 ELSE s.n0 - s.a0_2 + 1 END)
+             * (CASE WHEN f.f3 THEN s.a0_3 + 1 ELSE s.n0 - s.a0_3 + 1 END)
+             * (CASE WHEN f.f4 THEN s.a0_4 + 1 ELSE s.n0 - s.a0_4 + 1 END)
+             * (CASE WHEN f.f5 THEN s.a0_5 + 1 ELSE s.n0 - s.a0_5 + 1 END)
+             * CAST(s.n1 + 2 AS HUGEINT) * (s.n1 + 2) * (s.n1 + 2)
+             * (s.n1 + 2) * (s.n1 + 2) AS score0
+      FROM feat f, stats s WHERE f.doc_id % 2 = 1
+    )
+    SELECT y AS true_single_digit_src,
+           score1 > score0 AS pred_single_digit_src,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ml_naive_bayes_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli NB confusion matrix via exact cross-multiplied integer
+    posteriors (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        (F.length("source") <= 4).alias("y"),
+        (F.col("n_chars") >= 300).alias("f1"),
+        F.col("text").rlike("[0-9]").alias("f2"),
+        (F.size(F.split("text", " ")) >= 50).alias("f3"),
+        F.array_contains(F.split("text", " "), "the").alias("f4"),
+        (F.col("n_chars") % 2 == 0).alias("f5"))
+    aggs = [F.sum(F.when(F.col("y"), 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0))
+            .cast("bigint").alias("n0")]
+    for i in range(1, 6):
+        aggs.append(F.sum(F.when(F.col("y") & F.col(f"f{i}"), 1)
+                          .otherwise(0)).cast("bigint").alias(f"a1_{i}"))
+        aggs.append(F.sum(F.when(~F.col("y") & F.col(f"f{i}"), 1)
+                          .otherwise(0)).cast("bigint").alias(f"a0_{i}"))
+    stats = feat.filter(F.col("doc_id") % 2 == 0).agg(*aggs)
+
+    def _score(cls: str, other: str) -> str:
+        factors = [f"CAST(n{cls} AS DECIMAL(38,0))"]
+        for i in range(1, 6):
+            factors.append(f"(CASE WHEN f{i} THEN a{cls}_{i} + 1"
+                           f" ELSE n{cls} - a{cls}_{i} + 1 END)")
+        factors.append(f"CAST(n{other} + 2 AS DECIMAL(38,0))")
+        factors.extend([f"(n{other} + 2)"] * 4)
+        return " * ".join(factors)
+
+    scored = (feat.filter(F.col("doc_id") % 2 == 1)
+              .crossJoin(F.broadcast(stats))
+              .select("y",
+                      F.expr(_score("1", "0")).alias("score1"),
+                      F.expr(_score("0", "1")).alias("score0")))
+    return (scored.groupBy(
+        F.col("y").alias("true_single_digit_src"),
+        (F.col("score1") > F.col("score0"))
+        .alias("pred_single_digit_src"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("share",
+                    F.round(F.col("n").cast("double")
+                            / F.sum("n").over(Window.partitionBy()), 6))
+        .orderBy("true_single_digit_src", "pred_single_digit_src"))

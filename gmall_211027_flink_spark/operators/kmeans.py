@@ -470,3 +470,87 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.count("hit").cast("double") / F.count("*"), 6)
               .alias("recall"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (r9) — the centroid-based silhouette variant
+# (a = distance to own centroid, b = nearest OTHER centroid; s =
+# (b - a)/max(a, b)) that scales where the classic pairwise silhouette
+# cannot: O(n*k) instead of O(n^2). The cluster-quality readout a
+# pipeline checks after the Lloyd rounds above — clusters whose mean s
+# hugs 0 are boundary soup, not structure. Because assignment IS the
+# argmin, a <= b and s >= 0 here; the interesting signal is the
+# boundary mass (s < 0.2).
+#
+# Determinism: distances are the same 6-dp-rounded d2 the Lloyd oracle
+# uses; each point's s is rounded to 6 dp and the cluster mean is an
+# exact DECIMAL sum of those rounded terms over the count (order-free,
+# the repo rule). Scale: one broadcast join of k*d centroids; never a
+# point-point pair.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_silhouette_simplified",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    dfin AS (
+      SELECT ex.vec_id, p.c,
+             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
+      FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
+      GROUP BY 1, 2
+    ),
+    own AS (
+      SELECT vec_id, c, d2 AS a2 FROM (
+        SELECT vec_id, c, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        FROM dfin
+      ) WHERE rk = 1
+    ),
+    nearest_other AS (
+      SELECT d.vec_id, MIN(d.d2) AS b2
+      FROM dfin d JOIN own o ON o.vec_id = d.vec_id AND d.c <> o.c
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT o.c,
+             CAST(round((sqrt(n.b2) - sqrt(o.a2))
+                        / NULLIF(sqrt(GREATEST(o.a2, n.b2)), 0), 6)
+                  AS DECIMAL(12,6)) AS s
+      FROM own o JOIN nearest_other n USING (vec_id)
+    )
+    SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette,
+           CAST(SUM(CASE WHEN s < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the trained Lloyd
+    centroids (see block comment)."""
+    ex = _long_form(spark, sf_dir)
+    cent = train_centroids(spark, sf_dir)
+    dfin = (ex.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "c")
+            .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
+                               * (F.col("x") - F.col("centroid"))), 6)
+                 .alias("d2")))
+    w = Window.partitionBy("vec_id").orderBy("d2", "c")
+    own = (dfin.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == 1)
+           .select("vec_id", "c", F.col("d2").alias("a2")))
+    other = (dfin.join(own.select("vec_id",
+                                  F.col("c").alias("own_c")), "vec_id")
+             .filter(F.col("c") != F.col("own_c"))
+             .groupBy("vec_id").agg(F.min("d2").alias("b2")))
+    s = F.round((F.sqrt("b2") - F.sqrt("a2"))
+                / F.nullif(F.sqrt(F.greatest("a2", "b2")), F.lit(0.0)), 6)
+    scored = (own.join(other, "vec_id")
+              .select("c", s.cast("decimal(12,6)").alias("s")))
+    return (scored.groupBy(F.col("c").alias("cluster"))
+            .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                 F.round(F.sum("s").cast("double") / F.count("*"), 6)
+                 .alias("mean_silhouette"),
+                 F.sum(F.when(F.col("s") < 0.2, 1).otherwise(0))
+                 .cast("bigint").alias("n_boundary"))
+            .orderBy("cluster"))

@@ -2332,3 +2332,166 @@ def multimodal_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") % 4 == 1)
             .select("doc_id", "text"))
     return decode_parallel(docs).mapInPandas(_motion_batch, MOTION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio RMS energy (r9) — the frame-level feature every audio
+# curation pipeline extracts first (silence trimming, clipping
+# detection, VAD pre-filter): decode the REAL PCM16 payload, split
+# channel 0 into fixed 256-sample frames, emit each frame's exact
+# integer energy plus the 6-dp RMS. The oracle re-derives the embedded
+# ramp analytically per frame — matching requires the real RIFF walk +
+# sample decode.
+# Scale shape: map-only after decode_parallel; only (doc, frame)
+# summary rows leave the task, never samples.
+# ---------------------------------------------------------------------------
+
+WAV_RMS_FRAME = 256
+
+
+@query(
+    "multimodal_wav_rms_windows",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 3
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT % 4096 AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b
+      FROM g
+    ),
+    sm AS (
+      SELECT doc_id, nfr, i // {WAV_RMS_FRAME} AS frame,
+             (a * i + b) % 65536 - 32768 AS s
+      FROM geo, UNNEST(generate_series(0, nfr - 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           round(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM sm GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def multimodal_wav_rms_windows(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-256-sample-frame RMS energy of REAL decoded PCM16 audio
+    (see block comment)."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def _rms_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_wav_with_samples(doc_id, h)
+                ch, rate, samples = decode_wav_pcm16(payload)
+                for f0 in range(0, len(samples), WAV_RMS_FRAME):
+                    fr = samples[f0:f0 + WAV_RMS_FRAME]
+                    energy = int((fr * fr).sum())
+                    out.append(dict(
+                        doc_id=doc_id, frame_idx=f0 // WAV_RMS_FRAME,
+                        n_samples=len(fr), energy=energy,
+                        rms=round(float(np.sqrt(energy / len(fr))), 6)))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in schema.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 3)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs).mapInPandas(_rms_batch, schema)
+            .orderBy("doc_id", "frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Pixel-intensity histogram (r9) — the exposure/contrast profile an
+# image curation pass computes per asset (all-dark or all-blown frames
+# get dropped before any expensive model sees them): decode the REAL
+# PNG pixels, bucket into 16 intensity bins, emit exact counts. The
+# oracle re-derives the gradient's bin distribution analytically.
+# Scale shape: map-only decode; the 16-bin histogram is computed
+# INSIDE the task (numpy bincount), so rows out = 16 per image, never
+# pixels.
+# ---------------------------------------------------------------------------
+
+PIXEL_HIST_BINS = 16
+
+
+@query(
+    "multimodal_pixel_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+    ),
+    geo AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht,
+             ((a * (i % w) + b * (i // w) + c) % 256)
+               // {256 // PIXEL_HIST_BINS} AS bin
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(COUNT(*) * 1000000 // (w * ht) AS BIGINT) AS share_ppm
+    FROM px GROUP BY 1, 2, w, ht ORDER BY 1, 2
+    """,
+)
+def multimodal_pixel_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """16-bin intensity histogram of REAL decoded PNG pixels
+    (see block comment)."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("share_ppm", T.LongType()),
+    ])
+    div = 256 // PIXEL_HIST_BINS
+
+    def _hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_png_with_pixels(doc_id, h)
+                w, ht, gray = decode_png_gray(payload)
+                counts = np.bincount(np.asarray(gray).ravel() // div,
+                                     minlength=PIXEL_HIST_BINS)
+                for b, n in enumerate(counts):
+                    if n:
+                        out.append(dict(
+                            doc_id=doc_id, bin=b, n_px=int(n),
+                            share_ppm=int(n) * 1000000 // (w * ht)))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in schema.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs).mapInPandas(_hist_batch, schema)
+            .orderBy("doc_id", "bin"))
