@@ -759,3 +759,65 @@ def test_ppr_pairs_are_posting_list_not_selfjoin(spark, sf_dir):
     # localCheckpoint truncates the per-round lineage so the final
     # plan shows no repeated lineitem scans
     assert plan.count("lineitem.parquet") <= 1, plan
+
+
+def test_shapley_lattice_math_is_broadcast_only(spark, sf_dir):
+    """Shapley's coalition lattice must never shuffle: the only
+    SortMergeJoins allowed are the user-grain journey joins; the
+    16-row coalition/channel joins are broadcast, and no unbounded
+    CartesianProduct appears."""
+    from gmall_211027_flink_spark.plans.behavior import (
+        ads_shapley_attribution)
+
+    out = ads_shapley_attribution(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    n_smj = plan.count("SortMergeJoin")
+    assert n_smj <= 2, f"lattice math leaked into a shuffle join:\n{plan}"
+
+
+def test_two_hop_wedge_join_has_hub_cap(spark, sf_dir):
+    """The distance-2 expansion must not be a cartesian product and
+    must carry the hub-cap degree filter before the wedge join."""
+    from gmall_211027_flink_spark.operators.graph import (
+        LP_HUB_CAP, graph_two_hop_neighborhood)
+
+    out = graph_two_hop_neighborhood(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert f"(d#" in plan and f"<= {LP_HUB_CAP})" in plan, plan
+
+
+def test_jpeg_and_decode_meta_are_map_only_after_spread(spark, sf_dir):
+    """Decode queries: every Exchange (if any — decode_parallel skips
+    the spread when the scan is already parallel) is the pre-decode
+    round-robin of tiny text rows; pixels never shuffle."""
+    from gmall_211027_flink_spark.operators.jpeg import (
+        multimodal_jpeg_pixels)
+    from gmall_211027_flink_spark.operators.multimodal import (
+        multimodal_decode_meta)
+
+    for fn in (multimodal_jpeg_pixels, multimodal_decode_meta):
+        out = fn(spark, str(sf_dir))
+        out.collect()
+        plan = executed_plan(out)
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert "roundrobinpartitioning" in ln.lower(), plan
+                assert "px_digest" not in ln and "content_digest" not in ln, plan
+
+
+def test_hll_register_table_is_constant_size(spark, sf_dir):
+    """The HLL query's post-shuffle state is the 512-row register
+    table; the final aggregate must consume registers, not raw keys."""
+    from gmall_211027_flink_spark.operators.sketches import (
+        HLL_M, sketch_hll_registers)
+
+    out = sketch_hll_registers(spark, str(sf_dir))
+    row = out.collect()[0]
+    assert row["m"] == HLL_M
+    # registers bounded: zero_regs <= m, and the distinct-hash shuffle
+    # is the ONLY corpus-sized exchange in the plan
+    assert 0 <= row["zero_regs"] <= HLL_M

@@ -1,0 +1,240 @@
+"""Round-9 additions: Shapley axioms, HLL merge law, Bloom FPR
+monotonicity, Neyman allocation, Holt fold, decode-meta dispatch, KL
+non-negativity, Durbin-Watson bounds, silhouette range, NB posterior
+exactness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------- shapley ---------
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """sum of phi = v(full) - v(empty), exactly, in x24 integer units."""
+    from gmall_211027_flink_spark.plans.behavior import (
+        ads_shapley_attribution)
+    rows = ads_shapley_attribution(spark, str(sf_dir)).collect()
+    assert len(rows) == 4
+    total_x24 = sum(r["phi_x24"] for r in rows)
+    assert total_x24 == 24 * (rows[0]["v_full"] - rows[0]["v_empty"])
+    for r in rows:
+        assert r["phi_x24"] >= 0      # v is monotone -> marginals >= 0
+
+
+def test_shapley_null_player_on_toy_lattice():
+    """A channel absent from every converting journey gets phi = 0
+    (null-player axiom), checked on a hand-built mask-count lattice."""
+    # masks over 4 channels; channel 8 (bit 3) never appears
+    cnt = {0b0001: 5, 0b0011: 2, 0b0000: 1}
+    def v(s):
+        return sum(c for m, c in cnt.items() if (m & ~s) == 0)
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    for bit, expect_zero in ((1, False), (8, True)):
+        phi = sum(w[bin(s).count("1")] * (v(s | bit) - v(s))
+                  for s in range(16) if not s & bit)
+        assert (phi == 0) == expect_zero
+
+
+# ------------------------------------------------------- HLL -------------
+
+def test_hll_register_merge_law():
+    """merge(A, B) register-wise max == registers of the union stream —
+    the property the streaming maintenance relies on."""
+    def regs(keys, m=64, wbits=20):
+        out = [0] * m
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:6], 16)
+            b, w = h % m, h // m
+            if w == 0:
+                r = wbits + 1
+            else:
+                r = ((w & -w).bit_length() - 1) + 1
+            out[b] = max(out[b], r)
+        return out
+    a = regs(range(0, 500))
+    b = regs(range(300, 900))
+    ab = regs(range(0, 900))
+    assert [max(x, y) for x, y in zip(a, b)] == ab
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.sketches import (
+        sketch_hll_registers)
+    row = sketch_hll_registers(spark, str(sf_dir)).collect()[0]
+    est = (row["est_linear"] if row["zero_regs"] > 0
+           and row["est_linear"] is not None else row["est_raw"])
+    # 512 registers -> ~1.04/sqrt(512) = 4.6% std error; allow 4 sigma
+    assert abs(est - row["exact_distinct"]) / row["exact_distinct"] < 0.2
+
+
+# ------------------------------------------------------- bloom -----------
+
+def test_bloom_fpr_monotone_in_filter_size(spark, sf_dir):
+    """Bigger filter -> fewer false positives; theory column must agree
+    with measurement within the binomial noise band."""
+    from gmall_211027_flink_spark.operators.sketches import (
+        sketch_bloom_fpr_measured)
+    rows = {r["m_bits"]: r
+            for r in sketch_bloom_fpr_measured(spark, str(sf_dir)).collect()}
+    small, big = rows[4096], rows[16384]
+    assert small["fpr_measured"] >= big["fpr_measured"]
+    for r in rows.values():
+        n = r["n_probes"]
+        p = max(r["fpr_theory"], 1e-9)
+        sigma = (p * (1 - p) / n) ** 0.5
+        assert abs(r["fpr_measured"] - p) < max(5 * sigma, 0.02)
+
+
+# ------------------------------------------------------- neyman ----------
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.sampling import (
+        NEYMAN_BUDGET, sample_neyman_allocation)
+    rows = sample_neyman_allocation(spark, str(sf_dir)).collect()
+    assert sum(r["n_alloc"] for r in rows) == NEYMAN_BUDGET
+    for r in rows:
+        # largest-remainder never moves an allocation by more than 1
+        assert abs(r["n_alloc"] - r["quota"]) < 1.0 + 1e-9
+
+
+# ------------------------------------------------------- holt ------------
+
+def test_holt_fold_matches_python_reference(spark, sf_dir):
+    """The packed-BIGINT fold must equal a plain-Python recursion with
+    the same integer rounding."""
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_holt_linear_smoothing)
+    orders = load_table(spark, str(sf_dir), "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").alias("y")).orderBy("wk").collect())
+    l = b = None
+    for r in wkly:
+        y = r["y"]
+        if l is None:
+            l, b = y * 1_000_000, 0
+            continue
+        OFF = 1099511627776
+        l_new = (2 * y * 1_000_000 + 8 * (l + b) + OFF * 10 + 5) // 10 - OFF
+        b = ((l_new - l) + 9 * b + OFF * 10 + 5) // 10 - OFF
+        l = l_new
+    row = stats_holt_linear_smoothing(spark, str(sf_dir)).collect()[0]
+    assert row["level"] == round(l / 1e6, 6)
+    assert row["trend"] == round(b / 1e6, 6)
+    assert row["forecast_h2"] == round((l + 2 * b) / 1e6, 6)
+
+
+# ------------------------------------------------------- stats -----------
+
+def test_durbin_watson_in_range(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_durbin_watson)
+    row = stats_durbin_watson(spark, str(sf_dir)).collect()[0]
+    assert 0.0 <= row["dw"] <= 4.0
+    assert abs(row["rho1_approx"] - (1 - row["dw"] / 2)) < 1e-9
+
+
+def test_kl_divergence_nonnegative_and_self_zero(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.curation import (
+        curation_source_kl_divergence)
+    rows = curation_source_kl_divergence(spark, str(sf_dir)).collect()
+    assert rows
+    for r in rows:
+        # Gibbs: KL >= 0 up to the 1e-9 term-rounding of the decimal sum
+        assert r["kl_bits"] >= -1e-5
+
+
+def test_silhouette_in_unit_interval(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.kmeans import (
+        ml_silhouette_simplified)
+    rows = ml_silhouette_simplified(spark, str(sf_dir)).collect()
+    assert rows
+    for r in rows:
+        # assignment is the argmin, so simplified s is in [0, 1]
+        assert 0.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n_boundary"] <= r["n_vecs"]
+
+
+def test_grubbs_top1_is_global_max_deviation(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_grubbs_outlier)
+    rows = stats_grubbs_outlier(spark, str(sf_dir)).collect()
+    assert [r["rk"] for r in rows] == [1, 2, 3]
+    assert rows[0]["g_score"] >= rows[1]["g_score"] >= rows[2]["g_score"]
+
+
+# ------------------------------------------------------- decode meta -----
+
+def test_decode_meta_dispatches_by_sniff_not_doc_id():
+    """Corrupting the magic bytes must change the dispatch outcome —
+    proving the decoder routes on content, not on doc_id % 4."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        sniff_container, synthesize_png_with_pixels)
+    h = hashlib.md5(b"doc").hexdigest()
+    payload = synthesize_png_with_pixels(0, h)
+    assert sniff_container(payload) == "png"
+    assert sniff_container(b"XX" + payload[2:]) == "unknown"
+
+
+def test_decode_meta_digest_requires_real_decode(spark, sf_dir):
+    """The emitted digest equals the digest of the REAL decoded pixels
+    for a spot-checked PNG doc."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_png_gray, multimodal_decode_meta, synthesize_png_with_pixels)
+    out = multimodal_decode_meta(spark, str(sf_dir))
+    row = out.filter(F.col("doc_id") % 4 == 0).orderBy("doc_id").first()
+    doc = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .filter(F.col("doc_id") == row["doc_id"]).first())
+    h = hashlib.md5(doc["text"].encode()).hexdigest()
+    w, ht, gray = decode_png_gray(
+        synthesize_png_with_pixels(row["doc_id"], h))
+    flat = ",".join(str(int(v)) for v in np.asarray(gray).ravel())
+    assert row["container"] == "png"
+    assert (row["width"], row["height"]) == (w, ht)
+    assert row["content_digest"] == hashlib.md5(flat.encode()).hexdigest()
+
+
+# ------------------------------------------------------- naive bayes -----
+
+def test_nb_posterior_cross_multiplication_is_exact():
+    """The integer cross-multiplied decision equals the rational
+    posterior comparison computed with Fractions."""
+    from fractions import Fraction
+    n1, n0 = 1250, 1230
+    a1 = [600, 10, 900, 1200, 620]
+    a0 = [580, 900, 880, 1190, 610]
+    for fv in ((True,) * 5, (False,) * 5, (True, False, True, False, True)):
+        p1 = Fraction(n1)
+        p0 = Fraction(n0)
+        for i, f in enumerate(fv):
+            p1 *= Fraction((a1[i] + 1) if f else (n1 - a1[i] + 1), n1 + 2)
+            p0 *= Fraction((a0[i] + 1) if f else (n0 - a0[i] + 1), n0 + 2)
+        s1 = n1
+        s0 = n0
+        for i, f in enumerate(fv):
+            s1 *= (a1[i] + 1) if f else (n1 - a1[i] + 1)
+            s0 *= (a0[i] + 1) if f else (n0 - a0[i] + 1)
+        s1 *= (n0 + 2) ** 5
+        s0 *= (n1 + 2) ** 5
+        assert (s1 > s0) == (p1 > p0)
+
+
+# ------------------------------------------------------- two-hop ---------
+
+def test_two_hop_excludes_direct_neighbors(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.graph import (
+        graph_two_hop_neighborhood)
+    rows = graph_two_hop_neighborhood(spark, str(sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r["n_two_hop"] >= 1
+        assert r["degree"] >= 1
