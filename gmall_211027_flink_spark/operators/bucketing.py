@@ -492,3 +492,84 @@ def _register_compaction() -> None:
 
 
 _register_compaction()
+
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from gmall_211027_flink_spark.catalog import load_table  # noqa: E402
+from gmall_211027_flink_spark.registry import query  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew audit (r9) — the table-service readout next to the
+# compaction planner above: per month-partition row counts reduced to
+# the skew numbers an ops rota actually alerts on (max/mean ratio,
+# exact median, how many partitions run > 2x mean). A 100 TB
+# date-partitioned fact whose hottest month is 5x the median needs
+# salting or sub-partitioning BEFORE the nightly job discovers it.
+#
+# Exactness: counts are exact; the median is the exact order statistic
+# at rank ceil(n/2) over the ~80-month grid; ratios are identical
+# double expressions 6-dp rounded. Scale: one groupBy to month grain;
+# everything after is constant-size.
+# ---------------------------------------------------------------------------
+
+@query(
+    "lake_partition_skew_audit",
+    oracle="""
+    WITH parts AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS dt,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT dt, n_rows,
+             row_number() OVER (ORDER BY n_rows, dt) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS np,
+             CAST(SUM(n_rows) OVER () AS BIGINT) AS total
+      FROM parts
+    )
+    SELECT any_value(np) AS n_partitions,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+           round(CAST(any_value(total) AS DOUBLE) / any_value(np), 6)
+             AS mean_rows,
+           CAST(MAX(CASE WHEN rk = CAST(ceil(np / 2.0) AS BIGINT)
+                    THEN n_rows END) AS BIGINT) AS median_rows,
+           round(MAX(n_rows) / (CAST(any_value(total) AS DOUBLE)
+                                / any_value(np)), 6) AS max_over_mean,
+           CAST(SUM(CASE WHEN n_rows * any_value_np > 2 * any_value_total
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_2x_mean
+    FROM (SELECT *, MAX(np) OVER () AS any_value_np,
+                 MAX(total) OVER () AS any_value_total
+          FROM ranked)
+    """,
+)
+def lake_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-partition skew summary for the orders fact
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    parts = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                            .alias("dt"))
+             .agg(F.count("*").cast("bigint").alias("n_rows")))
+    # ~80-month grid: single-task rank window on a constant-size frame
+    ranked = parts.select(
+        "dt", "n_rows",
+        F.row_number().over(Window.orderBy("n_rows", "dt")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("np"),
+        F.sum("n_rows").over(Window.partitionBy()).cast("bigint")
+        .alias("total"))
+    return ranked.agg(
+        F.first("np").alias("n_partitions"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.round(F.first("total").cast("double") / F.first("np"), 6)
+        .alias("mean_rows"),
+        F.max(F.when(F.col("rk")
+                     == F.ceil(F.col("np") / 2.0).cast("bigint"),
+                     F.col("n_rows"))).cast("bigint").alias("median_rows"),
+        F.round(F.max("n_rows")
+                / (F.first("total").cast("double") / F.first("np")), 6)
+        .alias("max_over_mean"),
+        F.sum(F.when(F.col("n_rows") * F.col("np")
+                     > 2 * F.col("total"), 1).otherwise(0))
+        .cast("bigint").alias("n_over_2x_mean"))

@@ -1079,3 +1079,68 @@ def curation_source_kl_divergence(spark: SparkSession,
     return (terms.groupBy("source")
             .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_bits"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Mixture entropy (r9) — the one-number diversity readout over the
+# source mixture the KL op above profiles pairwise: Shannon entropy of
+# the per-source TOKEN mass shares, its perplexity form 2^H
+# ("effectively how many equal sources is this blend"), and the top
+# source's share. The check a data-mixing run prints before and after
+# re-weighting — a 20-source blend with 6.2 effective sources is
+# dominated, whatever the nominal count says.
+#
+# Determinism: shares are exact integer token counts over the exact
+# total; each -p*log2(p) term is rounded to 9 dp and decimal-summed
+# (order-free); 2^H is one pow of the rounded sum. Scale: the same
+# single token-count shuffle every vocab op pays, then a ~20-row
+# constant frame.
+# ---------------------------------------------------------------------------
+
+@query(
+    "curation_mixture_entropy",
+    oracle="""
+    WITH srctok AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS toks
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS n FROM srctok),
+    terms AS (
+      SELECT s.source, s.toks, t.n,
+             CAST(round(-(s.toks / CAST(t.n AS DOUBLE))
+                        * log2(s.toks / CAST(t.n AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS term
+      FROM srctok s, tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           any_value(n) AS total_tokens,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits,
+           round(power(2, CAST(SUM(term) AS DOUBLE)), 6)
+             AS effective_sources,
+           round(CAST(MAX(toks) AS DOUBLE) / any_value(n), 6)
+             AS top_source_share
+    FROM terms
+    """,
+)
+def curation_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy / perplexity / dominance of the source token mixture
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    srctok = (docs.groupBy("source")
+              .agg(F.sum(F.size(F.split("text", " ")))
+                   .cast("bigint").alias("toks")))
+    tot = srctok.agg(F.sum("toks").cast("bigint").alias("n"))
+    p = F.col("toks") / F.col("n").cast("double")
+    terms = (srctok.crossJoin(F.broadcast(tot))
+             .select("source", "toks", "n",
+                     F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+                     .alias("term")))
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.first("n").alias("total_tokens"),
+        F.round(F.sum("term").cast("double"), 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), F.sum("term").cast("double")), 6)
+        .alias("effective_sources"),
+        F.round(F.max("toks").cast("double") / F.first("n"), 6)
+        .alias("top_source_share"))

@@ -1199,3 +1199,94 @@ def ads_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(v_full))
             .crossJoin(F.broadcast(v_empty))
             .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences lift (r9) — Card & Krueger 1994 made it
+# the workhorse: the causal-reading companion to the attribution
+# family above. Treatment group = BUILDING-segment customers, control
+# = everyone else; periods split at the corpus's midpoint date; the
+# DiD estimate is the treatment group's change in per-customer revenue
+# minus the control group's change — the number an experiment
+# readout quotes when randomization wasn't available.
+#
+# Exactness: revenue per (group, period) is an exact DECIMAL(18,2)
+# sum; customer counts are exact; the midpoint cut is integer date
+# arithmetic; the four per-customer means and the DiD combination are
+# the identical double expression over those exact inputs, 6-dp
+# rounded once. Scale: one orders-customer broadcast join + a 4-cell
+# aggregation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_did_promo_lift",
+    oracle="""
+    WITH env AS (
+      SELECT CAST(min(o_orderdate) AS DATE)
+             + CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    // 2 AS INTEGER) AS mid
+      FROM orders
+    ),
+    cells AS (
+      SELECT c.c_mktsegment = 'BUILDING' AS treated,
+             CAST(o.o_orderdate AS DATE) >= e.mid AS post,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey, env e
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated AND NOT post
+            THEN CAST(rev AS DOUBLE) / n_cust END) AS t_pre,
+        MAX(CASE WHEN treated AND post
+            THEN CAST(rev AS DOUBLE) / n_cust END) AS t_post,
+        MAX(CASE WHEN NOT treated AND NOT post
+            THEN CAST(rev AS DOUBLE) / n_cust END) AS c_pre,
+        MAX(CASE WHEN NOT treated AND post
+            THEN CAST(rev AS DOUBLE) / n_cust END) AS c_post
+      FROM cells
+    )
+    SELECT round(t_pre, 6) AS treat_pre, round(t_post, 6) AS treat_post,
+           round(c_pre, 6) AS control_pre, round(c_post, 6) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def ads_did_promo_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences per-customer revenue lift, BUILDING vs
+    rest across the midpoint-date cut (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"))
+    env = orders.agg(
+        F.expr("date_add(min(o_orderdate),"
+               " CAST(datediff(max(o_orderdate), min(o_orderdate)) div 2"
+               " AS INT))").alias("mid"))
+    cells = (orders.join(F.broadcast(cust), "o_custkey")
+             .crossJoin(F.broadcast(env))
+             .groupBy("treated",
+                      (F.col("o_orderdate") >= F.col("mid")).alias("post"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("rev"),
+                  F.count_distinct("o_custkey").cast("bigint")
+                  .alias("n_cust")))
+    percust = F.col("rev").cast("double") / F.col("n_cust")
+    wide = cells.agg(
+        F.max(F.when(F.col("treated") & ~F.col("post"), percust))
+        .alias("t_pre"),
+        F.max(F.when(F.col("treated") & F.col("post"), percust))
+        .alias("t_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), percust))
+        .alias("c_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), percust))
+        .alias("c_post"))
+    return wide.select(
+        F.round("t_pre", 6).alias("treat_pre"),
+        F.round("t_post", 6).alias("treat_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round((F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")), 6)
+        .alias("did_estimate"))
