@@ -4915,3 +4915,135 @@ def ml_naive_bayes_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n").cast("double")
                             / F.sum("n").over(Window.partitionBy()), 6))
         .orderBy("true_single_digit_src", "pred_single_digit_src"))
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation via Durbin-Levinson (r9) — the PACF that
+# pairs with the Ljung-Box ACF above: phi_kk isolates the lag-k
+# correlation AFTER removing everything explained by lags < k — the
+# function an AR-order picker actually reads (ACF says "correlated";
+# PACF says "how many AR terms"). Levinson 1947 / Durbin 1960
+# recursion, UNROLLED to LJUNG_BOX_LAGS levels by one Python generator
+# that emits the identical expression text for BOTH engines (only
+# array indexing / literal syntax differ), so every add and divide
+# happens in the same written order -> bit-identical IEEE doubles with
+# no aggregate-order hazard (sums over the k-1 prior coefficients are
+# explicit left-associated chains, never SUM()).
+#
+# Inputs are the same exact-BIGINT autocorrelation ratios as
+# stats_ljung_box; week grain -> DAY-GRAIN CONTRACT (module docstring).
+# ---------------------------------------------------------------------------
+
+def _dl_steps(idx, arr, lags: int):
+    """Yield (colname, expression) pairs unrolling Durbin-Levinson.
+    `idx(name, i)` renders 1-based array indexing; `arr(items)` renders
+    an array literal — the only engine-specific syntax."""
+    steps = [("kk1", idx("r", 1)), ("p1", arr([idx("r", 1)]))]
+    for k in range(2, lags + 1):
+        pm = f"p{k - 1}"
+        num_terms = " + ".join(
+            f"{idx(pm, j)} * {idx('r', k - j)}" for j in range(1, k))
+        den_terms = " + ".join(
+            f"{idx(pm, j)} * {idx('r', j)}" for j in range(1, k))
+        steps.append((f"kk{k}",
+                      f"({idx('r', k)} - ({num_terms}))"
+                      f" / (1.0 - ({den_terms}))"))
+        items = [f"{idx(pm, j)} - kk{k} * {idx(pm, k - j)}"
+                 for j in range(1, k)] + [f"kk{k}"]
+        steps.append((f"p{k}", arr(items)))
+    return steps
+
+
+def _pacf_oracle() -> str:
+    lags = LJUNG_BOX_LAGS
+    idx = lambda name, i: f"{name}[{i}]"                      # noqa: E731
+    arr = lambda items: "[" + ", ".join(items) + "]"          # noqa: E731
+    chain = []
+    prev = "base"
+    for i, (col, expr) in enumerate(_dl_steps(idx, arr, lags)):
+        cte = f"dl{i}"
+        chain.append(f"{cte} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = cte
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag_k, round(kk{k}, 6) AS pacf"
+        f" FROM {prev}" for k in range(1, lags + 1))
+    chain_sql = ",\n    ".join(chain)
+    return f"""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t
+      FROM wkly
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM idx
+    ),
+    z AS (SELECT i.t, tot.n * i.y - tot.sy AS zv FROM idx i, tot),
+    lagd AS (
+      SELECT t, zv,
+             {", ".join(f"lag(zv, {k}) OVER (ORDER BY t) AS l{k}"
+                        for k in range(1, lags + 1))}
+      FROM z
+    ),
+    rk AS (
+      SELECT k.k,
+             CAST((SELECT SUM(zv * CASE k.k
+               {" ".join(f"WHEN {j} THEN l{j}" for j in range(1, lags + 1))}
+               END) FROM lagd) AS DOUBLE)
+             / CAST((SELECT SUM(zv * zv) FROM z) AS DOUBLE) AS r
+      FROM UNNEST(generate_series(1, {lags})) AS k(k)
+    ),
+    base AS (SELECT list(r ORDER BY k) AS r FROM rk),
+    {chain_sql}
+    SELECT lag_k, pacf FROM ({finals}) ORDER BY lag_k
+    """
+
+
+@query("stats_pacf_durbin_levinson", oracle=_pacf_oracle())
+def stats_pacf_durbin_levinson(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PACF of weekly order volume via the unrolled Durbin-Levinson
+    recursion (see block comment)."""
+    lags = LJUNG_BOX_LAGS
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    idx = wkly.select(
+        "y", F.row_number().over(Window.orderBy("wk"))
+        .cast("bigint").alias("t"))
+    tot = idx.agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum("y").cast("bigint").alias("sy"))
+    z = (idx.crossJoin(F.broadcast(tot))
+         .select("t", (F.col("n") * F.col("y") - F.col("sy")).alias("zv")))
+    # bounded week grid: single-task lag windows (DAY-GRAIN CONTRACT)
+    w = Window.orderBy("t")
+    lagd = z.select(
+        "zv", *[F.lag("zv", k).over(w).alias(f"l{k}")
+                for k in range(1, lags + 1)])
+    den = z.agg(F.sum(F.col("zv") * F.col("zv"))
+                .cast("bigint").alias("den"))
+    nums = lagd.agg(*[F.sum(F.col("zv") * F.col(f"l{k}"))
+                      .cast("bigint").alias(f"num{k}")
+                      for k in range(1, lags + 1)])
+    base = (nums.crossJoin(F.broadcast(den))
+            .selectExpr(
+                "array(" + ", ".join(
+                    f"cast(num{k} as double) / cast(den as double)"
+                    for k in range(1, lags + 1)) + ") AS r"))
+    sidx = lambda name, i: f"element_at({name}, {i})"         # noqa: E731
+    sarr = lambda items: "array(" + ", ".join(items) + ")"    # noqa: E731
+    cur = base
+    for col, expr in _dl_steps(sidx, sarr, lags):
+        cur = cur.selectExpr("*", f"{expr} AS {col}")
+    stack = ", ".join(f"{k}L, round(kk{k}, 6)"
+                      for k in range(1, lags + 1))
+    return (cur.selectExpr(
+        f"stack({lags}, {stack}) AS (lag_k, pacf)")
+        .orderBy("lag_k"))

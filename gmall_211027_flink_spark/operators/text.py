@@ -1402,3 +1402,62 @@ def text_feature_hash_collision_audit(spark: SparkSession,
             .agg(F.countDistinct("term").cast("bigint")
                  .alias("n_distinct_terms"),
                  F.count("*").cast("bigint").alias("token_mass")))
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio (r9) — lexical-richness profiling per source:
+# the share of a source's vocabulary that occurs exactly once (hapax)
+# or twice (dis legomena) there. Template-generated or boilerplate-
+# heavy sources show collapsed hapax mass; natural prose runs ~40-60%
+# (Zipf's tail). The cheap stylometric screen next to the Zipf fit
+# (round 5) — that op fits the head, this one reads the tail.
+#
+# Exactness: pure integer counting over the standard token shuffle;
+# ratios are single 6-dp rounds of identical integers.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT source, t.word
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+    ),
+    wc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis,
+           round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio
+    FROM wc GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena share + type-token ratio per source
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select("source",
+                      F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("source", "word")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    return (wc.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("vocab"),
+                 F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_hapax"),
+                 F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_dis"),
+                 F.round(F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("hapax_ratio"),
+                 F.round(F.count("*").cast("double") / F.sum("c"), 6)
+                 .alias("type_token_ratio"))
+            .orderBy("source"))
