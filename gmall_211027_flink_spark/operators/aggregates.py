@@ -4819,10 +4819,12 @@ _NB_FEATS_DUCK = (
     "n_chars % 2 = 0 AS f5")
 
 
-@query(
-    "ml_naive_bayes_binary",
-    oracle=f"""
-    WITH feat AS (
+# shared CTE prefix: feature extraction, train-half sufficient stats,
+# and the cross-multiplied integer posterior scores on the test half —
+# used verbatim by ml_naive_bayes_binary AND ml_calibration_bins (one
+# generator, two outputs; a formatting drift breaks both loudly).
+_NB_CTES = f"""
+    feat AS (
       SELECT doc_id, length(source) <= 4 AS y, {_NB_FEATS_DUCK}
       FROM documents
     ),
@@ -4860,7 +4862,13 @@ _NB_FEATS_DUCK = (
              * CAST(s.n1 + 2 AS HUGEINT) * (s.n1 + 2) * (s.n1 + 2)
              * (s.n1 + 2) * (s.n1 + 2) AS score0
       FROM feat f, stats s WHERE f.doc_id % 2 = 1
-    )
+    )"""
+
+
+@query(
+    "ml_naive_bayes_binary",
+    oracle=f"""
+    WITH {_NB_CTES}
     SELECT y AS true_single_digit_src,
            score1 > score0 AS pred_single_digit_src,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -4869,9 +4877,14 @@ _NB_FEATS_DUCK = (
     FROM scored GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
-def ml_naive_bayes_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli NB confusion matrix via exact cross-multiplied integer
-    posteriors (see block comment)."""
+def _nb_query_registered(spark, sf_dir):
+    return ml_naive_bayes_binary(spark, sf_dir)
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, score1, score0) integer posteriors on the test half — the
+    Spark mirror of the _NB_CTES prefix, shared by the confusion
+    matrix and the calibration query."""
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id",
@@ -4901,11 +4914,17 @@ def ml_naive_bayes_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         factors.extend([f"(n{other} + 2)"] * 4)
         return " * ".join(factors)
 
-    scored = (feat.filter(F.col("doc_id") % 2 == 1)
-              .crossJoin(F.broadcast(stats))
-              .select("y",
-                      F.expr(_score("1", "0")).alias("score1"),
-                      F.expr(_score("0", "1")).alias("score0")))
+    return (feat.filter(F.col("doc_id") % 2 == 1)
+            .crossJoin(F.broadcast(stats))
+            .select("y",
+                    F.expr(_score("1", "0")).alias("score1"),
+                    F.expr(_score("0", "1")).alias("score0")))
+
+
+def ml_naive_bayes_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli NB confusion matrix via exact cross-multiplied integer
+    posteriors (see block comment)."""
+    scored = _nb_scored(spark, sf_dir)
     return (scored.groupBy(
         F.col("y").alias("true_single_digit_src"),
         (F.col("score1") > F.col("score0"))
@@ -5047,3 +5066,449 @@ def stats_pacf_durbin_levinson(spark: SparkSession,
     return (cur.selectExpr(
         f"stack({lags}, {stack}) AS (lag_k, pacf)")
         .orderBy("lag_k"))
+
+
+# ---------------------------------------------------------------------------
+# NB calibration bins (r9) — a classifier that ranks well can still
+# lie about its confidence: bucket the NB posterior P(class 1 | x)
+# into deciles and compare each bin's mean predicted probability with
+# its actual positive rate (the reliability-diagram table; the ECE
+# summand). Shares _NB_CTES / _nb_scored with the confusion-matrix
+# query — one sufficient-statistics build, two evaluation readouts.
+#
+# Determinism: the posterior p = s1/(s1+s0) is one double division of
+# the exact integer scores (identical bit pattern in both engines —
+# HUGEINT->double and DECIMAL(38,0)->double both round-to-nearest);
+# the bin id is floor(p*10) of that identical double; per-bin mean p
+# follows the 9-dp-rounded-term decimal-sum rule.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH {_NB_CTES},
+    prob AS (
+      SELECT y,
+             CAST(score1 AS DOUBLE)
+               / (CAST(score1 AS DOUBLE) + CAST(score0 AS DOUBLE)) AS p
+      FROM scored
+    ),
+    binned AS (
+      SELECT LEAST(9, CAST(FLOOR(p * 10) AS BIGINT)) AS bin, y,
+             CAST(round(p, 9) AS DECIMAL(12,9)) AS p9
+      FROM prob
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(p9) AS DOUBLE) / COUNT(*), 6) AS mean_pred,
+           round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS actual_rate,
+           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM binned GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram deciles for the NB posterior
+    (see block comment)."""
+    scored = _nb_scored(spark, sf_dir)
+    prob = scored.select(
+        "y",
+        (F.col("score1").cast("double")
+         / (F.col("score1").cast("double")
+            + F.col("score0").cast("double"))).alias("p"))
+    binned = prob.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10)).cast("bigint")
+        .alias("bin"),
+        "y", F.round("p", 9).cast("decimal(12,9)").alias("p9"))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("p9").cast("double") / F.count("*"), 6)
+                 .alias("mean_pred"),
+                 F.round(F.sum(F.when(F.col("y"), 1).otherwise(0))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("actual_rate"),
+                 F.sum(F.when(F.col("y"), 1).otherwise(0))
+                 .cast("bigint").alias("n_positive"))
+            .orderBy("bin"))
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe / Levene variance-homogeneity test (r9) — the missing
+# prerequisite check for the round-7 ANOVA: ANOVA's pooled-variance
+# assumption dies quietly when segments have unequal spread. Brown-
+# Forsythe (1974) robustifies Levene by centering on the MEDIAN:
+# z = |x - med_g|, then the one-way-ANOVA F on the z values.
+#
+# Exactness: group medians are exact order statistics on integer
+# cents; z is exact BIGINT; the F statistic is the identical double
+# formula over exact sums (sum z, sum z^2 in HUGEINT/DECIMAL(38,0)).
+# Scale: one shuffle to (segment) grain for the rank windows
+# (partitioned across the 5 segments), then constant-size math.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_levene_test",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o.o_orderkey AS ok
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY cents, ok) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM j
+    ),
+    med AS (
+      SELECT seg,
+             MAX(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+                 THEN cents END) AS m
+      FROM (SELECT seg, cents, rk, MAX(n) OVER (PARTITION BY seg) AS n
+            FROM ranked)
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT j.seg, ABS(j.cents - med.m) AS z
+      FROM j JOIN med USING (seg)
+    ),
+    g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             SUM(CAST(z AS HUGEINT) * z) AS szz
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sz) AS BIGINT) AS stz
+      FROM g
+    )
+    SELECT t.k AS n_groups, t.nn AS n_total,
+           round(((t.nn - t.k) / (t.k - 1.0))
+                 * (SUM(CAST(g.sz AS DOUBLE) * g.sz / g.n)
+                    - CAST(t.stz AS DOUBLE) * t.stz / t.nn)
+                 / (SUM(CAST(g.szz AS DOUBLE))
+                    - SUM(CAST(g.sz AS DOUBLE) * g.sz / g.n)), 6)
+             AS bf_stat
+    FROM g, tot t GROUP BY 1, 2, t.stz
+    """,
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe F across market segments on order value
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"))
+    j = (orders.join(F.broadcast(cust), "o_custkey")
+         .select("seg",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents"),
+                 F.col("o_orderkey").alias("ok")))
+    ws = Window.partitionBy("seg")
+    ranked = j.select(
+        "seg", "cents",
+        F.row_number().over(ws.orderBy("cents", "ok")).alias("rk"),
+        F.count("*").over(ws).cast("bigint").alias("n"))
+    med = (ranked.groupBy("seg")
+           .agg(F.max(F.when(F.col("rk")
+                             == F.ceil(F.col("n") / 2.0).cast("bigint"),
+                             F.col("cents"))).alias("m")))
+    z = (j.join(F.broadcast(med), "seg")
+         .select("seg", F.abs(F.col("cents") - F.col("m")).alias("z")))
+    g = (z.groupBy("seg")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("z").cast("bigint").alias("sz"),
+              F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+              .alias("szz")))
+    tot = g.agg(F.count("*").cast("bigint").alias("k"),
+                F.sum("n").cast("bigint").alias("nn"),
+                F.sum("sz").cast("bigint").alias("stz"))
+    between = (F.sum(F.col("sz").cast("double") * F.col("sz") / F.col("n"))
+               - F.first("stz").cast("double") * F.first("stz")
+               / F.first("nn"))
+    within = (F.sum(F.col("szz").cast("double"))
+              - F.sum(F.col("sz").cast("double") * F.col("sz")
+                      / F.col("n")))
+    return (g.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("k").alias("n_groups"),
+                     F.col("nn").alias("n_total"))
+            .agg(F.round(((F.first("nn") - F.first("k"))
+                          / (F.first("k") - 1.0))
+                         * between / within, 6).alias("bf_stat")))
+
+
+# ---------------------------------------------------------------------------
+# Per-part running inventory balance (r9) — the classic keyed
+# running-total DWS view: signed quantity flow (returns negative) per
+# part in ship-date order, reporting each part's final balance and its
+# running peak/trough. Unlike the global running-GMV window (round 1),
+# this one is PARTITIONED BY KEY — the window sort distributes across
+# parts, the shape that scales (the day-grain contract explicitly does
+# NOT apply: this grain grows with data, so the window must partition,
+# and does).
+# Exactness: integral quantities as BIGINT; pure integer running sums.
+# Output bounded to the top-20 most-active parts (ties on partkey).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dws_running_balance_per_part",
+    oracle="""
+    WITH flow AS (
+      SELECT l_partkey,
+             CASE WHEN l_returnflag = 'R'
+                  THEN -CAST(l_quantity AS BIGINT)
+                  ELSE CAST(l_quantity AS BIGINT) END AS q,
+             CAST(l_quantity AS BIGINT) AS aq,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    run AS MATERIALIZED (
+      SELECT l_partkey, q, aq, l_shipdate, l_orderkey, l_linenumber,
+             SUM(q) OVER (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS bal
+      FROM flow
+    ),
+    summary AS (
+      SELECT l_partkey AS part,
+             CAST(SUM(aq) AS BIGINT) AS total_movement,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(MAX(bal) AS BIGINT) AS peak_balance,
+             CAST(MIN(bal) AS BIGINT) AS trough_balance
+      FROM run GROUP BY 1
+    ),
+    fin AS (
+      SELECT l_partkey AS part, CAST(bal AS BIGINT) AS final_balance
+      FROM (SELECT l_partkey, bal,
+                   row_number() OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate DESC, l_orderkey DESC,
+                              l_linenumber DESC) AS rk
+            FROM run)
+      WHERE rk = 1
+    )
+    SELECT s.part, s.n_lines, s.total_movement,
+           f.final_balance, s.peak_balance, s.trough_balance
+    FROM summary s JOIN fin f USING (part)
+    ORDER BY s.total_movement DESC, s.part LIMIT 20
+    """,
+)
+def dws_running_balance_per_part(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Keyed running balance with peak/trough for the 20 most-active
+    parts (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flow = li.select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R",
+               -F.col("l_quantity").cast("bigint"))
+        .otherwise(F.col("l_quantity").cast("bigint")).alias("q"),
+        F.col("l_quantity").cast("bigint").alias("aq"),
+        "l_shipdate", "l_orderkey", "l_linenumber")
+    wp = (Window.partitionBy("l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+    run = flow.withColumn(
+        "bal", F.sum("q").over(wp.rowsBetween(Window.unboundedPreceding, 0)))
+    summary = (run.groupBy(F.col("l_partkey").alias("part"))
+               .agg(F.sum("aq").cast("bigint").alias("total_movement"),
+                    F.count("*").cast("bigint").alias("n_lines"),
+                    F.max("bal").cast("bigint").alias("peak_balance"),
+                    F.min("bal").cast("bigint").alias("trough_balance")))
+    fin = (run.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("l_partkey")
+            .orderBy(F.desc("l_shipdate"), F.desc("l_orderkey"),
+                     F.desc("l_linenumber"))))
+        .filter(F.col("rk") == 1)
+        .select(F.col("l_partkey").alias("part"),
+                F.col("bal").cast("bigint").alias("final_balance")))
+    return (summary.join(fin, "part")
+            .select("part", "n_lines", "total_movement", "final_balance",
+                    "peak_balance", "trough_balance")
+            .orderBy(F.desc("total_movement"), "part").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Demand max drawdown (r9) — the finance-borrowed health metric on
+# weekly order volume: deepest peak-to-trough decline of the series
+# ("demand fell 34% from its running high in week W"). Exact integer
+# running max + difference on the calendar-bounded week grid
+# (DAY-GRAIN CONTRACT, module docstring); ties broken on earliest
+# trough week.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_demand_max_drawdown",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    run AS (
+      SELECT wk, y,
+             CAST(MAX(y) OVER (ORDER BY wk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+      FROM wkly
+    ),
+    ranked AS (
+      SELECT wk, y, peak, peak - y AS dd,
+             row_number() OVER (ORDER BY peak - y DESC, wk) AS rk
+      FROM run
+    )
+    SELECT CAST(wk AS BIGINT) AS trough_week, peak AS peak_orders,
+           y AS trough_orders, CAST(dd AS BIGINT) AS drawdown,
+           round(CAST(dd AS DOUBLE) / peak, 6) AS drawdown_ratio
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ads_demand_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deepest weekly-demand drawdown vs the running peak
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # calendar-bounded week grid: single-task windows by design
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    run = wkly.withColumn("peak", F.max("y").over(w).cast("bigint"))
+    ranked = run.withColumn(
+        "dd", F.col("peak") - F.col("y")).withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.desc("dd"), "wk")))
+    return (ranked.filter(F.col("rk") == 1)
+            .select(F.col("wk").cast("bigint").alias("trough_week"),
+                    F.col("peak").alias("peak_orders"),
+                    F.col("y").alias("trough_orders"),
+                    F.col("dd").cast("bigint").alias("drawdown"),
+                    F.round(F.col("dd").cast("double") / F.col("peak"), 6)
+                    .alias("drawdown_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition, day-of-week effects (r9) — the
+# classical-decomposition step the round-7 seasonality INDEX skips:
+# remove the local trend first (centered 7-day moving average), THEN
+# average the detrended residual by day of week. The index op answers
+# "are Mondays bigger"; this answers "are Mondays bigger than their
+# surrounding week", which survives long-run growth.
+#
+# Exactness: the detrended value is kept as the exact integer
+# 7*y - sum7 (never divided per-row); the per-dow effect is one double
+# division of exact integer sums, 6-dp rounded. Engines disagree on
+# dayofweek numbering (DuckDB 0=Sunday, Spark 1=Sunday) — normalized
+# to 0=Sunday in both. Day grain -> DAY-GRAIN CONTRACT.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_seasonal_decompose_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    ma AS (
+      SELECT d, y,
+             CAST(SUM(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                               AND 3 FOLLOWING) AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING) AS BIGINT) AS c7
+      FROM daily
+    ),
+    detr AS (
+      SELECT CAST(dayofweek(d) AS BIGINT) AS dow,
+             7 * y - s7 AS e7
+      FROM ma WHERE c7 = 7
+    )
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(e7) AS DOUBLE) / (7.0 * COUNT(*)), 6)
+             AS seasonal_effect
+    FROM detr GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_seasonal_decompose_dow(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Detrended day-of-week effects via centered 7-day MA
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("y")))
+    # bounded day grain: single-task MA windows (DAY-GRAIN CONTRACT)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d", "y",
+        F.sum("y").over(w7).cast("bigint").alias("s7"),
+        F.count("*").over(w7).cast("bigint").alias("c7"))
+    detr = (ma.filter(F.col("c7") == 7)
+            .select((F.dayofweek("d") - 1).cast("bigint").alias("dow"),
+                    (7 * F.col("y") - F.col("s7")).alias("e7")))
+    return (detr.groupBy("dow")
+            .agg(F.count("*").cast("bigint").alias("n_days"),
+                 F.round(F.sum("e7").cast("double")
+                         / (7.0 * F.count("*")), 6)
+                 .alias("seasonal_effect"))
+            .orderBy("dow"))
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch audit (r9) — the first gate of any A/B
+# readout: does the hash splitter actually deliver 50/50? A skewed
+# split means the assignment is broken (biased hash, crossed
+# exposure logging) and every downstream metric is garbage. Chi-square
+# on the observed bucket counts with z and the standard |z| > 3 SRM
+# alarm. Exact integer counts; identical double formulas.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_ab_test_srm_audit",
+    oracle="""
+    WITH assign AS (
+      SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1))
+               ::BIGINT % 2 AS bucket
+      FROM customer
+    ),
+    cnt AS (
+      SELECT CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM assign
+    )
+    SELECT n0, n1, n,
+           round(CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / n, 6) AS chi2,
+           round((n0 - n / 2.0) / sqrt(n / 4.0), 6) AS z_score,
+           ABS((n0 - n / 2.0) / sqrt(n / 4.0)) > 3.0 AS srm_flag
+    FROM cnt
+    """,
+)
+def ml_ab_test_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check of the md5 hash splitter
+    (see block comment)."""
+    cust = load_table(spark, sf_dir, "customer")
+    assign = cust.select(
+        (F.expr("cast(conv(substring(md5(cast(c_custkey as string)), 1, 1),"
+                " 16, 10) as bigint)") % 2).alias("bucket"))
+    cnt = assign.agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.count("*").cast("bigint").alias("n"))
+    z = (F.col("n0") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
+    return cnt.select(
+        "n0", "n1", "n",
+        F.round((F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n1")) / F.col("n"), 6)
+        .alias("chi2"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 3.0).alias("srm_flag"))
