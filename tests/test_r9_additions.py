@@ -238,3 +238,72 @@ def test_two_hop_excludes_direct_neighbors(spark, sf_dir):
     for r in rows:
         assert r["n_two_hop"] >= 1
         assert r["degree"] >= 1
+
+
+# ------------------------------------------------------- late batch ------
+
+def test_calibration_bins_partition_the_test_half(spark, sf_dir):
+    """Bin counts must sum to the NB confusion-matrix total (same
+    scored frame, two readouts)."""
+    from gmall_211027_flink_spark.operators.aggregates import (
+        ml_calibration_bins, ml_naive_bayes_binary)
+    bins = ml_calibration_bins(spark, str(sf_dir)).collect()
+    conf = ml_naive_bayes_binary(spark, str(sf_dir)).collect()
+    assert sum(r["n"] for r in bins) == sum(r["n"] for r in conf)
+    for r in bins:
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["actual_rate"] <= 1.0
+        assert r["n_positive"] <= r["n"]
+
+
+def test_drawdown_is_peak_minus_trough(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        ads_demand_max_drawdown)
+    row = ads_demand_max_drawdown(spark, str(sf_dir)).collect()[0]
+    assert row["drawdown"] == row["peak_orders"] - row["trough_orders"]
+    assert 0.0 <= row["drawdown_ratio"] <= 1.0
+
+
+def test_running_balance_peak_bounds_final(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        dws_running_balance_per_part)
+    rows = dws_running_balance_per_part(spark, str(sf_dir)).collect()
+    assert len(rows) <= 20 and rows
+    for r in rows:
+        assert r["trough_balance"] <= r["final_balance"] <= r["peak_balance"]
+        # movement >= |final|: every unit of net balance was moved
+        assert r["total_movement"] >= abs(r["final_balance"])
+
+
+def test_seasonal_effects_roughly_sum_to_zero(spark, sf_dir):
+    """Centered-MA detrending makes DOW effects near-zero-sum (exact
+    zero only for infinite series; bound by the edge effect)."""
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_seasonal_decompose_dow)
+    rows = stats_seasonal_decompose_dow(spark, str(sf_dir)).collect()
+    assert len(rows) == 7
+    mean_scale = sum(abs(r["seasonal_effect"]) for r in rows) / 7 + 1e-9
+    assert abs(sum(r["seasonal_effect"] for r in rows)) < max(
+        1.0, 2 * mean_scale)
+
+
+def test_levene_stat_nonnegative(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_levene_test)
+    row = stats_levene_test(spark, str(sf_dir)).collect()[0]
+    assert row["bf_stat"] >= 0.0
+    assert row["n_groups"] == 5
+
+
+def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
+    """By construction phi_11 = r_1 — the DL recursion's base case
+    must agree with the Ljung-Box ACF."""
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_ljung_box, stats_pacf_durbin_levinson)
+    acf = {r["lag_k"]: r["r_k"]
+           for r in stats_ljung_box(spark, str(sf_dir)).collect()}
+    pacf = {r["lag_k"]: r["pacf"]
+            for r in stats_pacf_durbin_levinson(spark, str(sf_dir)).collect()}
+    assert abs(pacf[1] - acf[1]) < 1e-6
+    for v in pacf.values():
+        assert -1.0 <= v <= 1.0
