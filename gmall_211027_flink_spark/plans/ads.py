@@ -727,3 +727,75 @@ def ads_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("together_ct"),
                     F.round(F.col("together_ct").cast("double")
                             / F.col("ct_a"), 6).alias("confidence")))
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand (r9) — the log-log OLS every pricing team
+# runs: regress ln(weekly quantity) on ln(weekly avg price) over
+# lineitem; the slope IS the elasticity estimate (%-demand change per
+# %-price change). Closed-form OLS over the calendar-bounded week grid
+# (the r8 two-factor OLS machinery at its most famous application).
+#
+# Determinism: weekly qty and price-sum are exact integers/decimals;
+# ln() runs on those identical inputs in both engines, and the OLS
+# closed form is the identical double expression, 6-dp rounded. Week
+# grain -> the DAY-GRAIN CONTRACT (aggregates.py module docstring).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_price_elasticity_ols",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               // 7 AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+      SELECT ln(CAST(qty AS DOUBLE)) AS y,
+             ln(CAST(rev AS DOUBLE) / qty) AS x
+      FROM wkly WHERE qty > 0
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_weeks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM mom
+    """,
+)
+def ads_price_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price-elasticity OLS on weekly lineitem volume
+    (see block comment)."""
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    wkly = (li.groupBy(
+        (F.datediff("l_shipdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint"))
+             .cast("bigint").alias("qty"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .alias("rev")))
+    pts = (wkly.filter(F.col("qty") > 0)
+           .select(F.log(F.col("qty").cast("double")).alias("y"),
+                   F.log(F.col("rev").cast("double") / F.col("qty"))
+                   .alias("x")))
+    mom = pts.agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return mom.select(
+        F.col("n").alias("n_weeks"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"))

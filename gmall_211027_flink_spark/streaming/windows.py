@@ -2288,3 +2288,90 @@ def _hll_stream_oracle() -> str:
 
 
 _OR["stream_hll_maintenance"] = _hll_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt maintenance (r9): the level+trend fold kept current at
+# ingest with ONE BIGINT of state. Unlike the sketch stores above
+# (whose merge is order-free), Holt's recursion is ORDER-SENSITIVE, so
+# the stream must deliver event-time-ordered slices — the harness
+# commits three consecutive WEEK RANGES (not mod-N slices) and the
+# accumulator carries (l, b) across commits; the drained state must
+# hash-match the one-shot batch stats_holt_linear_smoothing oracle.
+# This is the applyInPandasWithState monotone-event-time contract
+# (streaming/state.py) exercised at the aggregate grain.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_holt_maintenance",
+    oracle=None,   # assigned below: identical to the batch Holt oracle
+)
+def stream_holt_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import _HOLT_STEP
+
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    lo, hi = wkly.agg(F.min("wk"), F.max("wk")).first()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    step = _HOLT_STEP.format(D="div")
+    d = tempfile.mkdtemp(prefix="holt_store_gate_")
+    try:
+        state = None   # one (n_weeks, acc) row
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            sl = wkly.filter((F.col("wk") >= a) & (F.col("wk") <= b))
+            batch = (sl.agg(
+                F.count("*").cast("bigint").alias("n_batch"),
+                F.expr("sort_array(collect_list(struct(wk, y)))")
+                .alias("series")))
+            if state is None:
+                folded = batch.select(
+                    F.col("n_batch").alias("n_weeks"),
+                    F.expr("aggregate(transform(series, s -> s.y),"
+                           f" CAST(-1 AS BIGINT), (acc, y) -> {step})")
+                    .alias("acc"))
+            else:
+                folded = (batch.crossJoin(F.broadcast(state))
+                          .select(
+                              (F.col("n_weeks") + F.col("n_batch"))
+                              .alias("n_weeks"),
+                              F.expr("aggregate(transform(series,"
+                                     " s -> s.y), acc,"
+                                     f" (acc, y) -> {step})").alias("acc")))
+            # commit the single-row state (the store IS the model)
+            folded.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            assert state.count() == 1
+        out_state = state.select(
+            "n_weeks",
+            F.expr("acc div 2147483648").alias("l6"),
+            F.expr("acc % 2147483648 - 1073741824").alias("b6"))
+        cols = [F.round(F.col("l6") / 1e6, 6).alias("level"),
+                F.round(F.col("b6") / 1e6, 6).alias("trend")]
+        for h in range(1, 5):
+            cols.append(F.round((F.col("l6") + h * F.col("b6")) / 1e6, 6)
+                        .alias(f"forecast_h{h}"))
+        out = out_state.select("n_weeks", *cols)
+        # gate-harness materialization (temp state removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _holt_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_holt_linear_smoothing"]
+
+
+_OR["stream_holt_maintenance"] = _holt_stream_oracle()
