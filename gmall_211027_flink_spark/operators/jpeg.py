@@ -172,10 +172,12 @@ def _coef_block(bx: int, by: int, a: int, b: int, c: int):
     return dc, acs
 
 
-def synthesize_jpeg_gray(doc_id: int, h: str) -> bytes:
+def synthesize_jpeg_gray(doc_id: int, h: str, qscale: int = 1) -> bytes:
     """A fully valid baseline grayscale JPEG (SOI / DQT / SOF0 / 2xDHT /
     SOS / entropy-coded scan / EOI) carrying the deterministic
-    coefficient field of :func:`_coef_block`."""
+    coefficient field of :func:`_coef_block`. ``qscale`` multiplies the
+    quant table (capped 255) — same coefficients, coarser
+    reconstruction; the quantization-loss sweep uses qscale=2."""
     w = 8 * (1 + int(h[0:2], 16) % 3)
     ht = 8 * (1 + int(h[2:4], 16) % 3)
     a = 1 + int(h[12:14], 16) % 7
@@ -213,7 +215,8 @@ def synthesize_jpeg_gray(doc_id: int, h: str) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, b"\x00" + bytes(jpeg_qtable(z) for z in range(64)))
+    dqt = seg(0xDB, b"\x00" + bytes(min(255, jpeg_qtable(z) * qscale)
+                                     for z in range(64)))
     sof = seg(0xC0, struct.pack(">BHHB", 8, ht, w, 1) + bytes([1, 0x11, 0]))
     dht_dc = seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     dht_ac = seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
@@ -484,3 +487,123 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_parallel(docs).mapInPandas(_jpeg_batch, JPEG_PIXELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Quantization-loss sweep (r9) — the rate/distortion measurement a
+# media pipeline runs before committing to a quality setting: encode
+# the SAME coefficient field at quant scale 1 and scale 2, REALLY
+# decode both (the coarse payload dequantizes with the doubled table),
+# and report the exact integer SSE / 6-dp MSE between the two
+# reconstructions per image. The oracle re-derives both pixel fields
+# analytically — the scale-2 IDCT just doubles each q(z) factor —
+# so matching requires both real decodes.
+# Scale shape: map-only after decode_parallel; two in-task decodes,
+# one summary row out.
+# ---------------------------------------------------------------------------
+
+JPEG_QSCALE = 2
+
+
+@query(
+    "multimodal_jpeg_quant_mse",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, md5(text) AS h FROM documents
+               WHERE doc_id % 4 = 2),
+    geo AS (
+      SELECT doc_id,
+             8 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 3) AS w,
+             8 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 3) AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht, i,
+             (i % w) // 8 AS bx, (i // w) // 8 AS by,
+             (i % w) % 8 AS x, (i // w) % 8 AS y
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    coef AS (
+      SELECT doc_id, w, ht, i, x, y,
+             (a * bx + b * by + c) % 32 - 16 AS dc,
+             ((a * (bx + 1) + b * (by + 2) + c) % 15) - 7 AS v1,
+             ((a * (bx + 4) + b * (by + 8) + c) % 15) - 7 AS v4,
+             ((a * (bx + 8) + b * (by + 16) + c) % 15) - 7 AS v8,
+             ((a * (bx + 13) + b * (by + 26) + c) % 15) - 7 AS v13
+      FROM px JOIN geo USING (doc_id, w, ht)
+    ),
+    idct AS (
+      SELECT doc_id, w, ht, i,
+             dc * {jpeg_qtable(0)} * ({_LU[0]}[y + 1]) * ({_LU[0]}[x + 1])
+           + v1 * {jpeg_qtable(1)} * ({_LU[0]}[y + 1]) * ({_LU[1]}[x + 1])
+           + v4 * {jpeg_qtable(4)} * ({_LU[1]}[y + 1]) * ({_LU[1]}[x + 1])
+           + v8 * {jpeg_qtable(8)} * ({_LU[2]}[y + 1]) * ({_LU[1]}[x + 1])
+           + v13 * {jpeg_qtable(13)} * ({_LU[1]}[y + 1]) * ({_LU[3]}[x + 1])
+               AS s1,
+             {JPEG_QSCALE} * (
+               dc * {jpeg_qtable(0)} * ({_LU[0]}[y + 1]) * ({_LU[0]}[x + 1])
+             + v1 * {jpeg_qtable(1)} * ({_LU[0]}[y + 1]) * ({_LU[1]}[x + 1])
+             + v4 * {jpeg_qtable(4)} * ({_LU[1]}[y + 1]) * ({_LU[1]}[x + 1])
+             + v8 * {jpeg_qtable(8)} * ({_LU[2]}[y + 1]) * ({_LU[1]}[x + 1])
+             + v13 * {jpeg_qtable(13)} * ({_LU[1]}[y + 1])
+               * ({_LU[3]}[x + 1])) AS s2
+      FROM coef
+    ),
+    pxv AS (
+      SELECT doc_id, w, ht, i,
+             LEAST(255, GREATEST(0,
+               (s1 + {DEN // 2} + 1024 * {DEN}) // {DEN} - 1024 + 128))
+               AS p1,
+             LEAST(255, GREATEST(0,
+               (s2 + {DEN // 2} + 1024 * {DEN}) // {DEN} - 1024 + 128))
+               AS p2
+      FROM idct
+    )
+    SELECT doc_id, CAST(w * ht AS BIGINT) AS n_px,
+           CAST(SUM((p1 - p2) * (p1 - p2)) AS BIGINT) AS sse,
+           round(CAST(SUM((p1 - p2) * (p1 - p2)) AS DOUBLE) / (w * ht), 6)
+             AS mse
+    FROM pxv GROUP BY doc_id, w, ht
+    """,
+)
+def multimodal_jpeg_quant_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image reconstruction SSE/MSE between quant scale 1 and
+    scale {JPEG_QSCALE} encodes of the same coefficients (see block
+    comment)."""
+    from gmall_211027_flink_spark.operators.multimodal import decode_parallel
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sse", T.LongType()),
+    ])
+
+    def _mse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                _, _, img1 = decode_jpeg_gray(
+                    synthesize_jpeg_gray(doc_id, h))
+                w, ht, img2 = decode_jpeg_gray(
+                    synthesize_jpeg_gray(doc_id, h, qscale=JPEG_QSCALE))
+                d = img1 - img2
+                sse = int((d * d).sum())
+                # NOTE: the 6-dp round happens JVM-side below — Python's
+                # round() is banker's (half-to-even), SQL round is
+                # half-up; 30.0078125 diverges at the 6th dp.
+                out.append(dict(doc_id=doc_id, n_px=w * ht, sse=sse))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in schema.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 2)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs).mapInPandas(_mse_batch, schema)
+            .withColumn("mse", F.round(F.col("sse").cast("double")
+                                       / F.col("n_px"), 6)))
