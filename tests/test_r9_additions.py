@@ -307,3 +307,28 @@ def test_pacf_lag1_equals_acf_lag1(spark, sf_dir):
     assert abs(pacf[1] - acf[1]) < 1e-6
     for v in pacf.values():
         assert -1.0 <= v <= 1.0
+
+
+def test_jpeg_quant_mse_positive_and_bounded(spark, sf_dir):
+    """Doubling the quant table must lose information (mse > 0 for at
+    least one image) and can never exceed the 255^2 pixel bound."""
+    from gmall_211027_flink_spark.operators.jpeg import (
+        multimodal_jpeg_quant_mse)
+    rows = multimodal_jpeg_quant_mse(spark, str(sf_dir)).collect()
+    assert rows
+    assert any(r["sse"] > 0 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["mse"] <= 255.0 ** 2
+        assert r["sse"] <= r["n_px"] * 255 ** 2
+
+
+def test_stream_holt_equals_batch_fold(spark, sf_dir):
+    """The ordered-slice streaming fold must reproduce the one-shot
+    batch fold exactly (state carries (l, b) across commits)."""
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_holt_linear_smoothing)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_holt_maintenance)
+    b = stats_holt_linear_smoothing(spark, str(sf_dir)).collect()[0]
+    s = stream_holt_maintenance(spark, str(sf_dir)).collect()[0]
+    assert b.asDict() == s.asDict()
