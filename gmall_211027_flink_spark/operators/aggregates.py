@@ -5512,3 +5512,110 @@ def ml_ab_test_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2"),
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 3.0).alias("srm_flag"))
+
+
+# ---------------------------------------------------------------------------
+# Robust location estimates (r9) — mean vs 5% trimmed mean vs 5%
+# winsorized mean vs median of order value, side by side: the spread
+# between them IS the outlier-contamination diagnostic (clean data
+# collapses all four together; the Grubbs op above finds WHO, this
+# quantifies HOW MUCH the tails move the location estimate).
+#
+# Exactness: cut points are exact order statistics at integer ranks
+# on integer cents; trimmed/winsorized sums are exact BIGINT; each
+# mean is one 6-dp-rounded double division of exact integers.
+# Scale: one global rank — implemented as a two-phase distributed
+# rank (partition-local sort + offset by partition counts would be
+# the 100 TB shape; at test scale Spark's single range-partitioned
+# window sort is the same plan TakeOrdered-style) — then pure
+# aggregation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_robust_means",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderkey AS ok
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, ok) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM v
+    ),
+    cuts AS (
+      SELECT any_value(n) AS n,
+             MAX(CASE WHEN rk = CAST(ceil(0.05 * mn) AS BIGINT)
+                 THEN cents END) AS lo,
+             MAX(CASE WHEN rk = CAST(ceil(0.95 * mn) AS BIGINT)
+                 THEN cents END) AS hi,
+             MAX(CASE WHEN rk = CAST(ceil(0.5 * mn) AS BIGINT)
+                 THEN cents END) AS med
+      FROM (SELECT cents, rk, n, MAX(n) OVER () AS mn FROM ranked)
+    ),
+    agg AS (
+      SELECT c.n, c.med,
+             CAST(SUM(r.cents) AS BIGINT) AS s_all,
+             CAST(SUM(CASE WHEN r.rk > CAST(ceil(0.05 * c.n) AS BIGINT)
+                      AND r.rk <= CAST(ceil(0.95 * c.n) AS BIGINT)
+                      THEN r.cents ELSE 0 END) AS BIGINT) AS s_trim,
+             CAST(SUM(CASE WHEN r.rk > CAST(ceil(0.05 * c.n) AS BIGINT)
+                      AND r.rk <= CAST(ceil(0.95 * c.n) AS BIGINT)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+             CAST(SUM(LEAST(GREATEST(r.cents, c.lo), c.hi)) AS BIGINT)
+               AS s_wins
+      FROM ranked r, cuts c
+      GROUP BY 1, 2
+    )
+    SELECT n AS n_orders,
+           round(CAST(s_all AS DOUBLE) / n / 100, 6) AS mean,
+           round(CAST(s_trim AS DOUBLE) / n_trim / 100, 6)
+             AS trimmed_mean_5pct,
+           round(CAST(s_wins AS DOUBLE) / n / 100, 6)
+             AS winsorized_mean_5pct,
+           round(CAST(med AS DOUBLE) / 100, 6) AS median
+    FROM agg
+    """,
+)
+def stats_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / trimmed / winsorized / median of order value from exact
+    order statistics (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("ok"))
+    ranked = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "ok")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"))
+    cuts = ranked.agg(
+        F.first("n").alias("n"),
+        F.max(F.when(F.col("rk") == F.ceil(0.05 * F.col("n"))
+                     .cast("bigint"), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rk") == F.ceil(0.95 * F.col("n"))
+                     .cast("bigint"), F.col("cents"))).alias("hi"),
+        F.max(F.when(F.col("rk") == F.ceil(0.5 * F.col("n"))
+                     .cast("bigint"), F.col("cents"))).alias("med"))
+    inwin = ((F.col("rk") > F.ceil(0.05 * F.col("n")).cast("bigint"))
+             & (F.col("rk") <= F.ceil(0.95 * F.col("n")).cast("bigint")))
+    agg = (ranked.drop("n").crossJoin(F.broadcast(cuts))
+           .groupBy("n", "med")
+           .agg(F.sum("cents").cast("bigint").alias("s_all"),
+                F.sum(F.when(inwin, F.col("cents")).otherwise(0))
+                .cast("bigint").alias("s_trim"),
+                F.sum(F.when(inwin, 1).otherwise(0))
+                .cast("bigint").alias("n_trim"),
+                F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")),
+                              F.col("hi"))).cast("bigint").alias("s_wins")))
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("s_all").cast("double") / F.col("n") / 100, 6)
+        .alias("mean"),
+        F.round(F.col("s_trim").cast("double") / F.col("n_trim") / 100, 6)
+        .alias("trimmed_mean_5pct"),
+        F.round(F.col("s_wins").cast("double") / F.col("n") / 100, 6)
+        .alias("winsorized_mean_5pct"),
+        F.round(F.col("med").cast("double") / 100, 6).alias("median"))
