@@ -5619,3 +5619,164 @@ def stats_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_wins").cast("double") / F.col("n") / 100, 6)
         .alias("winsorized_mean_5pct"),
         F.round(F.col("med").cast("double") / 100, 6).alias("median"))
+
+
+# ---------------------------------------------------------------------------
+# Column-uniqueness profile (r9) — the key-discovery scan that feeds
+# the FD audit above: per candidate column, distinct count, distinct
+# ratio, top-value frequency, and the is-key verdict. What a profiler
+# prints before anyone writes a JOIN against an undocumented table.
+# Exactness: two-phase count-distinct + top-1 frequency per column,
+# all integers; ratios are single 6-dp rounds. Scale: one groupBy per
+# profiled column — each is the word-count shape, nothing global.
+# ---------------------------------------------------------------------------
+
+_UNIQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "quality_uniqueness_profile",
+    oracle="""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    profile AS (
+      SELECT 'o_orderkey' AS col,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_freq
+      FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(MAX(cnt) AS BIGINT)
+      FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(MAX(cnt) AS BIGINT)
+      FROM (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(MAX(cnt) AS BIGINT)
+      FROM (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'o_orderdate', CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+             CAST(MAX(cnt) AS BIGINT)
+      FROM (SELECT o_orderdate, COUNT(*) AS cnt FROM orders GROUP BY 1)
+    )
+    SELECT p.col, p.n_distinct,
+           round(CAST(p.n_distinct AS DOUBLE) / t.n, 6) AS distinct_ratio,
+           p.top_freq,
+           round(CAST(p.top_freq AS DOUBLE) / t.n, 6) AS top_value_share,
+           p.n_distinct = t.n AS is_unique_key
+    FROM profile p, tot t ORDER BY p.col
+    """,
+)
+def quality_uniqueness_profile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Distinct-ratio / top-frequency / key-ness per orders column
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tot = orders.agg(F.count("*").cast("bigint").alias("n"))
+    parts = []
+    for col in _UNIQ_COLS:
+        grp = orders.groupBy(col).agg(F.count("*").alias("cnt"))
+        parts.append(grp.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("cnt").cast("bigint").alias("top_freq")))
+    profile = parts[0]
+    for p in parts[1:]:
+        profile = profile.unionAll(p)
+    return (profile.crossJoin(F.broadcast(tot))
+            .select("col", "n_distinct",
+                    F.round(F.col("n_distinct").cast("double")
+                            / F.col("n"), 6).alias("distinct_ratio"),
+                    "top_freq",
+                    F.round(F.col("top_freq").cast("double")
+                            / F.col("n"), 6).alias("top_value_share"),
+                    (F.col("n_distinct") == F.col("n"))
+                    .alias("is_unique_key"))
+            .orderBy("col"))
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning revenue split (r9) — the acquisition/retention
+# decomposition every monthly business review opens with: per month,
+# revenue from customers' FIRST-ever order vs revenue from repeat
+# orders, and the repeat share. Pairs with the cohort-LTV curve (r8):
+# that one follows a cohort forward, this one cuts each month across.
+# Exactness: the first-order cut is the (o_orderdate, o_orderkey)
+# lexicographic minimum per customer (exact integer tie-break);
+# revenue sums are exact DECIMAL(18,2). Scale: one customer-grain
+# window (distributed by key) + a month-grain rollup.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS fd,
+             min(o_orderkey) FILTER (
+               WHERE CAST(o_orderdate AS DATE) = fd0) AS fk
+      FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+                   min(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey) AS fd0
+            FROM orders)
+      GROUP BY 1
+    ),
+    tagged AS (
+      SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+             o.o_orderkey = f.fk AS is_first,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT month,
+           CAST(SUM(CASE WHEN is_first THEN rev ELSE 0 END) AS DOUBLE)
+             AS new_revenue,
+           CAST(SUM(CASE WHEN NOT is_first THEN rev ELSE 0 END) AS DOUBLE)
+             AS returning_revenue,
+           CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_orders,
+           CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_return_orders,
+           round(CAST(SUM(CASE WHEN NOT is_first THEN rev ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6)
+             AS repeat_share
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+)
+def ads_new_vs_returning_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Monthly revenue split by first-ever vs repeat orders
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wf = Window.partitionBy("o_custkey")
+    with_first = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        F.min(F.to_date("o_orderdate")).over(wf).alias("fd0"))
+    firsts = (with_first
+              .groupBy("o_custkey")
+              .agg(F.min(F.when(F.to_date("o_orderdate") == F.col("fd0"),
+                                F.col("o_orderkey"))).alias("fk")))
+    tagged = (orders.join(firsts, "o_custkey")
+              .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                      (F.col("o_orderkey") == F.col("fk")).alias("is_first"),
+                      F.col("o_totalprice").cast("decimal(18,2)")
+                      .alias("rev")))
+    return (tagged.groupBy("month")
+            .agg(F.sum(F.when(F.col("is_first"), F.col("rev"))
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 .cast("double").alias("new_revenue"),
+                 F.sum(F.when(~F.col("is_first"), F.col("rev"))
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 .cast("double").alias("returning_revenue"),
+                 F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+                 .cast("bigint").alias("n_new_orders"),
+                 F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+                 .cast("bigint").alias("n_return_orders"),
+                 F.round(F.sum(F.when(~F.col("is_first"), F.col("rev"))
+                               .otherwise(F.lit(0).cast("decimal(18,2)")))
+                         .cast("double")
+                         / F.sum("rev").cast("double"), 6)
+                 .alias("repeat_share"))
+            .orderBy("month"))
