@@ -1269,3 +1269,144 @@ def graph_two_hop_neighborhood(spark: SparkSession,
                             / F.col("d"), 6).alias("expansion_ratio"))
             .orderBy(F.desc("n_two_hop"), "part")
             .limit(TWO_HOP_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Diameter lower bound via double sweep (r9) — the classic 2-BFS
+# heuristic (Magnien/Latapy/Habib 2009): BFS from an arbitrary node A,
+# jump to its farthest reachable node B, BFS again; ecc(B) lower-
+# bounds the diameter and is empirically tight on real graphs. Both
+# sweeps are HOP-BOUNDED at BFS_ROUNDS (the round-4 discipline: a
+# convergence loop could flip on cross-engine drift), so the reported
+# number is honestly "diameter >= ecc_K(B) within a K-hop horizon".
+#
+# Scale shape: two fixed-K sequences of edge-keyed min-aggregations
+# with per-round localCheckpoint; seeds are broadcast one-row frames,
+# never a collect. Exact integer distances throughout.
+# ---------------------------------------------------------------------------
+
+def _sweep_rounds(tag: str, rounds: int) -> str:
+    out = []
+    for it in range(1, rounds + 1):
+        prev = f"{tag}{it - 1}"
+        out.append(f"""
+    {tag}{it} AS MATERIALIZED (
+      SELECT n.node,
+             LEAST(COALESCE(p.dist, {rounds + 1}),
+                   COALESCE(MIN(q.dist) + 1, {rounds + 1})) AS dist
+      FROM nodes n
+      LEFT JOIN {prev} p ON p.node = n.node
+      LEFT JOIN edges e ON e.v = n.node
+      LEFT JOIN {prev} q ON q.node = e.u
+      GROUP BY 1, p.dist
+    )""")
+    return ",".join(out)
+
+
+def _diameter_oracle() -> str:
+    k = BFS_ROUNDS
+    edges_sql = _EDGES_SQL.replace(
+        f"COUNT(*) >= {MIN_TOGETHER}", f"COUNT(*) >= {BFS_MIN_TOGETHER}")
+    return f"""
+    WITH {edges_sql},
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    aseed AS (SELECT MIN(node) AS s FROM nodes),
+    a0 AS (
+      SELECT n.node, CASE WHEN n.node = aseed.s THEN 0 ELSE {k + 1} END
+               AS dist
+      FROM nodes n, aseed
+    ),
+    {_sweep_rounds('a', k)},
+    bseed AS (
+      SELECT node AS s FROM a{k} WHERE dist <= {k}
+      ORDER BY dist DESC, node LIMIT 1
+    ),
+    b0 AS (
+      SELECT n.node, CASE WHEN n.node = bseed.s THEN 0 ELSE {k + 1} END
+               AS dist
+      FROM nodes n, bseed
+    ),
+    {_sweep_rounds('b', k)}
+    SELECT (SELECT s FROM aseed) AS seed_a,
+           (SELECT s FROM bseed) AS far_node_b,
+           (SELECT CAST(MAX(dist) AS BIGINT) FROM a{k} WHERE dist <= {k})
+             AS ecc_a_bounded,
+           (SELECT CAST(MAX(dist) AS BIGINT) FROM b{k} WHERE dist <= {k})
+             AS diameter_lower_bound,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a{k} WHERE dist <= {k})
+             AS n_reached_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b{k} WHERE dist <= {k})
+             AS n_reached_b
+    """
+
+
+@query("graph_diameter_double_sweep", oracle=_diameter_oracle())
+def graph_diameter_double_sweep(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Hop-bounded double-sweep diameter lower bound on the
+    >= {BFS_MIN_TOGETHER}-co-purchase graph (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform("
+            "slice(ps, i+2, size(ps)-i-1),"
+            " y -> struct(x as part_a, y as part_b))))")).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= BFS_MIN_TOGETHER)
+        .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint(eager=False))
+    nodes = (edges.select(F.col("u").alias("node")).distinct()
+             .localCheckpoint(eager=False))
+    k = BFS_ROUNDS
+    unreached = k + 1
+
+    def sweep(seed_df):
+        """seed_df: one-row frame with column s."""
+        d = (nodes.crossJoin(F.broadcast(seed_df))
+             .select("node",
+                     F.when(F.col("node") == F.col("s"), 0)
+                     .otherwise(unreached).alias("dist")))
+        for _ in range(k):
+            nbr = (edges.join(d.withColumnRenamed("node", "u")
+                              .withColumnRenamed("dist", "du"), "u")
+                   .groupBy(F.col("v").alias("node"))
+                   .agg((F.min("du") + 1).alias("via")))
+            d = (d.join(nbr, "node", "left")
+                 .select("node",
+                         F.least("dist",
+                                 F.coalesce("via", F.lit(unreached)))
+                         .alias("dist"))
+                 .localCheckpoint(eager=False))
+        return d
+
+    aseed = nodes.agg(F.min("node").alias("s"))
+    da = sweep(aseed)
+    bseed = (da.filter(F.col("dist") <= k)
+             .orderBy(F.desc("dist"), "node").limit(1)
+             .select(F.col("node").alias("s")))
+    db = sweep(bseed)
+
+    def summarize(d, ecc_name, reach_name):
+        return (d.filter(F.col("dist") <= k)
+                .agg(F.max("dist").cast("bigint").alias(ecc_name),
+                     F.count("*").cast("bigint").alias(reach_name)))
+
+    return (aseed.withColumnRenamed("s", "seed_a")
+            .crossJoin(F.broadcast(bseed.withColumnRenamed(
+                "s", "far_node_b")))
+            .crossJoin(F.broadcast(summarize(
+                da, "ecc_a_bounded", "n_reached_a")))
+            .crossJoin(F.broadcast(summarize(
+                db, "diameter_lower_bound", "n_reached_b")))
+            .select("seed_a", "far_node_b", "ecc_a_bounded",
+                    "diameter_lower_bound", "n_reached_a",
+                    "n_reached_b"))
