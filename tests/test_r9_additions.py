@@ -332,3 +332,14 @@ def test_stream_holt_equals_batch_fold(spark, sf_dir):
     b = stats_holt_linear_smoothing(spark, str(sf_dir)).collect()[0]
     s = stream_holt_maintenance(spark, str(sf_dir)).collect()[0]
     assert b.asDict() == s.asDict()
+
+
+def test_double_sweep_second_ecc_dominates(spark, sf_dir):
+    """ecc_K(B) >= ecc_K(A): B is at distance ecc_K(A) from A, so the
+    second sweep's bound can only improve — the double-sweep premise."""
+    from gmall_211027_flink_spark.operators.graph import (
+        BFS_ROUNDS, graph_diameter_double_sweep)
+    row = graph_diameter_double_sweep(spark, str(sf_dir)).collect()[0]
+    assert row["diameter_lower_bound"] >= row["ecc_a_bounded"]
+    assert row["diameter_lower_bound"] <= BFS_ROUNDS
+    assert row["n_reached_b"] >= 1
