@@ -607,3 +607,276 @@ def multimodal_jpeg_quant_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (decode_parallel(docs).mapInPandas(_mse_batch, schema)
             .withColumn("mse", F.round(F.col("sse").cast("double")
                                        / F.col("n_px"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG ENCODER + transcode pipeline (r9 late) — the full lossy
+# path a media pipeline runs, not just the decoder: real PNG bytes ->
+# real pixel decode -> level shift -> integer FDCT (the same 1e6 LUT,
+# transposed) -> quantization -> REAL entropy encoding (extended
+# canonical tables: DC categories 0..11 as 4-bit codes, AC = EOB + ZRL
+# + (run 0..15, size 1..11) as 8-bit codes — Kraft 180/256) -> real
+# JPEG bytes -> the round-9 decoder -> rate/distortion vs the source.
+#
+# T.81 subtlety found by the round-trip test and encoded here: when
+# zigzag position 63 is nonzero there are no trailing zeros and EOB
+# MUST NOT be written (the decoder's k-loop exits at 64 without
+# reading one); always-writing EOB desynchronizes the bitstream 8 bits
+# into the next block's DC code.
+#
+# Exactness: FDCT S = L^T P L is an exact integer bilinear form;
+# quantization is one documented half-up floor-div; reconstruction is
+# the decoder's own integer IDCT — so the DuckDB oracle can re-derive
+# the reconstructed image (and SSE/PSNR) with the same two matrix
+# passes in SQL, and the Spark side can only match by running the
+# whole encode+decode stack on real bytes. PSNR's log10 runs on
+# identical integers.
+# ---------------------------------------------------------------------------
+
+TRANSCODE_OFF = 4096      # positive offset so floor-div == trunc-div
+
+DC_BITS_EXT = [0, 0, 0, 12] + [0] * 12
+DC_VALS_EXT = list(range(12))
+AC_VALS_EXT = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 12)]
+AC_BITS_EXT = [0] * 7 + [len(AC_VALS_EXT)] + [0] * 8
+
+
+def _quant_matrix():
+    import numpy as np
+    qm = np.zeros((8, 8), dtype=np.int64)
+    for z, (r, c) in enumerate(ZIGZAG):
+        qm[r, c] = jpeg_qtable(z)
+    return qm
+
+
+def fdct_quantize(gray):
+    """(ht//8, w//8, 8, 8) quantized-coefficient tensor from a pixel
+    array whose dims are multiples of 8 (integer FDCT + half-up
+    quantization — mirrored in the transcode oracle)."""
+    import numpy as np
+    L = np.array(LUT, dtype=np.int64)
+    qm = _quant_matrix()
+    dq = DEN * qm
+    ht, w = gray.shape
+    out = np.zeros((ht // 8, w // 8, 8, 8), dtype=np.int64)
+    for by in range(ht // 8):
+        for bx in range(w // 8):
+            p = gray[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(
+                np.int64) - 128
+            s = L.T @ p @ L
+            out[by, bx] = ((s + dq // 2 + TRANSCODE_OFF * dq) // dq
+                           - TRANSCODE_OFF)
+    return out
+
+
+def encode_jpeg_gray(gray) -> bytes:
+    """REAL JPEG encoder: FDCT + quantize + entropy-code an arbitrary
+    8-multiple grayscale array with the extended tables."""
+    import numpy as np
+    ht, w = gray.shape
+    coefs = fdct_quantize(np.asarray(gray))
+    dc_codes = _canonical_encode_table(DC_BITS_EXT, DC_VALS_EXT)
+    ac_codes = _canonical_encode_table(AC_BITS_EXT, AC_VALS_EXT)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(ht // 8):
+        for bx in range(w // 8):
+            zz = [int(coefs[by, bx][r, c]) for (r, c) in ZIGZAG]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = _cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _cat(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:      # T.81: EOB only when zeros trail
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qm = _quant_matrix()
+    qz = bytes(int(qm[r, c]) for (r, c) in ZIGZAG)
+    return (b"\xFF\xD8" + seg(0xDB, b"\x00" + qz)
+            + seg(0xC0, struct.pack(">BHHB", 8, ht, w, 1)
+                  + bytes([1, 0x11, 0]))
+            + seg(0xC4, b"\x00" + bytes(DC_BITS_EXT) + bytes(DC_VALS_EXT))
+            + seg(0xC4, b"\x10" + bytes(AC_BITS_EXT) + bytes(AC_VALS_EXT))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + scan + b"\xFF\xD9")
+
+
+# nested 8x8 LUT / quant-matrix literals for the SQL oracle (1-based)
+_LL_SQL = ("[" + ", ".join(
+    "[" + ", ".join(str(LUT[x][u]) for u in range(8)) + "]"
+    for x in range(8)) + "]")
+
+
+def _qm_sql() -> str:
+    import numpy as np  # noqa: F401
+    qm = _quant_matrix()
+    return ("[" + ", ".join(
+        "[" + ", ".join(str(int(qm[r][c])) for c in range(8)) + "]"
+        for r in range(8)) + "]")
+
+
+@query(
+    "multimodal_jpeg_transcode",
+    # The oracle re-runs the SAME two integer matrix passes in SQL:
+    # FDCT of the analytic gradient (64-term bilinear sum per
+    # coefficient through the shared LUT literal), half-up
+    # quantization, then the decoder's IDCT back, then SSE/PSNR vs the
+    # source. Spark matches only if PNG decode -> FDCT -> quantize ->
+    # entropy encode -> byte decode -> IDCT all really ran.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 1
+    ),
+    geo AS (
+      SELECT doc_id,
+             8 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 3) AS w,
+             8 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 3) AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS MATERIALIZED (
+      SELECT doc_id, w, ht, i,
+             (i % w) // 8 AS bx, (i // w) // 8 AS by,
+             (i % w) % 8 AS x, (i // w) % 8 AS y,
+             (a * (i % w) + b * (i // w) + c) % 256 AS p
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    fdct AS (
+      SELECT doc_id, bx, by, uv.u, uv.v,
+             CAST(SUM((p - 128) * ({_LL_SQL}[y + 1][uv.u + 1])
+                      * ({_LL_SQL}[x + 1][uv.v + 1])) AS BIGINT) AS s
+      FROM px,
+           (SELECT a.u, b.v
+            FROM UNNEST(generate_series(0, 7)) AS a(u),
+                 UNNEST(generate_series(0, 7)) AS b(v)) uv
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    quant AS MATERIALIZED (
+      SELECT doc_id, bx, by, u, v,
+             (s + ({DEN} * ({_qm_sql()}[u + 1][v + 1])) // 2
+                + {TRANSCODE_OFF} * {DEN} * ({_qm_sql()}[u + 1][v + 1]))
+               // ({DEN} * ({_qm_sql()}[u + 1][v + 1]))
+               - {TRANSCODE_OFF} AS cq
+      FROM fdct
+    ),
+    recon AS (
+      SELECT q.doc_id, q.bx, q.by, xy.x, xy.y,
+             CAST(SUM(q.cq * ({_qm_sql()}[q.u + 1][q.v + 1])
+                      * ({_LL_SQL}[xy.y + 1][q.u + 1])
+                      * ({_LL_SQL}[xy.x + 1][q.v + 1])) AS BIGINT) AS s2
+      FROM quant q,
+           (SELECT a.x, b.y
+            FROM UNNEST(generate_series(0, 7)) AS a(x),
+                 UNNEST(generate_series(0, 7)) AS b(y)) xy
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    joined AS (
+      SELECT p.doc_id, p.w, p.ht, p.p,
+             LEAST(255, GREATEST(0,
+               (r.s2 + {DEN // 2} + 1024 * {DEN}) // {DEN} - 1024 + 128))
+               AS p2
+      FROM px p JOIN recon r
+        ON r.doc_id = p.doc_id AND r.bx = p.bx AND r.by = p.by
+       AND r.x = p.x AND r.y = p.y
+    ),
+    nz AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN cq <> 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nz_coef
+      FROM quant GROUP BY 1
+    )
+    SELECT j.doc_id, CAST(j.w * j.ht AS BIGINT) AS n_px,
+           CAST(SUM((j.p - j.p2) * (j.p - j.p2)) AS BIGINT) AS sse,
+           round(CASE WHEN SUM((j.p - j.p2) * (j.p - j.p2)) > 0
+                 THEN 10 * log10(255.0 * 255.0 * j.w * j.ht
+                                 / SUM((j.p - j.p2) * (j.p - j.p2)))
+                 END, 6) AS psnr_db,
+           any_value(nz.nz_coef) AS nz_coef
+    FROM joined j JOIN nz USING (doc_id)
+    GROUP BY j.doc_id, j.w, j.ht ORDER BY j.doc_id
+    """,
+)
+def multimodal_jpeg_transcode(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """REAL PNG -> REAL JPEG -> decode -> rate/distortion (see block
+    comment). Map-only after decode_parallel; only summary rows leave."""
+    import numpy as np
+
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_parallel, decode_png_gray, encode_png_gray)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sse", T.LongType()),
+        T.StructField("nz_coef", T.LongType()),
+    ])
+
+    def _transcode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                # small 8-multiple canvas (oracle joins 64 uv terms per
+                # pixel — the JPEG-query geometry, not the 271px PNGs)
+                w = 8 * (1 + int(h[0:2], 16) % 3)
+                ht = 8 * (1 + int(h[2:4], 16) % 3)
+                a = 1 + int(h[12:14], 16) % 7
+                b = 1 + int(h[14:16], 16) % 5
+                c = int(h[16:18], 16)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(ht, dtype=np.int64)[:, None]
+                gray = (a * x + b * y + c) % 256
+                # the REAL container path: PNG-encode, PNG-decode,
+                # JPEG-encode, JPEG-decode
+                _, _, gray2 = decode_png_gray(encode_png_gray(gray, c))
+                payload = encode_jpeg_gray(np.asarray(gray2))
+                dw, dh, recon = decode_jpeg_gray(payload)
+                d = np.asarray(gray2) - recon
+                sse = int((d * d).sum())
+                nz = int((fdct_quantize(np.asarray(gray2)) != 0).sum())
+                out.append(dict(doc_id=doc_id, n_px=w * ht, sse=sse,
+                                nz_coef=nz))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in schema.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 1)
+            .select("doc_id", "text"))
+    # the 6-dp PSNR round is JVM-side (Python round() is banker's)
+    return (decode_parallel(docs).mapInPandas(_transcode_batch, schema)
+            .withColumn("psnr_db",
+                        F.round(F.when(F.col("sse") > 0,
+                                       10 * F.log10(
+                                           F.lit(255.0 * 255.0)
+                                           * F.col("n_px")
+                                           / F.col("sse"))), 6))
+            .select("doc_id", "n_px", "sse", "psnr_db", "nz_coef"))

@@ -144,3 +144,68 @@ def test_dc_prediction_chains_across_blocks():
                     assert np.array_equal(blk, rblk)
             return
     raise AssertionError("no multi-block doc found in range")
+
+
+# -------------------------------------------------- transcode (r9 late) --
+
+def test_encoder_roundtrip_equals_analytic_recon():
+    """encode_jpeg_gray -> decode_jpeg_gray must equal the integer
+    FDCT+quant+IDCT reconstruction computed directly."""
+    from gmall_211027_flink_spark.operators.jpeg import (
+        DEN, _quant_matrix, decode_jpeg_gray, encode_jpeg_gray,
+        fdct_quantize)
+    for doc_id in range(6):
+        h, w, ht, a, b, c = _params(doc_id)
+        w8, ht8 = 8 * max(1, w // 8 // 1), 8 * max(1, ht // 8 // 1)
+        x = np.arange(24)[None, :]
+        y = np.arange(16)[:, None]
+        gray = (a * x + b * y + c) % 256
+        payload = encode_jpeg_gray(gray)
+        dw, dh, img = decode_jpeg_gray(payload)
+        assert (dw, dh) == (24, 16)
+        L = np.array(
+            __import__("gmall_211027_flink_spark.operators.jpeg",
+                       fromlist=["LUT"]).LUT, dtype=np.int64)
+        qm = _quant_matrix()
+        C = fdct_quantize(gray)
+        recon = np.zeros_like(gray)
+        for by in range(2):
+            for bx in range(3):
+                S2 = L @ (C[by, bx] * qm) @ L.T
+                p2 = (S2 + DEN // 2 + 1024 * DEN) // DEN - 1024 + 128
+                recon[by*8:by*8+8, bx*8:bx*8+8] = np.clip(p2, 0, 255)
+        assert np.array_equal(img, recon)
+
+
+def test_transcode_loss_is_small_but_nonzero():
+    """Quantization must lose a little (lossy codec) but keep PSNR in
+    a sane band for smooth gradients."""
+    import math
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray)
+    x = np.arange(24)[None, :]
+    y = np.arange(24)[:, None]
+    gray = (3 * x + 2 * y + 7) % 256
+    _, _, img = decode_jpeg_gray(encode_jpeg_gray(gray))
+    sse = int(((gray - img) ** 2).sum())
+    assert sse > 0
+    psnr = 10 * math.log10(255.0 ** 2 * gray.size / sse)
+    assert psnr > 20.0
+
+
+def test_eob_suppressed_when_z63_nonzero():
+    """A checkerboard drives energy into the (7,7) coefficient; the
+    encoder must omit EOB for such blocks (T.81) and the stream must
+    still round-trip block-aligned."""
+    from gmall_211027_flink_spark.operators.jpeg import (
+        ZIGZAG, decode_jpeg_gray, encode_jpeg_gray, fdct_quantize)
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    gray = 128 + ((x + y) % 2) * 80 - 40
+    C = fdct_quantize(gray)
+    r63, c63 = ZIGZAG[63]
+    assert any(C[by, bx][r63, c63] != 0
+               for by in range(2) for bx in range(2))
+    dw, dh, img = decode_jpeg_gray(encode_jpeg_gray(gray))
+    assert (dw, dh) == (16, 16)
+    assert img.shape == (16, 16)
