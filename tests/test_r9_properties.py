@@ -129,3 +129,41 @@ def test_hll_merge_is_commutative_and_idempotent(a_keys, b_keys):
     assert merge(ra, rb) == merge(rb, ra)
     assert merge(ra, ra) == ra
     assert merge(ra, rb) == regs(list(a_keys) + list(b_keys))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3),
+       st.lists(st.integers(0, 255), min_size=64, max_size=64),
+       st.integers(0, 2 ** 31 - 1))
+def test_jpeg_encoder_fuzz_roundtrip(bw_, bh_, seed_row, salt):
+    """Random images (tiled from a random 8x8 seed with a salt-driven
+    shuffle) must round-trip encode -> decode == the direct integer
+    FDCT/quant/IDCT reconstruction — fuzzing every entropy-coder path
+    (runs, ZRL, EOB suppression, DC categories, byte stuffing)."""
+    import numpy as np
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        DEN, LUT, _quant_matrix, decode_jpeg_gray, encode_jpeg_gray,
+        fdct_quantize)
+
+    base = np.array(seed_row, dtype=np.int64).reshape(8, 8)
+    w, ht = bw_ * 8, bh_ * 8
+    gray = np.zeros((ht, w), dtype=np.int64)
+    for by in range(bh_):
+        for bx in range(bw_):
+            # roll deterministically per block so blocks differ
+            gray[by*8:by*8+8, bx*8:bx*8+8] = np.roll(
+                base, (salt + by * 3 + bx) % 64)
+    payload = encode_jpeg_gray(gray)
+    dw, dh, img = decode_jpeg_gray(payload)
+    assert (dw, dh) == (w, ht)
+    L = np.array(LUT, dtype=np.int64)
+    qm = _quant_matrix()
+    C = fdct_quantize(gray)
+    for by in range(bh_):
+        for bx in range(bw_):
+            S2 = L @ (C[by, bx] * qm) @ L.T
+            p2 = np.clip((S2 + DEN // 2 + 1024 * DEN) // DEN - 1024 + 128,
+                         0, 255)
+            assert np.array_equal(
+                img[by*8:by*8+8, bx*8:bx*8+8], p2)
