@@ -52,16 +52,14 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dws_province_order_window", "rank_topk_events_per_user",
     "dedup_minhash_lsh",
     "ads_conditional_agg",
-    "dws_tumble_global", "ads_rollup_priority",
-    "events_json_props", "stats_quantity_distribution",
+    "stats_quantity_distribution",
     "dws_hierarchical_rollup", "dws_gapfill_locf", "stats_value_histogram",
     "dws_ohlc_hourly", "stats_zscore_outliers",
-    "dim_lookup_join",
     "ads_full_outer_stats",
     "semi_join_active_customers",
     "anti_join_dormant_customers",
     "set_ops_churned_customers",
-    "q5_local_supplier_volume", "range_join_price_band", "q18_large_orders",
+    "range_join_price_band", "q18_large_orders",
     "dedup_first_per_user_day", "dedup_last_per_user", "dws_daily_uv",
     "dws_backflow_users",
     "window_running_gmv",
@@ -92,8 +90,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ads_cohort_retention", "ads_funnel_view_click_purchase",
     "ads_copurchase_pairs", "ads_supplier_scorecard",
     "ads_nation_market_share", "cdc_envelope_roundtrip",
-    "dws_backflow_streaming",
-    "dws_cumulate_streaming", "dws_ohlc_streaming",
+    "dws_cumulate_streaming",
     # round 3 (CORRECTNESS_r03.json, 47 green rows; the 5 r2-era
     # TIMESTAMP_NTZ reverifies were re-proven and fold in here)
     "stats_time_weighted_avg", "interval_join_click_error",
@@ -230,31 +227,59 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "graph_ppr_seeded", "source_dpp_pruned_join",
     "cdc_schema_evolution_replay", "lake_merge_upsert",
     "lake_compaction_plan",
+    # round 9 (CORRECTNESS_r09.json, 49/50 green).  The 46 green window
+    # names fold in here, INCLUDING the 7 round-9 canary names
+    # (5 batch r1-vintage + 2 streaming r2/r3-vintage) which re-passed.
+    # stats_cramers_v was the ONE red row (hash_match=false on a raw
+    # unordered double chi2 SUM) — it was reworked to the exact-integer
+    # discipline in round 10 and stays OUT of this list until a green
+    # driver row lands.
+    "ads_gmv_by_day", "dws_tumble_by_type", "dwd_order_graph_join",
+    "dwd_left_join_returns", "q3_shipping_priority",
+    "dws_daily_uv_detail_streaming", "dws_tumble_streaming",
+    "stats_durbin_watson", "stats_ljung_box", "stats_grubbs_outlier",
+    "stats_holt_linear_smoothing", "quality_date_order_audit",
+    "quality_freshness_lag_audit", "ml_naive_bayes_binary",
+    "stats_pacf_durbin_levinson", "ml_calibration_bins",
+    "stats_levene_test", "dws_running_balance_per_part",
+    "ads_demand_max_drawdown", "stats_seasonal_decompose_dow",
+    "ml_ab_test_srm_audit", "stats_robust_means",
+    "quality_uniqueness_profile", "ads_new_vs_returning_revenue",
+    "embedding_clip_audit", "text_hapax_ratio", "multimodal_decode_meta",
+    "multimodal_wav_rms_windows", "multimodal_pixel_histogram",
+    "sample_neyman_allocation", "ads_price_elasticity_ols",
+    "curation_source_kl_divergence", "curation_mixture_entropy",
+    "ads_shapley_attribution", "ads_did_promo_lift",
+    "sketch_hll_registers", "sketch_bloom_fpr_measured",
+    "stream_hll_maintenance", "stream_holt_maintenance",
+    "graph_two_hop_neighborhood", "graph_diameter_double_sweep",
+    "ml_silhouette_simplified", "lake_partition_skew_audit",
+    "multimodal_jpeg_pixels", "multimodal_jpeg_quant_mse",
+    "multimodal_jpeg_transcode",
 )
 
 # Queries that MUST be sampled first by this round's gate: the
 # STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
 # round ~5 of the OLDEST driver-proven names move here so their proofs
 # get refreshed by the driver instead of relying on judge spot-checks.
-# Round 9 rotates the next-oldest five r1-vintage batch names (TPC-H
-# agg with filters, tumbling window agg, 3-way order graph join, left
-# outer join, Q3 top-k) PLUS — per VERDICT r8 item 4 — two STREAMING
-# names (r2/r3 proofs, 6-7 rounds old, exercising the state-store /
-# watermark-commit engine path that the batch canary never touches).
-# Fold back into _DRIVER_PROVEN once CORRECTNESS_r09 lands, and rotate
-# the next-oldest batch in round 10.  NOTE the window-count rule: the
+# Round 10 rotates the next-oldest five r1-vintage batch names (global
+# tumble, ROLLUP, JSON-props extraction, broadcast lookup join, TPC-H
+# Q5) PLUS two more r2-vintage STREAMING names (back-flow user state
+# and OHLC incremental agg — the state-store engine path).
+# Fold back into _DRIVER_PROVEN once CORRECTNESS_r10 lands, and rotate
+# the next-oldest batch in round 11.  NOTE the window-count rule: the
 # gate window = count of names NOT in _DRIVER_PROVEN, which already
 # INCLUDES these — budget new queries to keep that single number <= 50.
 _REVERIFY: tuple[str, ...] = (
     # r1-vintage staleness-canary rotation (batch):
-    "ads_gmv_by_day",
-    "dws_tumble_by_type",
-    "dwd_order_graph_join",
-    "dwd_left_join_returns",
-    "q3_shipping_priority",
-    # streaming-path canary (r2/r3-vintage proofs):
-    "dws_daily_uv_detail_streaming",
-    "dws_tumble_streaming",
+    "dws_tumble_global",
+    "ads_rollup_priority",
+    "events_json_props",
+    "dim_lookup_join",
+    "q5_local_supplier_volume",
+    # streaming-path canary (r2-vintage proofs):
+    "dws_backflow_streaming",
+    "dws_ohlc_streaming",
 )
 
 
