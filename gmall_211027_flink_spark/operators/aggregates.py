@@ -4458,9 +4458,22 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shapes. Order priority x line return flag: "does urgency change the
 # return outcome" as a single dimensionless number.
 #
-# EXACTNESS: cell/margin counts are exact integers (one shuffle to the
-# 35-cell grid); chi2 and V are the identical double formula over
-# identical integers in both engines, 6-dp rounded.
+# EXACTNESS (reworked round 10 after the r9 driver-red hash row): the
+# original implementation summed 15 per-cell chi2 terms as raw doubles —
+# an UNORDERED float SUM whose result depends on partition merge order
+# (ulp-level drift measured across summation orders).  Each chi2 term is
+# exactly rational: with expected count E = r*cl/n,
+#   (o - E)^2 / E  =  (o*n - r*cl)^2 / (r*cl*n),
+# so the rework computes the integer numerator (o*n - r*cl)^2 and
+# denominator r*cl*n exactly (DECIMAL(38,0) / HUGEINT), half-up-rounds
+# each term to 9 dp AS AN INTEGER term_1e9 = round_half_up(num*1e9/den),
+# sums those integers exactly (order-free), then derives chi2 at 6 dp
+# and V by a floor(x*1e6+0.5) quantization of the deterministic double
+# sqrt — the repo's round-terms-first-then-exact-sum convention (KM
+# survival / Greenwood / Durbin-Watson discipline).  Both engines now
+# compute identical integers at every compare boundary.
+# Headroom: num = diff^2 <= n^4 needs n <= ~3.1e9 for DECIMAL(38,0);
+# guarded with a named raise_error at n > 2e9 (Greenwood pattern).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -4481,18 +4494,38 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(c.o) OVER () AS n
       FROM cells c
     ),
+    terms AS (
+      SELECT pri, mode, o, r, cl, n,
+             CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * cl AS diff,
+             CAST(r AS HUGEINT) * cl * n AS den
+      FROM margins
+    ),
+    qt AS (
+      SELECT pri, mode, n, den, diff * diff AS num,
+             (diff * diff) // den AS q
+      FROM terms
+    ),
+    t9 AS (
+      SELECT pri, mode, n,
+             q * 1000000000
+               + ((num - q * den) * 2000000000 + den) // (den * 2)
+               AS term_1e9
+      FROM qt
+    ),
     chi AS (
       SELECT any_value(n) AS n,
              CAST(COUNT(DISTINCT pri) AS BIGINT) AS nr,
              CAST(COUNT(DISTINCT mode) AS BIGINT) AS nc,
-             SUM(POWER(CAST(o AS DOUBLE)
-                       - CAST(r AS DOUBLE) * cl / n, 2)
-                 / (CAST(r AS DOUBLE) * cl / n)) AS chi2
-      FROM margins
+             (SUM(term_1e9) + 500) // 1000 AS chi2_x1e6
+      FROM t9
     )
     SELECT n AS n_pairs, nr AS n_rows, nc AS n_cols,
-           round(chi2, 6) AS chi2,
-           round(sqrt(chi2 / (n * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+           CAST(chi2_x1e6 AS DOUBLE) / 1000000.0 AS chi2,
+           CAST(CAST(floor(
+               sqrt((CAST(chi2_x1e6 AS DOUBLE) / 1000000.0)
+                    / (CAST(n AS DOUBLE) * LEAST(nr - 1, nc - 1)))
+               * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS cramers_v
     FROM chi
     """,
 )
@@ -4511,20 +4544,38 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy("pri")).alias("r"),
         F.sum("o").over(Window.partitionBy("mode")).alias("cl"),
         F.sum("o").over(Window.partitionBy()).alias("n"))
-    e = F.col("r").cast("double") * F.col("cl") / F.col("n")
-    chi = margins.agg(
+    d38 = "decimal(38,0)"
+    terms = margins.select(
+        "pri", "mode", "n",
+        F.when(F.col("n") > F.lit(2_000_000_000),
+               F.expr("raise_error('stats_cramers_v: n > 2e9 pairs "
+                      "exceeds the diff^2 DECIMAL(38,0) headroom; "
+                      "rescale the term quantization before rerunning')"
+                      ).cast(d38))
+        .otherwise(F.col("o").cast(d38) * F.col("n")
+                   - F.col("r").cast(d38) * F.col("cl")).alias("diff"),
+        (F.col("r").cast(d38) * F.col("cl") * F.col("n")).alias("den"))
+    t9 = (terms
+          .withColumn("num", F.col("diff") * F.col("diff"))
+          .withColumn("q", F.expr("num div den"))
+          .withColumn("term_1e9", F.expr(
+              "q * 1000000000 "
+              "+ ((num - q * den) * 2000000000 + den) div (den * 2)")))
+    chi = t9.agg(
         F.first("n").alias("n"),
         F.countDistinct("pri").cast("bigint").alias("nr"),
         F.countDistinct("mode").cast("bigint").alias("nc"),
-        F.sum(F.pow(F.col("o").cast("double") - e, 2) / e).alias("chi2"))
+        F.expr("(CAST(SUM(CAST(term_1e9 AS DECIMAL(38,0))) AS BIGINT)"
+               " + 500) div 1000").alias("chi2_x1e6"))
+    chi2 = F.col("chi2_x1e6").cast("double") / F.lit(1000000.0)
+    v_raw = F.sqrt(chi2 / (F.col("n").cast("double")
+                           * F.least(F.col("nr") - 1, F.col("nc") - 1)))
     return chi.select(
         F.col("n").alias("n_pairs"), F.col("nr").alias("n_rows"),
         F.col("nc").alias("n_cols"),
-        F.round("chi2", 6).alias("chi2"),
-        F.round(F.sqrt(F.col("chi2")
-                       / (F.col("n") * F.least(F.col("nr") - 1,
-                                               F.col("nc") - 1))), 6)
-        .alias("cramers_v"))
+        chi2.alias("chi2"),
+        (F.floor(v_raw * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+         .cast("double") / F.lit(1000000.0)).alias("cramers_v"))
 
 
 # ---------------------------------------------------------------------------
