@@ -4963,7 +4963,16 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                            f" ELSE n{cls} - a{cls}_{i} + 1 END)")
         factors.append(f"CAST(n{other} + 2 AS DECIMAL(38,0))")
         factors.extend([f"(n{other} + 2)"] * 4)
-        return " * ".join(factors)
+        # ADVICE r9: the 11-factor DECIMAL(38,0) chain silently yields
+        # NULL (allowPrecisionLoss) past 38 digits, degrading
+        # predictions instead of failing. Worst case the product is
+        # <= (N+2)^11, so N+2 <= 10^(38/11) ~ 2846 is the hard
+        # headroom; raise a NAMED error past it (Greenwood pattern).
+        return (f"CASE WHEN greatest(n1, n0) > 2844 THEN raise_error("
+                f"'ml_naive_bayes_binary: class count > 2844 exceeds "
+                f"the 11-factor DECIMAL(38,0) posterior headroom; "
+                f"rescale (e.g. strided subsample per class) before "
+                f"rerunning') ELSE {' * '.join(factors)} END")
 
     return (feat.filter(F.col("doc_id") % 2 == 1)
             .crossJoin(F.broadcast(stats))

@@ -47,11 +47,21 @@ def decode_parallel(df: DataFrame) -> DataFrame:
     Guard (ADVICE r8): skip the repartition when the input already has
     >= defaultParallelism partitions — at real scale a many-split
     corpus would otherwise pay a full payload shuffle for no extra
-    parallelism."""
+    parallelism.
+
+    Refinement (ADVICE r9): partition COUNT is not partition BALANCE —
+    a selective filter upstream can leave many splits with nearly all
+    surviving rows in a few, hot-spotting the expensive decode.  So the
+    skip additionally requires that NO Filter node precedes the decode
+    (a plain scan's splits are size-balanced by maxPartitionBytes); any
+    filtered input keeps the repartition.  This is a driver-side
+    logical-plan inspection — no extra job."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
-        return df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "Filter" not in plan:
+            return df
     return df.repartition(target)
 
 FRAME_STRIDE = 2      # sample every other frame

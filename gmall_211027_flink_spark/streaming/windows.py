@@ -2037,7 +2037,11 @@ def stream_kmv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = spark.read.parquet(f"{d}/state_{i}")
             n = state.groupBy("source").count().agg(
                 F.max("count")).first()[0]
-            assert n <= KMV_K, f"state exceeded k: {n}"
+            if n > KMV_K:    # named, -O-proof invariant (ADVICE r9)
+                raise RuntimeError(
+                    f"stream_kmv_maintenance: per-source state grew to "
+                    f"{n} rows > k={KMV_K}; the bounded-state fold must "
+                    f"re-trim to the k smallest hashes every batch")
         kth = (state.groupBy("source")
                .agg(F.max("h").alias("h_k"),
                     F.count("*").cast("bigint").alias("n_kept")))
@@ -2180,7 +2184,11 @@ def stream_ols_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in OLS_MOMENTS])
             state.write.mode("overwrite").parquet(f"{d}/state_{i}")
             state = spark.read.parquet(f"{d}/state_{i}")
-            assert state.count() == 1, "moment store must stay one row"
+            n_rows = state.count()
+            if n_rows != 1:    # named, -O-proof invariant (ADVICE r9)
+                raise RuntimeError(
+                    f"stream_pca_scatter_maintenance: moment store has "
+                    f"{n_rows} rows, must stay exactly one")
         out = ols_solve(state)
         # gate-harness materialization (temp store removed in finally)
         rows = out.collect()
@@ -2249,7 +2257,14 @@ def stream_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.write.mode("overwrite").parquet(f"{d}/state_{i}")
             state = spark.read.parquet(f"{d}/state_{i}")
             n = state.count()
-            assert n <= HLL_M, f"state exceeded m: {n}"
+            # constant-state invariant on the production query path —
+            # a named error, NOT assert, so `python -O` can't strip it
+            # (ADVICE r9)
+            if n > HLL_M:
+                raise RuntimeError(
+                    f"stream_hll_maintenance: register state grew to "
+                    f"{n} rows > m={HLL_M}; the max-merge fold must "
+                    f"keep the state at one row per bucket")
         grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
         regs = (grid.join(state, "bucket", "left")
                 .select("bucket", F.coalesce("reg", F.lit(0))
@@ -2319,6 +2334,10 @@ def stream_holt_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint") / 7).cast("bigint").alias("wk"))
         .agg(F.count("*").cast("bigint").alias("y")))
     lo, hi = wkly.agg(F.min("wk"), F.max("wk")).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_holt_maintenance: orders table has no rows — the "
+            "ordered time-range slicing needs a non-empty weekly series")
     cut1 = lo + (hi - lo) // 3
     cut2 = lo + 2 * (hi - lo) // 3
     step = _HOLT_STEP.format(D="div")
@@ -2349,7 +2368,12 @@ def stream_holt_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # commit the single-row state (the store IS the model)
             folded.write.mode("overwrite").parquet(f"{d}/state_{i}")
             state = spark.read.parquet(f"{d}/state_{i}")
-            assert state.count() == 1
+            n_rows = state.count()
+            if n_rows != 1:    # named, -O-proof invariant (ADVICE r9)
+                raise RuntimeError(
+                    f"stream_holt_maintenance: level/trend store has "
+                    f"{n_rows} rows, must stay exactly one packed "
+                    f"BIGINT row")
         out_state = state.select(
             "n_weeks",
             F.expr("acc div 2147483648").alias("l6"),

@@ -8,6 +8,8 @@ aggregations combine map-side before shuffling.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
@@ -787,7 +789,10 @@ def test_two_hop_wedge_join_has_hub_cap(spark, sf_dir):
     out.collect()
     plan = executed_plan(out)
     assert "CartesianProduct" not in plan, plan
-    assert f"(d#" in plan and f"<= {LP_HUB_CAP})" in plan, plan
+    # tie the degree column to the cap in ONE pattern — separate
+    # substring checks could pass vacuously on unrelated plan literals
+    # (ADVICE r9)
+    assert re.search(rf"\(d#\d+L? <= {LP_HUB_CAP}\)", plan), plan
 
 
 def test_jpeg_and_decode_meta_are_map_only_after_spread(spark, sf_dir):
