@@ -741,24 +741,73 @@ def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_price_qty_corr",
+    # EXACTNESS (hardened round 10, float-discipline sweep): built-in
+    # corr()/covar_samp() are UNORDERED float moment accumulations with
+    # engine-specific update formulas — the stats_cramers_v failure
+    # class. Reworked to the Durbin-Watson discipline: exact integer
+    # moments (qty as BIGINT, price as cents), Pearson r and covariance
+    # from the textbook identities over exact HUGEINT/DECIMAL(38,0)
+    # cross-moments, 6-dp floor(x*1e6+0.5) quantization at the boundary.
     oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sy,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS sxx,
+             SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS syy
+      FROM lineitem GROUP BY 1
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_cov,
-           COUNT(*) AS line_ct
-    FROM lineitem GROUP BY 1
+           CAST(CAST(floor(
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx
+                         AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS qty_price_corr,
+           CAST(CAST(floor(
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (100.0 * n * (n - 1))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS qty_price_cov,
+           n AS line_ct
+    FROM m
     """,
 )
 def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
-              .alias("qty_price_corr"),
-             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
-              .alias("qty_price_cov"),
-             F.count("*").alias("line_ct"))
-    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("y"))
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+    varx = (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double")
+    vary = (d38("n") * F.col("syy") - d38("sy") * F.col("sy")).cast("double")
+    q6 = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                    .cast("bigint").cast("double") / F.lit(1000000.0))
+    return m.select(
+        "l_returnflag",
+        q6(num / F.sqrt(varx * vary)).alias("qty_price_corr"),
+        q6(num / (F.lit(100.0) * F.col("n") * (F.col("n") - 1)))
+        .alias("qty_price_cov"),
+        F.col("n").alias("line_ct"))
 
 
 # ---------------------------------------------------------------------------
@@ -5244,17 +5293,25 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n) AS BIGINT) AS nn,
-             CAST(SUM(sz) AS BIGINT) AS stz
+             CAST(SUM(sz) AS BIGINT) AS stz,
+             -- ORDERED folds over the k group terms (round-10
+             -- float-discipline sweep): an unordered double SUM's
+             -- result depends on partial-agg merge order; folding the
+             -- seg-sorted term list fixes the order in both engines.
+             list_reduce(list_prepend(0.0,
+               list(CAST(sz AS DOUBLE) * sz / n ORDER BY seg)),
+               (acc, x) -> acc + x) AS sb,
+             list_reduce(list_prepend(0.0,
+               list(CAST(szz AS DOUBLE) ORDER BY seg)),
+               (acc, x) -> acc + x) AS sw
       FROM g
     )
     SELECT t.k AS n_groups, t.nn AS n_total,
            round(((t.nn - t.k) / (t.k - 1.0))
-                 * (SUM(CAST(g.sz AS DOUBLE) * g.sz / g.n)
-                    - CAST(t.stz AS DOUBLE) * t.stz / t.nn)
-                 / (SUM(CAST(g.szz AS DOUBLE))
-                    - SUM(CAST(g.sz AS DOUBLE) * g.sz / g.n)), 6)
+                 * (t.sb - CAST(t.stz AS DOUBLE) * t.stz / t.nn)
+                 / (t.sw - t.sb), 6)
              AS bf_stat
-    FROM g, tot t GROUP BY 1, 2, t.stz
+    FROM tot t
     """,
 )
 def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5285,21 +5342,26 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("z").cast("bigint").alias("sz"),
               F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
               .alias("szz")))
-    tot = g.agg(F.count("*").cast("bigint").alias("k"),
-                F.sum("n").cast("bigint").alias("nn"),
-                F.sum("sz").cast("bigint").alias("stz"))
-    between = (F.sum(F.col("sz").cast("double") * F.col("sz") / F.col("n"))
-               - F.first("stz").cast("double") * F.first("stz")
-               / F.first("nn"))
-    within = (F.sum(F.col("szz").cast("double"))
-              - F.sum(F.col("sz").cast("double") * F.col("sz")
-                      / F.col("n")))
-    return (g.crossJoin(F.broadcast(tot))
-            .groupBy(F.col("k").alias("n_groups"),
-                     F.col("nn").alias("n_total"))
-            .agg(F.round(((F.first("nn") - F.first("k"))
-                          / (F.first("k") - 1.0))
-                         * between / within, 6).alias("bf_stat")))
+    # ORDERED folds over the k group terms (round-10 float-discipline
+    # sweep): sum the seg-sorted term lists so the double accumulation
+    # order is fixed — identical in both engines, run to run.
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("sz").cast("bigint").alias("stz"),
+        F.expr("aggregate(array_sort(collect_list(struct(seg,"
+               " cast(sz as double) * sz / n as t))),"
+               " cast(0 as double), (acc, s) -> acc + s.t)").alias("sb"),
+        F.expr("aggregate(array_sort(collect_list(struct(seg,"
+               " cast(szz as double) as t))),"
+               " cast(0 as double), (acc, s) -> acc + s.t)").alias("sw"))
+    between = (F.col("sb") - F.col("stz").cast("double") * F.col("stz")
+               / F.col("nn"))
+    within = F.col("sw") - F.col("sb")
+    return tot.select(
+        F.col("k").alias("n_groups"), F.col("nn").alias("n_total"),
+        F.round(((F.col("nn") - F.col("k")) / (F.col("k") - 1.0))
+                * between / within, 6).alias("bf_stat"))
 
 
 # ---------------------------------------------------------------------------

@@ -23,14 +23,22 @@ beyond-reference surface for a training-data pipeline):
 - **`localCheckpoint` per iteration** truncates the growing lineage —
   the same bounded-round discipline as `operators/graph.py` (pointer
   jumping); without it the plan doubles per iteration.
-- **Determinism / oracle parity**: a FIXED iteration count (no
-  convergence test — cross-engine float drift could flip a <-epsilon
-  stop test), deterministic init (vec_id < K), distances rounded to
-  6 dp *before* the argmin with (d2, cluster) total-order tie-break,
-  centroids re-rounded to 6 dp each update so both engines re-sync
-  every iteration, inertia summed in DECIMAL(18,6) (associative,
-  partition-order-proof). The DuckDB oracle is the SAME loop unrolled
-  into a CTE chain by `_kmeans_ctes` — one generator, two engines.
+- **Determinism / oracle parity** (hardened round 10, float-discipline
+  sweep — the whole loop is now EXACT INTEGER arithmetic): a FIXED
+  iteration count (no convergence test), deterministic init
+  (vec_id < K); components are half-up-quantized once to
+  qx = floor(x*1e9 + 0.5) BIGINT; centroids are kept in RATIONAL form
+  (sq = SUM qx, n = count) so the squared distance ordering is the
+  exact HUGEINT/DECIMAL(38,0) numerator SUM_dims (qx*n - sq)^2 over
+  denominator n^2*1e18, argmin'd on the half-up 1e-9-quantized integer
+  d2q with a (d2q, cluster) total-order tie-break. No float enters
+  until the final readout (inertia = SUM(d2q)/1e9, silhouette ratios),
+  which is a deterministic double from identical integers. The old
+  design (round doubles to 6 dp each step to "re-sync" engines) was
+  the stats_cramers_v failure class: unordered double SUMs whose
+  partial-agg merge order could cross the rounding boundary.
+  The DuckDB oracle is the SAME loop unrolled into a CTE chain by
+  `_kmeans_ctes` — one generator, two engines.
 """
 
 from __future__ import annotations
@@ -61,87 +69,116 @@ def _kmeans_ctes(n_iter: int = N_ITER, k: int = K_CLUSTERS) -> str:
     ctes = [f"""
     ex AS (
       SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
-             CAST(e.embedding[g.i] AS DOUBLE) AS x
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                         * 1000000000 + 0.5) AS BIGINT) AS qx
       FROM embeddings e,
            UNNEST(generate_series(1, len(e.embedding))) AS g(i)
     ),
     c0 AS (
-      SELECT vec_id AS c, dim, x AS centroid FROM ex WHERE vec_id < {k}
+      SELECT vec_id AS c, dim, qx AS sq, CAST(1 AS BIGINT) AS n
+      FROM ex WHERE vec_id < {k}
     )"""]
     for it in range(1, n_iter + 1):
         prev = f"c{it - 1}"
         ctes.append(f"""
     d{it} AS (
-      SELECT ex.vec_id, p.c,
-             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
-      FROM ex JOIN {prev} p ON p.dim = ex.dim
-      GROUP BY 1, 2
+      SELECT vec_id, c, (2 * num + nn) // (2 * nn) AS d2q FROM (
+        SELECT ex.vec_id, p.c,
+               SUM(CAST(ex.qx * p.n - p.sq AS HUGEINT)
+                   * (ex.qx * p.n - p.sq)) AS num,
+               any_value(p.n) * any_value(p.n) * 1000000000 AS nn
+        FROM ex JOIN {prev} p ON p.dim = ex.dim
+        GROUP BY 1, 2)
     ),
     a{it} AS (
       SELECT vec_id, c FROM (
         SELECT vec_id, c,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2q, c) AS rk
         FROM d{it}
       ) WHERE rk = 1
     ),
     c{it} AS (
-      SELECT a.c, ex.dim, round(avg(ex.x), 6) AS centroid
+      SELECT a.c, ex.dim, CAST(SUM(ex.qx) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
       FROM ex JOIN a{it} a ON a.vec_id = ex.vec_id
       GROUP BY 1, 2
     )""")
     return ",".join(ctes)
 
 
-# Final assignment against the trained centroids (re-used by both
-# queries below): distances + argmin, keeping d2 for the inertia sum.
+# Final assignment against the trained centroids (re-used by the
+# queries below): exact-integer distances + argmin, keeping the
+# 1e-9-quantized d2q for the inertia sum.
 _FINAL_ASSIGN = f"""
     dfin AS (
-      SELECT ex.vec_id, p.c,
-             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
-      FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
-      GROUP BY 1, 2
+      SELECT vec_id, c, (2 * num + nn) // (2 * nn) AS d2q FROM (
+        SELECT ex.vec_id, p.c,
+               SUM(CAST(ex.qx * p.n - p.sq AS HUGEINT)
+                   * (ex.qx * p.n - p.sq)) AS num,
+               any_value(p.n) * any_value(p.n) * 1000000000 AS nn
+        FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
+        GROUP BY 1, 2)
     ),
     afin AS (
-      SELECT vec_id, c, d2 FROM (
-        SELECT vec_id, c, d2,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+      SELECT vec_id, c, d2q FROM (
+        SELECT vec_id, c, d2q,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2q, c) AS rk
         FROM dfin
       ) WHERE rk = 1
     )"""
 
 
+def _distances(ex: DataFrame, cent: DataFrame,
+               keys: list[str] | None = None) -> DataFrame:
+    """Exact-integer squared distances: (vec_id[, m], c, d2q) rows.
+
+    d2q = half-up(1e9 * SUM_dims (qx/1e9 - sq/(n*1e9))^2), computed as
+    the exact DECIMAL(38,0) numerator SUM (qx*n - sq)^2 over the
+    integer denominator n^2*1e9 — order-free, engine-exact.
+    """
+    join_keys = (keys or []) + ["dim"]
+    grp = ["vec_id"] + (keys or []) + ["c"]
+    diff = F.col("qx") * F.col("n") - F.col("sq")
+    d = (ex.join(F.broadcast(cent), join_keys)
+         .groupBy(*grp)
+         .agg(F.sum(diff.cast("decimal(38,0)") * diff).alias("num"),
+              F.first("n").alias("n")))
+    return d.withColumn("d2q", F.expr(
+        "(2 * num + n * n * 1000000000) div (2 * n * n * 1000000000)")
+    ).drop("num", "n")
+
+
 def _assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
-    """One Lloyd assignment step: (vec_id, c, d2) argmin rows."""
-    d = (ex.join(F.broadcast(cent), "dim")
-         .groupBy("vec_id", "c")
-         .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
-                            * (F.col("x") - F.col("centroid"))), 6)
-               .alias("d2")))
-    w = Window.partitionBy("vec_id").orderBy("d2", "c")
+    """One Lloyd assignment step: (vec_id, c, d2q) argmin rows."""
+    d = _distances(ex, cent)
+    w = Window.partitionBy("vec_id").orderBy("d2q", "c")
     return (d.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1).select("vec_id", "c", "d2"))
+            .filter(F.col("rk") == 1).select("vec_id", "c", "d2q"))
 
 
 def _long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
-         .alias("dim_i", "x"),
-    ).select("vec_id", F.col("dim_i").cast("bigint").alias("dim"), "x")
+        F.posexplode(F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * 1000000000 + 0.5) as bigint))")).alias("dim_i", "qx"),
+    ).select("vec_id", F.col("dim_i").cast("bigint").alias("dim"), "qx")
 
 
 def train_centroids(spark: SparkSession, sf_dir: str,
                     n_iter: int = N_ITER) -> DataFrame:
-    """Lloyd's loop -> trained centroid frame (c, dim, centroid)."""
+    """Lloyd's loop -> trained rational-centroid frame (c, dim, sq, n)."""
     ex = _long_form(spark, sf_dir)
     cent = (ex.filter(F.col("vec_id") < K_CLUSTERS)
             .select(F.col("vec_id").alias("c"), "dim",
-                    F.col("x").alias("centroid")))
+                    F.col("qx").alias("sq"),
+                    F.lit(1).cast("bigint").alias("n")))
     for _ in range(n_iter):
         assign = _assign(ex, cent)
         cent = (ex.join(assign.select("vec_id", "c"), "vec_id")
                 .groupBy("c", "dim")
-                .agg(F.round(F.avg("x"), 6).alias("centroid"))
+                .agg(F.sum("qx").cast("bigint").alias("sq"),
+                     F.count("*").cast("bigint").alias("n"))
                 # K x dim rows: truncate the per-iteration lineage growth
                 # (graph.py's bounded-round discipline)
                 .localCheckpoint())
@@ -154,7 +191,7 @@ def train_centroids(spark: SparkSession, sf_dir: str,
     WITH {_kmeans_ctes()},
     {_FINAL_ASSIGN}
     SELECT c AS cluster, COUNT(*) AS n_vecs,
-           CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+           CAST(SUM(d2q) AS DOUBLE) / 1000000000.0 AS inertia
     FROM afin GROUP BY 1
     """,
 )
@@ -162,15 +199,15 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (K=8, 2 Lloyd iterations, vec_id<K init) cluster summary.
 
     Output: one row per surviving cluster with its population and exact
-    decimal-summed inertia (sum of 6-dp-rounded squared distances).
+    integer-summed inertia (sum of 1e-9-quantized squared distances).
     """
     ex = _long_form(spark, sf_dir)
     cent = train_centroids(spark, sf_dir)
     final = _assign(ex, cent)
     return (final.groupBy(F.col("c").alias("cluster"))
             .agg(F.count("*").alias("n_vecs"),
-                 F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
-                  .alias("inertia")))
+                 (F.sum("d2q").cast("double") / F.lit(1000000000.0))
+                 .alias("inertia")))
 
 
 # ---------------------------------------------------------------------------
@@ -186,14 +223,17 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_kmeans_ctes()},
     dall AS (
-      SELECT ex.vec_id, p.c,
-             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
-      FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
-      GROUP BY 1, 2
+      SELECT vec_id, c, (2 * num + nn) // (2 * nn) AS d2q FROM (
+        SELECT ex.vec_id, p.c,
+               SUM(CAST(ex.qx * p.n - p.sq AS HUGEINT)
+                   * (ex.qx * p.n - p.sq)) AS num,
+               any_value(p.n) * any_value(p.n) * 1000000000 AS nn
+        FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
+        GROUP BY 1, 2)
     ),
     ranked_cells AS (
       SELECT vec_id, c,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS crk
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2q, c) AS crk
       FROM dall
     ),
     cells AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE crk = 1),
@@ -240,12 +280,8 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = _long_form(spark, sf_dir)
     cent = train_centroids(spark, sf_dir)
-    d = (ex.join(F.broadcast(cent), "dim")
-         .groupBy("vec_id", "c")
-         .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
-                            * (F.col("x") - F.col("centroid"))), 6)
-               .alias("d2")))
-    wcell = Window.partitionBy("vec_id").orderBy("d2", "c")
+    d = _distances(ex, cent)
+    wcell = Window.partitionBy("vec_id").orderBy("d2q", "c")
     ranked_cells = d.select("vec_id", "c",
                             F.row_number().over(wcell).alias("crk"))
     cells = (ranked_cells.filter(F.col("crk") == 1)
@@ -330,32 +366,38 @@ def _pq_ctes(n_iter: int = PQ_ITER, k: int = PQ_K) -> str:
     ex AS (
       SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
              CAST((g.i - 1) // {PQ_SUBDIM} AS BIGINT) AS m,
-             CAST(e.embedding[g.i] AS DOUBLE) AS x
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                         * 1000000000 + 0.5) AS BIGINT) AS qx
       FROM embeddings e,
            UNNEST(generate_series(1, len(e.embedding))) AS g(i)
     ),
     p0 AS (
-      SELECT m, vec_id AS c, dim, x AS centroid FROM ex WHERE vec_id < {k}
+      SELECT m, vec_id AS c, dim, qx AS sq, CAST(1 AS BIGINT) AS n
+      FROM ex WHERE vec_id < {k}
     )"""]
     for it in range(1, n_iter + 1):
         prev = f"p{it - 1}"
         ctes.append(f"""
     pd{it} AS (
-      SELECT ex.vec_id, ex.m, p.c,
-             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
-      FROM ex JOIN {prev} p ON p.dim = ex.dim AND p.m = ex.m
-      GROUP BY 1, 2, 3
+      SELECT vec_id, m, c, (2 * num + nn) // (2 * nn) AS d2q FROM (
+        SELECT ex.vec_id, ex.m, p.c,
+               SUM(CAST(ex.qx * p.n - p.sq AS HUGEINT)
+                   * (ex.qx * p.n - p.sq)) AS num,
+               any_value(p.n) * any_value(p.n) * 1000000000 AS nn
+        FROM ex JOIN {prev} p ON p.dim = ex.dim AND p.m = ex.m
+        GROUP BY 1, 2, 3)
     ),
     pa{it} AS (
       SELECT vec_id, m, c FROM (
         SELECT vec_id, m, c,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                  ORDER BY d2, c) AS rk
+                                  ORDER BY d2q, c) AS rk
         FROM pd{it}
       ) WHERE rk = 1
     ),
     p{it} AS (
-      SELECT a.m, a.c, ex.dim, round(avg(ex.x), 6) AS centroid
+      SELECT a.m, a.c, ex.dim, CAST(SUM(ex.qx) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
       FROM ex JOIN pa{it} a ON a.vec_id = ex.vec_id AND a.m = ex.m
       GROUP BY 1, 2, 3
     )""")
@@ -367,26 +409,29 @@ def _pq_ctes(n_iter: int = PQ_ITER, k: int = PQ_K) -> str:
     oracle=f"""
     WITH {_pq_ctes()},
     pdfin AS (
-      SELECT ex.vec_id, ex.m, p.c,
-             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
-      FROM ex JOIN p{PQ_ITER} p ON p.dim = ex.dim AND p.m = ex.m
-      GROUP BY 1, 2, 3
+      SELECT vec_id, m, c, (2 * num + nn) // (2 * nn) AS d2q FROM (
+        SELECT ex.vec_id, ex.m, p.c,
+               SUM(CAST(ex.qx * p.n - p.sq AS HUGEINT)
+                   * (ex.qx * p.n - p.sq)) AS num,
+               any_value(p.n) * any_value(p.n) * 1000000000 AS nn
+        FROM ex JOIN p{PQ_ITER} p ON p.dim = ex.dim AND p.m = ex.m
+        GROUP BY 1, 2, 3)
     ),
     codes AS (
       SELECT vec_id, m, c AS code FROM (
         SELECT vec_id, m, c,
                ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                  ORDER BY d2, c) AS rk
+                                  ORDER BY d2q, c) AS rk
         FROM pdfin
       ) WHERE rk = 1
     ),
     lut AS (
-      SELECT vec_id AS query_id, m, c, d2 FROM pdfin
+      SELECT vec_id AS query_id, m, c, d2q FROM pdfin
       WHERE vec_id < {N_QUERIES}
     ),
     adc AS (
       SELECT l.query_id, cd.vec_id AS neighbor_id,
-             CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+             CAST(SUM(l.d2q) AS BIGINT) AS adist
       FROM codes cd
       JOIN lut l ON l.m = cd.m AND l.c = cd.code
                 AND cd.vec_id <> l.query_id
@@ -421,23 +466,21 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
           .localCheckpoint())
     cent = (ex.filter(F.col("vec_id") < PQ_K)
             .select("m", F.col("vec_id").alias("c"), "dim",
-                    F.col("x").alias("centroid")))
+                    F.col("qx").alias("sq"),
+                    F.lit(1).cast("bigint").alias("n")))
 
     def subspace_d(cent_df: DataFrame) -> DataFrame:
-        return (ex.join(F.broadcast(cent_df), ["m", "dim"])
-                .groupBy("vec_id", "m", "c")
-                .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
-                                   * (F.col("x") - F.col("centroid"))), 6)
-                      .alias("d2")))
+        return _distances(ex, cent_df, keys=["m"])
 
-    wm = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
+    wm = Window.partitionBy("vec_id", "m").orderBy("d2q", "c")
     for _ in range(PQ_ITER):
         assign = (subspace_d(cent)
                   .withColumn("rk", F.row_number().over(wm))
                   .filter(F.col("rk") == 1).select("vec_id", "m", "c"))
         cent = (ex.join(assign, ["vec_id", "m"])
                 .groupBy("m", "c", "dim")
-                .agg(F.round(F.avg("x"), 6).alias("centroid"))
+                .agg(F.sum("qx").cast("bigint").alias("sq"),
+                     F.count("*").cast("bigint").alias("n"))
                 .localCheckpoint())
 
     # dfin feeds BOTH the code assignment and the query LUT — one
@@ -447,14 +490,13 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rk") == 1)
              .select("vec_id", "m", F.col("c").alias("code")))
     lut = (dfin.filter(F.col("vec_id") < N_QUERIES)
-           .select(F.col("vec_id").alias("query_id"), "m", "c", "d2"))
+           .select(F.col("vec_id").alias("query_id"), "m", "c", "d2q"))
     adc = (codes.join(
         F.broadcast(lut),
         (codes.m == lut.m) & (codes.code == lut.c)
         & (codes.vec_id != lut.query_id))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
-              .alias("adist")))
+        .agg(F.sum("d2q").cast("bigint").alias("adist")))
     wq = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     pq = (adc.withColumn("rk", F.row_number().over(wq))
           .filter(F.col("rk") <= TOP_K)
@@ -482,32 +524,24 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argmin, a <= b and s >= 0 here; the interesting signal is the
 # boundary mass (s < 0.2).
 #
-# Determinism: distances are the same 6-dp-rounded d2 the Lloyd oracle
-# uses; each point's s is rounded to 6 dp and the cluster mean is an
-# exact DECIMAL sum of those rounded terms over the count (order-free,
-# the repo rule). Scale: one broadcast join of k*d centroids; never a
-# point-point pair.
+# Determinism: distances are the exact-integer d2q the Lloyd oracle
+# uses (s is scale-invariant, so ranking/ratios on the 1e9-scaled
+# integers equal the unscaled ones); each point's s is rounded to 6 dp
+# and the cluster mean is an exact DECIMAL sum of those rounded terms
+# over the count (order-free, the repo rule). Scale: one broadcast
+# join of k*d centroids; never a point-point pair.
 # ---------------------------------------------------------------------------
 
 @query(
     "ml_silhouette_simplified",
     oracle=f"""
     WITH {_kmeans_ctes()},
-    dfin AS (
-      SELECT ex.vec_id, p.c,
-             round(SUM((ex.x - p.centroid) * (ex.x - p.centroid)), 6) AS d2
-      FROM ex JOIN c{N_ITER} p ON p.dim = ex.dim
-      GROUP BY 1, 2
-    ),
+    {_FINAL_ASSIGN},
     own AS (
-      SELECT vec_id, c, d2 AS a2 FROM (
-        SELECT vec_id, c, d2,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
-        FROM dfin
-      ) WHERE rk = 1
+      SELECT vec_id, c, d2q AS a2 FROM afin
     ),
     nearest_other AS (
-      SELECT d.vec_id, MIN(d.d2) AS b2
+      SELECT d.vec_id, MIN(d.d2q) AS b2
       FROM dfin d JOIN own o ON o.vec_id = d.vec_id AND d.c <> o.c
       GROUP BY 1
     ),
@@ -530,19 +564,15 @@ def ml_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (see block comment)."""
     ex = _long_form(spark, sf_dir)
     cent = train_centroids(spark, sf_dir)
-    dfin = (ex.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "c")
-            .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
-                               * (F.col("x") - F.col("centroid"))), 6)
-                 .alias("d2")))
-    w = Window.partitionBy("vec_id").orderBy("d2", "c")
+    dfin = _distances(ex, cent)
+    w = Window.partitionBy("vec_id").orderBy("d2q", "c")
     own = (dfin.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") == 1)
-           .select("vec_id", "c", F.col("d2").alias("a2")))
+           .select("vec_id", "c", F.col("d2q").alias("a2")))
     other = (dfin.join(own.select("vec_id",
                                   F.col("c").alias("own_c")), "vec_id")
              .filter(F.col("c") != F.col("own_c"))
-             .groupBy("vec_id").agg(F.min("d2").alias("b2")))
+             .groupBy("vec_id").agg(F.min("d2q").alias("b2")))
     s = F.round((F.sqrt("b2") - F.sqrt("a2"))
                 / F.nullif(F.sqrt(F.greatest("a2", "b2")), F.lit(0.0)), 6)
     scored = (own.join(other, "vec_id")

@@ -430,13 +430,25 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side ×dim row amplification of scalar rows (8 B values), partial
 # aggregation collapses it before the exchange, and the final state is
 # |labels|×dim cells regardless of corpus size.
+#
+# EXACTNESS (hardened round 10, float-discipline sweep): avg(DOUBLE)
+# was an UNORDERED float accumulation — the stats_cramers_v failure
+# class. Each component is half-up-quantized to an integer
+# qx = floor(x*1e9 + 0.5) per row (deterministic, both engines), the
+# per-(label, dim) SUM is exact BIGINT (order-free), and the emitted
+# centroid is the single deterministic double CAST(sum)/(n*1e9).
+# Headroom: |sum| <= n*1e9 stays under 2^53 for n up to ~9e6 vectors
+# per label (document counts here are thousands).
 # ---------------------------------------------------------------------------
 
 @query(
     "ann_label_centroids",
     oracle="""
     SELECT e.label, CAST(g.i - 1 AS BIGINT) AS dim,
-           round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS centroid,
+           CAST(SUM(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                                * 1000000000 + 0.5) AS BIGINT))
+                AS DOUBLE)
+             / (COUNT(*) * 1000000000.0) AS centroid,
            COUNT(*) AS n_vecs
     FROM embeddings e,
          UNNEST(generate_series(1, len(e.embedding))) AS g(i)
@@ -448,9 +460,11 @@ def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(
             F.expr("transform(embedding, x -> cast(x as double))")
         ).alias("dim", "x"))
+    qx = F.floor(F.col("x") * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint")
     return (
         e.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
-        .agg(F.round(F.avg("x"), 6).alias("centroid"),
+        .agg((F.sum(qx).cast("double")
+              / (F.count("*") * F.lit(1000000000.0))).alias("centroid"),
              F.count("*").alias("n_vecs"))
     )
 
@@ -472,27 +486,35 @@ def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cen AS (
       SELECT e.label, CAST(g.i - 1 AS BIGINT) AS dim,
-             round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS centroid
+             CAST(SUM(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                                  * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
       FROM embeddings e,
            UNNEST(generate_series(1, len(e.embedding))) AS g(i)
       GROUP BY 1, 2
     ),
     ex AS (
       SELECT e.vec_id, e.label AS true_label, CAST(g.i - 1 AS BIGINT) AS dim,
-             CAST(e.embedding[g.i] AS DOUBLE) AS x
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                         * 1000000000 + 0.5) AS BIGINT) AS qx
       FROM embeddings e,
            UNNEST(generate_series(1, len(e.embedding))) AS g(i)
     ),
     d AS (
       SELECT ex.vec_id, ex.true_label, c.label AS cand,
-             round(SUM((ex.x - c.centroid) * (ex.x - c.centroid)), 6) AS d2
+             SUM(CAST(ex.qx * c.n - c.sq AS HUGEINT)
+                 * (ex.qx * c.n - c.sq)) AS num,
+             any_value(c.n) AS n
       FROM ex JOIN cen c ON c.dim = ex.dim
       GROUP BY 1, 2, 3
     ),
     assign AS (
       SELECT vec_id, true_label, cand,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY d2, cand) AS rk
+                                ORDER BY (2 * num + n * n * 1000000000)
+                                         // (2 * n * n * 1000000000),
+                                         cand) AS rk
       FROM d
     )
     SELECT true_label, cand AS assigned_label, COUNT(*) AS vec_ct
@@ -501,21 +523,37 @@ def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_nearest_centroid_confusion(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    cen = ann_label_centroids(spark, sf_dir).select(
-        F.col("label").alias("cand"), "dim", "centroid")
-    ex = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("label").alias("true_label"),
+    # EXACTNESS (round-10 sweep): with centroid = sq/(n*1e9) kept in
+    # RATIONAL form, the squared distance ordering is
+    #   d2 ~ SUM_dims (qx*n - sq)^2 / (n^2 * 1e18)
+    # whose numerator is an exact DECIMAL(38,0)/HUGEINT sum; the argmin
+    # ranks on the half-up 1e-9-quantized integer d2 — the unordered
+    # double d2 SUM feeding a rank boundary is gone.
+    emb = load_table(spark, sf_dir, "embeddings")
+    qx_expr = F.floor(F.col("x") * F.lit(1000000000.0)
+                      + F.lit(0.5)).cast("bigint")
+    long_q = emb.select(
+        "vec_id", "label",
         F.posexplode(
             F.expr("transform(embedding, x -> cast(x as double))")
         ).alias("dim_i", "x")
-    ).select("vec_id", "true_label",
-             F.col("dim_i").cast("bigint").alias("dim"), "x")
+    ).select("vec_id", "label",
+             F.col("dim_i").cast("bigint").alias("dim"),
+             qx_expr.alias("qx"))
+    cen = (long_q.groupBy(F.col("label").alias("cand"), "dim")
+           .agg(F.sum("qx").cast("bigint").alias("sq"),
+                F.count("*").cast("bigint").alias("n")))
+    ex = long_q.select("vec_id", F.col("label").alias("true_label"),
+                       "dim", "qx")
+    diff = F.col("qx") * F.col("n") - F.col("sq")
     d = (ex.join(F.broadcast(cen), "dim")
          .groupBy("vec_id", "true_label", "cand")
-         .agg(F.round(F.sum((F.col("x") - F.col("centroid"))
-                            * (F.col("x") - F.col("centroid"))), 6)
-               .alias("d2")))
-    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+         .agg(F.sum(diff.cast("decimal(38,0)") * diff).alias("num"),
+              F.first("n").alias("n")))
+    d = d.withColumn("d2q", F.expr(
+        "(2 * num + cast(n as decimal(38,0)) * n * 1000000000)"
+        " div (2 * cast(n as decimal(38,0)) * n * 1000000000)"))
+    w = Window.partitionBy("vec_id").orderBy("d2q", "cand")
     return (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

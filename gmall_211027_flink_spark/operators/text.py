@@ -478,9 +478,14 @@ def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram (word) entropy per document — the cheap perplexity proxy a
 # quality pipeline uses before any model-based filter. Two keyed
 # aggregations (word counts per doc, then the entropy fold); both shuffle
-# on doc_id only, so the corpus distributes evenly at any scale. Entropy
-# is rounded to 6dp — the summation-order float noise is ~1e-15, six
-# orders below the rounding step.
+# on doc_id only, so the corpus distributes evenly at any scale.
+#
+# EXACTNESS (hardened round 10, float-discipline sweep): the entropy
+# fold was an UNORDERED double SUM of p*log2(p) terms — the
+# stats_cramers_v failure class. Each term is deterministic per
+# (doc, word) row from exact integer (c, n); it is half-up-quantized to
+# BIGINT at 1e-9 BEFORE the sum, the sum is exact (order-free), and the
+# emitted entropy is the single deterministic double -sum/1e9.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -494,8 +499,10 @@ def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY 1)
     SELECT wc.doc_id,
            CAST(n.n AS BIGINT) AS n_words,
-           round(-SUM((c / CAST(n.n AS DOUBLE))
-                      * log2(c / CAST(n.n AS DOUBLE))), 6) AS entropy
+           CAST(-SUM(CAST(floor((c / CAST(n.n AS DOUBLE))
+                                * log2(c / CAST(n.n AS DOUBLE))
+                                * 1000000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 AS entropy
     FROM wc JOIN n ON wc.doc_id = n.doc_id
     GROUP BY 1, 2
     """,
@@ -507,10 +514,13 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = wc.groupBy(F.col("doc_id").alias("n_doc")).agg(
         F.sum("c").alias("n"))
     p = F.col("c") / F.col("n").cast("double")
+    tq = F.floor(p * F.log2(p) * F.lit(1000000000.0)
+                 + F.lit(0.5)).cast("bigint")
     return (
         wc.join(n, F.col("doc_id") == F.col("n_doc"))
         .groupBy("doc_id", F.col("n").cast("bigint").alias("n_words"))
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        .agg(((-F.sum(tq)).cast("double") / F.lit(1000000000.0))
+             .alias("entropy"))
     )
 
 
@@ -602,9 +612,16 @@ def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # INSTANCE to the model on the bigram key (hash shuffle — the model side
 # can exceed broadcast size at corpus scale) and the unigram context
 # count rides along from a second, smaller join; per-doc mean is one
-# final groupBy(doc_id). Smoothed logprob math is double with a 6-dp
-# round at the boundary; the mean over a doc is order-insensitive to
-# well below that rounding.
+# final groupBy(doc_id).
+#
+# EXACTNESS (hardened round 10, float-discipline sweep): the per-doc
+# mean was an UNORDERED double SUM of ln terms — the stats_cramers_v
+# failure class. Each logprob is deterministic per bigram instance
+# from exact integer (c2, c1, v); it is half-up-quantized to BIGINT at
+# 1e-9 BEFORE the sum (order-free exact sum), and avg_logprob is the
+# single deterministic double sum/(n*1e9). The downstream
+# quality_threshold_calibration percentile + cutoff compares therefore
+# see identical doubles in both engines.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -623,8 +640,10 @@ def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     big AS (SELECT bigram, COUNT(*) AS c2 FROM inst GROUP BY 1)
     SELECT i.doc_id,
            COUNT(*) AS n_bigrams,
-           round(SUM(ln(CAST(b.c2 + 1 AS DOUBLE) / (u.c1 + vocab.v)))
-                 / COUNT(*), 6) AS avg_logprob
+           CAST(SUM(CAST(floor(ln(CAST(b.c2 + 1 AS DOUBLE)
+                                  / (u.c1 + vocab.v))
+                               * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000000.0) AS avg_logprob
     FROM inst i
     JOIN big b ON b.bigram = i.bigram
     JOIN uni u ON u.w1 = i.w1
@@ -651,6 +670,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = inst.groupBy("bigram").agg(F.count("*").alias("c2"))
     logprob = F.log((F.col("c2") + 1).cast("double")
                     / (F.col("c1") + F.col("v")))
+    lq = F.floor(logprob * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint")
     return (
         inst.join(big, "bigram")
         # no broadcast hint on uni: a web-scale vocab is GBs (Zipf keeps
@@ -660,7 +680,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"),
-             F.round(F.sum(logprob) / F.count("*"), 6).alias("avg_logprob"))
+             (F.sum(lq).cast("double")
+              / (F.count("*") * F.lit(1000000000.0))).alias("avg_logprob"))
     )
 
 

@@ -373,12 +373,20 @@ def ads_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join + aggregate, which is the plan that scales).
 # ---------------------------------------------------------------------------
 
+# EXACTNESS (round-10 float-discipline sweep): `price > AVG(price)` put
+# an engine-specific average at the compare boundary (DuckDB avg(DECIMAL)
+# is a double accumulation; Spark's is exact decimal) — rows with price
+# at the mean could flip. Cross-multiplied to the exact integer test
+# cents * n > sum_cents; still two CORRELATED scalar subqueries, which
+# is the point of the query (Catalyst decorrelates them into joins).
 _ABOVE_AVG = """
 SELECT o.o_custkey,
        COUNT(*) AS above_avg_order_ct
 FROM orders o
-WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > (
-  SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (
+  SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+) > (
+  SELECT SUM(CAST(CAST(o2.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
   FROM orders o2 WHERE o2.o_custkey = o.o_custkey
 )
 GROUP BY 1

@@ -86,8 +86,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ads_user_stats_union", "ads_hourly_visitor_stats",
     "ads_commodity_stats", "ads_subsidy_rate", "ads_keyword_score",
     "ads_pivot_status_by_priority", "ads_cube_returnflag_linestatus",
-    "ads_category_stats", "ads_grouping_sets", "ads_above_avg_orders",
-    "ads_cohort_retention", "ads_funnel_view_click_purchase",
+    "ads_category_stats", "ads_grouping_sets", "ads_cohort_retention", "ads_funnel_view_click_purchase",
     "ads_copurchase_pairs", "ads_supplier_scorecard",
     "ads_nation_market_share", "cdc_envelope_roundtrip",
     "dws_cumulate_streaming",
@@ -96,8 +95,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stats_time_weighted_avg", "interval_join_click_error",
     "dwd_bounce_detection", "dws_sessionization",
     "dws_union_traffic_window",
-    "dedup_minhash_recall", "quality_filter_rules", "text_word_entropy",
-    "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
+    "dedup_minhash_recall", "quality_filter_rules", "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
     "dwd_interval_join_streaming",
     "dwd_stream_dedup_within_watermark", "dws_session_window_streaming",
     "dws_union_streams_window", "stream_dedup_exact_documents",
@@ -114,16 +112,14 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # HUGEINT-typing reverifies, now re-proven)
     "mixture_weighted_sample", "q12_lateness_priority",
     "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
-    "stats_price_qty_corr", "dws_gapfill_interpolate",
+    "dws_gapfill_interpolate",
     "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
     "stats_mad_outliers", "dwd_jump_consecutive_entries",
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
     "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
-    "ann_ivf_recall", "ann_label_centroids",
-    "ann_nearest_centroid_confusion", "ann_hard_negatives",
-    "text_lm_score", "vocab_pmi_topk", "quality_threshold_calibration",
-    "bpe_top_merges", "multimodal_sniff_magic_bytes",
+    "ann_ivf_recall", "ann_hard_negatives",
+    "vocab_pmi_topk", "bpe_top_merges", "multimodal_sniff_magic_bytes",
     "multimodal_payload_dedup", "multimodal_header_decode",
     "sample_deterministic_shuffle", "sample_weighted_ppswor",
     "dataset_snapshot_diff", "ads_unpivot_metrics",
@@ -133,8 +129,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dws_incremental_agg_maintenance", "stream_dedup_minhash_incremental",
     "dim_scd2_stream_maintenance", "q8_market_share",
     "graph_pagerank_copurchase", "graph_triangles_copurchase",
-    "dwd_log_split_fanout", "kmeans_lloyd", "ann_ivf_kmeans_recall",
-    "semdedup_prune", "embedding_random_projection",
+    "dwd_log_split_fanout", "embedding_random_projection",
     # round 5 (CORRECTNESS_r05.json, 50/50 green — includes the two
     # r4-era _REVERIFY rows ann_projected_recall / ann_mmr_diversified,
     # now driver-proven)
@@ -200,8 +195,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "sketch_join_size_estimate", "sketch_quantile_histogram",
     "stream_kmv_maintenance", "graph_degree_distribution",
     "graph_assortativity", "graph_clustering_coefficient",
-    "graph_link_prediction", "ann_pq_recall",
-    # round 8 (CORRECTNESS_r08.json, 50/50 green — the 39 round-8
+    "graph_link_prediction", # round 8 (CORRECTNESS_r08.json, 50/50 green — the 39 round-8
     # additions below, plus the 3 changed-in-r8 reverifies
     # sample_weighted_priority / quality_funnel_order_audit /
     # ads_pareto_lorenz, plus the five r1-vintage canary names folded
@@ -241,7 +235,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stats_holt_linear_smoothing", "quality_date_order_audit",
     "quality_freshness_lag_audit", "ml_naive_bayes_binary",
     "stats_pacf_durbin_levinson", "ml_calibration_bins",
-    "stats_levene_test", "dws_running_balance_per_part",
+    "dws_running_balance_per_part",
     "ads_demand_max_drawdown", "stats_seasonal_decompose_dow",
     "ml_ab_test_srm_audit", "stats_robust_means",
     "quality_uniqueness_profile", "ads_new_vs_returning_revenue",
@@ -253,7 +247,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "sketch_hll_registers", "sketch_bloom_fpr_measured",
     "stream_hll_maintenance", "stream_holt_maintenance",
     "graph_two_hop_neighborhood", "graph_diameter_double_sweep",
-    "ml_silhouette_simplified", "lake_partition_skew_audit",
+    "lake_partition_skew_audit",
     "multimodal_jpeg_pixels", "multimodal_jpeg_quant_mse",
     "multimodal_jpeg_transcode",
 )
