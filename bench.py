@@ -345,16 +345,31 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     # salting beats AQE's OptimizeSkewedJoin.
     out["aqe_vs_salt"] = _aqe_vs_salt_probe(spark, probe_dir)
     # Sketch-tuning audit (SCALE.md §7): band-miss recall of the 16/4
-    # MinHash config vs the exact-Jaccard pair set, at 1x and at the
-    # worst-case-density 10x corpus — the check a pipeline runs before
-    # trusting a sketch config on a new corpus.
-    for label, d in (("1x", sf_dir), ("10x", probe_dir)):
+    # MinHash config vs the exact-Jaccard pair set, at 1x, at the
+    # worst-case-density 10x corpus, and (VERDICT r9 #4) at 100x — the
+    # r9 100x decade measured COST only; this measures the QUALITY half
+    # (recall + band misses) two decades out. The 100x exact-pair set
+    # is 27M pairs (~6.5 min), so its RESULT is cached next to the
+    # cached 100x corpus (recall is a deterministic property of that
+    # corpus — recomputing it per run measures nothing new); delete the
+    # /tmp probe dir to force a remeasure.
+    for label, d in (("1x", sf_dir), ("10x", probe_dir),
+                     ("100x", probe100)):
+        cache = f"{d}/minhash_recall_{label}.json" if label == "100x" \
+            else None
+        if cache and os.path.exists(cache):
+            with open(cache) as fh:
+                out[f"minhash_recall_{label}"] = json.load(fh)
+            continue
         t0 = time.perf_counter()
         row = QUERIES["dedup_minhash_recall"](spark, d).collect()[0]
-        out[f"minhash_recall_{label}"] = {
-            "recall": row["recall"], "exact_pairs": row["exact_pairs"],
-            "band_missed": row["band_missed"],
-            "sec": round(time.perf_counter() - t0, 3)}
+        rec = {"recall": row["recall"], "exact_pairs": row["exact_pairs"],
+               "band_missed": row["band_missed"],
+               "sec": round(time.perf_counter() - t0, 3)}
+        out[f"minhash_recall_{label}"] = rec
+        if cache:
+            with open(cache, "w") as fh:
+                json.dump(rec, fh)
     return out
 
 
