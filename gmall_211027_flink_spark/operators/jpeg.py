@@ -880,3 +880,402 @@ def multimodal_jpeg_transcode(spark: SparkSession,
                                            * F.col("n_px")
                                            / F.col("sse"))), 6))
             .select("doc_id", "n_px", "sse", "psnr_db", "nz_coef"))
+
+
+# ---------------------------------------------------------------------------
+# COLOR baseline JPEG, 4:2:0 YCbCr (round 10 — VERDICT r9 item 6, the
+# last step to reference-grade JPEG coverage): three components with
+# 2x2-subsampled chroma, interleaved 6-block MCUs (Y00 Y01 Y10 Y11 Cb
+# Cr), per-component DC prediction, a second (chroma) quant table,
+# nearest-neighbor chroma upsampling, and integer-exact YCbCr -> RGB.
+#
+# Determinism contract (same as the grayscale codec): every stage is
+# integer — the shared 1e6-scaled LUT IDCT, and a color transform with
+# 1e-3-scaled BT.601 constants and a +4096 positivizer so floor-div ==
+# trunc-div in BOTH engines (numpy // floors, DuckDB // truncates;
+# positive numerators make them agree). The synthesizer writes real
+# interleaved entropy-coded MCUs; matching the oracle digest requires
+# the real multi-component Huffman walk, per-component predictors,
+# both dequant tables, the 4:2:0 block geometry, upsampling, and the
+# color transform to all be correct.
+# ---------------------------------------------------------------------------
+
+# chroma quant table (id 1) — different period than the luma table so a
+# table-id mixup breaks the hash
+def jpeg_qtable_chroma(z: int) -> int:
+    return 1 + (z * 5) % 11
+
+
+# per-component coefficient-field offsets (mirrored as literals in the
+# oracle): Cb/Cr reuse the luma formulas with shifted c
+CB_OFF = 7
+CR_OFF = 13
+
+# integer BT.601 inverse transform, 1e-3 scale, positivizer 4096
+_RGB_OFF = 4096
+
+
+def synthesize_jpeg_color(doc_id: int, h: str) -> bytes:
+    """A fully valid baseline 4:2:0 YCbCr JPEG (SOI / 2xDQT / SOF0(3) /
+    2xDHT / SOS(3) / interleaved MCU scan / EOI) carrying the
+    deterministic coefficient fields of :func:`_coef_block` per
+    component (chroma planes use c+CB_OFF / c+CR_OFF). Dimensions are
+    16-multiples so every MCU is full (no padding semantics)."""
+    w = 16 * (1 + int(h[0:2], 16) % 2)
+    ht = 16 * (1 + int(h[2:4], 16) % 2)
+    a = 1 + int(h[12:14], 16) % 7
+    b = 1 + int(h[14:16], 16) % 5
+    c = int(h[16:18], 16)
+    dc_codes = _canonical_encode_table(DC_BITS, DC_VALS)
+    ac_codes = _canonical_encode_table(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+
+    def write_block(dc: int, acs: dict, pred: int) -> int:
+        diff = dc - pred
+        s = _cat(diff)
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for z in range(1, 64):
+            v = acs.get(z, 0)
+            if v == 0:
+                run += 1
+                continue
+            s = _cat(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        code, ln = ac_codes[0x00]      # EOB (zigzag 63 is always 0 here)
+        bw.write(code, ln)
+        return dc
+
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(ht // 16):
+        for mx in range(w // 16):
+            for dy in range(2):            # T.81 MCU order: Y raster,
+                for dx in range(2):        # then Cb, then Cr
+                    dc, acs = _coef_block(2 * mx + dx, 2 * my + dy, a, b, c)
+                    preds["y"] = write_block(dc, acs, preds["y"])
+            dc, acs = _coef_block(mx, my, a, b, c + CB_OFF)
+            preds["cb"] = write_block(dc, acs, preds["cb"])
+            dc, acs = _coef_block(mx, my, a, b, c + CR_OFF)
+            preds["cr"] = write_block(dc, acs, preds["cr"])
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt0 = seg(0xDB, b"\x00" + bytes(jpeg_qtable(z) for z in range(64)))
+    dqt1 = seg(0xDB, b"\x01" + bytes(jpeg_qtable_chroma(z)
+                                     for z in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, ht, w, 3)
+              + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1])
+              + bytes([3, 0x11, 1]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xFF\xD8" + dqt0 + dqt1 + sof + dht_dc + dht_ac + sos
+            + scan + b"\xFF\xD9")
+
+
+def _rgb_from_ycbcr(yv, cb, cr):
+    """Integer-exact BT.601 inverse (numpy arrays in, int64 out): the
+    positivizer keeps every // numerator positive so numpy's floor-div
+    equals DuckDB's trunc-div."""
+    import numpy as np
+
+    r = yv + (1402 * (cr - 128) + 500 + 1000 * _RGB_OFF) // 1000 - _RGB_OFF
+    g = yv + (-344 * (cb - 128) - 714 * (cr - 128)
+              + 500 + 1000 * _RGB_OFF) // 1000 - _RGB_OFF
+    b = yv + (1772 * (cb - 128) + 500 + 1000 * _RGB_OFF) // 1000 - _RGB_OFF
+    clip = lambda p: np.clip(p, 0, 255)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def decode_jpeg_color(payload: bytes):
+    """Decode a baseline 4:2:0 YCbCr JPEG's REAL bytes into (width,
+    height, (R, G, B) int64 planes). Interleaved-MCU entropy walk with
+    per-component DC predictors; chroma upsampled nearest-neighbor;
+    integer color transform. Named errors outside the supported
+    profile (3 components, 2x2/1x1/1x1 sampling, full MCUs)."""
+    import numpy as np
+
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    w = ht = None
+    comps: list[tuple[int, int, int]] = []      # (id, sampling, qtab)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+    scan_order: list[int] = []
+    scan_data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC0:
+            prec, ht, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 3:
+                raise ValueError(
+                    f"decode_jpeg_color: prec={prec} ncomp={ncomp} "
+                    f"unsupported (use decode_jpeg_gray for 1-component)")
+            for k in range(3):
+                cid, samp, tq = body[6 + 3 * k:9 + 3 * k]
+                comps.append((cid, samp, tq))
+            if comps[0][1] != 0x22 or comps[1][1] != 0x11 \
+                    or comps[2][1] != 0x11:
+                raise ValueError("only 4:2:0 (2x2/1x1/1x1) supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                htabs[(tc, th)] = _canonical_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("expected a 3-component interleaved scan")
+            for k in range(ns):
+                cid, tt = body[1 + 2 * k], body[2 + 2 * k]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
+            scan_data = payload[pos + 2 + ln:]
+            break
+        pos += 2 + ln
+    if scan_data is None or w is None:
+        raise ValueError("missing SOS/SOF0 segment")
+    end = scan_data.rfind(b"\xFF\xD9")
+    if end >= 0:
+        scan_data = scan_data[:end]
+    if w % 16 or ht % 16:
+        raise ValueError("partial-MCU dimensions unsupported "
+                         f"({w}x{ht} not 16-multiples)")
+    reader = _BitReader(scan_data)
+    L = np.array(LUT, dtype=np.int64)
+
+    def decode_block(dc_tab, ac_tab, q, pred):
+        zz = [0] * 64
+        s = _huff_decode(reader, dc_tab)
+        pred += _extend(reader.read_bits(s), s) if s else 0
+        zz[0] = pred * q[0]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, s = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overrun")
+            zz[k] = _extend(reader.read_bits(s), s) * q[k]
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.int64)
+        for z, (r, c) in enumerate(ZIGZAG):
+            coef[r, c] = zz[z]
+        S = L @ coef @ L.T
+        px = (S + DEN // 2 + 1024 * DEN) // DEN - 1024 + 128
+        return np.clip(px, 0, 255), pred
+
+    planes = {cid: np.zeros((ht if samp == 0x22 else ht // 2,
+                             w if samp == 0x22 else w // 2),
+                            dtype=np.int64)
+              for cid, samp, _tq in comps}
+    qmap = {cid: qt[tq] for cid, _s, tq in comps}
+    samp_map = {cid: samp for cid, samp, _tq in comps}
+    preds = {cid: 0 for cid, _s, _tq in comps}
+    for my in range(ht // 16):
+        for mx in range(w // 16):
+            for cid in scan_order:
+                dc_tab = htabs[(0, scan_tabs[cid][0])]
+                ac_tab = htabs[(1, scan_tabs[cid][1])]
+                if samp_map[cid] == 0x22:
+                    for dy in range(2):
+                        for dx in range(2):
+                            blk, preds[cid] = decode_block(
+                                dc_tab, ac_tab, qmap[cid], preds[cid])
+                            y0 = (2 * my + dy) * 8
+                            x0 = (2 * mx + dx) * 8
+                            planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+                else:
+                    blk, preds[cid] = decode_block(
+                        dc_tab, ac_tab, qmap[cid], preds[cid])
+                    planes[cid][my * 8:my * 8 + 8,
+                                mx * 8:mx * 8 + 8] = blk
+    yv = planes[comps[0][0]]
+    cb = planes[comps[1][0]].repeat(2, axis=0).repeat(2, axis=1)
+    cr = planes[comps[2][0]].repeat(2, axis=0).repeat(2, axis=1)
+    return w, ht, _rgb_from_ycbcr(yv, cb, cr)
+
+
+JPEG_COLOR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_mcus", T.LongType()),
+    T.StructField("r_sum", T.LongType()),
+    T.StructField("g_sum", T.LongType()),
+    T.StructField("b_sum", T.LongType()),
+    T.StructField("rgb_digest", T.StringType()),
+])
+
+_QC = jpeg_qtable_chroma
+
+
+@query(
+    "multimodal_jpeg_color_pixels",
+    # The oracle re-derives the full color reconstruction analytically,
+    # per pixel: the luma 5-term integer IDCT at the pixel's Y-block
+    # coordinates, BOTH chroma 5-term IDCTs at the subsampled plane's
+    # block coordinates (x//2, y//2 — nearest-neighbor upsampling is
+    # exactly "read the subsampled sample"), each through its own quant
+    # table, then the integer BT.601 transform with the +4096
+    # positivizer. The Spark side can only match by really walking the
+    # interleaved MCU entropy stream with per-component predictors.
+    oracle=f"""
+    WITH g AS (SELECT doc_id, md5(text) AS h FROM documents
+               WHERE doc_id % 4 = 2),
+    geo AS (
+      SELECT doc_id,
+             16 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 2) AS w,
+             16 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 2) AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht, a, b, c, i,
+             (i % w) // 8 AS bx, (i // w) // 8 AS by,
+             (i % w) % 8 AS x, (i // w) % 8 AS y,
+             ((i % w) // 2) // 8 AS cbx, ((i // w) // 2) // 8 AS cby,
+             ((i % w) // 2) % 8 AS cx, ((i // w) // 2) % 8 AS cy
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    comp AS (
+      SELECT doc_id, w, ht, i,
+        ((a * bx + b * by + c) % 32 - 16) * {jpeg_qtable(0)}
+            * ({_LU[0]}[y + 1]) * ({_LU[0]}[x + 1])
+        + (((a * (bx + 1) + b * (by + 2) + c) % 15) - 7) * {jpeg_qtable(1)}
+            * ({_LU[0]}[y + 1]) * ({_LU[1]}[x + 1])
+        + (((a * (bx + 4) + b * (by + 8) + c) % 15) - 7) * {jpeg_qtable(4)}
+            * ({_LU[1]}[y + 1]) * ({_LU[1]}[x + 1])
+        + (((a * (bx + 8) + b * (by + 16) + c) % 15) - 7) * {jpeg_qtable(8)}
+            * ({_LU[2]}[y + 1]) * ({_LU[1]}[x + 1])
+        + (((a * (bx + 13) + b * (by + 26) + c) % 15) - 7) * {jpeg_qtable(13)}
+            * ({_LU[1]}[y + 1]) * ({_LU[3]}[x + 1]) AS sy,
+        ((a * cbx + b * cby + c + {CB_OFF}) % 32 - 16) * {_QC(0)}
+            * ({_LU[0]}[cy + 1]) * ({_LU[0]}[cx + 1])
+        + (((a * (cbx + 1) + b * (cby + 2) + c + {CB_OFF}) % 15) - 7)
+            * {_QC(1)} * ({_LU[0]}[cy + 1]) * ({_LU[1]}[cx + 1])
+        + (((a * (cbx + 4) + b * (cby + 8) + c + {CB_OFF}) % 15) - 7)
+            * {_QC(4)} * ({_LU[1]}[cy + 1]) * ({_LU[1]}[cx + 1])
+        + (((a * (cbx + 8) + b * (cby + 16) + c + {CB_OFF}) % 15) - 7)
+            * {_QC(8)} * ({_LU[2]}[cy + 1]) * ({_LU[1]}[cx + 1])
+        + (((a * (cbx + 13) + b * (cby + 26) + c + {CB_OFF}) % 15) - 7)
+            * {_QC(13)} * ({_LU[1]}[cy + 1]) * ({_LU[3]}[cx + 1]) AS scb,
+        ((a * cbx + b * cby + c + {CR_OFF}) % 32 - 16) * {_QC(0)}
+            * ({_LU[0]}[cy + 1]) * ({_LU[0]}[cx + 1])
+        + (((a * (cbx + 1) + b * (cby + 2) + c + {CR_OFF}) % 15) - 7)
+            * {_QC(1)} * ({_LU[0]}[cy + 1]) * ({_LU[1]}[cx + 1])
+        + (((a * (cbx + 4) + b * (cby + 8) + c + {CR_OFF}) % 15) - 7)
+            * {_QC(4)} * ({_LU[1]}[cy + 1]) * ({_LU[1]}[cx + 1])
+        + (((a * (cbx + 8) + b * (cby + 16) + c + {CR_OFF}) % 15) - 7)
+            * {_QC(8)} * ({_LU[2]}[cy + 1]) * ({_LU[1]}[cx + 1])
+        + (((a * (cbx + 13) + b * (cby + 26) + c + {CR_OFF}) % 15) - 7)
+            * {_QC(13)} * ({_LU[1]}[cy + 1]) * ({_LU[3]}[cx + 1]) AS scr
+      FROM px
+    ),
+    ycc AS (
+      SELECT doc_id, w, ht, i,
+        LEAST(255, GREATEST(0,
+          (sy + {DEN // 2} + 1024 * {DEN}) // {DEN} - 1024 + 128)) AS yv,
+        LEAST(255, GREATEST(0,
+          (scb + {DEN // 2} + 1024 * {DEN}) // {DEN} - 1024 + 128)) AS cbv,
+        LEAST(255, GREATEST(0,
+          (scr + {DEN // 2} + 1024 * {DEN}) // {DEN} - 1024 + 128)) AS crv
+      FROM comp
+    ),
+    rgb AS (
+      SELECT doc_id, w, ht, i,
+        LEAST(255, GREATEST(0, yv + (1402 * (crv - 128) + 500
+          + {1000 * _RGB_OFF}) // 1000 - {_RGB_OFF})) AS r,
+        LEAST(255, GREATEST(0, yv + (-344 * (cbv - 128) - 714 * (crv - 128)
+          + 500 + {1000 * _RGB_OFF}) // 1000 - {_RGB_OFF})) AS gg,
+        LEAST(255, GREATEST(0, yv + (1772 * (cbv - 128) + 500
+          + {1000 * _RGB_OFF}) // 1000 - {_RGB_OFF})) AS bb
+      FROM ycc
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width,
+           CAST(ht AS BIGINT) AS height,
+           CAST((w // 16) * (ht // 16) AS BIGINT) AS n_mcus,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(gg) AS BIGINT) AS g_sum,
+           CAST(SUM(bb) AS BIGINT) AS b_sum,
+           md5(string_agg(CAST(r AS VARCHAR) || ',' || CAST(gg AS VARCHAR)
+                          || ',' || CAST(bb AS VARCHAR), ','
+                          ORDER BY i)) AS rgb_digest
+    FROM rgb GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_jpeg_color_pixels(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Synthesize 4:2:0 YCbCr JPEGs, REALLY decode them (interleaved
+    MCU Huffman walk + dual dequant + IDCT + upsample + integer BT.601),
+    fingerprint the RGB field.
+
+    Scale shape: map-only mapInPandas after decode_parallel; only the
+    (doc_id, dims, channel sums, digest) summary row leaves the task."""
+    from gmall_211027_flink_spark.operators.multimodal import decode_parallel
+
+    def _color_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_jpeg_color(doc_id, h)
+                w, ht, (r, g, b) = decode_jpeg_color(payload)
+                flat = ",".join(
+                    f"{int(rv)},{int(gv)},{int(bv)}"
+                    for rv, gv, bv in zip(r.ravel(), g.ravel(), b.ravel()))
+                out.append(dict(
+                    doc_id=doc_id, width=w, height=ht,
+                    n_mcus=(w // 16) * (ht // 16),
+                    r_sum=int(r.sum()), g_sum=int(g.sum()),
+                    b_sum=int(b.sum()),
+                    rgb_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in JPEG_COLOR_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 2)
+            .select("doc_id", "text"))
+    return decode_parallel(docs).mapInPandas(_color_batch, JPEG_COLOR_SCHEMA)
