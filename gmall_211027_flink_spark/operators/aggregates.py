@@ -5902,3 +5902,321 @@ def ads_new_vs_returning_revenue(spark: SparkSession,
                          / F.sum("rev").cast("double"), 6)
                  .alias("repeat_share"))
             .orderBy("month"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (r10) — Page 1954: the classic "did the
+# weekly order level shift, and when" scan the EWMA/Holt monitors
+# (rounds 7/9) cannot answer (they track level, not WHERE it broke).
+# CUSUM_k = sum_{i<=k} (y_i - mean); the change point is the argmax of
+# |CUSUM|. EXACTNESS: with mean = Sy/n rational, n*CUSUM_k =
+# n*prefix_k - k_pos*Sy is an exact BIGINT — the argmax ranks on exact
+# integers with a week tie-break. Prefix sums ride an ordered window
+# over the bounded weekly series (DAY-GRAIN CONTRACT, module
+# docstring).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cusum_changepoint",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT wk, y,
+             CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t,
+             CAST(SUM(y) OVER (ORDER BY wk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS pre
+      FROM wkly
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM wkly
+    ),
+    cus AS (
+      SELECT i.wk, i.t, tot.n, tot.sy,
+             tot.n * i.pre - i.t * tot.sy AS cus_n
+      FROM idx i, tot
+    ),
+    best AS (
+      SELECT wk, t, n, sy, cus_n,
+             row_number() OVER (ORDER BY ABS(cus_n) DESC, wk) AS rk
+      FROM cus
+    )
+    SELECT n AS n_weeks, wk AS change_wk, t AS change_t,
+           cus_n AS cusum_scaled,
+           CAST(CAST(floor(CAST(ABS(cus_n) AS DOUBLE) / n * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS cusum_abs
+    FROM best WHERE rk = 1
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer CUSUM argmax over weekly order volume (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # bounded weekly series: DAY-GRAIN CONTRACT (module docstring)
+    w = Window.orderBy("wk")
+    idx = wkly.select(
+        "wk", "y",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("pre"))
+    tot = wkly.agg(F.count("*").cast("bigint").alias("n"),
+                   F.sum("y").cast("bigint").alias("sy"))
+    cus = (idx.crossJoin(F.broadcast(tot))
+           .withColumn("cus_n", F.col("n") * F.col("pre")
+                       - F.col("t") * F.col("sy")))
+    best = cus.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.abs("cus_n").desc(),
+                                                 "wk")))
+    return (best.filter(F.col("rk") == 1)
+            .select(F.col("n").alias("n_weeks"),
+                    F.col("wk").alias("change_wk"),
+                    F.col("t").alias("change_t"),
+                    F.col("cus_n").alias("cusum_scaled"),
+                    (F.floor(F.abs("cus_n").cast("double") / F.col("n")
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("cusum_abs")))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen slope estimator (r10) — Sen 1968: the median of all
+# pairwise slopes of the weekly order series; the robust trend the OLS
+# trend line (round 5) is sensitive to outliers about. EXACTNESS: each
+# pairwise slope dy/dt is half-up-quantized to the exact integer
+# slope_q = round(dy*1e9/dt) via integer division with a +1e13*dt
+# positivizer (trunc-div == floor-div on positive numerators — both
+# engines truncate); the median is the LOWER order statistic at rank
+# (n_pairs+1)//2 on the (slope_q, t_i, t_j) total order — no float
+# enters until the final /1e9 readout. The ~80k pair set is quadratic
+# in the bounded weekly grain (DAY-GRAIN CONTRACT), not in the corpus.
+# ---------------------------------------------------------------------------
+
+THEIL_OFF = 10_000_000_000_000     # positivizer: > max |slope_q|
+
+
+@query(
+    "stats_theil_sen",
+    oracle=f"""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.wk AS t1, b.wk AS t2,
+             (2 * ((b.y - a.y) * 1000000000 + {THEIL_OFF} * (b.wk - a.wk))
+              + (b.wk - a.wk)) // (2 * (b.wk - a.wk)) - {THEIL_OFF}
+               AS slope_q
+      FROM wkly a JOIN wkly b ON b.wk > a.wk
+    ),
+    ranked AS (
+      SELECT slope_q,
+             row_number() OVER (ORDER BY slope_q, t1, t2) AS rk,
+             COUNT(*) OVER () AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope_q AS slope_q_1e9,
+           CAST(slope_q AS DOUBLE) / 1000000000.0 AS slope_per_week
+    FROM ranked WHERE rk = (n_pairs + 1) // 2
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median pairwise slope of weekly order volume, exact-integer
+    quantized (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    a = wkly.select(F.col("wk").alias("t1"), F.col("y").alias("y1"))
+    b = wkly.select(F.col("wk").alias("t2"), F.col("y").alias("y2"))
+    pairs = (a.join(b, F.col("t2") > F.col("t1"))
+             .withColumn("slope_q", F.expr(
+                 f"(2 * ((y2 - y1) * 1000000000"
+                 f" + {THEIL_OFF} * (t2 - t1)) + (t2 - t1))"
+                 f" div (2 * (t2 - t1)) - {THEIL_OFF}")))
+    # quadratic in the bounded weekly grain only: DAY-GRAIN CONTRACT
+    ranked = pairs.select(
+        "slope_q",
+        F.row_number().over(Window.orderBy("slope_q", "t1", "t2"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_pairs"))
+    return (ranked.filter(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
+            .select(F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("slope_q").alias("slope_q_1e9"),
+                    (F.col("slope_q").cast("double")
+                     / F.lit(1000000000.0)).alias("slope_per_week")))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (r10) — Mann 1945 / Kendall 1975: the
+# non-parametric "is there a monotone trend" companion to Theil-Sen
+# (same pair set, sign instead of slope). EXACTNESS: S = sum of pair
+# signs is an exact BIGINT; the tie-corrected variance is kept at x18
+# scale as an exact integer (n(n-1)(2n+5) - sum t(t-1)(2t+5)); the
+# z-score is a deterministic double from those integers, floor(x*1e6
+# + 0.5)-quantized at the boundary.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM wkly a JOIN wkly b ON b.wk > a.wk
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tg FROM wkly GROUP BY y)
+      WHERE tg > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wkly)
+    SELECT nn.n AS n_weeks, s.s_stat,
+           nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+             AS var_x18,
+           CAST(CAST(floor(
+             CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  ELSE 0 END
+             / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)
+                    / 18.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS z_score
+    FROM s, ties, nn
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S + tie-corrected z over weekly order volume (see
+    block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    a = wkly.select(F.col("wk").alias("t1"), F.col("y").alias("y1"))
+    b = wkly.select(F.col("wk").alias("t2"), F.col("y").alias("y2"))
+    s = (a.join(b, F.col("t2") > F.col("t1"))
+         .agg(F.sum(F.when(F.col("y2") > F.col("y1"), 1)
+                    .when(F.col("y2") < F.col("y1"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_stat")))
+    ties = (wkly.groupBy("y").agg(F.count("*").cast("bigint").alias("tg"))
+            .filter(F.col("tg") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("tg") * (F.col("tg") - 1)
+                      * (2 * F.col("tg") + 5)), F.lit(0))
+                .cast("bigint").alias("tie_term")))
+    nn = wkly.agg(F.count("*").cast("bigint").alias("n"))
+    var_x18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+               - F.col("tie_term"))
+    num = (F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+           .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+           .otherwise(0))
+    return (s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nn))
+            .select(F.col("n").alias("n_weeks"), "s_stat",
+                    var_x18.alias("var_x18"),
+                    (F.floor(num / F.sqrt(var_x18 / F.lit(18.0))
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("z_score")))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (r10) — monotone association between daily
+# order COUNT and daily revenue on the day grain, the rank-based
+# companion to Pearson (stats_price_qty_corr) and Kendall tau (r9).
+# EXACTNESS: tie-averaged ranks are kept as exact integers at 2x scale
+# (2*avgrank = 2*min_rank + tie_ct - 1); Spearman is then the Pearson
+# identity over those integer 2-ranks with exact BIGINT/DECIMAL
+# moments, floor(x*1e6 + 0.5)-quantized. The rank windows are over the
+# bounded daily series (DAY-GRAIN CONTRACT).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_spearman_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT d,
+             2 * rank() OVER (ORDER BY cnt)
+               + COUNT(*) OVER (PARTITION BY cnt) - 1 AS rx,
+             2 * rank() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS ry
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy
+      FROM rk
+    )
+    SELECT n AS n_days,
+           CAST(CAST(floor(
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between daily order count and daily revenue via
+    exact integer 2x tie-averaged ranks (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("cnt"),
+                  F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                        .cast("bigint")).cast("bigint").alias("cents")))
+    # bounded daily series: DAY-GRAIN CONTRACT (module docstring)
+    rk = daily.select(
+        "d",
+        (2 * F.rank().over(Window.orderBy("cnt"))
+         + F.count("*").over(Window.partitionBy("cnt")) - 1)
+        .cast("bigint").alias("rx"),
+        (2 * F.rank().over(Window.orderBy("cents"))
+         + F.count("*").over(Window.partitionBy("cents")) - 1)
+        .cast("bigint").alias("ry"))
+    m = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+    vx = (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double")
+    vy = (d38("n") * F.col("syy") - d38("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        (F.floor(num / F.sqrt(vx * vy) * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("spearman_rho"))
