@@ -1482,3 +1482,56 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count("*").cast("double") / F.sum("c"), 6)
                  .alias("type_token_ratio"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Yule's K lexical-richness characteristic (r10) — Yule 1944: K =
+# 10^4 * (sum_m m^2 V_m - N) / N^2, the repeat-rate statistic that is
+# (unlike type-token ratio, round 2) insensitive to corpus length —
+# the per-language vocabulary-concentration readout a data-mixing
+# pipeline compares across sources. Since sum_m m^2 V_m is just the
+# sum of squared per-word counts, everything is one exact integer
+# aggregation per (lang, word) then per lang; K is a deterministic
+# double from exact BIGINTs, floor(x*1e6 + 0.5)-quantized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_yules_k",
+    oracle="""
+    WITH wc AS (
+      SELECT d.lang, t.word, CAST(COUNT(*) AS BIGINT) AS m
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(word)
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT lang, CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * m) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n AS n_tokens, vocab,
+           CAST(CAST(floor(10000.0 * (s2 - n)
+                           / (CAST(n AS DOUBLE) * n) * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS yules_k
+    FROM agg ORDER BY lang
+    """,
+)
+def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Yule's K from exact squared word counts (see block
+    comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("lang", "word")
+          .agg(F.count("*").cast("bigint").alias("m")))
+    agg = wc.groupBy("lang").agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+        F.count("*").cast("bigint").alias("vocab"))
+    return (agg.select(
+        "lang", F.col("n").alias("n_tokens"), "vocab",
+        (F.floor(F.lit(10000.0) * (F.col("s2") - F.col("n"))
+                 / (F.col("n").cast("double") * F.col("n"))
+                 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("yules_k"))
+        .orderBy("lang"))

@@ -1290,3 +1290,279 @@ def ads_did_promo_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("t_post") - F.col("t_pre"))
                 - (F.col("c_post") - F.col("c_pre")), 6)
         .alias("did_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (r10) — the classic customer-value grid (Hughes
+# 1994): score each customer 1-3 on Recency (days since last order),
+# Frequency (order count), Monetary (lifetime cents) against tercile
+# cutoffs, and report the 27-cell population with exact revenue sums.
+# Cutoffs are the linear-interpolated terciles over the exact integer
+# metric multisets — Spark `percentile` and DuckDB `quantile_cont`
+# compute the identical (n-1)*p interpolation (the proven equivalence
+# from quality_threshold_calibration); scoring compares exact BIGINTs
+# against those deterministic doubles, so no unordered float
+# accumulation exists anywhere. Scale: one groupBy(custkey) pass, two
+# broadcast scalar rows (cuts + max date), one 27-cell aggregate.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                           (SELECT MAX(CAST(o_orderdate AS DATE))
+                            FROM orders)) AS BIGINT) AS recency_d,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_d, [1.0/3, 2.0/3]) AS rc,
+             quantile_cont(freq, [1.0/3, 2.0/3]) AS fc,
+             quantile_cont(cents, [1.0/3, 2.0/3]) AS mc
+      FROM cust
+    ),
+    scored AS (
+      SELECT
+        -- recency: SMALLER is better -> invert the score
+        3 - CASE WHEN recency_d > rc[2] THEN 2
+                 WHEN recency_d > rc[1] THEN 1 ELSE 0 END AS r_score,
+        1 + CASE WHEN freq > fc[2] THEN 2
+                 WHEN freq > fc[1] THEN 1 ELSE 0 END AS f_score,
+        1 + CASE WHEN cents > mc[2] THEN 2
+                 WHEN cents > mc[1] THEN 1 ELSE 0 END AS m_score,
+        cents
+      FROM cust, cuts
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def ads_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """27-cell RFM grid over exact integer metrics with interpolated
+    tercile cutoffs (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    cust = (orders.crossJoin(F.broadcast(maxd))
+            .groupBy("o_custkey")
+            .agg(F.datediff(F.first("dmax"), F.max(F.to_date("o_orderdate")))
+                 .cast("bigint").alias("recency_d"),
+                 F.count("*").cast("bigint").alias("freq"),
+                 F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                       .cast("bigint")).cast("bigint").alias("cents")))
+    tercs = ("array(cast(1.0/3 as double), cast(2.0/3 as double))")
+    cuts = cust.agg(
+        F.expr(f"percentile(recency_d, {tercs})").alias("rc"),
+        F.expr(f"percentile(freq, {tercs})").alias("fc"),
+        F.expr(f"percentile(cents, {tercs})").alias("mc"))
+    scored = (cust.crossJoin(F.broadcast(cuts))
+              .select(
+                  (3 - F.when(F.col("recency_d") > F.expr("rc[1]"), 2)
+                   .when(F.col("recency_d") > F.expr("rc[0]"), 1)
+                   .otherwise(0)).cast("bigint").alias("r_score"),
+                  (1 + F.when(F.col("freq") > F.expr("fc[1]"), 2)
+                   .when(F.col("freq") > F.expr("fc[0]"), 1)
+                   .otherwise(0)).cast("bigint").alias("f_score"),
+                  (1 + F.when(F.col("cents") > F.expr("mc[1]"), 2)
+                   .when(F.col("cents") > F.expr("mc[0]"), 1)
+                   .otherwise(0)).cast("bigint").alias("m_score"),
+                  "cents"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").cast("bigint").alias("n_customers"),
+                 F.sum("cents").cast("bigint").alias("revenue_cents"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase interval distribution (r10) — the inter-order gap
+# histogram a retention model trains on: per customer, days between
+# consecutive orders (event-time ordered with an orderkey tie-break),
+# bucketed into weeks (capped at 52+). Pure integer date arithmetic;
+# the per-customer LAG window partitions on custkey, so the sort
+# distributes across customers at any scale.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_repeat_purchase_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+               o_orderkey) AS prev_d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT LEAST(CAST(datediff('day', prev_d, d) AS BIGINT) // 7, 52)
+               AS gap_wk
+      FROM seq WHERE prev_d IS NOT NULL
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaps)
+    SELECT gap_wk, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(CAST(floor(CAST(COUNT(*) AS DOUBLE) / any_value(tot.n)
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS share
+    FROM gaps, tot GROUP BY 1 ORDER BY 1
+    """,
+)
+def ads_repeat_purchase_intervals(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Weekly-bucketed inter-order gap histogram (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = orders.withColumn("prev_d", F.lag("d").over(w))
+    gaps = (seq.filter(F.col("prev_d").isNotNull())
+            .select(F.least(F.expr(
+                "cast(datediff(d, prev_d) as bigint) div 7"),
+                F.lit(52).cast("bigint")).alias("gap_wk")))
+    tot = gaps.agg(F.count("*").cast("bigint").alias("n"))
+    return (gaps.groupBy("gap_wk")
+            .agg(F.count("*").cast("bigint").alias("n_gaps"))
+            .crossJoin(F.broadcast(tot))
+            .select("gap_wk", "n_gaps",
+                    (F.floor(F.col("n_gaps").cast("double") / F.col("n")
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("share"))
+            .orderBy("gap_wk"))
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution-drift audit (r10) — the population stability index
+# every model monitor runs: per event type, decile the EARLY half's
+# value distribution, re-bucket the LATE half on the same cuts, and
+# report PSI = sum (p2 - p1) * ln(p2 / p1) with +1 Laplace smoothing
+# on the 10-bucket spine. EXACTNESS: values quantized to integer cents
+# up front; the epoch-microsecond midpoint split is exact integer
+# arithmetic; decile cuts are the proven percentile/quantile_cont
+# interpolation over integer multisets; each PSI term is deterministic
+# per bucket from exact counts and is floor(t*1e9 + 0.5)-quantized
+# BEFORE an exact integer sum (float-discipline rule). Scale: two
+# grouped aggregates on (event_type) + a 10-row-per-type spine join.
+# ---------------------------------------------------------------------------
+
+PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@query(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS eus,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    mid AS (
+      SELECT (CAST(MIN(eus) AS BIGINT) + MAX(eus)) // 2 AS m FROM ev
+    ),
+    halves AS (
+      SELECT event_type, cents,
+             CASE WHEN eus <= mid.m THEN 0 ELSE 1 END AS half
+      FROM ev, mid
+    ),
+    cuts AS (
+      SELECT event_type,
+             quantile_cont(cents, {PSI_DECILES}) AS c
+      FROM halves WHERE half = 0 GROUP BY 1
+    ),
+    bucketed AS (
+      SELECT h.event_type, h.half,
+             1 + CAST(h.cents > c[1] AS INT) + CAST(h.cents > c[2] AS INT)
+               + CAST(h.cents > c[3] AS INT) + CAST(h.cents > c[4] AS INT)
+               + CAST(h.cents > c[5] AS INT) + CAST(h.cents > c[6] AS INT)
+               + CAST(h.cents > c[7] AS INT) + CAST(h.cents > c[8] AS INT)
+               + CAST(h.cents > c[9] AS INT) AS b
+      FROM halves h JOIN cuts USING (event_type)
+    ),
+    spine AS (
+      SELECT DISTINCT event_type, t.b
+      FROM cuts, UNNEST(generate_series(1, 10)) AS t(b)
+    ),
+    counts AS (
+      SELECT s.event_type, s.b,
+             CAST(COALESCE(SUM(CASE WHEN bk.half = 0 THEN 1 END), 0)
+                  AS BIGINT) + 1 AS c1,
+             CAST(COALESCE(SUM(CASE WHEN bk.half = 1 THEN 1 END), 0)
+                  AS BIGINT) + 1 AS c2
+      FROM spine s LEFT JOIN bucketed bk
+        ON bk.event_type = s.event_type AND bk.b = s.b
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM counts GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST(floor((CAST(c.c2 AS DOUBLE) / t.n2
+                         - CAST(c.c1 AS DOUBLE) / t.n1)
+                        * ln((CAST(c.c2 AS DOUBLE) / t.n2)
+                             / (CAST(c.c1 AS DOUBLE) / t.n1))
+                        * 1000000000 + 0.5) AS BIGINT) AS tq
+      FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(SUM(tq) AS BIGINT) AS psi_q_1e9,
+           CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-vs-late PSI per event type on decile buckets (see block
+    comment)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("eus"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    mid = ev.agg(F.expr(
+        "(cast(min(eus) as bigint) + max(eus)) div 2").alias("m"))
+    halves = (ev.crossJoin(F.broadcast(mid))
+              .select("event_type", "cents",
+                      F.when(F.col("eus") <= F.col("m"), 0).otherwise(1)
+                      .alias("half")))
+    cuts = (halves.filter(F.col("half") == 0)
+            .groupBy("event_type")
+            .agg(F.expr(f"percentile(cents, array({', '.join(str(p) for p in PSI_DECILES)}))")
+                 .alias("c")))
+    b_expr = F.lit(1)
+    for i in range(1, 10):
+        b_expr = b_expr + F.expr(f"cast(cents > c[{i - 1}] as int)")
+    bucketed = (halves.join(F.broadcast(cuts), "event_type")
+                .select("event_type", "half", b_expr.alias("b")))
+    spine = (cuts.select("event_type")
+             .crossJoin(spark.range(1, 11).select(
+                 F.col("id").cast("int").alias("b"))))
+    counts = (spine.join(bucketed, ["event_type", "b"], "left")
+              .groupBy("event_type", "b")
+              .agg((F.coalesce(F.sum(F.when(F.col("half") == 0, 1)),
+                               F.lit(0)) + 1).cast("bigint").alias("c1"),
+                   (F.coalesce(F.sum(F.when(F.col("half") == 1, 1)),
+                               F.lit(0)) + 1).cast("bigint").alias("c2")))
+    tot = counts.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"))
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    terms = (counts.join(F.broadcast(tot),
+                         F.col("event_type") == F.col("et"))
+             .select("event_type",
+                     F.floor((p2 - p1) * F.log(p2 / p1)
+                             * F.lit(1000000000.0) + F.lit(0.5))
+                     .cast("bigint").alias("tq")))
+    return (terms.groupBy("event_type")
+            .agg(F.sum("tq").cast("bigint").alias("psi_q_1e9"))
+            .select("event_type", "psi_q_1e9",
+                    (F.col("psi_q_1e9").cast("double")
+                     / F.lit(1000000000.0)).alias("psi"))
+            .orderBy("event_type"))
