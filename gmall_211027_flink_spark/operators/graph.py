@@ -1410,3 +1410,132 @@ def graph_diameter_double_sweep(spark: SparkSession,
             .select("seed_a", "far_node_b", "ecc_a_bounded",
                     "diameter_lower_bound", "n_reached_a",
                     "n_reached_b"))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (r10) — Raghavan et al. 2007:
+# synchronous LPA over the co-purchase graph with a FIXED round count
+# (the repo's iterative-determinism rule — no convergence test that
+# float or ordering drift could flip) and the exact tie rule "most
+# frequent neighbor label, smallest label wins". Every update is an
+# integer (count, label) argmax via row_number with a total order, so
+# both engines walk identical label states round by round. Reported
+# with the EXACT-INTEGER modularity of the final partition:
+# Q * (2m)^2 = sum_c (4m * l_c - d_c^2) over undirected edge count m,
+# intra-community edges l_c and degree sums d_c — no float until the
+# final /(2m)^2 readout.
+# Scale: each round is one (edge join labels) shuffle + a keyed argmax
+# — Pregel-shaped; rounds are unrolled, lineage checkpointed.
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_ctes() -> str:
+    ctes = ["""
+    l0 AS (
+      SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+    )"""]
+    for t in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""
+    l{t} AS (
+      SELECT node, lab FROM (
+        SELECT e.u AS node, l.lab,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY COUNT(*) DESC, l.lab) AS rk
+        FROM edges e JOIN l{t - 1} l ON l.node = e.v
+        GROUP BY e.u, l.lab
+      ) WHERE rk = 1
+    )""")
+    return ",".join(ctes)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_lpa_ctes()},
+    und AS (SELECT u, v FROM edges WHERE u < v),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    comm AS (
+      SELECT l.lab AS community_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(deg.d) AS BIGINT) AS d_sum
+      FROM l{LPA_ROUNDS} l JOIN deg ON deg.node = l.node
+      GROUP BY 1
+    ),
+    intra AS (
+      SELECT la.lab AS community_id, CAST(COUNT(*) AS BIGINT) AS l_in
+      FROM und
+      JOIN l{LPA_ROUNDS} la ON la.node = und.u
+      JOIN l{LPA_ROUNDS} lb ON lb.node = und.v AND lb.lab = la.lab
+      GROUP BY 1
+    )
+    SELECT c.community_id, c.n_members, c.d_sum,
+           CAST(COALESCE(i.l_in, 0) AS BIGINT) AS intra_edges,
+           CAST(4 * m.m * COALESCE(i.l_in, 0) - c.d_sum * c.d_sum
+                AS BIGINT) AS q_term_x4m2
+    FROM comm c LEFT JOIN intra i USING (community_id), m
+    ORDER BY c.n_members DESC, c.community_id
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous {LPA_ROUNDS}-round LPA communities + exact-integer
+    modularity terms (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2,"
+            " size(ps)-i-1), y -> struct(x as part_a, y as part_b))))"))
+            .alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= MIN_TOGETHER)
+        .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("lab", F.col("node")).localCheckpoint())
+    wu = Window.partitionBy("nu").orderBy(F.desc("ct"), "lab")
+    for _ in range(LPA_ROUNDS):
+        labels = (edges.join(labels, F.col("node") == F.col("v"))
+                  .groupBy(F.col("u").alias("nu"), "lab")
+                  .agg(F.count("*").alias("ct"))
+                  .withColumn("rk", F.row_number().over(wu))
+                  .filter(F.col("rk") == 1)
+                  .select(F.col("nu").alias("node"), "lab")
+                  .localCheckpoint())
+    und = edges.filter(F.col("u") < F.col("v"))
+    m = und.agg(F.count("*").cast("bigint").alias("m"))
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d"))
+    comm = (labels.join(deg, "node")
+            .groupBy(F.col("lab").alias("community_id"))
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 F.sum("d").cast("bigint").alias("d_sum")))
+    la = labels.select(F.col("node").alias("au"), F.col("lab").alias("la"))
+    lb = labels.select(F.col("node").alias("bv"), F.col("lab").alias("lb"))
+    intra = (und.join(la, F.col("u") == F.col("au"))
+             .join(lb, (F.col("v") == F.col("bv"))
+                   & (F.col("la") == F.col("lb")))
+             .groupBy(F.col("la").alias("community_id"))
+             .agg(F.count("*").cast("bigint").alias("l_in")))
+    return (comm.join(intra, "community_id", "left")
+            .crossJoin(F.broadcast(m))
+            .select("community_id", "n_members", "d_sum",
+                    F.coalesce("l_in", F.lit(0)).cast("bigint")
+                    .alias("intra_edges"),
+                    (4 * F.col("m") * F.coalesce("l_in", F.lit(0))
+                     - F.col("d_sum") * F.col("d_sum")).cast("bigint")
+                    .alias("q_term_x4m2"))
+            .orderBy(F.desc("n_members"), "community_id"))
