@@ -584,6 +584,7 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the derivation, only the bytes.
 # ---------------------------------------------------------------------------
 
+import math  # noqa: E402
 import struct  # noqa: E402
 
 HEADER_SCHEMA = T.StructType([
@@ -2505,3 +2506,149 @@ def multimodal_pixel_histogram(spark: SparkSession,
             .select("doc_id", "text"))
     return (decode_parallel(docs).mapInPandas(_hist_batch, schema)
             .orderBy("doc_id", "bin"))
+
+
+# ---------------------------------------------------------------------------
+# WAV spectral centroid via integer DFT (r10) — the frequency-domain
+# audio feature (brightness) a curation pass uses next to RMS energy:
+# per 64-sample frame, Goertzel-style power at bins k in {1, 2, 4, 8}
+# from the REAL decoded PCM samples, then the power-weighted centroid
+# bin and the argmax bin. EXACTNESS: the DFT basis is a SHARED 64-entry
+# 1e6-scaled integer cosine/sine table (the pHash/JPEG LUT discipline)
+# indexed by (k*i) mod 64; C_k/S_k are exact BIGINT sums; powers are
+# exact Python-int/HUGEINT squares; centroid is a deterministic double
+# from exact integers, floor(x*1e6 + 0.5)-quantized; the dominant bin
+# is an integer argmax with smallest-k tie-break. Only the first
+# 8 complete frames per asset are audited (bounded output).
+# Scale: map-only mapInPandas after decode_parallel — samples never
+# leave the task, 4-bin frame rows do.
+# ---------------------------------------------------------------------------
+
+WAV_DFT_N = 64
+WAV_DFT_BINS = (1, 2, 4, 8)
+WAV_DFT_MAX_FRAMES = 8
+
+_DFT_COSQ = [round(math.cos(2 * math.pi * m / WAV_DFT_N) * 1_000_000)
+             for m in range(WAV_DFT_N)]
+_DFT_SINQ = [round(math.sin(2 * math.pi * m / WAV_DFT_N) * 1_000_000)
+             for m in range(WAV_DFT_N)]
+
+WAV_DFT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("dom_bin", T.LongType()),
+    T.StructField("centroid_bin", T.DoubleType()),
+])
+
+
+def _wav_dft_oracle() -> str:
+    cosq = "[" + ", ".join(str(v) for v in _DFT_COSQ) + "]"
+    sinq = "[" + ", ".join(str(v) for v in _DFT_SINQ) + "]"
+    bins = ", ".join(str(k) for k in WAV_DFT_BINS)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 3
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT % 4096 AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b
+      FROM g
+    ),
+    sm AS (
+      SELECT doc_id, i // {WAV_DFT_N} AS frame, i % {WAV_DFT_N} AS il,
+             (a * i + b) % 65536 - 32768 AS s
+      FROM geo, UNNEST(generate_series(0, nfr - 1)) AS t(i)
+      WHERE i < (nfr // {WAV_DFT_N}) * {WAV_DFT_N}
+        AND i // {WAV_DFT_N} < {WAV_DFT_MAX_FRAMES}
+    ),
+    cs AS (
+      SELECT doc_id, frame, k.k,
+             CAST(SUM(s * ({cosq})[(k.k * il) % {WAV_DFT_N} + 1])
+                  AS BIGINT) AS ck,
+             CAST(SUM(s * ({sinq})[(k.k * il) % {WAV_DFT_N} + 1])
+                  AS BIGINT) AS sk
+      FROM sm, UNNEST([{bins}]) AS k(k)
+      GROUP BY 1, 2, 3
+    ),
+    pw AS (
+      SELECT doc_id, frame, k,
+             CAST(ck AS HUGEINT) * ck + CAST(sk AS HUGEINT) * sk AS p
+      FROM cs
+    ),
+    agg AS (
+      SELECT doc_id, frame,
+             SUM(k * p) AS num, SUM(p) AS den
+      FROM pw GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT doc_id, frame, k AS dom_bin,
+             row_number() OVER (PARTITION BY doc_id, frame
+                                ORDER BY p DESC, k) AS rk
+      FROM pw
+    )
+    SELECT a.doc_id, CAST(a.frame AS BIGINT) AS frame_idx,
+           CAST(d.dom_bin AS BIGINT) AS dom_bin,
+           CAST(CAST(floor(CAST(a.num AS DOUBLE) / NULLIF(
+                 CAST(a.den AS DOUBLE), 0) * 1000000 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS centroid_bin
+    FROM agg a JOIN dom d ON d.doc_id = a.doc_id AND d.frame = a.frame
+                          AND d.rk = 1
+    ORDER BY 1, 2
+    """
+
+
+@query("multimodal_wav_dft_centroid", oracle=_wav_dft_oracle())
+def multimodal_wav_dft_centroid(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Integer-DFT spectral centroid per 64-sample frame of REAL
+    decoded PCM16 audio (see block comment)."""
+
+    def _dft_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cosq = np.array(_DFT_COSQ, dtype=np.int64)
+        sinq = np.array(_DFT_SINQ, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_wav_with_samples(doc_id, h)
+                _ch, _rate, samples = decode_wav_pcm16(payload)
+                n_frames = min(len(samples) // WAV_DFT_N,
+                               WAV_DFT_MAX_FRAMES)
+                il = np.arange(WAV_DFT_N, dtype=np.int64)
+                for fr in range(n_frames):
+                    s = samples[fr * WAV_DFT_N:(fr + 1) * WAV_DFT_N]
+                    num = den = 0
+                    best = None
+                    for k in WAV_DFT_BINS:
+                        idx = (k * il) % WAV_DFT_N
+                        ck = int((s * cosq[idx]).sum())
+                        sk = int((s * sinq[idx]).sum())
+                        p = ck * ck + sk * sk     # exact Python ints
+                        num += k * p
+                        den += p
+                        if best is None or p > best[0]:
+                            best = (p, k)
+                    # float() each side FIRST: the SQL boundary is
+                    # CAST(num AS DOUBLE)/CAST(den AS DOUBLE) — two
+                    # roundings; Python's exact bigint num/den would be
+                    # one, an ulp apart in the worst case
+                    cen = (math.floor(float(num) / float(den)
+                                      * 1_000_000 + 0.5)
+                           / 1_000_000 if den else None)
+                    out.append(dict(doc_id=doc_id, frame_idx=fr,
+                                    dom_bin=best[1], centroid_bin=cen))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in WAV_DFT_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 3)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs).mapInPandas(_dft_batch, WAV_DFT_SCHEMA)
+            .orderBy("doc_id", "frame_idx"))

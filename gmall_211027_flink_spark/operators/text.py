@@ -1535,3 +1535,68 @@ def text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("yules_k"))
         .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram entropy per language (r10) — the sub-word
+# counterpart of text_word_entropy: language scripts differ far more
+# in character n-gram structure than in word length, so per-lang
+# trigram entropy is the standard corpus-mix diagnostic (and the
+# feature family under the round-2 n-gram language ID). EXACTNESS:
+# trigram counts are exact integers; each p*log2(p) term is
+# deterministic per (lang, trigram) and floor(t*1e9 + 0.5)-quantized
+# BEFORE the order-free integer sum (float-discipline rule).
+# Scale: explode is map-side; both aggregations shuffle on content
+# keys (lang, trigram) with partial aggregation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_char_trigram_entropy",
+    oracle="""
+    WITH tri AS (
+      SELECT d.lang, substr(d.text, t.i, 3) AS g
+      FROM documents d,
+           UNNEST(generate_series(1, len(d.text) - 2)) AS t(i)
+    ),
+    tc AS (
+      SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri GROUP BY 1, 2
+    ),
+    n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1)
+    SELECT tc.lang,
+           any_value(n.n) AS n_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_trigrams,
+           CAST(-SUM(CAST(floor((c / CAST(n.n AS DOUBLE))
+                                * log2(c / CAST(n.n AS DOUBLE))
+                                * 1000000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 AS trigram_entropy
+    FROM tc JOIN n USING (lang)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_char_trigram_entropy(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-language character-trigram entropy with quantized-term
+    sums (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "lang",
+        F.explode(F.expr(
+            "case when length(text) >= 3 then"
+            " transform(sequence(1, length(text) - 2),"
+            "  i -> substring(text, i, 3))"
+            " else array() end")).alias("g"))
+    tc = tri.groupBy("lang", "g").agg(
+        F.count("*").cast("bigint").alias("c"))
+    n = tc.groupBy(F.col("lang").alias("nl")).agg(
+        F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    tq = F.floor(p * F.log2(p) * F.lit(1000000000.0)
+                 + F.lit(0.5)).cast("bigint")
+    return (tc.join(n, F.col("lang") == F.col("nl"))
+            .groupBy("lang")
+            .agg(F.first("n").alias("n_trigrams"),
+                 F.count("*").cast("bigint").alias("distinct_trigrams"),
+                 ((-F.sum(tq)).cast("double") / F.lit(1000000000.0))
+                 .alias("trigram_entropy"))
+            .orderBy("lang"))
