@@ -892,3 +892,69 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("event_ct"),
                  dsum("value").alias("value_sum"))
             .orderBy("c_nationkey"))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join (r10) — the scale pattern for UNKEYED interval
+# predicates: "clicks within +/-60 s of each error, across ALL users"
+# has no equi-key, so the naive plan is a broadcast-nested-loop /
+# cartesian with a range filter — quadratic at corpus scale. The
+# bucketed form assigns both sides to interval-width time buckets,
+# expands each probe row to its 3 candidate buckets map-side, joins on
+# the BUCKET equi-key (hash join, shuffle on bucket), and refines the
+# exact +/-60 s predicate after the join. A candidate click's bucket
+# matches exactly ONE of the probe's 3 expanded buckets, so no dedup
+# pass is needed. This is the DataFrame mirror of what range-join
+# optimizers (e.g. Databricks RANGE_JOIN hint) do under the hood —
+# plan-gated in tests: no CartesianProduct / BroadcastNestedLoop.
+# EXACTNESS: integer epoch-microsecond arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_US = 60_000_000      # +/- 60 s
+
+
+@query(
+    "join_bucketed_range",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS eus
+      FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS cus
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id,
+           CAST(COUNT(c.cus) AS BIGINT) AS n_nearby_clicks
+    FROM err e LEFT JOIN clk c
+      ON c.cus >= e.eus - {RANGE_JOIN_WINDOW_US}
+     AND c.cus <= e.eus + {RANGE_JOIN_WINDOW_US}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_bucketed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within +/-60 s of each error via the bucket-expand
+    equi-join pattern (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = RANGE_JOIN_WINDOW_US
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("event_id",
+                   F.unix_micros("ts").cast("bigint").alias("eus")))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select(F.unix_micros("ts").cast("bigint").alias("cus"))
+           .withColumn("cb", F.expr(f"cus div {w}")))
+    probe = (err
+             .withColumn("eb", F.expr(f"eus div {w}"))
+             .withColumn("b", F.explode(F.expr(
+                 "array(eb - 1, eb, eb + 1)")))
+             .drop("eb"))
+    hits = (probe.join(clk, (F.col("b") == F.col("cb"))
+                       & (F.col("cus") >= F.col("eus") - w)
+                       & (F.col("cus") <= F.col("eus") + w))
+            .groupBy("event_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits")))
+    return (err.join(hits, "event_id", "left")
+            .select("event_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_nearby_clicks"))
+            .orderBy("event_id"))

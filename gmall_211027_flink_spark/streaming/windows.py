@@ -2399,3 +2399,95 @@ def _holt_stream_oracle() -> str:
 
 
 _OR["stream_holt_maintenance"] = _holt_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM maintenance (r10): keep the change-point monitor's
+# sufficient statistics current at ingest. Unlike Holt (one packed
+# BIGINT, order-sensitive), CUSUM's state is the WEEKLY COUNT TABLE —
+# bounded by the calendar grain, not the corpus — and its merge is
+# plain additive (sum counts per week), so slices can arrive in any
+# order. After the final commit the exact-integer argmax
+# n*prefix_k - k*Sy is computed FROM THE STORE and must hash-match the
+# one-shot batch stats_cusum_changepoint oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_cusum_maintenance",
+    oracle=None,   # assigned below: identical to the batch CUSUM oracle
+)
+def stream_cusum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    wk_col = (F.datediff("o_orderdate", F.lit("1970-01-01"))
+              .cast("bigint") / 7).cast("bigint")
+    lo, hi = orders.agg(F.min(wk_col), F.max(wk_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_cusum_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_weeks_bound = hi - lo + 1
+    d = tempfile.mkdtemp(prefix="cusum_store_gate_")
+    try:
+        state = None    # the bounded (wk, y) weekly-count table
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders.select(wk_col.alias("wk"))
+                     .filter((F.col("wk") >= a) & (F.col("wk") <= b))
+                     .groupBy("wk")
+                     .agg(F.count("*").cast("bigint").alias("y")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("wk")
+                     .agg(F.sum("y").cast("bigint").alias("y")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # bounded-grain invariant, named + -O-proof (ADVICE r9 rule)
+            if n > n_weeks_bound:
+                raise RuntimeError(
+                    f"stream_cusum_maintenance: weekly store grew to "
+                    f"{n} rows > calendar bound {n_weeks_bound}")
+        # final readout from the drained store — the batch CUSUM math
+        w = Window.orderBy("wk")
+        idx = state.select(
+            "wk", "y",
+            F.row_number().over(w).cast("bigint").alias("t"),
+            F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint").alias("pre"))
+        tot = state.agg(F.count("*").cast("bigint").alias("n"),
+                        F.sum("y").cast("bigint").alias("sy"))
+        cus = (idx.crossJoin(F.broadcast(tot))
+               .withColumn("cus_n", F.col("n") * F.col("pre")
+                           - F.col("t") * F.col("sy")))
+        best = cus.withColumn(
+            "rk", F.row_number().over(
+                Window.orderBy(F.abs("cus_n").desc(), "wk")))
+        out = (best.filter(F.col("rk") == 1)
+               .select(F.col("n").alias("n_weeks"),
+                       F.col("wk").alias("change_wk"),
+                       F.col("t").alias("change_t"),
+                       F.col("cus_n").alias("cusum_scaled"),
+                       (F.floor(F.abs("cus_n").cast("double") / F.col("n")
+                                * F.lit(1000000.0) + F.lit(0.5))
+                        .cast("bigint").cast("double")
+                        / F.lit(1000000.0)).alias("cusum_abs")))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _cusum_stream_oracle() -> str:
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_cusum_changepoint"]
+
+
+_OR["stream_cusum_maintenance"] = _cusum_stream_oracle()
