@@ -1038,3 +1038,116 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.when(F.col("rk") <= F.col("extra"), 1)
                      .otherwise(0)).cast("bigint").alias("n_alloc"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# K-center coreset selection (r10) — farthest-first traversal (Gonzalez
+# 1985), the 2-approximation every coreset / diverse-subset pipeline
+# starts from: pick the minimum-id vector, then 7 times pick the point
+# FARTHEST from the chosen set (argmax of the running min-distance).
+# The selected ids are the training-data coreset; the last selection
+# distance is the coverage radius bound.
+#
+# EXACTNESS: centers are DATA POINTS, so every distance is the exact
+# integer SUM_dims (qx_a - qx_b)^2 over 1e-9-quantized components
+# (HUGEINT/DECIMAL(38,0)); argmax ties break on smallest vec_id. Both
+# engines walk the identical selection sequence — no float anywhere.
+#
+# Scale: each round is ONE broadcast of the newly chosen center's 64
+# scalar rows + a map-side least() update of the per-vector running
+# min — O(rounds * n * d) with no pairwise blowup; the argmax is a
+# TakeOrdered(1). The driver-side center-id collect is the documented
+# bounded-scalar pattern (8 scalars total).
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    d2 = ("SUM(CAST(e.qx - c.qx AS HUGEINT) * (e.qx - c.qx))")
+    ctes = ["""
+    ex AS (
+      SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                         * 1000000000 + 0.5) AS BIGINT) AS qx
+      FROM embeddings e,
+           UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    s0 AS (SELECT MIN(vec_id) AS cid FROM ex)"""]
+    ctes.append(f"""
+    m1 AS MATERIALIZED (
+      SELECT e.vec_id, {d2} AS dmin
+      FROM ex e JOIN ex c ON c.vec_id = (SELECT cid FROM s0)
+                         AND c.dim = e.dim
+      GROUP BY 1
+    )""")
+    for t in range(1, KCENTER_K):
+        ctes.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT vec_id AS cid, dmin AS sel_d2
+      FROM m{t} ORDER BY dmin DESC, vec_id LIMIT 1
+    )""")
+        if t < KCENTER_K - 1:
+            ctes.append(f"""
+    m{t + 1} AS MATERIALIZED (
+      SELECT m.vec_id, LEAST(m.dmin, d.d) AS dmin
+      FROM m{t} m JOIN (
+        SELECT e.vec_id, {d2} AS d
+        FROM ex e JOIN ex c ON c.vec_id = (SELECT cid FROM s{t})
+                           AND c.dim = e.dim
+        GROUP BY 1
+      ) d ON d.vec_id = m.vec_id
+    )""")
+    sel = ["SELECT 0 AS sel_round, (SELECT cid FROM s0) AS vec_id,"
+           " CAST(0 AS HUGEINT) AS sel_d2"]
+    sel += [f"SELECT {t}, (SELECT cid FROM s{t}),"
+            f" (SELECT sel_d2 FROM s{t})"
+            for t in range(1, KCENTER_K)]
+    union = " UNION ALL ".join(sel)
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(sel_round AS BIGINT) AS sel_round,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(sel_d2 AS BIGINT) AS sel_d2q
+    FROM ({union}) ORDER BY 1
+    """
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first {KCENTER_K}-center coreset over the embedding
+    corpus, exact-integer distances (see block comment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * 1000000000 + 0.5) as bigint))")).alias("dim_i", "qx")
+    ).select("vec_id", F.col("dim_i").cast("bigint").alias("dim"), "qx") \
+     .localCheckpoint()
+
+    def d_to(cid: int) -> DataFrame:
+        c = ex.filter(F.col("vec_id") == cid).select(
+            "dim", F.col("qx").alias("cqx"))
+        diff = F.col("qx") - F.col("cqx")
+        return (ex.join(F.broadcast(c), "dim")
+                .groupBy("vec_id")
+                .agg(F.sum(diff.cast("decimal(38,0)") * diff).alias("d")))
+
+    first = ex.agg(F.min("vec_id")).first()[0]   # bounded-scalar collect
+    chosen = [(0, int(first), 0)]
+    mdf = d_to(first).withColumnRenamed("d", "dmin").localCheckpoint()
+    for t in range(1, KCENTER_K):
+        top = (mdf.orderBy(F.desc("dmin"), "vec_id").limit(1)
+               .first())                          # bounded-scalar collect
+        chosen.append((t, int(top["vec_id"]), int(top["dmin"])))
+        if t < KCENTER_K - 1:
+            nd = d_to(int(top["vec_id"]))
+            mdf = (mdf.join(nd, "vec_id")
+                   .select("vec_id",
+                           F.least("dmin", "d").alias("dmin"))
+                   .localCheckpoint())
+    out = spark.createDataFrame(
+        [(r, v, d) for r, v, d in chosen],
+        "sel_round bigint, vec_id bigint, sel_d2q bigint")
+    return out.orderBy("sel_round")

@@ -12,6 +12,8 @@ scan-bound. Ratios are single double divisions of exact integer counts
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1600,3 +1602,97 @@ def text_char_trigram_entropy(spark: SparkSession,
                  ((-F.sum(tq)).cast("double") / F.lit(1000000000.0))
                  .alias("trigram_entropy"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope fit (r10) — the log-log rank/frequency regression over the
+# corpus's top-100 words: natural corpora run slope ~ -1 (Zipf's law);
+# a synthetic or templated corpus shows up as a flat or kinked fit —
+# the vocabulary-shape audit next to Yule's K. EXACTNESS: the top-100
+# cut is a total order (freq DESC, word); ln(rank) and ln(freq) are
+# deterministic per row from exact integers and are half-up-quantized
+# to BIGINT at 1e-9; the OLS slope/intercept use exact
+# HUGEINT/DECIMAL(38,0) moment identities over those integers,
+# floor(x*1e6 + 0.5)-quantized at the boundary. Bounded 100-row math
+# after one (word) two-phase count.
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 100
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH wc AS (
+      SELECT t.word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT word, c,
+             CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+               AS rnk
+      FROM wc
+      ORDER BY c DESC, word LIMIT {ZIPF_TOP_K}
+    ),
+    q AS (
+      SELECT CAST(floor(ln(rnk) * 1000000000 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(ln(c) * 1000000000 + 0.5) AS BIGINT) AS yq
+      FROM top
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+             SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+      FROM q
+    )
+    SELECT n AS n_words,
+           CAST(CAST(floor(
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS zipf_slope,
+           CAST(CAST(floor(
+             (CAST(sy AS DOUBLE) / n
+              - CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * sx / n) / ln(10) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS log10_intercept
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS Zipf slope over the top-{ZIPF_TOP_K} word log-log curve
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("word").agg(F.count("*").cast("bigint").alias("c")))
+    top = (wc.orderBy(F.desc("c"), "word").limit(ZIPF_TOP_K)
+           .select("c", F.row_number().over(
+               Window.orderBy(F.desc("c"), "word"))
+               .cast("bigint").alias("rnk")))
+    q = top.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * F.lit(1000000000.0)
+                + F.lit(0.5)).cast("bigint").alias("xq"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000000.0)
+                + F.lit(0.5)).cast("bigint").alias("yq"))
+    m = q.agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("xq").cast("bigint").alias("sx"),
+              F.sum("yq").cast("bigint").alias("sy"),
+              F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq"))
+              .alias("sxy"),
+              F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+              .alias("sxx"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+    den = (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    q6 = lambda c: (F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                    .cast("bigint").cast("double") / F.lit(1000000.0))
+    intercept = ((F.col("sy").cast("double") / F.col("n")
+                  - slope * F.col("sx") / F.col("n"))
+                 / F.lit(math.log(10.0)))
+    return m.select(F.col("n").alias("n_words"),
+                    q6(slope).alias("zipf_slope"),
+                    q6(intercept).alias("log10_intercept"))
