@@ -1421,3 +1421,68 @@ def embedding_clip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         " END) * 1000000 div first(n) AS BIGINT)")
                  .alias("clip_ppm"))
             .orderBy("dim"))
+
+
+# ---------------------------------------------------------------------------
+# kNN regression readout (r10) — the numeric sibling of the round-3
+# kNN label vote: predict each query document's length (n_chars) as
+# the mean over its exact top-{TOP_K} cosine neighbors and report the
+# absolute error — the "can the embedding space predict a numeric
+# attribute" probe a feature-store audit runs. EXACTNESS: the neighbor
+# set is the proven ann_cosine_topk cut (6-dp cosine + id tie-break);
+# the prediction is an exact integer SUM over k neighbors with a
+# deterministic /k readout, floor(x*1e6 + 0.5)-quantized; the error is
+# exact at x_k scale (|k*actual - sum|).
+# Scale: broadcast Q query vectors, one corpus map + per-query top-k
+# (TakeOrdered); the n_chars join is a broadcast of Q*k rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_knn_regression_chars",
+    oracle=f"""
+    WITH exact AS ({{base}}),
+    joined AS (
+      SELECT e.query_id, d.n_chars
+      FROM exact e JOIN documents d ON d.doc_id = e.neighbor_id
+    ),
+    pred AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM joined GROUP BY 1
+    )
+    SELECT p.query_id, p.k, p.sum_chars,
+           CAST(CAST(floor(CAST(p.sum_chars AS DOUBLE) / p.k * 1000000
+                           + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS pred_chars,
+           CAST(d.n_chars AS BIGINT) AS actual_chars,
+           CAST(ABS(p.k * CAST(d.n_chars AS BIGINT) - p.sum_chars)
+                AS BIGINT) AS abs_err_xk
+    FROM pred p JOIN documents d ON d.doc_id = p.query_id
+    ORDER BY 1
+    """.format(base=ORACLES["ann_cosine_topk"]),
+)
+def ml_knn_regression_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-mean prediction of document length from embedding
+    neighbors (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    nb = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pred = (nb.join(docs.withColumnRenamed("doc_id", "neighbor_id"),
+                    "neighbor_id")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("k"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+    return (pred.join(docs.withColumnRenamed("doc_id", "query_id")
+                      .withColumnRenamed("n_chars", "actual_chars"),
+                      "query_id")
+            .select("query_id", "k", "sum_chars",
+                    (F.floor(F.col("sum_chars").cast("double")
+                             / F.col("k") * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("pred_chars"),
+                    F.col("actual_chars").cast("bigint")
+                    .alias("actual_chars"),
+                    F.abs(F.col("k") * F.col("actual_chars")
+                          - F.col("sum_chars")).cast("bigint")
+                    .alias("abs_err_xk"))
+            .orderBy("query_id"))
