@@ -6220,3 +6220,91 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(num / F.sqrt(vx * vy) * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function (r10) — lead/lag association between two
+# daily event series (clicks vs purchases): CCF at lags -7..7 answers
+# "do clicks lead purchases, and by how many days" — the diagnostic
+# behind attribution windows (rounds 5/7). EXACTNESS: the Ljung-Box
+# discipline — per-day counts joined on shifted dates so every
+# cross-product n^2*xy - ... is computed from exact integers; r(lag) =
+# (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) over the lag's
+# aligned overlap, floor(x*1e6 + 0.5)-quantized. The date-shift join
+# runs on the bounded daily grain (DAY-GRAIN CONTRACT).
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 7
+
+
+@query(
+    "stats_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (
+      SELECT t.lag FROM UNNEST(generate_series(-{CCF_MAX_LAG},
+                                               {CCF_MAX_LAG})) AS t(lag)
+    ),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + to_days(CAST(l.lag AS INT))
+    ),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_days,
+           CAST(CAST(floor(
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS ccf
+    FROM m ORDER BY 1
+    """,
+)
+def stats_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCF(-{CCF_MAX_LAG}..{CCF_MAX_LAG}) between daily clicks and
+    purchases via exact integer moments (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("bigint").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("bigint").alias("y")))
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("bd"), "y")
+    pairs = (lags.crossJoin(a)      # bounded spine x day grain
+             .join(b, F.expr("bd = date_add(d, lag)")))
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+    vx = (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double")
+    vy = (d38("n") * F.col("syy") - d38("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.col("n").alias("n_days"),
+        (F.floor(num / F.sqrt(vx * vy) * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0)).alias("ccf")
+    ).orderBy("lag_days")

@@ -833,3 +833,116 @@ def sketch_bloom_fpr_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / F.col("m_bits")),
                       float(BLOOM_K)), 6).alias("fpr_theory"))
         .orderBy("m_bits"))
+
+
+# ---------------------------------------------------------------------------
+# Table-stats NDV collection audit (r10) — the ANALYZE TABLE pass a
+# lakehouse catalog runs to feed the optimizer: per column, the exact
+# distinct count next to the 512-register HLL estimate (with the
+# standard small-range linear-counting correction) and the resulting
+# error in ppm. This is the operational readout for "can the sketch
+# replace the exact scan for stats collection" — per column, not per
+# corpus, because NDV regimes differ wildly (keys ~ n, enums ~ 3).
+# One generator emits the identical per-column register pipeline for
+# both engines; every compare boundary is the HLL-registers query's
+# proven integer rank/Z arithmetic.
+# ---------------------------------------------------------------------------
+
+NDV_AUDIT_COLS = ("o_custkey", "o_orderpriority", "o_orderstatus")
+
+
+def _ndv_audit_oracle() -> str:
+    blocks = []
+    for col in NDV_AUDIT_COLS:
+        blocks.append(f"""
+    SELECT '{col}' AS col_name, e.exact_ndv, z.zero_regs,
+           round(CASE WHEN z.zero_regs > 0
+                 THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / z.zero_regs)
+                 ELSE (0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M}
+                      / (CAST(z.z_int AS DOUBLE)
+                         / (CAST(1 AS BIGINT) << {HLL_RHO_CAP}))
+                 END, 6) AS est_ndv
+    FROM (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - reg))
+                  AS BIGINT) AS z_int,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_regs
+      FROM (
+        SELECT g.b AS bucket, CAST(COALESCE(MAX(r.r), 0) AS BIGINT) AS reg
+        FROM UNNEST(generate_series(0, {HLL_M - 1})) AS g(b)
+        LEFT JOIN (
+          SELECT h % {HLL_M} AS bucket,
+                 CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_CAP}
+                      ELSE bit_count(CAST(((h // {HLL_M})
+                                           & -(h // {HLL_M})) - 1
+                                          AS BIGINT)) + 1 END AS r
+          FROM (SELECT DISTINCT
+                       ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1,
+                                       {KMV_HEX}))::BIGINT AS h
+                FROM orders)
+        ) r ON r.bucket = g.b
+        GROUP BY 1
+      )
+    ) z,
+    (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS exact_ndv
+     FROM orders) e"""
+        )
+    union = " UNION ALL ".join(blocks)
+    return f"""
+    SELECT col_name, exact_ndv, zero_regs, est_ndv,
+           CAST(floor(ABS(est_ndv - exact_ndv)
+                      / CAST(exact_ndv AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS err_ppm
+    FROM ({union}) ORDER BY col_name
+    """
+
+
+@query("lake_ndv_stats_audit", oracle=_ndv_audit_oracle())
+def lake_ndv_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column exact-vs-HLL NDV audit over orders (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    outs = []
+    for col in NDV_AUDIT_COLS:
+        hashed = orders.select(F.expr(
+            f"cast(conv(substring(md5(cast({col} as string)), 1,"
+            f" {KMV_HEX}), 16, 10) as bigint)").alias("h")).distinct()
+        rho = hashed.select(
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w")).select(
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP))
+            .otherwise(F.expr("bit_count((w & -w) - 1) + 1")).alias("r"))
+        grid = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        regs = (grid.join(rho, "bucket", "left")
+                .groupBy("bucket")
+                .agg(F.coalesce(F.max("r"), F.lit(0)).cast("bigint")
+                     .alias("reg")))
+        zsum = regs.agg(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint),"
+                         f" {HLL_RHO_CAP} - cast(reg as int))"))
+            .cast("bigint").alias("z_int"),
+            F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+            .cast("bigint").alias("zero_regs"))
+        exact = orders.agg(F.count_distinct(col).cast("bigint")
+                           .alias("exact_ndv"))
+        alpha = 0.7213 / (1 + 1.079 / HLL_M)
+        z = F.col("z_int").cast("double") / float(1 << HLL_RHO_CAP)
+        est = F.round(
+            F.when(F.col("zero_regs") > 0,
+                   F.lit(float(HLL_M))
+                   * F.log(F.lit(float(HLL_M)) / F.col("zero_regs")))
+            .otherwise(F.lit(alpha) * HLL_M * HLL_M / z), 6)
+        outs.append(
+            zsum.crossJoin(F.broadcast(exact))
+            .select(F.lit(col).alias("col_name"), "exact_ndv",
+                    "zero_regs", est.alias("est_ndv")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "col_name", "exact_ndv", "zero_regs", "est_ndv",
+        F.floor(F.abs(F.col("est_ndv") - F.col("exact_ndv"))
+                / F.col("exact_ndv").cast("double") * F.lit(1000000.0)
+                + F.lit(0.5)).cast("bigint").alias("err_ppm")
+    ).orderBy("col_name")
