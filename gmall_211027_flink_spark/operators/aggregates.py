@@ -6308,3 +6308,264 @@ def stats_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(num / F.sqrt(vx * vy) * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0)).alias("ccf")
     ).orderBy("lag_days")
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (r10) — Friedman 1937: the non-parametric repeated-
+# measures ANOVA over (week-block x day-of-week) daily order counts:
+# "does weekday rank-order repeat week after week", the blocked
+# companion to the seasonal DOW decomposition (r9). Only COMPLETE
+# 7-day blocks enter. EXACTNESS: within-block ranks use the exact 2x
+# tie-averaged integer trick (2*min_rank + tie_ct - 1, windows
+# partitioned per block); with k = 7, n blocks, and column rank sums
+# R2_j (at 2x scale), the statistic is the exact rational
+#   chi2 = 3 * sum_j R2_j^2 / (n*k*(k+1)) - 3*n*(k+1),
+# emitted as a deterministic double, floor(x*1e6 + 0.5)-quantized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_friedman_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    blocks AS (
+      SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+    ),
+    ranked AS (
+      SELECT d.wk, d.dow,
+             2 * rank() OVER (PARTITION BY d.wk ORDER BY d.y)
+               + COUNT(*) OVER (PARTITION BY d.wk, d.y) - 1 AS r2
+      FROM daily d JOIN blocks USING (wk)
+    ),
+    cols AS (
+      SELECT dow, CAST(SUM(r2) AS BIGINT) AS r2j FROM ranked GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks)
+    SELECT nn.n AS n_blocks,
+           CAST(SUM(CAST(r2j AS HUGEINT) * r2j) AS BIGINT) AS sum_r2sq,
+           CAST(CAST(floor(
+             (3.0 * SUM(CAST(r2j AS HUGEINT) * r2j)
+              / (nn.n * 7 * 8) - 3.0 * nn.n * 8)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS friedman_chi2
+    FROM cols, nn GROUP BY 1
+    """,
+)
+def stats_friedman_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman chi2 over complete (week x DOW) blocks of daily order
+    counts (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    blocks = daily.groupBy("wk").agg(F.count("*").alias("ct")) \
+        .filter(F.col("ct") == 7).select("wk")
+    wb = Window.partitionBy("wk")
+    ranked = (daily.join(F.broadcast(blocks), "wk")
+              .select("wk", "dow",
+                      (2 * F.rank().over(wb.orderBy("y"))
+                       + F.count("*").over(
+                           Window.partitionBy("wk", "y")) - 1)
+                      .cast("bigint").alias("r2")))
+    cols = ranked.groupBy("dow").agg(
+        F.sum("r2").cast("bigint").alias("r2j"))
+    nn = blocks.agg(F.count("*").cast("bigint").alias("n"))
+    return (cols.crossJoin(F.broadcast(nn))
+            .groupBy(F.col("n").alias("n_blocks"))
+            .agg(F.sum(F.col("r2j").cast("decimal(38,0)") * F.col("r2j"))
+                 .cast("bigint").alias("sum_r2sq"))
+            .select("n_blocks", "sum_r2sq",
+                    (F.floor(
+                        (F.lit(3.0) * F.col("sum_r2sq")
+                         / (F.col("n_blocks") * 7 * 8)
+                         - F.lit(3.0) * F.col("n_blocks") * 8)
+                        * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("friedman_chi2")))
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit (r10) — vocabulary growth V(N) ~ K * N^beta over the
+# corpus in doc_id order: the tokenizer-budget planning curve (how
+# fast does vocab grow as the corpus doubles). Each word contributes
+# at its FIRST document, so V at every checkpoint is one exact
+# min-per-word aggregation, and cumulative tokens are exact sums over
+# doc_id prefixes — 10 checkpoints, no running window. beta from the
+# log-log OLS over the 10 exact points (quantized-log discipline).
+# ---------------------------------------------------------------------------
+
+HEAPS_POINTS = 10
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(doc_id) + 1 AS nd FROM documents
+    ),
+    cuts AS (
+      SELECT t.c, (t.c * bounds.nd) // {HEAPS_POINTS} AS cut_id
+      FROM bounds, UNNEST(generate_series(1, {HEAPS_POINTS})) AS t(c)
+    ),
+    dtok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    firsts AS (
+      SELECT t.word, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT c.c,
+             (SELECT CAST(SUM(tok) AS BIGINT) FROM dtok
+              WHERE doc_id < c.cut_id) AS n_tok,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+              WHERE first_doc < c.cut_id) AS v
+      FROM cuts c
+    ),
+    q AS (
+      SELECT CAST(floor(ln(n_tok) * 1000000000 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(ln(v) * 1000000000 + 0.5) AS BIGINT) AS yq
+      FROM pts WHERE n_tok > 0 AND v > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+             SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+      FROM q
+    )
+    SELECT n AS n_points,
+           CAST(CAST(floor(
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS heaps_beta
+    FROM m
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps exponent from {HEAPS_POINTS} exact vocabulary-growth
+    checkpoints (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    cuts = (spark.range(1, HEAPS_POINTS + 1)
+            .select(F.col("id").alias("c"))
+            .crossJoin(F.broadcast(bounds))
+            .select("c", F.expr(f"(c * nd) div {HEAPS_POINTS}")
+                    .alias("cut_id")))
+    dtok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tok"))
+    firsts = (docs.select("doc_id",
+                          F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word")
+              .agg(F.min("doc_id").cast("bigint").alias("first_doc")))
+    ntok = (cuts.join(dtok, F.col("doc_id") < F.col("cut_id"))
+            .groupBy("c").agg(F.sum("tok").cast("bigint").alias("n_tok")))
+    vocab = (cuts.join(firsts, F.col("first_doc") < F.col("cut_id"))
+             .groupBy(F.col("c").alias("vc"))
+             .agg(F.count("*").cast("bigint").alias("v")))
+    pts = ntok.join(vocab, F.col("c") == F.col("vc"))
+    q = (pts.filter((F.col("n_tok") > 0) & (F.col("v") > 0))
+         .select(
+             F.floor(F.log(F.col("n_tok").cast("double"))
+                     * F.lit(1000000000.0) + F.lit(0.5))
+             .cast("bigint").alias("xq"),
+             F.floor(F.log(F.col("v").cast("double"))
+                     * F.lit(1000000000.0) + F.lit(0.5))
+             .cast("bigint").alias("yq")))
+    m = q.agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("xq").cast("bigint").alias("sx"),
+              F.sum("yq").cast("bigint").alias("sy"),
+              F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq"))
+              .alias("sxy"),
+              F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+              .alias("sxx"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+    den = (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double")
+    return m.select(
+        F.col("n").alias("n_points"),
+        (F.floor(num / den * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("heaps_beta"))
+
+
+# ---------------------------------------------------------------------------
+# Longest activity streak per user (r10) — the day-grain
+# gaps-and-islands classic (consecutive active DAYS, where
+# sessionization (r3) works at the second grain): per user, distinct
+# active dates, island id = date - row_number (constant within a
+# consecutive run), longest run per user, top-20 overall. Pure integer
+# date arithmetic; all windows PARTITION BY user so the sort
+# distributes; the top-20 cut is a total order (len DESC, user,
+# start). This is the engagement metric every retention dashboard
+# ships next to DAU/MAU stickiness (r8).
+# ---------------------------------------------------------------------------
+
+STREAK_TOP_K = 20
+
+
+@query(
+    "dws_active_user_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - to_days(CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT)) AS anchor
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, MIN(d) AS streak_start,
+             CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM isl GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT user_id, streak_start, streak_days,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC,
+                                         streak_start) AS rk
+      FROM runs
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(streak_start AS VARCHAR) AS streak_start,
+           streak_days
+    FROM best WHERE rk = 1
+    ORDER BY streak_days DESC, user_id LIMIT {STREAK_TOP_K}
+    """,
+)
+def dws_active_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{STREAK_TOP_K} longest consecutive-active-day streaks
+    (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    isl = days.withColumn(
+        "anchor", F.expr("date_sub(d, row_number() over ("
+                         "partition by user_id order by d))"))
+    runs = (isl.groupBy("user_id", "anchor")
+            .agg(F.min("d").alias("streak_start"),
+                 F.count("*").cast("bigint").alias("streak_days")))
+    best = runs.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.desc("streak_days"), "streak_start")))
+    return (best.filter(F.col("rk") == 1)
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("streak_start").cast("string")
+                    .alias("streak_start"),
+                    "streak_days")
+            .orderBy(F.desc("streak_days"), "user_id")
+            .limit(STREAK_TOP_K))
