@@ -6569,3 +6569,109 @@ def dws_active_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "streak_days")
             .orderBy(F.desc("streak_days"), "user_id")
             .limit(STREAK_TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis test (r10) — the k-sample rank ANOVA completing the
+# non-parametric family (Mann-Kendall trend, Spearman association,
+# Friedman blocks): do the five market segments draw their DAILY
+# revenue from the same distribution? Samples are (segment, day)
+# revenue cells on the bounded day grain (DAY-GRAIN CONTRACT); global
+# ranks use the exact 2x tie-averaged integer trick; H and its tie
+# correction are deterministic doubles from exact BIGINT/HUGEINT sums
+# (R2_g^2 / n_g per group, T = sum(t^3 - t)), floor(x*1e6 + 0.5)-
+# quantized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT seg,
+             2 * rank() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+      FROM cells
+    ),
+    grp AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(r2) AS BIGINT) AS r2g
+      FROM rk GROUP BY 1
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+                  AS BIGINT) AS tcorr
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cells
+            GROUP BY cents)
+      WHERE t > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cells)
+    SELECT nn.n AS n_cells,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           -- per-group R2g^2/(4*ng) half-up-quantized to 1e-6 BEFORE
+           -- the (order-free, exact integer) group sum — the round-10
+           -- float-discipline rule
+           CAST(CAST(floor(
+             ((12.0 * (CAST(SUM((2 * CAST(r2g AS HUGEINT) * r2g * 1000000
+                                 + 4 * ng) // (8 * ng)) AS DOUBLE)
+                       / 1000000.0)
+               / (CAST(nn.n AS DOUBLE) * (nn.n + 1)) - 3.0 * (nn.n + 1))
+              / (1.0 - CAST(any_value(ties.tcorr) AS DOUBLE)
+                       / (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n)))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS kw_h
+    FROM grp, ties, nn GROUP BY 1
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across market segments on daily
+    revenue cells (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"))
+    cells = (orders.join(F.broadcast(cust), "o_custkey")
+             .groupBy("seg", F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("bigint"))
+                  .cast("bigint").alias("cents")))
+    # bounded (segment x day) grain: DAY-GRAIN CONTRACT
+    rk = cells.select(
+        "seg",
+        (2 * F.rank().over(Window.orderBy("cents"))
+         + F.count("*").over(Window.partitionBy("cents")) - 1)
+        .cast("bigint").alias("r2"))
+    grp = rk.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("r2").cast("bigint").alias("r2g"))
+    ties = (cells.groupBy("cents").agg(F.count("*").cast("bigint")
+                                       .alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+                      * F.col("t") - F.col("t")), F.lit(0))
+                .cast("bigint").alias("tcorr")))
+    nn = cells.agg(F.count("*").cast("bigint").alias("n"))
+    # per-group quantized term (exact integer), then order-free sum
+    h_raw = (F.lit(12.0)
+             * (F.sum(F.expr(
+                 "(2 * cast(r2g as decimal(38,0)) * r2g * 1000000"
+                 " + 4 * ng) div (8 * ng)")).cast("double")
+                / F.lit(1000000.0))
+             / (F.col("n").cast("double") * (F.col("n") + 1))
+             - F.lit(3.0) * (F.col("n") + 1))
+    corr = (F.lit(1.0) - F.first("tcorr").cast("double")
+            / (F.col("n").cast("double") * F.col("n") * F.col("n")
+               - F.col("n")))
+    return (grp.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nn))
+            .groupBy(F.col("n").alias("n_cells"))
+            .agg(F.count("*").cast("bigint").alias("n_groups"),
+                 (F.floor(h_raw / corr * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("bigint").cast("double") / F.lit(1000000.0))
+                 .alias("kw_h")))

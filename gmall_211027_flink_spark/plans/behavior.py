@@ -1357,7 +1357,9 @@ def ads_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").cast("bigint").alias("freq"),
                  F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
                        .cast("bigint")).cast("bigint").alias("cents")))
-    tercs = ("array(cast(1.0/3 as double), cast(2.0/3 as double))")
+    # cast(1.0/3 as double) would be DECIMAL division (exactly
+    # 0.333333) — NOT the oracle's double 1/3; divide doubles instead
+    tercs = ("array(cast(1 as double)/3, cast(2 as double)/3)")
     cuts = cust.agg(
         F.expr(f"percentile(recency_d, {tercs})").alias("rc"),
         F.expr(f"percentile(freq, {tercs})").alias("fc"),
@@ -1566,3 +1568,99 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("psi_q_1e9").cast("double")
                      / F.lit(1000000000.0)).alias("psi"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Customer value-tier migration matrix (r10) — the cohort movement
+# readout behind the RFM grid: split the order history at its exact
+# date midpoint, tier every customer 1-3 by spend terciles WITHIN each
+# half (tier 0 = inactive in that half), and cross-tab early vs late
+# tiers. The (3 -> 1) and (0 -> 3) cells are the churn-risk /
+# new-whale populations a lifecycle campaign targets. EXACTNESS:
+# integer cents, exact integer day midpoint, per-half tercile cuts via
+# the proven percentile/quantile_cont interpolation over integer
+# multisets, full-outer alignment on custkey.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_value_tier_migration",
+    oracle="""
+    WITH bounds AS (
+      SELECT (datediff('day', DATE '1970-01-01', MIN(CAST(o_orderdate AS DATE)))
+              + datediff('day', DATE '1970-01-01', MAX(CAST(o_orderdate AS DATE))))
+               // 2 AS mid
+      FROM orders
+    ),
+    spend AS (
+      SELECT o_custkey,
+             CASE WHEN datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) <= bounds.mid
+                  THEN 0 ELSE 1 END AS half,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders, bounds GROUP BY 1, 2
+    ),
+    cuts AS (
+      SELECT half, quantile_cont(cents, [1.0/3, 2.0/3]) AS c
+      FROM spend GROUP BY 1
+    ),
+    tiered AS (
+      SELECT s.o_custkey, s.half,
+             1 + CASE WHEN s.cents > c[2] THEN 2
+                      WHEN s.cents > c[1] THEN 1 ELSE 0 END AS tier
+      FROM spend s JOIN cuts USING (half)
+    ),
+    aligned AS (
+      SELECT COALESCE(e.o_custkey, l.o_custkey) AS ck,
+             COALESCE(e.tier, 0) AS early_tier,
+             COALESCE(l.tier, 0) AS late_tier
+      FROM (SELECT * FROM tiered WHERE half = 0) e
+      FULL OUTER JOIN (SELECT * FROM tiered WHERE half = 1) l
+        ON l.o_custkey = e.o_custkey
+    )
+    SELECT CAST(early_tier AS BIGINT) AS early_tier,
+           CAST(late_tier AS BIGINT) AS late_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM aligned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ads_value_tier_migration(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Early-vs-late spend-tercile migration matrix (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint").alias("dd"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    bounds = orders.agg(F.expr(
+        "(cast(min(dd) as bigint) + max(dd)) div 2").alias("mid"))
+    spend = (orders.crossJoin(F.broadcast(bounds))
+             .groupBy("o_custkey",
+                      F.when(F.col("dd") <= F.col("mid"), 0).otherwise(1)
+                      .alias("half"))
+             .agg(F.sum("cents").cast("bigint").alias("cents")))
+    tercs = "array(cast(1 as double)/3, cast(2 as double)/3)"
+    cuts = spend.groupBy("half").agg(
+        F.expr(f"percentile(cents, {tercs})").alias("c"))
+    tiered = (spend.join(F.broadcast(cuts), "half")
+              .select("o_custkey", "half",
+                      (1 + F.when(F.col("cents") > F.expr("c[1]"), 2)
+                       .when(F.col("cents") > F.expr("c[0]"), 1)
+                       .otherwise(0)).cast("bigint").alias("tier")))
+    e = (tiered.filter(F.col("half") == 0)
+         .select(F.col("o_custkey").alias("eck"),
+                 F.col("tier").alias("early_tier")))
+    late = (tiered.filter(F.col("half") == 1)
+            .select(F.col("o_custkey").alias("lck"),
+                    F.col("tier").alias("late_tier")))
+    aligned = e.join(late, F.col("eck") == F.col("lck"), "full_outer")
+    return (aligned.select(
+        F.coalesce("early_tier", F.lit(0)).cast("bigint")
+        .alias("early_tier"),
+        F.coalesce("late_tier", F.lit(0)).cast("bigint")
+        .alias("late_tier"))
+        .groupBy("early_tier", "late_tier")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("early_tier", "late_tier"))
