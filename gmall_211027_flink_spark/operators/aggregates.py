@@ -5917,7 +5917,7 @@ def ads_new_vs_returning_revenue(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 @query(
-    "stats_cusum_changepoint",
+    "stats_cusum_weekly_exact",
     oracle="""
     WITH wkly AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -5954,7 +5954,7 @@ def ads_new_vs_returning_revenue(spark: SparkSession,
     FROM best WHERE rk = 1
     """,
 )
-def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_cusum_weekly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer CUSUM argmax over weekly order volume (see block
     comment)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -6005,7 +6005,7 @@ THEIL_OFF = 10_000_000_000_000     # positivizer: > max |slope_q|
 
 
 @query(
-    "stats_theil_sen",
+    "stats_theil_sen_exact",
     oracle=f"""
     WITH wkly AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -6032,7 +6032,7 @@ THEIL_OFF = 10_000_000_000_000     # positivizer: > max |slope_q|
     FROM ranked WHERE rk = (n_pairs + 1) // 2
     """,
 )
-def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_theil_sen_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median pairwise slope of weekly order volume, exact-integer
     quantized (see block comment)."""
     orders = load_table(spark, sf_dir, "orders")

@@ -1428,9 +1428,6 @@ def graph_diameter_double_sweep(spark: SparkSession,
 # — Pregel-shaped; rounds are unrolled, lineage checkpointed.
 # ---------------------------------------------------------------------------
 
-LPA_ROUNDS = 3
-
-
 def _lpa_ctes() -> str:
     ctes = ["""
     l0 AS (
@@ -1451,7 +1448,7 @@ def _lpa_ctes() -> str:
 
 
 @query(
-    "graph_label_propagation",
+    "graph_lpa_modularity",
     oracle=f"""
     WITH {_EDGES_SQL},
     {_lpa_ctes()},
@@ -1482,7 +1479,7 @@ def _lpa_ctes() -> str:
     ORDER BY c.n_members DESC, c.community_id
     """,
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous {LPA_ROUNDS}-round LPA communities + exact-integer
     modularity terms (see block comment)."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -24,6 +24,14 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
     be expressed in SQL (the driver then records a weaker rows-only check).
     """
     def deco(fn):
+        if name in QUERIES:
+            # round-10 lesson: a silent dict overwrite re-pointed a
+            # PROVEN query (and the oracle other queries reference) at
+            # new code — fail loudly instead
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered by {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

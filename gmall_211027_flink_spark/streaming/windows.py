@@ -2485,9 +2485,9 @@ def stream_cusum_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _cusum_stream_oracle() -> str:
+def _cusum_weekly_stream_oracle() -> str:
     from gmall_211027_flink_spark.registry import ORACLES
-    return ORACLES["stats_cusum_changepoint"]
+    return ORACLES["stats_cusum_weekly_exact"]
 
 
-_OR["stream_cusum_maintenance"] = _cusum_stream_oracle()
+_OR["stream_cusum_maintenance"] = _cusum_weekly_stream_oracle()

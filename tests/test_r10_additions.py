@@ -214,9 +214,9 @@ def test_lpa_degree_and_modularity_identities(spark, sf_dir):
     """sum_c d_sum = 2m (every edge endpoint counted once) and
     sum_c intra <= m."""
     from gmall_211027_flink_spark.operators.graph import (
-        graph_label_propagation)
+        graph_lpa_modularity)
 
-    rows = graph_label_propagation(spark, str(sf_dir)).collect()
+    rows = graph_lpa_modularity(spark, str(sf_dir)).collect()
     if not rows:
         pytest.skip("co-purchase graph empty at this SF")
     d_total = sum(r["d_sum"] for r in rows)
@@ -255,10 +255,10 @@ def test_trigram_entropy_bounded_by_log_distinct(spark, sf_dir):
 
 def test_stream_cusum_matches_batch(spark, sf_dir):
     from gmall_211027_flink_spark.operators.aggregates import (
-        stats_cusum_changepoint)
+        stats_cusum_weekly_exact)
     from gmall_211027_flink_spark.streaming.windows import (
         stream_cusum_maintenance)
 
-    batch = stats_cusum_changepoint(spark, str(sf_dir)).collect()
+    batch = stats_cusum_weekly_exact(spark, str(sf_dir)).collect()
     stream = stream_cusum_maintenance(spark, str(sf_dir)).collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
