@@ -6675,3 +6675,107 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor(h_raw / corr * F.lit(1000000.0) + F.lit(0.5))
                   .cast("bigint").cast("double") / F.lit(1000000.0))
                  .alias("kw_h")))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test (r10) — the 2-sample member of the rank family
+# (Kruskal-Wallis is its k-sample generalization): weekend vs weekday
+# daily revenue on the day grain. EXACTNESS: 2x tie-averaged integer
+# ranks; U at 2x scale is the exact integer U2 = R2_wknd - n1*(n1+1);
+# the tie-corrected normal approximation is a deterministic double
+# from exact BIGINT/HUGEINT sums, floor(x*1e6 + 0.5)-quantized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS wknd,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT wknd,
+             2 * rank() OVER (ORDER BY cents)
+               + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+      FROM daily
+    ),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN wknd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN wknd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN wknd = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_1
+      FROM rk
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+                  AS BIGINT) AS tcorr
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+            GROUP BY cents)
+      WHERE t > 1
+    )
+    SELECT g.n1 AS n_weekend, g.n2 AS n_weekday,
+           (g.r2_1 - g.n1 * (g.n1 + 1)) AS u_x2,
+           CAST(CAST(floor(
+             (CAST(g.r2_1 - g.n1 * (g.n1 + 1) AS DOUBLE) / 2.0
+              - CAST(g.n1 AS DOUBLE) * g.n2 / 2.0)
+             / sqrt(CAST(g.n1 AS DOUBLE) * g.n2 / 12.0
+                    * ((g.n1 + g.n2 + 1)
+                       - CAST(ties.tcorr AS DOUBLE)
+                         / (CAST(g.n1 + g.n2 AS DOUBLE)
+                            * (g.n1 + g.n2 - 1))))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM g, ties
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday Mann-Whitney U on daily revenue via exact 2x
+    tie-averaged ranks (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        # DuckDB dayofweek: 0=Sunday; Spark: 1=Sunday (subtract 1)
+        F.when((F.dayofweek(F.to_date("o_orderdate")) - 1).isin(0, 6), 1)
+        .otherwise(0).alias("wknd"))
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                   .cast("bigint")).cast("bigint").alias("cents")))
+    # bounded daily series: DAY-GRAIN CONTRACT (module docstring)
+    rk = daily.select(
+        "wknd",
+        (2 * F.rank().over(Window.orderBy("cents"))
+         + F.count("*").over(Window.partitionBy("cents")) - 1)
+        .cast("bigint").alias("r2"))
+    g = rk.agg(
+        F.sum(F.when(F.col("wknd") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("wknd") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("wknd") == 1, F.col("r2")).otherwise(0))
+        .cast("bigint").alias("r2_1"))
+    ties = (daily.groupBy("cents").agg(F.count("*").cast("bigint")
+                                       .alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+                      * F.col("t") - F.col("t")), F.lit(0))
+                .cast("bigint").alias("tcorr")))
+    u_x2 = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n2")
+    z = ((u_x2.cast("double") / F.lit(2.0)
+          - F.col("n1").cast("double") * F.col("n2") / F.lit(2.0))
+         / F.sqrt(F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)
+                  * ((n + 1) - F.col("tcorr").cast("double")
+                     / (n.cast("double") * (n - 1)))))
+    return (g.crossJoin(F.broadcast(ties))
+            .select(F.col("n1").alias("n_weekend"),
+                    F.col("n2").alias("n_weekday"),
+                    u_x2.alias("u_x2"),
+                    (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("z_score")))

@@ -1664,3 +1664,99 @@ def ads_value_tier_migration(spark: SparkSession,
         .groupBy("early_tier", "late_tier")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("early_tier", "late_tier"))
+
+
+# ---------------------------------------------------------------------------
+# Time-spine completeness audit (r10) — the gap DETECTOR ahead of the
+# round-1 gap-FILLERS (LOCF / interpolate): per event type, how many
+# hourly buckets between the stream's first and last hour carry zero
+# events, and the longest silent run (the alerting signal for a dead
+# producer). Pure integer hour arithmetic + a generate_series spine
+# anti-join; the longest run is gaps-and-islands on the missing set.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_time_spine_gaps",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+      FROM events
+    ),
+    bounds AS (
+      SELECT CAST(MIN(hr) AS BIGINT) AS h0, CAST(MAX(hr) AS BIGINT) AS h1
+      FROM ev
+    ),
+    spine AS (
+      SELECT et.event_type, t.h
+      FROM bounds, UNNEST(generate_series(h0, h1)) AS t(h),
+           (SELECT DISTINCT event_type FROM ev) et
+    ),
+    observed AS (SELECT DISTINCT event_type, hr FROM ev),
+    missing AS (
+      SELECT s.event_type, s.h
+      FROM spine s LEFT JOIN observed o
+        ON o.event_type = s.event_type AND o.hr = s.h
+      WHERE o.hr IS NULL
+    ),
+    runs AS (
+      SELECT event_type,
+             h - row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h) AS anchor
+      FROM missing
+    ),
+    longest AS (
+      SELECT event_type, CAST(MAX(run_len) AS BIGINT) AS longest_gap_h
+      FROM (SELECT event_type, anchor, COUNT(*) AS run_len
+            FROM runs GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS spine_hours,
+           CAST(COUNT(*) - COUNT(o.hr) AS BIGINT) AS missing_hours,
+           CAST(COALESCE(any_value(l.longest_gap_h), 0) AS BIGINT)
+             AS longest_gap_h
+    FROM spine s
+    LEFT JOIN observed o ON o.event_type = s.event_type AND o.hr = s.h
+    LEFT JOIN longest l ON l.event_type = s.event_type
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_time_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-spine gap audit per event type (see block comment)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(unix_micros(ts) as bigint) div 3600000000")
+        .alias("hr"))
+    bounds = ev.agg(F.min("hr").cast("bigint").alias("h0"),
+                    F.max("hr").cast("bigint").alias("h1"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(bounds))   # bounded spine
+             .select("event_type",
+                     F.explode(F.sequence("h0", "h1")).alias("h")))
+    # alias BOTH columns: spine and observed share lineage (both come
+    # from ev), and Spark's self-join column resolution silently
+    # mis-binds spine.event_type == observed.event_type otherwise
+    observed = ev.distinct().select(
+        F.col("event_type").alias("oet"), F.col("hr").alias("oh"))
+    joined = spine.join(
+        observed, (F.col("event_type") == F.col("oet"))
+        & (F.col("h") == F.col("oh")), "left").drop("oet")
+    missing = joined.filter(F.col("oh").isNull()).select("event_type", "h")
+    runs = missing.withColumn(
+        "anchor", F.col("h") - F.row_number().over(
+            Window.partitionBy("event_type").orderBy("h")))
+    longest = (runs.groupBy("event_type", "anchor")
+               .agg(F.count("*").alias("run_len"))
+               .groupBy(F.col("event_type").alias("let"))
+               .agg(F.max("run_len").cast("bigint")
+                    .alias("longest_gap_h")))
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("spine_hours"),
+                 (F.count("*") - F.count("oh")).cast("bigint")
+                 .alias("missing_hours"))
+            .join(longest, F.col("event_type") == F.col("let"), "left")
+            .select("event_type", "spine_hours", "missing_hours",
+                    F.coalesce("longest_gap_h", F.lit(0)).cast("bigint")
+                    .alias("longest_gap_h"))
+            .orderBy("event_type"))
