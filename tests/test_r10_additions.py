@@ -262,3 +262,34 @@ def test_stream_cusum_matches_batch(spark, sf_dir):
     batch = stats_cusum_weekly_exact(spark, str(sf_dir)).collect()
     stream = stream_cusum_maintenance(spark, str(sf_dir)).collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_kcenter_plan_has_no_cartesian(spark, sf_dir):
+    """Every k-center round is a broadcast(64-row center) equi-join on
+    dim + a TakeOrdered — never an all-pairs product."""
+    from gmall_211027_flink_spark.operators.bucketing import executed_plan
+    from gmall_211027_flink_spark.operators.sampling import (
+        sample_kcenter_coreset)
+
+    out = sample_kcenter_coreset(spark, str(sf_dir))
+    rows = out.collect()
+    assert len(rows) == 8
+    # selection distances are non-decreasing is NOT required (farthest-
+    # first radii are non-increasing after round 1) — check that law:
+    d = [r["sel_d2q"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:])), d
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lpa_modularity_plan_is_bounded(spark, sf_dir):
+    """3 unrolled LPA rounds: the executed plan must not contain a
+    cartesian product and the per-round lineage is checkpoint-truncated
+    (no geometric plan growth)."""
+    from gmall_211027_flink_spark.operators.bucketing import executed_plan
+    from gmall_211027_flink_spark.operators.graph import graph_lpa_modularity
+
+    out = graph_lpa_modularity(spark, str(sf_dir))
+    out.collect()
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
