@@ -81,6 +81,15 @@ _DOC_QUERIES = [
     # round-8 additions (documents-only inputs)
     "multimodal_resize", "multimodal_frame_sample",
     "sample_dsir_importance", "curation_token_budget_allocation",
+    # round-9 additions (documents-only inputs)
+    "text_hapax_ratio", "multimodal_decode_meta",
+    "multimodal_wav_rms_windows", "multimodal_pixel_histogram",
+    "multimodal_jpeg_pixels", "multimodal_jpeg_quant_mse",
+    "multimodal_jpeg_transcode",
+    # round-10 additions (documents-only inputs)
+    "text_yules_k", "text_char_trigram_entropy", "text_zipf_slope",
+    "text_heaps_law", "multimodal_jpeg_color_pixels",
+    "multimodal_wav_dft_centroid",
 ]
 
 
