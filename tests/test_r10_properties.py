@@ -102,3 +102,37 @@ def test_bt601_integer_transform_is_within_one_of_float(pix):
     assert (np.abs(r - rf) <= 1).all()
     assert (np.abs(g - gf) <= 1).all()
     assert (np.abs(b - bf) <= 1).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=2, max_size=8),
+       st.lists(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                         min_size=2, max_size=8),
+                min_size=1, max_size=5))
+def test_integer_lloyd_d2q_matches_fraction(point, members):
+    """The k-means d2q = (2*num + n^2*1e9) div (2*n^2*1e9) with
+    num = sum (qx*n - sq)^2 equals round_half_up(1e9 * ||qx/1e9 -
+    centroid/1e9||^2) computed in exact Fractions."""
+    d = len(point)
+    members = [m[:d] + [0] * (d - len(m)) for m in members]
+    n = len(members)
+    sq = [sum(m[j] for m in members) for j in range(d)]
+    num = sum((point[j] * n - sq[j]) ** 2 for j in range(d))
+    den = n * n * 10**9
+    d2q = (2 * num + den) // (2 * den)
+    exact = sum((Fraction(point[j], 10**9)
+                 - Fraction(sq[j], n * 10**9)) ** 2 for j in range(d))
+    want = math.floor(exact * 10**9 + Fraction(1, 2))
+    assert d2q == want
+
+
+def test_registry_rejects_duplicate_names():
+    import pytest
+
+    from gmall_211027_flink_spark.registry import QUERIES, query
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @query(existing)
+        def _dup(spark, sf_dir):          # pragma: no cover
+            raise AssertionError("never registered")
