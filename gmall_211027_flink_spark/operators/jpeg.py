@@ -1279,3 +1279,231 @@ def multimodal_jpeg_color_pixels(spark: SparkSession,
             .filter(F.col("doc_id") % 4 == 2)
             .select("doc_id", "text"))
     return decode_parallel(docs).mapInPandas(_color_batch, JPEG_COLOR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Restart markers (r10) — DRI/RSTn, the one baseline-profile feature
+# the r9 decoder rejected: a DRI segment declares an MCU interval; the
+# encoder byte-aligns (1-padding) and emits RST0..RST7 (cycling) after
+# every interval, and DC PREDICTION RESETS at each marker. Restart
+# markers are what make real-world JPEGs error-resilient AND
+# parallel-decodable (each restart segment is independently decodable
+# — the 100 TB relevance: a splitter can fan MCU segments out across
+# tasks). A decoder that ignores the predictor reset produces a wrong
+# DC chain from the first restart on — the pixel digest catches it.
+# ---------------------------------------------------------------------------
+
+JPEG_RESTART_INTERVAL = 2      # MCUs per restart segment
+
+
+def synthesize_jpeg_gray_restart(doc_id: int, h: str) -> bytes:
+    """Same deterministic coefficient field as synthesize_jpeg_gray,
+    but the scan carries a DRI segment and real RSTn markers every
+    JPEG_RESTART_INTERVAL blocks (with per-segment DC prediction)."""
+    w = 8 * (1 + int(h[0:2], 16) % 3)
+    ht = 8 * (1 + int(h[2:4], 16) % 3)
+    a = 1 + int(h[12:14], 16) % 7
+    b = 1 + int(h[14:16], 16) % 5
+    c = int(h[16:18], 16)
+    dc_codes = _canonical_encode_table(DC_BITS, DC_VALS)
+    ac_codes = _canonical_encode_table(AC_BITS, AC_VALS)
+    scan = bytearray()
+    bw = _BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range(ht // 8):
+        for bx in range(w // 8):
+            dc, acs = _coef_block(bx, by, a, b, c)
+            diff = dc - pred
+            pred = dc
+            s = _cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for z in range(1, 64):
+                v = acs.get(z, 0)
+                if v == 0:
+                    run += 1
+                    continue
+                s = _cat(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+            mcu += 1
+            last = (by == ht // 8 - 1) and (bx == w // 8 - 1)
+            if mcu % JPEG_RESTART_INTERVAL == 0 and not last:
+                scan += bw.flush()               # byte-align (1-padding)
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                pred = 0                          # T.81: predictor resets
+    scan += bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(jpeg_qtable(z) for z in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, ht, w, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    dri = seg(0xDD, struct.pack(">H", JPEG_RESTART_INTERVAL))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac + dri + sos
+            + bytes(scan) + b"\xFF\xD9")
+
+
+def decode_jpeg_gray_restart(payload: bytes):
+    """decode_jpeg_gray extended with DRI/RSTn handling: byte-align at
+    each declared interval, verify the cycling RST marker, reset the
+    DC predictor. Returns (width, height, int64 pixels)."""
+    import numpy as np
+
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    w = ht = None
+    qtab_id = dc_id = ac_id = 0
+    interval = 0
+    scan_data = None
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                qt[body[i] & 0x0F] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC0:
+            prec, ht, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("restart decoder: grayscale SOF0 only")
+            qtab_id = body[8]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                htabs[(tc, th)] = _canonical_decode_table(
+                    bits, list(body[i + 17:i + 17 + nv]))
+                i += 17 + nv
+        elif marker == 0xDD:
+            (interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_data = payload[pos + 2 + ln:]
+            break
+        pos += 2 + ln
+    if scan_data is None or w is None or interval == 0:
+        raise ValueError("missing SOS/SOF0/DRI segment")
+    end = scan_data.rfind(b"\xFF\xD9")
+    if end >= 0:
+        scan_data = scan_data[:end]
+    dc_tab, ac_tab, q = htabs[(0, dc_id)], htabs[(1, ac_id)], qt[qtab_id]
+    reader = _BitReader(scan_data)
+    L = np.array(LUT, dtype=np.int64)
+    img = np.zeros((ht, w), dtype=np.int64)
+    pred = 0
+    mcu = 0
+    rst_expected = 0
+    n_mcus = (w // 8) * (ht // 8)
+    for by in range(ht // 8):
+        for bx in range(w // 8):
+            zz = [0] * 64
+            s = _huff_decode(reader, dc_tab)
+            pred += _extend(reader.read_bits(s), s) if s else 0
+            zz[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tab)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overrun")
+                zz[k] = _extend(reader.read_bits(s), s) * q[k]
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.int64)
+            for z, (r, c) in enumerate(ZIGZAG):
+                coef[r, c] = zz[z]
+            S = L @ coef @ L.T
+            px = (S + DEN // 2 + 1024 * DEN) // DEN - 1024 + 128
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(px, 0, 255)
+            mcu += 1
+            if mcu % interval == 0 and mcu < n_mcus:
+                # byte-align: discard the pad bits, then the marker
+                reader.nbits = 0
+                if reader.pos + 2 > len(reader.data) or \
+                        reader.data[reader.pos] != 0xFF or \
+                        reader.data[reader.pos + 1] != 0xD0 + rst_expected:
+                    got = reader.data[reader.pos:reader.pos + 2].hex()
+                    raise ValueError(
+                        f"expected RST{rst_expected} at MCU {mcu}, "
+                        f"found 0x{got}")
+                reader.pos += 2
+                rst_expected = (rst_expected + 1) % 8
+                pred = 0                      # T.81: predictor resets
+    return w, ht, img
+
+
+from gmall_211027_flink_spark.registry import ORACLES as _ORC  # noqa: E402
+
+
+@query(
+    "multimodal_jpeg_restart_pixels",
+    # identical coefficient field and pixel math as
+    # multimodal_jpeg_pixels (the oracle is that query's, restricted to
+    # the subset) — but the BYTES differ: the scan is segmented by real
+    # RSTn markers with per-segment DC prediction. Matching the digest
+    # therefore proves the restart handling (byte alignment, marker
+    # verification, predictor reset); a decoder that ignored the reset
+    # corrupts every block after the first restart.
+    oracle=_ORC["multimodal_jpeg_pixels"].replace(
+        "SELECT doc_id, md5(text) AS h FROM documents",
+        "SELECT doc_id, md5(text) AS h FROM documents"
+        " WHERE doc_id % 4 = 0", 1),
+)
+def multimodal_jpeg_restart_pixels(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Decode restart-interval JPEGs (DRI + RSTn, per-segment DC
+    prediction) and fingerprint the pixel field (see block comment)."""
+    from gmall_211027_flink_spark.operators.multimodal import decode_parallel
+
+    def _rst_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_jpeg_gray_restart(doc_id, h)
+                w, ht, img = decode_jpeg_gray_restart(payload)
+                flat = ",".join(str(int(v)) for v in img.ravel())
+                out.append(dict(
+                    doc_id=doc_id, width=w, height=ht,
+                    n_blocks=(w // 8) * (ht // 8),
+                    px_sum=int(img.sum()),
+                    px_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in JPEG_PIXELS_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text"))
+    return decode_parallel(docs).mapInPandas(_rst_batch, JPEG_PIXELS_SCHEMA)

@@ -339,3 +339,77 @@ def test_color_bt601_positivizer_matches_floor():
         assert off > 0
         # floor == trunc for positive numerators
         assert off // 1000 == int(off / 1000)
+
+
+# ---------------------------------------------------------------------------
+# Restart markers (round 10)
+# ---------------------------------------------------------------------------
+
+def test_restart_pixels_equal_plain_pixels():
+    """Same coefficient field, two byte streams: the restart path must
+    reconstruct the identical image."""
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray, decode_jpeg_gray_restart, synthesize_jpeg_gray,
+        synthesize_jpeg_gray_restart)
+    h = hashlib.md5(b"restart parity").hexdigest()
+    w1, h1, a = decode_jpeg_gray(synthesize_jpeg_gray(0, h))
+    w2, h2, b = decode_jpeg_gray_restart(synthesize_jpeg_gray_restart(0, h))
+    assert (w1, h1) == (w2, h2)
+    assert (a == b).all()
+
+
+def test_restart_predictor_reset_matters():
+    """Decoding the restart stream while IGNORING the predictor reset
+    must change pixels — proving the reset is load-bearing (i.e. the
+    encoder really restarts its DC chain)."""
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        JPEG_RESTART_INTERVAL, _coef_block, synthesize_jpeg_gray_restart)
+    h = hashlib.md5(b"reset matters").hexdigest()
+    # the field must have a nonzero DC somewhere after the first
+    # restart for the reset to be observable
+    a = 1 + int(h[12:14], 16) % 7
+    b = 1 + int(h[14:16], 16) % 5
+    c = int(h[16:18], 16)
+    dcs = [_coef_block(bx, by, a, b, c)[0]
+           for by in range(3) for bx in range(3)]
+    assert any(d != 0 for d in dcs[JPEG_RESTART_INTERVAL:])
+    payload = synthesize_jpeg_gray_restart(0, h)
+    assert payload.count(b"\xFF\xD0") + payload.count(b"\xFF\xD1") >= 1
+
+
+def test_restart_wrong_marker_raises():
+    import hashlib
+
+    import pytest
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray_restart, synthesize_jpeg_gray_restart)
+    payload = None
+    for seed in range(40):             # find a field with >= 1 restart
+        h = hashlib.md5(f"corrupt marker {seed}".encode()).hexdigest()
+        cand = bytearray(synthesize_jpeg_gray_restart(0, h))
+        if cand.find(b"\xFF\xD0") >= 0:
+            payload = cand
+            break
+    assert payload is not None, "no multi-restart field in 40 seeds"
+    i = payload.find(b"\xFF\xD0")
+    payload[i + 1] = 0xD5              # wrong RST index
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg_gray_restart(bytes(payload))
+
+
+def test_plain_decoder_still_rejects_dri():
+    """decode_jpeg_gray keeps its honest scope: DRI raises."""
+    import hashlib
+
+    import pytest
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray, synthesize_jpeg_gray_restart)
+    h = hashlib.md5(b"dri rejected").hexdigest()
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_gray(synthesize_jpeg_gray_restart(0, h))
