@@ -2491,3 +2491,121 @@ def _cusum_weekly_stream_oracle() -> str:
 
 
 _OR["stream_cusum_maintenance"] = _cusum_weekly_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI maintenance (r10): the drift monitor kept current at
+# ingest — the natural streaming shape of quality_psi_drift. Batch 1
+# (the reference window = the batch query's EARLY half) trains and
+# COMMITS the per-type decile cuts; later batches fold only (type,
+# bucket) counts into an additive store (order-free merge). The
+# drained readout must hash-match the one-shot batch PSI oracle.
+# State = |types| * (10 + cut rows) — constant in corpus size.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_psi_maintenance",
+    oracle=None,   # assigned below: identical to the batch PSI oracle
+)
+def stream_psi_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.plans.behavior import PSI_DECILES
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(unix_micros(ts) as bigint)").alias("eus"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    lo, hi = ev.agg(F.min("eus"), F.max("eus")).first()
+    if lo is None or hi is None:
+        raise ValueError("stream_psi_maintenance: events table is empty")
+    mid = (lo + hi) // 2
+    late_cut = mid + (hi - mid) // 2     # split the LATE half in two
+    d = tempfile.mkdtemp(prefix="psi_store_gate_")
+    try:
+        # batch 1: the reference window — train + commit the cuts
+        early = ev.filter(F.col("eus") <= mid)
+        cuts = (early.groupBy("event_type")
+                .agg(F.expr(
+                    "percentile(cents, array("
+                    + ", ".join(str(p) for p in PSI_DECILES)
+                    + "))").alias("c")))
+        cuts.write.mode("overwrite").parquet(f"{d}/cuts")
+        cuts = spark.read.parquet(f"{d}/cuts")
+        b_expr = F.lit(1)
+        for i in range(1, 10):
+            b_expr = b_expr + F.expr(f"cast(cents > c[{i - 1}] as int)")
+
+        def bucket_counts(df, half):
+            return (df.join(F.broadcast(cuts), "event_type")
+                    .select("event_type", b_expr.alias("b"))
+                    .groupBy("event_type", "b")
+                    .agg(F.count("*").cast("bigint").alias("n"))
+                    .withColumn("half", F.lit(half)))
+
+        state = bucket_counts(early, 0)
+        state.write.mode("overwrite").parquet(f"{d}/state_0")
+        state = spark.read.parquet(f"{d}/state_0")
+        n_types = cuts.count()
+        for i, (a, b) in enumerate(((mid + 1, late_cut),
+                                    (late_cut + 1, hi)), start=1):
+            batch = ev.filter((F.col("eus") >= a) & (F.col("eus") <= b))
+            merged = state.unionByName(bucket_counts(batch, 1))
+            state = (merged.groupBy("event_type", "b", "half")
+                     .agg(F.sum("n").cast("bigint").alias("n")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            rows = state.count()
+            if rows > n_types * 20:   # named, -O-proof invariant
+                raise RuntimeError(
+                    f"stream_psi_maintenance: store grew to {rows} rows"
+                    f" > {n_types * 20} (types x buckets x halves)")
+        # drained readout: the batch PSI math over the store
+        spine = (cuts.select("event_type")
+                 .crossJoin(spark.range(1, 11).select(
+                     F.col("id").cast("int").alias("b"))))
+        counts = (spine.join(state, ["event_type", "b"], "left")
+                  .groupBy("event_type", "b")
+                  .agg((F.coalesce(F.sum(F.when(F.col("half") == 0,
+                                                F.col("n"))),
+                                   F.lit(0)) + 1).cast("bigint")
+                       .alias("c1"),
+                       (F.coalesce(F.sum(F.when(F.col("half") == 1,
+                                                F.col("n"))),
+                                   F.lit(0)) + 1).cast("bigint")
+                       .alias("c2")))
+        tot = counts.groupBy(F.col("event_type").alias("et")).agg(
+            F.sum("c1").cast("bigint").alias("n1"),
+            F.sum("c2").cast("bigint").alias("n2"))
+        p1 = F.col("c1").cast("double") / F.col("n1")
+        p2 = F.col("c2").cast("double") / F.col("n2")
+        terms = (counts.join(F.broadcast(tot),
+                             F.col("event_type") == F.col("et"))
+                 .select("event_type",
+                         F.floor((p2 - p1) * F.log(p2 / p1)
+                                 * F.lit(1000000000.0) + F.lit(0.5))
+                         .cast("bigint").alias("tq")))
+        out = (terms.groupBy("event_type")
+               .agg(F.sum("tq").cast("bigint").alias("psi_q_1e9"))
+               .select("event_type", "psi_q_1e9",
+                       (F.col("psi_q_1e9").cast("double")
+                        / F.lit(1000000000.0)).alias("psi"))
+               .orderBy("event_type"))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _psi_stream_oracle() -> str:
+    import gmall_211027_flink_spark.plans.behavior  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["quality_psi_drift"]
+
+
+_OR["stream_psi_maintenance"] = _psi_stream_oracle()
