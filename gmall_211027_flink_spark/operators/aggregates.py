@@ -6779,3 +6779,102 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
                      .cast("bigint").cast("double") / F.lit(1000000.0))
                     .alias("z_score")))
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (r10) — the paired member completing the
+# classical non-parametric family (Mann-Whitney 2-sample, Kruskal-
+# Wallis k-sample, Friedman blocked): is the week-over-week change in
+# order volume centered at zero? Pairs are consecutive weeks; zero
+# differences drop (Wilcoxon convention); |d| ranks use the exact 2x
+# tie-averaged integer trick; W+ at 2x scale is an exact BIGINT; the
+# tie-corrected normal approximation is a deterministic double from
+# exact sums — z = (W2/2 - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - T/48)
+# with T = sum(t^3 - t), floor(x*1e6 + 0.5)-quantized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT wk, y - lag(y) OVER (ORDER BY wk) AS dv
+      FROM wkly
+    ),
+    nz AS (
+      SELECT wk, dv, ABS(dv) AS ad FROM d
+      WHERE dv IS NOT NULL AND dv <> 0
+    ),
+    rk AS (
+      SELECT dv,
+             2 * rank() OVER (ORDER BY ad)
+               + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2
+      FROM nz
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN dv > 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS w2_plus
+      FROM rk
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+                  AS BIGINT) AS tcorr
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM nz GROUP BY ad)
+      WHERE t > 1
+    )
+    SELECT a.n AS n_pairs, a.w2_plus,
+           CAST(CAST(floor(
+             (CAST(a.w2_plus AS DOUBLE) / 2.0
+              - CAST(a.n AS DOUBLE) * (a.n + 1) / 4.0)
+             / sqrt(CAST(a.n AS DOUBLE) * (a.n + 1) * (2 * a.n + 1) / 24.0
+                    - CAST(t.tcorr AS DOUBLE) / 48.0)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM agg a, ties t
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on week-over-week order-volume changes via
+    exact 2x tie-averaged ranks (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # bounded weekly series: DAY-GRAIN CONTRACT (module docstring)
+    d = wkly.withColumn(
+        "dv", F.col("y") - F.lag("y").over(Window.orderBy("wk")))
+    nz = (d.filter(F.col("dv").isNotNull() & (F.col("dv") != 0))
+          .select("dv", F.abs("dv").alias("ad")))
+    rk = nz.select(
+        "dv",
+        (2 * F.rank().over(Window.orderBy("ad"))
+         + F.count("*").over(Window.partitionBy("ad")) - 1)
+        .cast("bigint").alias("r2"))
+    agg = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("dv") > 0, F.col("r2")).otherwise(0))
+        .cast("bigint").alias("w2_plus"))
+    ties = (nz.groupBy("ad").agg(F.count("*").cast("bigint").alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+                      * F.col("t") - F.col("t")), F.lit(0))
+                .cast("bigint").alias("tcorr")))
+    z = ((F.col("w2_plus").cast("double") / F.lit(2.0)
+          - F.col("n").cast("double") * (F.col("n") + 1) / F.lit(4.0))
+         / F.sqrt(F.col("n").cast("double") * (F.col("n") + 1)
+                  * (2 * F.col("n") + 1) / F.lit(24.0)
+                  - F.col("tcorr").cast("double") / F.lit(48.0)))
+    return (agg.crossJoin(F.broadcast(ties))
+            .select(F.col("n").alias("n_pairs"), "w2_plus",
+                    (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("z_score")))
