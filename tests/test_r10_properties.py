@@ -136,3 +136,50 @@ def test_registry_rejects_duplicate_names():
         @query(existing)
         def _dup(spark, sf_dir):          # pragma: no cover
             raise AssertionError("never registered")
+
+
+@settings(max_examples=100, deadline=None)
+@given(ys=st.lists(st.integers(min_value=-100, max_value=100),
+                   min_size=4, max_size=40))
+def test_wilcoxon_two_rank_w_equals_fraction_w(ys):
+    """W+ from 2x tie-averaged integer ranks is exactly 2x the
+    Fraction-average-rank W+ (the query's w2_plus invariant)."""
+    nz = [v for v in ys if v != 0]
+    if not nz:
+        return
+    ads = sorted(abs(v) for v in nz)
+
+    def avg_rank(a):
+        return Fraction(ads.index(a) + 1 + ads.index(a) + ads.count(a), 2)
+
+    w_frac = sum(avg_rank(abs(v)) for v in nz if v > 0)
+    w2 = sum(2 * (ads.index(abs(v)) + 1) + ads.count(abs(v)) - 1
+             for v in nz if v > 0)
+    assert Fraction(w2) == 2 * w_frac
+    # rank-sum identity: W+ + W- = n(n+1)/2 (at 2x scale: = n(n+1))
+    n = len(nz)
+    w2_minus = sum(2 * (ads.index(abs(v)) + 1) + ads.count(abs(v)) - 1
+                   for v in nz if v < 0)
+    assert w2 + w2_minus == n * (n + 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(xs=st.lists(st.integers(min_value=0, max_value=50),
+                   min_size=2, max_size=20),
+       ys=st.lists(st.integers(min_value=0, max_value=50),
+                   min_size=2, max_size=20))
+def test_mann_whitney_u_identity(xs, ys):
+    """U1 + U2 = n1*n2, with U from the 2x-rank formula
+    U1_x2 = R2_1 - n1*(n1+1)."""
+    allv = sorted(xs + ys)
+
+    def r2(v):
+        return 2 * (allv.index(v) + 1) + allv.count(v) - 1
+
+    n1, n2 = len(xs), len(ys)
+    u1_x2 = sum(r2(v) for v in xs) - n1 * (n1 + 1)
+    u2_x2 = sum(r2(v) for v in ys) - n2 * (n2 + 1)
+    assert u1_x2 + u2_x2 == 2 * n1 * n2
+    # and U1 equals the direct pair count (ties count half -> x2 exact)
+    direct_x2 = sum(2 * (x > y) + (x == y) for x in xs for y in ys)
+    assert u1_x2 == direct_x2
