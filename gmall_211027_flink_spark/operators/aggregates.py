@@ -4568,7 +4568,7 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SUM(term_1e9) + 500) // 1000 AS chi2_x1e6
       FROM t9
     )
-    SELECT n AS n_pairs, nr AS n_rows, nc AS n_cols,
+    SELECT CAST(n AS BIGINT) AS n_pairs, nr AS n_rows, nc AS n_cols,
            CAST(chi2_x1e6 AS DOUBLE) / 1000000.0 AS chi2,
            CAST(CAST(floor(
                sqrt((CAST(chi2_x1e6 AS DOUBLE) / 1000000.0)

@@ -1374,6 +1374,8 @@ def decode_jpeg_gray_restart(payload: bytes):
     interval = 0
     scan_data = None
     while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -1463,6 +1465,21 @@ def decode_jpeg_gray_restart(payload: bytes):
 
 from gmall_211027_flink_spark.registry import ORACLES as _ORC  # noqa: E402
 
+# Splice-assert (ADVICE r10): the restart oracle is the jpeg_pixels
+# oracle with its document scan restricted to doc_id%4==0.  If a future
+# edit to the base oracle breaks the .replace pattern, the restriction
+# silently disappears and the gate fails confusingly — fail loudly here
+# instead (same precedent as _PCA_VAR_ORACLE's splice assert).
+_RST_ORACLE = _ORC["multimodal_jpeg_pixels"].replace(
+    "SELECT doc_id, md5(text) AS h FROM documents",
+    "SELECT doc_id, md5(text) AS h FROM documents"
+    " WHERE doc_id % 4 = 0", 1)
+if "doc_id % 4 = 0" not in _RST_ORACLE or \
+        _RST_ORACLE == _ORC["multimodal_jpeg_pixels"]:
+    raise RuntimeError(
+        "multimodal_jpeg_restart_pixels: oracle splice failed — the "
+        "jpeg_pixels oracle no longer contains the expected scan text")
+
 
 @query(
     "multimodal_jpeg_restart_pixels",
@@ -1473,10 +1490,7 @@ from gmall_211027_flink_spark.registry import ORACLES as _ORC  # noqa: E402
     # therefore proves the restart handling (byte alignment, marker
     # verification, predictor reset); a decoder that ignored the reset
     # corrupts every block after the first restart.
-    oracle=_ORC["multimodal_jpeg_pixels"].replace(
-        "SELECT doc_id, md5(text) AS h FROM documents",
-        "SELECT doc_id, md5(text) AS h FROM documents"
-        " WHERE doc_id % 4 = 0", 1),
+    oracle=_RST_ORACLE,
 )
 def multimodal_jpeg_restart_pixels(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

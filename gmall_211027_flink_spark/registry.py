@@ -67,8 +67,8 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "semi_join_active_customers",
     "anti_join_dormant_customers",
     "set_ops_churned_customers",
-    "range_join_price_band", "q18_large_orders",
-    "dedup_first_per_user_day", "dedup_last_per_user", "dws_daily_uv",
+    # (range_join_price_band, q18_large_orders, dedup_first_per_user_day,
+    #  dedup_last_per_user, dws_daily_uv rotated to _REVERIFY round 11)
     "dws_backflow_users",
     "window_running_gmv",
     "topk_orders_by_price",
@@ -104,8 +104,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dwd_bounce_detection", "dws_sessionization",
     "dws_union_traffic_window",
     "dedup_minhash_recall", "quality_filter_rules", "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
-    "dwd_interval_join_streaming",
-    "dwd_stream_dedup_within_watermark", "dws_session_window_streaming",
+    # (dwd_interval_join_streaming, dws_session_window_streaming rotated
+    #  to _REVERIFY round 11 — r3-vintage streaming proofs)
+    "dwd_stream_dedup_within_watermark",
     "dws_union_streams_window", "stream_dedup_exact_documents",
     "stream_quality_filter_documents", "decontaminate_ngram",
     "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
@@ -258,30 +259,56 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "lake_partition_skew_audit",
     "multimodal_jpeg_pixels", "multimodal_jpeg_quant_mse",
     "multimodal_jpeg_transcode",
+    # round 10 (CORRECTNESS_r10.json, 49 green rows of 50: the 5 batch +
+    # 2 streaming canaries re-proved, the 13 float-discipline-hardened
+    # re-gates, and the r10 additions.  stats_cramers_v stays OUT — its
+    # HUGEINT oracle-output bug is fixed this round (r11) and the driver
+    # must sample it again for a green row to exist.)
+    "dws_tumble_global", "ads_rollup_priority", "events_json_props",
+    "dim_lookup_join", "q5_local_supplier_volume",
+    "dws_backflow_streaming", "dws_ohlc_streaming", "stats_price_qty_corr",
+    "stats_levene_test", "stats_cusum_weekly_exact",
+    "stats_theil_sen_exact", "stats_mann_kendall", "stats_spearman_daily",
+    "stats_cross_correlation", "stats_friedman_dow", "text_heaps_law",
+    "dws_active_user_streaks", "stats_kruskal_wallis",
+    "stats_mann_whitney_u", "stats_wilcoxon_signed_rank",
+    "join_bucketed_range", "ann_label_centroids",
+    "ann_nearest_centroid_confusion", "ml_knn_regression_chars",
+    "text_word_entropy", "text_lm_score", "quality_threshold_calibration",
+    "text_yules_k", "text_char_trigram_entropy", "text_zipf_slope",
+    "multimodal_wav_dft_centroid", "sample_kcenter_coreset",
+    "ads_above_avg_orders", "ads_rfm_segments",
+    "ads_repeat_purchase_intervals", "quality_psi_drift",
+    "ads_value_tier_migration", "quality_time_spine_gaps",
+    "lake_ndv_stats_audit", "stream_cusum_maintenance",
+    "stream_psi_maintenance", "graph_lpa_modularity", "kmeans_lloyd",
+    "ann_ivf_kmeans_recall", "ann_pq_recall", "ml_silhouette_simplified",
+    "semdedup_prune", "multimodal_jpeg_color_pixels",
+    "multimodal_jpeg_restart_pixels",
 )
 
 # Queries that MUST be sampled first by this round's gate: the
 # STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
 # round ~5 of the OLDEST driver-proven names move here so their proofs
 # get refreshed by the driver instead of relying on judge spot-checks.
-# Round 10 rotates the next-oldest five r1-vintage batch names (global
-# tumble, ROLLUP, JSON-props extraction, broadcast lookup join, TPC-H
-# Q5) PLUS two more r2-vintage STREAMING names (back-flow user state
-# and OHLC incremental agg — the state-store engine path).
-# Fold back into _DRIVER_PROVEN once CORRECTNESS_r10 lands, and rotate
-# the next-oldest batch in round 11.  NOTE the window-count rule: the
+# Round 11 rotates the next-oldest five r1-vintage batch names (the
+# nested-loop range join, TPC-H Q18 semi-join, first/last-row dedup,
+# daily unique users) PLUS two r3-vintage STREAMING names (the interval
+# stream-stream join and the session-window state path).
+# Fold back into _DRIVER_PROVEN once CORRECTNESS_r11 lands, and rotate
+# the next-oldest batch in round 12.  NOTE the window-count rule: the
 # gate window = count of names NOT in _DRIVER_PROVEN, which already
 # INCLUDES these — budget new queries to keep that single number <= 50.
 _REVERIFY: tuple[str, ...] = (
     # r1-vintage staleness-canary rotation (batch):
-    "dws_tumble_global",
-    "ads_rollup_priority",
-    "events_json_props",
-    "dim_lookup_join",
-    "q5_local_supplier_volume",
-    # streaming-path canary (r2-vintage proofs):
-    "dws_backflow_streaming",
-    "dws_ohlc_streaming",
+    "range_join_price_band",
+    "q18_large_orders",
+    "dedup_first_per_user_day",
+    "dedup_last_per_user",
+    "dws_daily_uv",
+    # streaming-path canary (r3-vintage proofs):
+    "dwd_interval_join_streaming",
+    "dws_session_window_streaming",
 )
 
 

@@ -2187,7 +2187,7 @@ def stream_ols_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows = state.count()
             if n_rows != 1:    # named, -O-proof invariant (ADVICE r9)
                 raise RuntimeError(
-                    f"stream_pca_scatter_maintenance: moment store has "
+                    f"stream_ols_maintenance: moment store has "
                     f"{n_rows} rows, must stay exactly one")
         out = ols_solve(state)
         # gate-harness materialization (temp store removed in finally)

@@ -5,6 +5,16 @@ oracle on the same parquet files, and compares row count, column names,
 and order-insensitive values (exact for ints/strings; exact-first with a
 reported max-abs-diff for floats, since the driver value-hashes).
 
+The DuckDB side fetches through ``fetchdf()`` — the pandas path the
+driver's value-hash takes — NOT ``fetchall()``.  fetchall() normalizes
+HUGEINT to Python int, which made this replica blind for two rounds to
+the r9/r10 stats_cramers_v red (a HUGEINT output column hashes as
+float64 60000.0 vs Spark's bigint 60000).  On top of the value compare,
+every oracle is DESCRIBEd and any pandas-lossy output type (HUGEINT/
+UHUGEINT/unsigned) is an immediate FAIL, matching the permanent lint in
+tests/test_oracle_types.py.  Int-vs-float type divergence on a cell
+value is a mismatch even when the values compare numerically equal.
+
 Usage: python scripts/check.py [sf_dir] [name_filter ...]
        --repeat N   run each query N times (catches nondeterministic
                     plans: ambiguous window orders, ties — the class of
@@ -14,11 +24,17 @@ Usage: python scripts/check.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
+
+LOSSY_TYPES = {"HUGEINT", "UHUGEINT",
+               "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
 
 sys.path.insert(0, "/root/repo")
 
@@ -35,14 +51,54 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def norm_cell(v):
+    """Normalize a cell to (kind, value).
+
+    Kinds are compared STRICTLY: an int on one side and a float on the
+    other is a mismatch even when numerically equal — that is exactly
+    how the driver's value-hash sees a pandas-lossy type (the r9/r10
+    stats_cramers_v red: bigint 60000 vs HUGEINT-as-float64 60000.0).
+    Midnight timestamps normalize to dates so DuckDB DATE (datetime64
+    via fetchdf) still pairs with Spark DateType (datetime.date); both
+    sides pass through the same rule, so no asymmetry is introduced.
+    """
+    if v is None:
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("null", None)
+        return ("float", f)
+    if isinstance(v, (np.ndarray, list, tuple)):
+        items = v.tolist() if isinstance(v, np.ndarray) else v
+        return ("arr", tuple(norm_cell(x) for x in items))
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, np.datetime64):
+        v = pd.Timestamp(v).to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time(0, 0) and v.tzinfo is None:
+            return ("date", v.date())
+        return ("ts", v)
+    if isinstance(v, datetime.date):
+        return ("date", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    return (type(v).__name__, v)
+
+
 def normalize(rows: list[tuple], cols: list[str]):
     """Sort columns by name, then rows; mirror a value-hash comparison."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(r[i] for i in order))
+        out.append(tuple(norm_cell(r[i]) for i in order))
     def key(t):
-        return tuple((v is None, str(v)) for v in t)
+        return tuple((k == "null", k, str(v)) for k, v in t)
     return sorted(out, key=key), [cols[i] for i in order]
 
 
@@ -60,20 +116,19 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
     n_mismatch = 0
     first = None
     for sr, dr in zip(s_rows, d_rows):
-        for c, (a, b) in zip(s_cols, zip(sr, dr)):
+        for c, ((ka, a), (kb, b)) in zip(s_cols, zip(sr, dr)):
+            if ka != kb:
+                n_mismatch += 1
+                if first is None:
+                    first = (c, f"{ka}:{a!r}", f"{kb}:{b!r}  TYPE-LOSSY")
+                continue
             if a == b:
                 continue
-            if isinstance(a, float) and isinstance(b, float):
-                if math.isnan(a) and math.isnan(b):
-                    continue
+            if ka == "float":
                 max_float_diff = max(max_float_diff, abs(a - b))
-                n_mismatch += 1
-                if first is None:
-                    first = (c, a, b)
-            else:
-                n_mismatch += 1
-                if first is None:
-                    first = (c, a, b)
+            n_mismatch += 1
+            if first is None:
+                first = (c, a, b)
     if n_mismatch:
         problems.append(
             f"{n_mismatch} value mismatches, first={first}, max_float_diff={max_float_diff:g}")
@@ -118,9 +173,18 @@ def main() -> int:
                 print(f"     WARNING {name}: 0 rows")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            desc = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+            lossy = [(c, t) for c, t, *_ in desc
+                     if t.split("(")[0].strip().upper() in LOSSY_TYPES]
+            if lossy:
+                print(f"FAIL {name}: pandas-lossy oracle output types "
+                      f"{lossy} (cast to BIGINT/DOUBLE)")
+                failed.append(name)
+                continue
+            ddf = con.execute(ORACLES[name]).fetchdf()
+            duck_cols = list(ddf.columns)
+            duck_rows = [tuple(r) for r in
+                         ddf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)

@@ -68,7 +68,10 @@ def test_psi_term_is_nonnegative_and_swap_symmetric(a, b, n1, n2):
     t12 = (p2 - p1) * math.log(p2 / p1)
     t21 = (p1 - p2) * math.log(p1 / p2)
     assert t12 >= -1e-18
-    assert abs(t12 - t21) < 1e-15
+    # swap symmetry holds algebraically; in floats the two expressions
+    # differ by up to ~1 ulp of the term (judge found |d| = 1.78e-15 at
+    # term ~9.53), so the tolerance must be RELATIVE, not absolute
+    assert math.isclose(t12, t21, rel_tol=1e-12, abs_tol=1e-15)
 
 
 @settings(max_examples=50, deadline=None)
