@@ -346,6 +346,7 @@ def load_all() -> None:
     import gmall_211027_flink_spark.operators.pca  # noqa: F401
     import gmall_211027_flink_spark.operators.bucketing  # noqa: F401
     import gmall_211027_flink_spark.operators.jpeg  # noqa: F401
+    import gmall_211027_flink_spark.operators.mlfit  # noqa: F401
 
     proven = set(_DRIVER_PROVEN)
     overlap = proven & set(_REVERIFY)
