@@ -1,0 +1,344 @@
+"""Classical inference tests, round 11: agreement, paired-binary,
+robust location, and ordered-trend statistics.
+
+Beyond-reference statistics family (reference parity anchor: the ADS
+aggregation tier, e.g. app/ads/* in the reference, is a BI readout
+layer; these are the hypothesis-test readouts a data-quality pipeline
+runs on the same aggregates).  All four follow the module discipline of
+``operators/aggregates.py`` (DAY-GRAIN CONTRACT; exact-integer cores;
+floor(x*1e6+0.5) readout quantization; 2x integer ranks for tie
+averages; doubles only at the final projection, computed from exact
+BIGINTs with the same expression shape in both engines).
+
+SCALE: every statistic reduces the fact scan to a bounded grid first —
+a 2x2 agreement table, a per-customer flag pair, the <= ~350-row weekly
+grain (DAY-GRAIN CONTRACT) — so the post-aggregation math is
+constant-size regardless of input rows.  The one quadratic expansion
+(Walsh averages for Hodges-Lehmann) is over weekly DIFFS: ~59k pairs at
+any SF, by construction of the bounded calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.registry import query
+
+# Cohen's kappa raters (documents table): two independent quality
+# heuristics judging the same item — the standard agreement audit before
+# trusting a cheap labeler.
+KAPPA_CHARS_T = 300
+KAPPA_TOKENS_T = 55
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= {KAPPA_CHARS_T} THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split(text, ' ')) >= {KAPPA_TOKENS_T}
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    cell AS (
+      SELECT CAST(SUM(ra * rb) AS BIGINT) AS a,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS c,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r
+    )
+    SELECT a, b, c, d, n,
+           CAST(CAST(floor(CAST(a + d AS DOUBLE) / n * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS po,
+           CAST(CAST(floor(
+               (CAST((a + b) AS DOUBLE) * (a + c)
+                + CAST((c + d) AS DOUBLE) * (b + d))
+               / (CAST(n AS DOUBLE) * n) * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS pe,
+           CAST(CAST(floor(
+               CAST(2 * (a * d - b * c) AS DOUBLE)
+               / (CAST((a + b) AS DOUBLE) * (b + d)
+                  + CAST((a + c) AS DOUBLE) * (c + d))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS kappa
+    FROM cell
+    """,
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary document-quality raters.
+
+    kappa = 2(ad-bc) / ((a+b)(b+d) + (a+c)(c+d)) — the exact closed
+    form for 2x2 tables; every cell is an exact BIGINT, the readouts
+    are floor-quantized doubles of identical expression shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.when(F.col("n_chars") >= KAPPA_CHARS_T, 1).otherwise(0)
+        .cast("bigint").alias("ra"),
+        F.when(F.size(F.split("text", " ")) >= KAPPA_TOKENS_T, 1)
+        .otherwise(0).cast("bigint").alias("rb"))
+    cell = r.agg(
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("a"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("n"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return cell.select(
+        "a", "b", "c", "d", "n",
+        q6((F.col("a") + F.col("d")).cast("double") / F.col("n"))
+        .alias("po"),
+        q6(((F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c"))
+            + (F.col("c") + F.col("d")).cast("double") * (F.col("b") + F.col("d")))
+           / (F.col("n").cast("double") * F.col("n"))).alias("pe"),
+        q6((2 * (F.col("a") * F.col("d") - F.col("b") * F.col("c")))
+           .cast("double")
+           / ((F.col("a") + F.col("b")).cast("double") * (F.col("b") + F.col("d"))
+              + (F.col("a") + F.col("c")).cast("double") * (F.col("c") + F.col("d"))))
+        .alias("kappa"))
+
+
+@query(
+    "stats_mcnemar_paired",
+    oracle="""
+    WITH span AS (
+      SELECT (MIN(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)))
+              + MAX(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)))) // 2 AS dmid
+      FROM orders
+    ),
+    flags AS (
+      SELECT c.c_custkey,
+             MAX(CASE WHEN datediff('day', DATE '1970-01-01',
+                                    CAST(o.o_orderdate AS DATE)) < s.dmid
+                      THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN datediff('day', DATE '1970-01-01',
+                                    CAST(o.o_orderdate AS DATE)) >= s.dmid
+                      THEN 1 ELSE 0 END) AS h2
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      CROSS JOIN span s
+      GROUP BY 1
+    ),
+    cell AS (
+      SELECT CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS b,
+             CAST(SUM((1 - h1) * h2) AS BIGINT) AS c,
+             CAST(SUM(h1 * h2) AS BIGINT) AS a,
+             CAST(SUM((1 - h1) * (1 - h2)) AS BIGINT) AS d
+      FROM flags
+    )
+    SELECT a, b, c, d,
+           CAST(CAST(floor(
+               CAST((b - c) * (b - c) AS DOUBLE) / (b + c)
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS chi2,
+           CAST(CAST(floor(
+               CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+               / (b + c) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS chi2_cc
+    FROM cell
+    """,
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired customer activity (first vs second
+    half of the calendar): chi2 = (b-c)^2/(b+c) on the exact discordant
+    counts, plus the continuity-corrected variant.  Customers with no
+    orders land in the concordant (0,0) cell via the left join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    span = orders.agg(
+        F.expr("(min(datediff(o_orderdate, date'1970-01-01'))"
+               " + max(datediff(o_orderdate, date'1970-01-01'))) div 2")
+        .cast("bigint").alias("dmid"))
+    flags = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+             .crossJoin(F.broadcast(span))
+             .groupBy("c_custkey")
+             .agg(F.max(F.when(day < F.col("dmid"), 1).otherwise(0))
+                  .alias("h1"),
+                  F.max(F.when(day >= F.col("dmid"), 1).otherwise(0))
+                  .alias("h2")))
+    cell = flags.agg(
+        F.sum(F.col("h1") * (1 - F.col("h2"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("h1")) * F.col("h2")).cast("bigint").alias("c"),
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("a"),
+        F.sum((1 - F.col("h1")) * (1 - F.col("h2")))
+        .cast("bigint").alias("d"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    bc = F.col("b") - F.col("c")
+    return cell.select(
+        "a", "b", "c", "d",
+        q6((bc * bc).cast("double") / (F.col("b") + F.col("c")))
+        .alias("chi2"),
+        q6(((F.abs(bc) - 1) * (F.abs(bc) - 1)).cast("double")
+           / (F.col("b") + F.col("c"))).alias("chi2_cc"))
+
+
+@query(
+    "stats_hodges_lehmann",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT wk, cents - lag(cents) OVER (ORDER BY wk) AS dv,
+             CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t
+      FROM wkly
+    ),
+    dd AS (SELECT t, dv FROM d WHERE dv IS NOT NULL),
+    walsh AS (
+      SELECT i.dv + j.dv AS w2
+      FROM dd i JOIN dd j ON i.t <= j.t
+    ),
+    ranked AS (
+      SELECT w2, CAST(row_number() OVER (ORDER BY w2) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM walsh
+    )
+    SELECT CAST(any_value(m) AS BIGINT) AS n_walsh,
+           CAST(CAST(floor(
+             CAST(SUM(CASE WHEN m % 2 = 1 AND rk = (m + 1) // 2
+                           THEN 2 * w2
+                           WHEN m % 2 = 0 AND rk IN (m // 2, m // 2 + 1)
+                           THEN w2 ELSE 0 END) AS DOUBLE) / 4
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS hl_cents
+    FROM ranked
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Hodges-Lehmann estimator of the weekly revenue-change
+    location: the median of all Walsh averages (d_i + d_j)/2, i <= j.
+
+    Exact core: Walsh sums d_i + d_j are exact cents; the median is
+    picked by integer rank over the ~59k-pair bounded grid (DAY-GRAIN
+    CONTRACT: the weekly calendar bounds the quadratic expansion, not
+    the data volume).  Odd m takes the middle value doubled, even m the
+    two middles summed — either way a single exact integer divided by 4
+    at the readout.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("cents")))
+    # bounded weekly series: DAY-GRAIN CONTRACT (aggregates.py docstring)
+    w = Window.orderBy("wk")
+    d = wkly.select(
+        (F.col("cents") - F.lag("cents").over(w)).alias("dv"),
+        F.row_number().over(w).cast("bigint").alias("t"))
+    dd = d.filter(F.col("dv").isNotNull())
+    i = dd.select(F.col("t").alias("ti"), F.col("dv").alias("di"))
+    j = dd.select(F.col("t").alias("tj"), F.col("dv").alias("dj"))
+    walsh = (i.join(j, F.col("ti") <= F.col("tj"))
+             .select((F.col("di") + F.col("dj")).alias("w2")))
+    ranked = walsh.select(
+        "w2",
+        F.row_number().over(Window.orderBy("w2")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("m"))
+    pick = F.expr(
+        "CASE WHEN m % 2 = 1 AND rk = (m + 1) div 2 THEN 2 * w2 "
+        "WHEN m % 2 = 0 AND rk IN (m div 2, m div 2 + 1) THEN w2 "
+        "ELSE 0 END")
+    return ranked.agg(
+        F.any_value("m").cast("bigint").alias("n_walsh"),
+        (F.floor(F.sum(pick).cast("double") / F.lit(4.0)
+                 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("hl_cents"))
+
+
+@query(
+    "stats_page_trend_test",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dw,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY wk HAVING COUNT(*) = 7
+    ),
+    r AS (
+      SELECT d.wk, d.dw,
+             CAST(2 * rank() OVER (PARTITION BY d.wk ORDER BY d.cents)
+                  + COUNT(*) OVER (PARTITION BY d.wk, d.cents) - 1
+               AS BIGINT) AS r2
+      FROM daily d JOIN complete USING (wk)
+    ),
+    colsum AS (
+      SELECT dw, CAST(SUM(r2) AS BIGINT) AS r2sum FROM r GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM((dw + 1) * r2sum) AS BIGINT) AS l2,
+             CAST((SELECT COUNT(*) FROM complete) AS BIGINT) AS b
+      FROM colsum
+    )
+    SELECT b AS n_blocks, l2 AS page_l_x2,
+           b * 224 AS null_mean_x2,
+           CAST(CAST(floor(
+             (CAST(l2 AS DOUBLE) - b * 224) / 2
+             / sqrt(CAST(b AS DOUBLE) * 49 * 8 * 48 / 144)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS z_score
+    FROM agg
+    """,
+)
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ordered day-of-week revenue trend across
+    complete weekly blocks.
+
+    Treatments are the k=7 weekdays in calendar order (DuckDB dayofweek
+    0=Sunday; Spark dayofweek-1 — the repo's normalization); within
+    each complete week the daily revenues get exact 2x tie-averaged
+    integer ranks; L = sum_j j * R_j.  Null moments (untied): E[L] =
+    b*k(k+1)^2/4 = 112b, so E[2L] = 224b; Var(L) = b*k^2(k+1)(k^2-1)/144
+    = b*392/3 (derived from Var(r_j)=(k^2-1)/12, Cov=-(k+1)/12).  Ties are practically impossible on exact
+    revenue cents; the 2x rank machinery still handles them, only the
+    variance formula assumes none (documented).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("cents")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
+                .filter(F.col("ndw") == 7).select("wk"))
+    # <= ~350 blocks x 7: DAY-GRAIN CONTRACT (aggregates.py docstring)
+    r = (daily.join(complete, "wk")
+         .select("wk", "dw", "cents",
+                 (2 * F.rank().over(Window.partitionBy("wk")
+                                    .orderBy("cents"))
+                  + F.count("*").over(Window.partitionBy("wk", "cents"))
+                  - 1).cast("bigint").alias("r2")))
+    colsum = r.groupBy("dw").agg(F.sum("r2").cast("bigint").alias("r2sum"))
+    b_df = complete.agg(F.count("*").cast("bigint").alias("b"))
+    agg = (colsum.agg(F.sum((F.col("dw") + 1) * F.col("r2sum"))
+                      .cast("bigint").alias("l2"))
+           .crossJoin(F.broadcast(b_df)))
+    z = ((F.col("l2").cast("double") - F.col("b") * 224) / F.lit(2.0)
+         / F.sqrt(F.col("b").cast("double") * F.lit(49.0) * F.lit(8.0)
+                  * F.lit(48.0) / F.lit(144.0)))
+    return agg.select(
+        F.col("b").alias("n_blocks"), F.col("l2").alias("page_l_x2"),
+        (F.col("b") * 224).alias("null_mean_x2"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))

@@ -347,6 +347,7 @@ def load_all() -> None:
     import gmall_211027_flink_spark.operators.bucketing  # noqa: F401
     import gmall_211027_flink_spark.operators.jpeg  # noqa: F401
     import gmall_211027_flink_spark.operators.mlfit  # noqa: F401
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
 
     proven = set(_DRIVER_PROVEN)
     overlap = proven & set(_REVERIFY)
