@@ -342,3 +342,229 @@ def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative test (r11): are order sizes
+# (line-item counts) stochastically ordered across the five priority
+# classes?  JT = sum over group pairs i<j of the Mann-Whitney count
+# #{x in Gi < y in Gj} + 1/2 #ties.  EXACTNESS: the fact scan reduces
+# to the (priority, n_items) count grid (<= ~60 cells); 2*JT, E[2*JT] =
+# sum_{i<j} ni*nj, and the three tie-correction aggregates are exact
+# BIGINTs off that grid; the tie-corrected variance (Hollander-Wolfe
+# 6.19) and z are doubles of identical expression shape in both
+# engines.  SCALE: one groupBy to the grid, constant-size math after.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_jonckheere_terpstra",
+    oracle="""
+    WITH sz AS (
+      SELECT o.o_orderpriority AS g, c.v
+      FROM orders o
+      JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS v
+            FROM lineitem GROUP BY 1) c ON c.l_orderkey = o.o_orderkey
+    ),
+    grid AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM sz GROUP BY 1, 2
+    ),
+    jt AS (
+      SELECT CAST(SUM(CASE WHEN a.v < b.v THEN 2 * a.cnt * b.cnt
+                           WHEN a.v = b.v THEN a.cnt * b.cnt
+                           ELSE 0 END) AS BIGINT) AS jt2
+      FROM grid a JOIN grid b ON a.g < b.g
+    ),
+    gn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS ni FROM grid GROUP BY 1),
+    tv AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM grid GROUP BY 1),
+    moms AS (
+      SELECT CAST((SELECT SUM(ni) FROM gn) AS BIGINT) AS n,
+             CAST((SELECT SUM(a.ni * b.ni) FROM gn a
+                   JOIN gn b ON a.g < b.g) AS BIGINT) AS e2,
+             CAST((SELECT SUM(ni * (ni - 1) * (2 * ni + 5)) FROM gn)
+               AS BIGINT) AS a_g,
+             CAST((SELECT SUM(t * (t - 1) * (2 * t + 5)) FROM tv)
+               AS BIGINT) AS a_t,
+             CAST((SELECT SUM(ni * (ni - 1) * (ni - 2)) FROM gn)
+               AS BIGINT) AS b_g,
+             CAST((SELECT SUM(t * (t - 1) * (t - 2)) FROM tv)
+               AS BIGINT) AS b_t,
+             CAST((SELECT SUM(ni * (ni - 1)) FROM gn) AS BIGINT) AS c_g,
+             CAST((SELECT SUM(t * (t - 1)) FROM tv) AS BIGINT) AS c_t
+    )
+    SELECT j.jt2 AS jt_x2, m.e2 AS null_mean_x2, m.n,
+           CAST(CAST(floor(
+             (CAST(j.jt2 AS DOUBLE) - m.e2) / 2 / sqrt(
+               (CAST(m.n AS DOUBLE) * (m.n - 1) * (2 * m.n + 5)
+                - m.a_g - m.a_t) / 72
+               + CAST(m.b_g AS DOUBLE) * m.b_t
+                 / (36.0 * m.n * (m.n - 1) * (m.n - 2))
+               + CAST(m.c_g AS DOUBLE) * m.c_t
+                 / (8.0 * m.n * (m.n - 1)))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS z_score
+    FROM jt j, moms m
+    """,
+)
+def stats_jonckheere_terpstra(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Tie-corrected Jonckheere-Terpstra z for ordered priority groups
+    (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sz = (orders.join(
+        li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("v")),
+        orders.o_orderkey == F.col("l_orderkey"))
+        .select(F.col("o_orderpriority").alias("g"), "v"))
+    grid = (sz.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("cnt"))
+            .localCheckpoint())
+    a = grid.select(F.col("g").alias("ga"), F.col("v").alias("va"),
+                    F.col("cnt").alias("ca"))
+    b = grid.select(F.col("g").alias("gb"), F.col("v").alias("vb"),
+                    F.col("cnt").alias("cb"))
+    jt = (a.join(b, F.col("ga") < F.col("gb"))
+          .agg(F.sum(F.when(F.col("va") < F.col("vb"),
+                            2 * F.col("ca") * F.col("cb"))
+                     .when(F.col("va") == F.col("vb"),
+                           F.col("ca") * F.col("cb"))
+                     .otherwise(0)).cast("bigint").alias("jt2")))
+    gn = grid.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("ni"))
+    tv = grid.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("t"))
+    ga_ = gn.select(F.col("g").alias("g1"), F.col("ni").alias("n1"))
+    gb_ = gn.select(F.col("g").alias("g2"), F.col("ni").alias("n2"))
+    e2 = (ga_.join(gb_, F.col("g1") < F.col("g2"))
+          .agg(F.sum(F.col("n1") * F.col("n2")).cast("bigint").alias("e2")))
+    gmom = gn.agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum(F.col("ni") * (F.col("ni") - 1) * (2 * F.col("ni") + 5))
+        .cast("bigint").alias("a_g"),
+        F.sum(F.col("ni") * (F.col("ni") - 1) * (F.col("ni") - 2))
+        .cast("bigint").alias("b_g"),
+        F.sum(F.col("ni") * (F.col("ni") - 1)).cast("bigint").alias("c_g"))
+    tmom = tv.agg(
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("bigint").alias("a_t"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("bigint").alias("b_t"),
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("bigint").alias("c_t"))
+    m = (jt.crossJoin(F.broadcast(e2)).crossJoin(F.broadcast(gmom))
+         .crossJoin(F.broadcast(tmom)))
+    nd = F.col("n").cast("double")
+    var = ((nd * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("a_g") - F.col("a_t")) / F.lit(72.0)
+           + F.col("b_g").cast("double") * F.col("b_t")
+           / (F.lit(36.0) * F.col("n") * (F.col("n") - 1) * (F.col("n") - 2))
+           + F.col("c_g").cast("double") * F.col("c_t")
+           / (F.lit(8.0) * F.col("n") * (F.col("n") - 1)))
+    z = (F.col("jt2").cast("double") - F.col("e2")) / F.lit(2.0) / F.sqrt(var)
+    return m.select(
+        F.col("jt2").alias("jt_x2"), F.col("e2").alias("null_mean_x2"),
+        "n",
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test (r11): does the weekly-revenue-on-time OLS
+# line break at the calendar midpoint?  F = ((SSR_f - SSR_1 - SSR_2)/k)
+# / ((SSR_1 + SSR_2)/(n - 2k)), k = 2.  EXACTNESS: per segment the five
+# moments n, St, Sy, Stt, Sty, Syy are exact (Syy as DECIMAL(38,0) —
+# weekly cents squared exceeds BIGINT); each SSR is then the same
+# double expression Syy - Sy^2/n - (Sty - St*Sy/n)^2/(Stt - St^2/n) in
+# both engines — identical int inputs, identical shape, identical
+# doubles.  DAY-GRAIN CONTRACT bounds the series (~344 weeks).
+# ---------------------------------------------------------------------------
+
+_CHOW_MOMS = """
+      SELECT COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+"""
+
+_CHOW_SSR = ("(CAST({p}.syy AS DOUBLE) - CAST({p}.sy AS DOUBLE) * {p}.sy"
+             " / {p}.n - (CAST({p}.sty AS DOUBLE) - CAST({p}.st AS DOUBLE)"
+             " * {p}.sy / {p}.n) * (CAST({p}.sty AS DOUBLE)"
+             " - CAST({p}.st AS DOUBLE) * {p}.sy / {p}.n)"
+             " / (CAST({p}.stt AS DOUBLE) - CAST({p}.st AS DOUBLE) * {p}.st"
+             " / {p}.n))")
+
+
+@query(
+    "stats_chow_test",
+    oracle=f"""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t, y,
+             CAST(COUNT(*) OVER () AS BIGINT) AS w
+      FROM wkly
+    ),
+    mf AS ({_CHOW_MOMS} FROM idx),
+    m1 AS ({_CHOW_MOMS} FROM idx WHERE t <= w // 2),
+    m2 AS ({_CHOW_MOMS} FROM idx WHERE t > w // 2)
+    SELECT CAST(mf.n AS BIGINT) AS n_weeks,
+           CAST(m1.n AS BIGINT) AS n_seg1,
+           CAST(CAST(floor(
+             ({_CHOW_SSR.format(p='mf')} - {_CHOW_SSR.format(p='m1')}
+              - {_CHOW_SSR.format(p='m2')}) / 2
+             / (({_CHOW_SSR.format(p='m1')} + {_CHOW_SSR.format(p='m2')})
+                / (mf.n - 4))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS f_stat
+    FROM mf, m1, m2
+    """,
+)
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow F-test for a weekly-revenue trend break at the calendar
+    midpoint (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("y")))
+    # bounded weekly series: DAY-GRAIN CONTRACT (aggregates.py docstring)
+    idx = wkly.select(
+        F.row_number().over(Window.orderBy("wk")).cast("bigint").alias("t"),
+        "y",
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("w")
+    ).localCheckpoint()
+
+    def moms(df: DataFrame, p: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias(f"{p}_n"),
+            F.sum("t").cast("bigint").alias(f"{p}_st"),
+            F.sum("y").cast("bigint").alias(f"{p}_sy"),
+            F.sum(F.col("t") * F.col("t")).cast("bigint").alias(f"{p}_stt"),
+            F.sum(F.col("t") * F.col("y")).cast("bigint").alias(f"{p}_sty"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)").alias(f"{p}_syy"))
+
+    mf = moms(idx, "mf")
+    m1 = moms(idx.filter(F.col("t") <= F.expr("w div 2")), "m1")
+    m2 = moms(idx.filter(F.col("t") > F.expr("w div 2")), "m2")
+    all_ = mf.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+
+    def ssr(p: str):
+        syy = F.col(f"{p}_syy").cast("double")
+        sy = F.col(f"{p}_sy").cast("double")
+        st = F.col(f"{p}_st").cast("double")
+        sty = F.col(f"{p}_sty").cast("double")
+        stt = F.col(f"{p}_stt").cast("double")
+        n = F.col(f"{p}_n")
+        num = sty - st * sy / n
+        return syy - sy * sy / n - num * num / (stt - st * st / n)
+
+    f_stat = ((ssr("mf") - ssr("m1") - ssr("m2")) / F.lit(2.0)
+              / ((ssr("m1") + ssr("m2")) / (F.col("mf_n") - 4)))
+    return all_.select(
+        F.col("mf_n").alias("n_weeks"), F.col("m1_n").alias("n_seg1"),
+        (F.floor(f_stat * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("f_stat"))
