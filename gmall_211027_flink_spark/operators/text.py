@@ -1696,3 +1696,265 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.col("n").alias("n_words"),
                     q6(slope).alias("zipf_slope"),
                     q6(intercept).alias("log10_intercept"))
+
+
+# ---------------------------------------------------------------------------
+# MATTR — moving-average type-token ratio (r11; Covington & McFall
+# 2010). Plain TTR (round 2) shrinks with document length; MATTR slides
+# a fixed W-token window and averages the per-window TYPE counts, which
+# makes lexical diversity comparable across lengths — the per-source
+# readout a corpus mixer actually wants. EXACTNESS: every window's
+# distinct count is an exact integer; MATTR = sum(types) / (W * n_win)
+# is one quantized rational per source. Docs shorter than W contribute
+# no window (documented). SCALE: the window expansion is
+# tokens-per-doc * W rows — bounded by the ~100-token docs, map-side
+# explode + one content-keyed shuffle; no cross-doc blowup.
+# ---------------------------------------------------------------------------
+
+MATTR_W = 25
+
+
+@query(
+    "text_mattr_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    win AS (
+      SELECT t.doc_id, t.source, s.i AS start,
+             u.j AS pos, t.w[u.j] AS word
+      FROM toks t,
+           UNNEST(generate_series(1, len(t.w) - {MATTR_W} + 1)) AS s(i),
+           UNNEST(generate_series(s.i, s.i + {MATTR_W} - 1)) AS u(j)
+    ),
+    types AS (
+      SELECT doc_id, source, start,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+      FROM win GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(n_types) AS BIGINT) AS sum_types,
+           CAST(CAST(floor(CAST(SUM(n_types) AS DOUBLE)
+                           / (COUNT(*) * {MATTR_W})
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS mattr
+    FROM types GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_mattr_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (window 25) per source (see
+    block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       F.split("text", " ").alias("w")) \
+        .filter(F.size("w") >= MATTR_W)  # short docs: no window (Spark
+    # sequence(1, n<1) would generate a DESCENDING range; DuckDB's
+    # generate_series is empty — the filter makes both sides empty)
+    win = (toks
+           .select("doc_id", "source", "w",
+                   F.explode(F.sequence(
+                       F.lit(1), F.size("w") - MATTR_W + 1)).alias("start"))
+           .select("doc_id", "source", "start",
+                   F.explode(F.expr(
+                       f"slice(w, start, {MATTR_W})")).alias("word")))
+    types = (win.groupBy("doc_id", "source", "start")
+             .agg(F.countDistinct("word").cast("bigint").alias("n_types")))
+    return (types.groupBy("source")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.count("*").cast("bigint").alias("n_windows"),
+                 F.sum("n_types").cast("bigint").alias("sum_types"),
+                 (F.floor(F.sum("n_types").cast("double")
+                          / (F.count("*") * MATTR_W)
+                          * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("bigint").cast("double") / F.lit(1000000.0))
+                 .alias("mattr"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness — Fano factor (r11; Church & Gale 1995). A word that
+# appears 100 times spread evenly across documents behaves differently
+# from one that appears 100 times inside three documents; the Fano
+# factor F = Var/Mean of per-document counts (zeros included) is the
+# classic dispersion readout (F ~ 1 Poisson, >> 1 bursty) that drives
+# stopword/keyword separation in curation. EXACTNESS: with N docs and
+# per-doc counts c, F = (N * sum(c^2) - tot^2) / (N * tot) — every term
+# an exact BIGINT off the (word, doc) count grid; absent docs contribute
+# 0 to both sums, so no dense N x vocab expansion is ever materialized.
+# Top-20 by total with explicit (total DESC, word) tie-break.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_burstiness_fano",
+    oracle="""
+    WITH wc AS (
+      SELECT t.word, d.doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(word)
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    agg AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_present
+      FROM wc GROUP BY 1
+    ),
+    top AS (
+      SELECT word, tot, s2, n_docs_present,
+             row_number() OVER (ORDER BY tot DESC, word) AS rk
+      FROM agg
+    )
+    SELECT t.word, t.tot, t.n_docs_present,
+           CAST(CAST(floor(
+             (CAST(nd.n AS DOUBLE) * t.s2 - CAST(t.tot AS DOUBLE) * t.tot)
+             / (CAST(nd.n AS DOUBLE) * t.tot) * 1000000 + 0.5)
+             AS BIGINT) AS DOUBLE) / 1000000.0 AS fano
+    FROM top t, nd WHERE t.rk <= 20
+    ORDER BY t.tot DESC, t.word
+    """,
+)
+def text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano dispersion factor of per-document counts for the 20 most
+    frequent words (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").cast("bigint").alias("n"))
+    wc = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("word", "doc_id")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    agg = wc.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count("*").cast("bigint").alias("n_docs_present"))
+    top = agg.select(
+        "*", F.row_number().over(
+            Window.orderBy(F.desc("tot"), F.asc("word"))).alias("rk")) \
+        .filter(F.col("rk") <= 20)
+    return (top.crossJoin(F.broadcast(nd))
+            .select("word", "tot", "n_docs_present",
+                    (F.floor((F.col("n").cast("double") * F.col("s2")
+                              - F.col("tot").cast("double") * F.col("tot"))
+                             / (F.col("n").cast("double") * F.col("tot"))
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("fano"))
+            .orderBy(F.desc("tot"), F.asc("word")))
+
+
+# ---------------------------------------------------------------------------
+# Mendenhall word-length spectrum (r11; Mendenhall 1887 — the original
+# stylometric signature). The distribution of word LENGTHS is stable
+# per language/style and cheap to compute at any scale; per-lang length
+# shares are the fingerprint a mixer compares against a reference
+# corpus. EXACTNESS: pure integer counts; shares floor-quantized.
+# Lengths capped at 15 (everything longer pools into the 15 bucket) so
+# the output stays a fixed <= 15-row spectrum per lang.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_mendenhall_spectrum",
+    oracle="""
+    WITH w AS (
+      SELECT d.lang, LEAST(len(t.word), 15) AS wlen
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(word)
+    ),
+    c AS (
+      SELECT lang, wlen, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w GROUP BY 1, 2
+    ),
+    n AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT c.lang, c.wlen, c.cnt,
+           CAST(CAST(floor(CAST(c.cnt AS DOUBLE) / n.n * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS share
+    FROM c JOIN n USING (lang)
+    ORDER BY c.lang, c.wlen
+    """,
+)
+def text_mendenhall_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language word-length spectrum (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).select(
+        "lang",
+        F.least(F.length("word"), F.lit(15)).cast("bigint").alias("wlen"))
+    c = w.groupBy("lang", "wlen").agg(F.count("*").cast("bigint").alias("cnt"))
+    n = c.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (c.join(n, "lang")
+            .select("lang", "wlen", "cnt",
+                    (F.floor(F.col("cnt").cast("double") / F.col("n")
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("share"))
+            .orderBy("lang", "wlen"))
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty decay (r11) — the "how fast does new content dry up"
+# curve: ingest documents in doc_id order, call a bigram NOVEL in the
+# first document where it appears, and report per corpus-decile the
+# share of distinct bigrams that are first occurrences. The shape of
+# this curve is the standard diminishing-returns diagnostic for corpus
+# growth (novelty ~ Heaps' law derivative). EXACTNESS: first occurrence
+# = MIN(doc_id) per bigram (exact argmin by key); deciles are integer
+# buckets doc_id * 10 // (max_doc_id + 1); shares floor-quantized.
+# SCALE: two content-keyed aggregations (bigram grid, then decile),
+# both with partial aggregation; no ordering dependence beyond the
+# key-side MIN.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_bigram_novelty_decay",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT t.doc_id, t.w[i.i] || ' ' || t.w[i.i + 1] AS g
+      FROM toks t, UNNEST(generate_series(1, len(t.w) - 1)) AS i(i)
+    ),
+    first AS (SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM bg
+              GROUP BY 1),
+    mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+    dd AS (
+      SELECT b.doc_id * 10 // (mx.m + 1) AS decile,
+             CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END AS novel
+      FROM bg b JOIN first f USING (g), mx
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST(CAST(floor(CAST(SUM(novel) AS DOUBLE) / COUNT(*)
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS novelty_rate
+    FROM dd GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_bigram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of first-occurrence bigrams per corpus decile in doc_id
+    ingest order (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = (toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .alias("g")).distinct())
+    first = bg.groupBy("g").agg(F.min("doc_id").cast("bigint")
+                                .alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("m"))
+    dd = (bg.join(first, "g").crossJoin(F.broadcast(mx))
+          .select(F.expr("doc_id * 10 div (m + 1)").alias("decile"),
+                  F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0).alias("novel")))
+    return (dd.groupBy("decile")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.sum("novel").cast("bigint").alias("n_novel"),
+                 (F.floor(F.sum("novel").cast("double") / F.count("*")
+                          * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("bigint").cast("double") / F.lit(1000000.0))
+                 .alias("novelty_rate"))
+            .orderBy("decile"))
