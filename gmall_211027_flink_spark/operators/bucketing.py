@@ -573,3 +573,99 @@ def lake_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_rows") * F.col("np")
                      > 2 * F.col("total"), 1).otherwise(0))
         .cast("bigint").alias("n_over_2x_mean"))
+
+
+# ---------------------------------------------------------------------------
+# Clustering-depth audit (r11) — the Delta/Iceberg OPTIMIZE planning
+# metric: model data files as orderkey-chunked groups, take each file's
+# [min, max] orderdate range, and measure how deeply the ranges overlap
+# (depth 1 = perfectly clustered: any date predicate prunes to one
+# file; depth ~ n_files = worst case: every scan touches every file).
+# Computed as an exact sweep line: +1 at each file's min day, -1 past
+# its max day, net deltas per day, running depth, gap-weighted mean.
+# EXACTNESS: all integers (days, depths, gaps); mean depth is one
+# quantized rational.  SCALE: per-file min/max is one groupBy; the
+# sweep runs on <= 2*n_files boundary rows (DAY-GRAIN bounded).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from gmall_211027_flink_spark.catalog import load_table  # noqa: E402
+from gmall_211027_flink_spark.registry import query  # noqa: E402
+
+LAKE_FILE_CHUNK = 4096     # orders per modeled file
+
+
+@query(
+    "lake_clustering_depth_audit",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderkey // {LAKE_FILE_CHUNK} AS file_id,
+             CAST(MIN(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) AS BIGINT) AS lo,
+             CAST(MAX(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) AS BIGINT) AS hi
+      FROM orders GROUP BY 1
+    ),
+    ev AS (
+      SELECT lo AS day, 1 AS delta FROM files
+      UNION ALL
+      SELECT hi + 1 AS day, -1 AS delta FROM files
+    ),
+    net AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM ev GROUP BY 1
+    ),
+    sweep AS (
+      SELECT day,
+             CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS depth,
+             lead(day) OVER (ORDER BY day) - day AS gap
+      FROM net
+    )
+    SELECT CAST((SELECT COUNT(*) FROM files) AS BIGINT) AS n_files,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(depth * gap) AS BIGINT) AS depth_day_area,
+           CAST(SUM(CASE WHEN depth > 0 THEN gap ELSE 0 END) AS BIGINT)
+             AS span_days,
+           CAST(CAST(floor(
+             CAST(SUM(depth * gap) AS DOUBLE)
+             / SUM(CASE WHEN depth > 0 THEN gap ELSE 0 END)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS mean_depth
+    FROM sweep WHERE gap IS NOT NULL
+    """,
+)
+def lake_clustering_depth_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Range-overlap depth of modeled data files on the orderdate
+    clustering key (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    files = (orders.groupBy(
+        F.expr(f"o_orderkey div {LAKE_FILE_CHUNK}").alias("file_id"))
+        .agg(F.min(day).alias("lo"), F.max(day).alias("hi")))
+    n_files = files.agg(F.count("*").cast("bigint").alias("n_files"))
+    ev = (files.select(F.col("lo").alias("day"), F.lit(1).alias("delta"))
+          .unionByName(files.select((F.col("hi") + 1).alias("day"),
+                                    F.lit(-1).alias("delta"))))
+    net = ev.groupBy("day").agg(F.sum("delta").cast("bigint").alias("d"))
+    # sweep over <= 2*n_files boundary days: bounded single partition
+    w = Window.orderBy("day")
+    sweep = net.select(
+        "day",
+        F.sum("d").over(w).cast("bigint").alias("depth"),
+        (F.lead("day").over(w) - F.col("day")).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    pos_gap = F.when(F.col("depth") > 0, F.col("gap")).otherwise(0)
+    return (sweep.agg(
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.sum(F.col("depth") * F.col("gap")).cast("bigint")
+        .alias("depth_day_area"),
+        F.sum(pos_gap).cast("bigint").alias("span_days"),
+        (F.floor(F.sum(F.col("depth") * F.col("gap")).cast("double")
+                 / F.sum(pos_gap) * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("mean_depth"))
+        .crossJoin(F.broadcast(n_files))
+        .select("n_files", "max_depth", "depth_day_area", "span_days",
+                "mean_depth"))

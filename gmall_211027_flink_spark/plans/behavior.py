@@ -1760,3 +1760,159 @@ def quality_time_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("longest_gap_h", F.lit(0)).cast("bigint")
                     .alias("longest_gap_h"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR outlier audit (r11) — the standard box-plot fence audit per
+# customer segment: q1/q3 by linear interpolation (Spark `percentile`
+# == DuckDB `quantile_cont`, the p*(n-1) rule — parity confirmed r10),
+# fences at 1.5*IQR, exact outlier counts.  EXACTNESS: percentiles run
+# on exact BIGINT cents, so the interpolated q1/q3 are the same double
+# in both engines; fences and comparisons are double-exact (cents are
+# integers well under 2^53); counts are exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_iqr_outlier_audit",
+    oracle="""
+    WITH c AS (
+      SELECT o.o_custkey, cu.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+    ),
+    q AS (
+      SELECT seg,
+             quantile_cont(cents, [0.25, 0.75]) AS qs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1
+    ),
+    f AS (
+      SELECT seg, n, qs[1] AS q1, qs[2] AS q3,
+             qs[1] - 1.5 * (qs[2] - qs[1]) AS lo,
+             qs[2] + 1.5 * (qs[2] - qs[1]) AS hi
+      FROM q
+    )
+    SELECT f.seg, f.n,
+           CAST(CAST(floor(f.q1 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS q1,
+           CAST(CAST(floor(f.q3 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS q3,
+           CAST(SUM(CASE WHEN c.cents < f.lo OR c.cents > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN c.cents > f.hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high
+    FROM f JOIN c ON c.seg = f.seg
+    GROUP BY 1, 2, 3, 4 ORDER BY 1
+    """,
+)
+def quality_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5*IQR fence outlier counts per market segment (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    c = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents")))
+    q = c.groupBy("seg").agg(
+        F.expr("percentile(cents, array(0.25, 0.75))").alias("qs"),
+        F.count("*").cast("bigint").alias("n"))
+    f = q.select(
+        "seg", "n",
+        F.element_at("qs", 1).alias("q1d"),
+        F.element_at("qs", 2).alias("q3d")
+    ).select(
+        "seg", "n", "q1d", "q3d",
+        (F.col("q1d") - 1.5 * (F.col("q3d") - F.col("q1d"))).alias("lo"),
+        (F.col("q3d") + 1.5 * (F.col("q3d") - F.col("q1d"))).alias("hi"))
+    joined = c.join(F.broadcast(f), "seg")
+    return (joined.groupBy(
+        "seg", "n",
+        (F.floor(F.col("q1d") * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0)).alias("q1"),
+        (F.floor(F.col("q3d") * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0)).alias("q3"))
+        .agg(F.sum(F.when((F.col("cents") < F.col("lo"))
+                          | (F.col("cents") > F.col("hi")), 1)
+                   .otherwise(0)).cast("bigint").alias("n_outliers"),
+             F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+             .cast("bigint").alias("n_high"))
+        .orderBy("seg"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (r11) — pairwise lift between part TYPES
+# within orders: lift(a,b) = N * n_ab / (n_a * n_b) over the distinct
+# per-order type sets.  The classic co-occurrence readout (association
+# rules' numerator) on exact integer counts; lift is one quantized
+# rational per pair.  SCALE: the per-order type set is tiny (<= 25
+# types exist), so the within-order pair expansion is bounded per key;
+# everything else is content-keyed groupBys with partial aggregation.
+# Top 15 pairs by exact lift key with (pair) tie-break.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ads_basket_affinity",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ot),
+    tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM ot GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM ot a JOIN ot b ON a.ok = b.ok AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    lift AS (
+      SELECT p.ta, p.tb, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+             (n.n_orders * p.c_ab * 1000000) // (ca.c * cb.c) AS lift6
+      FROM pairs p
+      JOIN tc ca ON ca.t = p.ta
+      JOIN tc cb ON cb.t = p.tb
+      CROSS JOIN n
+    ),
+    top AS (
+      SELECT *, row_number() OVER (ORDER BY lift6 DESC, ta, tb) AS rk
+      FROM lift
+    )
+    SELECT ta, tb, c_ab, c_a, c_b,
+           CAST(lift6 AS DOUBLE) / 1000000.0 AS lift
+    FROM top WHERE rk <= 15 ORDER BY lift DESC, ta, tb
+    """,
+)
+def ads_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 part-type co-purchase pairs by exact integer lift (see
+    block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ot = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("p_type").alias("t"))
+          .distinct())
+    n = ot.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    tc = ot.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    a = ot.select(F.col("ok"), F.col("t").alias("ta"))
+    b = ot.select(F.col("ok").alias("ok2"), F.col("t").alias("tb"))
+    pairs = (a.join(b, (F.col("ok") == F.col("ok2"))
+                    & (F.col("ta") < F.col("tb")))
+             .groupBy("ta", "tb")
+             .agg(F.count("*").cast("bigint").alias("c_ab")))
+    lift = (pairs
+            .join(F.broadcast(tc.select(F.col("t").alias("ta"),
+                                        F.col("c").alias("c_a"))), "ta")
+            .join(F.broadcast(tc.select(F.col("t").alias("tb"),
+                                        F.col("c").alias("c_b"))), "tb")
+            .crossJoin(F.broadcast(n))
+            .withColumn("lift6", F.expr(
+                "(n_orders * c_ab * 1000000) div (c_a * c_b)")))
+    top = lift.select(
+        "*", F.row_number().over(
+            Window.orderBy(F.desc("lift6"), F.asc("ta"), F.asc("tb")))
+        .alias("rk")).filter(F.col("rk") <= 15)
+    return (top.select("ta", "tb", "c_ab", "c_a", "c_b",
+                       (F.col("lift6").cast("double") / F.lit(1000000.0))
+                       .alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("ta"), F.asc("tb")))
