@@ -568,3 +568,91 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(f_stat * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("f_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Anderson-Darling (r11; Pettitt 1976) — the tail-sensitive
+# sibling of stats_ks_drift (same source-parity cohorts on document
+# length, deliberately, so the two drift readouts are comparable):
+# A^2 = (1/(n*m)) * sum_{i=1}^{N-1} (N*M_i - n*i)^2 / (i*(N-i)) over
+# the pooled order statistics, where M_i counts cohort-a items among
+# the first i.  Ties are resolved by the FIXED convention a-before-b
+# (then doc_id) inside equal values — both engines implement the same
+# total order, so M_i is deterministic.  EXACTNESS: each term is a
+# rational of exact BIGINTs, half-up quantized to 1e9 as DECIMAL(38,0)
+# intermediates (numerators reach ~5e25), then exactly summed; A^2 is
+# one quantized readout.  SCALE: the expansion is one row per document
+# (linear), ranked by a single bounded window — the same shape the
+# ECDF in stats_ks_drift uses.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_anderson_darling",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+                  THEN 0 ELSE 1 END AS coh
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars, coh,
+             CAST(row_number() OVER (ORDER BY n_chars, coh, doc_id)
+               AS BIGINT) AS i,
+             CAST(SUM(1 - coh) OVER (ORDER BY n_chars, coh, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS mi,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+             CAST(SUM(1 - coh) OVER () AS BIGINT) AS na
+      FROM d
+    ),
+    terms AS (
+      SELECT nn, na,
+             (CAST(nn * mi - na * i AS DECIMAL(38,0))
+              * (nn * mi - na * i) * 2000000000 + i * (nn - i))
+             // (2 * i * (nn - i)) AS t9
+      FROM pooled WHERE i < nn
+    )
+    SELECT any_value(na) AS n_a, any_value(nn - na) AS n_b,
+           CAST(CAST(floor(
+             CAST(SUM(t9) AS DOUBLE)
+             / (CAST(any_value(na) AS DOUBLE) * (any_value(nn)
+                - any_value(na)))
+             / 1000000000 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS a2
+    FROM terms
+    """,
+)
+def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A^2 on document length across
+    source-parity cohorts (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 0)
+        .otherwise(1).alias("coh"))
+    w = Window.orderBy("n_chars", "coh", "doc_id")
+    pooled = d.select(
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum(1 - F.col("coh")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("mi"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nn"),
+        F.sum(1 - F.col("coh")).over(Window.partitionBy())
+        .cast("bigint").alias("na"))
+    d38 = "decimal(38,0)"
+    terms = (pooled.filter(F.col("i") < F.col("nn"))
+             .select("nn", "na",
+                     F.expr(
+                         f"(cast(nn * mi - na * i as {d38})"
+                         f" * (nn * mi - na * i) * 2000000000"
+                         f" + i * (nn - i)) div (2 * i * (nn - i))")
+                     .alias("t9")))
+    return terms.agg(
+        F.any_value("na").cast("bigint").alias("n_a"),
+        (F.any_value("nn") - F.any_value("na")).cast("bigint").alias("n_b"),
+        (F.floor(F.sum("t9").cast("double")
+                 / (F.any_value("na").cast("double")
+                    * (F.any_value("nn") - F.any_value("na")))
+                 / F.lit(1000000000.0) * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0)).alias("a2"))

@@ -958,3 +958,108 @@ def join_bucketed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_hits", F.lit(0)).cast("bigint")
                     .alias("n_nearby_clicks"))
             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Interval-OVERLAP join via double bucket expansion (r11) — the
+# generalization of join_bucketed_range from point-in-window to
+# interval-vs-interval: per-user daily activity spans [first_ts,
+# last_ts] joined against error incident windows [ts - 30 s, ts + 30 s]
+# on the predicate a_lo <= b_hi AND b_lo <= a_hi.  An unkeyed interval
+# overlap is a nested-loop by default; the scale-safe shape expands
+# BOTH sides onto a shared bucket grid (1 h), hash-joins on the bucket,
+# DEDUPLICATES pairs that co-occur in several buckets (the part the
+# point-in-window pattern doesn't need), and refines exactly.
+# EXACTNESS: all integer microseconds.  SCALE: activity spans are
+# <= 24 buckets by construction (daily grain, guarded); incident
+# windows are <= 2; the join is a hash equi-join on the bucket key —
+# plan-gated (test_plan_quality) against CartesianProduct/BNL.
+# ---------------------------------------------------------------------------
+
+OVERLAP_BUCKET_US = 3_600_000_000        # 1 hour
+OVERLAP_PAD_US = 30_000_000              # +/-30 s incident window
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH act AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS a_lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS a_hi
+      FROM events WHERE event_type <> 'error'
+      GROUP BY 1, 2
+    ),
+    inc AS (
+      SELECT event_id,
+             CAST(epoch_us(ts) AS BIGINT) - {OVERLAP_PAD_US} AS b_lo,
+             CAST(epoch_us(ts) AS BIGINT) + {OVERLAP_PAD_US} AS b_hi
+      FROM events WHERE event_type = 'error'
+    ),
+    pairs AS (
+      SELECT a.user_id, a.day, i.event_id,
+             GREATEST(a.a_lo, i.b_lo) AS lo,
+             LEAST(a.a_hi, i.b_hi) AS hi
+      FROM act a JOIN inc i
+        ON a.a_lo <= i.b_hi AND i.b_lo <= a.a_hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM act) AS BIGINT) AS n_activity,
+           CAST((SELECT COUNT(*) FROM inc) AS BIGINT) AS n_incidents,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_hit,
+           CAST(SUM(hi - lo) AS BIGINT) AS overlap_us_total,
+           CAST(MAX(hi - lo) AS BIGINT) AS overlap_us_max
+    FROM pairs
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-span vs incident-window overlap join through the
+    double-bucket-expand equi-join (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = OVERLAP_BUCKET_US
+    us = F.unix_micros("ts").cast("bigint")
+    act = (ev.filter(F.col("event_type") != "error")
+           .select("user_id", us.alias("us"))
+           .withColumn("day", F.expr("us div 86400000000"))
+           .groupBy("user_id", "day")
+           .agg(F.min("us").alias("a_lo"), F.max("us").alias("a_hi")))
+    inc = (ev.filter(F.col("event_type") == "error")
+           .select("event_id",
+                   (us - OVERLAP_PAD_US).alias("b_lo"),
+                   (us + OVERLAP_PAD_US).alias("b_hi")))
+    a_ex = (act
+            .withColumn("nb", F.expr(
+                f"a_hi div {w} - a_lo div {w} + 1"))
+            .withColumn("nb", F.when(
+                F.col("nb") > 48,
+                F.expr("raise_error('join_interval_overlap: activity span"
+                       " exceeds 48 buckets; daily-grain assumption"
+                       " violated')").cast("bigint"))
+                .otherwise(F.col("nb")))
+            .withColumn("b", F.explode(F.expr(
+                f"sequence(a_lo div {w}, a_hi div {w})")))
+            .drop("nb"))
+    b_ex = inc.withColumn("b", F.explode(F.expr(
+        f"sequence(b_lo div {w}, b_hi div {w})")))
+    hits = (a_ex.join(b_ex, "b")
+            .filter((F.col("a_lo") <= F.col("b_hi"))
+                    & (F.col("b_lo") <= F.col("a_hi")))
+            .select("user_id", "day", "event_id", "a_lo", "a_hi",
+                    "b_lo", "b_hi")
+            .distinct()      # a pair can co-occur in several buckets
+            .select("user_id",
+                    F.greatest("a_lo", "b_lo").alias("lo"),
+                    F.least("a_hi", "b_hi").alias("hi")))
+    n_act = act.agg(F.count("*").cast("bigint").alias("n_activity"))
+    n_inc = inc.agg(F.count("*").cast("bigint").alias("n_incidents"))
+    return (hits.agg(
+        F.count("*").cast("bigint").alias("n_overlaps"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users_hit"),
+        F.sum(F.col("hi") - F.col("lo")).cast("bigint")
+        .alias("overlap_us_total"),
+        F.max(F.col("hi") - F.col("lo")).cast("bigint")
+        .alias("overlap_us_max"))
+        .crossJoin(F.broadcast(n_act)).crossJoin(F.broadcast(n_inc))
+        .select("n_activity", "n_incidents", "n_overlaps", "n_users_hit",
+                "overlap_us_total", "overlap_us_max"))

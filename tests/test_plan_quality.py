@@ -826,3 +826,42 @@ def test_hll_register_table_is_constant_size(spark, sf_dir):
     # registers bounded: zero_regs <= m, and the distinct-hash shuffle
     # is the ONLY corpus-sized exchange in the plan
     assert 0 <= row["zero_regs"] <= HLL_M
+
+
+def test_interval_overlap_join_is_bucket_keyed_hash_join(spark, sf_dir):
+    """The interval-vs-interval overlap must hash-join on the bucket
+    grid; the only nested-loop allowed is the 1-row scalar attach of
+    the n_activity/n_incidents counts (Cross over single-row frames)."""
+    from gmall_211027_flink_spark.operators.joins import (
+        join_interval_overlap)
+    df = join_interval_overlap(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the bucket equi-join is a hash join keyed on b with the exact
+    # overlap refinement as residual condition
+    assert re.search(r"BroadcastHashJoin \[b#\d+L?\], \[b#\d+L?\]", plan) \
+        or re.search(r"SortMergeJoin \[b#\d+L?\], \[b#\d+L?\]", plan), plan
+    # nested loops only as Cross (single-row scalar attach), never as a
+    # fallback for the interval predicate itself
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)",
+                         plan):
+        assert m.group(1) == "Cross", plan
+
+
+def test_isotonic_grid_math_stays_bounded(spark, sf_dir):
+    """ml_isotonic_calibration_pava: the corpus scan feeds ONE
+    aggregation to the 32-bin grid; everything after (pair/triple
+    expansion, minimax) runs on bounded grid rows — no corpus-sized
+    join, no cartesian wider than the grid self-join."""
+    from gmall_211027_flink_spark.operators.mlfit import (
+        ml_isotonic_calibration_pava)
+    df = ml_isotonic_calibration_pava(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) <= 32
+    # monotone non-decreasing fit, and weighted totals preserved
+    fits = [r["iso_rate"] for r in rows]
+    assert fits == sorted(fits)
+    total_pos = sum(r["n_pos"] for r in rows)
+    approx = sum(r["iso_rate"] * r["n"] for r in rows)
+    assert abs(approx - total_pos) <= 1e-4 * max(total_pos, 1) + 1.0
