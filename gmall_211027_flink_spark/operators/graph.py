@@ -1536,3 +1536,98 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.col("d_sum") * F.col("d_sum")).cast("bigint")
                     .alias("q_term_x4m2"))
             .orderBy(F.desc("n_members"), "community_id"))
+
+
+# ---------------------------------------------------------------------------
+# Sampled harmonic closeness centrality (r11) — "how near is this node
+# to everything else", the navigability readout next to degree (local)
+# and PageRank (flow). Exact all-pairs closeness is O(V*E); the
+# standard scale path is a SAMPLED multi-source BFS: one BFS per seed,
+# all seeds advanced TOGETHER as (seed, node, dist) state in
+# CLOSENESS_ROUNDS synchronous rounds (Pregel-shaped keyed joins, the
+# iterative discipline of graph_bfs_hops).  Harmonic closeness
+# sum(1/d) handles unreachable nodes gracefully and is EXACT here:
+# with d <= 4, h = sum_d count_d * (12/d) stays an integer at x12
+# scale (12, 6, 4, 3).  SCALE: state is reached (seed, node) pairs
+# only; seeds = node % {CLOSENESS_SEED_MOD} == 0 (~1%), so state is
+# ~|V|^2/100 bounded, keyed joins throughout, localCheckpoint per
+# round to cut lineage.
+# ---------------------------------------------------------------------------
+
+CLOSENESS_ROUNDS = 4
+CLOSENESS_SEED_MOD = 100
+
+
+def _closeness_oracle() -> str:
+    rounds = []
+    for it in range(1, CLOSENESS_ROUNDS + 1):
+        prev = f"s{it - 1}"
+        rounds.append(f"""
+    s{it} AS MATERIALIZED (
+      SELECT s, node, MIN(d) AS d FROM (
+        SELECT s, node, d FROM {prev}
+        UNION ALL
+        SELECT p.s, e.v AS node, p.d + 1 AS d
+        FROM {prev} p JOIN edges e ON e.u = p.node
+      ) GROUP BY 1, 2
+    )""")
+    edges_sql = _EDGES_SQL.replace(
+        f"COUNT(*) >= {MIN_TOGETHER}", "COUNT(*) >= 2")
+    return f"""
+    WITH {edges_sql},
+    s0 AS (
+      SELECT u AS s, u AS node, 0 AS d
+      FROM (SELECT DISTINCT u FROM edges)
+      WHERE u % {CLOSENESS_SEED_MOD} = 0
+    ),
+    {','.join(rounds)}
+    SELECT CAST(s AS BIGINT) AS seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(CASE d WHEN 1 THEN 12 WHEN 2 THEN 6
+                           WHEN 3 THEN 4 WHEN 4 THEN 3
+                           ELSE 0 END) AS BIGINT) AS harmonic_x12
+    FROM s{CLOSENESS_ROUNDS}
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("graph_closeness_sampled", oracle=_closeness_oracle())
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness (x12 integer) of ~1% sampled seeds via
+    4-round multi-source BFS (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2,"
+            " size(ps)-i-1), y -> struct(x as part_a, y as part_b))))"))
+            .alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= 2)
+        .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint(eager=False))
+    state = (edges.select(F.col("u").alias("node")).distinct()
+             .filter(F.col("node") % CLOSENESS_SEED_MOD == 0)
+             .select(F.col("node").alias("s"), "node",
+                     F.lit(0).alias("d")))
+    for _ in range(CLOSENESS_ROUNDS):
+        grown = (state.join(edges, state.node == edges.u)
+                 .select("s", F.col("v").alias("node"),
+                         (F.col("d") + 1).alias("d"))
+                 .unionByName(state)
+                 .groupBy("s", "node").agg(F.min("d").alias("d")))
+        state = grown.localCheckpoint(eager=False)
+    h = (F.when(F.col("d") == 1, 12).when(F.col("d") == 2, 6)
+         .when(F.col("d") == 3, 4).when(F.col("d") == 4, 3).otherwise(0))
+    return (state.groupBy(F.col("s").cast("bigint").alias("seed"))
+            .agg((F.count("*") - 1).cast("bigint").alias("n_reached"),
+                 F.sum(h).cast("bigint").alias("harmonic_x12"))
+            .orderBy("seed"))

@@ -165,3 +165,97 @@ def ml_isotonic_calibration_pava(spark: SparkSession,
                     F.expr("cast(iso13 div 10000000 as double)"
                            " / 1000000.0").alias("iso_rate"))
             .orderBy("bin"))
+
+
+# ---------------------------------------------------------------------------
+# OneR rule induction (r11; Holte 1993 — "very simple classification
+# rules perform well"). The honesty baseline every model comparison
+# needs: for each candidate categorical feature, predict the majority
+# label per feature value; the best single-feature rule's accuracy is
+# the floor any real model must beat.  Sibling of
+# ml_decision_stump_split (which optimizes Gini on ONE numeric split);
+# OneR ranks WHOLE categorical features by exact accuracy.
+# EXACTNESS: per-(feature, value) counts are exact; n_correct =
+# sum(max(pos, neg)); accuracy is one quantized rational per feature.
+# Majority ties break to label 0 (fixed convention, both engines).
+# SCALE: one unpivot + one groupBy per feature set; all counts partial-
+# aggregate map-side.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_one_rule",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderpriority AS f_priority,
+             o.o_orderstatus AS f_status,
+             cu.c_mktsegment AS f_segment,
+             CASE WHEN c.n_items >= 4 THEN 1 ELSE 0 END AS y
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem GROUP BY 1) c ON c.l_orderkey = o.o_orderkey
+    ),
+    unp AS (
+      SELECT 'priority' AS feature, f_priority AS val, y FROM base
+      UNION ALL
+      SELECT 'status', f_status, y FROM base
+      UNION ALL
+      SELECT 'segment', f_segment, y FROM base
+    ),
+    cells AS (
+      SELECT feature, val,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM unp GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(GREATEST(pos, neg)) AS BIGINT) AS n_correct,
+             CAST(SUM(pos + neg) AS BIGINT) AS n
+      FROM cells GROUP BY 1
+    )
+    SELECT feature, n_values, n_correct, n,
+           CAST(CAST(floor(CAST(n_correct AS DOUBLE) / n * 1000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS accuracy,
+           CASE WHEN row_number() OVER (ORDER BY n_correct DESC, feature)
+                     = 1 THEN 1 ELSE 0 END AS chosen
+    FROM scored ORDER BY feature
+    """,
+)
+def ml_one_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneR: exact accuracy of the best single-feature majority rule
+    over three categorical features (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_items = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_items"))
+    base = (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(n_items, orders.o_orderkey == n_items.l_orderkey)
+            .select(F.col("o_orderpriority").alias("f_priority"),
+                    F.col("o_orderstatus").alias("f_status"),
+                    F.col("c_mktsegment").alias("f_segment"),
+                    F.when(F.col("n_items") >= 4, 1).otherwise(0)
+                    .cast("bigint").alias("y")))
+    unp = base.select(F.expr(
+        "stack(3, 'priority', f_priority, 'status', f_status,"
+        " 'segment', f_segment)").alias("feature", "val"), "y")
+    cells = unp.groupBy("feature", "val").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"))
+    scored = cells.groupBy("feature").agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        F.sum(F.greatest("pos", "neg")).cast("bigint").alias("n_correct"),
+        F.sum(F.col("pos") + F.col("neg")).cast("bigint").alias("n"))
+    return (scored.select(
+        "feature", "n_values", "n_correct", "n",
+        (F.floor(F.col("n_correct").cast("double") / F.col("n")
+                 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("accuracy"),
+        F.when(F.row_number().over(
+            Window.orderBy(F.desc("n_correct"), F.asc("feature"))) == 1, 1)
+        .otherwise(0).cast("int").alias("chosen"))
+        .orderBy("feature"))

@@ -1151,3 +1151,88 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, d) for r, v, d in chosen],
         "sel_round bigint, vec_id bigint, sel_d2q bigint")
     return out.orderBy("sel_round")
+
+
+# ---------------------------------------------------------------------------
+# Systematic interval sampling (r11) — the classic every-k-th design:
+# order the frame by a stable key, take rows at a fixed stride from a
+# fixed anchor. Complements the probabilistic samplers in this module
+# (PPSWOR, reservoir, stratified): systematic sampling is the one a
+# warehouse uses when it needs REPRODUCIBLE row picks without storing
+# per-row randomness — the stride/anchor ARE the sample definition.
+# The audit compares exact sample vs population means (cents) and the
+# largest realized key gap (stride uniformity). EXACTNESS: rank by the
+# unique o_orderkey (total order), integer stride arithmetic, exact
+# sums; readouts quantized. SCALE: one window rank on the sort key —
+# at cluster scale this is the sort the frame's layout usually already
+# provides (clustered/bucketed by key); everything else is map-side.
+# ---------------------------------------------------------------------------
+
+SYSTEMATIC_STRIDE = 97
+SYSTEMATIC_ANCHOR = 13
+
+
+@query(
+    "sample_systematic_interval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rk
+      FROM orders
+    ),
+    samp AS (
+      SELECT * FROM ranked
+      WHERE (rk - 1) % {SYSTEMATIC_STRIDE} = {SYSTEMATIC_ANCHOR}
+    ),
+    gaps AS (
+      SELECT o_orderkey - lag(o_orderkey) OVER (ORDER BY rk) AS keygap
+      FROM samp
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_pop,
+           CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_sample,
+           CAST(CAST(floor(CAST((SELECT SUM(cents) FROM ranked) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM ranked)
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS mean_cents_pop,
+           CAST(CAST(floor(CAST((SELECT SUM(cents) FROM samp) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM samp)
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS mean_cents_sample,
+           CAST((SELECT MAX(keygap) FROM gaps) AS BIGINT) AS max_key_gap
+    """,
+)
+def sample_systematic_interval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Every-97th systematic sample from anchor 13 on the orderkey
+    order; mean-vs-population and stride-uniformity audit (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        F.row_number().over(Window.orderBy("o_orderkey"))
+        .cast("bigint").alias("rk"))
+    samp = ranked.filter(
+        (F.col("rk") - 1) % SYSTEMATIC_STRIDE == SYSTEMATIC_ANCHOR)
+    gaps = samp.select(
+        (F.col("o_orderkey")
+         - F.lag("o_orderkey").over(Window.orderBy("rk"))).alias("keygap"))
+    pop = ranked.agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("cents").cast("bigint").alias("sc"))
+    sm = samp.agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.sum("cents").cast("bigint").alias("ss"))
+    gp = gaps.agg(F.max("keygap").cast("bigint").alias("max_key_gap"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return (pop.crossJoin(F.broadcast(sm)).crossJoin(F.broadcast(gp))
+            .select("n_pop", "n_sample",
+                    q6(F.col("sc").cast("double") / F.col("n_pop"))
+                    .alias("mean_cents_pop"),
+                    q6(F.col("ss").cast("double") / F.col("n_sample"))
+                    .alias("mean_cents_sample"),
+                    "max_key_gap"))
