@@ -2652,3 +2652,224 @@ def multimodal_wav_dft_centroid(spark: SparkSession,
             .select("doc_id", "text"))
     return (decode_parallel(docs).mapInPandas(_dft_batch, WAV_DFT_SCHEMA)
             .orderBy("doc_id", "frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Indexed-color (palette) PNG decode (r11) — PNG color type 3: pixels
+# are INDICES into a PLTE chunk of RGB triplets, the one mainstream PNG
+# profile the r6 grayscale decoder rejected. Everything is REAL: the
+# same CRC-verified chunk walk + zlib inflate + 5-filter unfilter now
+# runs over index scanlines, then every pixel is resolved THROUGH the
+# PLTE table (entries are quadratic-in-k hash-seeded channels, so no
+# bytes-only shortcut can produce luma without actually reading PLTE —
+# the GIF reversed-palette lesson) and fingerprinted as exact integer
+# luma 299 R + 587 G + 114 B (x1000 BT.601, no rounding).  The oracle
+# re-derives indices, palette channels, and luma analytically; matching
+# the digest requires the full chunk walk + inflate + unfilter + LUT
+# resolution to have run against the bytes.  Geometry is kept small
+# (<= 48 x 48) so the analytic oracle stays cheap at sf0.1.
+# ---------------------------------------------------------------------------
+
+PALETTE_SIZE = 16
+
+
+def _palette_entries(a: int, b: int, c: int) -> list:
+    """Deterministic 16-entry RGB palette; channels quadratic in the
+    index so luma is unrecoverable without the stored table."""
+    return [((37 * a * k * k + c) % 256,
+             (59 * b * k * k + 2 * c + 11) % 256,
+             (23 * (a + b) * k * k + 3 * c + 7) % 256)
+            for k in range(PALETTE_SIZE)]
+
+
+def synthesize_png_palette(doc_id: int, h: str) -> bytes:
+    """A valid color-type-3 PNG: IHDR(depth 8, color 3) + PLTE + one
+    zlib IDAT of filter-cycled index scanlines + IEND."""
+    import zlib
+
+    w = 16 + int(h[0:2], 16) % 32
+    ht = 16 + int(h[2:4], 16) % 32
+    a = 1 + int(h[12:14], 16) % 7
+    b = 1 + int(h[14:16], 16) % 5
+    c = int(h[16:18], 16)
+    rows = [[(a * x + b * y + c) % PALETTE_SIZE for x in range(w)]
+            for y in range(ht)]
+    out = bytearray()
+    prior = [0] * w
+    for r, raw in enumerate(rows):
+        ftype = (c + r) % 5
+        out.append(ftype)
+        for i in range(w):
+            left = raw[i - 1] if i else 0
+            up = prior[i]
+            ul = prior[i - 1] if i else 0
+            if ftype == 0:
+                f = raw[i]
+            elif ftype == 1:
+                f = raw[i] - left
+            elif ftype == 2:
+                f = raw[i] - up
+            elif ftype == 3:
+                f = raw[i] - (left + up) // 2
+            else:
+                f = raw[i] - _paeth(left, up, ul)
+            out.append(f & 0xFF)
+        prior = raw
+    plte = b"".join(bytes(e) for e in _palette_entries(a, b, c))
+    ihdr = struct.pack(">IIBBBBB", w, ht, 8, 3, 0, 0, 0)  # color type 3
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_palette(payload: bytes):
+    """Decode a color-type-3 PNG's REAL bytes to (w, ht, luma array)
+    where luma = 299 R + 587 G + 114 B from the PLTE lookup."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, ht, idat, plte = 8, None, None, bytearray(), None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size or pos + 12 + size > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + size:pos + 12 + size])
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, ht, depth, col, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", body)
+            if (depth, col, comp, filt, inter) != (8, 3, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={col}"
+                    f" (palette decoder handles 8-bit color type 3)")
+        elif ctype == b"PLTE":
+            if size % 3 != 0 or size == 0:
+                raise ValueError("PLTE length must be a positive"
+                                 " multiple of 3")
+            plte = [(body[i], body[i + 1], body[i + 2])
+                    for i in range(0, size, 3)]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if plte is None:
+        raise ValueError("color type 3 requires a PLTE chunk")
+    stream = zlib.decompress(bytes(idat))
+    if len(stream) != ht * (w + 1):
+        raise ValueError("inflated stream length mismatch")
+    luma = np.zeros((ht, w), dtype=np.int64)
+    prior = [0] * w
+    for r in range(ht):
+        off = r * (w + 1)
+        ftype = stream[off]
+        filt = stream[off + 1:off + 1 + w]
+        raw = []
+        for i, f in enumerate(filt):
+            left = raw[i - 1] if i else 0
+            up = prior[i]
+            ul = prior[i - 1] if i else 0
+            if ftype == 0:
+                v = f
+            elif ftype == 1:
+                v = f + left
+            elif ftype == 2:
+                v = f + up
+            elif ftype == 3:
+                v = f + (left + up) // 2
+            elif ftype == 4:
+                v = f + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown scanline filter {ftype}")
+            raw.append(v & 0xFF)
+        for i, idx in enumerate(raw):
+            if idx >= len(plte):
+                raise ValueError(
+                    f"palette index {idx} out of range ({len(plte)})")
+            rr, gg, bb = plte[idx]
+            luma[r, i] = 299 * rr + 587 * gg + 114 * bb
+        prior = raw
+    return w, ht, luma
+
+
+PNG_PALETTE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("luma_sum", T.LongType()),
+    T.StructField("luma_digest", T.StringType()),
+])
+
+
+@query(
+    "multimodal_png_palette_pixels",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 1
+    ),
+    geo AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT % 32 AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT % 32 AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht, i,
+             (a * (i % w) + b * (i // w) + c) % {PALETTE_SIZE} AS k,
+             a, b, c
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    ),
+    luma AS (
+      SELECT doc_id, w, ht, i,
+             299 * ((37 * a * k * k + c) % 256)
+             + 587 * ((59 * b * k * k + 2 * c + 11) % 256)
+             + 114 * ((23 * (a + b) * k * k + 3 * c + 7) % 256) AS lv
+      FROM px
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+           CAST(SUM(lv) AS BIGINT) AS luma_sum,
+           md5(string_agg(CAST(lv AS VARCHAR), ',' ORDER BY i))
+             AS luma_digest
+    FROM luma GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_png_palette_pixels(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Decode indexed-color PNGs (PLTE lookup) and fingerprint the
+    exact integer luma field (see block comment)."""
+    def _pal_batch(batches):
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_png_palette(doc_id, h)
+                w, ht, luma = decode_png_palette(payload)
+                flat = ",".join(str(int(v)) for v in luma.ravel())
+                out.append(dict(
+                    doc_id=doc_id, width=w, height=ht,
+                    luma_sum=int(luma.sum()),
+                    luma_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in PNG_PALETTE_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 1)
+            .select("doc_id", "text"))
+    return decode_parallel(docs).mapInPandas(_pal_batch, PNG_PALETTE_SCHEMA)
