@@ -1631,3 +1631,93 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.count("*") - 1).cast("bigint").alias("n_reached"),
                  F.sum(h).cast("bigint").alias("harmonic_x12"))
             .orderBy("seed"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-truss peel (r11) — the edge-strength sibling of the k-core
+# (node degree): the 4-truss keeps only edges supported by >= 2
+# triangles, iteratively, so it isolates genuinely cohesive co-purchase
+# cliques that degree alone can't separate from hubs.  Same iterative
+# discipline as graph_kcore_bounded: TRUSS_ROUNDS FIXED synchronous
+# peel rounds (no convergence test — the per-round edge counts are the
+# readout, so a non-converged tail is visible, not hidden), keyed
+# triangle-support joins only (edge x adjacency x adjacency on node
+# keys), localCheckpoint per round.  EXACTNESS: pure integer counts.
+# SCALE: support counting is the standard two-hop keyed join; each
+# round shrinks the edge set, and rounds are bounded a priori.
+# ---------------------------------------------------------------------------
+
+TRUSS_ROUNDS = 3
+TRUSS_SUPPORT = 2      # 4-truss: every edge in >= 2 triangles
+
+
+def _truss_oracle() -> str:
+    parts = []
+    for r in range(1, TRUSS_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(f"""
+    u{r - 1} AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM {prev}
+      UNION ALL SELECT b, a FROM {prev}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b
+      FROM {prev} e
+      JOIN u{r - 1} n1 ON n1.u = e.a
+      JOIN u{r - 1} n2 ON n2.u = e.b AND n2.v = n1.v
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {TRUSS_SUPPORT}
+    )""")
+    counts = " UNION ALL ".join(
+        f"SELECT {r} AS round, CAST(COUNT(*) AS BIGINT) AS n_edges"
+        f" FROM e{r}" for r in range(TRUSS_ROUNDS + 1))
+    edges_sql = _EDGES_SQL.replace(
+        f"COUNT(*) >= {MIN_TOGETHER}", "COUNT(*) >= 2")
+    return f"""
+    WITH {edges_sql},
+    e0 AS MATERIALIZED (SELECT part_a AS a, part_b AS b FROM pairs),
+    {','.join(parts)}
+    SELECT CAST(round AS BIGINT) AS round, n_edges
+    FROM ({counts}) ORDER BY round
+    """
+
+
+@query("graph_k_truss", oracle=_truss_oracle())
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge counts after each of {TRUSS_ROUNDS} bounded 4-truss peel
+    rounds over the >=2-co-purchase graph (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2,"
+            " size(ps)-i-1), y -> struct(x as a, y as b))))")).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= 2)
+        .select("a", "b").localCheckpoint(eager=False))
+    counts = [e.agg(F.count("*").cast("bigint").alias("n_edges"))
+              .select(F.lit(0).cast("bigint").alias("round"), "n_edges")]
+    for r in range(1, TRUSS_ROUNDS + 1):
+        und = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .unionByName(e.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v"))))
+        n1 = und.select(F.col("u").alias("u1"), F.col("v").alias("w1"))
+        n2 = und.select(F.col("u").alias("u2"), F.col("v").alias("w2"))
+        e = (e.join(n1, F.col("a") == F.col("u1"))
+             .join(n2, (F.col("b") == F.col("u2"))
+                   & (F.col("w1") == F.col("w2")))
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("support"))
+             .filter(F.col("support") >= TRUSS_SUPPORT)
+             .select("a", "b").localCheckpoint(eager=False))
+        counts.append(
+            e.agg(F.count("*").cast("bigint").alias("n_edges"))
+            .select(F.lit(r).cast("bigint").alias("round"), "n_edges"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("round")
