@@ -259,3 +259,125 @@ def ml_one_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.desc("n_correct"), F.asc("feature"))) == 1, 1)
         .otherwise(0).cast("int").alias("chosen"))
         .orderBy("feature"))
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression path (r11) — the regularized sibling of
+# stats_ols_two_factor (same two-feature design: extendedprice on
+# quantity + discount, same exact DECIMAL moments): solve
+# (C + lambda*I) beta = c_y on the CENTERED second-moment matrix for a
+# 3-point lambda path scaled by n (lambda = s*n so the path is
+# SF-invariant).  The 2x2 closed form needs no iteration:
+#   b_q = (cqy*(cdd+l) - cdy*cqd) / ((cqq+l)*(cdd+l) - cqd^2)
+# EXACTNESS: moments are exact DECIMAL(18,2) sums cast once to double;
+# every beta is the same double expression shape in both engines;
+# readouts 6-dp floor-quantized.  SCALE: one aggregation, 3-row grid.
+# ---------------------------------------------------------------------------
+
+RIDGE_PATH = (0, 1, 10)      # lambda = s * n for s in RIDGE_PATH
+
+_RIDGE_MOMS = """
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sqq,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS sqd,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS sdd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sqy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sdy
+      FROM lineitem
+"""
+
+
+@query(
+    "ml_ridge_path",
+    oracle=f"""
+    WITH m AS ({_RIDGE_MOMS}),
+    c AS (
+      SELECT n,
+             sqq - sq * sq / n AS cqq,
+             sqd - sq * sd / n AS cqd,
+             sdd - sd * sd / n AS cdd,
+             sqy - sq * sy / n AS cqy,
+             sdy - sd * sy / n AS cdy
+      FROM m
+    ),
+    grid AS (
+      SELECT c.*, s.s, s.s * c.n AS lam
+      FROM c, (SELECT UNNEST([{', '.join(str(s) for s in RIDGE_PATH)}])
+               AS s) s
+    )
+    SELECT CAST(s AS BIGINT) AS lambda_scale,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(floor(
+             (cqy * (cdd + lam) - cdy * cqd)
+             / ((cqq + lam) * (cdd + lam) - cqd * cqd)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS beta_qty,
+           CAST(CAST(floor(
+             (cdy * (cqq + lam) - cqy * cqd)
+             / ((cqq + lam) * (cdd + lam) - cqd * cqd)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS beta_disc
+    FROM grid ORDER BY lambda_scale
+    """,
+)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature ridge betas for lambda = s*n,
+    s in RIDGE_PATH (see block comment); s=0 reproduces OLS."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(d2("l_quantity")).cast("double").alias("sq"),
+        F.sum(d2("l_discount")).cast("double").alias("sd"),
+        F.sum(d2("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d2("l_quantity") * d2("l_quantity")).cast("double")
+        .alias("sqq"),
+        F.sum(d2("l_quantity") * d2("l_discount")).cast("double")
+        .alias("sqd"),
+        F.sum(d2("l_discount") * d2("l_discount")).cast("double")
+        .alias("sdd"),
+        F.sum(d2("l_quantity") * d2("l_extendedprice")).cast("double")
+        .alias("sqy"),
+        F.sum(d2("l_discount") * d2("l_extendedprice")).cast("double")
+        .alias("sdy"))
+    c = m.select(
+        "n",
+        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n"))
+        .alias("cqq"),
+        (F.col("sqd") - F.col("sq") * F.col("sd") / F.col("n"))
+        .alias("cqd"),
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n"))
+        .alias("cdd"),
+        (F.col("sqy") - F.col("sq") * F.col("sy") / F.col("n"))
+        .alias("cqy"),
+        (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n"))
+        .alias("cdy"))
+    grid = c.select(
+        "*", F.explode(F.array(*[F.lit(s) for s in RIDGE_PATH]))
+        .alias("s")).withColumn("lam", F.col("s") * F.col("n"))
+    den = ((F.col("cqq") + F.col("lam")) * (F.col("cdd") + F.col("lam"))
+           - F.col("cqd") * F.col("cqd"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return (grid.select(
+        F.col("s").cast("bigint").alias("lambda_scale"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        q6((F.col("cqy") * (F.col("cdd") + F.col("lam"))
+            - F.col("cdy") * F.col("cqd")) / den).alias("beta_qty"),
+        q6((F.col("cdy") * (F.col("cqq") + F.col("lam"))
+            - F.col("cqy") * F.col("cqd")) / den).alias("beta_disc"))
+        .orderBy("lambda_scale"))
