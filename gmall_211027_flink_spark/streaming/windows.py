@@ -2609,3 +2609,148 @@ def _psi_stream_oracle() -> str:
 
 
 _OR["stream_psi_maintenance"] = _psi_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (r11) — the DETERMINISTIC
+# frequent-items store next to the probabilistic Count-Min
+# (stream_countmin_maintenance): MG_K counters, guaranteed
+# est <= true <= est + (decrements), no hashing, no collisions.  The
+# state is the MERGEABLE-summaries form (Agarwal et al. 2012): per
+# batch, add exact batch counts into the counter set, then compact by
+# subtracting the (MG_K+1)-th largest count and dropping non-positive
+# counters — at most MG_K rows survive by construction (bounded-state
+# invariant, named error).  Ties at the compaction boundary drop
+# together (value-based), so the fold is engine-deterministic; batch
+# slices are calendar thirds, same cut arithmetic in both engines.
+# Readout: surviving counters joined with the TRUE exact counts — the
+# under-estimate column demonstrates (and the oracle verifies) the MG
+# one-sided error.
+# ---------------------------------------------------------------------------
+
+MG_K = 8
+
+
+def _mg_stream_oracle() -> str:
+    def mg_round(src: str, out: str) -> str:
+        return f"""
+    r_{out} AS (
+      SELECT user_id, c,
+             row_number() OVER (ORDER BY c DESC, user_id) AS rk
+      FROM {src}
+    ),
+    t_{out} AS (
+      SELECT COALESCE(MAX(c), 0) AS t FROM r_{out} WHERE rk = {MG_K + 1}
+    ),
+    {out} AS MATERIALIZED (
+      SELECT r.user_id, r.c - t.t AS c
+      FROM r_{out} r, t_{out} t WHERE r.c > t.t
+    )"""
+
+    return f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi,
+             MIN(day) + (MAX(day) - MIN(day)) // 3 AS cut1,
+             MIN(day) + 2 * ((MAX(day) - MIN(day)) // 3) AS cut2
+      FROM ev
+    ),
+    b1 AS MATERIALIZED (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev, bounds WHERE day <= cut1 GROUP BY 1
+    ),
+    b2 AS MATERIALIZED (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev, bounds WHERE day > cut1 AND day <= cut2 GROUP BY 1
+    ),
+    b3 AS MATERIALIZED (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev, bounds WHERE day > cut2 GROUP BY 1
+    ),
+    {mg_round('b1', 's1')},
+    m2 AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS c FROM (
+        SELECT * FROM s1 UNION ALL SELECT * FROM b2) GROUP BY 1
+    ),
+    {mg_round('m2', 's2')},
+    m3 AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS c FROM (
+        SELECT * FROM s2 UNION ALL SELECT * FROM b3) GROUP BY 1
+    ),
+    {mg_round('m3', 's3')},
+    truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM ev GROUP BY 1
+    )
+    SELECT s.user_id, CAST(s.c AS BIGINT) AS est_cnt, t.true_cnt,
+           t.true_cnt - s.c AS underestimate
+    FROM s3 s JOIN truth t USING (user_id)
+    ORDER BY est_cnt DESC, user_id
+    """
+
+
+@query("stream_mg_heavy_hitters", oracle=_mg_stream_oracle())
+def stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MG_K-counter Misra-Gries heavy-hitter store over 3 calendar
+    batch slices, with the one-sided-error audit (see block comment)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("unix_micros(ts) div 86400000000").alias("day")))
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    if lo is None:
+        raise ValueError("stream_mg_heavy_hitters: events table empty")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    slices = ((lo, cut1), (cut1 + 1, cut2), (cut2 + 1, hi))
+    d = tempfile.mkdtemp(prefix="mg_store_gate_")
+
+    def compact(df):
+        r = df.select(
+            "user_id", "c",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("user_id"))).alias("rk"))
+        t = r.filter(F.col("rk") == MG_K + 1) \
+            .agg(F.coalesce(F.max("c"), F.lit(0)).alias("t"))
+        return (r.crossJoin(F.broadcast(t))
+                .filter(F.col("c") > F.col("t"))
+                .select("user_id", (F.col("c") - F.col("t")).alias("c")))
+
+    try:
+        state = None
+        for i, (a, b) in enumerate(slices):
+            batch = (ev.filter((F.col("day") >= a) & (F.col("day") <= b))
+                     .groupBy("user_id")
+                     .agg(F.count("*").cast("bigint").alias("c")))
+            merged = batch if state is None else \
+                (state.unionByName(batch).groupBy("user_id")
+                 .agg(F.sum("c").cast("bigint").alias("c")))
+            state = compact(merged)
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            if n > MG_K:      # bounded-state invariant, -O-proof
+                raise RuntimeError(
+                    f"stream_mg_heavy_hitters: {n} counters > MG_K "
+                    f"{MG_K} — compaction failed")
+        truth = ev.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("true_cnt"))
+        out = (state.join(truth, "user_id")
+               .select("user_id", F.col("c").alias("est_cnt"), "true_cnt",
+                       (F.col("true_cnt") - F.col("c"))
+                       .alias("underestimate"))
+               .orderBy(F.desc("est_cnt"), F.asc("user_id")))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
