@@ -656,3 +656,158 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.any_value("nn") - F.any_value("na")))
                  / F.lit(1000000000.0) * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0)).alias("a2"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér-von Mises (r11; Anderson 1962 rank form) — the
+# third member of the ECDF-distance family (KS = sup, AD =
+# tail-weighted integral, CvM = unweighted integral), on the SAME
+# source-parity cohorts so the three drift readouts are directly
+# comparable.  U = n * sum_i (r_i - i)^2 + m * sum_j (s_j - j)^2 over
+# pooled ranks (fixed a-before-b tie order, as stats_anderson_darling);
+# T = U/(n*m*N) - (4nm - 1)/(6N).  EXACTNESS: U is an exact BIGINT;
+# T is one quantized double of identical shape.  SCALE: one bounded
+# pooled-rank window, linear in documents.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cramer_von_mises",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+                  THEN 0 ELSE 1 END AS coh
+      FROM documents
+    ),
+    pooled AS (
+      SELECT coh,
+             CAST(row_number() OVER (ORDER BY n_chars, coh, doc_id)
+               AS BIGINT) AS r,
+             CAST(row_number() OVER (PARTITION BY coh
+                                     ORDER BY n_chars, doc_id)
+               AS BIGINT) AS i
+      FROM d
+    ),
+    sums AS (
+      SELECT CAST(SUM(CASE WHEN coh = 0 THEN (r - i) * (r - i)
+                           ELSE 0 END) AS BIGINT) AS da,
+             CAST(SUM(CASE WHEN coh = 1 THEN (r - i) * (r - i)
+                           ELSE 0 END) AS BIGINT) AS db,
+             CAST(SUM(1 - coh) AS BIGINT) AS n,
+             CAST(SUM(coh) AS BIGINT) AS m
+      FROM pooled
+    )
+    SELECT n AS n_a, m AS n_b,
+           n * da + m * db AS u_stat,
+           CAST(CAST(floor(
+             (CAST(n * da + m * db AS DOUBLE)
+              / (CAST(n AS DOUBLE) * m * (n + m))
+              - (4.0 * n * m - 1) / (6.0 * (n + m)))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS t_stat
+    FROM sums
+    """,
+)
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample CvM T on document length across source-parity
+    cohorts (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 0)
+        .otherwise(1).alias("coh"))
+    pooled = d.select(
+        "coh",
+        F.row_number().over(Window.orderBy("n_chars", "coh", "doc_id"))
+        .cast("bigint").alias("r"),
+        F.row_number().over(Window.partitionBy("coh")
+                            .orderBy("n_chars", "doc_id"))
+        .cast("bigint").alias("i"))
+    dd = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    sums = pooled.agg(
+        F.sum(F.when(F.col("coh") == 0, dd).otherwise(0))
+        .cast("bigint").alias("da"),
+        F.sum(F.when(F.col("coh") == 1, dd).otherwise(0))
+        .cast("bigint").alias("db"),
+        F.sum(1 - F.col("coh")).cast("bigint").alias("n"),
+        F.sum("coh").cast("bigint").alias("m"))
+    u = F.col("n") * F.col("da") + F.col("m") * F.col("db")
+    nn = F.col("n") + F.col("m")
+    t = (u.cast("double") / (F.col("n").cast("double") * F.col("m") * nn)
+         - (F.lit(4.0) * F.col("n") * F.col("m") - 1)
+         / (F.lit(6.0) * nn))
+    return sums.select(
+        F.col("n").alias("n_a"), F.col("m").alias("n_b"),
+        u.cast("bigint").alias("u_stat"),
+        (F.floor(t * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("t_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (r11) — the A/B workhorse: purchase-share of
+# events in the first vs second calendar half, pooled-variance z.
+# EXACTNESS: all four counts exact; z is one quantized double from
+# exact BIGINTs (identical expression shape).  SCALE: one scan, one
+# 2x2 reduction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_two_proportion_z",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      FROM events
+    ),
+    b AS (SELECT (MIN(day) + MAX(day)) // 2 AS dmid FROM ev),
+    cell AS (
+      SELECT CAST(SUM(CASE WHEN day < dmid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN day < dmid THEN y ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(SUM(CASE WHEN day >= dmid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN day >= dmid THEN y ELSE 0 END) AS BIGINT)
+               AS x2
+      FROM ev, b
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(CAST(floor(
+             (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM cell
+    """,
+)
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z on purchase share across calendar
+    halves (see block comment)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"))
+    b = ev.agg(F.expr("(min(day) + max(day)) div 2").alias("dmid"))
+    cell = ev.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.when(F.col("day") < F.col("dmid"), 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("day") < F.col("dmid"), F.col("y"))
+              .otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when(F.col("day") >= F.col("dmid"), 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("day") >= F.col("dmid"), F.col("y"))
+              .otherwise(0)).cast("bigint").alias("x2"))
+    p = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1")
+                                                      + F.col("n2"))
+    z = ((F.col("x1").cast("double") / F.col("n1")
+          - F.col("x2").cast("double") / F.col("n2"))
+         / F.sqrt(p * (1 - p) * (F.lit(1).cast("double") / F.col("n1")
+                                 + F.lit(1).cast("double") / F.col("n2"))))
+    return cell.select(
+        "n1", "x1", "n2", "x2",
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))

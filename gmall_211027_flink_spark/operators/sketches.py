@@ -946,3 +946,90 @@ def lake_ndv_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("exact_ndv").cast("double") * F.lit(1000000.0)
                 + F.lit(0.5)).cast("bigint").alias("err_ppm")
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch (r11; Alon-Matias-Szegedy 1996) — the
+# second-moment estimator missing from the CM/KMV/HLL/Bloom family:
+# K sign projections Z_j = sum_x s(x, j) * f_x, each Z_j^2 an unbiased
+# F2 estimate; the classic readout is median-of-means (4 groups of 4).
+# The join-size estimator (sketch_join_size_estimate) is this
+# statistic's bilinear form — this audit measures the quadratic form
+# against EXACT F2 on user event counts.  EXACTNESS: signs come from
+# bit 16 of a 32-bit Knuth mix (engine-identical integer ops; the low
+# bit would correlate with user parity), Z_j and F2 are exact BIGINTs,
+# the median of the 4 group means is the average of the two middle
+# values — everything stays a x8 integer until the one quantized
+# readout.  SCALE: one (user, j) keyed aggregation, K = 16 constant.
+# ---------------------------------------------------------------------------
+
+AMS_K = 16
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT j.j,
+             CAST(SUM((1 - 2 * (((user_id * 2654435761
+                                  + j.j * 2246822519) % 4294967296)
+                                // 65536 % 2)) * c) AS BIGINT) AS zj
+      FROM f, UNNEST(generate_series(0, {AMS_K - 1})) AS j(j)
+      GROUP BY 1
+    ),
+    grp AS (
+      SELECT j // 4 AS g, CAST(SUM(zj * zj) AS BIGINT) AS s4
+      FROM z GROUP BY 1
+    ),
+    med AS (
+      SELECT s4, row_number() OVER (ORDER BY s4, g) AS rk FROM grp
+    ),
+    est AS (
+      -- median of 4 group means: (2nd + 3rd) / 2 of the s4/4 values
+      -- kept integer as x8: (s4_rk2 + s4_rk3)
+      SELECT CAST(SUM(CASE WHEN rk IN (2, 3) THEN s4 ELSE 0 END)
+                AS BIGINT) AS mom_x8
+      FROM med
+    ),
+    truth AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM f)
+    SELECT t.f2 AS f2_exact, e.mom_x8,
+           CAST(CAST(floor(CAST(e.mom_x8 AS DOUBLE) / 8 / t.f2
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS est_over_exact
+    FROM est e, truth t
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS median-of-means F2 estimate vs exact second moment of user
+    event counts (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    z = (f.select("user_id", "c",
+                  F.explode(F.sequence(F.lit(0), F.lit(AMS_K - 1)))
+                  .alias("j"))
+         .groupBy("j")
+         .agg(F.sum((1 - 2 * (F.expr(
+             "((user_id * 2654435761 + j * 2246822519) % 4294967296)"
+             " div 65536 % 2"))) * F.col("c"))
+             .cast("bigint").alias("zj")))
+    grp = (z.groupBy(F.expr("j div 4").alias("g"))
+           .agg(F.sum(F.col("zj") * F.col("zj")).cast("bigint")
+                .alias("s4")))
+    med = grp.select(
+        "s4", F.row_number().over(Window.orderBy("s4", "g")).alias("rk"))
+    est = med.agg(
+        F.sum(F.when(F.col("rk").isin(2, 3), F.col("s4")).otherwise(0))
+        .cast("bigint").alias("mom_x8"))
+    truth = f.agg(F.sum(F.col("c") * F.col("c")).cast("bigint")
+                  .alias("f2"))
+    return (est.crossJoin(F.broadcast(truth))
+            .select(F.col("f2").alias("f2_exact"), "mom_x8",
+                    (F.floor(F.col("mom_x8").cast("double") / 8
+                             / F.col("f2") * F.lit(1000000.0)
+                             + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("est_over_exact")))
