@@ -975,9 +975,9 @@ AMS_K = 16
     ),
     z AS (
       SELECT j.j,
-             CAST(SUM((1 - 2 * (((user_id * 2654435761
-                                  + j.j * 2246822519) % 4294967296)
-                                // 65536 % 2)) * c) AS BIGINT) AS zj
+             CAST(SUM((1 - 2 * (('0x' || substr(md5(user_id || '-' || j.j),
+                                               1, 1))::BIGINT % 2)) * c)
+               AS BIGINT) AS zj
       FROM f, UNNEST(generate_series(0, {AMS_K - 1})) AS j(j)
       GROUP BY 1
     ),
@@ -1013,8 +1013,9 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("j"))
          .groupBy("j")
          .agg(F.sum((1 - 2 * (F.expr(
-             "((user_id * 2654435761 + j * 2246822519) % 4294967296)"
-             " div 65536 % 2"))) * F.col("c"))
+             "cast(conv(substring(md5(concat(cast(user_id as string),"
+             " '-', cast(j as string))), 1, 1), 16, 10) as bigint) % 2")))
+             * F.col("c"))
              .cast("bigint").alias("zj")))
     grp = (z.groupBy(F.expr("j div 4").alias("g"))
            .agg(F.sum(F.col("zj") * F.col("zj")).cast("bigint")
