@@ -2873,3 +2873,177 @@ def multimodal_png_palette_pixels(spark: SparkSession,
             .filter(F.col("doc_id") % 4 == 1)
             .select("doc_id", "text"))
     return decode_parallel(docs).mapInPandas(_pal_batch, PNG_PALETTE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Interlaced GIF decode (r11) — GIF89a appendix E four-pass interlace
+# (rows 0,8,16.. then 4,12.. then 2,6.. then 1,3,..): the stored LZW
+# index stream is a ROW PERMUTATION of the image, advertised by bit
+# 0x40 of the image descriptor.  The r6 decoder rejects it; this one
+# LZW-decodes the permuted stream and DE-INTERLACES back to natural
+# order — a decoder that ignored the flag would place 3/4 of all rows
+# wrong and break the digest on every multi-row image.  Same reversed
+# grayscale palette (LUT dependence) and small canvas as the animated
+# synthesizer so the pure-Python LZW stays cheap.  Oracle re-derives
+# the NATURAL-order gradient analytically; matching it proves the
+# de-interlace ran against the bytes.
+# ---------------------------------------------------------------------------
+
+def _interlace_rows(ht: int) -> list:
+    """GIF89a four-pass interlace row order for a ht-row image."""
+    return ([*range(0, ht, 8)] + [*range(4, ht, 8)]
+            + [*range(2, ht, 4)] + [*range(1, ht, 2)])
+
+
+def synthesize_gif_interlaced(doc_id: int, h: str) -> bytes:
+    """A valid INTERLACED GIF89a carrying the deterministic gradient
+    through the reversed-grayscale palette."""
+    import numpy as np
+
+    w = 8 + int(h[0:2], 16) % 16
+    ht = 8 + int(h[2:4], 16) % 16
+    p = _bmp_gradient_params(h)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(ht, dtype=np.int64)[:, None]
+    gray = ((p["a"] * x + p["b"] * y + p["c"]) % 256).astype(np.uint8)
+    permuted = gray[_interlace_rows(ht), :]       # stored row order
+    indices = (255 - permuted).tobytes()          # palette[i] = 255 - i
+    palette = bytes(b for i in range(256) for b in (255 - i,) * 3)
+    lzw = _lzw_encode_gif(indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, ht, 0xF7, 0, 0)
+            + palette
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, ht, 0x40)
+            + bytes([8])
+            + bytes(blocks)
+            + b"\x3B")
+
+
+def decode_gif_interlaced(payload: bytes):
+    """Decode an interlaced single-frame GIF's REAL bytes to the
+    NATURAL-row-order gray array (LZW + palette + de-interlace)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos:pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated GIF: color table cut")
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _l, _t, w, ht, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10])
+            if not ipacked & 0x40:
+                raise ValueError(
+                    "not interlaced (use decode_gif_gray)")
+            if ipacked & 0x80:
+                raise ValueError("local color table unsupported")
+            if palette is None:
+                raise ValueError("no global color table")
+            pos += 10
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                lzw.extend(payload[pos + 1:pos + 1 + n])
+                pos += 1 + n
+            indices = _lzw_decode_gif(bytes(lzw), min_code)
+            if len(indices) != w * ht:
+                raise ValueError(f"LZW yielded {len(indices)} indices"
+                                 f" for {w}x{ht}")
+            idx = np.frombuffer(indices, dtype=np.uint8).astype(np.int64)
+            pal = np.frombuffer(palette,
+                                dtype=np.uint8)[::3].astype(np.int64)
+            stored = pal[idx].reshape(ht, w)
+            natural = np.zeros_like(stored)
+            natural[_interlace_rows(ht), :] = stored   # de-interlace
+            return w, ht, natural
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("no image block in GIF")
+
+
+GIF_ILACE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
+    T.StructField("px_digest", T.StringType()),
+])
+
+
+@query(
+    "multimodal_gif_interlaced_pixels",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 2
+    ),
+    geo AS (
+      SELECT doc_id,
+             8 + ('0x' || substr(h, 1, 2))::BIGINT % 16 AS w,
+             8 + ('0x' || substr(h, 3, 2))::BIGINT % 16 AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht, i,
+             (a * (i % w) + b * (i // w) + c) % 256 AS gv
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width,
+           CAST(ht AS BIGINT) AS height,
+           CAST(SUM(gv) AS BIGINT) AS pixel_sum,
+           md5(string_agg(CAST(gv AS VARCHAR), ',' ORDER BY i))
+             AS px_digest
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_gif_interlaced_pixels(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Decode four-pass interlaced GIFs and fingerprint the NATURAL-
+    order pixel field (see block comment)."""
+    def _il_batch(batches):
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_gif_interlaced(doc_id, h)
+                w, ht, img = decode_gif_interlaced(payload)
+                flat = ",".join(str(int(v)) for v in img.ravel())
+                out.append(dict(
+                    doc_id=doc_id, width=w, height=ht,
+                    pixel_sum=int(img.sum()),
+                    px_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in GIF_ILACE_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 2)
+            .select("doc_id", "text"))
+    return decode_parallel(docs).mapInPandas(_il_batch, GIF_ILACE_SCHEMA)
