@@ -1144,3 +1144,87 @@ def curation_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("effective_sources"),
         F.round(F.max("toks").cast("double") / F.first("n"), 6)
         .alias("top_source_share"))
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source (r11) — the SYMMETRIC, bounded
+# [0,1]-bit sibling of curation_source_kl_divergence (same unigram
+# grids): JSD(p||q) = (KL(p||m) + KL(q||m)) / 2 with m = (p+q)/2,
+# against the corpus distribution.  KL can explode on rare words; JSD
+# is the score mixture tuners actually threshold.  EXACTNESS: counts
+# exact; each p*log2(2p/(p+q)) term is deterministic per (source,
+# word), 9-dp rounded to DECIMAL before the order-free sum (the KL
+# discipline); absent-word p=0 terms vanish, q-side terms use the full
+# corpus join (left join from corpus so q-only words are kept).
+# ---------------------------------------------------------------------------
+
+@query(
+    "curation_source_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, t.word
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+    ),
+    sc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    corpus AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY 1
+    ),
+    ctot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM corpus),
+    grid AS (
+      -- every (source, corpus-word) cell; p = 0 where the source
+      -- lacks the word, q > 0 always
+      SELECT st.source, co.word,
+             COALESCE(sc.c, 0) / CAST(st.ns AS DOUBLE) AS p,
+             co.cc / CAST(ct.nc AS DOUBLE) AS q
+      FROM stot st CROSS JOIN corpus co
+      LEFT JOIN sc ON sc.source = st.source AND sc.word = co.word,
+      ctot ct
+    ),
+    terms AS (
+      SELECT source,
+             CAST(round(
+               CASE WHEN p > 0
+                    THEN 0.5 * p * log2(2 * p / (p + q)) ELSE 0 END
+               + 0.5 * q * log2(2 * q / (p + q)), 9)
+               AS DECIMAL(18,9)) AS term
+      FROM grid
+    )
+    SELECT source, round(CAST(SUM(term) AS DOUBLE), 6) AS js_bits
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def curation_source_js_divergence(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """JSD(source unigrams || corpus unigrams) in bits, per source
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split("text", " ")).alias("word"))
+    sc = (tok.groupBy("source", "word")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    stot = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    corpus = sc.groupBy("word").agg(F.sum("c").cast("bigint").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").cast("bigint").alias("nc"))
+    grid = (stot.crossJoin(F.broadcast(corpus))
+            .join(sc, ["source", "word"], "left")
+            .crossJoin(F.broadcast(ctot))
+            .select("source",
+                    (F.coalesce("c", F.lit(0)).cast("double")
+                     / F.col("ns")).alias("p"),
+                    (F.col("cc").cast("double") / F.col("nc")).alias("q")))
+    term = (F.when(F.col("p") > 0,
+                   F.lit(0.5) * F.col("p")
+                   * F.log2(2 * F.col("p") / (F.col("p") + F.col("q"))))
+            .otherwise(0.0)
+            + F.lit(0.5) * F.col("q")
+            * F.log2(2 * F.col("q") / (F.col("p") + F.col("q"))))
+    return (grid.select("source",
+                        F.round(term, 9).cast("decimal(18,9)")
+                        .alias("term"))
+            .groupBy("source")
+            .agg(F.round(F.sum("term").cast("double"), 6).alias("js_bits"))
+            .orderBy("source"))

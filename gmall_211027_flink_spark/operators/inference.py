@@ -811,3 +811,108 @@ def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Welch ANOVA (r11) — the heteroscedastic one-way F: stats_anova_oneway
+# assumes equal variances; Welch's W (1951) weights groups by n_i/s_i^2
+# and is the robust default when variances differ.  Completes the
+# Welch family (welch_ttest r7).  EXACTNESS: per-group n, sum, sum^2 in
+# exact BIGINT cents (sum^2 in DECIMAL(38,0)); means/variances/weights
+# are doubles of identical expression shape; readouts 6-dp quantized.
+# SCALE: one groupBy to 5 segment rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_welch_anova",
+    oracle="""
+    WITH g AS (
+      SELECT cu.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+               AS DECIMAL(38,0)) AS ss
+      FROM g GROUP BY 1
+    ),
+    w AS (
+      SELECT seg, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+               AS var,
+             n / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) AS wi
+      FROM m
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(wi) AS sw, SUM(wi * mean) AS swm
+      FROM w
+    ),
+    parts AS (
+      SELECT t.k, t.sw,
+             SUM(w.wi * (w.mean - t.swm / t.sw)
+                 * (w.mean - t.swm / t.sw)) AS num,
+             SUM((1 - w.wi / t.sw) * (1 - w.wi / t.sw) / (w.n - 1))
+               AS hsum
+      FROM w, tot t GROUP BY 1, 2
+    )
+    SELECT k AS n_groups,
+           CAST(CAST(floor(
+             (num / (k - 1))
+             / (1 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1) * hsum)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS w_stat,
+           CAST(CAST(floor(
+             (CAST(k AS DOUBLE) * k - 1) / (3.0 * hsum)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS df2
+    FROM parts
+    """,
+)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way W on order totals across market
+    segments (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    g = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents")))
+    m = g.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)").alias("ss"))
+    var = ((F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n"))
+           / (F.col("n") - 1))
+    w = m.select("seg", "n",
+                 (F.col("s").cast("double") / F.col("n")).alias("mean"),
+                 var.alias("var"),
+                 (F.col("n") / var).alias("wi"))
+    tot = w.agg(F.count("*").cast("bigint").alias("k"),
+                F.sum("wi").alias("sw"),
+                F.sum(F.col("wi") * F.col("mean")).alias("swm"))
+    joined = w.crossJoin(F.broadcast(tot))
+    dev = F.col("mean") - F.col("swm") / F.col("sw")
+    parts = joined.groupBy("k", "sw").agg(
+        F.sum(F.col("wi") * dev * dev).alias("num"),
+        F.sum((1 - F.col("wi") / F.col("sw"))
+              * (1 - F.col("wi") / F.col("sw")) / (F.col("n") - 1))
+        .alias("hsum"))
+    kd = F.col("k").cast("double")
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        q6((F.col("num") / (F.col("k") - 1))
+           / (1 + F.lit(2.0) * (F.col("k") - 2) / (kd * F.col("k") - 1)
+              * F.col("hsum"))).alias("w_stat"),
+        q6((kd * F.col("k") - 1) / (F.lit(3.0) * F.col("hsum")))
+        .alias("df2"))
