@@ -916,3 +916,97 @@ def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
               * F.col("hsum"))).alias("w_stat"),
         q6((kd * F.col("k") - 1) / (F.lit(3.0) * F.col("hsum")))
         .alias("df2"))
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test (r11) — the PARAMETRIC variance-equality test next to
+# the robust stats_levene_test (same segments, deliberately): T =
+# ((N-k) ln Sp^2 - sum (n_i - 1) ln S_i^2) / (1 + (sum 1/(n_i-1) -
+# 1/(N-k)) / (3(k-1))).  EXACTNESS: per-segment moments exact (sum^2 in
+# DECIMAL(38,0)); each (n_i - 1) * ln S_i^2 term is deterministic per
+# segment and 1e-9-quantized to BIGINT before the order-free sum (the
+# entropy-term discipline); the final scalar assembly is one quantized
+# double.  SCALE: one groupBy to 5 rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_bartlett_test",
+    oracle="""
+    WITH g AS (
+      SELECT cu.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+               AS DECIMAL(38,0)) AS ss
+      FROM g GROUP BY 1
+    ),
+    v AS (
+      SELECT seg, n,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+               AS s2,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS dev
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             SUM(dev) AS devtot,
+             CAST(SUM(CAST(floor((n - 1) * ln(s2) * 1000000000 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS lnterm9,
+             SUM(CAST(1 AS DOUBLE) / (n - 1)) AS invsum
+      FROM v
+    )
+    SELECT k AS n_groups, nn AS n_rows,
+           CAST(CAST(floor(
+             ((nn - k) * ln(devtot / (nn - k))
+              - CAST(lnterm9 AS DOUBLE) / 1000000000)
+             / (1 + (invsum - CAST(1 AS DOUBLE) / (nn - k))
+                    / (3.0 * (k - 1)))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS t_stat
+    FROM agg
+    """,
+)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-equality T on order totals across market
+    segments (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    g = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents")))
+    m = g.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)").alias("ss"))
+    dev = (F.col("ss").cast("double")
+           - F.col("s").cast("double") * F.col("s") / F.col("n"))
+    v = m.select("seg", "n", dev.alias("dev"),
+                 (dev / (F.col("n") - 1)).alias("s2"))
+    agg = v.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("dev").alias("devtot"),
+        F.sum(F.floor((F.col("n") - 1) * F.log(F.col("s2"))
+                      * F.lit(1000000000.0) + F.lit(0.5))
+              .cast("bigint")).cast("bigint").alias("lnterm9"),
+        F.sum(F.lit(1).cast("double") / (F.col("n") - 1)).alias("invsum"))
+    t = (((F.col("nn") - F.col("k"))
+          * F.log(F.col("devtot") / (F.col("nn") - F.col("k")))
+          - F.col("lnterm9").cast("double") / F.lit(1000000000.0))
+         / (1 + (F.col("invsum")
+                 - F.lit(1).cast("double") / (F.col("nn") - F.col("k")))
+            / (F.lit(3.0) * (F.col("k") - 1))))
+    return agg.select(
+        F.col("k").alias("n_groups"), F.col("nn").alias("n_rows"),
+        (F.floor(t * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("t_stat"))
