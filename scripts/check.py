@@ -155,9 +155,19 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            # the SPARK side must also materialize through pandas: the
+            # driver hashes pandas frames on BOTH sides, so a nullable
+            # BIGINT column upcasts to float64 on both sides and hashes
+            # equal — collect()'s Python ints would false-flag every
+            # null-upcast column as type-lossy (measured r11: 3+
+            # driver-green queries)
+            sdf = df.toPandas()
+            spark_rows = [tuple(r) for r in
+                          sdf.itertuples(index=False, name=None)]
             for _ in range(repeat - 1):
-                again = [tuple(r) for r in fn(spark, sf_dir).collect()]
+                again = [tuple(r) for r in
+                         fn(spark, sf_dir).toPandas()
+                         .itertuples(index=False, name=None)]
                 if sorted(map(str, again)) != sorted(map(str, spark_rows)):
                     raise RuntimeError(
                         "NONDETERMINISTIC: two runs differ "
