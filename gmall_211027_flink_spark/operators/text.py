@@ -1936,7 +1936,9 @@ def text_bigram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of first-occurrence bigrams per corpus decile in doc_id
     ingest order (see block comment)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")) \
+        .filter(F.size("w") >= 2)  # single-token docs have no bigram
+    # (Spark sequence(1, 0) DESCENDS — DuckDB generate_series is empty)
     bg = (toks.select(
         "doc_id",
         F.explode(F.expr(

@@ -90,6 +90,14 @@ _DOC_QUERIES = [
     "text_yules_k", "text_char_trigram_entropy", "text_zipf_slope",
     "text_heaps_law", "multimodal_jpeg_color_pixels",
     "multimodal_wav_dft_centroid",
+    # round-11 additions (documents-only inputs)
+    "text_mattr_sliding", "text_burstiness_fano",
+    "text_mendenhall_spectrum", "text_bigram_novelty_decay",
+    "multimodal_png_palette_pixels", "multimodal_gif_interlaced_pixels",
+    "multimodal_jpeg_progressive_pixels", "multimodal_jpeg_restart_pixels",
+    "curation_source_js_divergence", "stats_cohens_kappa",
+    "stats_anderson_darling", "stats_cramer_von_mises",
+    "ml_isotonic_calibration_pava",
 ]
 
 
