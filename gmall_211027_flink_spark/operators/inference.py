@@ -1010,3 +1010,181 @@ def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(t * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("t_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (r11) — the ORDERED counterpart of the
+# 2xk proportion chi-square: is the share of multi-item orders (y =
+# n_items >= 4) monotone across the five priority classes with scores
+# t = 1..5?  T = sum t_i (x_i - n_i * p) with pooled p; Var(T) =
+# p(1-p) [sum t_i^2 n_i - (sum t_i n_i)^2 / N].  EXACTNESS: the 2x5
+# count grid is exact; T is assembled as the exact integer
+# N * sum(t_i x_i) - X * sum(t_i n_i) (= N^2 p-scaled T), variance from
+# exact integer sums; z is one quantized double of identical shape.
+# SCALE: one groupBy to 5 rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cochran_armitage",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS t,
+             CASE WHEN c.n_items >= 4 THEN 1 ELSE 0 END AS y
+      FROM orders o
+      JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem GROUP BY 1) c ON c.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS x
+      FROM base GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx,
+             CAST(SUM(t * x) AS BIGINT) AS tx,
+             CAST(SUM(t * n) AS BIGINT) AS tn,
+             CAST(SUM(t * t * n) AS BIGINT) AS ttn
+      FROM g
+    )
+    SELECT nn AS n_rows, xx AS n_pos,
+           nn * tx - xx * tn AS t_num_xn,
+           CAST(CAST(floor(
+             (CAST(nn AS DOUBLE) * tx - CAST(xx AS DOUBLE) * tn)
+             / nn
+             / sqrt((CAST(xx AS DOUBLE) / nn)
+                    * (1 - CAST(xx AS DOUBLE) / nn)
+                    * (ttn - CAST(tn AS DOUBLE) * tn / nn))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM s
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage z for a proportion trend across ordered
+    priority scores (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_items = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_items"))
+    base = (orders.join(n_items, orders.o_orderkey == F.col("l_orderkey"))
+            .select(F.substring("o_orderpriority", 1, 1).cast("bigint")
+                    .alias("t"),
+                    F.when(F.col("n_items") >= 4, 1).otherwise(0)
+                    .cast("bigint").alias("y")))
+    g = base.groupBy("t").agg(F.count("*").cast("bigint").alias("n"),
+                              F.sum("y").cast("bigint").alias("x"))
+    s = g.agg(F.sum("n").cast("bigint").alias("nn"),
+              F.sum("x").cast("bigint").alias("xx"),
+              F.sum(F.col("t") * F.col("x")).cast("bigint").alias("tx"),
+              F.sum(F.col("t") * F.col("n")).cast("bigint").alias("tn"),
+              F.sum(F.col("t") * F.col("t") * F.col("n"))
+              .cast("bigint").alias("ttn"))
+    p = F.col("xx").cast("double") / F.col("nn")
+    z = ((F.col("nn").cast("double") * F.col("tx")
+          - F.col("xx").cast("double") * F.col("tn")) / F.col("nn")
+         / F.sqrt(p * (1 - p)
+                  * (F.col("ttn")
+                     - F.col("tn").cast("double") * F.col("tn")
+                     / F.col("nn"))))
+    return s.select(
+        F.col("nn").alias("n_rows"), F.col("xx").alias("n_pos"),
+        (F.col("nn") * F.col("tx") - F.col("xx") * F.col("tn"))
+        .cast("bigint").alias("t_num_xn"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (r11; Schuirmann 1987) — the inferential dual
+# of the difference tests above: REJECTING here means the two calendar
+# halves' mean order values are EQUIVALENT within +/-delta (2% of the
+# pooled mean).  Two one-sided Welch t statistics; equivalence holds
+# when min(t_lower, -t_upper) exceeds the critical value — the readout
+# emits both t's and the margin, all from exact BIGINT/DECIMAL moments
+# with identical double shape.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_tost_equivalence",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day
+      FROM orders
+    ),
+    b AS (SELECT (MIN(day) + MAX(day)) // 2 AS dmid FROM o),
+    m AS (
+      SELECT CASE WHEN day < dmid THEN 1 ELSE 2 END AS half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+               AS DECIMAL(38,0)) AS ss
+      FROM o, b GROUP BY 1
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN half = 1 THEN CAST(s AS DOUBLE) / n END)
+               AS m1,
+             MAX(CASE WHEN half = 2 THEN CAST(s AS DOUBLE) / n END)
+               AS m2,
+             MAX(CASE WHEN half = 1 THEN
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (n - 1) / n END) AS v1,
+             MAX(CASE WHEN half = 2 THEN
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (n - 1) / n END) AS v2,
+             CAST(SUM(s) AS DOUBLE) / SUM(n) AS gm
+      FROM m
+    )
+    SELECT CAST(CAST(floor((m1 - m2) * 1000000 + 0.5) AS BIGINT)
+             AS DOUBLE) / 1000000.0 AS mean_diff_cents,
+           CAST(CAST(floor(0.02 * gm * 1000000 + 0.5) AS BIGINT)
+             AS DOUBLE) / 1000000.0 AS delta_cents,
+           CAST(CAST(floor(
+             ((m1 - m2) + 0.02 * gm) / sqrt(v1 + v2) * 1000000 + 0.5)
+             AS BIGINT) AS DOUBLE) / 1000000.0 AS t_lower,
+           CAST(CAST(floor(
+             ((m1 - m2) - 0.02 * gm) / sqrt(v1 + v2) * 1000000 + 0.5)
+             AS BIGINT) AS DOUBLE) / 1000000.0 AS t_upper
+    FROM w
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuirmann TOST for mean-equivalence of the two calendar halves
+    within +/-2% of the pooled mean (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day"))
+    b = o.agg(F.expr("(min(day) + max(day)) div 2").alias("dmid"))
+    m = (o.crossJoin(F.broadcast(b))
+         .groupBy(F.when(F.col("day") < F.col("dmid"), 1).otherwise(2)
+                  .alias("half"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("cents").cast("bigint").alias("s"),
+              F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+              .cast("decimal(38,0)").alias("ss")))
+    sem = ((F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n"))
+           / (F.col("n") - 1) / F.col("n"))
+    w = m.agg(
+        F.max(F.when(F.col("half") == 1,
+                     F.col("s").cast("double") / F.col("n"))).alias("m1"),
+        F.max(F.when(F.col("half") == 2,
+                     F.col("s").cast("double") / F.col("n"))).alias("m2"),
+        F.max(F.when(F.col("half") == 1, sem)).alias("v1"),
+        F.max(F.when(F.col("half") == 2, sem)).alias("v2"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("gm"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    se = F.sqrt(F.col("v1") + F.col("v2"))
+    diff = F.col("m1") - F.col("m2")
+    delta = F.lit(0.02) * F.col("gm")
+    return w.select(
+        q6(diff).alias("mean_diff_cents"),
+        q6(delta).alias("delta_cents"),
+        q6((diff + delta) / se).alias("t_lower"),
+        q6((diff - delta) / se).alias("t_upper"))
