@@ -3047,3 +3047,180 @@ def multimodal_gif_interlaced_pixels(spark: SparkSession,
             .filter(F.col("doc_id") % 4 == 2)
             .select("doc_id", "text"))
     return decode_parallel(docs).mapInPandas(_il_batch, GIF_ILACE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RLE8-compressed BMP decode (r11) — BI_RLE8 (biCompression=1), the one
+# BMP profile the r5 decoder rejects: 8-bit palette indices stored as
+# (count, index) runs with escape sequences (0,0)=end-of-line,
+# (0,1)=end-of-bitmap, (0,n>=3)=absolute mode (n literal bytes,
+# word-padded).  The synthesizer quantizes the gradient to 4-px runs so
+# encoded mode genuinely compresses, and emits every 5th row in
+# ABSOLUTE mode so both paths are data-exercised; the palette is the
+# reversed-grayscale table (LUT dependence).  Delta escapes (0,2) raise
+# a named error — honest scope.  The oracle re-derives the quantized
+# gradient analytically; matching the digest requires the run decode,
+# the absolute-mode word padding, the bottom-up row order, and the
+# palette resolution to have run against the bytes.
+# ---------------------------------------------------------------------------
+
+def synthesize_bmp_rle8(doc_id: int, h: str) -> bytes:
+    """A valid BI_RLE8 BMP carrying the 4-px-quantized gradient through
+    the reversed-grayscale palette (bottom-up rows)."""
+    w = 16 + int(h[0:2], 16) % 32
+    ht = 16 + int(h[2:4], 16) % 32
+    p = _bmp_gradient_params(h)
+    rows = [[(p["a"] * (x // 4) + p["b"] * y + p["c"]) % 256
+             for x in range(w)] for y in range(ht)]
+    enc = bytearray()
+    for y in range(ht - 1, -1, -1):               # bottom-up storage
+        idx = [255 - v for v in rows[y]]          # palette[i] = 255 - i
+        if y % 5 == 0:
+            # absolute mode (chunks of >= 3, word-padded)
+            i = 0
+            while i < w:
+                n = min(255, w - i)
+                if n >= 3:
+                    enc += bytes([0, n]) + bytes(idx[i:i + n])
+                    if n % 2:
+                        enc.append(0)             # word padding
+                else:                             # tail < 3: encoded runs
+                    for v in idx[i:i + n]:
+                        enc += bytes([1, v])
+                i += n
+        else:
+            i = 0
+            while i < w:
+                j = i
+                while j < w and idx[j] == idx[i] and j - i < 255:
+                    j += 1
+                enc += bytes([j - i, idx[i]])
+                i = j
+        enc += bytes([0, 0])                      # end of line
+    enc += bytes([0, 1])                          # end of bitmap
+    palette = bytes(b for i in range(256)
+                    for b in (255 - i, 255 - i, 255 - i, 0))
+    off = 54 + len(palette)
+    header = (b"BM"
+              + struct.pack("<IHHI", off + len(enc), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, ht, 1, 8, 1,
+                            len(enc), 0, 0, 256, 0))
+    return header + palette + enc
+
+
+def decode_bmp_rle8(payload: bytes):
+    """Decode a BI_RLE8 BMP's REAL bytes to a top-down gray array
+    (runs + absolute mode + palette lookup; delta escapes raise)."""
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", payload[10:14])
+    w, ht = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    (ncolors,) = struct.unpack("<I", payload[46:50])
+    if bpp != 8 or compression != 1:
+        raise ValueError(f"not BI_RLE8: bpp={bpp} comp={compression}")
+    if ht <= 0:
+        raise ValueError("top-down RLE8 BMP is not valid")
+    n = ncolors or 256
+    pal = np.frombuffer(payload, dtype=np.uint8, count=4 * n,
+                        offset=54)[0::4].astype(np.int64)  # blue channel
+    img = np.zeros((ht, w), dtype=np.int64)
+    pos = off
+    x, y = 0, ht - 1                              # bottom-up cursor
+    while pos + 1 < len(payload):
+        b0, b1 = payload[pos], payload[pos + 1]
+        pos += 2
+        if b0 > 0:                                # encoded run
+            if b1 >= n:
+                raise ValueError(f"palette index {b1} out of range")
+            if x + b0 > w:
+                raise ValueError("RLE run overruns the row")
+            img[y, x:x + b0] = pal[b1]
+            x += b0
+        elif b1 == 0:                             # end of line
+            x, y = 0, y - 1
+            if y < -1:
+                raise ValueError("RLE rows underrun the bitmap")
+        elif b1 == 1:                             # end of bitmap
+            return w, ht, img
+        elif b1 == 2:
+            raise ValueError("RLE8 delta escapes unsupported")
+        else:                                     # absolute mode
+            if x + b1 > w or pos + b1 > len(payload):
+                raise ValueError("absolute run overruns")
+            lit = np.frombuffer(payload, dtype=np.uint8, count=b1,
+                                offset=pos).astype(np.int64)
+            if lit.max() >= n:
+                raise ValueError("palette index out of range")
+            img[y, x:x + b1] = pal[lit]
+            x += b1
+            pos += b1 + (b1 % 2)                  # word padding
+    raise ValueError("RLE8 stream ended without end-of-bitmap")
+
+
+BMP_RLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
+    T.StructField("px_digest", T.StringType()),
+])
+
+
+@query(
+    "multimodal_bmp_rle_pixels",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+    ),
+    geo AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(h, 1, 2))::BIGINT % 32 AS w,
+             16 + ('0x' || substr(h, 3, 2))::BIGINT % 32 AS ht,
+             1 + ('0x' || substr(h, 13, 2))::BIGINT % 7 AS a,
+             1 + ('0x' || substr(h, 15, 2))::BIGINT % 5 AS b,
+             ('0x' || substr(h, 17, 2))::BIGINT AS c
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, ht, i,
+             (a * ((i % w) // 4) + b * (i // w) + c) % 256 AS gv
+      FROM geo, UNNEST(generate_series(0, w * ht - 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width,
+           CAST(ht AS BIGINT) AS height,
+           CAST(SUM(gv) AS BIGINT) AS pixel_sum,
+           md5(string_agg(CAST(gv AS VARCHAR), ',' ORDER BY i))
+             AS px_digest
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_bmp_rle_pixels(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Decode RLE8-compressed BMPs (runs + absolute mode + palette)
+    and fingerprint the pixel field (see block comment)."""
+    def _rle_batch(batches):
+        for pdf in batches:
+            if not len(pdf):      # empty Arrow batch -> column-less frame
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_bmp_rle8(doc_id, h)
+                w, ht, img = decode_bmp_rle8(payload)
+                flat = ",".join(str(int(v)) for v in img.ravel())
+                out.append(dict(
+                    doc_id=doc_id, width=w, height=ht,
+                    pixel_sum=int(img.sum()),
+                    px_digest=hashlib.md5(flat.encode()).hexdigest()))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in BMP_RLE_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text"))
+    return decode_parallel(docs).mapInPandas(_rle_batch, BMP_RLE_SCHEMA)

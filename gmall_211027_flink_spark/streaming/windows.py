@@ -2754,3 +2754,97 @@ def stream_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming AMS F2 maintenance (r11) — the tug-of-war sketch kept
+# current at ingest: Z_j = sum_x s(x, j) * f_x is LINEAR in the counts,
+# so the state is just the K = {AMS_K} Z values and the merge is plain
+# addition (order-free, like the CUSUM weekly store).  After the final
+# commit the drained readout recomputes the median-of-means estimate
+# and the exact F2 and must hash-match the one-shot batch
+# sketch_ams_f2 oracle.  Bounded-state invariant: exactly K rows.
+# ---------------------------------------------------------------------------
+
+def _ams_sign_expr():
+    return ("(1 - 2 * (cast(conv(substring(md5(concat("
+            "cast(user_id as string), '-', cast(j as string))), 1, 1),"
+            " 16, 10) as bigint) % 2))")
+
+
+@query("stream_ams_maintenance", oracle=None)  # assigned below
+def stream_ams_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sketches import AMS_K
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("unix_micros(ts) div 86400000000").alias("day")))
+    lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+    if lo is None:
+        raise ValueError("stream_ams_maintenance: events table empty")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    slices = ((lo, cut1), (cut1 + 1, cut2), (cut2 + 1, hi))
+    d = tempfile.mkdtemp(prefix="ams_store_gate_")
+    try:
+        state = None                  # (j, zj) — K rows, additive
+        for i, (a, b) in enumerate(slices):
+            f = (ev.filter((F.col("day") >= a) & (F.col("day") <= b))
+                 .groupBy("user_id")
+                 .agg(F.count("*").cast("bigint").alias("c")))
+            batch = (f.select("user_id", "c",
+                              F.explode(F.sequence(F.lit(0),
+                                                   F.lit(AMS_K - 1)))
+                              .alias("j"))
+                     .groupBy("j")
+                     .agg(F.sum(F.expr(_ams_sign_expr()) * F.col("c"))
+                          .cast("bigint").alias("zj")))
+            merged = batch if state is None else \
+                (state.unionByName(batch).groupBy("j")
+                 .agg(F.sum("zj").cast("bigint").alias("zj")))
+            merged.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            if n > AMS_K:             # bounded-state invariant, -O-proof
+                raise RuntimeError(
+                    f"stream_ams_maintenance: {n} Z rows > K {AMS_K}")
+        grp = (state.groupBy(F.expr("j div 4").alias("g"))
+               .agg(F.sum(F.col("zj") * F.col("zj")).cast("bigint")
+                    .alias("s4")))
+        med = grp.select(
+            "s4",
+            F.row_number().over(Window.orderBy("s4", "g")).alias("rk"))
+        est = med.agg(
+            F.sum(F.when(F.col("rk").isin(2, 3), F.col("s4"))
+                  .otherwise(0)).cast("bigint").alias("mom_x8"))
+        truth = (ev.groupBy("user_id")
+                 .agg(F.count("*").cast("bigint").alias("c"))
+                 .agg(F.sum(F.col("c") * F.col("c")).cast("bigint")
+                      .alias("f2")))
+        out = (est.crossJoin(F.broadcast(truth))
+               .select(F.col("f2").alias("f2_exact"), "mom_x8",
+                       (F.floor(F.col("mom_x8").cast("double") / 8
+                                / F.col("f2") * F.lit(1000000.0)
+                                + F.lit(0.5))
+                        .cast("bigint").cast("double")
+                        / F.lit(1000000.0)).alias("est_over_exact")))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ams_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.sketches  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["sketch_ams_f2"]
+
+
+_OR["stream_ams_maintenance"] = _ams_stream_oracle()
