@@ -97,7 +97,7 @@ _DOC_QUERIES = [
     "multimodal_jpeg_progressive_pixels", "multimodal_jpeg_restart_pixels",
     "curation_source_js_divergence", "stats_cohens_kappa",
     "stats_anderson_darling", "stats_cramer_von_mises",
-    "ml_isotonic_calibration_pava",
+    "ml_isotonic_calibration_pava", "multimodal_bmp_rle_pixels",
 ]
 
 
