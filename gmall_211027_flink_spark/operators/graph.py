@@ -1721,3 +1721,102 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (r11; Zhou & Mondragon 2004) — do high-degree
+# nodes preferentially connect to EACH OTHER?  phi(k) = 2 E_k /
+# (N_k (N_k - 1)) over the subgraph induced by nodes of degree > k,
+# for a fixed k ladder.  The hub-structure readout that degree
+# distribution (r7) and assortativity (r7) bracket but don't answer.
+# EXACTNESS: degrees, induced edge counts, and N_k are exact integers;
+# phi is one quantized rational per k.  SCALE: degrees are one groupBy;
+# each ladder step is two broadcast-able semi-joins of the edge list
+# against the >k node set — no pairwise expansion anywhere.
+# ---------------------------------------------------------------------------
+
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {_EDGES_SQL.replace(f"COUNT(*) >= {MIN_TOGETHER}",
+                             "COUNT(*) >= 2")},
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY 1
+    ),
+    ks AS (SELECT UNNEST([{', '.join(str(k) for k in RICH_CLUB_KS)}])
+           AS k),
+    club AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club
+           GROUP BY 1),
+    ek AS (
+      SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS e2_k
+      FROM pairs p
+      JOIN club c1 ON c1.node = p.part_a
+      JOIN club c2 ON c2.node = p.part_b AND c2.k = c1.k
+      GROUP BY 1
+    )
+    SELECT nk.k, nk.n_k,
+           CAST(COALESCE(ek.e2_k, 0) AS BIGINT) AS e_k,
+           CASE WHEN nk.n_k >= 2 THEN
+             CAST(CAST(floor(
+               2.0 * COALESCE(ek.e2_k, 0)
+               / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+           ELSE CAST(0 AS DOUBLE) END AS phi
+    FROM nk LEFT JOIN ek USING (k)
+    ORDER BY nk.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) over the >=2-co-purchase graph for
+    k in RICH_CLUB_KS (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i+2,"
+            " size(ps)-i-1), y -> struct(x as part_a, y as part_b))))"))
+            .alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("together_ct"))
+        .filter(F.col("together_ct") >= 2)
+        .select("part_a", "part_b").localCheckpoint(eager=False))
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v"))).distinct())
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d"))
+    ks = spark.range(0).sql_ctx.sparkSession.createDataFrame(
+        [(k,) for k in RICH_CLUB_KS], "k int")
+    club = ks.join(deg, deg.d > ks.k).select("k", "node")
+    nk = club.groupBy("k").agg(F.count("*").cast("bigint").alias("n_k"))
+    c1 = club.select(F.col("k"), F.col("node").alias("part_a"))
+    c2 = club.select(F.col("k").alias("k2"),
+                     F.col("node").alias("node_b"))
+    ek = (pairs.join(F.broadcast(c1), "part_a")
+          .join(F.broadcast(c2), (F.col("part_b") == F.col("node_b"))
+                & (F.col("k") == F.col("k2")))
+          .groupBy("k").agg(F.count("*").cast("bigint").alias("e2_k")))
+    phi = F.when(
+        F.col("n_k") >= 2,
+        (F.floor(F.lit(2.0) * F.coalesce("e2_k", F.lit(0))
+                 / (F.col("n_k").cast("double") * (F.col("n_k") - 1))
+                 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))) \
+        .otherwise(F.lit(0.0))
+    return (nk.join(ek, "k", "left")
+            .select("k", "n_k",
+                    F.coalesce("e2_k", F.lit(0)).cast("bigint")
+                    .alias("e_k"),
+                    phi.alias("phi"))
+            .orderBy("k"))

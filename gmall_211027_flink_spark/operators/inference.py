@@ -1188,3 +1188,72 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(delta).alias("delta_cents"),
         q6((diff + delta) / se).alias("t_lower"),
         q6((diff - delta) / se).alias("t_upper"))
+
+
+# ---------------------------------------------------------------------------
+# Paired sign test (r11) — the assumption-free member of the paired
+# family (Wilcoxon signed-rank assumes symmetric differences; the sign
+# test needs nothing): S = #positive week-over-week revenue changes of
+# n non-zero changes; z = (2S - n)/sqrt(n) with the exact binomial
+# counts also emitted.  EXACTNESS: diffs in exact cents, S and n exact
+# BIGINTs, z one quantized double.  DAY-GRAIN CONTRACT bounds the
+# series.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_sign_test",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT cents - lag(cents) OVER (ORDER BY wk) AS dv FROM wkly
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_pos,
+             CAST(SUM(CASE WHEN dv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n,
+             CAST(SUM(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ties
+      FROM d WHERE dv IS NOT NULL
+    )
+    SELECT s_pos, n, n_ties,
+           CAST(CAST(floor(
+             (2.0 * s_pos - n) / sqrt(CAST(n AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM s
+    """,
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on week-over-week revenue changes (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("cents")))
+    # bounded weekly series: DAY-GRAIN CONTRACT (aggregates.py docstring)
+    d = wkly.select(
+        (F.col("cents") - F.lag("cents").over(Window.orderBy("wk")))
+        .alias("dv")).filter(F.col("dv").isNotNull())
+    s = d.agg(
+        F.sum(F.when(F.col("dv") > 0, 1).otherwise(0))
+        .cast("bigint").alias("s_pos"),
+        F.sum(F.when(F.col("dv") != 0, 1).otherwise(0))
+        .cast("bigint").alias("n"),
+        F.sum(F.when(F.col("dv") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_ties"))
+    z = ((F.lit(2.0) * F.col("s_pos") - F.col("n"))
+         / F.sqrt(F.col("n").cast("double")))
+    return s.select(
+        "s_pos", "n", "n_ties",
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))
