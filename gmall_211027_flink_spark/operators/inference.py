@@ -4,7 +4,8 @@ robust location, and ordered-trend statistics.
 Beyond-reference statistics family (reference parity anchor: the ADS
 aggregation tier, e.g. app/ads/* in the reference, is a BI readout
 layer; these are the hypothesis-test readouts a data-quality pipeline
-runs on the same aggregates).  All four follow the module discipline of
+runs on the same aggregates).  Every test here follows the module
+discipline of
 ``operators/aggregates.py`` (DAY-GRAIN CONTRACT; exact-integer cores;
 floor(x*1e6+0.5) readout quantization; 2x integer ranks for tie
 averages; doubles only at the final projection, computed from exact
