@@ -6878,3 +6878,104 @@ def stats_wilcoxon_signed_rank(spark: SparkSession,
                     (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
                      .cast("bigint").cast("double") / F.lit(1000000.0))
                     .alias("z_score")))
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test (r11) — Jarque & Bera 1980: are the daily
+# order counts consistent with a normal distribution?  JB =
+# n*(b1^2/6 + (b2-3)^2/24) from sample skewness b1 and kurtosis b2 —
+# the standard residual-normality gate a forecasting pipeline runs
+# before trusting Gaussian prediction intervals.  Completes the moments
+# corner of the stats family (location: t/rank tests; spread: Levene/
+# Bartlett; shape: this).
+#
+# EXACTNESS: Z_d = n*y_d - S is exact BIGINT (the classic demeaning
+# trick at scale n, so no rational means); m2 = sum Z^2, m3 = sum Z^3,
+# m4 = sum Z^4 accumulate in DECIMAL(38,0) (|Z| <~ 1.4e6 at sf0.1 ->
+# Z^4 ~ 4e24, x2500 days ~ 1e28, comfortably inside 38 digits).  The
+# moment-scale cancellation: b1 and b2 are scale-free in Z (numerator
+# and denominator carry the same power of the n factor), so the doubles
+# are computed directly from the exact decimal moments with identical
+# expression shape in both engines, then 6-dp floor-quantized; JB is
+# derived FROM the quantized b1/b2 so both engines start from identical
+# doubles.  Day grain (~2.4k rows) rides the DAY-GRAIN CONTRACT
+# (module docstring).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_jarque_bera",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+      FROM daily
+    ),
+    z AS (
+      SELECT t.n, CAST(t.n * d.y - t.s AS DECIMAL(38,0)) AS z
+      FROM daily d, tot t
+    ),
+    mom AS (
+      SELECT MAX(n) AS n,
+             SUM(z * z) AS m2,
+             SUM(z * z * z) AS m3,
+             SUM(z * z * z * z) AS m4
+      FROM z GROUP BY n
+    ),
+    bq AS (
+      SELECT n,
+             CAST(CAST(floor(
+               CAST(m3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+               / pow(CAST(m2 AS DOUBLE), 1.5) * 1000000 + 0.5)
+               AS BIGINT) AS DOUBLE) / 1000000.0 AS b1,
+             CAST(CAST(floor(
+               CAST(n AS DOUBLE) * CAST(m4 AS DOUBLE)
+               / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS b2
+      FROM mom
+    )
+    SELECT n AS n_days, b1 AS skew_b1, b2 AS kurt_b2,
+           CAST(CAST(floor(
+             CAST(n AS DOUBLE) * (b1 * b1 / 6.0
+                                  + (b2 - 3.0) * (b2 - 3.0) / 24.0)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS jb_stat
+    FROM bq
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic of daily order counts from
+    exact-integer central moments (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("y")))
+    tot = daily.agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("y").cast("bigint").alias("s"))
+    z = (daily.crossJoin(F.broadcast(tot))
+         .select("n", (F.col("n") * F.col("y") - F.col("s"))
+                 .cast("decimal(38,0)").alias("z")))
+    mom = z.groupBy("n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("m2"),
+        F.sum(F.col("z") * F.col("z") * F.col("z")).alias("m3"),
+        F.sum(F.col("z") * F.col("z") * F.col("z") * F.col("z"))
+        .alias("m4"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    bq = mom.select(
+        "n",
+        q6(F.col("m3").cast("double")
+           * F.sqrt(F.col("n").cast("double"))
+           / F.pow(F.col("m2").cast("double"), F.lit(1.5))).alias("b1"),
+        q6(F.col("n").cast("double") * F.col("m4").cast("double")
+           / (F.col("m2").cast("double") * F.col("m2").cast("double")))
+        .alias("b2"))
+    return bq.select(
+        F.col("n").alias("n_days"),
+        F.col("b1").alias("skew_b1"),
+        F.col("b2").alias("kurt_b2"),
+        q6(F.col("n").cast("double")
+           * (F.col("b1") * F.col("b1") / F.lit(6.0)
+              + (F.col("b2") - F.lit(3.0)) * (F.col("b2") - F.lit(3.0))
+              / F.lit(24.0))).alias("jb_stat"))

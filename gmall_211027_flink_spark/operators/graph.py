@@ -1820,3 +1820,86 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("e_k"),
                     phi.alias("phi"))
             .orderBy("k"))
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (square) count (r11) — the next motif after triangles: C4s
+# measure bipartite-style clustering (two parts co-purchased with the
+# SAME two other parts, without needing a direct edge), the signal
+# rectangle-based recommenders and spam/collusion detectors key on.
+# Method: for every unordered node pair (a, b), count common neighbors
+# c_ab via the wedge join; every pair of common neighbors {x, y} of
+# (a, b) closes the 4-cycle a-x-b-y, and each square has exactly two
+# diagonal pairs, so  n_squares = sum_pairs C(c_ab, 2) / 2  (Chiba &
+# Nishizeki 1985).  Chordal squares count too — documented semantics.
+#
+# Scale: the wedge join is sum_x C(deg_x, 2) rows — the SAME cost class
+# as triangle counting (graph_triangles_copurchase), bounded by the
+# co-purchase edge threshold; the per-pair aggregate is one shuffle on
+# (a, b).  Nothing is all-pairs over nodes.  EXACTNESS: pure BIGINT
+# counting; c*(c-1)/2 is exact per pair and the final halving is an
+# integer division of a provably even total.
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_square_count",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oriented AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {TRI_MIN_TOGETHER}
+    ),
+    adj AS (
+      SELECT u AS x, v AS n FROM oriented
+      UNION ALL SELECT v, u FROM oriented
+    ),
+    cn AS (
+      SELECT a.n AS pa, b.n AS pb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM adj a JOIN adj b ON a.x = b.x AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_cn_pairs,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_cn2,
+           CAST(SUM((c * (c - 1)) // 2) AS BIGINT) // 2 AS n_squares
+    FROM cn
+    """,
+)
+def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-cycle count over the co-purchase graph via the
+    common-neighbor pair formula (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    oriented = (op.alias("a").join(
+        op.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") >= TRI_MIN_TOGETHER)
+        .select("u", "v")
+        .localCheckpoint())
+    adj = (oriented.select(F.col("u").alias("x"), F.col("v").alias("n"))
+           .unionAll(oriented.select(F.col("v").alias("x"),
+                                     F.col("u").alias("n"))))
+    cn = (adj.alias("a").join(
+        adj.alias("b"),
+        (F.col("a.x") == F.col("b.x")) & (F.col("a.n") < F.col("b.n")))
+        .groupBy(F.col("a.n").alias("pa"), F.col("b.n").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("c")))
+    n_edges = oriented.agg(
+        F.count("*").cast("bigint").alias("n_edges"))
+    agg = cn.agg(
+        F.count("*").cast("bigint").alias("n_cn_pairs"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("bigint").alias("n_pairs_cn2"),
+        F.sum(F.expr("c * (c - 1) div 2"))
+        .cast("bigint").alias("sq2"))
+    return (n_edges.crossJoin(agg)
+            .select("n_edges", "n_cn_pairs", "n_pairs_cn2",
+                    F.expr("sq2 div 2").alias("n_squares")))

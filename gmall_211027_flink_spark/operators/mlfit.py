@@ -381,3 +381,97 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6((F.col("cdy") * (F.col("cqq") + F.col("lam"))
             - F.col("cqy") * F.col("cqd")) / den).alias("beta_disc"))
         .orderBy("lambda_scale"))
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC via the rank/pair formula (r11) — the model-eval
+# primitive every training pipeline needs at scale: AUC of a score
+# column against a binary label WITHOUT sorting all rows into one task.
+# AUC = P(score_pos > score_neg) + P(tie)/2 over all pos x neg pairs
+# (Hanley & McNeil 1982; equals Mann-Whitney U / n1*n0, so this also
+# closes the loop with stats_mann_whitney_u on the eval side).
+#
+# Demo readout: does order value predict fulfilled status 'F'?  Score =
+# whole-dollar price bucket (o_totalprice // 100 dollars) — a QUANTIZED
+# score, which is what a calibrated model emits anyway, and the reason
+# the plan scales: per-bucket (n_pos, n_neg) counts shuffle ~6k rows,
+# the cumulative-below sweep is a window over the bounded bucket grid
+# (BOUNDED-GRID pattern), never a global per-row rank.  At 100 TB the
+# per-bucket aggregate is the only full-data pass.
+#
+# EXACTNESS: concordant = sum_b n1_b * cum_n0_below, ties = sum_b
+# n1_b * n0_b are exact BIGINT (~5e9 at sf0.1); AUC numerator
+# 2*concordant + ties and denominator 2*n1*n0 are published as exact
+# integers, the double ratio is 6-dp floor-quantized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_roc_auc_exact",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(o_totalprice / 100.0) AS BIGINT) AS b,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    per_b AS (
+      SELECT b,
+             CAST(SUM(pos) AS BIGINT) AS n1b,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n0b
+      FROM scored GROUP BY 1
+    ),
+    sweep AS (
+      SELECT b, n1b, n0b,
+             CAST(COALESCE(SUM(n0b) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum0
+      FROM per_b
+    ),
+    agg AS (
+      SELECT CAST(SUM(n1b) AS BIGINT) AS n1,
+             CAST(SUM(n0b) AS BIGINT) AS n0,
+             CAST(SUM(n1b * cum0) AS BIGINT) AS conc,
+             CAST(SUM(n1b * n0b) AS BIGINT) AS ties
+      FROM sweep
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           2 * conc + ties AS auc_num2,
+           2 * n1 * n0 AS auc_den2,
+           CAST(CAST(floor(
+             CAST(2 * conc + ties AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE) * 1000000 + 0.5)
+             AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
+    FROM agg
+    """,
+)
+def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the price-bucket score vs fulfilled status via
+    per-bucket pair counting (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(100.0))
+        .cast("bigint").alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"))
+    per_b = scored.groupBy("b").agg(
+        F.sum("pos").cast("bigint").alias("n1b"),
+        (F.count("*") - F.sum("pos")).cast("bigint").alias("n0b"))
+    # bounded bucket grid (~6k price buckets): single-task window by
+    # design, never a per-row global rank
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sweep = per_b.select(
+        "n1b", "n0b",
+        F.coalesce(F.sum("n0b").over(w), F.lit(0))
+        .cast("bigint").alias("cum0"))
+    agg = sweep.agg(
+        F.sum("n1b").cast("bigint").alias("n1"),
+        F.sum("n0b").cast("bigint").alias("n0"),
+        F.sum(F.col("n1b") * F.col("cum0")).cast("bigint").alias("conc"),
+        F.sum(F.col("n1b") * F.col("n0b")).cast("bigint").alias("ties"))
+    return agg.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        (2 * F.col("conc") + F.col("ties")).alias("auc_num2"),
+        (2 * F.col("n1") * F.col("n0")).alias("auc_den2"),
+        (F.floor((2 * F.col("conc") + F.col("ties")).cast("double")
+                 / (2 * F.col("n1") * F.col("n0")).cast("double")
+                 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0)).alias("auc"))
