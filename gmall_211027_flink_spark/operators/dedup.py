@@ -1774,3 +1774,133 @@ def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.abs(F.col("len_a") - F.col("len_b")).cast("bigint")
                     .alias("len_diff"))
             .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (r11) — the rsync/LBFS family
+# (Muthitacharoen et al., SOSP 2001): split every document at positions
+# where a fingerprint of the SLIDING 8-byte window hits a boundary
+# pattern (fp % 64 == 0 -> ~64-char expected chunks), then dedup at the
+# CHUNK level.  Unlike fixed-size blocks, an insertion early in a
+# document only re-chunks locally — the property backup systems and
+# training-data delta pipelines rely on.  This closes the last classic
+# dedup granularity between exact-doc and n-gram: exact > passage >
+# span > CDC chunk > shingle.
+#
+# The window fingerprint is md5 of the 8-char gram (content-defined and
+# engine-identical; production Gear/Rabin hashes are a cheaper rolling
+# form of the same local function — the CHUNKING semantics, boundary
+# distribution, and dedup math are identical, and md5 is the one
+# fingerprint both engines share exactly).  No min/max chunk-length
+# clamps: those are sequential (each boundary depends on the previous),
+# which would serialize the scan; the pure local rule keeps every
+# position independent -> embarrassingly parallel.
+#
+# Scale: per-doc work is linear in chars and never leaves the task
+# until the per-(source, chunk-hash) aggregate — the same hash-groupBy
+# shape as dedup_exact.  EXACTNESS: all counts BIGINT; the two ratios
+# are 6-dp floor-quantized doubles from identical integers.
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8          # sliding fingerprint window (bytes)
+CDC_MASK = 64           # boundary when fp % CDC_MASK == 0 (~64-char chunks)
+
+
+@query(
+    "dedup_cdc_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS n_len FROM documents
+    ),
+    b AS (
+      SELECT doc_id, p
+      FROM d, UNNEST(generate_series({CDC_WINDOW}, n_len - 1)) t(p)
+      WHERE ('0x' || substr(md5(substr(text, p - {CDC_WINDOW - 1},
+                                       {CDC_WINDOW})), 1, 4))::BIGINT
+            % {CDC_MASK} = 0
+    ),
+    bl AS (SELECT doc_id, list(p ORDER BY p) AS bs FROM b GROUP BY 1),
+    db AS (
+      SELECT d.doc_id, d.source, d.text, d.n_len,
+             COALESCE(bl.bs, CAST([] AS BIGINT[])) AS bs
+      FROM d LEFT JOIN bl USING (doc_id)
+    ),
+    ck AS (
+      SELECT doc_id, source, substr(text, s + 1, e - s) AS chunk
+      FROM (
+        SELECT doc_id, source, text,
+               list_prepend(CAST(0 AS BIGINT), bs)[i] AS s,
+               list_append(bs, CAST(n_len AS BIGINT))[i] AS e
+        FROM db, UNNEST(generate_series(1, len(bs) + 1)) t(i)
+      )
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT)
+             AS n_distinct_chunks,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+           CAST(CAST(floor(CAST(SUM(length(chunk)) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE)
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS avg_chunk_len,
+           CAST(CAST(floor((1.0 - CAST(COUNT(DISTINCT md5(chunk))
+                                       AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE))
+                           * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS dup_chunk_pct
+    FROM ck
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS-style sliding-window boundaries)
+    with chunk-level dedup stats per source (see block comment)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text",
+                    F.length("text").alias("n_len")))
+    # boundary positions: fingerprint of the 8-char window ending at p
+    grams = docs.select(
+        "doc_id", "text",
+        F.explode(
+            F.when(F.col("n_len") > CDC_WINDOW,
+                   F.expr(f"sequence({CDC_WINDOW}, n_len - 1)"))
+            .otherwise(F.array())).alias("p"))
+    bnd = (grams.filter(
+        F.conv(F.substring(
+            F.md5(F.expr(f"substring(text, p - {CDC_WINDOW - 1}, "
+                         f"{CDC_WINDOW})")), 1, 4), 16, 10)
+        .cast("bigint") % CDC_MASK == 0)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("bs")))
+    db = (docs.join(bnd, "doc_id", "left")
+          .withColumn("bs", F.coalesce(
+              "bs", F.array().cast("array<bigint>"))))
+    z = db.select(
+        "doc_id", "source", "text",
+        F.explode(F.arrays_zip(
+            F.concat(F.array(F.lit(0).cast("bigint")), F.col("bs")),
+            F.concat(F.col("bs"),
+                     F.array(F.col("n_len").cast("bigint")))))
+        .alias("se"))
+    ck = z.select(
+        "doc_id", "source",
+        F.expr("substring(text, se['0'] + 1, se['1'] - se['0'])")
+        .alias("chunk"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return (ck.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct(F.md5(F.col("chunk").cast("binary")))
+        .cast("bigint").alias("n_distinct_chunks"),
+        F.sum(F.length("chunk")).cast("bigint").alias("sum_chunk_chars"))
+        .select(
+            "source", "n_docs", "n_chunks", "n_distinct_chunks",
+            "sum_chunk_chars",
+            q6(F.col("sum_chunk_chars").cast("double")
+               / F.col("n_chunks").cast("double")).alias("avg_chunk_len"),
+            q6(F.lit(1.0) - F.col("n_distinct_chunks").cast("double")
+               / F.col("n_chunks").cast("double")).alias("dup_chunk_pct"))
+        .orderBy("source"))

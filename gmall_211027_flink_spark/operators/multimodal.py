@@ -3224,3 +3224,219 @@ def multimodal_bmp_rle_pixels(spark: SparkSession,
             .filter(F.col("doc_id") % 4 == 0)
             .select("doc_id", "text"))
     return decode_parallel(docs).mapInPandas(_rle_batch, BMP_RLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law WAV roundtrip (r11) — the telephony codec (ITU-T G.711,
+# Sun g711.c convention): 16-bit PCM compressed to 8-bit logarithmic
+# bytes in a REAL RIFF container with format tag 7 (WAVE_FORMAT_MULAW),
+# then decoded back by a real chunk-walking decoder.  Adds the first
+# LOSSY AUDIO path next to the lossless PCM16 family — the audit output
+# is exactly the codec's quantization error (max 644 at the clip, one
+# half-step elsewhere), the "did the transcode stay in spec" check an
+# audio ingestion pipeline runs at scale.
+#
+# The encode/decode pair is pure integer (floor(x/4) pre-shift, bias
+# 33, 8 log segments, mantissa 4 bits, complement masking) so the
+# DuckDB oracle replays BOTH directions analytically per sample from
+# the md5-derived ramp — matching requires the real container walk +
+# byte decode to have run.  Scale: map-only mapInPandas behind
+# decode_parallel; samples never leave the task, 5 summary BIGINTs per
+# asset do.  EXACTNESS: everything integer; no floats anywhere.
+# ---------------------------------------------------------------------------
+
+_ULAW_SEG_ENDS = [63, 127, 255, 511, 1023, 2047, 4095, 8191]
+
+
+def _ulaw_encode_np(x):
+    """Vectorized G.711 mu-law encode of int16-domain samples."""
+    import numpy as np
+
+    p = np.asarray(x, dtype=np.int64) >> 2          # floor(x/4)
+    neg = p < 0
+    p = np.abs(p)
+    np.minimum(p, 8159, out=p)
+    p += 33
+    seg = np.searchsorted(np.array(_ULAW_SEG_ENDS, dtype=np.int64), p,
+                          side="left")
+    uval = np.where(seg >= 8, 127,
+                    seg * 16 + ((p >> (seg + 1)) & 15))
+    return np.where(neg, 127 - uval, 255 - uval).astype(np.uint8)
+
+
+def _ulaw_decode_lut():
+    """256-entry mu-law byte -> linear16 decode table."""
+    import numpy as np
+
+    lut = np.empty(256, dtype=np.int64)
+    for c in range(256):
+        u = 255 - c
+        u7 = u % 128
+        t = ((u7 % 16) * 8 + 132) << (u7 // 16)
+        lut[c] = (132 - t) if u >= 128 else (t - 132)
+    return lut
+
+
+def synthesize_wav_ulaw(doc_id: int, h: str) -> bytes:
+    """A valid RIFF/WAVE with format tag 7 (mu-law, 8-bit) carrying the
+    mu-law-encoded deterministic ramp, interleaved across channels."""
+    import numpy as np
+
+    g = _geometry(h)
+    p = _wav_ramp_params(h)
+    ch, rate, nfr = g["ch"], g["rate"], g["nfr"]
+    i = np.arange(nfr, dtype=np.int64)
+    s = (p["a"] * i + p["b"]) % 65536 - 32768
+    codes = _ulaw_encode_np(s)
+    data = np.repeat(codes, ch).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, ch, rate, rate * ch, ch, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_ulaw(payload: bytes):
+    """RIFF walk + mu-law expansion; returns (channels, rate, channel-0
+    linear16 numpy array). Raises on non-mu-law — honest scope."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, ch, rate, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bps = struct.unpack("<HHIIHH",
+                                                           body[:16])
+            if audio_fmt != 7 or bps != 8:
+                raise ValueError(f"unsupported WAV: fmt={audio_fmt}"
+                                 f" bits={bps}")
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated data chunk: declared {size} bytes,"
+                    f" payload carries {len(body)}")
+            data = body
+        pos += 8 + size + (size & 1)
+    if ch is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    if len(codes) % ch:
+        raise ValueError(f"data chunk is not whole frames: {len(codes)}"
+                         f" bytes, {ch} channels")
+    return ch, rate, _ulaw_decode_lut()[codes.reshape(-1, ch)[:, 0]]
+
+
+WAV_ULAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sum_decoded", T.LongType()),
+    T.StructField("sum_abs_err", T.LongType()),
+    T.StructField("max_abs_err", T.LongType()),
+])
+
+_ULAW_SEG_CASE = " ".join(
+    f"WHEN ap <= {e} THEN {s}" for s, e in enumerate(_ULAW_SEG_ENDS))
+
+
+@query(
+    "multimodal_wav_ulaw_roundtrip",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 3
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT % 4096 AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b
+      FROM g
+    ),
+    sm AS (
+      SELECT doc_id, (a * i + b) % 65536 - 32768 AS s
+      FROM geo, UNNEST(generate_series(0, nfr - 1)) AS t(i)
+    ),
+    pre AS (
+      SELECT doc_id, s,
+             CAST(floor(s / 4.0) AS BIGINT) AS p
+      FROM sm
+    ),
+    seg AS (
+      SELECT doc_id, s, p < 0 AS neg,
+             least(abs(p), 8159) + 33 AS ap
+      FROM pre
+    ),
+    enc AS (
+      SELECT doc_id, s, neg,
+             CASE {_ULAW_SEG_CASE} ELSE 8 END AS sg, ap
+      FROM seg
+    ),
+    code AS (
+      SELECT doc_id, s,
+             CASE WHEN neg THEN 127 ELSE 255 END
+               - CASE WHEN sg >= 8 THEN 127
+                 ELSE sg * 16
+                      + CAST(floor(ap / pow(2.0, sg + 1)) AS BIGINT) % 16
+                 END AS c
+      FROM enc
+    ),
+    dec AS (
+      SELECT doc_id, s,
+             CASE WHEN 255 - c >= 128
+                  THEN 132 - ((((255 - c) % 128) % 16) * 8 + 132)
+                         * CAST(pow(2.0, ((255 - c) % 128) // 16)
+                                AS BIGINT)
+                  ELSE ((((255 - c) % 128) % 16) * 8 + 132)
+                         * CAST(pow(2.0, ((255 - c) % 128) // 16)
+                                AS BIGINT) - 132
+             END AS d
+      FROM code
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(d) AS BIGINT) AS sum_decoded,
+           CAST(SUM(abs(d - s)) AS BIGINT) AS sum_abs_err,
+           CAST(MAX(abs(d - s)) AS BIGINT) AS max_abs_err
+    FROM dec
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_wav_ulaw_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Mu-law (G.711) WAV transcode audit: encode the PCM ramp into a
+    real fmt-7 RIFF container, decode it back, report exact integer
+    quantization error per asset (see block comment)."""
+
+    def _ulaw_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_wav_ulaw(doc_id, h)
+                _ch, _rate, dec = decode_wav_ulaw(payload)
+                g = _geometry(h)
+                p = _wav_ramp_params(h)
+                i = np.arange(g["nfr"], dtype=np.int64)
+                orig = (p["a"] * i + p["b"]) % 65536 - 32768
+                err = np.abs(dec - orig)
+                out.append(dict(
+                    doc_id=doc_id, n_frames=len(dec),
+                    sum_decoded=int(dec.sum()),
+                    sum_abs_err=int(err.sum()),
+                    max_abs_err=int(err.max())))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in WAV_ULAW_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 3)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs).mapInPandas(_ulaw_batch, WAV_ULAW_SCHEMA)
+            .orderBy("doc_id"))
