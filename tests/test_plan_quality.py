@@ -865,3 +865,44 @@ def test_isotonic_grid_math_stays_bounded(spark, sf_dir):
     total_pos = sum(r["n_pos"] for r in rows)
     approx = sum(r["iso_rate"] * r["n"] for r in rows)
     assert abs(approx - total_pos) <= 1e-4 * max(total_pos, 1) + 1.0
+
+
+def test_cdc_chunking_no_cartesian_single_chunk_shuffle(spark, sf_dir):
+    """CDC chunking's only cross-doc stage is the (source, chunk-hash)
+    aggregate; the boundary join back to docs is keyed by doc_id — no
+    cartesian/nested-loop anywhere despite the double explode."""
+    from gmall_211027_flink_spark.operators.dedup import dedup_cdc_chunking
+    df = dedup_cdc_chunking(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_square_count_wedge_join_is_keyed(spark, sf_dir):
+    """The wedge join must be hash-keyed on the shared endpoint and the
+    pair aggregate map-side partial — the only cross tolerated is the
+    1-row scalar attach of n_edges."""
+    from gmall_211027_flink_spark.operators.graph import graph_square_count
+    df = graph_square_count(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # executed_plan carries the final AQE plan AND the initial plan —
+    # count crosses in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_roc_auc_never_sorts_raw_rows(spark, sf_dir):
+    """AUC's one full-data pass is the per-bucket aggregate; any Sort
+    in the plan must sit above the ~6k-row bucket grid, never on the
+    raw orders scan (the would-be single-task global rank)."""
+    from gmall_211027_flink_spark.operators.mlfit import ml_roc_auc_exact
+    df = ml_roc_auc_exact(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the aggregate below the window must have a map-side partial
+    assert "partial_sum" in plan or "partial_count" in plan, plan
