@@ -98,6 +98,8 @@ _DOC_QUERIES = [
     "curation_source_js_divergence", "stats_cohens_kappa",
     "stats_anderson_darling", "stats_cramer_von_mises",
     "ml_isotonic_calibration_pava", "multimodal_bmp_rle_pixels",
+    # round-11 continuation (documents-only inputs)
+    "dedup_cdc_chunking", "multimodal_wav_ulaw_roundtrip",
 ]
 
 
