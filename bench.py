@@ -153,7 +153,12 @@ SCALE_QUERIES = ["dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
                  # the duplicated-window explosion / postings fan-out)
                  "dedup_span_exact", "text_bm25_search",
                  # round-6: the multiscale pyramid must stay linear too
-                 "dedup_span_multiscale"]
+                 "dedup_span_multiscale",
+                 # round-11 continuation: content-defined chunking is
+                 # per-char linear + one chunk-hash groupBy; the 10x
+                 # near-dup corpus is its worst case (every replica
+                 # shares most chunks with 9 siblings)
+                 "dedup_cdc_chunking"]
 ANN_SCALE_QUERIES = ["ann_cosine_topk", "ann_lsh_bucketed",
                      # r8: the PCA scatter pass is the O(n d^2)
                      # map-side stage — the probe checks it scales
@@ -300,7 +305,8 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     out["gc_s"] = gc_s
     # 1x reference points for probe-only queries (not in the headline
     # set), so the artifact carries both ends of the scaling line
-    for name in BEHAVIOR_SCALE_QUERIES + ["embedding_pca_power_iteration"]:
+    for name in BEHAVIOR_SCALE_QUERIES + ["embedding_pca_power_iteration",
+                                          "dedup_cdc_chunking"]:
         best = float("inf")
         best_cpu = 0.0
         for _ in range(3):

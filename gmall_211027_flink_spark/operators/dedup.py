@@ -1860,6 +1860,14 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .select("doc_id", "source", "text",
                     F.length("text").alias("n_len")))
+    # SCALE.md §11 rule (same hazard decode_parallel guards): the
+    # fingerprint stage is ~len(text) md5 calls per row, so a
+    # single-file corpus must not run it on 1-2 scan splits — measured
+    # 10.5 s -> 1 s at sf0.1 (the 10x probe corpus, pre-split 32 ways,
+    # ran 2.7x FASTER than 1x before this)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     # boundary positions: fingerprint of the 8-char window ending at p
     grams = docs.select(
         "doc_id", "text",
