@@ -258,3 +258,61 @@ def test_cdc_boundaries_are_content_local(text, prefix):
     old = {p for p in _cdc_boundaries(text)}
     new = {p for p in _cdc_boundaries(prefix + text)}
     assert {p for p in new if p >= L + CDC_W} == {p + L for p in old}
+
+
+@settings(max_examples=40, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=-20, max_value=20), st.booleans()),
+    min_size=2, max_size=80))
+def test_roc_auc_invariant_under_monotone_score_transform(pairs):
+    """AUC is a rank statistic: any strictly increasing transform of
+    the score buckets leaves the exact numerator/denominator pair
+    unchanged."""
+    if not any(p for _, p in pairs) or all(p for _, p in pairs):
+        return
+    transformed = [(3 * b ** 3 + 7, p) for b, p in pairs]   # strictly incr.
+    assert _auc_sweep(pairs) == _auc_sweep(transformed)
+
+
+def test_cdc_spark_engine_matches_python_mirror(spark, tmp_path):
+    """End-to-end engine check on a tiny corpus with known structure:
+    the Spark chunker's per-source counts equal the pure-Python mirror
+    (same boundary rule, same chunk extraction)."""
+    from collections import defaultdict
+
+    from gmall_211027_flink_spark.operators.dedup import dedup_cdc_chunking
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 4, "a"),
+        (1, "the quick brown fox jumps over the lazy dog " * 4, "a"),
+        (2, "abcdefgh" * 25, "b"),
+        (3, "completely different content with words " * 3, "b"),
+        (4, "short", "c"),
+    ]
+    d = tmp_path / "corpus"
+    (spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in texts],
+        "doc_id long, text string, lang string, source string, n_chars long")
+     .write.mode("overwrite").parquet(str(d / "documents.parquet")))
+    got = {r["source"]: r.asDict()
+           for r in dedup_cdc_chunking(spark, str(d)).collect()}
+
+    exp = defaultdict(lambda: dict(n_chunks=0, hashes=set(), chars=0,
+                                   docs=set()))
+    for i, t, s in texts:
+        for c in _cdc_chunks(t):
+            e = exp[s]
+            e["n_chunks"] += 1
+            e["hashes"].add(hashlib.md5(c.encode()).hexdigest())
+            e["chars"] += len(c)
+            e["docs"].add(i)
+    assert set(got) == set(exp)
+    for s, e in exp.items():
+        assert got[s]["n_docs"] == len(e["docs"])
+        assert got[s]["n_chunks"] == e["n_chunks"]
+        assert got[s]["n_distinct_chunks"] == len(e["hashes"])
+        assert got[s]["sum_chunk_chars"] == e["chars"]
+    # doc 1 is an exact copy of doc 0: it must add ZERO distinct chunks
+    one_doc = {hashlib.md5(c.encode()).hexdigest()
+               for c in _cdc_chunks(texts[0][1])}
+    assert got["a"]["n_distinct_chunks"] == len(one_doc)
