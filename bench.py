@@ -329,7 +329,10 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
     # min-of-2 (cost-bounded), cpu/steal for the min-wall run.
     probe100 = ensure_scale_corpus(spark, sf_dir, factor=100,
                                    with_events=False)
-    for name in ("dedup_exact", "ann_lsh_bucketed"):
+    # r11 continuation: cdc_chunking joins the decade line (measured
+    # 1.6 s / 3.8 s / ~12 s at 1x/10x/100x — per-char scan stays linear,
+    # fixed overheads amortize)
+    for name in ("dedup_exact", "ann_lsh_bucketed", "dedup_cdc_chunking"):
         best = float("inf")
         best_cpu = best_steal = 0.0
         for _ in range(2):
