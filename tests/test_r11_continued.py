@@ -316,3 +316,37 @@ def test_cdc_spark_engine_matches_python_mirror(spark, tmp_path):
     one_doc = {hashlib.md5(c.encode()).hexdigest()
                for c in _cdc_chunks(texts[0][1])}
     assert got["a"]["n_distinct_chunks"] == len(one_doc)
+
+
+def test_ulaw_spark_engine_matches_python_mirror(spark, tmp_path):
+    """End-to-end engine check: the Spark mu-law roundtrip query equals
+    a pure-Python replay (synthesize -> encode -> container -> decode
+    -> error stats) on a tiny corpus."""
+    texts = [(3, "first wav doc"), (7, "second wav doc with more text"),
+             (8, "not a wav doc"), (11, "third wav doc")]
+    d = tmp_path / "corpus"
+    (spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long")
+     .write.mode("overwrite").parquet(str(d / "documents.parquet")))
+
+    from gmall_211027_flink_spark.operators.multimodal import (
+        multimodal_wav_ulaw_roundtrip)
+    got = {r["doc_id"]: r.asDict()
+           for r in multimodal_wav_ulaw_roundtrip(spark, str(d)).collect()}
+    assert set(got) == {3, 7, 11}                 # doc_id % 4 == 3 only
+
+    for doc_id, text in texts:
+        if doc_id % 4 != 3:
+            continue
+        h = hashlib.md5(text.encode()).hexdigest()
+        _ch, _rate, dec = decode_wav_ulaw(synthesize_wav_ulaw(doc_id, h))
+        g, p = _geometry(h), _wav_ramp_params(h)
+        i = np.arange(g["nfr"], dtype=np.int64)
+        orig = (p["a"] * i + p["b"]) % 65536 - 32768
+        err = np.abs(dec - orig)
+        row = got[doc_id]
+        assert row["n_frames"] == g["nfr"]
+        assert row["sum_decoded"] == int(dec.sum())
+        assert row["sum_abs_err"] == int(err.sum())
+        assert row["max_abs_err"] == int(err.max()) <= 644
