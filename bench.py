@@ -93,6 +93,8 @@ def main() -> None:
     # probe timings (measured: minutes of variance on a 48g heap).
     spark.catalog.clearCache()
     scale = _dedup_scale_probe(spark, sf_dir)
+    spark.catalog.clearCache()
+    tpch_scale = _tpch_scale_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -114,6 +116,7 @@ def main() -> None:
         "queries_gc_s": q_gc,
         "sf": sf_val,
         "scale_probe": scale,
+        "tpch_scale": tpch_scale,
     }
     # Full telemetry blob FIRST (one line, for humans / scripts that read
     # whole stdout), then a compact headline-only line LAST.  The driver
@@ -379,6 +382,71 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
         if cache:
             with open(cache, "w") as fh:
                 json.dump(rec, fh)
+    return out
+
+
+TPCH_PROBE_QUERIES = ["q1_pricing_summary", "q3_shipping_priority",
+                      "q5_local_supplier_volume", "q9_type_profit",
+                      "q18_large_orders"]
+TPCH_SCALE_FACTOR = 10
+
+
+def ensure_tpch_scale_corpus(spark, sf_dir: str,
+                             factor: int = TPCH_SCALE_FACTOR) -> str:
+    """Build (once, cached in /tmp) a ``factor``-x TPC-H fact corpus:
+    orders and lineitem replicated with shifted orderkeys (replica r of
+    order k becomes k*factor + r, so the orders<->lineitem join stays
+    referentially intact), every dim copied 1x — facts grow, dims
+    don't, which is exactly the 100 TB asymmetry the headline plans
+    bet on (broadcastable dims, fact-keyed shuffles)."""
+    from pyspark.sql import functions as F
+
+    probe_dir = f"/tmp/spark_graft_tpch{factor}x_" \
+                f"{os.path.basename(sf_dir.rstrip('/'))}"
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        path = f"{probe_dir}/{t}.parquet"
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet")
+             .write.mode("overwrite").parquet(path))
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        path = f"{probe_dir}/{t}.parquet"
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            (df.select("*", F.explode(F.sequence(
+                F.lit(0), F.lit(factor - 1))).alias("_r"))
+             .withColumn(key, F.col(key) * factor + F.col("_r"))
+             .drop("_r")
+             .repartition(32)
+             .write.mode("overwrite").parquet(path))
+    return probe_dir
+
+
+def _tpch_scale_probe(spark, sf_dir: str) -> dict:
+    """Decade line for the core SQL family: the dedup/ANN/event probes
+    measure the beyond-reference operators; this measures whether the
+    reference-parity JOIN/AGG plans themselves scale linearly when the
+    FACTS grow 10x against fixed dims (scan-agg q1, topk join q3, 6-way
+    join q5, heaviest join-agg q9, fact-fact semi q18). Sub-linear wall
+    growth is expected at this size (fixed costs amortize); anything
+    super-linear flags a plan that broke its broadcast/pushdown bet."""
+    probe_dir = ensure_tpch_scale_corpus(spark, sf_dir)
+    out: dict[str, object] = {}
+    for name in TPCH_PROBE_QUERIES:
+        row: dict[str, float] = {}
+        for label, d in (("1x", sf_dir), ("10x", probe_dir)):
+            best, best_cpu = float("inf"), 0.0
+            for _ in range(2):
+                c0 = _jvm_cpu_seconds()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).count()
+                wall = time.perf_counter() - t0
+                if wall < best:
+                    best, best_cpu = wall, _jvm_cpu_seconds() - c0
+            row[f"wall_{label}"] = round(best, 3)
+            row[f"cpu_{label}"] = round(best_cpu, 2)
+        row["wall_ratio"] = round(row["wall_10x"]
+                                  / max(row["wall_1x"], 1e-9), 2)
+        out[name] = row
     return out
 
 
