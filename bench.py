@@ -401,8 +401,13 @@ def ensure_tpch_scale_corpus(spark, sf_dir: str,
     bet on (broadcastable dims, fact-keyed shuffles)."""
     from pyspark.sql import functions as F
 
+    # freshness fingerprint (ADVICE r11): key the cache on the source
+    # corpus's orders row count, not just the sf_dir basename, so a
+    # regenerated testdata corpus can't silently reuse a stale replica
+    # (parquet count() is metadata-only — no scan)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     probe_dir = f"/tmp/spark_graft_tpch{factor}x_" \
-                f"{os.path.basename(sf_dir.rstrip('/'))}"
+                f"{os.path.basename(sf_dir.rstrip('/'))}_{n_orders}"
     for t in ("region", "nation", "customer", "supplier", "part"):
         path = f"{probe_dir}/{t}.parquet"
         if not os.path.exists(f"{path}/_SUCCESS"):

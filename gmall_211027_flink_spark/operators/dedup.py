@@ -1802,7 +1802,10 @@ def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are 6-dp floor-quantized doubles from identical integers.
 # ---------------------------------------------------------------------------
 
-CDC_WINDOW = 8          # sliding fingerprint window (bytes)
+CDC_WINDOW = 8          # sliding fingerprint window (CHARACTERS: both
+#                         engines substring by character, then md5 the
+#                         UTF-8 bytes — a byte-window Gear/Rabin port
+#                         would differ on multi-byte text)
 CDC_MASK = 64           # boundary when fp % CDC_MASK == 0 (~64-char chunks)
 
 

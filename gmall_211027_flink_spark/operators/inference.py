@@ -1258,3 +1258,491 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Hoeffding's D (r12) — Hoeffding 1948: the rank-based dependence
+# measure that catches NON-MONOTONE association (U-shapes, bands) that
+# Spearman/Kendall read as zero.  Computed on the bounded weekly grid
+# (x = weekly order count, y = weekly revenue), per the SAS PROC CORR
+# midrank formulation:
+#   D = 30 * ((n-2)(n-3)D1 + D2 - 2(n-2)D3)
+#           / (n(n-1)(n-2)(n-3)(n-4))
+#   D1 = sum (Qi-1)(Qi-2);  D2 = sum (Ri-1)(Ri-2)(Si-1)(Si-2)
+#   D3 = sum (Ri-2)(Si-2)(Qi-1)
+# with midranks Ri, Si and the bivariate rank Qi = 1 + sum_{j!=i}
+# [both strictly below] + 1/2 [one tie, other below] + 1/4 [both tie].
+#
+# EXACTNESS: 2x midranks (R2, S2) and 4x bivariate ranks (Q4) keep all
+# three sums integer at x16 scale: D1_16 = sum (Q4-4)(Q4-8), D2_16 =
+# sum (R2-2)(R2-4)(S2-2)(S2-4), D3_16 = sum (R2-4)(S2-4)(Q4-4); the
+# published numerator 30*((n-2)(n-3)D1_16 + D2_16 - 2(n-2)D3_16) and
+# denominator 16*n..(n-4) are exact BIGINTs (~1e15 max at the ~350-week
+# grid — headroom verified), the double ratio is 9-dp floor-quantized.
+# SCALE: one groupBy to the <= ~350-row weekly grid (DAY-GRAIN
+# CONTRACT), then an O(n^2) = ~122k-row grid self-join — constant-size
+# regardless of corpus.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_hoeffding_d",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT wk, x, y,
+             2 * rank() OVER (ORDER BY x)
+               + CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS r2,
+             2 * rank() OVER (ORDER BY y)
+               + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS s2
+      FROM wkly
+    ),
+    q AS (
+      SELECT a.wk, MAX(a.r2) AS r2, MAX(a.s2) AS s2,
+             4 + CAST(SUM(CASE
+                   WHEN b.wk = a.wk THEN 0
+                   WHEN b.x < a.x AND b.y < a.y THEN 4
+                   WHEN b.x = a.x AND b.y < a.y THEN 2
+                   WHEN b.x < a.x AND b.y = a.y THEN 2
+                   WHEN b.x = a.x AND b.y = a.y THEN 1
+                   ELSE 0 END) AS BIGINT) AS q4
+      FROM r a CROSS JOIN r b
+      GROUP BY 1
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((q4 - 4) * (q4 - 8)) AS BIGINT) AS d1_16,
+             CAST(SUM((r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4))
+               AS BIGINT) AS d2_16,
+             CAST(SUM((r2 - 4) * (s2 - 4) * (q4 - 4)) AS BIGINT) AS d3_16
+      FROM q
+    )
+    SELECT n, d1_16, d2_16, d3_16,
+           30 * ((n - 2) * (n - 3) * d1_16 + d2_16
+                 - 2 * (n - 2) * d3_16) AS d_num,
+           16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS d_den,
+           CAST(CAST(floor(
+             CAST(30 * ((n - 2) * (n - 3) * d1_16 + d2_16
+                        - 2 * (n - 2) * d3_16) AS DOUBLE)
+             / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+                    AS DOUBLE)
+             * 1000000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000000.0
+             AS hoeffding_d
+    FROM sums
+    """,
+)
+def stats_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D between weekly order volume and weekly revenue on
+    the bounded week grid (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("x"),
+             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("y")))
+    # bounded weekly grid: single-task global windows by design
+    # (DAY-GRAIN CONTRACT, aggregates.py docstring)
+    r = wkly.select(
+        "wk", "x", "y",
+        (2 * F.rank().over(Window.orderBy("x"))
+         + F.count("*").over(Window.partitionBy("x")).cast("bigint") - 1)
+        .alias("r2"),
+        (2 * F.rank().over(Window.orderBy("y"))
+         + F.count("*").over(Window.partitionBy("y")).cast("bigint") - 1)
+        .alias("s2"))
+    a, b = r.alias("a"), r.alias("b")
+    w = (F.when(F.col("b.wk") == F.col("a.wk"), 0)
+         .when((F.col("b.x") < F.col("a.x"))
+               & (F.col("b.y") < F.col("a.y")), 4)
+         .when((F.col("b.x") == F.col("a.x"))
+               & (F.col("b.y") < F.col("a.y")), 2)
+         .when((F.col("b.x") < F.col("a.x"))
+               & (F.col("b.y") == F.col("a.y")), 2)
+         .when((F.col("b.x") == F.col("a.x"))
+               & (F.col("b.y") == F.col("a.y")), 1)
+         .otherwise(0))
+    q = (a.crossJoin(b)
+         .groupBy(F.col("a.wk").alias("wk"))
+         .agg(F.max(F.col("a.r2")).alias("r2"),
+              F.max(F.col("a.s2")).alias("s2"),
+              (F.lit(4) + F.sum(w).cast("bigint")).alias("q4")))
+    sums = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("q4") - 4) * (F.col("q4") - 8))
+        .cast("bigint").alias("d1_16"),
+        F.sum((F.col("r2") - 2) * (F.col("r2") - 4)
+              * (F.col("s2") - 2) * (F.col("s2") - 4))
+        .cast("bigint").alias("d2_16"),
+        F.sum((F.col("r2") - 4) * (F.col("s2") - 4) * (F.col("q4") - 4))
+        .cast("bigint").alias("d3_16"))
+    num = 30 * ((F.col("n") - 2) * (F.col("n") - 3) * F.col("d1_16")
+                + F.col("d2_16") - 2 * (F.col("n") - 2) * F.col("d3_16"))
+    den = (16 * F.col("n") * (F.col("n") - 1) * (F.col("n") - 2)
+           * (F.col("n") - 3) * (F.col("n") - 4))
+    return sums.select(
+        "n", "d1_16", "d2_16", "d3_16",
+        num.alias("d_num"), den.alias("d_den"),
+        (F.floor(num.cast("double") / den.cast("double")
+                 * F.lit(1000000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000000.0))
+        .alias("hoeffding_d"))
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley dispersion test (r12) — Ansari & Bradley 1960: do two
+# samples share a SCALE (spread), assuming a common median?  The
+# rank-from-both-ends score s_i = min(rank_i, N+1-rank_i) piles small
+# scores onto the extremes, so a group with larger dispersion collects
+# a smaller score sum.  Demo: are WEEKEND daily order volumes more
+# dispersed than weekday volumes?  (The DOW seasonality family's
+# variance-side sibling; Page/Friedman test location, this tests
+# spread.)
+#
+# EXACTNESS: 2x pooled midranks r2 = 2*rank + t - 1; 2x scores
+# s2 = min(r2, 2(N+1) - r2); AB2 = sum_{weekend} s2.  Inference uses
+# the exact permutation moments of a linear rank statistic (tie-safe by
+# construction, no untied-formula approximation): E[AB2] = m*S2/N,
+# Var[AB2] = m*nn*(N*SS4 - S2^2)/(N^2 (N-1)) with S2 = sum s2, SS4 =
+# sum s2^2 — published as the exact BIGINT z-numerator N*AB2 - m*S2
+# plus the 6-dp quantized z.  N*SS4 ~ 3.4e13 at the ~2400-day grid:
+# BIGINT headroom verified.  SCALE: one groupBy to the bounded day
+# grid, single-task rank window by the DAY-GRAIN CONTRACT.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_ansari_bradley",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT d, y,
+             CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS wkend
+      FROM daily
+    ),
+    r AS (
+      SELECT wkend, y,
+             2 * rank() OVER (ORDER BY y)
+               + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS r2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn
+      FROM g
+    ),
+    s AS (
+      SELECT wkend, LEAST(r2, 2 * (nn + 1) - r2) AS s2 FROM r
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wkend) AS BIGINT) AS m,
+             CAST(SUM(wkend * s2) AS BIGINT) AS ab2,
+             CAST(SUM(s2) AS BIGINT) AS sum_s2,
+             CAST(SUM(s2 * s2) AS BIGINT) AS ss4
+      FROM s
+    )
+    SELECT n AS n_days, m AS n_weekend, ab2,
+           n * ab2 - m * sum_s2 AS z_num_x_n,
+           CAST(CAST(floor(
+             CAST(n * ab2 - m * sum_s2 AS DOUBLE)
+             / sqrt(CAST(m AS DOUBLE) * (n - m)
+                    * CAST(n * ss4 - sum_s2 * sum_s2 AS DOUBLE)
+                    / (n - 1))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM agg
+    """,
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test: weekend vs weekday daily order-volume
+    dispersion with exact permutation moments (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("bigint").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # 1970-01-01 is a Thursday: (epoch_day + 4) % 7 gives 0=Sunday,
+    # 6=Saturday — pure integer DOW, identical in both engines
+    g = daily.select(
+        "y", F.when(((F.col("d") + 4) % 7).isin(0, 6), 1).otherwise(0)
+        .alias("wkend"))
+    # bounded day grid: single-task pooled rank window by design
+    # (DAY-GRAIN CONTRACT, aggregates.py docstring)
+    r = g.select(
+        "wkend",
+        (2 * F.rank().over(Window.orderBy("y"))
+         + F.count("*").over(Window.partitionBy("y")).cast("bigint") - 1)
+        .alias("r2"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nn"))
+    s = r.select(
+        "wkend",
+        F.least(F.col("r2"), 2 * (F.col("nn") + 1) - F.col("r2"))
+        .alias("s2"))
+    agg = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("wkend").cast("bigint").alias("m"),
+        F.sum(F.col("wkend") * F.col("s2")).cast("bigint").alias("ab2"),
+        F.sum("s2").cast("bigint").alias("sum_s2"),
+        F.sum(F.col("s2") * F.col("s2")).cast("bigint").alias("ss4"))
+    z_num = F.col("n") * F.col("ab2") - F.col("m") * F.col("sum_s2")
+    z = (z_num.cast("double")
+         / F.sqrt(F.col("m").cast("double") * (F.col("n") - F.col("m"))
+                  * (F.col("n") * F.col("ss4")
+                     - F.col("sum_s2") * F.col("sum_s2")).cast("double")
+                  / (F.col("n") - 1)))
+    return agg.select(
+        F.col("n").alias("n_days"), F.col("m").alias("n_weekend"), "ab2",
+        z_num.alias("z_num_x_n"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Kendall's coefficient of concordance W (r12) — Kendall & Babington
+# Smith 1939: do the b weekly "judges" agree on how the k=7 weekdays
+# rank by revenue?  Completes the Friedman/Page corner of the DOW
+# seasonality family: Friedman asks "is there ANY dow effect", Page
+# asks "is it a MONOTONE trend", W reports the agreement STRENGTH in
+# [0, 1] (and chi2 = b(k-1)W is exactly the Friedman statistic).
+#
+# EXACTNESS: within-week 2x midranks (the Page machinery verbatim);
+# with R2_j = sum of 2x ranks per weekday and per-week tie correction
+# T_w = sum_g (t^3 - t) over tie groups:
+#   W = (3*sum R2_j^2 - 3*b^2*k*(k+1)^2) / (b^2*k*(k^2-1) - b*sum T)
+# (the x2 rank scale turns the textbook 12*S numerator into 3*sum R2^2
+# exactly).  All terms BIGINT (~1.6e8 max); W and chi2 = b*(k-1)*W are
+# 6-dp floor-quantized doubles of identical shape.  SCALE: complete
+# weeks only, <= ~350 blocks x 7 — DAY-GRAIN CONTRACT.
+# ---------------------------------------------------------------------------
+
+KENDALL_W_K = 7   # treatments = the 7 weekdays
+
+
+@query(
+    "stats_kendalls_w",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dw,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY 1 HAVING COUNT(*) = {KENDALL_W_K}
+    ),
+    r AS (
+      SELECT d.wk, d.dw, d.cents,
+             2 * rank() OVER (PARTITION BY d.wk ORDER BY d.cents)
+               + CAST(COUNT(*) OVER (PARTITION BY d.wk, d.cents)
+                      AS BIGINT) - 1 AS r2
+      FROM daily d JOIN complete USING (wk)
+    ),
+    colsum AS (
+      SELECT dw, CAST(SUM(r2) AS BIGINT) AS r2sum FROM r GROUP BY 1
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM r GROUP BY wk, cents)
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS b,
+             (SELECT CAST(SUM(r2sum * r2sum) AS BIGINT) FROM colsum)
+               AS sum_r2_sq,
+             (SELECT tsum FROM ties) AS tie_sum
+    )
+    SELECT b AS n_blocks, sum_r2_sq, tie_sum,
+           CAST(CAST(floor(
+             CAST(3 * sum_r2_sq
+                  - 3 * b * b * {KENDALL_W_K}
+                      * {(KENDALL_W_K + 1) ** 2} AS DOUBLE)
+             / CAST(b * b * {KENDALL_W_K * (KENDALL_W_K ** 2 - 1)}
+                    - b * tie_sum AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS w,
+           CAST(CAST(floor(
+             CAST(b AS DOUBLE) * {KENDALL_W_K - 1}
+             * (CAST(3 * sum_r2_sq
+                     - 3 * b * b * {KENDALL_W_K}
+                         * {(KENDALL_W_K + 1) ** 2} AS DOUBLE)
+                / CAST(b * b * {KENDALL_W_K * (KENDALL_W_K ** 2 - 1)}
+                       - b * tie_sum AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS friedman_chi2
+    FROM agg
+    """,
+)
+def stats_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W (concordance of weekly weekday-revenue rankings)
+    with exact tie correction (see block comment)."""
+    k = KENDALL_W_K
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("cents")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
+                .filter(F.col("ndw") == k).select("wk"))
+    # <= ~350 blocks x 7: DAY-GRAIN CONTRACT (aggregates.py docstring)
+    r = (daily.join(complete, "wk")
+         .select("wk", "dw", "cents",
+                 (2 * F.rank().over(Window.partitionBy("wk")
+                                    .orderBy("cents"))
+                  + F.count("*").over(Window.partitionBy("wk", "cents"))
+                  .cast("bigint") - 1).alias("r2")))
+    colsum = (r.groupBy("dw")
+              .agg(F.sum("r2").cast("bigint").alias("r2sum"))
+              .agg(F.sum(F.col("r2sum") * F.col("r2sum"))
+                   .cast("bigint").alias("sum_r2_sq")))
+    ties = (r.groupBy("wk", "cents")
+            .agg(F.count("*").cast("bigint").alias("t"))
+            .agg(F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t")
+                                  - F.col("t")), F.lit(0))
+                 .cast("bigint").alias("tie_sum")))
+    b_df = complete.agg(F.count("*").cast("bigint").alias("b"))
+    agg = (colsum.crossJoin(F.broadcast(ties))
+           .crossJoin(F.broadcast(b_df)))
+    w_expr = ((3 * F.col("sum_r2_sq")
+               - 3 * F.col("b") * F.col("b") * k * (k + 1) ** 2)
+              .cast("double")
+              / (F.col("b") * F.col("b") * (k * (k ** 2 - 1))
+                 - F.col("b") * F.col("tie_sum")).cast("double"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return agg.select(
+        F.col("b").alias("n_blocks"), "sum_r2_sq", "tie_sum",
+        q6(w_expr).alias("w"),
+        q6(F.col("b").cast("double") * (k - 1) * w_expr)
+        .alias("friedman_chi2"))
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal gamma + Somers' D (r12) — the ordinal-association
+# pair that completes the concordant/discordant-pair family begun by
+# Kendall's tau (r8) and Jonckheere-Terpstra (r11): gamma ignores ties
+# entirely, Somers' D penalizes ties on the DEPENDENT variable (the
+# asymmetric "does priority predict basket size" readout), tau-b
+# splits the difference symmetrically.  One pair pass serves all four.
+#
+# Demo: order priority (5 ordered classes) vs order size (lineitem
+# count).  EXACTNESS: the fact scan reduces to the (priority, size)
+# grid (<= ~60 cells, the Jonckheere grid verbatim); concordant /
+# discordant / tied-pair counts come from one grid self-join as exact
+# BIGINTs (C ~ 1e10 at sf0.1 — headroom fine); the four ratios are
+# 6-dp floor-quantized doubles of identical shape.  SCALE: one groupBy
+# to the grid, then constant-size pair math — never an O(n^2) row
+# join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_gamma_somers_d",
+    oracle="""
+    WITH sz AS (
+      SELECT o.o_orderpriority AS g, c.v
+      FROM orders o
+      JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS v
+            FROM lineitem GROUP BY 1) c ON c.l_orderkey = o.o_orderkey
+    ),
+    grid AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM sz GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN a.v < b.v THEN a.cnt * b.cnt ELSE 0 END)
+          AS BIGINT) AS c_pairs,
+        CAST(SUM(CASE WHEN a.v > b.v THEN a.cnt * b.cnt ELSE 0 END)
+          AS BIGINT) AS d_pairs,
+        CAST(SUM(CASE WHEN a.v = b.v THEN a.cnt * b.cnt ELSE 0 END)
+          AS BIGINT) AS ties_y
+      FROM grid a JOIN grid b ON a.g < b.g
+    ),
+    tx AS (
+      SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ties_x
+      FROM grid a JOIN grid b ON a.g = b.g AND a.v < b.v
+    )
+    SELECT p.c_pairs, p.d_pairs, t.ties_x, p.ties_y,
+           CAST(CAST(floor(
+             CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+             / CAST(p.c_pairs + p.d_pairs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS gamma,
+           CAST(CAST(floor(
+             CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+             / CAST(p.c_pairs + p.d_pairs + p.ties_y AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS somers_d_size_given_pri,
+           CAST(CAST(floor(
+             CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+             / CAST(p.c_pairs + p.d_pairs + t.ties_x AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS somers_d_pri_given_size,
+           CAST(CAST(floor(
+             CAST(p.c_pairs - p.d_pairs AS DOUBLE)
+             / sqrt(CAST(p.c_pairs + p.d_pairs + t.ties_x AS DOUBLE)
+                    * CAST(p.c_pairs + p.d_pairs + p.ties_y AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS tau_b
+    FROM pairs p, tx t
+    """,
+)
+def stats_gamma_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma, both Somers' D directions, and tau-b for
+    order priority vs order size on the bounded grid (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = (li.groupBy("l_orderkey")
+           .agg(F.count("*").cast("bigint").alias("v")))
+    sz = (orders.join(cnt, orders.o_orderkey == cnt.l_orderkey)
+          .select(F.col("o_orderpriority").alias("g"), "v"))
+    grid = (sz.groupBy("g", "v")
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (a.join(b, F.col("a.g") < F.col("b.g"))
+             .agg(F.sum(F.when(F.col("a.v") < F.col("b.v"),
+                               F.col("a.cnt") * F.col("b.cnt"))
+                        .otherwise(0)).cast("bigint").alias("c_pairs"),
+                  F.sum(F.when(F.col("a.v") > F.col("b.v"),
+                               F.col("a.cnt") * F.col("b.cnt"))
+                        .otherwise(0)).cast("bigint").alias("d_pairs"),
+                  F.sum(F.when(F.col("a.v") == F.col("b.v"),
+                               F.col("a.cnt") * F.col("b.cnt"))
+                        .otherwise(0)).cast("bigint").alias("ties_y")))
+    tx = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                 & (F.col("a.v") < F.col("b.v")))
+          .agg(F.sum(F.col("a.cnt") * F.col("b.cnt"))
+               .cast("bigint").alias("ties_x")))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    cd = F.col("c_pairs") - F.col("d_pairs")
+    return (pairs.crossJoin(F.broadcast(tx))
+            .select(
+                "c_pairs", "d_pairs", "ties_x", "ties_y",
+                q6(cd.cast("double")
+                   / (F.col("c_pairs") + F.col("d_pairs")).cast("double"))
+                .alias("gamma"),
+                q6(cd.cast("double")
+                   / (F.col("c_pairs") + F.col("d_pairs")
+                      + F.col("ties_y")).cast("double"))
+                .alias("somers_d_size_given_pri"),
+                q6(cd.cast("double")
+                   / (F.col("c_pairs") + F.col("d_pairs")
+                      + F.col("ties_x")).cast("double"))
+                .alias("somers_d_pri_given_size"),
+                q6(cd.cast("double")
+                   / F.sqrt((F.col("c_pairs") + F.col("d_pairs")
+                             + F.col("ties_x")).cast("double")
+                            * (F.col("c_pairs") + F.col("d_pairs")
+                               + F.col("ties_y")).cast("double")))
+                .alias("tau_b")))

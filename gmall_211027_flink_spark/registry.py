@@ -59,29 +59,15 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "q1_pricing_summary", "dim_snowflake_enrich",
     "dws_province_order_window", "rank_topk_events_per_user",
     "dedup_minhash_lsh",
-    "ads_conditional_agg",
-    "stats_quantity_distribution",
-    "dws_hierarchical_rollup", "dws_gapfill_locf", "stats_value_histogram",
-    "dws_ohlc_hourly", "stats_zscore_outliers",
-    "ads_full_outer_stats",
-    "semi_join_active_customers",
-    "anti_join_dormant_customers",
-    "set_ops_churned_customers",
-    # (range_join_price_band, q18_large_orders, dedup_first_per_user_day,
-    #  dedup_last_per_user, dws_daily_uv rotated to _REVERIFY round 11)
-    "dws_backflow_users",
-    "window_running_gmv",
-    "topk_orders_by_price",
-    "window_sliding_frame_avg", "dws_hopping_window", "dws_cumulate_window",
-    "window_ntile_quartiles", "dws_rolling_7d_distinct_users",
-    "ads_mom_growth", "window_percentile_position", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_cluster_canonical",
-    # round 2 (CORRECTNESS_r02.json, 44 green rows)
-    "dedup_ngram_jaccard_capped", "ann_cosine_topk", "ann_lsh_bucketed",
-    "embedding_near_dup", "ann_ivf_probe", "ann_cosine_topk_pandas",
-    "text_lang_id", "text_quality_score", "text_token_count",
-    "text_fingerprint", "text_repetition_ratio", "text_tfidf_keywords",
+    # (the ENTIRE remaining r1 block — ads_conditional_agg through
+    #  dedup_cluster_canonical, 25 names — rotated to _REVERIFY round 12;
+    #  the five r11 canaries range_join_price_band / q18_large_orders /
+    #  dedup_first_per_user_day / dedup_last_per_user / dws_daily_uv
+    #  re-passed in CORRECTNESS_r11 and fold into the r11 block below)
+    # round 2 (CORRECTNESS_r02.json, 44 green rows; the 11 oldest names
+    # dedup_ngram_jaccard_capped .. text_repetition_ratio rotated to
+    # _REVERIFY round 12)
+    "text_tfidf_keywords",
     "text_normalize", "text_chunk_windows",
     # multimodal_decode_meta REWORKED in r9 (fake decode -> real
     # sniff-dispatch over the real PNG/GIF/BMP/WAV decoders) -> re-gate
@@ -97,7 +83,8 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ads_category_stats", "ads_grouping_sets", "ads_cohort_retention", "ads_funnel_view_click_purchase",
     "ads_copurchase_pairs", "ads_supplier_scorecard",
     "ads_nation_market_share", "cdc_envelope_roundtrip",
-    "dws_cumulate_streaming",
+    # (dws_cumulate_streaming rotated to _REVERIFY round 12 — the oldest
+    #  streaming-path proof in the registry)
     # round 3 (CORRECTNESS_r03.json, 47 green rows; the 5 r2-era
     # TIMESTAMP_NTZ reverifies were re-proven and fold in here)
     "stats_time_weighted_avg", "interval_join_click_error",
@@ -106,7 +93,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dedup_minhash_recall", "quality_filter_rules", "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
     # (dwd_interval_join_streaming, dws_session_window_streaming rotated
     #  to _REVERIFY round 11 — r3-vintage streaming proofs)
-    "dwd_stream_dedup_within_watermark",
+    # (dwd_stream_dedup_within_watermark rotated to _REVERIFY round 12)
     "dws_union_streams_window", "stream_dedup_exact_documents",
     "stream_quality_filter_documents", "decontaminate_ngram",
     "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
@@ -285,30 +272,66 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ann_ivf_kmeans_recall", "ann_pq_recall", "ml_silhouette_simplified",
     "semdedup_prune", "multimodal_jpeg_color_pixels",
     "multimodal_jpeg_restart_pixels",
+    # round 11 (CORRECTNESS_r11.json, 50/50 green — the 43 round-11
+    # additions below plus the 7 round-11 canaries (5 batch r1-vintage +
+    # 2 streaming r3-vintage), all re-proven and folded back in)
+    "range_join_price_band", "q18_large_orders",
+    "dedup_first_per_user_day", "dedup_last_per_user", "dws_daily_uv",
+    "dwd_interval_join_streaming", "dws_session_window_streaming",
+    "stats_cramers_v", "stats_jarque_bera", "join_interval_overlap",
+    "dedup_cdc_chunking", "text_mattr_sliding", "text_burstiness_fano",
+    "text_mendenhall_spectrum", "text_bigram_novelty_decay",
+    "multimodal_png_palette_pixels", "multimodal_gif_interlaced_pixels",
+    "multimodal_bmp_rle_pixels", "multimodal_wav_ulaw_roundtrip",
+    "sample_systematic_interval", "curation_source_js_divergence",
+    "quality_iqr_outlier_audit", "ads_basket_affinity", "sketch_ams_f2",
+    "stream_mg_heavy_hitters", "stream_ams_maintenance",
+    "graph_closeness_sampled", "graph_k_truss", "graph_rich_club",
+    "graph_square_count", "lake_clustering_depth_audit",
+    "multimodal_jpeg_progressive_pixels", "ml_isotonic_calibration_pava",
+    "ml_one_rule", "ml_ridge_path", "ml_roc_auc_exact",
+    "stats_cohens_kappa", "stats_mcnemar_paired", "stats_hodges_lehmann",
+    "stats_page_trend_test", "stats_jonckheere_terpstra",
+    "stats_chow_test", "stats_anderson_darling",
+    "stats_cramer_von_mises", "stats_two_proportion_z",
+    "stats_welch_anova", "stats_bartlett_test", "stats_cochran_armitage",
+    "stats_tost_equivalence", "stats_sign_test",
 )
 
 # Queries that MUST be sampled first by this round's gate: the
 # STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
-# round ~5 of the OLDEST driver-proven names move here so their proofs
-# get refreshed by the driver instead of relying on judge spot-checks.
-# Round 11 rotates the next-oldest five r1-vintage batch names (the
-# nested-loop range join, TPC-H Q18 semi-join, first/last-row dedup,
-# daily unique users) PLUS two r3-vintage STREAMING names (the interval
-# stream-stream join and the session-window state path).
-# Fold back into _DRIVER_PROVEN once CORRECTNESS_r11 lands, and rotate
-# the next-oldest batch in round 12.  NOTE the window-count rule: the
+# round the OLDEST driver-proven names move here so their proofs get
+# refreshed by the driver instead of relying on judge spot-checks.
+# Round 12 uses the WHOLE remaining window budget for the rotation
+# (VERDICT r11 item 1): with 12 new r12 queries, 38 rotation slots
+# remain, which covers the entire remaining r1 block (25 names), the
+# 11 oldest r2 names, and the two oldest streaming-path proofs.
+# Fold back into _DRIVER_PROVEN once CORRECTNESS_r12 lands, and rotate
+# the next-oldest batch in round 13.  NOTE the window-count rule: the
 # gate window = count of names NOT in _DRIVER_PROVEN, which already
-# INCLUDES these — budget new queries to keep that single number <= 50.
+# INCLUDES these — budget new queries to keep that single number <= 50
+# (tests/test_registry_budget.py now enforces it).
 _REVERIFY: tuple[str, ...] = (
-    # r1-vintage staleness-canary rotation (batch):
-    "range_join_price_band",
-    "q18_large_orders",
-    "dedup_first_per_user_day",
-    "dedup_last_per_user",
-    "dws_daily_uv",
-    # streaming-path canary (r3-vintage proofs):
-    "dwd_interval_join_streaming",
-    "dws_session_window_streaming",
+    # r1-vintage batch names (the full remaining r1 block — window /
+    # agg / set-op / dedup family; oldest driver evidence on the books):
+    "ads_conditional_agg", "stats_quantity_distribution",
+    "dws_hierarchical_rollup", "dws_gapfill_locf", "stats_value_histogram",
+    "dws_ohlc_hourly", "stats_zscore_outliers", "ads_full_outer_stats",
+    "semi_join_active_customers", "anti_join_dormant_customers",
+    "set_ops_churned_customers", "dws_backflow_users",
+    "window_running_gmv", "topk_orders_by_price",
+    "window_sliding_frame_avg", "dws_hopping_window",
+    "dws_cumulate_window", "window_ntile_quartiles",
+    "dws_rolling_7d_distinct_users", "ads_mom_growth",
+    "window_percentile_position", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_cluster_canonical",
+    # r2-vintage batch names (dedup/ANN/text head of the r2 block):
+    "dedup_ngram_jaccard_capped", "ann_cosine_topk", "ann_lsh_bucketed",
+    "embedding_near_dup", "ann_ivf_probe", "ann_cosine_topk_pandas",
+    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_fingerprint", "text_repetition_ratio",
+    # streaming-path canaries (r2/r3-vintage streaming proofs):
+    "dws_cumulate_streaming", "dwd_stream_dedup_within_watermark",
 )
 
 
