@@ -1903,3 +1903,89 @@ def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n_edges.crossJoin(agg)
             .select("n_edges", "n_cn_pairs", "n_pairs_cn2",
                     F.expr("sq2 div 2").alias("n_squares")))
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (r12) — Katz 1953: influence as the attenuated count
+# of ALL walks reaching a node, x = sum_k alpha^k (A^k 1), truncated at
+# K=3 rounds with alpha = 1/8 (below 1/lambda_max for this graph, and a
+# power of two so the truncated series is EXACTLY integer at x512
+# scale: katz_x512 = 512 + 64*A1 + 8*A^2*1 + A^3*1).  Degree counts
+# walks of length 1; PageRank normalizes by out-degree; Katz keeps raw
+# walk counts — the third centrality lens over the same co-purchase
+# graph (same determinism contract as graph_pagerank_copurchase: fixed
+# rounds, exact integers, no convergence test).
+#
+# SCALE: each round is ONE shuffle join keyed by node (walk counts are
+# node-sized, edges are the big side — the Pregel layout);
+# localCheckpoint truncates per-round lineage like CC/PageRank above.
+# EXACTNESS: y_k <= max_deg^k ~ 1e7 at this graph's degree bound —
+# everything BIGINT, the only double is the final /512 readout (a
+# binary fraction: exact in IEEE, identical in both engines).
+# ---------------------------------------------------------------------------
+
+KATZ_ROUNDS = 3
+
+
+def _katz_ctes() -> str:
+    ctes = ["""
+    y1 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS y
+           FROM edges GROUP BY 1)"""]
+    for k in range(2, KATZ_ROUNDS + 1):
+        ctes.append(f"""
+    y{k} AS (
+      SELECT e.v AS node, CAST(SUM(p.y) AS BIGINT) AS y
+      FROM edges e JOIN y{k - 1} p ON p.node = e.u
+      GROUP BY 1
+    )""")
+    return ",".join(ctes)
+
+
+@query(
+    "graph_katz_centrality",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_katz_ctes()}
+    SELECT y1.node AS part_id,
+           512 + 64 * y1.y + 8 * y2.y + y3.y AS katz_x512,
+           round(CAST(512 + 64 * y1.y + 8 * y2.y + y3.y AS DOUBLE)
+                 / 512, 6) AS katz
+    FROM y1 JOIN y2 ON y2.node = y1.node JOIN y3 ON y3.node = y1.node
+    """,
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (alpha=1/8, 3 rounds, exact x512 integers) over
+    the co-purchase graph (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (op.alias("a").join(op.alias("b"),
+             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+             & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count("*").alias("ct"))
+             .filter(F.col("ct") >= MIN_TOGETHER)
+             .select("part_a", "part_b"))
+    edges = (pairs.select(F.col("part_a").alias("u"),
+                          F.col("part_b").alias("v"))
+             .union(pairs.select(F.col("part_b").alias("u"),
+                                 F.col("part_a").alias("v")))
+             .distinct().localCheckpoint())
+    walks = [edges.groupBy(F.col("u").alias("node"))
+             .agg(F.count("*").cast("bigint").alias("y"))
+             .localCheckpoint()]
+    for _ in range(KATZ_ROUNDS - 1):
+        prev = walks[-1]
+        walks.append(
+            (edges.join(prev, edges.u == prev.node)
+             .groupBy(F.col("v").alias("node"))
+             .agg(F.sum("y").cast("bigint").alias("y")))
+            .localCheckpoint())
+    y1, y2, y3 = (w.withColumnRenamed("y", f"y{i + 1}")
+                  for i, w in enumerate(walks))
+    x512 = (F.lit(512) + 64 * F.col("y1") + 8 * F.col("y2")
+            + F.col("y3"))
+    return (y1.join(y2, "node").join(y3, "node")
+            .select(F.col("node").alias("part_id"),
+                    x512.cast("bigint").alias("katz_x512"),
+                    F.round(x512.cast("double") / 512, 6).alias("katz")))

@@ -1034,3 +1034,121 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + F.lit(0.5))
                      .cast("bigint").cast("double") / F.lit(1000000.0))
                     .alias("est_over_exact")))
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch (r12) — Charikar, Chen & Farach-Colton 2002: the SIGNED
+# sibling of Count-Min.  Each of d=5 rows hashes a token to one of
+# w=512 buckets AND flips a +-1 sign, so colliding tokens cancel in
+# expectation instead of stacking — the estimate is UNBIASED (errors go
+# both ways) where CM only overestimates; the price is variance, which
+# the median over the 5 rows controls.  Same 20-token audit surface as
+# sketch_countmin_freq_audit so the two error profiles are directly
+# comparable (one-sided overestimate vs two-sided signed error).
+#
+# Hashing: one md5 per (seed, token) supplies both the bucket (first 15
+# hex chars % 512) and the sign (16th hex char % 2 -> +-1) — the same
+# split-one-digest trick as the AMS F2 sketch above (Count-Sketch IS
+# the per-key readout of the AMS construction).  EXACTNESS: cells and
+# estimates are exact BIGINTs; the median of 5 is the rank-3 order
+# statistic with (estimate, seed) tiebreak — no averaging, no floats.
+# SCALE: grid build is one groupBy to d*w = 2560 cells; the audit joins
+# 20 probe tokens x 5 seeds against the broadcast grid.
+# ---------------------------------------------------------------------------
+
+CS_DEPTH = 5      # independent signed rows (odd -> clean median)
+CS_WIDTH = 512    # buckets per row
+
+
+def _cs_bucket_duck(seed: str, token: str) -> str:
+    return (f"('0x' || substr(md5({seed} || ':' || {token}), 1, 15))"
+            f"::BIGINT % {CS_WIDTH}")
+
+
+def _cs_sign_duck(seed: str, token: str) -> str:
+    return (f"(1 - 2 * (('0x' || substr(md5({seed} || ':' || {token}),"
+            f" 16, 1))::BIGINT % 2))")
+
+
+@query(
+    "sketch_count_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ),
+    seeds AS (SELECT unnest(generate_series(0, {CS_DEPTH - 1})) AS seed),
+    cells AS (
+      SELECT s.seed,
+             {_cs_bucket_duck('s.seed', 'e.token')} AS bucket,
+             CAST(SUM({_cs_sign_duck('s.seed', 'e.token')}
+                      * e.exact_cnt) AS BIGINT) AS cell_val
+      FROM exact e, seeds s
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token, exact_cnt
+      FROM exact
+      ORDER BY exact_cnt DESC, token
+      LIMIT {CM_TOPK}
+    ),
+    est AS (
+      SELECT t.token, t.exact_cnt,
+             {_cs_sign_duck('s.seed', 't.token')} * c.cell_val AS est,
+             s.seed
+      FROM top t
+      JOIN seeds s ON TRUE
+      JOIN cells c
+        ON c.seed = s.seed
+       AND c.bucket = {_cs_bucket_duck('s.seed', 't.token')}
+    ),
+    med AS (
+      SELECT token, exact_cnt, est,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY est, seed) AS rk
+      FROM est
+    )
+    SELECT token, exact_cnt,
+           CAST(est AS BIGINT) AS cs_estimate,
+           CAST(est - exact_cnt AS BIGINT) AS signed_err
+    FROM med WHERE rk = {(CS_DEPTH + 1) // 2}
+    """,
+)
+def sketch_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (5x512, signed) with a median-of-rows top-20 token
+    audit against exact counts (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = spark.range(CS_DEPTH).withColumnRenamed("id", "seed")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat(cast(seed as string), ':',"
+        f" token)), 1, 15), 16, 10) as bigint) % {CS_WIDTH}")
+    sign = F.expr(
+        f"1 - 2 * (cast(conv(substring(md5(concat(cast(seed as string),"
+        f" ':', token)), 16, 1), 16, 10) as bigint) % 2)")
+    exact = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token")
+             .agg(F.count("*").cast("bigint").alias("exact_cnt")))
+    cells = (exact.crossJoin(F.broadcast(seeds))
+             .groupBy("seed", bucket.alias("bucket"))
+             .agg(F.sum(sign * F.col("exact_cnt")).cast("bigint")
+                  .alias("cell_val")))
+    top = (exact.orderBy(F.desc("exact_cnt"), F.asc("token"))
+           .limit(CM_TOPK))
+    probes = (top.crossJoin(F.broadcast(seeds))
+              .select("token", "exact_cnt", "seed",
+                      bucket.alias("bucket"), sign.alias("s")))
+    est = (probes.join(F.broadcast(cells), ["seed", "bucket"])
+           .select("token", "exact_cnt", "seed",
+                   (F.col("s") * F.col("cell_val")).alias("est")))
+    med = est.select(
+        "token", "exact_cnt", "est",
+        F.row_number().over(Window.partitionBy("token")
+                            .orderBy("est", "seed")).alias("rk"))
+    return (med.filter(F.col("rk") == (CS_DEPTH + 1) // 2)
+            .select("token", "exact_cnt",
+                    F.col("est").cast("bigint").alias("cs_estimate"),
+                    (F.col("est") - F.col("exact_cnt")).cast("bigint")
+                    .alias("signed_err")))

@@ -2848,3 +2848,103 @@ def _ams_stream_oracle() -> str:
 
 
 _OR["stream_ams_maintenance"] = _ams_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Sketch maintenance (r12): the signed 5x512 grid of
+# sketch_count_sketch maintained at ingest.  Signed-cell merge is still
+# plain cell-wise ADDITION (the sign rides inside the per-batch partial
+# sum), so IncrementalAggStore's mergeable-sum contract covers it
+# unchanged — per-commit work is O(d*w + batch vocabulary), never
+# O(corpus vocabulary), and the drained grid equals the one-shot batch
+# build under any slicing.  The read-time audit (top-20 exact counts vs
+# median-of-rows signed estimates) must hash-match the batch
+# sketch_count_sketch oracle verbatim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_cs_maintenance",
+    oracle=None,   # assigned below: identical to batch Count-Sketch audit
+)
+def stream_cs_maintenance(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.sketches import (
+        CM_TOPK, CS_DEPTH, CS_WIDTH)
+    from gmall_211027_flink_spark.streaming.incremental import (
+        IncrementalAggStore)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = spark.range(CS_DEPTH).withColumnRenamed("id", "seed")
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat(cast(seed as string), ':',"
+        f" token)), 1, 15), 16, 10) as bigint) % {CS_WIDTH}")
+    sign = F.expr(
+        f"1 - 2 * (cast(conv(substring(md5(concat(cast(seed as string),"
+        f" ':', token)), 16, 1), 16, 10) as bigint) % 2)")
+    d = tempfile.mkdtemp(prefix="cs_store_gate_")
+    try:
+        store = IncrementalAggStore(
+            f"{d}/store", ["seed", "bucket"], {"cell_val": ("sum", "part")})
+        # mod-3 crawl slices: per-batch partial grids overlap heavily,
+        # so the merge is genuinely additive (not disjoint appends) and
+        # sign cancellation happens ACROSS commits
+        for i in range(3):
+            sl = (docs.filter(F.col("doc_id") % 3 == i)
+                  .select(F.explode(F.split("text", " ")).alias("token"))
+                  .groupBy("token")
+                  .agg(F.count("*").cast("bigint").alias("cnt"))
+                  .crossJoin(F.broadcast(seeds))
+                  .select("seed", bucket.alias("bucket"),
+                          (sign * F.col("cnt")).cast("bigint")
+                          .alias("part")))
+            store.write_batch(sl, i)
+        grid = store.read(spark).select("seed", "bucket", "cell_val")
+        n_cells = grid.count()
+        # constant-state invariant on the production query path — a
+        # named error, NOT assert, so `python -O` can't strip it
+        if n_cells > CS_DEPTH * CS_WIDTH:
+            raise RuntimeError(
+                f"stream_cs_maintenance: grid grew to {n_cells} cells "
+                f"> d*w = {CS_DEPTH * CS_WIDTH}; the (seed, bucket) "
+                f"additive fold must keep the state grid-sized")
+        exact = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+                 .groupBy("token")
+                 .agg(F.count("*").cast("bigint").alias("exact_cnt")))
+        top = (exact.orderBy(F.desc("exact_cnt"), F.asc("token"))
+               .limit(CM_TOPK))
+        probes = (top.crossJoin(F.broadcast(seeds))
+                  .select("token", "exact_cnt", "seed",
+                          bucket.alias("bucket"), sign.alias("s")))
+        est = (probes.join(F.broadcast(grid), ["seed", "bucket"])
+               .select("token", "exact_cnt", "seed",
+                       (F.col("s") * F.col("cell_val")).alias("est")))
+        med = est.select(
+            "token", "exact_cnt", "est",
+            F.row_number().over(Window.partitionBy("token")
+                                .orderBy("est", "seed")).alias("rk"))
+        out = (med.filter(F.col("rk") == (CS_DEPTH + 1) // 2)
+               .select("token", "exact_cnt",
+                       F.col("est").cast("bigint").alias("cs_estimate"),
+                       (F.col("est") - F.col("exact_cnt")).cast("bigint")
+                       .alias("signed_err")))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _cs_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.sketches  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["sketch_count_sketch"]
+
+
+_OR["stream_cs_maintenance"] = _cs_stream_oracle()
