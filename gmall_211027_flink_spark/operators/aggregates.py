@@ -6979,3 +6979,173 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (F.col("b1") * F.col("b1") / F.lit(6.0)
               + (F.col("b2") - F.lit(3.0)) * (F.col("b2") - F.lit(3.0))
               / F.lit(24.0))).alias("jb_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive-seasonal smoothing (r12) — Winters 1960: the
+# seasonal rung above r9's Holt level+trend fold.  Series = DAILY order
+# counts on the dense day spine (gap days = 0), season = day-of-week
+# (m = 7), alpha = 1/5, beta = 1/10, gamma = 1/5:
+#   l' = alpha*(y - s_dow) + (1-alpha)*(l + b)
+#   b' = beta*(l' - l)     + (1-beta)*b
+#   s'_dow = gamma*(y - l') + (1-gamma)*s_dow
+#
+# ENGINE-EXACT FOLD (the Holt discipline, widened): state is NINE
+# BIGINTs at 1e6 scale (l, b, s0..s6) — too wide for the packed-BIGINT
+# trick, so Spark folds a STRUCT accumulator through aggregate() over
+# the day-ordered series, and DuckDB replays the identical integer
+# recurrence with a RECURSIVE CTE advancing one day per step (the
+# Pregel-in-SQL trick, depth = the bounded ~2400-day calendar).  Each
+# step is pure integer arithmetic with the positive-offset floor trick
+# (OFF = 10*2^40 keeps every numerator positive so `div`/`//` == floor
+# in both engines); the SAME Python generator emits both engines'
+# expression text, so every add/divide happens in the same order.
+# Day-of-week is (epoch_day + 4) % 7 (1970-01-01 is a Thursday;
+# 0=Sunday) — pure integer, no calendar functions.
+#
+# SCALE: one groupBy to the bounded day grid, one single-task fold
+# (DAY-GRAIN CONTRACT); forecasts h=1..7 read level + h*trend +
+# season[(last_day + h) dow].  Init: l = y_0*1e6, b = 0, s = 0.
+# ---------------------------------------------------------------------------
+
+_HW_OFF = 10995116277760        # 10 * 2^40: positive-numerator offset
+_HW_OFFD = 1099511627776        # OFF div 10
+
+
+def _hw_step(D: str, y: str, d: str, l: str, b: str,   # noqa: E741
+             s: list[str]) -> tuple[str, str, str, str]:
+    """Emit (SP, LN, BN, SN) expression strings for one Holt-Winters
+    step; ``D`` is the engine's integer-division operator, ``y``/``d``
+    the new observation and its epoch day, ``l``/``b``/``s[0..6]`` the
+    accumulator field accessors.  Identical text drives both engines."""
+    sp = ("CASE (" + d + " + 4) % 7 "
+          + " ".join(f"WHEN {i} THEN {s[i]}" for i in range(7)) + " END")
+    ln = (f"(2*({y}*1000000 - ({sp})) + 8*({l} + {b})"
+          f" + {_HW_OFF} + 5) {D} 10 - {_HW_OFFD}")
+    bn = (f"((({ln}) - {l}) + 9*{b} + {_HW_OFF} + 5) {D} 10"
+          f" - {_HW_OFFD}")
+    sn = (f"(2*({y}*1000000 - ({ln})) + 8*({sp})"
+          f" + {_HW_OFF} + 5) {D} 10 - {_HW_OFFD}")
+    return sp, ln, bn, sn
+
+
+def _hw_oracle() -> str:
+    _sp, ln, bn, sn = _hw_step(
+        "//", "sp.y", "sp.d", "r.l6", "r.b6",
+        [f"r.s{i}" for i in range(7)])
+    s_updates = ",\n             ".join(
+        f"CASE WHEN (sp.d + 4) % 7 = {i} THEN ({sn}) ELSE r.s{i} END"
+        f" AS s{i}" for i in range(7))
+    season_cols = ",\n           ".join(
+        f"round(s{i} / 1e6, 6) AS season_dow{i}" for i in range(7))
+    fc_cols = ",\n           ".join(
+        f"round((l6 + {h} * b6 + (CASE (d + {h} + 4) % 7 "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(7))
+        + f" END)) / 1e6, 6) AS forecast_h{h}" for h in range(1, 8))
+    return f"""
+    WITH RECURSIVE cnt AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi,
+                      CAST(COUNT(*) AS BIGINT) AS nd FROM cnt),
+    spine AS (
+      SELECT g.d, COALESCE(cnt.y, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds) g
+      LEFT JOIN cnt USING (d)
+    ),
+    rec AS (
+      SELECT sp.d, sp.y * 1000000 AS l6, CAST(0 AS BIGINT) AS b6,
+             {", ".join(f"CAST(0 AS BIGINT) AS s{i}" for i in range(7))}
+      FROM spine sp WHERE sp.d = (SELECT lo FROM bounds)
+      UNION ALL
+      SELECT sp.d, {ln} AS l6, {bn} AS b6,
+             {s_updates}
+      FROM rec r JOIN spine sp ON sp.d = r.d + 1
+    )
+    SELECT (SELECT hi - lo + 1 FROM bounds) AS n_days,
+           round(l6 / 1e6, 6) AS level,
+           round(b6 / 1e6, 6) AS trend,
+           {season_cols},
+           {fc_cols}
+    FROM rec WHERE d = (SELECT hi FROM bounds)
+    """
+
+
+def _hw_spark_exprs() -> tuple[str, str]:
+    """(init, merge-lambda) Spark SQL expression strings for the
+    Holt-Winters struct fold; shared by the batch query and the
+    streaming store (streaming/windows.py) so both engines' folds are
+    literally the same text."""
+    zero = "CAST(0 AS BIGINT)"
+    _sp, ln, bn, sn = _hw_step(
+        "div", "e.y", "e.d", "acc.l", "acc.b",
+        [f"acc.s{i}" for i in range(7)])
+    s_init = ", ".join(f"'s{i}', {zero}" for i in range(7))
+    s_upd = ", ".join(
+        f"'s{i}', CASE WHEN (e.d + 4) % 7 = {i} THEN ({sn})"
+        f" ELSE acc.s{i} END" for i in range(7))
+    merge = (f"(acc, e) -> CASE WHEN acc.t = CAST(-1 AS BIGINT)"
+             f" THEN named_struct('t', e.d, 'l', e.y * 1000000,"
+             f" 'b', {zero}, {s_init})"
+             f" ELSE named_struct('t', e.d, 'l', {ln}, 'b', {bn},"
+             f" {s_upd}) END")
+    init = (f"named_struct('t', CAST(-1 AS BIGINT), 'l', {zero},"
+            f" 'b', {zero}, {s_init})")
+    return init, merge
+
+
+def _hw_spark_fold(spine: DataFrame) -> DataFrame:
+    """Fold the (d, y) day spine into the 9-field Holt-Winters state
+    struct."""
+    init, merge = _hw_spark_exprs()
+    return (spine
+            .agg(F.count("*").cast("bigint").alias("n_days"),
+                 F.expr("sort_array(collect_list(struct(d, y)))")
+                 .alias("series"))
+            .select("n_days",
+                    F.expr(f"aggregate(series, {init}, {merge})")
+                    .alias("acc")))
+
+
+def _hw_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = (orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("bigint").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    days = (cnt.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+            .select(F.explode(F.sequence("lo", "hi")).alias("d")))
+    return (days.join(cnt, "d", "left")
+            .select("d", F.coalesce("y", F.lit(0)).cast("bigint")
+                    .alias("y")))
+
+
+def _hw_readout(state: DataFrame) -> DataFrame:
+    season = [F.round(F.col("acc").getField(f"s{i}") / 1e6, 6)
+              .alias(f"season_dow{i}") for i in range(7)]
+    fc = []
+    for h in range(1, 8):
+        sh = F.col("acc").getField("s0")
+        for i in range(1, 7):
+            sh = F.when((F.col("acc").getField("t") + h + 4) % 7 == i,
+                        F.col("acc").getField(f"s{i}")).otherwise(sh)
+        fc.append(F.round((F.col("acc").getField("l")
+                           + h * F.col("acc").getField("b") + sh)
+                          / 1e6, 6).alias(f"forecast_h{h}"))
+    return state.select(
+        "n_days",
+        F.round(F.col("acc").getField("l") / 1e6, 6).alias("level"),
+        F.round(F.col("acc").getField("b") / 1e6, 6).alias("trend"),
+        *season, *fc)
+
+
+@query("stats_holtwinters_seasonal", oracle=_hw_oracle())
+def stats_holtwinters_seasonal(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Holt-Winters additive day-of-week smoothing of daily order
+    volume via one exact-integer struct fold (see block comment)."""
+    spine = _hw_day_spine(spark, sf_dir)
+    return _hw_readout(_hw_spark_fold(spine))

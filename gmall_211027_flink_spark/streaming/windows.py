@@ -2948,3 +2948,85 @@ def _cs_stream_oracle() -> str:
 
 
 _OR["stream_cs_maintenance"] = _cs_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt-Winters seasonal maintenance (r12): the 9-field
+# level+trend+season struct kept current at ingest.  Like the Holt
+# store (and unlike the order-free sketch stores), the recurrence is
+# ORDER-SENSITIVE, so the harness commits three consecutive DAY RANGES
+# of the dense spine and the accumulator struct carries across commits
+# — the same aggregate() merge-lambda text as the batch query
+# (operators/aggregates.py _hw_spark_exprs), so the drained readout
+# must hash-match the batch stats_holtwinters_seasonal oracle exactly.
+# State = ONE parquet row (n_days + the struct); a named invariant
+# fails if the store ever grows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_holtwinters_maintenance",
+    oracle=None,   # assigned below: identical to the batch HW oracle
+)
+def stream_holtwinters_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.operators.aggregates import (
+        _hw_day_spine, _hw_readout, _hw_spark_exprs)
+
+    spine = _hw_day_spine(spark, sf_dir)
+    lo, hi = spine.agg(F.min("d"), F.max("d")).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_holtwinters_maintenance: orders table has no rows — "
+            "the ordered day-range slicing needs a non-empty spine")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    init, merge = _hw_spark_exprs()
+    d = tempfile.mkdtemp(prefix="hw_store_gate_")
+    try:
+        state = None   # one (n_days, acc-struct) row
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            sl = spine.filter((F.col("d") >= a) & (F.col("d") <= b))
+            batch = (sl.agg(
+                F.count("*").cast("bigint").alias("n_batch"),
+                F.expr("sort_array(collect_list(struct(d, y)))")
+                .alias("series")))
+            if state is None:
+                folded = batch.select(
+                    F.col("n_batch").alias("n_days"),
+                    F.expr(f"aggregate(series, {init}, {merge})")
+                    .alias("acc"))
+            else:
+                folded = (batch.crossJoin(F.broadcast(state))
+                          .select(
+                              (F.col("n_days") + F.col("n_batch"))
+                              .alias("n_days"),
+                              F.expr(f"aggregate(series, acc, {merge})")
+                              .alias("acc")))
+            # commit the single-row state (the store IS the model)
+            folded.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n_rows = state.count()
+            if n_rows != 1:    # named, -O-proof invariant
+                raise RuntimeError(
+                    f"stream_holtwinters_maintenance: state store has "
+                    f"{n_rows} rows, must stay exactly one struct row")
+        out = _hw_readout(state)
+        # gate-harness materialization (temp state removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _hw_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_holtwinters_seasonal"]
+
+
+_OR["stream_holtwinters_maintenance"] = _hw_stream_oracle()
