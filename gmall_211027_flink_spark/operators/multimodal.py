@@ -3440,3 +3440,263 @@ def multimodal_wav_ulaw_roundtrip(spark: SparkSession,
             .select("doc_id", "text"))
     return (decode_parallel(docs).mapInPandas(_ulaw_batch, WAV_ULAW_SCHEMA)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV roundtrip (r12) — the DVI/IMA 4-bit codec (IMA Digital
+# Audio Pack, 1992; WAV format tag 0x11): the first STATEFUL lossy
+# audio path next to r11's stateless-per-sample mu-law.  Each nibble
+# encodes a step against a (predictor, step-index) state that both
+# sides advance in lockstep — the decoder reconstructs exactly the
+# encoder's running prediction, so the audit error is exactly the
+# quantizer's residual.  Scope: mono, one block per asset, header =
+# (initial predictor = sample 0, index 0), nibbles low-first, a real
+# "fact" chunk carries the frame count (how real ADPCM WAVs mark
+# payload length when the last byte is half-padded).
+#
+# The state recursion is sequential BY DEFINITION, so the DuckDB
+# oracle replays encode+decode with a RECURSIVE CTE advancing ALL
+# assets one sample per step (the Pregel-in-SQL trick; depth capped at
+# 1024 frames by the asset geometry).  EXACTNESS: everything is
+# integer (shifts = floor-division by powers of two; clamp = GREATEST/
+# LEAST); no floats anywhere.  SCALE: per-asset decode is Python-loop
+# sequential (honest codec state) but embarrassingly parallel across
+# assets behind decode_parallel; 4 summary BIGINTs per asset leave the
+# task.
+# ---------------------------------------------------------------------------
+
+ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)   # by code & 7
+ADPCM_MAX_FRAMES = 1024     # recursion-depth cap baked into geometry
+
+
+def _adpcm_params(h: str) -> dict:
+    """Asset geometry from the md5 hash — nfr capped at 1024 so the
+    oracle's recursion depth is bounded."""
+    return {
+        "nfr": 1 + int(h[9:12], 16) % ADPCM_MAX_FRAMES,
+        "a": 1 + int(h[18:20], 16) % 31,
+        "b": int(h[20:24], 16),
+        "rate": 8000 + 1000 * (int(h[13:15], 16) % 8),
+    }
+
+
+def _adpcm_advance(pred: int, idx: int, s: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step: quantize (s - pred) to a 4-bit code
+    and advance the (predictor, index) state exactly as the decoder
+    will.  Returns (code, pred', idx')."""
+    step = ADPCM_STEP_TABLE[idx]
+    delta = s - pred
+    sign = 8 if delta < 0 else 0
+    delta = abs(delta)
+    b2 = 1 if delta >= step else 0
+    delta -= b2 * step
+    b1 = 1 if delta >= step >> 1 else 0
+    delta -= b1 * (step >> 1)
+    b0 = 1 if delta >= step >> 2 else 0
+    code = sign | b2 * 4 | b1 * 2 | b0
+    diffq = (step >> 3) + b2 * step + b1 * (step >> 1) + b0 * (step >> 2)
+    pred = pred - diffq if sign else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[code & 7]))
+    return code, pred, idx
+
+
+def synthesize_wav_adpcm(doc_id: int, h: str) -> bytes:
+    """A valid RIFF/WAVE, format tag 0x11 (IMA ADPCM, 4-bit, mono):
+    fmt chunk with the 2-byte extension (samples per block), a fact
+    chunk with the true frame count, one data block whose 4-byte
+    header carries (sample 0, index 0) and whose nibbles encode
+    samples 1..nfr-1 low-nibble-first."""
+    p = _adpcm_params(h)
+    nfr, a, b, rate = p["nfr"], p["a"], p["b"], p["rate"]
+    samples = [(a * i + b) % 65536 - 32768 for i in range(nfr)]
+    pred, idx = samples[0], 0
+    codes = []
+    for s in samples[1:]:
+        code, pred, idx = _adpcm_advance(pred, idx, s)
+        codes.append(code)
+    if len(codes) % 2:
+        codes.append(0)        # half-byte pad; fact chunk marks the end
+    data = bytes([codes[i] | (codes[i + 1] << 4)
+                  for i in range(0, len(codes), 2)])
+    block = struct.pack("<hBB", samples[0], 0, 0) + data
+    # fmt: tag 0x11, mono, 4-bit, cbSize=2 extension = samples/block
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      (rate * len(block)) // max(nfr, 1), len(block), 4,
+                      2, nfr)
+    fact = struct.pack("<I", nfr)
+    out = (b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<I", len(fact)) + fact
+           + b"data" + struct.pack("<I", len(block)) + block
+           + (b"\x00" if len(block) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav_adpcm(payload: bytes):
+    """RIFF walk + IMA ADPCM expansion; returns (rate, list of linear16
+    samples).  Raises on non-ADPCM input — honest scope."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, nfr, block = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bps = struct.unpack("<HHIIHH",
+                                                         body[:16])
+            if tag != 0x11 or bps != 4 or ch != 1:
+                raise ValueError(f"unsupported WAV: fmt={tag} bits={bps}"
+                                 f" ch={ch}")
+        elif cid == b"fact":
+            (nfr,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated data chunk: declared {size} bytes,"
+                    f" payload carries {len(body)}")
+            block = body
+        pos += 8 + size + (size & 1)
+    if rate is None or nfr is None or block is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    pred, idx, _rsv = struct.unpack("<hBB", block[:4])
+    out = [pred]
+    nibbles = []
+    for byte in block[4:]:
+        nibbles.append(byte & 15)
+        nibbles.append(byte >> 4)
+    if len(nibbles) < nfr - 1:
+        raise ValueError(f"data block carries {len(nibbles)} nibbles,"
+                         f" fact chunk declares {nfr} frames")
+    for code in nibbles[:nfr - 1]:
+        step = ADPCM_STEP_TABLE[idx]
+        b2, b1, b0 = (code >> 2) & 1, (code >> 1) & 1, code & 1
+        diffq = ((step >> 3) + b2 * step + b1 * (step >> 1)
+                 + b0 * (step >> 2))
+        pred = pred - diffq if code & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[code & 7]))
+        out.append(pred)
+    return rate, out
+
+
+WAV_ADPCM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sum_decoded", T.LongType()),
+    T.StructField("sum_abs_err", T.LongType()),
+    T.StructField("max_abs_err", T.LongType()),
+])
+
+
+def _adpcm_oracle() -> str:
+    """Recursive-CTE replay of the encode+decode lockstep: every asset
+    advances one sample per recursion step, carrying (pred, idx) plus
+    the three running audit aggregates; generated by textual expansion
+    exactly like the engine's integer expressions."""
+    st = "c.st[r.idx + 1]"
+    s = "((r.a * r.i + r.b) % 65536 - 32768)"
+    d0 = f"abs({s} - r.pred)"
+    b2 = f"(CASE WHEN {d0} >= {st} THEN 1 ELSE 0 END)"
+    d1 = f"({d0} - {b2} * {st})"
+    b1 = f"(CASE WHEN {d1} >= {st} // 2 THEN 1 ELSE 0 END)"
+    d2 = f"({d1} - {b1} * ({st} // 2))"
+    b0 = f"(CASE WHEN {d2} >= {st} // 4 THEN 1 ELSE 0 END)"
+    diffq = (f"({st} // 8 + {b2} * {st} + {b1} * ({st} // 2)"
+             f" + {b0} * ({st} // 4))")
+    predn = (f"GREATEST(-32768, LEAST(32767, r.pred"
+             f" + CASE WHEN {s} < r.pred THEN -{diffq}"
+             f" ELSE {diffq} END))")
+    idxn = (f"GREATEST(0, LEAST(88, r.idx + CASE WHEN {b2} = 0"
+            f" THEN -1 ELSE 2 + {b1} * 4 + {b0} * 2 END))")
+    step_list = "[" + ", ".join(str(v) for v in ADPCM_STEP_TABLE) + "]"
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 1
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT
+                 % {ADPCM_MAX_FRAMES} AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b
+      FROM g
+    ),
+    c AS (SELECT {step_list} AS st),
+    rec AS (
+      SELECT doc_id, nfr, a, b, CAST(1 AS BIGINT) AS i,
+             (a * 0 + b) % 65536 - 32768 AS pred,
+             CAST(0 AS BIGINT) AS idx,
+             CAST((a * 0 + b) % 65536 - 32768 AS BIGINT) AS sum_dec,
+             CAST(0 AS BIGINT) AS sum_err,
+             CAST(0 AS BIGINT) AS max_err
+      FROM geo
+      UNION ALL
+      SELECT r.doc_id, r.nfr, r.a, r.b, r.i + 1,
+             {predn} AS pred,
+             {idxn} AS idx,
+             r.sum_dec + ({predn}),
+             r.sum_err + abs(({predn}) - {s}),
+             GREATEST(r.max_err, abs(({predn}) - {s}))
+      FROM rec r, c
+      WHERE r.i < r.nfr
+    )
+    SELECT doc_id,
+           CAST(nfr AS BIGINT) AS n_frames,
+           sum_dec AS sum_decoded,
+           sum_err AS sum_abs_err,
+           max_err AS max_abs_err
+    FROM rec WHERE i = nfr
+    ORDER BY doc_id
+    """
+
+
+@query("multimodal_adpcm_roundtrip", oracle=_adpcm_oracle())
+def multimodal_adpcm_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """IMA ADPCM WAV transcode audit: encode the PCM ramp into a real
+    fmt-0x11 RIFF container, decode it back through the stateful
+    predictor, report exact integer residuals per asset (see block
+    comment)."""
+
+    def _adpcm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_wav_adpcm(doc_id, h)
+                _rate, dec = decode_wav_adpcm(payload)
+                p = _adpcm_params(h)
+                orig = [(p["a"] * i + p["b"]) % 65536 - 32768
+                        for i in range(p["nfr"])]
+                if len(dec) != len(orig):
+                    raise ValueError(
+                        f"doc {doc_id}: decoded {len(dec)} frames,"
+                        f" expected {len(orig)}")
+                errs = [abs(d - s) for d, s in zip(dec, orig)]
+                out.append(dict(
+                    doc_id=doc_id, n_frames=len(dec),
+                    sum_decoded=sum(dec), sum_abs_err=sum(errs),
+                    max_abs_err=max(errs)))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in WAV_ADPCM_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 1)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs)
+            .mapInPandas(_adpcm_batch, WAV_ADPCM_SCHEMA)
+            .orderBy("doc_id"))
