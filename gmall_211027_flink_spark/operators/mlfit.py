@@ -475,3 +475,205 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (2 * F.col("n1") * F.col("n0")).cast("double")
                  * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0)).alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient readout (r12) — the single-number
+# confusion summary that stays honest under class imbalance (unlike
+# accuracy/F1, MCC is symmetric in classes and zero for any constant
+# classifier).  Reads the SAME NB sufficient-statistics build as
+# ml_naive_bayes_binary / ml_calibration_bins (one stats pass, three
+# evaluation readouts): cells are exact BIGINTs, MCC / accuracy / F1
+# are 6-dp floor-quantized doubles over exact integers (cell products
+# ~1e8 at sf0.1 — double-exact).
+# ---------------------------------------------------------------------------
+
+def _mcc_oracle() -> str:
+    from gmall_211027_flink_spark.operators.aggregates import _NB_CTES
+
+    return f"""
+    WITH {_NB_CTES},
+    cell AS (
+      SELECT
+        CAST(SUM(CASE WHEN y AND score1 > score0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN NOT y AND score1 > score0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN y AND NOT score1 > score0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN NOT y AND NOT score1 > score0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(CAST(floor(
+             CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mcc,
+           CAST(CAST(floor(
+             CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS accuracy,
+           CAST(CAST(floor(
+             CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS f1
+    FROM cell
+    """
+
+
+@query("ml_mcc_confusion", oracle=_mcc_oracle())
+def ml_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCC / accuracy / F1 over the NB classifier's exact confusion
+    cells (see block comment)."""
+    from gmall_211027_flink_spark.operators.aggregates import _nb_scored
+
+    scored = _nb_scored(spark, sf_dir)
+    pred = F.col("score1") > F.col("score0")
+    cell = scored.agg(
+        F.sum(F.when(F.col("y") & pred, 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(~F.col("y") & pred, 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(F.col("y") & ~pred, 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when(~F.col("y") & ~pred, 1).otherwise(0))
+        .cast("bigint").alias("tn"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return cell.select(
+        "tp", "fp", "fn", "tn",
+        q6((F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+           .cast("double")
+           / F.sqrt((F.col("tp") + F.col("fp")).cast("double")
+                    * (F.col("tp") + F.col("fn")).cast("double")
+                    * (F.col("tn") + F.col("fp")).cast("double")
+                    * (F.col("tn") + F.col("fn")).cast("double")))
+        .alias("mcc"),
+        q6((F.col("tp") + F.col("tn")).cast("double")
+           / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")))
+        .alias("accuracy"),
+        q6((2 * F.col("tp")).cast("double")
+           / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+        .alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# Lift / gains decile table (r12) — the campaign-targeting readout that
+# pairs with ml_roc_auc_exact: sort by score, cut the population into
+# ten equal slices, report what share of all positives each cumulative
+# slice captures (gains) and how much better than random that is
+# (cumulative lift).  Same quantized price-bucket score and same
+# BOUNDED-GRID plan as the AUC query: per-bucket (n, n_pos) counts are
+# the only full-data pass; the sweep is a window over the ~6k-bucket
+# grid, never a global per-row rank.
+#
+# Tied scores straddling a decile boundary use the UNIFORM-WITHIN-TIE
+# convention (the fractional-rank standard): taking t of the bucket's
+# nb rows captures t*n1b/nb positives.  EXACTNESS: the interpolation
+# numerator captured_x_nb = cum_pos_prev*nb + t*n1b is an exact BIGINT
+# (~1e8); gains = captured_x_nb/(nb*P) and cum_lift = gains*N/cutoff
+# are 6-dp floor-quantized doubles of identical shape in both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_lift_gains_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(o_totalprice / 100.0) AS BIGINT) AS b,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    per_b AS (
+      SELECT b,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(pos) AS BIGINT) AS n1b
+      FROM scored GROUP BY 1
+    ),
+    sweep AS (
+      SELECT b, nb, n1b,
+             CAST(COALESCE(SUM(nb) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_n_prev,
+             CAST(COALESCE(SUM(n1b) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_pos_prev
+      FROM per_b
+    ),
+    tot AS (
+      SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(n1b) AS BIGINT) AS p
+      FROM per_b
+    ),
+    dec AS (
+      SELECT d.d, (t.n * d.d) // 10 AS cutoff, t.n, t.p
+      FROM (SELECT unnest(generate_series(1, 10)) AS d) d, tot t
+    ),
+    hit AS (
+      SELECT dec.d, dec.cutoff, dec.n, dec.p, s.nb, s.n1b,
+             s.cum_pos_prev,
+             dec.cutoff - s.cum_n_prev AS t_rows
+      FROM dec JOIN sweep s
+        ON s.cum_n_prev < dec.cutoff
+       AND dec.cutoff <= s.cum_n_prev + s.nb
+    )
+    SELECT d AS decile, cutoff AS cutoff_rows,
+           cum_pos_prev * nb + t_rows * n1b AS captured_x_nb,
+           nb AS edge_bucket_n,
+           CAST(CAST(floor(
+             CAST(cum_pos_prev * nb + t_rows * n1b AS DOUBLE)
+             / (CAST(nb AS DOUBLE) * p) * 1000000 + 0.5)
+             AS BIGINT) AS DOUBLE) / 1000000.0 AS gains,
+           CAST(CAST(floor(
+             CAST(cum_pos_prev * nb + t_rows * n1b AS DOUBLE)
+             / (CAST(nb AS DOUBLE) * p) * n / cutoff
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS cum_lift
+    FROM hit ORDER BY decile
+    """,
+)
+def ml_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift at each population decile of the
+    price-bucket score (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(100.0))
+        .cast("bigint").alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"))
+    per_b = scored.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("pos").cast("bigint").alias("n1b"))
+    # bounded bucket grid (~6k price buckets): single-task window by
+    # design, never a per-row global rank (the ml_roc_auc_exact plan)
+    w = (Window.orderBy(F.desc("b"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sweep = per_b.select(
+        "b", "nb", "n1b",
+        F.coalesce(F.sum("nb").over(w), F.lit(0))
+        .cast("bigint").alias("cum_n_prev"),
+        F.coalesce(F.sum("n1b").over(w), F.lit(0))
+        .cast("bigint").alias("cum_pos_prev"))
+    tot = per_b.agg(F.sum("nb").cast("bigint").alias("n"),
+                    F.sum("n1b").cast("bigint").alias("p"))
+    dec = (spark.range(1, 11).select(F.col("id").alias("d"))
+           .crossJoin(F.broadcast(tot))
+           .select("d", F.expr("(n * d) div 10").alias("cutoff"),
+                   "n", "p"))
+    hit = (F.broadcast(dec)
+           .join(sweep,
+                 (F.col("cum_n_prev") < F.col("cutoff"))
+                 & (F.col("cutoff")
+                    <= F.col("cum_n_prev") + F.col("nb"))))
+    cap = (F.col("cum_pos_prev") * F.col("nb")
+           + (F.col("cutoff") - F.col("cum_n_prev")) * F.col("n1b"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return (hit.select(
+        F.col("d").alias("decile"),
+        F.col("cutoff").alias("cutoff_rows"),
+        cap.alias("captured_x_nb"),
+        F.col("nb").alias("edge_bucket_n"),
+        q6(cap.cast("double") / (F.col("nb").cast("double") * F.col("p")))
+        .alias("gains"),
+        q6(cap.cast("double") / (F.col("nb").cast("double") * F.col("p"))
+           * F.col("n") / F.col("cutoff")).alias("cum_lift"))
+        .orderBy("decile"))
