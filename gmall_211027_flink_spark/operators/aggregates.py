@@ -1152,11 +1152,13 @@ def stats_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # companion to stats_approx_percentile_audit — ntile over a total order
 # gives bit-exact bin boundaries to validate a sketch against.
 #
-# Scale note: exact ntile is a GLOBAL sort (single-partition window) —
-# this operator is the small-side auditor, not the production path; at
-# 100 TB the production histogram is approx_percentile (sketch, fully
-# distributed — see stats_approx_percentile_audit), and this exact form
-# runs on a sampled or per-partition slice to bound the sketch's error.
+# Scale (reworked r12): the exact ntile no longer needs a global sort —
+# ranks come from the TWO-LEVEL grid_rank (operators/ranks.py) over the
+# bounded $10k price grid and the ntile bin is recovered from (rk, n)
+# by ntile's exact remainder arithmetic (first n%k tiles get the extra
+# row), so the exact auditor is itself fully distributed.  The
+# production histogram at 100 TB is still approx_percentile (sketch,
+# see stats_approx_percentile_audit); this form bounds its error.
 # ---------------------------------------------------------------------------
 
 HIST_BINS = 10
@@ -1180,11 +1182,24 @@ HIST_BINS = 10
 )
 def stats_histogram_equi_depth(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
     orders = load_table(spark, sf_dir, "orders")
-    ranked = orders.select(
-        "o_totalprice",
-        F.ntile(HIST_BINS).over(
-            Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"))
+    n_df = orders.agg(F.count("*").cast("bigint").alias("n"))
+    rk = grid_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint"))
+    # exact ntile(k) from (rk, n): the first n % k tiles hold
+    # n div k + 1 rows, the rest n div k (Spark/DuckDB ntile contract)
+    k = HIST_BINS
+    ranked = (rk.crossJoin(F.broadcast(n_df))
+              .select("o_totalprice", F.expr(
+                  f"1 + CASE WHEN rk <= (n % {k}) * (n div {k} + 1)"
+                  f" THEN (rk - 1) div (n div {k} + 1)"
+                  f" ELSE n % {k} + (rk - 1 - (n % {k})"
+                  f" * (n div {k} + 1)) div (n div {k}) END")
+                  .alias("bin")))
     return (ranked.groupBy(F.col("bin").cast("bigint").alias("bin"))
             .agg(F.count("*").cast("bigint").alias("n_orders"),
                  F.min("o_totalprice").alias("lo"),
@@ -4009,10 +4024,10 @@ def ads_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same rows; values at a rank are unambiguous under the
 # (price, orderkey) total order.
 #
-# Scale note: the global row_number is a single-partition sort over
-# the value column — the same documented pinch as
-# stats_exact_percentiles; the two-phase ranked-boundary fix is
-# mechanical and orthogonal to the statistic.
+# Scale (reworked r12): the global row_number is the TWO-LEVEL
+# grid_rank (operators/ranks.py) over the bounded $10k price grid —
+# bit-identical ranks, no single-task sort (the "mechanical two-phase
+# fix" this note used to promise; test_plan_quality.py now gates it).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -4057,9 +4072,14 @@ def stats_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("n"),
                 F.ceil(F.col("n") / 2.0 + 1 + 1.96 * sq / 2)
                 .cast("bigint")).alias("k_hi"))
-    # global value sort: single-partition by design (see block comment)
-    rk = F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey"))
-    ordered = orders.select("o_totalprice", rk.alias("rk"))
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
+    # two-level rank over the bounded price grid (see block comment)
+    ordered = grid_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint"),
+    ).select("o_totalprice", "rk")
     j = ordered.crossJoin(F.broadcast(ranks)).filter(
         (F.col("rk") == F.col("k_lo")) | (F.col("rk") == F.col("k_med"))
         | (F.col("rk") == F.col("k_hi")))
@@ -5646,11 +5666,11 @@ def ml_ab_test_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: cut points are exact order statistics at integer ranks
 # on integer cents; trimmed/winsorized sums are exact BIGINT; each
 # mean is one 6-dp-rounded double division of exact integers.
-# Scale: one global rank — implemented as a two-phase distributed
-# rank (partition-local sort + offset by partition counts would be
-# the 100 TB shape; at test scale Spark's single range-partitioned
-# window sort is the same plan TakeOrdered-style) — then pure
-# aggregation.
+# Scale (reworked r12): the global rank is the TWO-LEVEL grid_rank
+# (operators/ranks.py) — per-$10k-band counts, an exclusive prefix
+# sweep over that bounded price grid, and a partitioned within-band
+# row_number.  Bit-identical ranks, no single-task sort; gated by the
+# unpartitioned-Window sweep in tests/test_plan_quality.py.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -5704,15 +5724,17 @@ def ml_ab_test_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean / trimmed / winsorized / median of order value from exact
     order statistics (see block comment)."""
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
     orders = load_table(spark, sf_dir, "orders")
     v = orders.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint").alias("cents"),
         F.col("o_orderkey").alias("ok"))
-    ranked = v.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "ok")).alias("rk"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"))
+    n_df = v.agg(F.count("*").cast("bigint").alias("n"))
+    ranked = (grid_rank(v, ["cents", "ok"], F.expr("cents div 1000000"))
+              .crossJoin(F.broadcast(n_df))
+              .select("cents", "rk", "n"))
     cuts = ranked.agg(
         F.first("n").alias("n"),
         F.max(F.when(F.col("rk") == F.ceil(0.05 * F.col("n"))

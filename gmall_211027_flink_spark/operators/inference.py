@@ -582,9 +582,12 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total order, so M_i is deterministic.  EXACTNESS: each term is a
 # rational of exact BIGINTs, half-up quantized to 1e9 as DECIMAL(38,0)
 # intermediates (numerators reach ~5e25), then exactly summed; A^2 is
-# one quantized readout.  SCALE: the expansion is one row per document
-# (linear), ranked by a single bounded window — the same shape the
-# ECDF in stats_ks_drift uses.
+# one quantized readout.  SCALE (reworked r12): the pooled rank and
+# the running cohort count come from ONE two-level grid_rank pass
+# (operators/ranks.py) over the bounded n_chars value grid — no
+# single-task sort; the only global window runs over the grid
+# aggregate (gated by test_plan_quality.py's unpartitioned-Window
+# sweep).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -627,20 +630,22 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Anderson-Darling A^2 on document length across
     source-parity cohorts (see block comment)."""
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "n_chars",
         F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 0)
         .otherwise(1).alias("coh"))
-    w = Window.orderBy("n_chars", "coh", "doc_id")
-    pooled = d.select(
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.sum(1 - F.col("coh")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint").alias("mi"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nn"),
-        F.sum(1 - F.col("coh")).over(Window.partitionBy())
-        .cast("bigint").alias("na"))
+    tot = d.agg(F.count("*").cast("bigint").alias("nn"),
+                F.sum(1 - F.col("coh")).cast("bigint").alias("na"))
+    # two-level pooled rank + running cohort-A count over the bounded
+    # n_chars value grid (operators/ranks.py; no single-task sort)
+    pooled = (grid_rank(d, ["n_chars", "coh", "doc_id"],
+                        F.col("n_chars"),
+                        cums={"mi": (1 - F.col("coh"))}, out_rk="i")
+              .crossJoin(F.broadcast(tot))
+              .select("i", "mi", "nn", "na"))
     d38 = "decimal(38,0)"
     terms = (pooled.filter(F.col("i") < F.col("nn"))
              .select("nn", "na",
@@ -667,8 +672,11 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparable.  U = n * sum_i (r_i - i)^2 + m * sum_j (s_j - j)^2 over
 # pooled ranks (fixed a-before-b tie order, as stats_anderson_darling);
 # T = U/(n*m*N) - (4nm - 1)/(6N).  EXACTNESS: U is an exact BIGINT;
-# T is one quantized double of identical shape.  SCALE: one bounded
-# pooled-rank window, linear in documents.
+# T is one quantized double of identical shape.  SCALE (reworked r12):
+# pooled rank r AND within-cohort rank i come from one two-level
+# grid_rank pass over the bounded n_chars grid (i is the row's own
+# cohort's inclusive cumsum) — no single-task sort, no 2-partition
+# skew window.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -712,18 +720,23 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample CvM T on document length across source-parity
     cohorts (see block comment)."""
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "n_chars",
         F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 0)
         .otherwise(1).alias("coh"))
-    pooled = d.select(
-        "coh",
-        F.row_number().over(Window.orderBy("n_chars", "coh", "doc_id"))
-        .cast("bigint").alias("r"),
-        F.row_number().over(Window.partitionBy("coh")
-                            .orderBy("n_chars", "doc_id"))
-        .cast("bigint").alias("i"))
+    # two-level pooled rank; the within-cohort rank i falls out of the
+    # SAME pass as the running per-cohort counts (i = the cohort's own
+    # inclusive cumsum at this row) — no 2-partition skew window
+    pooled = (grid_rank(d, ["n_chars", "coh", "doc_id"],
+                        F.col("n_chars"),
+                        cums={"ca": (1 - F.col("coh")),
+                              "cb": F.col("coh")}, out_rk="r")
+              .select("coh", "r",
+                      F.when(F.col("coh") == 0, F.col("ca"))
+                      .otherwise(F.col("cb")).cast("bigint").alias("i")))
     dd = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
     sums = pooled.agg(
         F.sum(F.when(F.col("coh") == 0, dd).otherwise(0))

@@ -1163,9 +1163,11 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The audit compares exact sample vs population means (cents) and the
 # largest realized key gap (stride uniformity). EXACTNESS: rank by the
 # unique o_orderkey (total order), integer stride arithmetic, exact
-# sums; readouts quantized. SCALE: one window rank on the sort key —
-# at cluster scale this is the sort the frame's layout usually already
-# provides (clustered/bucketed by key); everything else is map-side.
+# sums; readouts quantized. SCALE (reworked r12): the rank is the
+# TWO-LEVEL grid_rank (operators/ranks.py) over 8192-key blocks — no
+# single-task sort; the sample's key-gap maximum is likewise two-level
+# (within-block lag windows partitioned by block, block-boundary gaps
+# stitched on the bounded block grid).
 # ---------------------------------------------------------------------------
 
 SYSTEMATIC_STRIDE = 97
@@ -1208,18 +1210,33 @@ def sample_systematic_interval(spark: SparkSession,
     """Every-97th systematic sample from anchor 13 on the orderkey
     order; mean-vs-population and stride-uniformity audit (see block
     comment)."""
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
     orders = load_table(spark, sf_dir, "orders")
-    ranked = orders.select(
-        "o_orderkey",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint").alias("cents"),
-        F.row_number().over(Window.orderBy("o_orderkey"))
-        .cast("bigint").alias("rk"))
+    ranked = grid_rank(
+        orders.select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents")),
+        ["o_orderkey"], F.expr("o_orderkey div 8192"))
     samp = ranked.filter(
         (F.col("rk") - 1) % SYSTEMATIC_STRIDE == SYSTEMATIC_ANCHOR)
-    gaps = samp.select(
+    # two-level key-gap max: consecutive sampled keys either share an
+    # 8192-key block (partitioned lag) or straddle blocks (lag of the
+    # per-block first/last keys over the bounded block grid)
+    sb = samp.withColumn("blk", F.expr("o_orderkey div 8192"))
+    within = sb.select(
         (F.col("o_orderkey")
-         - F.lag("o_orderkey").over(Window.orderBy("rk"))).alias("keygap"))
+         - F.lag("o_orderkey").over(Window.partitionBy("blk")
+                                    .orderBy("o_orderkey")))
+        .alias("keygap"))
+    bounds = sb.groupBy("blk").agg(
+        F.min("o_orderkey").alias("first_k"),
+        F.max("o_orderkey").alias("last_k"))
+    boundary = bounds.select(
+        (F.col("first_k")
+         - F.lag("last_k").over(Window.orderBy("blk"))).alias("keygap"))
+    gaps = within.unionByName(boundary)
     pop = ranked.agg(
         F.count("*").cast("bigint").alias("n_pop"),
         F.sum("cents").cast("bigint").alias("sc"))
