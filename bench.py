@@ -387,7 +387,12 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
 
 TPCH_PROBE_QUERIES = ["q1_pricing_summary", "q3_shipping_priority",
                       "q5_local_supplier_volume", "q9_type_profit",
-                      "q18_large_orders"]
+                      "q18_large_orders",
+                      # r12 (VERDICT r11 item 8): the remaining
+                      # fact-fact-heavy shapes — two-nation flow join
+                      # q7, and q21's triple lineitem self-join with
+                      # exists/not-exists semi/anti legs
+                      "q7_volume_shipping", "q21_sole_late_supplier"]
 TPCH_SCALE_FACTOR = 10
 
 
@@ -431,9 +436,11 @@ def _tpch_scale_probe(spark, sf_dir: str) -> dict:
     measure the beyond-reference operators; this measures whether the
     reference-parity JOIN/AGG plans themselves scale linearly when the
     FACTS grow 10x against fixed dims (scan-agg q1, topk join q3, 6-way
-    join q5, heaviest join-agg q9, fact-fact semi q18). Sub-linear wall
-    growth is expected at this size (fixed costs amortize); anything
-    super-linear flags a plan that broke its broadcast/pushdown bet."""
+    join q5, heaviest join-agg q9, fact-fact semi q18, two-nation flow
+    q7, triple-lineitem semi/anti q21 — every multi-join class).
+    Sub-linear wall growth is expected at this size (fixed costs
+    amortize); anything super-linear flags a plan that broke its
+    broadcast/pushdown bet."""
     probe_dir = ensure_tpch_scale_corpus(spark, sf_dir)
     out: dict[str, object] = {}
     for name in TPCH_PROBE_QUERIES:
