@@ -7171,3 +7171,320 @@ def stats_holtwinters_seasonal(spark: SparkSession,
     volume via one exact-integer struct fold (see block comment)."""
     spine = _hw_day_spine(spark, sf_dir)
     return _hw_readout(_hw_spark_fold(spine))
+
+
+# ---------------------------------------------------------------------------
+# Theil's U2 forecast-quality ratio (r12) — Theil 1966: the standard
+# "is your forecaster better than naive?" readout that completes the
+# Holt / Holt-Winters family: U2 = RMSE(model) / RMSE(naive last-value
+# carry-forward), scored here for the SEASONAL-NAIVE forecaster
+# f_t = y_{t-7} (the DOW-season baseline every seasonal model must
+# beat) on the dense daily spine.  U2 < 1 means the weekly seasonal
+# structure is real signal, not noise — the cheap pre-check before
+# fitting stats_holtwinters_seasonal at all.
+#
+# EXACTNESS: both squared-error sums are exact BIGINTs over the day
+# grid (scored only where BOTH lags exist, so the two sums cover the
+# identical day set); U2 is one quantized sqrt of their double ratio.
+# SCALE: lag windows run over the day-grid AGGREGATE (bounded spine,
+# plan-gate clean), never over raw facts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_theils_u",
+    oracle="""
+    WITH cnt AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM cnt),
+    spine AS (
+      SELECT g.d, COALESCE(cnt.y, 0) AS y
+      FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds) g
+      LEFT JOIN cnt USING (d)
+    ),
+    lagged AS (
+      SELECT d, y,
+             lag(y, 1) OVER (ORDER BY d) AS y1,
+             lag(y, 7) OVER (ORDER BY d) AS y7
+      FROM spine
+    ),
+    scored AS (SELECT * FROM lagged WHERE y7 IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM((y1 - y) * (y1 - y)) AS BIGINT) AS sse_naive,
+           CAST(SUM((y7 - y) * (y7 - y)) AS BIGINT) AS sse_seasonal,
+           CAST(CAST(floor(
+             sqrt(CAST(SUM((y7 - y) * (y7 - y)) AS DOUBLE)
+                  / CAST(SUM((y1 - y) * (y1 - y)) AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS u2_seasonal_vs_naive
+    FROM scored
+    """,
+)
+def stats_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 of the seasonal-naive (lag-7) vs naive (lag-1)
+    forecaster on daily order volume (see block comment)."""
+    spine = _hw_day_spine(spark, sf_dir)
+    # lag windows over the bounded day-grid aggregate (plan-gate clean)
+    w = Window.orderBy("d")
+    lagged = spine.select(
+        "d", "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"))
+    scored = lagged.filter(F.col("y7").isNotNull())
+    e1 = (F.col("y1") - F.col("y")) * (F.col("y1") - F.col("y"))
+    e7 = (F.col("y7") - F.col("y")) * (F.col("y7") - F.col("y"))
+    agg = scored.agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.sum(e1).cast("bigint").alias("sse_naive"),
+        F.sum(e7).cast("bigint").alias("sse_seasonal"))
+    return agg.select(
+        "n_scored", "sse_naive", "sse_seasonal",
+        (F.floor(F.sqrt(F.col("sse_seasonal").cast("double")
+                        / F.col("sse_naive").cast("double"))
+                 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("u2_seasonal_vs_naive"))
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift monitor (r12) — Page 1954 / Hinkley 1971: the
+# sequential mean-shift detector next to CUSUM (stats_cusum_weekly_
+# exact tests ONE split retrospectively; Page-Hinkley accumulates
+# deviation from the RUNNING mean with a tolerance delta, the form
+# monitoring systems actually run online).  m_t = sum_{s<=t} (y_s -
+# mean_s - delta); an UPWARD drift fires when m_t - min_{s<=t} m_s
+# exceeds lambda.
+#
+# EXACTNESS: the running mean is floor-quantized per step at 1e6
+# ((S_t * 1e6) div t — positive, so div == floor in both engines),
+# making every term and cumulative an exact BIGINT; the readout
+# publishes PH at x1e6 plus the quantized double and the fired flag.
+# delta = 0.5 orders/week (DELTA6), lambda = 50 orders (LAMBDA6).
+# SCALE: all windows run over the weekly-count AGGREGATE (bounded
+# calendar grid, plan-gate clean).
+# ---------------------------------------------------------------------------
+
+PH_DELTA6 = 500_000          # 0.5 weekly orders at 1e6 scale
+PH_LAMBDA6 = 50_000_000      # 50 weekly orders at 1e6 scale
+
+
+@query(
+    "stats_page_hinkley",
+    oracle=f"""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT wk, y,
+             CAST(row_number() OVER (ORDER BY wk) AS BIGINT) AS t,
+             CAST(SUM(y) OVER (ORDER BY wk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS s
+      FROM wkly
+    ),
+    terms AS (
+      SELECT wk, t,
+             y * 1000000 - (s * 1000000) // t - {PH_DELTA6} AS term
+      FROM idx
+    ),
+    m AS (
+      SELECT wk, t,
+             CAST(SUM(term) OVER (ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS mt
+      FROM terms
+    ),
+    ph AS (
+      SELECT wk, t, mt,
+             mt - MIN(mt) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ph_t
+      FROM m
+    ),
+    best AS (
+      SELECT wk, t, ph_t,
+             row_number() OVER (ORDER BY ph_t DESC, t) AS rnk
+      FROM ph
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wkly) AS n_weeks,
+           t AS fired_t, wk AS fired_wk,
+           ph_t AS ph_x1e6,
+           CAST(CAST(floor(CAST(ph_t AS DOUBLE) / 1000000 * 1000000
+                           + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS ph_stat,
+           ph_t > {PH_LAMBDA6} AS drift_fired
+    FROM best WHERE rnk = 1
+    """,
+)
+def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift statistic over weekly order volume
+    with an exact integer running-mean fold (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    # all windows over the bounded weekly aggregate (plan-gate clean)
+    w = Window.orderBy("wk")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    idx = wkly.select(
+        "wk", "y",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("y").over(wrun).cast("bigint").alias("s"))
+    terms = idx.select(
+        "wk", "t",
+        (F.col("y") * 1000000 - F.expr("(s * 1000000) div t")
+         - PH_DELTA6).alias("term"))
+    wt = Window.orderBy("t")
+    wtrun = wt.rowsBetween(Window.unboundedPreceding, 0)
+    m = terms.select(
+        "wk", "t",
+        F.sum("term").over(wtrun).cast("bigint").alias("mt"))
+    ph = m.select(
+        "wk", "t", "mt",
+        (F.col("mt") - F.min("mt").over(wtrun)).alias("ph_t"))
+    best = ph.select(
+        "wk", "t", "ph_t",
+        F.row_number().over(Window.orderBy(F.desc("ph_t"), F.asc("t")))
+        .alias("rnk"))
+    n_df = wkly.agg(F.count("*").cast("bigint").alias("n_weeks"))
+    return (best.filter(F.col("rnk") == 1)
+            .crossJoin(F.broadcast(n_df))
+            .select("n_weeks",
+                    F.col("t").alias("fired_t"),
+                    F.col("wk").alias("fired_wk"),
+                    F.col("ph_t").alias("ph_x1e6"),
+                    (F.floor(F.col("ph_t").cast("double") / 1000000
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("bigint").cast("double") / F.lit(1000000.0))
+                    .alias("ph_stat"),
+                    (F.col("ph_t") > PH_LAMBDA6).alias("drift_fired")))
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (r12) — the confounder-control readout the corr
+# family was missing: weekly order count x and weekly revenue y BOTH
+# trend with time t, so their raw correlation overstates the volume-
+# revenue link.  r_xy.t = (r_xy - r_xt*r_yt) / sqrt((1-r_xt^2)
+# (1-r_yt^2)) removes the shared linear time trend (first-order
+# partial; the Gram-determinant form specializes to this for one
+# control variable).
+#
+# EXACTNESS: all ten sufficient statistics are exact integers on the
+# bounded weekly grid — y-involved squares reach ~1e22 at sf0.1 scale,
+# so they accumulate as HUGEINT (DuckDB) / DECIMAL(38,0) (Spark), the
+# stats_price_qty_corr discipline; every r and the partial are doubles
+# of identical expression shape, 6-dp floor-quantized.  SCALE: one
+# groupBy to the <= ~350-row weekly grid, constant-size math after.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_partial_correlation",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wk) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(wk * wk) AS BIGINT) AS stt,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             CAST(SUM(wk * x) AS BIGINT) AS stx,
+             SUM(CAST(y AS HUGEINT) * wk) AS sty,
+             SUM(CAST(y AS HUGEINT) * x) AS sxy
+      FROM wkly
+    ),
+    r AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)) AS rxy,
+             (n * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * sx)
+             / sqrt((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx)) AS rxt,
+             (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+             / sqrt((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)) AS ryt
+      FROM s
+    )
+    SELECT n AS n_weeks,
+           CAST(CAST(floor(rxy * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_xy,
+           CAST(CAST(floor(rxt * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_xt,
+           CAST(CAST(floor(ryt * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_yt,
+           CAST(CAST(floor(
+             (rxy - rxt * ryt)
+             / sqrt((1 - rxt * rxt) * (1 - ryt * ryt))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS r_xy_given_t
+    FROM r
+    """,
+)
+def stats_partial_correlation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """First-order partial correlation of weekly volume and revenue
+    controlling for the week index (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("x"),
+             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("y")))
+    d38 = "decimal(38,0)"
+    s = wkly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("wk").cast("bigint").alias("st"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("wk") * F.col("wk")).cast("bigint").alias("stt"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("wk") * F.col("x")).cast("bigint").alias("stx"),
+        F.sum(F.col("y").cast(d38) * F.col("wk")).alias("sty"),
+        F.sum(F.col("y").cast(d38) * F.col("x")).alias("sxy"))
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return ((n * F.col(sab).cast("double")
+                 - F.col(sa).cast("double") * F.col(sb))
+                / F.sqrt((n * F.col(saa).cast("double")
+                          - F.col(sa).cast("double") * F.col(sa))
+                         * (n * F.col(sbb).cast("double")
+                            - F.col(sb).cast("double") * F.col(sb))))
+
+    r = s.select(
+        F.col("n"),
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("stx", "st", "sx", "stt", "sxx").alias("rxt"),
+        corr("sty", "st", "sy", "stt", "syy").alias("ryt"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return r.select(
+        F.col("n").alias("n_weeks"),
+        q6(F.col("rxy")).alias("r_xy"),
+        q6(F.col("rxt")).alias("r_xt"),
+        q6(F.col("ryt")).alias("r_yt"),
+        q6((F.col("rxy") - F.col("rxt") * F.col("ryt"))
+           / F.sqrt((1 - F.col("rxt") * F.col("rxt"))
+                    * (1 - F.col("ryt") * F.col("ryt"))))
+        .alias("r_xy_given_t"))

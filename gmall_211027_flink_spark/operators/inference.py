@@ -1759,3 +1759,126 @@ def stats_gamma_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * (F.col("c_pairs") + F.col("d_pairs")
                                + F.col("ties_y")).cast("double")))
                 .alias("tau_b")))
+
+
+# ---------------------------------------------------------------------------
+# Friedman aligned-ranks test (r12) — Hodges & Lehmann 1962: the power
+# upgrade over plain Friedman that Kendall's W (above) sets up.
+# Friedman ranks WITHIN each week (7 values at a time, coarse);
+# aligned ranks first remove each week's level (align by the block
+# mean) and then rank ALL b*k aligned values in one pooled ranking —
+# cross-block information survives, so moderate DOW effects that
+# within-block ranking dilutes become visible.
+#
+# EXACTNESS: alignment stays integer by scaling through k: a = k*cents
+# - week_sum (same order as cents - mean, no rational mean); pooled 2x
+# midranks; Conover's statistic
+#   T = (k-1) [sum_j Rj^2 - k b^2 (kb+1)^2 / 4]
+#       / { kb(kb+1)(2kb+1)/6 - (1/k) sum_i Ri^2 }
+# evaluated from the exact x2-rank sums (Rj = treatment, Ri = block)
+# in identical double shape.  Ties are practically impossible on exact
+# cents; midranks keep even that case deterministic.  SCALE: complete
+# weeks only; one pooled rank window over the <= ~2400-row bounded
+# day grid (DAY-GRAIN CONTRACT; input is the daily aggregate, so the
+# global window passes the plan gate).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_friedman_aligned_ranks",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dw,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY 1 HAVING COUNT(*) = {KENDALL_W_K}
+    ),
+    aligned AS (
+      SELECT d.wk, d.dw,
+             {KENDALL_W_K} * d.cents
+               - SUM(d.cents) OVER (PARTITION BY d.wk) AS a
+      FROM daily d JOIN complete USING (wk)
+    ),
+    r AS (
+      SELECT wk, dw,
+             2 * rank() OVER (ORDER BY a)
+               + CAST(COUNT(*) OVER (PARTITION BY a) AS BIGINT) - 1
+               AS r2
+      FROM aligned
+    ),
+    sums AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS b,
+             (SELECT CAST(SUM(rj * rj) AS BIGINT)
+              FROM (SELECT CAST(SUM(r2) AS BIGINT) AS rj
+                    FROM r GROUP BY dw)) AS sum_rj2_x4,
+             (SELECT CAST(SUM(ri * ri) AS BIGINT)
+              FROM (SELECT CAST(SUM(r2) AS BIGINT) AS ri
+                    FROM r GROUP BY wk)) AS sum_ri2_x4
+    )
+    SELECT b AS n_blocks, sum_rj2_x4, sum_ri2_x4,
+           CAST(CAST(floor(
+             ({KENDALL_W_K} - 1)
+             * (CAST(sum_rj2_x4 AS DOUBLE) / 4
+                - {KENDALL_W_K} * CAST(b AS DOUBLE) * b
+                  * ({KENDALL_W_K} * b + 1)
+                  * ({KENDALL_W_K} * b + 1) / 4)
+             / (CAST({KENDALL_W_K} AS DOUBLE) * b
+                * ({KENDALL_W_K} * b + 1)
+                * (2 * {KENDALL_W_K} * b + 1) / 6
+                - CAST(sum_ri2_x4 AS DOUBLE) / (4 * {KENDALL_W_K}))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS t_stat
+    FROM sums
+    """,
+)
+def stats_friedman_aligned_ranks(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann aligned-ranks DOW test over complete weeks (see
+    block comment)."""
+    k = KENDALL_W_K
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("cents")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
+                .filter(F.col("ndw") == k).select("wk"))
+    aligned = (daily.join(complete, "wk")
+               .select("wk", "dw",
+                       (k * F.col("cents")
+                        - F.sum("cents").over(Window.partitionBy("wk")))
+                       .alias("a")))
+    # pooled rank over the <= ~2400-row bounded grid (DAY-GRAIN
+    # CONTRACT; input is the daily aggregate -> plan-gate clean)
+    r = aligned.select(
+        "wk", "dw",
+        (2 * F.rank().over(Window.orderBy("a"))
+         + F.count("*").over(Window.partitionBy("a")).cast("bigint") - 1)
+        .alias("r2"))
+    rj = (r.groupBy("dw").agg(F.sum("r2").cast("bigint").alias("rj"))
+          .agg(F.sum(F.col("rj") * F.col("rj")).cast("bigint")
+               .alias("sum_rj2_x4")))
+    ri = (r.groupBy("wk").agg(F.sum("r2").cast("bigint").alias("ri"))
+          .agg(F.sum(F.col("ri") * F.col("ri")).cast("bigint")
+               .alias("sum_ri2_x4")))
+    b_df = complete.agg(F.count("*").cast("bigint").alias("b"))
+    sums = (rj.crossJoin(F.broadcast(ri)).crossJoin(F.broadcast(b_df)))
+    bd = F.col("b").cast("double")
+    t = ((k - 1)
+         * (F.col("sum_rj2_x4").cast("double") / 4
+            - k * bd * F.col("b") * (k * F.col("b") + 1)
+            * (k * F.col("b") + 1) / 4)
+         / (F.lit(float(k)) * F.col("b") * (k * F.col("b") + 1)
+            * (2 * k * F.col("b") + 1) / 6
+            - F.col("sum_ri2_x4").cast("double") / (4 * k)))
+    return sums.select(
+        F.col("b").alias("n_blocks"), "sum_rj2_x4", "sum_ri2_x4",
+        (F.floor(t * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("t_stat"))

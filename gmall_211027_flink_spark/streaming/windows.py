@@ -3030,3 +3030,109 @@ def _hw_stream_oracle() -> str:
 
 
 _OR["stream_holtwinters_maintenance"] = _hw_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley maintenance (r12): the drift monitor's state
+# kept current at ingest.  Like CUSUM (above), the sufficient state is
+# the WEEKLY COUNT TABLE — bounded by the calendar, additive under any
+# slicing — so commits merge per-week partial counts and the
+# PH statistic (running mean fold, m_t cumulative, running-min gap) is
+# computed FROM THE STORE at read time; it must hash-match the batch
+# stats_page_hinkley oracle verbatim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_ph_maintenance",
+    oracle=None,   # assigned below: identical to the batch PH oracle
+)
+def stream_ph_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        PH_DELTA6, PH_LAMBDA6)
+
+    orders = load_table(spark, sf_dir, "orders")
+    wk_col = (F.datediff("o_orderdate", F.lit("1970-01-01"))
+              .cast("bigint") / 7).cast("bigint")
+    lo, hi = orders.agg(F.min(wk_col), F.max(wk_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_ph_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_weeks_bound = hi - lo + 1
+    d = tempfile.mkdtemp(prefix="ph_store_gate_")
+    try:
+        state = None    # the bounded (wk, y) weekly-count table
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders.select(wk_col.alias("wk"))
+                     .filter((F.col("wk") >= a) & (F.col("wk") <= b))
+                     .groupBy("wk")
+                     .agg(F.count("*").cast("bigint").alias("y")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("wk")
+                     .agg(F.sum("y").cast("bigint").alias("y")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # bounded-grain invariant, named + -O-proof
+            if n > n_weeks_bound:
+                raise RuntimeError(
+                    f"stream_ph_maintenance: weekly store grew to "
+                    f"{n} rows > calendar bound {n_weeks_bound}")
+        # final readout from the drained store — the batch PH math
+        w = Window.orderBy("wk")
+        wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+        idx = state.select(
+            "wk", "y",
+            F.row_number().over(w).cast("bigint").alias("t"),
+            F.sum("y").over(wrun).cast("bigint").alias("s"))
+        terms = idx.select(
+            "wk", "t",
+            (F.col("y") * 1000000 - F.expr("(s * 1000000) div t")
+             - PH_DELTA6).alias("term"))
+        wt = Window.orderBy("t")
+        wtrun = wt.rowsBetween(Window.unboundedPreceding, 0)
+        m = terms.select(
+            "wk", "t",
+            F.sum("term").over(wtrun).cast("bigint").alias("mt"))
+        ph = m.select(
+            "wk", "t", "mt",
+            (F.col("mt") - F.min("mt").over(wtrun)).alias("ph_t"))
+        best = ph.select(
+            "wk", "t", "ph_t",
+            F.row_number().over(
+                Window.orderBy(F.desc("ph_t"), F.asc("t"))).alias("rnk"))
+        n_df = state.agg(F.count("*").cast("bigint").alias("n_weeks"))
+        out = (best.filter(F.col("rnk") == 1)
+               .crossJoin(F.broadcast(n_df))
+               .select("n_weeks",
+                       F.col("t").alias("fired_t"),
+                       F.col("wk").alias("fired_wk"),
+                       F.col("ph_t").alias("ph_x1e6"),
+                       (F.floor(F.col("ph_t").cast("double") / 1000000
+                                * F.lit(1000000.0) + F.lit(0.5))
+                        .cast("bigint").cast("double")
+                        / F.lit(1000000.0)).alias("ph_stat"),
+                       (F.col("ph_t") > PH_LAMBDA6).alias("drift_fired")))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ph_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_page_hinkley"]
+
+
+_OR["stream_ph_maintenance"] = _ph_stream_oracle()
