@@ -1882,3 +1882,218 @@ def stats_friedman_aligned_ranks(spark: SparkSession,
         (F.floor(t * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("t_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Quade test (r12) — Quade 1979: the block-weighted cousin of aligned
+# ranks.  Friedman treats every week as equally informative; Quade
+# weights each block by the rank of its RANGE (max-min), so weeks with
+# a real spread drive the statistic and flat weeks fade.  Completes
+# the within-block family: Friedman (plain), Page (ordered), W
+# (agreement strength), aligned ranks (pooled), Quade (weighted).
+#
+# EXACTNESS: within-week 2x midranks r2; block-range 2x midranks q2
+# across weeks (ranges are exact integer cents); the products
+# S4_ij = q2_i * (r2_ij - (k+1)) are exact x4-scaled integers, and
+# Conover's T3 = (b-1)*B/(A2-B) with A2 = sum S_ij^2, B = (1/b) sum_j
+# S_j^2 evaluates from the x16 sums (the 16s cancel in the ratio).
+# SCALE: complete weeks only; both rank windows run on bounded grids
+# over aggregates (DAY-GRAIN CONTRACT, plan-gate clean).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_quade",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dw,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY 1 HAVING COUNT(*) = {KENDALL_W_K}
+    ),
+    r AS (
+      SELECT d.wk, d.dw, d.cents,
+             2 * rank() OVER (PARTITION BY d.wk ORDER BY d.cents)
+               + CAST(COUNT(*) OVER (PARTITION BY d.wk, d.cents)
+                      AS BIGINT) - 1 AS r2
+      FROM daily d JOIN complete USING (wk)
+    ),
+    rng AS (
+      SELECT wk, MAX(cents) - MIN(cents) AS rg FROM r GROUP BY 1
+    ),
+    q AS (
+      SELECT wk,
+             2 * rank() OVER (ORDER BY rg)
+               + CAST(COUNT(*) OVER (PARTITION BY rg) AS BIGINT) - 1
+               AS q2
+      FROM rng
+    ),
+    s AS (
+      SELECT r.wk, r.dw,
+             q.q2 * (r.r2 - {KENDALL_W_K + 1}) AS s4
+      FROM r JOIN q USING (wk)
+    ),
+    sums AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS b,
+             CAST(SUM(s4 * s4) AS BIGINT) AS a2_x16,
+             (SELECT CAST(SUM(sj * sj) AS BIGINT)
+              FROM (SELECT CAST(SUM(s4) AS BIGINT) AS sj
+                    FROM s GROUP BY dw)) AS b_x16b
+      FROM s
+    )
+    SELECT b AS n_blocks, a2_x16, b_x16b AS sum_sj2_x16,
+           CAST(CAST(floor(
+             (b - 1) * (CAST(b_x16b AS DOUBLE) / b)
+             / (CAST(a2_x16 AS DOUBLE) - CAST(b_x16b AS DOUBLE) / b)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS t3_stat
+    FROM sums
+    """,
+)
+def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade range-weighted within-block DOW test over complete weeks
+    (see block comment)."""
+    k = KENDALL_W_K
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("cents")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
+                .filter(F.col("ndw") == k).select("wk"))
+    r = (daily.join(complete, "wk")
+         .select("wk", "dw", "cents",
+                 (2 * F.rank().over(Window.partitionBy("wk")
+                                    .orderBy("cents"))
+                  + F.count("*").over(Window.partitionBy("wk", "cents"))
+                  .cast("bigint") - 1).alias("r2")))
+    rng = (r.groupBy("wk")
+           .agg((F.max("cents") - F.min("cents")).alias("rg")))
+    # block-range ranks: bounded week grid over an aggregate
+    q = rng.select(
+        "wk",
+        (2 * F.rank().over(Window.orderBy("rg"))
+         + F.count("*").over(Window.partitionBy("rg")).cast("bigint") - 1)
+        .alias("q2"))
+    s = (r.join(q, "wk")
+         .select("wk", "dw",
+                 (F.col("q2") * (F.col("r2") - (k + 1))).alias("s4")))
+    a2 = s.agg(F.sum(F.col("s4") * F.col("s4")).cast("bigint")
+               .alias("a2_x16"))
+    bj = (s.groupBy("dw").agg(F.sum("s4").cast("bigint").alias("sj"))
+          .agg(F.sum(F.col("sj") * F.col("sj")).cast("bigint")
+               .alias("sum_sj2_x16")))
+    b_df = complete.agg(F.count("*").cast("bigint").alias("b"))
+    sums = a2.crossJoin(F.broadcast(bj)).crossJoin(F.broadcast(b_df))
+    t3 = ((F.col("b") - 1)
+          * (F.col("sum_sj2_x16").cast("double") / F.col("b"))
+          / (F.col("a2_x16").cast("double")
+             - F.col("sum_sj2_x16").cast("double") / F.col("b")))
+    return sums.select(
+        F.col("b").alias("n_blocks"), "a2_x16", "sum_sj2_x16",
+        (F.floor(t3 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("t3_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test (r12) — Hirsch & Slack 1984: the
+# monotone-trend test that survives seasonality.  Plain Mann-Kendall
+# (stats_mann_kendall, r10) compares every pair of observations, so a
+# strong DOW cycle reads as noise (or worse, as trend); the seasonal
+# form counts sign(y_j - y_i) only WITHIN each day-of-week stratum and
+# sums the seven stratum statistics — the cross-season pairs that
+# carry no trend information never enter.
+#
+# EXACTNESS: S_d are exact pair-count integers per stratum (weekly
+# grid self-join, i<j on week); the tie-corrected null variance
+# Var = sum_d [n_d(n_d-1)(2n_d+5) - sum_t t(t-1)(2t+5)] / 18 and the
+# continuity-corrected z = (S - sign(S))/sqrt(Var) are doubles of
+# identical shape over exact BIGINTs.  SCALE: one groupBy to the
+# (wk, dow) grid, then a per-stratum bounded self-join (~7 x 60k
+# pairs) — constant-size regardless of corpus.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_seasonal_mann_kendall",
+    oracle="""
+    WITH g AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dw,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+               AS BIGINT) AS s_stat
+      FROM g a JOIN g b ON a.dw = b.dw AND a.wk < b.wk
+    ),
+    nd AS (
+      SELECT dw, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1
+    ),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tcorr
+      FROM (SELECT dw, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM g GROUP BY 1, 2)
+    ),
+    v AS (
+      SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS vraw
+      FROM nd
+    )
+    SELECT s.s_stat,
+           v.vraw - t.tcorr AS var_x18,
+           CAST(CAST(floor(
+             (CAST(s.s_stat AS DOUBLE)
+              - CASE WHEN s.s_stat > 0 THEN 1
+                     WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             / sqrt(CAST(v.vraw - t.tcorr AS DOUBLE) / 18)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM s, v, ties t
+    """,
+)
+def stats_seasonal_mann_kendall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Seasonal (DOW-stratified) Mann-Kendall trend z on weekly-grain
+    order volume (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    a, b = g.alias("a"), g.alias("b")
+    s = (a.join(b, (F.col("a.dw") == F.col("b.dw"))
+                & (F.col("a.wk") < F.col("b.wk")))
+         .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
+                    .when(F.col("b.y") < F.col("a.y"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_stat")))
+    nd = g.groupBy("dw").agg(F.count("*").cast("bigint").alias("n"))
+    v = nd.agg(F.sum(F.col("n") * (F.col("n") - 1)
+                     * (2 * F.col("n") + 5)).cast("bigint").alias("vraw"))
+    ties = (g.groupBy("dw", "y")
+            .agg(F.count("*").cast("bigint").alias("t"))
+            .agg(F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1)
+                      * (2 * F.col("t") + 5)).cast("bigint"),
+                F.lit(0).cast("bigint")).alias("tcorr")))
+    out = (s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(ties)))
+    sgn = (F.when(F.col("s_stat") > 0, 1)
+           .when(F.col("s_stat") < 0, -1).otherwise(0))
+    z = ((F.col("s_stat").cast("double") - sgn)
+         / F.sqrt((F.col("vraw") - F.col("tcorr")).cast("double") / 18))
+    return out.select(
+        "s_stat",
+        (F.col("vraw") - F.col("tcorr")).alias("var_x18"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))

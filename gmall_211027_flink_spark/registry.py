@@ -64,11 +64,13 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  the five r11 canaries range_join_price_band / q18_large_orders /
     #  dedup_first_per_user_day / dedup_last_per_user / dws_daily_uv
     #  re-passed in CORRECTNESS_r11 and fold into the r11 block below)
-    # round 2 (CORRECTNESS_r02.json, 44 green rows; the 6 oldest names
-    # dedup_ngram_jaccard_capped .. ann_cosine_topk_pandas rotated to
-    # _REVERIFY round 12 — the five text_* names were initially in the
-    # r12 rotation too, but the round's 17 new queries reclaimed their
+    # round 2 (CORRECTNESS_r02.json, 44 green rows; the 3 oldest names
+    # dedup_ngram_jaccard_capped / ann_cosine_topk /
+    # ann_cosine_topk_pandas rotated to _REVERIFY round 12 — the five
+    # text_* names and the ANN bucketed/IVF/near-dup trio were in the
+    # r12 rotation too, but the round's 20 new queries reclaimed their
     # window slots, so they stay proven on their r2 evidence)
+    "ann_lsh_bucketed", "embedding_near_dup", "ann_ivf_probe",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_repetition_ratio",
     "text_tfidf_keywords",
@@ -307,9 +309,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 # round the OLDEST driver-proven names move here so their proofs get
 # refreshed by the driver instead of relying on judge spot-checks.
 # Round 12 uses the WHOLE remaining window budget for the rotation
-# (VERDICT r11 item 1): with 17 new r12 queries, 33 rotation slots
+# (VERDICT r11 item 1): with 20 new r12 queries, 30 rotation slots
 # remain, which covers the entire remaining r1 block (25 names), the
-# 6 oldest r2 names, and the two oldest streaming-path proofs.
+# 3 oldest r2 names, and the two oldest streaming-path proofs.
 # Fold back into _DRIVER_PROVEN once CORRECTNESS_r12 lands, and rotate
 # the next-oldest batch in round 13.  NOTE the window-count rule: the
 # gate window = count of names NOT in _DRIVER_PROVEN, which already
@@ -329,9 +331,12 @@ _REVERIFY: tuple[str, ...] = (
     "dws_rolling_7d_distinct_users", "ads_mom_growth",
     "window_percentile_position", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_cluster_canonical",
-    # r2-vintage batch names (dedup/ANN head of the r2 block):
-    "dedup_ngram_jaccard_capped", "ann_cosine_topk", "ann_lsh_bucketed",
-    "embedding_near_dup", "ann_ivf_probe", "ann_cosine_topk_pandas",
+    # r2-vintage batch names (dedup/ANN head of the r2 block; the
+    # bucketed/IVF/near-dup trio returned to the proven tail when the
+    # continuation wave reclaimed their slots — each has a
+    # later-round recall-audit twin with fresher evidence):
+    "dedup_ngram_jaccard_capped", "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
     # streaming-path canaries (r2/r3-vintage streaming proofs):
     "dws_cumulate_streaming", "dwd_stream_dedup_within_watermark",
 )

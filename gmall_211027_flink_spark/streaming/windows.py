@@ -3136,3 +3136,97 @@ def _ph_stream_oracle() -> str:
 
 
 _OR["stream_ph_maintenance"] = _ph_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Theil's-U maintenance (r12): the forecast-quality monitor
+# kept current at ingest.  Sufficient state = the DAILY COUNT TABLE
+# (calendar-bounded, additive under any slicing — the CUSUM/PH store
+# at day grain); at read time the dense spine is rebuilt from the
+# store's own min/max (gap days = 0) and the lag-1 / lag-7 error sums
+# must hash-match the batch stats_theils_u oracle verbatim.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_theil_maintenance",
+    oracle=None,   # assigned below: identical to the batch Theil oracle
+)
+def stream_theil_maintenance(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_theil_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_days_bound = hi - lo + 1
+    d = tempfile.mkdtemp(prefix="theil_store_gate_")
+    try:
+        state = None    # the bounded (d, y) daily-count table
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders.select(d_col.alias("d"))
+                     .filter((F.col("d") >= a) & (F.col("d") <= b))
+                     .groupBy("d")
+                     .agg(F.count("*").cast("bigint").alias("y")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("d")
+                     .agg(F.sum("y").cast("bigint").alias("y")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # bounded-grain invariant, named + -O-proof
+            if n > n_days_bound:
+                raise RuntimeError(
+                    f"stream_theil_maintenance: daily store grew to "
+                    f"{n} rows > calendar bound {n_days_bound}")
+        # readout from the drained store — the batch Theil's-U math
+        # over the dense spine rebuilt from the store's own bounds
+        days = (state.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+                .select(F.explode(F.sequence("lo", "hi")).alias("d")))
+        spine = (days.join(state, "d", "left")
+                 .select("d", F.coalesce("y", F.lit(0)).cast("bigint")
+                         .alias("y")))
+        w = Window.orderBy("d")
+        lagged = spine.select(
+            "d", "y",
+            F.lag("y", 1).over(w).alias("y1"),
+            F.lag("y", 7).over(w).alias("y7"))
+        scored = lagged.filter(F.col("y7").isNotNull())
+        e1 = (F.col("y1") - F.col("y")) * (F.col("y1") - F.col("y"))
+        e7 = (F.col("y7") - F.col("y")) * (F.col("y7") - F.col("y"))
+        agg = scored.agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            F.sum(e1).cast("bigint").alias("sse_naive"),
+            F.sum(e7).cast("bigint").alias("sse_seasonal"))
+        out = agg.select(
+            "n_scored", "sse_naive", "sse_seasonal",
+            (F.floor(F.sqrt(F.col("sse_seasonal").cast("double")
+                            / F.col("sse_naive").cast("double"))
+                     * F.lit(1000000.0) + F.lit(0.5))
+             .cast("bigint").cast("double") / F.lit(1000000.0))
+            .alias("u2_seasonal_vs_naive"))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _theil_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.aggregates  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_theils_u"]
+
+
+_OR["stream_theil_maintenance"] = _theil_stream_oracle()

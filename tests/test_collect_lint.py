@@ -58,7 +58,8 @@ _STREAM_STORE_FUNCS = (
     "stream_last_value_compaction", "stream_mg_heavy_hitters",
     "stream_ols_maintenance", "stream_pca_scatter_maintenance",
     "stream_ph_maintenance", "stream_psi_maintenance",
-    "stream_topk_gmv_maintenance", "stream_winnowing_index_store",
+    "stream_theil_maintenance", "stream_topk_gmv_maintenance",
+    "stream_winnowing_index_store",
 )
 for _fn in _STREAM_STORE_FUNCS:
     ALLOWED_COLLECT_SITES[("streaming/windows.py", _fn)] = (
