@@ -225,3 +225,228 @@ def test_katz_matches_adjacency_powers(spark, sf_dir):
         for n in adj:
             series[n] += coef * y[n]
     assert out == series
+
+
+# ---------------------------------------------------------------------------
+# Independent Python replays of the round-12 statistics: each test
+# collects the BOUNDED grid the query reduces to (day/week grain at
+# sf0.001) and recomputes the statistic with plain Python ints/floats —
+# a third implementation, independent of both the Spark and DuckDB
+# expression texts.
+# ---------------------------------------------------------------------------
+
+def _weekly_counts(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .orderBy("wk").collect())
+    return [(r["wk"], r["y"]) for r in rows]
+
+
+def test_page_hinkley_matches_python_replay(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.aggregates import (
+        PH_DELTA6, PH_LAMBDA6, stats_page_hinkley)
+
+    wk = _weekly_counts(spark, sf_dir)
+    s = 0
+    m = 0
+    mmin = 0
+    best = (-1, None, None)   # (ph, t, wk)
+    for t, (w, y) in enumerate(wk, start=1):
+        s += y
+        m += y * 1000000 - (s * 1000000) // t - PH_DELTA6
+        mmin = min(mmin, m)
+        ph = m - mmin
+        if ph > best[0]:
+            best = (ph, t, w)
+    out = stats_page_hinkley(spark, sf_dir).first()
+    assert out["ph_x1e6"] == best[0]
+    assert out["fired_t"] == best[1]
+    assert out["fired_wk"] == best[2]
+    assert out["drift_fired"] == (best[0] > PH_LAMBDA6)
+    assert out["n_weeks"] == len(wk)
+
+
+def test_theils_u_matches_python_replay(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.aggregates import (
+        stats_theils_u)
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("bigint").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y")).collect())
+    cnt = {r["d"]: r["y"] for r in rows}
+    lo, hi = min(cnt), max(cnt)
+    y = [cnt.get(d, 0) for d in range(lo, hi + 1)]
+    sse1 = sum((y[i - 1] - y[i]) ** 2 for i in range(7, len(y)))
+    sse7 = sum((y[i - 7] - y[i]) ** 2 for i in range(7, len(y)))
+    out = stats_theils_u(spark, sf_dir).first()
+    assert out["n_scored"] == len(y) - 7
+    assert out["sse_naive"] == sse1
+    assert out["sse_seasonal"] == sse7
+
+
+def test_seasonal_mann_kendall_matches_python_replay(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_seasonal_mann_kendall)
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg(F.count("*").cast("bigint").alias("y")).collect())
+    strata: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        strata.setdefault(r["dw"], []).append((r["wk"], r["y"]))
+    s_stat = 0
+    var18 = 0
+    for obs in strata.values():
+        obs.sort()
+        n = len(obs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = obs[j][1] - obs[i][1]
+                s_stat += (d > 0) - (d < 0)
+        var18 += n * (n - 1) * (2 * n + 5)
+        tc: dict[int, int] = {}
+        for _w, yv in obs:
+            tc[yv] = tc.get(yv, 0) + 1
+        var18 -= sum(t * (t - 1) * (2 * t + 5) for t in tc.values())
+    out = stats_seasonal_mann_kendall(spark, sf_dir).first()
+    assert out["s_stat"] == s_stat
+    assert out["var_x18"] == var18
+
+
+def _complete_week_cents(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("cents"))
+        .collect())
+    weeks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        weeks.setdefault(r["wk"], {})[r["dw"]] = r["cents"]
+    return {w: m for w, m in weeks.items() if len(m) == 7}
+
+
+def _midranks2(values):
+    """2x midranks of a list: 2*rank + tiecount - 1 per element."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    out = [0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while (j + 1 < len(order)
+               and values[order[j + 1]] == values[order[i]]):
+            j += 1
+        for k in range(i, j + 1):
+            out[order[k]] = 2 * (i + 1) + (j - i + 1) - 1
+        i = j + 1
+    return out
+
+
+def test_quade_matches_python_replay(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import stats_quade
+
+    weeks = _complete_week_cents(spark, sf_dir)
+    if not weeks:
+        pytest.skip("no complete weeks at this SF")
+    b = len(weeks)
+    wlist = sorted(weeks)
+    ranges = [max(weeks[w].values()) - min(weeks[w].values())
+              for w in wlist]
+    q2 = _midranks2(ranges)
+    s4 = {dw: 0 for dw in range(7)}
+    a2 = 0
+    for wi, w in enumerate(wlist):
+        cents = [weeks[w][dw] for dw in range(7)]
+        r2 = _midranks2(cents)
+        for dw in range(7):
+            v = q2[wi] * (r2[dw] - 8)
+            s4[dw] += v
+            a2 += v * v
+    sum_sj2 = sum(v * v for v in s4.values())
+    out = stats_quade(spark, sf_dir).first()
+    assert out["n_blocks"] == b
+    assert out["a2_x16"] == a2
+    assert out["sum_sj2_x16"] == sum_sj2
+
+
+def test_friedman_aligned_ranks_matches_python_replay(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_friedman_aligned_ranks)
+
+    weeks = _complete_week_cents(spark, sf_dir)
+    if not weeks:
+        pytest.skip("no complete weeks at this SF")
+    aligned, keys = [], []
+    for w in sorted(weeks):
+        s = sum(weeks[w].values())
+        for dw in range(7):
+            aligned.append(7 * weeks[w][dw] - s)
+            keys.append((w, dw))
+    r2 = _midranks2(aligned)
+    rj = {dw: 0 for dw in range(7)}
+    ri = {w: 0 for w in weeks}
+    for (w, dw), v in zip(keys, r2):
+        rj[dw] += v
+        ri[w] += v
+    out = stats_friedman_aligned_ranks(spark, sf_dir).first()
+    assert out["n_blocks"] == len(weeks)
+    assert out["sum_rj2_x4"] == sum(v * v for v in rj.values())
+    assert out["sum_ri2_x4"] == sum(v * v for v in ri.values())
+
+
+def test_hoeffding_d_matches_python_replay(spark, sf_dir):
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_hoeffding_d)
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("x"),
+             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("y"))
+        .collect())
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    n = len(rows)
+    r2 = _midranks2(xs)
+    s2 = _midranks2(ys)
+    d1 = d2 = d3 = 0
+    for i in range(n):
+        q4 = 4
+        for j in range(n):
+            if j == i:
+                continue
+            if xs[j] < xs[i] and ys[j] < ys[i]:
+                q4 += 4
+            elif xs[j] == xs[i] and ys[j] < ys[i]:
+                q4 += 2
+            elif xs[j] < xs[i] and ys[j] == ys[i]:
+                q4 += 2
+            elif xs[j] == xs[i] and ys[j] == ys[i]:
+                q4 += 1
+        d1 += (q4 - 4) * (q4 - 8)
+        d2 += (r2[i] - 2) * (r2[i] - 4) * (s2[i] - 2) * (s2[i] - 4)
+        d3 += (r2[i] - 4) * (s2[i] - 4) * (q4 - 4)
+    out = stats_hoeffding_d(spark, sf_dir).first()
+    assert out["n"] == n
+    assert out["d1_16"] == d1
+    assert out["d2_16"] == d2
+    assert out["d3_16"] == d3
