@@ -95,6 +95,8 @@ def main() -> None:
     scale = _dedup_scale_probe(spark, sf_dir)
     spark.catalog.clearCache()
     tpch_scale = _tpch_scale_probe(spark, sf_dir)
+    spark.catalog.clearCache()
+    grid_rank_ab = _grid_rank_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,6 +119,7 @@ def main() -> None:
         "sf": sf_val,
         "scale_probe": scale,
         "tpch_scale": tpch_scale,
+        "grid_rank_ab": grid_rank_ab,
     }
     # Full telemetry blob FIRST (one line, for humans / scripts that read
     # whole stdout), then a compact headline-only line LAST.  The driver
@@ -611,3 +614,54 @@ def _host_steal_seconds() -> float:
 
 if __name__ == "__main__":
     main()
+
+
+def _grid_rank_probe(spark, sf_dir: str) -> dict:
+    """A/B for SCALE.md §16: exact global median rank over orders via
+    the single-task `row_number() OVER (ORDER BY ...)` vs the two-level
+    grid_rank, at 1x and on the 10x fact replica.  Identical answers
+    (asserted); the wall/cpu gap is the measured cost of the one-task
+    sort that the r12 rework removed from six queries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
+    probe_dir = ensure_tpch_scale_corpus(spark, sf_dir)
+    out: dict[str, object] = {}
+    for label, d in (("1x", sf_dir), ("10x", probe_dir)):
+        orders = (spark.read.parquet(f"{d}/orders.parquet")
+                  .select("o_totalprice", "o_orderkey"))
+        n = orders.count()
+        k_med = (n + 1) // 2
+        answers = {}
+        for name, ranked in (
+            ("two_level", grid_rank(
+                orders, ["o_totalprice", "o_orderkey"],
+                F.floor(F.col("o_totalprice") / 10000).cast("bigint"))),
+            ("single_task", orders.select(
+                "o_totalprice",
+                F.row_number().over(
+                    Window.orderBy("o_totalprice", "o_orderkey"))
+                .cast("bigint").alias("rk"))),
+        ):
+            best, best_cpu = float("inf"), 0.0
+            for _ in range(2):
+                c0 = _jvm_cpu_seconds()
+                t0 = time.perf_counter()
+                row = (ranked.filter(F.col("rk") == k_med)
+                       .select("o_totalprice").first())
+                wall = time.perf_counter() - t0
+                if wall < best:
+                    best, best_cpu = wall, _jvm_cpu_seconds() - c0
+            answers[name] = row["o_totalprice"]
+            out[f"{name}_wall_{label}"] = round(best, 3)
+            out[f"{name}_cpu_{label}"] = round(best_cpu, 2)
+        if answers["two_level"] != answers["single_task"]:
+            raise RuntimeError(
+                f"grid_rank probe: median mismatch at {label}: "
+                f"{answers}")
+        out[f"speedup_{label}"] = round(
+            out[f"single_task_wall_{label}"]
+            / max(out[f"two_level_wall_{label}"], 1e-9), 2)
+    return out
