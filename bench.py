@@ -612,10 +612,6 @@ def _host_steal_seconds() -> float:
         return 0.0
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _grid_rank_probe(spark, sf_dir: str) -> dict:
     """A/B for SCALE.md §16: exact global median rank over orders via
     the single-task `row_number() OVER (ORDER BY ...)` vs the two-level
@@ -628,8 +624,26 @@ def _grid_rank_probe(spark, sf_dir: str) -> dict:
     from gmall_211027_flink_spark.operators.ranks import grid_rank
 
     probe_dir = ensure_tpch_scale_corpus(spark, sf_dir)
+    # 100x orders-only replica (the 10x point sits near the local
+    # crossover, so the decisive measurement needs another decade;
+    # same freshness-keyed /tmp cache scheme as the TPC-H corpus)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    dir100 = (f"/tmp/spark_graft_rank100x_"
+              f"{os.path.basename(sf_dir.rstrip('/'))}_{n_orders}")
+    path100 = f"{dir100}/orders.parquet"
+    if not os.path.exists(f"{path100}/_SUCCESS"):
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_totalprice", "o_orderkey")
+         .select("*", F.explode(F.sequence(F.lit(0), F.lit(99)))
+                 .alias("_r"))
+         .withColumn("o_orderkey",
+                     F.col("o_orderkey") * 100 + F.col("_r"))
+         .drop("_r")
+         .repartition(32)
+         .write.mode("overwrite").parquet(path100))
     out: dict[str, object] = {}
-    for label, d in (("1x", sf_dir), ("10x", probe_dir)):
+    for label, d in (("1x", sf_dir), ("10x", probe_dir),
+                     ("100x", dir100)):
         orders = (spark.read.parquet(f"{d}/orders.parquet")
                   .select("o_totalprice", "o_orderkey"))
         n = orders.count()
@@ -665,3 +679,7 @@ def _grid_rank_probe(spark, sf_dir: str) -> dict:
             out[f"single_task_wall_{label}"]
             / max(out[f"two_level_wall_{label}"], 1e-9), 2)
     return out
+
+
+if __name__ == "__main__":
+    main()
