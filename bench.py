@@ -374,7 +374,16 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict:
             else None
         if cache and os.path.exists(cache):
             with open(cache) as fh:
-                out[f"minhash_recall_{label}"] = json.load(fh)
+                rec = json.load(fh)
+            # VERDICT r12 "what's wrong" #1: never present a cached
+            # wall-time as if it were re-measured — flag it and carry
+            # the mtime of the measuring run so BENCH_r{N}.json shows
+            # when the number actually came from
+            rec["sec_cached"] = True
+            rec["sec_measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ",
+                time.gmtime(os.path.getmtime(cache)))
+            out[f"minhash_recall_{label}"] = rec
             continue
         t0 = time.perf_counter()
         row = QUERIES["dedup_minhash_recall"](spark, d).collect()[0]

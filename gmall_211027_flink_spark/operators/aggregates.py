@@ -1193,12 +1193,17 @@ def stats_histogram_equi_depth(spark: SparkSession,
     # exact ntile(k) from (rk, n): the first n % k tiles hold
     # n div k + 1 rows, the rest n div k (Spark/DuckDB ntile contract)
     k = HIST_BINS
+    # greatest(n div k, 1): when n < k the CASE's THEN branch always
+    # fires (rk <= n = (n % k) * 1), but the ELSE divisor must still be
+    # nonzero so the expression survives spark.sql.ansi.enabled, which
+    # evaluates-and-throws rather than null-on-divide-by-zero
+    # (ADVICE r12)
     ranked = (rk.crossJoin(F.broadcast(n_df))
               .select("o_totalprice", F.expr(
                   f"1 + CASE WHEN rk <= (n % {k}) * (n div {k} + 1)"
                   f" THEN (rk - 1) div (n div {k} + 1)"
                   f" ELSE n % {k} + (rk - 1 - (n % {k})"
-                  f" * (n div {k} + 1)) div (n div {k}) END")
+                  f" * (n div {k} + 1)) div greatest(n div {k}, 1) END")
                   .alias("bin")))
     return (ranked.groupBy(F.col("bin").cast("bigint").alias("bin"))
             .agg(F.count("*").cast("bigint").alias("n_orders"),

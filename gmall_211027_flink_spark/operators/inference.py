@@ -1774,10 +1774,15 @@ def stats_gamma_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - week_sum (same order as cents - mean, no rational mean); pooled 2x
 # midranks; Conover's statistic
 #   T = (k-1) [sum_j Rj^2 - k b^2 (kb+1)^2 / 4]
-#       / { kb(kb+1)(2kb+1)/6 - (1/k) sum_i Ri^2 }
-# evaluated from the exact x2-rank sums (Rj = treatment, Ri = block)
-# in identical double shape.  Ties are practically impossible on exact
-# cents; midranks keep even that case deterministic.  SCALE: complete
+#       / { sum_ij R_ij^2 - (1/k) sum_i Ri^2 }
+# evaluated from the exact x2-rank sums (Rj = treatment, Ri = block,
+# R_ij = pooled midrank) in identical double shape.  The pooled sum of
+# squares sum_ij R_ij^2 is computed FROM THE DATA (Conover's tie-exact
+# form, ADVICE r12) instead of the untied closed form
+# kb(kb+1)(2kb+1)/6 — on untied data the two coincide (sum of i^2);
+# on tied aligned cents only the data form is correct.  Ties are
+# practically impossible on exact cents; midranks + the data form keep
+# even that case deterministic AND exact.  SCALE: complete
 # weeks only; one pooled rank window over the <= ~2400-row bounded
 # day grid (DAY-GRAIN CONTRACT; input is the daily aggregate, so the
 # global window passes the plan gate).
@@ -1817,18 +1822,18 @@ def stats_gamma_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM r GROUP BY dw)) AS sum_rj2_x4,
              (SELECT CAST(SUM(ri * ri) AS BIGINT)
               FROM (SELECT CAST(SUM(r2) AS BIGINT) AS ri
-                    FROM r GROUP BY wk)) AS sum_ri2_x4
+                    FROM r GROUP BY wk)) AS sum_ri2_x4,
+             (SELECT CAST(SUM(r2 * r2) AS BIGINT) FROM r)
+               AS sum_rij2_x4
     )
-    SELECT b AS n_blocks, sum_rj2_x4, sum_ri2_x4,
+    SELECT b AS n_blocks, sum_rj2_x4, sum_ri2_x4, sum_rij2_x4,
            CAST(CAST(floor(
              ({KENDALL_W_K} - 1)
              * (CAST(sum_rj2_x4 AS DOUBLE) / 4
                 - {KENDALL_W_K} * CAST(b AS DOUBLE) * b
                   * ({KENDALL_W_K} * b + 1)
                   * ({KENDALL_W_K} * b + 1) / 4)
-             / (CAST({KENDALL_W_K} AS DOUBLE) * b
-                * ({KENDALL_W_K} * b + 1)
-                * (2 * {KENDALL_W_K} * b + 1) / 6
+             / (CAST(sum_rij2_x4 AS DOUBLE) / 4
                 - CAST(sum_ri2_x4 AS DOUBLE) / (4 * {KENDALL_W_K}))
              * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
              AS t_stat
@@ -1867,18 +1872,23 @@ def stats_friedman_aligned_ranks(spark: SparkSession,
     ri = (r.groupBy("wk").agg(F.sum("r2").cast("bigint").alias("ri"))
           .agg(F.sum(F.col("ri") * F.col("ri")).cast("bigint")
                .alias("sum_ri2_x4")))
+    # tie-exact pooled sum of squared midranks (ADVICE r12): from the
+    # data, not the untied closed form kb(kb+1)(2kb+1)/6
+    rij = r.agg(F.sum(F.col("r2") * F.col("r2")).cast("bigint")
+                .alias("sum_rij2_x4"))
     b_df = complete.agg(F.count("*").cast("bigint").alias("b"))
-    sums = (rj.crossJoin(F.broadcast(ri)).crossJoin(F.broadcast(b_df)))
+    sums = (rj.crossJoin(F.broadcast(ri)).crossJoin(F.broadcast(rij))
+            .crossJoin(F.broadcast(b_df)))
     bd = F.col("b").cast("double")
     t = ((k - 1)
          * (F.col("sum_rj2_x4").cast("double") / 4
             - k * bd * F.col("b") * (k * F.col("b") + 1)
             * (k * F.col("b") + 1) / 4)
-         / (F.lit(float(k)) * F.col("b") * (k * F.col("b") + 1)
-            * (2 * k * F.col("b") + 1) / 6
+         / (F.col("sum_rij2_x4").cast("double") / 4
             - F.col("sum_ri2_x4").cast("double") / (4 * k)))
     return sums.select(
         F.col("b").alias("n_blocks"), "sum_rj2_x4", "sum_ri2_x4",
+        "sum_rij2_x4",
         (F.floor(t * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("t_stat"))

@@ -3700,3 +3700,324 @@ def multimodal_adpcm_roundtrip(spark: SparkSession,
     return (decode_parallel(docs)
             .mapInPandas(_adpcm_batch, WAV_ADPCM_SCHEMA)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-rate ADPCM rungs (r13) — the 2/3/5-bit bit-rate ladder that
+# G.726 standardizes (16/24/40 kbit/s at 8 kHz; ITU-T G.726, 1990)
+# next to r12's 4-bit path.  Implemented as the natural multi-width
+# generalization of the r12 IMA quantizer over the SAME 89-entry step
+# table: an M-magnitude-bit code quantizes |s - pred| by the greedy
+# threshold chain step>>0, step>>1, ..., step>>(M-1) with rounding
+# term step>>M, and the index table generalizes the 4-bit
+# (-1,-1,-1,-1,2,4,6,8) shape — lower half of magnitudes step the
+# index down 1, the upper half steps up 2,4,6,...  (NOT ITU-T G.726
+# bit-exact: that codec's 2-pole/6-zero adaptive predictor is a
+# different machine; what a pipeline consumer needs is the rate ladder
+# and the stateful transcode audit, which this provides with the same
+# honesty as the r12 fmt-0x11 path.)  Each asset draws its rung from
+# the content hash, so one query exercises all three widths and the
+# variable-width BITSTREAM packing (codes packed LSB-first across byte
+# boundaries — 3- and 5-bit codes straddle bytes, unlike nibbles).
+#
+# Oracle: same recursive-CTE lockstep replay as r12 (the decoder state
+# equals the encoder state by construction, so replaying ENCODE yields
+# the decoded samples), but the recursion emits one row per decoded
+# sample and the audit sums are plain aggregates OVER the recursion's
+# retained rows — that keeps the big width-switched CASE expression to
+# two occurrences (pred', idx') instead of five.  EXACTNESS: integer
+# shifts/clamps only.  SCALE: per-asset decode is sequential (honest
+# codec state), embarrassingly parallel across assets behind
+# decode_parallel; 5 summary BIGINTs per asset leave the task.
+# ---------------------------------------------------------------------------
+
+ADPCM_RUNG_WIDTHS = (2, 3, 5)    # code bits incl. sign: G.726's rate rungs
+
+
+def _adpcm_rung_params(h: str) -> dict:
+    """Asset geometry from the md5 hash — the r12 _adpcm_params fields
+    plus the per-asset rung width."""
+    p = _adpcm_params(h)
+    p["bits"] = ADPCM_RUNG_WIDTHS[int(h[15], 16) % 3]
+    return p
+
+
+def _adpcm_advance_m(pred: int, idx: int, s: int,
+                     m: int) -> tuple[int, int, int]:
+    """One encode step at M = bits-1 magnitude bits: greedy threshold
+    chain + generalized index table (see block comment).  M = 3
+    reproduces r12's _adpcm_advance bit-for-bit."""
+    step = ADPCM_STEP_TABLE[idx]
+    delta = s - pred
+    sign = (1 << m) if delta < 0 else 0
+    delta = abs(delta)
+    mag = 0
+    diffq = step >> m
+    for j in range(m - 1, -1, -1):
+        th = step >> (m - 1 - j)
+        if delta >= th:
+            delta -= th
+            mag |= 1 << j
+            diffq += th
+    pred = pred - diffq if sign else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    half = 1 << (m - 1)
+    idx = max(0, min(88, idx + (-1 if mag < half
+                                else 2 * (mag - half + 1))))
+    return sign | mag, pred, idx
+
+
+def _adpcm_expand_m(code: int, pred: int, idx: int,
+                    m: int) -> tuple[int, int]:
+    """One decode step at M magnitude bits — the exact inverse state
+    advance of _adpcm_advance_m."""
+    step = ADPCM_STEP_TABLE[idx]
+    diffq = step >> m
+    for j in range(m - 1, -1, -1):
+        if (code >> j) & 1:
+            diffq += step >> (m - 1 - j)
+    pred = pred - diffq if code & (1 << m) else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    mag = code & ((1 << m) - 1)
+    half = 1 << (m - 1)
+    idx = max(0, min(88, idx + (-1 if mag < half
+                                else 2 * (mag - half + 1))))
+    return pred, idx
+
+
+def _pack_codes(codes: list, width: int) -> bytes:
+    """LSB-first variable-width bitstream: 3- and 5-bit codes straddle
+    byte boundaries; final partial byte zero-padded (the fact chunk
+    marks the true frame count, as in the r12 4-bit path)."""
+    acc = nb = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nb
+        nb += width
+        while nb >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _unpack_codes(data: bytes, width: int, count: int) -> list:
+    acc = nb = pos = 0
+    out = []
+    mask = (1 << width) - 1
+    for _ in range(count):
+        while nb < width:
+            if pos >= len(data):
+                raise ValueError(
+                    f"bitstream exhausted after {len(out)} of {count}"
+                    f" {width}-bit codes")
+            acc |= data[pos] << nb
+            pos += 1
+            nb += 8
+        out.append(acc & mask)
+        acc >>= width
+        nb -= width
+    return out
+
+
+def synthesize_wav_adpcm_rung(doc_id: int, h: str) -> bytes:
+    """A valid RIFF/WAVE, format tag 0x11, mono, bits-per-sample 2, 3
+    or 5: fmt chunk with the samples-per-block extension, fact chunk
+    with the true frame count, one data block whose 4-byte header
+    carries (sample 0, index 0) and whose codes pack LSB-first."""
+    p = _adpcm_rung_params(h)
+    nfr, a, b, rate, bits = p["nfr"], p["a"], p["b"], p["rate"], p["bits"]
+    m = bits - 1
+    samples = [(a * i + b) % 65536 - 32768 for i in range(nfr)]
+    pred, idx = samples[0], 0
+    codes = []
+    for s in samples[1:]:
+        code, pred, idx = _adpcm_advance_m(pred, idx, s, m)
+        codes.append(code)
+    data = _pack_codes(codes, bits)
+    block = struct.pack("<hBB", samples[0], 0, 0) + data
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      (rate * len(block)) // max(nfr, 1), len(block),
+                      bits, 2, nfr)
+    fact = struct.pack("<I", nfr)
+    out = (b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<I", len(fact)) + fact
+           + b"data" + struct.pack("<I", len(block)) + block
+           + (b"\x00" if len(block) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav_adpcm_rung(payload: bytes):
+    """RIFF walk + multi-width ADPCM expansion; returns (rate, bits,
+    samples).  Raises on anything but tag 0x11 at 2/3/5 bits mono —
+    honest scope (the 4-bit rung is decode_wav_adpcm's)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, nfr, block = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH",
+                                                          body[:16])
+            if tag != 0x11 or bits not in ADPCM_RUNG_WIDTHS or ch != 1:
+                raise ValueError(f"unsupported WAV: fmt={tag}"
+                                 f" bits={bits} ch={ch}")
+        elif cid == b"fact":
+            (nfr,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated data chunk: declared {size} bytes,"
+                    f" payload carries {len(body)}")
+            block = body
+        pos += 8 + size + (size & 1)
+    if rate is None or nfr is None or block is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    pred, idx, _rsv = struct.unpack("<hBB", block[:4])
+    out = [pred]
+    m = bits - 1
+    for code in _unpack_codes(block[4:], bits, nfr - 1):
+        pred, idx = _adpcm_expand_m(code, pred, idx, m)
+        out.append(pred)
+    return rate, bits, out
+
+
+WAV_ADPCM_RUNG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("bits", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sum_decoded", T.LongType()),
+    T.StructField("sum_abs_err", T.LongType()),
+    T.StructField("max_abs_err", T.LongType()),
+])
+
+
+def _adpcm_rung_exprs(m: int) -> tuple[str, str]:
+    """(pred', idx') expression text for one M-magnitude-bit rung —
+    the r12 _adpcm_oracle chain generalized over M; the greedy bit
+    chain expands textually exactly as the engine's Python loop
+    executes it."""
+    st = "c.st[r.idx + 1]"
+    s = "((r.a * (r.i + 1) + r.b) % 65536 - 32768)"
+    d = f"abs({s} - r.pred)"
+    diffq_terms = [f"({st} // {1 << m})"]
+    bits = []
+    for j in range(m - 1, -1, -1):
+        th = f"({st} // {1 << (m - 1 - j)})"
+        b = f"(CASE WHEN {d} >= {th} THEN 1 ELSE 0 END)"
+        d = f"({d} - {b} * {th})"
+        diffq_terms.append(f"{b} * {th}")
+        bits.append((j, b))
+    diffq = "(" + " + ".join(diffq_terms) + ")"
+    predn = (f"GREATEST(-32768, LEAST(32767, r.pred"
+             f" + CASE WHEN {s} < r.pred THEN -{diffq}"
+             f" ELSE {diffq} END))")
+    mag = "(" + " + ".join(f"{b} * {1 << j}" for j, b in bits) + ")"
+    half = 1 << (m - 1)
+    idxn = (f"GREATEST(0, LEAST(88, r.idx + CASE WHEN {mag} < {half}"
+            f" THEN -1 ELSE 2 * ({mag} - {half} + 1) END))")
+    return predn, idxn
+
+
+def _adpcm_rung_oracle() -> str:
+    """Recursive-CTE lockstep replay across all three rungs: the
+    recursion advances every asset one sample per step carrying only
+    (pred, idx); the audit sums aggregate the retained recursion rows
+    (see block comment)."""
+    cases_p, cases_i = [], []
+    for w in ADPCM_RUNG_WIDTHS[:-1]:
+        p, i = _adpcm_rung_exprs(w - 1)
+        cases_p.append(f"WHEN r.bits = {w} THEN {p}")
+        cases_i.append(f"WHEN r.bits = {w} THEN {i}")
+    p_last, i_last = _adpcm_rung_exprs(ADPCM_RUNG_WIDTHS[-1] - 1)
+    predn = "CASE " + " ".join(cases_p) + f" ELSE {p_last} END"
+    idxn = "CASE " + " ".join(cases_i) + f" ELSE {i_last} END"
+    step_list = "[" + ", ".join(str(v) for v in ADPCM_STEP_TABLE) + "]"
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 2
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT
+                 % {ADPCM_MAX_FRAMES} AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b,
+             CASE ('0x' || substr(h, 16, 1))::BIGINT % 3
+               WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 5 END AS bits
+      FROM g
+    ),
+    c AS (SELECT {step_list} AS st),
+    rec AS (
+      SELECT doc_id, nfr, a, b, bits, CAST(0 AS BIGINT) AS i,
+             (a * 0 + b) % 65536 - 32768 AS pred,
+             CAST(0 AS BIGINT) AS idx
+      FROM geo
+      UNION ALL
+      SELECT r.doc_id, r.nfr, r.a, r.b, r.bits, r.i + 1,
+             {predn} AS pred,
+             {idxn} AS idx
+      FROM rec r, c
+      WHERE r.i + 1 < r.nfr
+    )
+    SELECT doc_id,
+           CAST(MAX(bits) AS BIGINT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(pred) AS BIGINT) AS sum_decoded,
+           CAST(SUM(abs(pred - ((a * i + b) % 65536 - 32768)))
+                AS BIGINT) AS sum_abs_err,
+           CAST(MAX(abs(pred - ((a * i + b) % 65536 - 32768)))
+                AS BIGINT) AS max_abs_err
+    FROM rec GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("multimodal_adpcm_multirate", oracle=_adpcm_rung_oracle())
+def multimodal_adpcm_multirate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """G.726-rate-ladder ADPCM transcode audit: encode each asset's
+    PCM ramp at its hash-drawn 2/3/5-bit rung into a real fmt-0x11
+    RIFF container with a variable-width bitstream, decode it back
+    through the stateful predictor, report exact integer residuals
+    (see block comment)."""
+
+    def _rung_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_wav_adpcm_rung(doc_id, h)
+                _rate, bits, dec = decode_wav_adpcm_rung(payload)
+                p = _adpcm_rung_params(h)
+                if bits != p["bits"]:
+                    raise ValueError(
+                        f"doc {doc_id}: container says {bits}-bit,"
+                        f" geometry says {p['bits']}-bit")
+                orig = [(p["a"] * i + p["b"]) % 65536 - 32768
+                        for i in range(p["nfr"])]
+                if len(dec) != len(orig):
+                    raise ValueError(
+                        f"doc {doc_id}: decoded {len(dec)} frames,"
+                        f" expected {len(orig)}")
+                errs = [abs(d - s) for d, s in zip(dec, orig)]
+                out.append(dict(
+                    doc_id=doc_id, bits=bits, n_frames=len(dec),
+                    sum_decoded=sum(dec), sum_abs_err=sum(errs),
+                    max_abs_err=max(errs)))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in WAV_ADPCM_RUNG_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 2)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs)
+            .mapInPandas(_rung_batch, WAV_ADPCM_RUNG_SCHEMA)
+            .orderBy("doc_id"))

@@ -64,7 +64,16 @@ def grid_rank(df: DataFrame, order_cols: list[str], bucket: Column,
     offs = per.select(*sel)
     ww = Window.partitionBy(*part_cols, "_grb").orderBy(*order_cols)
     wwi = ww.rowsBetween(Window.unboundedPreceding, 0)
-    res = (b.join(F.broadcast(offs), [*part_cols, "_grb"])
+    # No broadcast hint on the offset grid (ADVICE r12): the grid is
+    # usually value-bounded and AQE will broadcast it on its own, but a
+    # KEY-BLOCK bucketing makes the grid data-proportional — an
+    # unconditional F.broadcast would OOM the driver at 100 TB.  Left
+    # unhinted, AQE picks broadcast for small grids and a shuffle join
+    # (which reuses the (_grb) partitioning the within-bucket window
+    # needs anyway) for large ones.  Callers must still keep the grid
+    # count-capped (see sampling.py's CDF-capped block width) so the
+    # prefix sweep above stays bounded.
+    res = (b.join(offs, [*part_cols, "_grb"])
            .withColumn(out_rk,
                        (F.col("_groff") + F.row_number().over(ww))
                        .cast("bigint")))

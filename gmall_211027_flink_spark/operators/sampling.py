@@ -1163,15 +1163,22 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The audit compares exact sample vs population means (cents) and the
 # largest realized key gap (stride uniformity). EXACTNESS: rank by the
 # unique o_orderkey (total order), integer stride arithmetic, exact
-# sums; readouts quantized. SCALE (reworked r12): the rank is the
-# TWO-LEVEL grid_rank (operators/ranks.py) over 8192-key blocks — no
-# single-task sort; the sample's key-gap maximum is likewise two-level
+# sums; readouts quantized. SCALE (reworked r12, re-capped r13): the
+# rank is the TWO-LEVEL grid_rank (operators/ranks.py) over key-range
+# blocks — no single-task sort.  The block WIDTH is derived from the
+# observed max key so the block COUNT is capped at SYSTEMATIC_BLOCKS
+# regardless of row count (ADVICE r12: a fixed 8192-key width made the
+# grid data-proportional, ~1e8 blocks at 100 TB, which would have
+# broken grid_rank's bounded-grid premise).  One metadata-cheap
+# max(o_orderkey) aggregate buys a grid that never exceeds ~4k rows at
+# any scale; the sample's key-gap maximum is likewise two-level
 # (within-block lag windows partitioned by block, block-boundary gaps
-# stitched on the bounded block grid).
+# stitched on the same capped block grid).
 # ---------------------------------------------------------------------------
 
 SYSTEMATIC_STRIDE = 97
 SYSTEMATIC_ANCHOR = 13
+SYSTEMATIC_BLOCKS = 4096   # hard cap on the rank/block grid cardinality
 
 
 @query(
@@ -1213,18 +1220,26 @@ def sample_systematic_interval(spark: SparkSession,
     from gmall_211027_flink_spark.operators.ranks import grid_rank
 
     orders = load_table(spark, sf_dir, "orders")
+    # count-capped block width: ceil((max_key + 1) / SYSTEMATIC_BLOCKS),
+    # floored at 1 — the block grid is <= SYSTEMATIC_BLOCKS + 1 rows at
+    # ANY data scale (the max() agg is a map-side-partial scalar; its
+    # 1-row result rides a broadcast cross join onto every row)
+    wdf = orders.agg(F.expr(
+        f"cast(greatest((max(o_orderkey) + {SYSTEMATIC_BLOCKS})"
+        f" div {SYSTEMATIC_BLOCKS}, 1) as bigint)").alias("_bw"))
     ranked = grid_rank(
         orders.select(
             "o_orderkey",
             (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("bigint").alias("cents")),
-        ["o_orderkey"], F.expr("o_orderkey div 8192"))
+            .cast("bigint").alias("cents"))
+        .crossJoin(F.broadcast(wdf)),
+        ["o_orderkey"], F.expr("o_orderkey div _bw"))
     samp = ranked.filter(
         (F.col("rk") - 1) % SYSTEMATIC_STRIDE == SYSTEMATIC_ANCHOR)
-    # two-level key-gap max: consecutive sampled keys either share an
-    # 8192-key block (partitioned lag) or straddle blocks (lag of the
-    # per-block first/last keys over the bounded block grid)
-    sb = samp.withColumn("blk", F.expr("o_orderkey div 8192"))
+    # two-level key-gap max: consecutive sampled keys either share a
+    # width-_bw block (partitioned lag) or straddle blocks (lag of the
+    # per-block first/last keys over the capped block grid)
+    sb = samp.withColumn("blk", F.expr("o_orderkey div _bw"))
     within = sb.select(
         (F.col("o_orderkey")
          - F.lag("o_orderkey").over(Window.partitionBy("blk")

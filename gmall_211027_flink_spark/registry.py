@@ -70,37 +70,29 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # text_* names and the ANN bucketed/IVF/near-dup trio were in the
     # r12 rotation too, but the round's 20 new queries reclaimed their
     # window slots, so they stay proven on their r2 evidence)
-    "ann_lsh_bucketed", "embedding_near_dup", "ann_ivf_probe",
-    "text_lang_id", "text_quality_score", "text_token_count",
-    "text_fingerprint", "text_repetition_ratio",
-    "text_tfidf_keywords",
-    "text_normalize", "text_chunk_windows",
+    # (the r2 block's 33 remaining r2-evidence names — ann_lsh_bucketed
+    #  through cdc_envelope_roundtrip — rotated to _REVERIFY round 13:
+    #  the oldest driver evidence left on the books after the r12
+    #  rotation retired the r1 block)
     # multimodal_decode_meta REWORKED in r9 (fake decode -> real
     # sniff-dispatch over the real PNG/GIF/BMP/WAV decoders) -> re-gate
     # multimodal_frame_sample / multimodal_resize reworked in r8 to REAL
     # decode (animated-GIF LZW frames; PNG box downsample) -> re-gate
-    "asof_join_pandas",
-    "fuzzy_join_customer_names", "sample_split_stratified",
-    "sample_stratified_downsample", "ads_union_metrics",
-    "ads_keyword_split", "ads_traffic_channel_stats",
-    "ads_user_stats_union", "ads_hourly_visitor_stats",
-    "ads_commodity_stats", "ads_subsidy_rate", "ads_keyword_score",
-    "ads_pivot_status_by_priority", "ads_cube_returnflag_linestatus",
-    "ads_category_stats", "ads_grouping_sets", "ads_cohort_retention", "ads_funnel_view_click_purchase",
-    "ads_copurchase_pairs", "ads_supplier_scorecard",
-    "ads_nation_market_share", "cdc_envelope_roundtrip",
     # (dws_cumulate_streaming rotated to _REVERIFY round 12 — the oldest
     #  streaming-path proof in the registry)
     # round 3 (CORRECTNESS_r03.json, 47 green rows; the 5 r2-era
-    # TIMESTAMP_NTZ reverifies were re-proven and fold in here)
-    "stats_time_weighted_avg", "interval_join_click_error",
-    "dwd_bounce_detection", "dws_sessionization",
-    "dws_union_traffic_window",
-    "dedup_minhash_recall", "quality_filter_rules", "pii_redact_ids", "vocab_bigram_counts", "asof_join_window",
+    # TIMESTAMP_NTZ reverifies were re-proven and fold in here).
+    # (stats_time_weighted_avg, interval_join_click_error,
+    #  dwd_bounce_detection, dws_sessionization,
+    #  dws_union_traffic_window, dedup_minhash_recall,
+    #  quality_filter_rules, pii_redact_ids, asof_join_window rotated to
+    #  _REVERIFY round 13 — the r3 head, next-oldest after the r2 block)
+    "vocab_bigram_counts",
     # (dwd_interval_join_streaming, dws_session_window_streaming rotated
     #  to _REVERIFY round 11 — r3-vintage streaming proofs)
     # (dwd_stream_dedup_within_watermark rotated to _REVERIFY round 12)
-    "dws_union_streams_window", "stream_dedup_exact_documents",
+    # (dws_union_streams_window, stream_dedup_exact_documents rotated to
+    #  _REVERIFY round 13 — the two oldest streaming proofs remaining)
     "stream_quality_filter_documents", "decontaminate_ngram",
     "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
     "q4_late_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
@@ -302,24 +294,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stats_cramer_von_mises", "stats_two_proportion_z",
     "stats_welch_anova", "stats_bartlett_test", "stats_cochran_armitage",
     "stats_tost_equivalence", "stats_sign_test",
-)
-
-# Queries that MUST be sampled first by this round's gate: the
-# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
-# round the OLDEST driver-proven names move here so their proofs get
-# refreshed by the driver instead of relying on judge spot-checks.
-# Round 12 uses the WHOLE remaining window budget for the rotation
-# (VERDICT r11 item 1): with 20 new r12 queries, 30 rotation slots
-# remain, which covers the entire remaining r1 block (25 names), the
-# 3 oldest r2 names, and the two oldest streaming-path proofs.
-# Fold back into _DRIVER_PROVEN once CORRECTNESS_r12 lands, and rotate
-# the next-oldest batch in round 13.  NOTE the window-count rule: the
-# gate window = count of names NOT in _DRIVER_PROVEN, which already
-# INCLUDES these — budget new queries to keep that single number <= 50
-# (tests/test_registry_budget.py now enforces it).
-_REVERIFY: tuple[str, ...] = (
-    # r1-vintage batch names (the full remaining r1 block — window /
-    # agg / set-op / dedup family; oldest driver evidence on the books):
+    # round 12 (CORRECTNESS_r12.json, 50/50 green): first the 30
+    # rotation canaries (the whole remaining r1 block, the 3 oldest r2
+    # names, the 2 oldest streaming proofs), re-proven on r12 evidence
     "ads_conditional_agg", "stats_quantity_distribution",
     "dws_hierarchical_rollup", "dws_gapfill_locf", "stats_value_histogram",
     "dws_ohlc_hourly", "stats_zscore_outliers", "ads_full_outer_stats",
@@ -331,14 +308,59 @@ _REVERIFY: tuple[str, ...] = (
     "dws_rolling_7d_distinct_users", "ads_mom_growth",
     "window_percentile_position", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_cluster_canonical",
-    # r2-vintage batch names (dedup/ANN head of the r2 block; the
-    # bucketed/IVF/near-dup trio returned to the proven tail when the
-    # continuation wave reclaimed their slots — each has a
-    # later-round recall-audit twin with fresher evidence):
     "dedup_ngram_jaccard_capped", "ann_cosine_topk",
     "ann_cosine_topk_pandas",
-    # streaming-path canaries (r2/r3-vintage streaming proofs):
     "dws_cumulate_streaming", "dwd_stream_dedup_within_watermark",
+    # then the 20 r12 additions, all green in the same gate
+    "stats_holtwinters_seasonal", "stats_theils_u", "stats_page_hinkley",
+    "stats_partial_correlation", "multimodal_adpcm_roundtrip",
+    "sketch_count_sketch", "stream_cs_maintenance",
+    "stream_holtwinters_maintenance", "stream_ph_maintenance",
+    "stream_theil_maintenance", "graph_katz_centrality",
+    "ml_mcc_confusion", "ml_lift_gains_deciles", "stats_hoeffding_d",
+    "stats_ansari_bradley", "stats_kendalls_w", "stats_gamma_somers_d",
+    "stats_friedman_aligned_ranks", "stats_quade",
+    "stats_seasonal_mann_kendall",
+)
+
+# Queries that MUST be sampled first by this round's gate: the
+# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
+# round the OLDEST driver-proven names move here so their proofs get
+# refreshed by the driver instead of relying on judge spot-checks.
+# Round 13 (VERDICT r12 item 1): the r12 window folded back into
+# _DRIVER_PROVEN; with 6 new r13 queries, 44 rotation slots remain,
+# which covers the ENTIRE remaining r2-evidence block (33 names —
+# everything still standing on CORRECTNESS_r02), the 9-name head of
+# the r3 block, and the two oldest streaming-path proofs.
+# Fold back into _DRIVER_PROVEN once CORRECTNESS_r13 lands, and rotate
+# the next-oldest batch in round 14.  NOTE the window-count rule: the
+# gate window = count of names NOT in _DRIVER_PROVEN, which already
+# INCLUDES these — budget new queries to keep that single number <= 50
+# (tests/test_registry_budget.py now enforces it).
+_REVERIFY: tuple[str, ...] = (
+    # r2-vintage batch names (the full remaining r2 block — ANN / text /
+    # ads mapper family; oldest driver evidence on the books):
+    "ann_lsh_bucketed", "embedding_near_dup", "ann_ivf_probe",
+    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_fingerprint", "text_repetition_ratio", "text_tfidf_keywords",
+    "text_normalize", "text_chunk_windows", "asof_join_pandas",
+    "fuzzy_join_customer_names", "sample_split_stratified",
+    "sample_stratified_downsample", "ads_union_metrics",
+    "ads_keyword_split", "ads_traffic_channel_stats",
+    "ads_user_stats_union", "ads_hourly_visitor_stats",
+    "ads_commodity_stats", "ads_subsidy_rate", "ads_keyword_score",
+    "ads_pivot_status_by_priority", "ads_cube_returnflag_linestatus",
+    "ads_category_stats", "ads_grouping_sets", "ads_cohort_retention",
+    "ads_funnel_view_click_purchase", "ads_copurchase_pairs",
+    "ads_supplier_scorecard", "ads_nation_market_share",
+    "cdc_envelope_roundtrip",
+    # r3-vintage batch names (the head of the r3 block, next-oldest):
+    "stats_time_weighted_avg", "interval_join_click_error",
+    "dwd_bounce_detection", "dws_sessionization",
+    "dws_union_traffic_window", "dedup_minhash_recall",
+    "quality_filter_rules", "pii_redact_ids", "asof_join_window",
+    # streaming-path canaries (the two oldest streaming proofs left):
+    "dws_union_streams_window", "stream_dedup_exact_documents",
 )
 
 

@@ -932,8 +932,17 @@ _BOUNDED_NODES = {
 # queries whose CONSTRUCTION executes work (streaming micro-batch
 # harnesses, drained stores): their returned frame is a bounded
 # LocalRelation by construction and their window shapes are the batch
-# twins', which this sweep does cover
-_SWEEP_SKIP_SUBSTRING = "stream"
+# twins', which this sweep does cover.  Detected by the DEFINING
+# MODULE — every gate-harness query lives in streaming/windows.py —
+# not by name substring (ADVICE r12: a future BATCH query that merely
+# carried "stream" in its name would have silently dodged the sweep;
+# conversely a harness query without it, e.g. dws_late_data_drop,
+# was swept for nothing).
+_SWEEP_SKIP_MODULE = "gmall_211027_flink_spark.streaming.windows"
+
+
+def _is_gate_harness(fn) -> bool:
+    return getattr(fn, "__module__", "") == _SWEEP_SKIP_MODULE
 
 # audited global windows over inputs whose bound the PLAN cannot show:
 # localCheckpoint() rewrites the bounded subtree to a LogicalRDD, so
@@ -972,7 +981,7 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
     registry.load_all()
     offenders = {}
     for name, fn in registry.QUERIES.items():
-        if _SWEEP_SKIP_SUBSTRING in name or name in _GLOBAL_WINDOW_ALLOWLIST:
+        if _is_gate_harness(fn) or name in _GLOBAL_WINDOW_ALLOWLIST:
             continue
         df = fn(spark, sf_dir)
         bad = _unbounded_global_windows(df)
