@@ -7493,3 +7493,315 @@ def stats_partial_correlation(spark: SparkSession,
            / F.sqrt((1 - F.col("rxt") * F.col("rxt"))
                     * (1 - F.col("ryt") * F.col("ryt"))))
         .alias("r_xy_given_t"))
+
+
+# ---------------------------------------------------------------------------
+# Semipartial (part) correlation (r13) — the asymmetric cousin of
+# stats_partial_correlation above: the partial removes the control
+# from BOTH variables, the semipartial removes it from ONE.  That
+# asymmetry is the quantity a regression consumer actually wants —
+# r_y(u.t)^2 is exactly the R^2 increment of adding u to a model of y
+# that already contains t (the "unique contribution" readout).  Here
+# y = weekly revenue, u = weekly distinct customers, t = week index:
+# sp_y_u_given_t asks how much customer BREADTH explains revenue once
+# breadth's own time trend is removed from breadth alone.
+#
+# EXACTNESS: same discipline as stats_partial_correlation — exact
+# integer sufficient statistics on the bounded weekly grid (y-involved
+# products accumulate HUGEINT/DECIMAL(38,0); u = exact COUNT(DISTINCT
+# o_custkey)); all three r's and both semipartials are doubles of
+# IDENTICAL expression shape, 6-dp floor-quantized.  SCALE: one
+# groupBy to the <= ~350-row weekly grid (the distinct is a two-level
+# partial aggregate on (wk, custkey)), constant-size math after.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_semipartial_correlation",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS u,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wk) AS BIGINT) AS st,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(wk * wk) AS BIGINT) AS stt,
+             CAST(SUM(u * u) AS BIGINT) AS suu,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             CAST(SUM(wk * u) AS BIGINT) AS stu,
+             SUM(CAST(y AS HUGEINT) * wk) AS sty,
+             SUM(CAST(y AS HUGEINT) * u) AS suy
+      FROM wkly
+    ),
+    r AS (
+      SELECT n,
+             (n * CAST(suy AS DOUBLE) - CAST(su AS DOUBLE) * sy)
+             / sqrt((n * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * su)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)) AS ruy,
+             (n * CAST(stu AS DOUBLE) - CAST(st AS DOUBLE) * su)
+             / sqrt((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * CAST(suu AS DOUBLE)
+                       - CAST(su AS DOUBLE) * su)) AS rut,
+             (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+             / sqrt((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)) AS ryt
+      FROM s
+    )
+    SELECT n AS n_weeks,
+           CAST(CAST(floor(ruy * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_uy,
+           CAST(CAST(floor(rut * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_ut,
+           CAST(CAST(floor(ryt * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_yt,
+           CAST(CAST(floor(
+             (ruy - ryt * rut) / sqrt(1 - rut * rut)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS sp_y_u_given_t,
+           CAST(CAST(floor(
+             (ruy - rut * ryt) / sqrt(1 - ryt * ryt)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS sp_u_y_given_t
+    FROM r
+    """,
+)
+def stats_semipartial_correlation(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Semipartial correlations of weekly revenue and distinct-customer
+    breadth with the week index as the removed control (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("u"),
+             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("y")))
+    d38 = "decimal(38,0)"
+    s = wkly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("wk").cast("bigint").alias("st"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("wk") * F.col("wk")).cast("bigint").alias("stt"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("wk") * F.col("u")).cast("bigint").alias("stu"),
+        F.sum(F.col("y").cast(d38) * F.col("wk")).alias("sty"),
+        F.sum(F.col("y").cast(d38) * F.col("u")).alias("suy"))
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return ((n * F.col(sab).cast("double")
+                 - F.col(sa).cast("double") * F.col(sb))
+                / F.sqrt((n * F.col(saa).cast("double")
+                          - F.col(sa).cast("double") * F.col(sa))
+                         * (n * F.col(sbb).cast("double")
+                            - F.col(sb).cast("double") * F.col(sb))))
+
+    r = s.select(
+        F.col("n"),
+        corr("suy", "su", "sy", "suu", "syy").alias("ruy"),
+        corr("stu", "st", "su", "stt", "suu").alias("rut"),
+        corr("sty", "st", "sy", "stt", "syy").alias("ryt"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return r.select(
+        F.col("n").alias("n_weeks"),
+        q6(F.col("ruy")).alias("r_uy"),
+        q6(F.col("rut")).alias("r_ut"),
+        q6(F.col("ryt")).alias("r_yt"),
+        q6((F.col("ruy") - F.col("ryt") * F.col("rut"))
+           / F.sqrt(1 - F.col("rut") * F.col("rut")))
+        .alias("sp_y_u_given_t"),
+        q6((F.col("ruy") - F.col("rut") * F.col("ryt"))
+           / F.sqrt(1 - F.col("ryt") * F.col("ryt")))
+        .alias("sp_u_y_given_t"))
+
+
+# ---------------------------------------------------------------------------
+# Higher-order partial correlation via Gram determinants (r13) — the
+# generalization stats_partial_correlation's docstring promises: with
+# TWO controls (week index z1 AND distinct-customer breadth z2) the
+# recursion formula needs three chained first-order passes, but the
+# determinant form reads the answer straight off the 4x4 correlation
+# matrix R over (x, y, z1, z2):  r_xy.z1z2 = M12 / sqrt(M11 * M22)
+# where Mij are the 3x3 minors of R (delete row i, col j) — the
+# cofactor identity -C_xy / sqrt(C_xx C_yy) with the signs folded in.
+# Here x = weekly order count, y = weekly revenue: does volume explain
+# revenue beyond what the time trend AND customer breadth carry?
+#
+# EXACTNESS: one aggregate pass collects all 15 exact integer
+# sufficient statistics (HUGEINT/DECIMAL(38,0) for the y-involved
+# products); the six pairwise r's and the three minors are doubles of
+# IDENTICAL expression shape in both engines (same parenthesization —
+# IEEE arithmetic is deterministic, the stats_partial_correlation
+# precedent); readouts 6-dp floor-quantized.  A pytest cross-checks
+# the determinant route against the chained-recursion route to 1e-9.
+# SCALE: one groupBy to the <= ~350-row weekly grid, constant after.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_partial_correlation_gram",
+    oracle="""
+    WITH wkly AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS u,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(wk) AS BIGINT) AS st,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             CAST(SUM(wk * wk) AS BIGINT) AS stt,
+             CAST(SUM(u * u) AS BIGINT) AS suu,
+             SUM(CAST(y AS HUGEINT) * x) AS sxy,
+             CAST(SUM(wk * x) AS BIGINT) AS sxt,
+             CAST(SUM(u * x) AS BIGINT) AS sxu,
+             SUM(CAST(y AS HUGEINT) * wk) AS syt,
+             SUM(CAST(y AS HUGEINT) * u) AS syu,
+             CAST(SUM(wk * u) AS BIGINT) AS stu
+      FROM wkly
+    ),
+    r AS (
+      SELECT n,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)) AS r12,
+             (n * CAST(sxt AS DOUBLE) - CAST(sx AS DOUBLE) * st)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * st)) AS r13,
+             (n * CAST(sxu AS DOUBLE) - CAST(sx AS DOUBLE) * su)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(suu AS DOUBLE)
+                       - CAST(su AS DOUBLE) * su)) AS r14,
+             (n * CAST(syt AS DOUBLE) - CAST(sy AS DOUBLE) * st)
+             / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                    * (n * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * st)) AS r23,
+             (n * CAST(syu AS DOUBLE) - CAST(sy AS DOUBLE) * su)
+             / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                    * (n * CAST(suu AS DOUBLE)
+                       - CAST(su AS DOUBLE) * su)) AS r24,
+             (n * CAST(stu AS DOUBLE) - CAST(st AS DOUBLE) * su)
+             / sqrt((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * CAST(suu AS DOUBLE)
+                       - CAST(su AS DOUBLE) * su)) AS r34
+      FROM s
+    ),
+    m AS (
+      SELECT n, r12, r13, r14, r23, r24, r34,
+             r12 * (1 - r34 * r34) - r23 * (r13 - r34 * r14)
+               + r24 * (r13 * r34 - r14) AS m12,
+             1 * (1 - r34 * r34) - r23 * (r23 - r34 * r24)
+               + r24 * (r23 * r34 - r24) AS m11,
+             1 * (1 - r34 * r34) - r13 * (r13 - r34 * r14)
+               + r14 * (r13 * r34 - r14) AS m22
+      FROM r
+    )
+    SELECT n AS n_weeks,
+           CAST(CAST(floor(r12 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_xy,
+           CAST(CAST(floor(r34 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS r_z1z2,
+           CAST(CAST(floor(m12 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS minor_xy,
+           CAST(CAST(floor(m11 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS minor_xx,
+           CAST(CAST(floor(m22 * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS minor_yy,
+           CAST(CAST(floor(
+             m12 / sqrt(m11 * m22) * 1000000 + 0.5) AS BIGINT)
+             AS DOUBLE) / 1000000.0 AS r_xy_given_z1z2
+    FROM m
+    """,
+)
+def stats_partial_correlation_gram(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Second-order partial correlation of weekly volume and revenue
+    controlling for the week index AND distinct-customer breadth, read
+    off the 4x4 correlation matrix's minors (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wkly = (orders.groupBy(
+        (F.datediff("o_orderdate", F.lit("1970-01-01"))
+         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("x"),
+             F.countDistinct("o_custkey").cast("bigint").alias("u"),
+             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("y")))
+    d38 = "decimal(38,0)"
+    s = wkly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("wk").cast("bigint").alias("st"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("wk") * F.col("wk")).cast("bigint").alias("stt"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("y").cast(d38) * F.col("x")).alias("sxy"),
+        F.sum(F.col("wk") * F.col("x")).cast("bigint").alias("sxt"),
+        F.sum(F.col("u") * F.col("x")).cast("bigint").alias("sxu"),
+        F.sum(F.col("y").cast(d38) * F.col("wk")).alias("syt"),
+        F.sum(F.col("y").cast(d38) * F.col("u")).alias("syu"),
+        F.sum(F.col("wk") * F.col("u")).cast("bigint").alias("stu"))
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return ((n * F.col(sab).cast("double")
+                 - F.col(sa).cast("double") * F.col(sb))
+                / F.sqrt((n * F.col(saa).cast("double")
+                          - F.col(sa).cast("double") * F.col(sa))
+                         * (n * F.col(sbb).cast("double")
+                            - F.col(sb).cast("double") * F.col(sb))))
+
+    r = s.select(
+        F.col("n"),
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("r12"),
+        corr("sxt", "sx", "st", "sxx", "stt").alias("r13"),
+        corr("sxu", "sx", "su", "sxx", "suu").alias("r14"),
+        corr("syt", "sy", "st", "syy", "stt").alias("r23"),
+        corr("syu", "sy", "su", "syy", "suu").alias("r24"),
+        corr("stu", "st", "su", "stt", "suu").alias("r34"))
+    c = F.col
+    m = r.select(
+        "n", "r12", "r34",
+        (c("r12") * (1 - c("r34") * c("r34"))
+         - c("r23") * (c("r13") - c("r34") * c("r14"))
+         + c("r24") * (c("r13") * c("r34") - c("r14"))).alias("m12"),
+        (1 * (1 - c("r34") * c("r34"))
+         - c("r23") * (c("r23") - c("r34") * c("r24"))
+         + c("r24") * (c("r23") * c("r34") - c("r24"))).alias("m11"),
+        (1 * (1 - c("r34") * c("r34"))
+         - c("r13") * (c("r13") - c("r34") * c("r14"))
+         + c("r14") * (c("r13") * c("r34") - c("r14"))).alias("m22"))
+    q6 = lambda col: (F.floor(col * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+                      .cast("bigint").cast("double") / F.lit(1000000.0))
+    return m.select(
+        F.col("n").alias("n_weeks"),
+        q6(c("r12")).alias("r_xy"),
+        q6(c("r34")).alias("r_z1z2"),
+        q6(c("m12")).alias("minor_xy"),
+        q6(c("m11")).alias("minor_xx"),
+        q6(c("m22")).alias("minor_yy"),
+        q6(c("m12") / F.sqrt(c("m11") * c("m22")))
+        .alias("r_xy_given_z1z2"))

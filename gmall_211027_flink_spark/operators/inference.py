@@ -2107,3 +2107,263 @@ def stats_seasonal_mann_kendall(spark: SparkSession,
         (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Durbin test (r13) — Durbin 1951: the balanced-INCOMPLETE-blocks
+# member of the within-block family (Friedman/Page/W/aligned/Quade all
+# require every treatment in every block; Durbin is what you run when
+# each block only observes a subset).  Design: blocks = complete
+# weeks, treatments = the 7 weekdays, and each block keeps only the
+# k = 3 weekdays picked by the cyclic Fano difference set {0, 1, 3}
+# shifted by the week index — every pair of weekdays co-occurs in
+# exactly lambda = b/7 blocks, each weekday appears in r = 3b/7
+# blocks, so the design is a true BIBD(7, b, 3, 3b/7, b/7).  Balance
+# holds only if the kept weeks' residues wk % 7 are UNIFORM, so the
+# selection is per-residue-class: the first q complete weeks of EACH
+# residue class, q = the smallest class count — exact balance even
+# when incomplete weeks puncture the calendar arbitrarily (a plain
+# "first 7*(B div 7) weeks" rule would skew the residue multiset).
+#
+# EXACTNESS: day-of-week from pure integer arithmetic ((epoch_day + 4)
+# % 7 — the stats_ansari_bradley device, identical both engines, never
+# the engines' differing dayofweek conventions, which MUST agree here
+# because dw enters the Fano SELECTION, not just grouping); within-
+# block 2x midranks on exact revenue cents; Conover's tie-exact T1 =
+# (t-1) * sum_j (R_j - r(k+1)/2)^2 / (A - C) with A = the pooled sum
+# of squared midranks FROM THE DATA and C = bk(k+1)^2/4, evaluated
+# x4-scaled (the 4s cancel in the ratio).  SCALE: all windows on the
+# bounded (wk, dw) day grid over aggregates — DAY-GRAIN CONTRACT.
+# ---------------------------------------------------------------------------
+
+DURBIN_K = 3                  # block size: weekdays observed per week
+DURBIN_T = 7                  # treatments: the 7 weekdays
+DURBIN_FANO = (0, 1, 3)      # perfect difference set mod 7 -> lambda=1
+
+
+@query(
+    "stats_durbin",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             (datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) + 4) % 7 AS dw,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY 1 HAVING COUNT(*) = {DURBIN_T}
+    ),
+    classes AS (
+      SELECT wk,
+             row_number() OVER (PARTITION BY wk % {DURBIN_T}
+                                ORDER BY wk) AS rn
+      FROM complete
+    ),
+    qmin AS (
+      SELECT CAST(MIN(cnt) AS BIGINT) AS q
+      FROM (SELECT COUNT(*) AS cnt FROM complete
+            GROUP BY wk % {DURBIN_T})
+    ),
+    blocks AS (
+      SELECT wk FROM classes, qmin WHERE rn <= q
+    ),
+    kept AS (
+      SELECT d.wk, d.dw, d.cents
+      FROM daily d JOIN blocks USING (wk)
+      WHERE ((d.dw - d.wk % {DURBIN_T}) + {DURBIN_T}) % {DURBIN_T}
+              IN {DURBIN_FANO}
+    ),
+    r AS (
+      SELECT wk, dw,
+             2 * rank() OVER (PARTITION BY wk ORDER BY cents)
+               + CAST(COUNT(*) OVER (PARTITION BY wk, cents)
+                      AS BIGINT) - 1 AS r2
+      FROM kept
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM blocks) AS b,
+             (SELECT CAST(SUM(r2 * r2) AS BIGINT) FROM r) AS a_x4
+    ),
+    colsum AS (
+      SELECT dw, CAST(SUM(r2) AS BIGINT) AS r2sum FROM r GROUP BY 1
+    ),
+    dev AS (
+      SELECT CAST(SUM((r2sum - (SELECT {DURBIN_K} * b FROM agg)
+                               // {DURBIN_T} * {DURBIN_K + 1})
+                      * (r2sum - (SELECT {DURBIN_K} * b FROM agg)
+                                 // {DURBIN_T} * {DURBIN_K + 1}))
+                  AS BIGINT) AS d2_x4
+      FROM colsum
+    )
+    SELECT agg.b AS n_blocks,
+           CAST({DURBIN_K} * agg.b // {DURBIN_T} AS BIGINT) AS rep_r,
+           dev.d2_x4,
+           agg.a_x4 - agg.b * {DURBIN_K * (DURBIN_K + 1) ** 2}
+             AS a_minus_c_x4,
+           CAST(CAST(floor(
+             {DURBIN_T - 1} * CAST(dev.d2_x4 AS DOUBLE)
+             / CAST(agg.a_x4
+                    - agg.b * {DURBIN_K * (DURBIN_K + 1) ** 2}
+                    AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS t1_stat
+    FROM agg, dev
+    """,
+)
+def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin BIBD rank test: weekday revenue effect from 3-weekday
+    Fano-design blocks over complete weeks (see block comment)."""
+    t, k = DURBIN_T, DURBIN_K
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    daily = (orders.groupBy(
+        (d_col / 7).cast("bigint").alias("wk"),
+        ((d_col + 4) % 7).alias("dw"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(38,0)").cast("bigint").alias("cents")))
+    complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
+                .filter(F.col("ndw") == t).select("wk"))
+    # first q complete weeks of EACH residue class wk % 7 (q = the
+    # smallest class count): exact replication balance; the rank
+    # windows run PARTITIONED over the bounded complete-weeks aggregate
+    classes = complete.select(
+        "wk",
+        F.row_number().over(Window.partitionBy(F.col("wk") % t)
+                            .orderBy("wk")).alias("rn"))
+    qmin = (complete.groupBy((F.col("wk") % t).alias("cls"))
+            .agg(F.count("*").alias("cnt"))
+            .agg(F.min("cnt").cast("bigint").alias("q")))
+    blocks = (classes.crossJoin(F.broadcast(qmin))
+              .filter(F.col("rn") <= F.col("q"))
+              .select("wk"))
+    kept = (daily.join(blocks, "wk")
+            .filter(((((F.col("dw") - F.col("wk") % t) + t) % t)
+                     ).isin(*DURBIN_FANO)))
+    r = kept.select(
+        "wk", "dw",
+        (2 * F.rank().over(Window.partitionBy("wk").orderBy("cents"))
+         + F.count("*").over(Window.partitionBy("wk", "cents"))
+         .cast("bigint") - 1).alias("r2"))
+    agg = (blocks.agg(F.count("*").cast("bigint").alias("b"))
+           .crossJoin(F.broadcast(
+               r.agg(F.sum(F.col("r2") * F.col("r2")).cast("bigint")
+                     .alias("a_x4")))))
+    colsum = r.groupBy("dw").agg(F.sum("r2").cast("bigint")
+                                 .alias("r2sum"))
+    dev = (colsum.crossJoin(F.broadcast(agg.select("b")))
+           .select((F.col("r2sum")
+                    - F.expr(f"{k} * b div {t}") * (k + 1))
+                   .alias("devi"))
+           .agg(F.sum(F.col("devi") * F.col("devi")).cast("bigint")
+                .alias("d2_x4")))
+    out = agg.crossJoin(F.broadcast(dev))
+    amc = F.col("a_x4") - F.col("b") * (k * (k + 1) ** 2)
+    t1 = (t - 1) * F.col("d2_x4").cast("double") / amc.cast("double")
+    return out.select(
+        F.col("b").alias("n_blocks"),
+        F.expr(f"cast({k} * b div {t} as bigint)").alias("rep_r"),
+        "d2_x4",
+        amc.alias("a_minus_c_x4"),
+        (F.floor(t1 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("t1_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Cox-Stuart trend test (r13) — Cox & Stuart 1955: the sign-test view
+# of monotone trend that completes the trend family (Mann-Kendall =
+# all pairs, seasonal MK = within-stratum pairs, Cox-Stuart = the n/2
+# half-offset pairs only — the cheapest member, and the one with an
+# exact binomial null).  Pair day i with day i + ceil(n/2) over the
+# OBSERVED daily order counts in date order (odd n drops the middle
+# observation, the classic construction); count strict rises/falls,
+# drop ties; z = (S+ - S- -/+ 1) / sqrt(m) is the continuity-corrected
+# normal approximation of Bin(m, 1/2).
+#
+# EXACTNESS: the pairing is pure integer rank arithmetic on the
+# bounded day grid (row_number over the daily AGGREGATE — plan-gate
+# clean); counts exact; z a 6-dp floor-quantized double of identical
+# shape.  SCALE: one groupBy to the day grid, one bounded self-join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_cox_stuart",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, y,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.y AS y1, b.y AS y2
+      FROM idx a JOIN idx b
+        ON b.rn = a.rn + (a.n + 1) // 2
+      WHERE a.rn <= a.n // 2
+    ),
+    agg AS (
+      SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM idx) AS n_days,
+             CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(SUM(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus
+      FROM pairs
+    )
+    SELECT n_days, n_plus + n_minus AS n_pairs_used, n_plus, n_minus,
+           CAST(CAST(floor(
+             (CAST(n_plus - n_minus AS DOUBLE)
+              - CASE WHEN n_plus > n_minus THEN 1
+                     WHEN n_plus < n_minus THEN -1 ELSE 0 END)
+             / sqrt(CAST(n_plus + n_minus AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS z_score
+    FROM agg
+    """,
+)
+def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart half-offset sign test for monotone trend in daily
+    order volume (see block comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("bigint").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    idx = daily.select(
+        "d", "y",
+        F.row_number().over(Window.orderBy("d")).cast("bigint")
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint")
+        .alias("n"))
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (a.join(b, F.col("b.rn")
+                    == F.col("a.rn") + F.expr("(a.n + 1) div 2"))
+             .filter(F.col("a.rn") <= F.expr("a.n div 2"))
+             .select(F.col("a.y").alias("y1"), F.col("b.y").alias("y2")))
+    n_df = idx.agg(F.max("n").cast("bigint").alias("n_days"))
+    agg = (pairs.agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0))
+        .cast("bigint").alias("n_plus"),
+        F.sum(F.when(F.col("y2") < F.col("y1"), 1).otherwise(0))
+        .cast("bigint").alias("n_minus"))
+        .crossJoin(F.broadcast(n_df)))
+    diff = F.col("n_plus") - F.col("n_minus")
+    sgn = (F.when(F.col("n_plus") > F.col("n_minus"), 1)
+           .when(F.col("n_plus") < F.col("n_minus"), -1).otherwise(0))
+    z = ((diff.cast("double") - sgn)
+         / F.sqrt((F.col("n_plus") + F.col("n_minus")).cast("double")))
+    return agg.select(
+        "n_days",
+        (F.col("n_plus") + F.col("n_minus")).alias("n_pairs_used"),
+        "n_plus", "n_minus",
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))

@@ -3230,3 +3230,106 @@ def _theil_stream_oracle() -> str:
 
 
 _OR["stream_theil_maintenance"] = _theil_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonal Mann-Kendall maintenance (r13): the monotone-
+# trend monitor kept current at ingest.  Sufficient state = the
+# (wk, dow) COUNT GRID (calendar-bounded — one cell per calendar day —
+# and additive under ANY slicing of the input, the stream_theil day-
+# store at week x weekday grain); at read time the stratified pair
+# counts, tie correction and continuity-corrected z must hash-match
+# the batch stats_seasonal_mann_kendall oracle verbatim.  The dow here
+# is the pure-integer (epoch_day + 4) % 7 — a bijection of the batch
+# side's dayofweek-1, so the stratification (all that matters; dw
+# never reaches the output) is identical.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_mk_maintenance",
+    oracle=None,   # assigned below: identical to the batch seasonal-MK
+)
+def stream_mk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_mk_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_cells_bound = hi - lo + 1       # one (wk, dow) cell per day
+    d = tempfile.mkdtemp(prefix="mk_store_gate_")
+    try:
+        state = None    # the bounded (wk, dw, y) weekly-grain grid
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders.select(d_col.alias("dd"))
+                     .filter((F.col("dd") >= a) & (F.col("dd") <= b))
+                     .groupBy((F.col("dd") / 7).cast("bigint")
+                              .alias("wk"),
+                              ((F.col("dd") + 4) % 7).alias("dw"))
+                     .agg(F.count("*").cast("bigint").alias("y")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("wk", "dw")
+                     .agg(F.sum("y").cast("bigint").alias("y")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # bounded-grain invariant, named + -O-proof
+            if n > n_cells_bound:
+                raise RuntimeError(
+                    f"stream_mk_maintenance: (wk, dow) store grew to "
+                    f"{n} rows > calendar bound {n_cells_bound}")
+        # readout from the drained store — the batch seasonal-MK math
+        # (stats_seasonal_mann_kendall, operators/inference.py) over
+        # the store's own grid
+        g = state
+        a2, b2 = g.alias("a"), g.alias("b")
+        s = (a2.join(b2, (F.col("a.dw") == F.col("b.dw"))
+                     & (F.col("a.wk") < F.col("b.wk")))
+             .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
+                        .when(F.col("b.y") < F.col("a.y"), -1)
+                        .otherwise(0)).cast("bigint").alias("s_stat")))
+        nd = g.groupBy("dw").agg(F.count("*").cast("bigint").alias("n"))
+        v = nd.agg(F.sum(F.col("n") * (F.col("n") - 1)
+                         * (2 * F.col("n") + 5)).cast("bigint")
+                   .alias("vraw"))
+        ties = (g.groupBy("dw", "y")
+                .agg(F.count("*").cast("bigint").alias("t"))
+                .agg(F.coalesce(
+                    F.sum(F.col("t") * (F.col("t") - 1)
+                          * (2 * F.col("t") + 5)).cast("bigint"),
+                    F.lit(0).cast("bigint")).alias("tcorr")))
+        outp = (s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(ties)))
+        sgn = (F.when(F.col("s_stat") > 0, 1)
+               .when(F.col("s_stat") < 0, -1).otherwise(0))
+        z = ((F.col("s_stat").cast("double") - sgn)
+             / F.sqrt((F.col("vraw") - F.col("tcorr")).cast("double")
+                      / 18))
+        out = outp.select(
+            "s_stat",
+            (F.col("vraw") - F.col("tcorr")).alias("var_x18"),
+            (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+             .cast("bigint").cast("double") / F.lit(1000000.0))
+            .alias("z_score"))
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_seasonal_mann_kendall"]
+
+
+_OR["stream_mk_maintenance"] = _mk_stream_oracle()

@@ -56,6 +56,7 @@ _STREAM_STORE_FUNCS = (
     "stream_holtwinters_maintenance", "stream_index_stats_maintenance",
     "stream_kmv_maintenance", "stream_ks_drift_monitor",
     "stream_last_value_compaction", "stream_mg_heavy_hitters",
+    "stream_mk_maintenance",
     "stream_ols_maintenance", "stream_pca_scatter_maintenance",
     "stream_ph_maintenance", "stream_psi_maintenance",
     "stream_theil_maintenance", "stream_topk_gmv_maintenance",
