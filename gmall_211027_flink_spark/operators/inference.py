@@ -2367,3 +2367,215 @@ def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
          .cast("bigint").cast("double") / F.lit(1000000.0))
         .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test (r13) — Cochran 1950: the k-related-samples
+# extension of McNemar (stats_mcnemar_paired covers k = 2) that the
+# binary-outcome family was missing.  Blocks = customers, treatments =
+# the k = 4 calendar quarters, x_ij = 1 iff customer i placed at least
+# one order in quarter-of-year j (pooled across years): does ordering
+# PROPENSITY carry a seasonal signature?  All-zero / all-one blocks
+# contribute nothing (their k*R - R^2 term vanishes), matching the
+# textbook treatment of uninformative blocks.
+#
+# EXACTNESS: Q = (k-1) * sum_j (k*C_j - T)^2 / (k * (k*T - sum_i
+# R_i^2)) evaluated from exact BIGINT column totals C_j, row totals
+# R_i, grand total T — the x k^2 numerator scaling keeps every term
+# integer; the final ratio is a 6-dp floor-quantized double.
+# Quarter-of-year from pure month arithmetic ((month-1) div 3 + 1),
+# identical both engines.  SCALE: one distinct to (custkey, qoy), one
+# groupBy per axis — fact-keyed shuffles, constant-size math after.
+# ---------------------------------------------------------------------------
+
+COCHRAN_Q_K = 4   # treatments: the 4 calendar quarters
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT o_custkey,
+             (month(CAST(o_orderdate AS DATE)) - 1) // 3 + 1 AS qoy
+      FROM orders
+    ),
+    rows_t AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS r FROM cells
+      GROUP BY 1
+    ),
+    cols_t AS (
+      SELECT qoy, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY 1
+    ),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_t) AS n_blocks,
+             (SELECT CAST(SUM(r) AS BIGINT) FROM rows_t) AS t,
+             (SELECT CAST(SUM(r * r) AS BIGINT) FROM rows_t) AS sr2,
+             (SELECT CAST(SUM(({COCHRAN_Q_K} * c
+                               - (SELECT SUM(r) FROM rows_t))
+                              * ({COCHRAN_Q_K} * c
+                                 - (SELECT SUM(r) FROM rows_t)))
+                     AS BIGINT) FROM cols_t) AS dev2
+    )
+    SELECT n_blocks, t AS grand_total, sr2 AS sum_r_sq, dev2,
+           CAST(CAST(floor(
+             {COCHRAN_Q_K - 1} * CAST(dev2 AS DOUBLE)
+             / ({COCHRAN_Q_K} * CAST({COCHRAN_Q_K} * t - sr2 AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS q_stat
+    FROM s
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for seasonal ordering propensity: customers x
+    quarters binary incidence (see block comment)."""
+    k = COCHRAN_Q_K
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (orders.select(
+        "o_custkey",
+        ((F.month("o_orderdate") - 1) / 3).cast("bigint").alias("q0"))
+        .select("o_custkey", (F.col("q0") + 1).alias("qoy"))
+        .distinct())
+    rows_t = (cells.groupBy("o_custkey")
+              .agg(F.count("*").cast("bigint").alias("r")))
+    rstats = rows_t.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("r").cast("bigint").alias("t"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"))
+    cols_t = (cells.groupBy("qoy")
+              .agg(F.count("*").cast("bigint").alias("c")))
+    dev2 = (cols_t.crossJoin(F.broadcast(rstats.select("t")))
+            .select((k * F.col("c") - F.col("t")).alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d")).cast("bigint")
+                 .alias("dev2")))
+    out = rstats.crossJoin(F.broadcast(dev2))
+    q = ((k - 1) * F.col("dev2").cast("double")
+         / (k * (k * F.col("t") - F.col("sr2")).cast("double")))
+    return out.select(
+        "n_blocks", F.col("t").alias("grand_total"),
+        F.col("sr2").alias("sum_r_sq"), "dev2",
+        (F.floor(q * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("q_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (r13) — the count-based two-sample location test
+# the scale family's stats_ansari_bradley implies but nobody ran:
+# weekend vs weekday daily order volume, scored only by which side of
+# the POOLED median each day lands on (the maximally robust, minimally
+# powerful member — the right test when outlier days would poison the
+# rank sums).  Days AT the median drop (the standard convention).
+#
+# EXACTNESS: the pooled median is the exact LOWER order statistic at
+# rank (n+1) div 2 over the bounded day grid (a single-task rank on
+# the daily AGGREGATE — DAY-GRAIN CONTRACT, plan-gate clean); the 2x2
+# table counts are exact BIGINTs; Yates-corrected chi-square evaluates
+# x2-scaled — N * max(2*|ad - bc| - N, 0)^2 / (4 * margins) — so every
+# term before the final ratio is integer.  SCALE: one groupBy to the
+# day grid, constant-size math after.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_mood_median",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT y,
+             CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS wkend
+      FROM daily
+    ),
+    med AS (
+      SELECT y AS m FROM (
+        SELECT y, row_number() OVER (ORDER BY y) AS rn,
+               COUNT(*) OVER () AS n
+        FROM g
+      ) WHERE rn = (n + 1) // 2
+    ),
+    tab AS (
+      SELECT
+        CAST(SUM(CASE WHEN wkend = 1 AND y > m THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN wkend = 0 AND y > m THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN wkend = 1 AND y < m THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN wkend = 0 AND y < m THEN 1 ELSE 0 END)
+             AS BIGINT) AS dd,
+        (SELECT CAST(m AS BIGINT) FROM med) AS median_y
+      FROM g, med
+    )
+    SELECT a AS wkend_above, b AS wkday_above,
+           c AS wkend_below, dd AS wkday_below, median_y,
+           CAST(CAST(floor(
+             CAST(a + b + c + dd AS DOUBLE)
+             * CAST(GREATEST(2 * abs(a * dd - b * c)
+                             - (a + b + c + dd), 0) AS DOUBLE)
+             * CAST(GREATEST(2 * abs(a * dd - b * c)
+                             - (a + b + c + dd), 0) AS DOUBLE)
+             / (4 * CAST(GREATEST(a + b, 1) AS DOUBLE)
+                * GREATEST(c + dd, 1)
+                * GREATEST(a + c, 1) * GREATEST(b + dd, 1))
+             * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS chi2_yates
+    FROM tab
+    """,
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: weekend vs weekday daily volume scored by
+    the pooled-median split, Yates-corrected chi-square (see block
+    comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("bigint").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y")))
+    g = daily.select(
+        "y", F.when(((F.col("d") + 4) % 7).isin(0, 6), 1).otherwise(0)
+        .alias("wkend"))
+    # pooled LOWER median: exact order statistic on the bounded day
+    # grid (DAY-GRAIN CONTRACT; input is the daily aggregate)
+    med = (g.select(
+        "y",
+        F.row_number().over(Window.orderBy("y")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("y").alias("m")))
+    tab = (g.crossJoin(F.broadcast(med))
+           .agg(F.sum(F.when((F.col("wkend") == 1)
+                             & (F.col("y") > F.col("m")), 1)
+                      .otherwise(0)).cast("bigint").alias("a"),
+                F.sum(F.when((F.col("wkend") == 0)
+                             & (F.col("y") > F.col("m")), 1)
+                      .otherwise(0)).cast("bigint").alias("b"),
+                F.sum(F.when((F.col("wkend") == 1)
+                             & (F.col("y") < F.col("m")), 1)
+                      .otherwise(0)).cast("bigint").alias("c"),
+                F.sum(F.when((F.col("wkend") == 0)
+                             & (F.col("y") < F.col("m")), 1)
+                      .otherwise(0)).cast("bigint").alias("dd"),
+                F.max("m").cast("bigint").alias("median_y")))
+    n_all = F.col("a") + F.col("b") + F.col("c") + F.col("dd")
+    yat = F.greatest(
+        2 * F.abs(F.col("a") * F.col("dd") - F.col("b") * F.col("c"))
+        - n_all, F.lit(0))
+    # greatest(margin, 1): a zero margin forces |ad-bc| = 0, so the
+    # Yates numerator is already 0 — the guard only makes the 0/0 case
+    # a conventional 0 under ANSI mode, identically in both engines
+    one = F.lit(1).cast("bigint")
+    chi2 = (n_all.cast("double") * yat.cast("double") * yat.cast("double")
+            / (4 * F.greatest(F.col("a") + F.col("b"), one).cast("double")
+               * F.greatest(F.col("c") + F.col("dd"), one)
+               * F.greatest(F.col("a") + F.col("c"), one)
+               * F.greatest(F.col("b") + F.col("dd"), one)))
+    return tab.select(
+        F.col("a").alias("wkend_above"), F.col("b").alias("wkday_above"),
+        F.col("c").alias("wkend_below"), F.col("dd").alias("wkday_below"),
+        "median_y",
+        (F.floor(chi2 * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("chi2_yates"))

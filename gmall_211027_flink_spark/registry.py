@@ -85,8 +85,11 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # (stats_time_weighted_avg, interval_join_click_error,
     #  dwd_bounce_detection, dws_sessionization,
     #  dws_union_traffic_window, dedup_minhash_recall,
-    #  quality_filter_rules, pii_redact_ids, asof_join_window rotated to
-    #  _REVERIFY round 13 — the r3 head, next-oldest after the r2 block)
+    #  quality_filter_rules rotated to _REVERIFY round 13 — the r3
+    #  head, next-oldest after the r2 block; pii_redact_ids and
+    #  asof_join_window stay on their r3 evidence — the second r13
+    #  add-wave reclaimed their window slots)
+    "pii_redact_ids", "asof_join_window",
     "vocab_bigram_counts",
     # (dwd_interval_join_streaming, dws_session_window_streaming rotated
     #  to _REVERIFY round 11 — r3-vintage streaming proofs)
@@ -354,11 +357,13 @@ _REVERIFY: tuple[str, ...] = (
     "ads_funnel_view_click_purchase", "ads_copurchase_pairs",
     "ads_supplier_scorecard", "ads_nation_market_share",
     "cdc_envelope_roundtrip",
-    # r3-vintage batch names (the head of the r3 block, next-oldest):
+    # r3-vintage batch names (the head of the r3 block, next-oldest;
+    # pii_redact_ids / asof_join_window traded back to the proven tail
+    # when the second r13 add-wave claimed their slots — r12 precedent):
     "stats_time_weighted_avg", "interval_join_click_error",
     "dwd_bounce_detection", "dws_sessionization",
     "dws_union_traffic_window", "dedup_minhash_recall",
-    "quality_filter_rules", "pii_redact_ids", "asof_join_window",
+    "quality_filter_rules",
     # streaming-path canaries (the two oldest streaming proofs left):
     "dws_union_streams_window", "stream_dedup_exact_documents",
 )
