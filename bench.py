@@ -96,6 +96,8 @@ def main() -> None:
     spark.catalog.clearCache()
     tpch_scale = _tpch_scale_probe(spark, sf_dir)
     spark.catalog.clearCache()
+    daygrain_scale = _daygrain_scale_probe(spark, sf_dir)
+    spark.catalog.clearCache()
     grid_rank_ab = _grid_rank_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -119,6 +121,7 @@ def main() -> None:
         "sf": sf_val,
         "scale_probe": scale,
         "tpch_scale": tpch_scale,
+        "daygrain_scale": daygrain_scale,
         "grid_rank_ab": grid_rank_ab,
     }
     # Full telemetry blob FIRST (one line, for humans / scripts that read
@@ -456,6 +459,41 @@ def _tpch_scale_probe(spark, sf_dir: str) -> dict:
     probe_dir = ensure_tpch_scale_corpus(spark, sf_dir)
     out: dict[str, object] = {}
     for name in TPCH_PROBE_QUERIES:
+        row: dict[str, float] = {}
+        for label, d in (("1x", sf_dir), ("10x", probe_dir)):
+            best, best_cpu = float("inf"), 0.0
+            for _ in range(2):
+                c0 = _jvm_cpu_seconds()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).count()
+                wall = time.perf_counter() - t0
+                if wall < best:
+                    best, best_cpu = wall, _jvm_cpu_seconds() - c0
+            row[f"wall_{label}"] = round(best, 3)
+            row[f"cpu_{label}"] = round(best_cpu, 2)
+        row["wall_ratio"] = round(row["wall_10x"]
+                                  / max(row["wall_1x"], 1e-9), 2)
+        out[name] = row
+    return out
+
+
+DAYGRAIN_PROBE_QUERIES = ["stats_durbin", "stats_cochran_q",
+                          "stats_seasonal_mann_kendall"]
+
+
+def _daygrain_scale_probe(spark, sf_dir: str) -> dict:
+    """Decade line for the DAY-GRAIN CONTRACT itself (r13): the
+    within-block / trend / incidence stats aggregate to calendar- or
+    customer-bounded grids before any window or self-join, so when the
+    FACTS grow 10x (same replica as _tpch_scale_probe: orders
+    replicated on shifted keys, dates/custkeys unchanged) the post-scan
+    math is CONSTANT — wall should grow far sub-linearly (scan-bound),
+    unlike a per-row window which would grow 10x+.  Anything
+    super-linear here means a stat leaked row-grain work past its
+    grid aggregate."""
+    probe_dir = ensure_tpch_scale_corpus(spark, sf_dir)
+    out: dict[str, object] = {}
+    for name in DAYGRAIN_PROBE_QUERIES:
         row: dict[str, float] = {}
         for label, d in (("1x", sf_dir), ("10x", probe_dir)):
             best, best_cpu = float("inf"), 0.0
