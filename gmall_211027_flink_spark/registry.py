@@ -90,6 +90,8 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  asof_join_window stay on their r3 evidence — the second r13
     #  add-wave reclaimed their window slots)
     "pii_redact_ids", "asof_join_window",
+    "dws_union_traffic_window", "dedup_minhash_recall",
+    "quality_filter_rules",
     "vocab_bigram_counts",
     # (dwd_interval_join_streaming, dws_session_window_streaming rotated
     #  to _REVERIFY round 11 — r3-vintage streaming proofs)
@@ -131,7 +133,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # r4-era _REVERIFY rows ann_projected_recall / ann_mmr_diversified,
     # now driver-proven)
     "ann_projected_recall", "ann_mmr_diversified",
-    "stats_regression_trend", "stats_histogram_equi_depth",
+    "stats_regression_trend",
+    # (stats_histogram_equi_depth moved to _REVERIFY round 13:
+    #  its exact-ntile expression gained the ANSI divisor guard)
     "stats_ks_drift", "stats_gini_revenue", "stats_benford_audit",
     "stats_hourly_autocorr", "dwd_window_join_click_error",
     "dedup_bloom_membership_audit", "dedup_minhash_band_sweep",
@@ -284,7 +288,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "text_mendenhall_spectrum", "text_bigram_novelty_decay",
     "multimodal_png_palette_pixels", "multimodal_gif_interlaced_pixels",
     "multimodal_bmp_rle_pixels", "multimodal_wav_ulaw_roundtrip",
-    "sample_systematic_interval", "curation_source_js_divergence",
+    # (sample_systematic_interval moved to _REVERIFY round 13:
+    #  blocking re-capped to the max-key-derived width)
+    "curation_source_js_divergence",
     "quality_iqr_outlier_audit", "ads_basket_affinity", "sketch_ams_f2",
     "stream_mg_heavy_hitters", "stream_ams_maintenance",
     "graph_closeness_sampled", "graph_k_truss", "graph_rich_club",
@@ -322,7 +328,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stream_theil_maintenance", "graph_katz_centrality",
     "ml_mcc_confusion", "ml_lift_gains_deciles", "stats_hoeffding_d",
     "stats_ansari_bradley", "stats_kendalls_w", "stats_gamma_somers_d",
-    "stats_friedman_aligned_ranks", "stats_quade",
+    "stats_quade",
+    # (stats_friedman_aligned_ranks moved to _REVERIFY round 13:
+    #  tie-exact denominator + new sum_rij2_x4 output column)
     "stats_seasonal_mann_kendall",
 )
 
@@ -331,10 +339,10 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 # round the OLDEST driver-proven names move here so their proofs get
 # refreshed by the driver instead of relying on judge spot-checks.
 # Round 13 (VERDICT r12 item 1): the r12 window folded back into
-# _DRIVER_PROVEN; with 6 new r13 queries, 44 rotation slots remain,
-# which covers the ENTIRE remaining r2-evidence block (33 names —
-# everything still standing on CORRECTNESS_r02), the 9-name head of
-# the r3 block, and the two oldest streaming-path proofs.
+# _DRIVER_PROVEN; the final window = 39 staleness canaries (the ENTIRE
+# remaining r2-evidence block of 33 names, 4 r3-head names, the two
+# oldest streaming-path proofs) + 3 r13-EDITED queries whose older
+# proofs no longer cover their code + 8 new r13 queries = exactly 50.
 # Fold back into _DRIVER_PROVEN once CORRECTNESS_r13 lands, and rotate
 # the next-oldest batch in round 14.  NOTE the window-count rule: the
 # gate window = count of names NOT in _DRIVER_PROVEN, which already
@@ -362,8 +370,17 @@ _REVERIFY: tuple[str, ...] = (
     # when the second r13 add-wave claimed their slots — r12 precedent):
     "stats_time_weighted_avg", "interval_join_click_error",
     "dwd_bounce_detection", "dws_sessionization",
-    "dws_union_traffic_window", "dedup_minhash_recall",
-    "quality_filter_rules",
+    # (dws_union_traffic_window, dedup_minhash_recall,
+    #  quality_filter_rules traded back to the proven tail round 13 —
+    #  their slots go to the three r13-EDITED queries below, whose r12
+    #  proofs no longer cover their current code)
+    # r13-EDITED queries: code/oracle changed this round, so their
+    # older driver proofs are stale by definition (the r9
+    # multimodal_decode_meta re-gate precedent) — histogram gained the
+    # ANSI ntile guard, systematic sampling the count-capped blocking,
+    # aligned-ranks the tie-exact denominator AND a new output column:
+    "stats_histogram_equi_depth", "sample_systematic_interval",
+    "stats_friedman_aligned_ranks",
     # streaming-path canaries (the two oldest streaming proofs left):
     "dws_union_streams_window", "stream_dedup_exact_documents",
 )
