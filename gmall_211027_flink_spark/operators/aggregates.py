@@ -7372,6 +7372,22 @@ def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("ph_t") > PH_LAMBDA6).alias("drift_fired")))
 
 
+def _pearson_from_sums(n_dbl, sab, sa, sb, saa, sbb):
+    """Pearson r from exact integer sufficient-statistic COLUMNS — the
+    one expression shape every correlation query in this module shares
+    with its DuckDB oracle (identical parenthesization -> identical
+    IEEE doubles; the stats_price_qty_corr discipline).  ``n_dbl`` is
+    the count column already cast to double; the rest are column
+    names.  Extracted r13 so the cross-engine shape lives in ONE
+    place (review r13: it had been copy-pasted three times)."""
+    return ((n_dbl * F.col(sab).cast("double")
+             - F.col(sa).cast("double") * F.col(sb))
+            / F.sqrt((n_dbl * F.col(saa).cast("double")
+                      - F.col(sa).cast("double") * F.col(sa))
+                     * (n_dbl * F.col(sbb).cast("double")
+                        - F.col(sb).cast("double") * F.col(sb))))
+
+
 # ---------------------------------------------------------------------------
 # Partial correlation (r12) — the confounder-control readout the corr
 # family was missing: weekly order count x and weekly revenue y BOTH
@@ -7470,12 +7486,7 @@ def stats_partial_correlation(spark: SparkSession,
     n = F.col("n").cast("double")
 
     def corr(sab, sa, sb, saa, sbb):
-        return ((n * F.col(sab).cast("double")
-                 - F.col(sa).cast("double") * F.col(sb))
-                / F.sqrt((n * F.col(saa).cast("double")
-                          - F.col(sa).cast("double") * F.col(sa))
-                         * (n * F.col(sbb).cast("double")
-                            - F.col(sb).cast("double") * F.col(sb))))
+        return _pearson_from_sums(n, sab, sa, sb, saa, sbb)
 
     r = s.select(
         F.col("n"),
@@ -7580,8 +7591,8 @@ def stats_semipartial_correlation(spark: SparkSession,
     comment)."""
     orders = load_table(spark, sf_dir, "orders")
     wkly = (orders.groupBy(
-        (F.datediff("o_orderdate", F.lit("1970-01-01"))
-         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        F.floor(F.datediff("o_orderdate", F.lit("1970-01-01"))
+                .cast("bigint") / 7).cast("bigint").alias("wk"))
         .agg(F.countDistinct("o_custkey").cast("bigint").alias("u"),
              (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
              .cast("decimal(38,0)").cast("bigint").alias("y")))
@@ -7600,12 +7611,7 @@ def stats_semipartial_correlation(spark: SparkSession,
     n = F.col("n").cast("double")
 
     def corr(sab, sa, sb, saa, sbb):
-        return ((n * F.col(sab).cast("double")
-                 - F.col(sa).cast("double") * F.col(sb))
-                / F.sqrt((n * F.col(saa).cast("double")
-                          - F.col(sa).cast("double") * F.col(sa))
-                         * (n * F.col(sbb).cast("double")
-                            - F.col(sb).cast("double") * F.col(sb))))
+        return _pearson_from_sums(n, sab, sa, sb, saa, sbb)
 
     r = s.select(
         F.col("n"),
@@ -7741,8 +7747,8 @@ def stats_partial_correlation_gram(spark: SparkSession,
     off the 4x4 correlation matrix's minors (see block comment)."""
     orders = load_table(spark, sf_dir, "orders")
     wkly = (orders.groupBy(
-        (F.datediff("o_orderdate", F.lit("1970-01-01"))
-         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        F.floor(F.datediff("o_orderdate", F.lit("1970-01-01"))
+                .cast("bigint") / 7).cast("bigint").alias("wk"))
         .agg(F.count("*").cast("bigint").alias("x"),
              F.countDistinct("o_custkey").cast("bigint").alias("u"),
              (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -7767,12 +7773,7 @@ def stats_partial_correlation_gram(spark: SparkSession,
     n = F.col("n").cast("double")
 
     def corr(sab, sa, sb, saa, sbb):
-        return ((n * F.col(sab).cast("double")
-                 - F.col(sa).cast("double") * F.col(sb))
-                / F.sqrt((n * F.col(saa).cast("double")
-                          - F.col(sa).cast("double") * F.col(sa))
-                         * (n * F.col(sbb).cast("double")
-                            - F.col(sb).cast("double") * F.col(sb))))
+        return _pearson_from_sums(n, sab, sa, sb, saa, sbb)
 
     r = s.select(
         F.col("n"),

@@ -2012,6 +2012,42 @@ def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t3_stat"))
 
 
+def seasonal_mk_readout(g: DataFrame) -> DataFrame:
+    """Seasonal Mann-Kendall statistic from a (wk, dw, y) grid — the
+    ONE readout shape shared by the batch query below and the
+    streaming store drain (streaming/windows.py
+    stream_mk_maintenance), so their hash-equality against the single
+    oracle is structural rather than maintained by hand (review r13).
+    The dw column only stratifies; any bijection of day-of-week works.
+    """
+    a, b = g.alias("a"), g.alias("b")
+    s = (a.join(b, (F.col("a.dw") == F.col("b.dw"))
+                & (F.col("a.wk") < F.col("b.wk")))
+         .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
+                    .when(F.col("b.y") < F.col("a.y"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_stat")))
+    nd = g.groupBy("dw").agg(F.count("*").cast("bigint").alias("n"))
+    v = nd.agg(F.sum(F.col("n") * (F.col("n") - 1)
+                     * (2 * F.col("n") + 5)).cast("bigint").alias("vraw"))
+    ties = (g.groupBy("dw", "y")
+            .agg(F.count("*").cast("bigint").alias("t"))
+            .agg(F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1)
+                      * (2 * F.col("t") + 5)).cast("bigint"),
+                F.lit(0).cast("bigint")).alias("tcorr")))
+    out = (s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(ties)))
+    sgn = (F.when(F.col("s_stat") > 0, 1)
+           .when(F.col("s_stat") < 0, -1).otherwise(0))
+    z = ((F.col("s_stat").cast("double") - sgn)
+         / F.sqrt((F.col("vraw") - F.col("tcorr")).cast("double") / 18))
+    return out.select(
+        "s_stat",
+        (F.col("vraw") - F.col("tcorr")).alias("var_x18"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+         .cast("bigint").cast("double") / F.lit(1000000.0))
+        .alias("z_score"))
+
+
 # ---------------------------------------------------------------------------
 # Seasonal Mann-Kendall trend test (r12) — Hirsch & Slack 1984: the
 # monotone-trend test that survives seasonality.  Plain Mann-Kendall
@@ -2081,32 +2117,7 @@ def stats_seasonal_mann_kendall(spark: SparkSession,
          .cast("bigint") / 7).cast("bigint").alias("wk"),
         (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
         .agg(F.count("*").cast("bigint").alias("y")))
-    a, b = g.alias("a"), g.alias("b")
-    s = (a.join(b, (F.col("a.dw") == F.col("b.dw"))
-                & (F.col("a.wk") < F.col("b.wk")))
-         .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
-                    .when(F.col("b.y") < F.col("a.y"), -1)
-                    .otherwise(0)).cast("bigint").alias("s_stat")))
-    nd = g.groupBy("dw").agg(F.count("*").cast("bigint").alias("n"))
-    v = nd.agg(F.sum(F.col("n") * (F.col("n") - 1)
-                     * (2 * F.col("n") + 5)).cast("bigint").alias("vraw"))
-    ties = (g.groupBy("dw", "y")
-            .agg(F.count("*").cast("bigint").alias("t"))
-            .agg(F.coalesce(
-                F.sum(F.col("t") * (F.col("t") - 1)
-                      * (2 * F.col("t") + 5)).cast("bigint"),
-                F.lit(0).cast("bigint")).alias("tcorr")))
-    out = (s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(ties)))
-    sgn = (F.when(F.col("s_stat") > 0, 1)
-           .when(F.col("s_stat") < 0, -1).otherwise(0))
-    z = ((F.col("s_stat").cast("double") - sgn)
-         / F.sqrt((F.col("vraw") - F.col("tcorr")).cast("double") / 18))
-    return out.select(
-        "s_stat",
-        (F.col("vraw") - F.col("tcorr")).alias("var_x18"),
-        (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
-         .cast("bigint").cast("double") / F.lit(1000000.0))
-        .alias("z_score"))
+    return seasonal_mk_readout(g)
 
 
 # ---------------------------------------------------------------------------
@@ -2163,9 +2174,14 @@ DURBIN_FANO = (0, 1, 3)      # perfect difference set mod 7 -> lambda=1
       FROM complete
     ),
     qmin AS (
-      SELECT CAST(MIN(cnt) AS BIGINT) AS q
-      FROM (SELECT COUNT(*) AS cnt FROM complete
-            GROUP BY wk % {DURBIN_T})
+      -- min over ALL 7 residue classes, absent classes counting 0: a
+      -- punctured calendar that empties one class must yield q = 0
+      -- (no blocks) rather than a silently unbalanced design
+      SELECT CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS q
+      FROM range({DURBIN_T}) r
+      LEFT JOIN (SELECT wk % {DURBIN_T} AS cls, COUNT(*) AS cnt
+                 FROM complete GROUP BY 1) c
+        ON r.range = c.cls
     ),
     blocks AS (
       SELECT wk FROM classes, qmin WHERE rn <= q
@@ -2205,8 +2221,8 @@ DURBIN_FANO = (0, 1, 3)      # perfect difference set mod 7 -> lambda=1
              AS a_minus_c_x4,
            CAST(CAST(floor(
              {DURBIN_T - 1} * CAST(dev.d2_x4 AS DOUBLE)
-             / CAST(agg.a_x4
-                    - agg.b * {DURBIN_K * (DURBIN_K + 1) ** 2}
+             / CAST(GREATEST(agg.a_x4
+                    - agg.b * {DURBIN_K * (DURBIN_K + 1) ** 2}, 1)
                     AS DOUBLE)
              * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
              AS t1_stat
@@ -2219,8 +2235,10 @@ def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, k = DURBIN_T, DURBIN_K
     orders = load_table(spark, sf_dir, "orders")
     d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    # floor(), not truncate-cast: matches DuckDB // (floor division)
+    # for ANY sign — the memory-rule shape for integer division
     daily = (orders.groupBy(
-        (d_col / 7).cast("bigint").alias("wk"),
+        F.floor(d_col / 7).cast("bigint").alias("wk"),
         ((d_col + 4) % 7).alias("dw"))
         .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
              .cast("decimal(38,0)").cast("bigint").alias("cents")))
@@ -2233,9 +2251,15 @@ def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk",
         F.row_number().over(Window.partitionBy(F.col("wk") % t)
                             .orderBy("wk")).alias("rn"))
-    qmin = (complete.groupBy((F.col("wk") % t).alias("cls"))
-            .agg(F.count("*").alias("cnt"))
-            .agg(F.min("cnt").cast("bigint").alias("q")))
+    # min over ALL 7 residue classes, absent classes counting 0: a
+    # punctured calendar that empties one class must yield q = 0 (no
+    # blocks) rather than a silently unbalanced design (review r13)
+    cls_counts = (complete.groupBy((F.col("wk") % t).alias("cls"))
+                  .agg(F.count("*").alias("cnt")))
+    qmin = (spark.range(t).withColumnRenamed("id", "cls")
+            .join(cls_counts, "cls", "left")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint")
+                 .alias("q")))
     blocks = (classes.crossJoin(F.broadcast(qmin))
               .filter(F.col("rn") <= F.col("q"))
               .select("wk"))
@@ -2261,7 +2285,10 @@ def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("d2_x4")))
     out = agg.crossJoin(F.broadcast(dev))
     amc = F.col("a_x4") - F.col("b") * (k * (k + 1) ** 2)
-    t1 = (t - 1) * F.col("d2_x4").cast("double") / amc.cast("double")
+    # greatest(amc, 1): all-tied blocks give d2 = 0 AND amc = 0 — the
+    # guard turns that 0/0 into the conventional 0 under ANSI mode
+    t1 = ((t - 1) * F.col("d2_x4").cast("double")
+          / F.greatest(amc, F.lit(1).cast("bigint")).cast("double"))
     return out.select(
         F.col("b").alias("n_blocks"),
         F.expr(f"cast({k} * b div {t} as bigint)").alias("rep_r"),
@@ -2323,7 +2350,7 @@ def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(n_plus - n_minus AS DOUBLE)
               - CASE WHEN n_plus > n_minus THEN 1
                      WHEN n_plus < n_minus THEN -1 ELSE 0 END)
-             / sqrt(CAST(n_plus + n_minus AS DOUBLE))
+             / sqrt(CAST(GREATEST(n_plus + n_minus, 1) AS DOUBLE))
              * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
              AS z_score
     FROM agg
@@ -2358,8 +2385,11 @@ def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = F.col("n_plus") - F.col("n_minus")
     sgn = (F.when(F.col("n_plus") > F.col("n_minus"), 1)
            .when(F.col("n_plus") < F.col("n_minus"), -1).otherwise(0))
+    # greatest(m, 1): all pairs tied means D = 0 and sgn = 0 — the
+    # guard turns that 0/0 into the conventional 0 under ANSI mode
     z = ((diff.cast("double") - sgn)
-         / F.sqrt((F.col("n_plus") + F.col("n_minus")).cast("double")))
+         / F.sqrt(F.greatest(F.col("n_plus") + F.col("n_minus"),
+                             F.lit(1).cast("bigint")).cast("double")))
     return agg.select(
         "n_days",
         (F.col("n_plus") + F.col("n_minus")).alias("n_pairs_used"),
@@ -2419,7 +2449,8 @@ COCHRAN_Q_K = 4   # treatments: the 4 calendar quarters
     SELECT n_blocks, t AS grand_total, sr2 AS sum_r_sq, dev2,
            CAST(CAST(floor(
              {COCHRAN_Q_K - 1} * CAST(dev2 AS DOUBLE)
-             / ({COCHRAN_Q_K} * CAST({COCHRAN_Q_K} * t - sr2 AS DOUBLE))
+             / ({COCHRAN_Q_K}
+                * CAST(GREATEST({COCHRAN_Q_K} * t - sr2, 1) AS DOUBLE))
              * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
              AS q_stat
     FROM s
@@ -2432,7 +2463,8 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cells = (orders.select(
         "o_custkey",
-        ((F.month("o_orderdate") - 1) / 3).cast("bigint").alias("q0"))
+        F.floor((F.month("o_orderdate") - 1) / 3).cast("bigint")
+        .alias("q0"))
         .select("o_custkey", (F.col("q0") + 1).alias("qoy"))
         .distinct())
     rows_t = (cells.groupBy("o_custkey")
@@ -2448,8 +2480,12 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("d") * F.col("d")).cast("bigint")
                  .alias("dev2")))
     out = rstats.crossJoin(F.broadcast(dev2))
+    # greatest(kT - sr2, 1): if EVERY block is all-ones (each customer
+    # orders in all 4 quarters) both dev2 and the denominator are 0 —
+    # the guard turns that 0/0 into the conventional 0 under ANSI mode
     q = ((k - 1) * F.col("dev2").cast("double")
-         / (k * (k * F.col("t") - F.col("sr2")).cast("double")))
+         / (k * F.greatest(k * F.col("t") - F.col("sr2"),
+                           F.lit(1).cast("bigint")).cast("double")))
     return out.select(
         "n_blocks", F.col("t").alias("grand_total"),
         F.col("sr2").alias("sum_r_sq"), "dev2",

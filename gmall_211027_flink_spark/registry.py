@@ -83,15 +83,17 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # round 3 (CORRECTNESS_r03.json, 47 green rows; the 5 r2-era
     # TIMESTAMP_NTZ reverifies were re-proven and fold in here).
     # (stats_time_weighted_avg, interval_join_click_error,
-    #  dwd_bounce_detection, dws_sessionization,
-    #  dws_union_traffic_window, dedup_minhash_recall,
-    #  quality_filter_rules rotated to _REVERIFY round 13 — the r3
-    #  head, next-oldest after the r2 block; pii_redact_ids and
-    #  asof_join_window stay on their r3 evidence — the second r13
-    #  add-wave reclaimed their window slots)
+    #  dwd_bounce_detection, dws_sessionization rotated to _REVERIFY
+    #  round 13 — the r3 head, next-oldest after the r2 block.  The
+    #  names below stay on their r3 evidence: r13's add-waves and the
+    #  edited-query re-gates reclaimed their window slots —
+    #  pii_redact_ids / asof_join_window to the second add-wave,
+    #  dws_union_traffic_window / dedup_minhash_recall /
+    #  quality_filter_rules to the three edited-query re-gates; they
+    #  are FIRST in line for the round-14 rotation)
     "pii_redact_ids", "asof_join_window",
     "dws_union_traffic_window", "dedup_minhash_recall",
-    "quality_filter_rules",
+    "quality_filter_rules", "dwd_bounce_detection", "dws_sessionization",
     "vocab_bigram_counts",
     # (dwd_interval_join_streaming, dws_session_window_streaming rotated
     #  to _REVERIFY round 11 — r3-vintage streaming proofs)
@@ -322,7 +324,10 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dws_cumulate_streaming", "dwd_stream_dedup_within_watermark",
     # then the 20 r12 additions, all green in the same gate
     "stats_holtwinters_seasonal", "stats_theils_u", "stats_page_hinkley",
-    "stats_partial_correlation", "multimodal_adpcm_roundtrip",
+    # (stats_partial_correlation moved to _REVERIFY round 13: its
+    #  Pearson expression now comes from the shared _pearson_from_sums
+    #  helper — pure code motion, but code changed -> re-gate)
+    "multimodal_adpcm_roundtrip",
     "sketch_count_sketch", "stream_cs_maintenance",
     "stream_holtwinters_maintenance", "stream_ph_maintenance",
     "stream_theil_maintenance", "graph_katz_centrality",
@@ -331,7 +336,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stats_quade",
     # (stats_friedman_aligned_ranks moved to _REVERIFY round 13:
     #  tie-exact denominator + new sum_rij2_x4 output column)
-    "stats_seasonal_mann_kendall",
+    # (stats_seasonal_mann_kendall moved to _REVERIFY round 13: its
+    #  readout is now the shared seasonal_mk_readout helper the stream
+    #  store also drains through — code changed -> re-gate)
 )
 
 # Queries that MUST be sampled first by this round's gate: the
@@ -367,9 +374,10 @@ _REVERIFY: tuple[str, ...] = (
     "cdc_envelope_roundtrip",
     # r3-vintage batch names (the head of the r3 block, next-oldest;
     # pii_redact_ids / asof_join_window traded back to the proven tail
-    # when the second r13 add-wave claimed their slots — r12 precedent):
+    # when the second r13 add-wave claimed their slots — r12 precedent;
+    # dwd_bounce_detection / dws_sessionization likewise traded when
+    # the two refactored-proven queries below claimed re-gate slots):
     "stats_time_weighted_avg", "interval_join_click_error",
-    "dwd_bounce_detection", "dws_sessionization",
     # (dws_union_traffic_window, dedup_minhash_recall,
     #  quality_filter_rules traded back to the proven tail round 13 —
     #  their slots go to the three r13-EDITED queries below, whose r12
@@ -381,6 +389,9 @@ _REVERIFY: tuple[str, ...] = (
     # aligned-ranks the tie-exact denominator AND a new output column:
     "stats_histogram_equi_depth", "sample_systematic_interval",
     "stats_friedman_aligned_ranks",
+    # r13-REFACTORED queries (shared-helper extraction — pure code
+    # motion, but their old proofs no longer cover the current code):
+    "stats_partial_correlation", "stats_seasonal_mann_kendall",
     # streaming-path canaries (the two oldest streaming proofs left):
     "dws_union_streams_window", "stream_dedup_exact_documents",
 )

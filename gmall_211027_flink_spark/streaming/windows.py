@@ -3271,7 +3271,7 @@ def stream_mk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     (cut2 + 1, hi))):
             batch = (orders.select(d_col.alias("dd"))
                      .filter((F.col("dd") >= a) & (F.col("dd") <= b))
-                     .groupBy((F.col("dd") / 7).cast("bigint")
+                     .groupBy(F.floor(F.col("dd") / 7).cast("bigint")
                               .alias("wk"),
                               ((F.col("dd") + 4) % 7).alias("dw"))
                      .agg(F.count("*").cast("bigint").alias("y")))
@@ -3286,38 +3286,13 @@ def stream_mk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(
                     f"stream_mk_maintenance: (wk, dow) store grew to "
                     f"{n} rows > calendar bound {n_cells_bound}")
-        # readout from the drained store — the batch seasonal-MK math
-        # (stats_seasonal_mann_kendall, operators/inference.py) over
-        # the store's own grid
-        g = state
-        a2, b2 = g.alias("a"), g.alias("b")
-        s = (a2.join(b2, (F.col("a.dw") == F.col("b.dw"))
-                     & (F.col("a.wk") < F.col("b.wk")))
-             .agg(F.sum(F.when(F.col("b.y") > F.col("a.y"), 1)
-                        .when(F.col("b.y") < F.col("a.y"), -1)
-                        .otherwise(0)).cast("bigint").alias("s_stat")))
-        nd = g.groupBy("dw").agg(F.count("*").cast("bigint").alias("n"))
-        v = nd.agg(F.sum(F.col("n") * (F.col("n") - 1)
-                         * (2 * F.col("n") + 5)).cast("bigint")
-                   .alias("vraw"))
-        ties = (g.groupBy("dw", "y")
-                .agg(F.count("*").cast("bigint").alias("t"))
-                .agg(F.coalesce(
-                    F.sum(F.col("t") * (F.col("t") - 1)
-                          * (2 * F.col("t") + 5)).cast("bigint"),
-                    F.lit(0).cast("bigint")).alias("tcorr")))
-        outp = (s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(ties)))
-        sgn = (F.when(F.col("s_stat") > 0, 1)
-               .when(F.col("s_stat") < 0, -1).otherwise(0))
-        z = ((F.col("s_stat").cast("double") - sgn)
-             / F.sqrt((F.col("vraw") - F.col("tcorr")).cast("double")
-                      / 18))
-        out = outp.select(
-            "s_stat",
-            (F.col("vraw") - F.col("tcorr")).alias("var_x18"),
-            (F.floor(z * F.lit(1000000.0) + F.lit(0.5))
-             .cast("bigint").cast("double") / F.lit(1000000.0))
-            .alias("z_score"))
+        # readout from the drained store: the SAME readout callable the
+        # batch query uses (operators/inference.py seasonal_mk_readout)
+        # over the store's own grid — the hash-equality against the
+        # shared oracle is structural, not maintained by hand
+        from gmall_211027_flink_spark.operators.inference import (
+            seasonal_mk_readout)
+        out = seasonal_mk_readout(state)
         # gate-harness materialization (temp store removed in finally)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
