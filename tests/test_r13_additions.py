@@ -225,3 +225,134 @@ def test_cox_stuart_pairing_invariants(spark, sf_dir):
     d = row["n_plus"] - row["n_minus"]
     if d != 0:
         assert math.copysign(1, row["z_score"]) == math.copysign(1, d)
+
+
+# ---------------------------------------------------------------------------
+# grid_rank through the NON-broadcast join path (ADVICE r12 fix): with
+# the forced broadcast hint gone, AQE normally still broadcasts the
+# tiny offset grid — this pins bit-identity when it CANNOT (broadcast
+# disabled), i.e. the shuffle-join plan a data-proportional grid would
+# take at 100 TB.
+# ---------------------------------------------------------------------------
+
+def test_grid_rank_exact_without_broadcast(spark):
+    from pyspark.sql.window import Window
+
+    from gmall_211027_flink_spark.operators.ranks import grid_rank
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = (spark.range(700)
+              .select(F.col("id"), (F.col("id") * 31 % 113).alias("v")))
+        two = grid_rank(df, ["v", "id"], F.expr("v div 9"))
+        plan = two._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        ref = df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id"))
+            .cast("bigint").alias("rk"))
+        got = {r["id"]: r["rk"] for r in two.select("id", "rk").collect()}
+        want = {r["id"]: r["rk"] for r in ref.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# ANSI-guard degenerates (review r13): each guarded statistic must
+# return its conventional 0 on the degenerate slice instead of
+# crashing under Spark 4's default ANSI mode — pinned with synthetic
+# orders tables engineered to hit each 0/0.
+# ---------------------------------------------------------------------------
+
+def _write_orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice decimal(18,2)")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    return str(tmp_path)
+
+
+def test_cochran_q_all_complete_blocks_returns_zero(spark, tmp_path):
+    """Every customer orders in all 4 quarters -> kT == sum(r^2) and
+    dev2 == 0: q_stat must be 0.0, not an ANSI divide-by-zero."""
+    import datetime
+
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_cochran_q)
+
+    rows = []
+    k = 0
+    for cust in range(1, 6):
+        for month in (1, 4, 7, 10):     # one order per quarter
+            k += 1
+            rows.append((k, cust, datetime.date(2024, month, 5),
+                         None))
+    rows = [(a, b, c, __import__("decimal").Decimal("100.00"))
+            for a, b, c, _ in rows]
+    d = _write_orders(spark, tmp_path, rows)
+    row = stats_cochran_q(spark, d).first()
+    assert row["dev2"] == 0
+    assert row["q_stat"] == 0.0
+
+
+def test_cox_stuart_all_tied_returns_zero(spark, tmp_path):
+    """Constant daily volume -> every half-offset pair ties -> m = 0:
+    z must be 0.0, not an ANSI divide-by-zero."""
+    import datetime
+    import decimal
+
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_cox_stuart)
+
+    rows = [(i + 1, 1, datetime.date(2024, 1, 1)
+             + datetime.timedelta(days=i), decimal.Decimal("10.00"))
+            for i in range(14)]          # one order per day, constant
+    d = _write_orders(spark, tmp_path, rows)
+    row = stats_cox_stuart(spark, d).first()
+    assert row["n_pairs_used"] == 0
+    assert row["z_score"] == 0.0
+
+
+def test_durbin_punctured_class_yields_no_blocks(spark, tmp_path):
+    """A calendar whose complete weeks all share one wk%7 residue must
+    yield q = 0 (no blocks) — never a silently unbalanced design
+    (review r13: the old qmin minimized over PRESENT classes only)."""
+    import datetime
+    import decimal
+
+    from gmall_211027_flink_spark.operators.inference import stats_durbin
+
+    # two complete weeks, both in the SAME residue class (13 weeks
+    # apart would differ; use exactly 7-week spacing -> same class)
+    rows = []
+    k = 0
+    for start in (datetime.date(2024, 1, 1),
+                  datetime.date(2024, 2, 19)):   # 49 days later
+        for i in range(7):
+            k += 1
+            rows.append((k, 1, start + datetime.timedelta(days=i),
+                         decimal.Decimal(f"{100 + k}.00")))
+    d = _write_orders(spark, tmp_path, rows)
+    row = stats_durbin(spark, d).first()
+    assert row["n_blocks"] == 0
+    assert row["t1_stat"] is None
+
+
+def test_mood_median_degenerate_margin_returns_zero(spark, tmp_path):
+    """All days share one volume -> every day ties with the pooled
+    median and drops -> all four cells 0: chi2 must be 0.0."""
+    import datetime
+    import decimal
+
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_mood_median)
+
+    rows = [(i + 1, 1, datetime.date(2024, 3, 1)
+             + datetime.timedelta(days=i), decimal.Decimal("5.00"))
+            for i in range(10)]
+    d = _write_orders(spark, tmp_path, rows)
+    row = stats_mood_median(spark, d).first()
+    assert (row["wkend_above"] + row["wkday_above"]
+            + row["wkend_below"] + row["wkday_below"]) == 0
+    assert row["chi2_yates"] == 0.0
