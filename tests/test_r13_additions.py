@@ -356,3 +356,99 @@ def test_mood_median_degenerate_margin_returns_zero(spark, tmp_path):
     assert (row["wkend_above"] + row["wkday_above"]
             + row["wkend_below"] + row["wkday_below"]) == 0
     assert row["chi2_yates"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Adaptive binary range coder (operators/entropy.py — the r14
+# arithmetic-JPEG entropy core, pre-built and proven this round):
+# encoder/decoder lockstep incl. the carry chain, and compression that
+# actually approaches the source entropy.
+# ---------------------------------------------------------------------------
+
+def _lcg_bytes(n: int, seed: int = 12345) -> bytes:
+    out = bytearray()
+    x = seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append((x >> 16) & 0xFF)
+    return bytes(out)
+
+
+def test_range_coder_roundtrip_lengths():
+    from gmall_211027_flink_spark.operators.entropy import (
+        decode_bytes, encode_bytes)
+
+    for n in (0, 1, 2, 7, 255, 4096):
+        data = _lcg_bytes(n, seed=n + 3)
+        assert decode_bytes(encode_bytes(data), n) == data
+
+
+def test_range_coder_carry_chain():
+    """Long runs of the likeliest symbol drive `low` into the 0xFF
+    band where carries propagate through cached bytes — the classic
+    range-coder bug site; the roundtrip must survive it."""
+    from gmall_211027_flink_spark.operators.entropy import (
+        decode_bytes, encode_bytes)
+
+    for pattern in (b"\x00" * 3000, b"\xff" * 3000,
+                    (b"\xff\x00" * 1500),
+                    bytes([255, 254, 255, 255, 0] * 600)):
+        assert decode_bytes(encode_bytes(pattern),
+                            len(pattern)) == pattern
+
+
+def test_range_coder_beats_entropy_neighborhood():
+    """A 90/10 two-symbol source carries H ~ 0.469 bits/byte; the
+    adaptive coder's achievable floor adds ~0.022 bits per
+    conditionally-deterministic tree decision (p bottoms out at
+    31/2048 under the >>5 update, and 7 of the 8 path decisions are
+    deterministic given the prefix) — so the ideal is ~0.62 bits/byte.
+    Assert we land within 10% of THAT bound, and that a uniform
+    random source does NOT compress (coder honesty)."""
+    import math
+
+    from gmall_211027_flink_spark.operators.entropy import encode_bytes
+
+    n = 20000
+    skewed = bytearray()
+    x = 7
+    for _ in range(n):
+        x = (x * 48271) % 2147483647
+        skewed.append(0x41 if x % 10 else 0x42)   # 90% 'A', 10% 'B'
+    out = encode_bytes(bytes(skewed))
+    p = skewed.count(0x41) / n
+    h_info = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+    floor_bit = -math.log2(1 - 31 / 2048)      # adaptive-model floor
+    ideal_bytes = n * (h_info + 7 * floor_bit) / 8
+    assert len(out) < ideal_bytes * 1.10 + 64  # near the real bound
+    assert len(out) < n / 8                    # and clearly small
+    rand = _lcg_bytes(n, seed=99)
+    assert len(encode_bytes(rand)) > n * 0.98  # incompressible
+
+
+def test_range_coder_model_is_shared_state():
+    """Interleaving two context groups through ONE coder stream must
+    stay decodable — the exact shape the JPEG binarization needs
+    (DC and AC symbols share the stream but not the models)."""
+    from gmall_211027_flink_spark.operators.entropy import (
+        BitDecoder, BitEncoder, new_bit_models)
+
+    enc = BitEncoder()
+    a, b = new_bit_models(4), new_bit_models(4)
+    bits = [(i * 7 + 3) % 2 for i in range(500)]
+    for i, bit in enumerate(bits):
+        if i % 3 == 0:
+            enc.encode_bit(a, i % 4, bit)
+        else:
+            enc.encode_bit(b, i % 4, bit)
+    data = enc.finish()
+    dec = BitDecoder(data)
+    a2, b2 = new_bit_models(4), new_bit_models(4)
+    got = []
+    for i in range(500):
+        if i % 3 == 0:
+            got.append(dec.decode_bit(a2, i % 4))
+        else:
+            got.append(dec.decode_bit(b2, i % 4))
+    assert got == bits
+    assert a2 == a and b2 == b      # models advanced in lockstep
