@@ -79,12 +79,22 @@ class BitEncoder:
         return bytes(self._out[1:]) if self._out else b""
 
 
+# A lockstep decode consumes EXACTLY len(data) bytes (the decoder's
+# renorm count equals the encoder's, and the 4 bytes primed at init
+# are the 4 net flush-tail bytes) — phantom zero bytes past the end
+# only appear on truncated/corrupt input or a wrong symbol count.
+# Allow the flush-tail magnitude as slack, then fail loudly instead of
+# decoding garbage silently (review r13).
+_FLUSH_ALLOWANCE = 4
+
+
 class BitDecoder:
     """Exact mirror of BitEncoder (same model updates, same renorm)."""
 
     def __init__(self, data: bytes) -> None:
         self._data = data
         self._pos = 0
+        self._overrun = 0
         self.range = 0xFFFFFFFF
         self.code = 0
         for _ in range(4):
@@ -95,7 +105,13 @@ class BitDecoder:
             b = self._data[self._pos]
             self._pos += 1
             return b
-        return 0    # the encoder's flush tail allows zero-padding
+        self._overrun += 1
+        if self._overrun > _FLUSH_ALLOWANCE:
+            raise ValueError(
+                "truncated range-coded stream: decoder consumed "
+                f"{self._overrun} bytes past the {len(self._data)}-byte "
+                "input (flush allowance exceeded)")
+        return 0    # inside the encoder's flush-tail allowance
 
     def decode_bit(self, probs: list, ctx: int) -> int:
         p = probs[ctx]
@@ -130,15 +146,28 @@ def new_bit_models(n: int) -> list:
 # run-length symbols.
 # ---------------------------------------------------------------------------
 
+def encode_symbol(enc: BitEncoder, probs: list, byte: int) -> None:
+    """One byte-valued symbol through a 256-leaf context tree (context
+    = the path prefix through the byte's bits)."""
+    node = 1
+    for i in range(7, -1, -1):
+        bit = (byte >> i) & 1
+        enc.encode_bit(probs, node, bit)
+        node = (node << 1) | bit
+
+
+def decode_symbol(dec: BitDecoder, probs: list) -> int:
+    node = 1
+    for _ in range(8):
+        node = (node << 1) | dec.decode_bit(probs, node)
+    return node & 0xFF
+
+
 def encode_bytes(data: bytes) -> bytes:
     enc = BitEncoder()
     probs = new_bit_models(256)        # tree nodes 1..255 used
     for byte in data:
-        node = 1
-        for i in range(7, -1, -1):
-            bit = (byte >> i) & 1
-            enc.encode_bit(probs, node, bit)
-            node = (node << 1) | bit
+        encode_symbol(enc, probs, byte)
     return enc.finish()
 
 
@@ -147,8 +176,5 @@ def decode_bytes(data: bytes, n: int) -> bytes:
     probs = new_bit_models(256)
     out = bytearray()
     for _ in range(n):
-        node = 1
-        for _ in range(8):
-            node = (node << 1) | dec.decode_bit(probs, node)
-        out.append(node & 0xFF)
+        out.append(decode_symbol(dec, probs))
     return bytes(out)

@@ -2112,9 +2112,14 @@ def stats_seasonal_mann_kendall(spark: SparkSession,
     """Seasonal (DOW-stratified) Mann-Kendall trend z on weekly-grain
     order volume (see block comment)."""
     orders = load_table(spark, sf_dir, "orders")
+    # F.floor, not truncate-cast: the SAME wk expression as the stream
+    # store (streaming/windows.py stream_mk_maintenance), so the
+    # store/batch hash-equality is shape-identical rather than relying
+    # on epoch days being non-negative, where floor and truncation
+    # coincide (review r13)
     g = (orders.groupBy(
-        (F.datediff("o_orderdate", F.lit("1970-01-01"))
-         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        F.floor(F.datediff("o_orderdate", F.lit("1970-01-01"))
+                .cast("bigint") / 7).cast("bigint").alias("wk"),
         (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
         .agg(F.count("*").cast("bigint").alias("y")))
     return seasonal_mk_readout(g)
@@ -2434,7 +2439,13 @@ COCHRAN_Q_K = 4   # treatments: the 4 calendar quarters
       GROUP BY 1
     ),
     cols_t AS (
-      SELECT qoy, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY 1
+      -- dense over ALL k quarters, absent ones counting 0 (the Durbin
+      -- qmin device): a quarter with zero incidence must still
+      -- contribute its (k*0 - T)^2 deviation term (review r13)
+      SELECT r.range + 1 AS qoy, CAST(COALESCE(cnt, 0) AS BIGINT) AS c
+      FROM range({COCHRAN_Q_K}) r
+      LEFT JOIN (SELECT qoy, COUNT(*) AS cnt FROM cells GROUP BY 1) q
+        ON r.range + 1 = q.qoy
     ),
     s AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_t) AS n_blocks,
@@ -2473,8 +2484,14 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_blocks"),
         F.sum("r").cast("bigint").alias("t"),
         F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"))
-    cols_t = (cells.groupBy("qoy")
-              .agg(F.count("*").cast("bigint").alias("c")))
+    # dense over ALL k quarters, absent ones counting 0 (the Durbin
+    # qmin device): a quarter with zero incidence must still contribute
+    # its (k*0 - T)^2 deviation term (review r13)
+    cols_t = (spark.range(1, k + 1).withColumnRenamed("id", "qoy")
+              .join(cells.groupBy("qoy")
+                    .agg(F.count("*").alias("cnt")), "qoy", "left")
+              .select(F.coalesce("cnt", F.lit(0)).cast("bigint")
+                      .alias("c")))
     dev2 = (cols_t.crossJoin(F.broadcast(rstats.select("t")))
             .select((k * F.col("c") - F.col("t")).alias("d"))
             .agg(F.sum(F.col("d") * F.col("d")).cast("bigint")

@@ -111,28 +111,42 @@ def test_adpcm_rung_error_bounded_by_step_table():
 # Durbin: the cyclic Fano selection really is a BIBD(7, b, 3, 3b/7, b/7)
 # ---------------------------------------------------------------------------
 
-def test_durbin_design_is_balanced(spark, sf_dir):
+def test_durbin_design_is_balanced(spark, tmp_path):
+    """Synthetic punctured calendar (review r13: no more SF-dependent
+    skip): 21 weeks covering every wk%7 residue class, with four weeks
+    punctured so the class counts are UNEVEN (3/3/2/1/2/3/3) — the
+    per-class q-selection must still yield a true BIBD, and the engine
+    must agree on (b, r)."""
+    import datetime
+    import decimal
     from itertools import combinations
 
-    from gmall_211027_flink_spark.catalog import load_table
     from gmall_211027_flink_spark.operators.inference import (
-        DURBIN_FANO, DURBIN_K, DURBIN_T)
+        DURBIN_FANO, DURBIN_K, DURBIN_T, stats_durbin)
 
-    orders = load_table(spark, sf_dir, "orders")
-    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
-    daily = (orders.groupBy((d_col / 7).cast("bigint").alias("wk"),
-                            ((d_col + 4) % 7).alias("dw"))
-             .agg(F.count("*").alias("c")))
-    complete = (daily.groupBy("wk").agg(F.count("*").alias("n"))
-                .filter(F.col("n") == DURBIN_T).select("wk"))
-    wks = sorted(r["wk"] for r in complete.collect())
-    by_cls = {c: [w for w in wks if w % DURBIN_T == c]
+    punctured = {2, 10, 17, 18}     # classes 2, 3, 4, 3 lose one week
+    rows, k = [], 0
+    for wk in range(21):
+        for i in range(7):
+            if wk in punctured and i == 3:
+                continue            # drop one day -> incomplete week
+            k += 1
+            d = wk * 7 + i
+            rows.append((k, 1,
+                         datetime.date(1970, 1, 1)
+                         + datetime.timedelta(days=d),
+                         decimal.Decimal(f"{100 + 13 * k % 97}.00")))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice decimal(18,2)")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    complete = sorted(wk for wk in range(21) if wk not in punctured)
+    by_cls = {c: [w for w in complete if w % DURBIN_T == c]
               for c in range(DURBIN_T)}
+    assert sorted(len(v) for v in by_cls.values()) == [1, 2, 2, 3, 3, 3, 3]
     q = min(len(v) for v in by_cls.values())
-    if q == 0:
-        # tiny fixtures (sf0.001) may lack complete weeks in some
-        # residue class; the balance property is then vacuous (b = 0)
-        pytest.skip("no full residue coverage at this SF")
+    assert q == 1                   # the uneven classes bind
     kept = [w for c in range(DURBIN_T) for w in by_cls[c][:q]]
     b = len(kept)
     assert b == DURBIN_T * q
@@ -145,6 +159,10 @@ def test_durbin_design_is_balanced(spark, sf_dir):
     lam = {p: sum(set(p) <= set(blk) for blk in blocks)
            for p in combinations(range(7), 2)}
     assert set(lam.values()) == {b // DURBIN_T}
+    # and the ENGINE selected exactly that design
+    row = stats_durbin(spark, str(tmp_path)).first()
+    assert row["n_blocks"] == b
+    assert row["rep_r"] == DURBIN_K * b // DURBIN_T
 
 
 # ---------------------------------------------------------------------------

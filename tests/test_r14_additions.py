@@ -1,0 +1,69 @@
+"""Round-14 additions: ADVICE r13 closure pins (Cochran dense
+quarters, range-coder truncation detection), the arithmetic-coded
+JPEG entropy layer, the Durbin/Cochran streaming maintenance twins,
+and the pole-zero predictive ADPCM codec."""
+
+import datetime
+import decimal
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: a quarter with ZERO incidence must still contribute its
+# (k*0 - T)^2 deviation term (ADVICE r13 — both engines previously
+# omitted absent quarters, so the parity gate couldn't catch it).
+# ---------------------------------------------------------------------------
+
+def test_cochran_q_counts_absent_quarter(spark, tmp_path):
+    from gmall_211027_flink_spark.operators.inference import (
+        COCHRAN_Q_K, stats_cochran_q)
+
+    # 3 customers, each ordering in Q1 and Q2 only -> Q3, Q4 have zero
+    # incidence; T = 6, C = (3, 3, 0, 0)
+    rows, k = [], 0
+    for cust in range(1, 4):
+        for month in (2, 5):        # Q1, Q2
+            k += 1
+            rows.append((k, cust, datetime.date(2024, month, 10),
+                         decimal.Decimal("50.00")))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice decimal(18,2)")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    row = stats_cochran_q(spark, str(tmp_path)).first()
+    kq, t = COCHRAN_Q_K, 6
+    # dense deviations: 2 quarters at 4*3-6 = 6, 2 ABSENT at 4*0-6 = -6
+    assert row["dev2"] == 2 * 6 * 6 + 2 * (-t) * (-t)
+    # Q = (k-1) * dev2 / (k * (k*T - sum r^2)); r_i = 2 -> sum r^2 = 12
+    want = (kq - 1) * row["dev2"] / (kq * (kq * t - 12))
+    assert row["q_stat"] == pytest.approx(want, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Range coder: truncated/corrupt input now fails loudly instead of
+# decoding phantom zeros silently (ADVICE r13).
+# ---------------------------------------------------------------------------
+
+def test_range_coder_truncation_raises():
+    from gmall_211027_flink_spark.operators.entropy import (
+        decode_bytes, encode_bytes)
+
+    data = bytes((i * 37 + 11) % 251 for i in range(600))
+    enc = encode_bytes(data)
+    assert decode_bytes(enc, len(data)) == data   # exact input: fine
+    with pytest.raises(ValueError, match="truncated range-coded"):
+        decode_bytes(enc[: len(enc) // 2], len(data))
+
+
+def test_range_coder_overdecode_raises():
+    """Asking for more symbols than were encoded must exhaust the
+    flush allowance and raise — the corruption detection the r14 JPEG
+    path relies on."""
+    from gmall_211027_flink_spark.operators.entropy import (
+        decode_bytes, encode_bytes)
+
+    data = bytes((i * 73 + 5) % 241 for i in range(64))
+    with pytest.raises(ValueError, match="truncated range-coded"):
+        decode_bytes(encode_bytes(data), len(data) + 64)
