@@ -91,31 +91,22 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  dws_union_traffic_window / dedup_minhash_recall /
     #  quality_filter_rules to the three edited-query re-gates; they
     #  are FIRST in line for the round-14 rotation)
-    "pii_redact_ids", "asof_join_window",
-    "dws_union_traffic_window", "dedup_minhash_recall",
-    "quality_filter_rules", "dwd_bounce_detection", "dws_sessionization",
-    "vocab_bigram_counts",
+    # (the ENTIRE remaining r3 block — pii_redact_ids through
+    #  graph_components_copurchase, 30 names — rotated to _REVERIFY
+    #  round 14: the oldest driver evidence left after the r13
+    #  rotation retired the r2 block and the r3 head)
     # (dwd_interval_join_streaming, dws_session_window_streaming rotated
     #  to _REVERIFY round 11 — r3-vintage streaming proofs)
     # (dwd_stream_dedup_within_watermark rotated to _REVERIFY round 12)
     # (dws_union_streams_window, stream_dedup_exact_documents rotated to
     #  _REVERIFY round 13 — the two oldest streaming proofs remaining)
-    "stream_quality_filter_documents", "decontaminate_ngram",
-    "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
-    "q4_late_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_revenue_share", "q2_min_price_part",
-    "q9_type_profit", "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q21_sole_late_supplier",
-    "q22_sales_opportunity", "q20_dominant_supplier",
-    "q11_important_balance_share", "graph_components_copurchase",
     # round 4 (CORRECTNESS_r04.json, 50/50 green — includes the three
     # HUGEINT-typing reverifies, now re-proven)
-    "mixture_weighted_sample", "q12_lateness_priority",
-    "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
-    "dws_gapfill_interpolate",
-    "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
-    "stats_mad_outliers", "dwd_jump_consecutive_entries",
+    # (the r4 head — mixture_weighted_sample through stats_mad_outliers,
+    #  9 names, plus the two r4-era streaming proofs
+    #  dwd_order_detail_join_streaming / stream_sample_ingest —
+    #  rotated to _REVERIFY round 14, next-oldest after the r3 block)
+    "dwd_jump_consecutive_entries",
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
     "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
@@ -125,7 +116,6 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "sample_deterministic_shuffle", "sample_weighted_ppswor",
     "dataset_snapshot_diff", "ads_unpivot_metrics",
     "cdc_dirty_side_output", "cdc_update_delta",
-    "dwd_order_detail_join_streaming", "stream_sample_ingest",
     "dwd_stream_static_dim_join", "dws_tumble_append_streaming",
     "dws_incremental_agg_maintenance", "stream_dedup_minhash_incremental",
     "dim_scd2_stream_maintenance", "q8_market_share",
@@ -336,28 +326,17 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stats_quade",
     # (stats_friedman_aligned_ranks moved to _REVERIFY round 13:
     #  tie-exact denominator + new sum_rij2_x4 output column)
-    # (stats_seasonal_mann_kendall moved to _REVERIFY round 13: its
-    #  readout is now the shared seasonal_mk_readout helper the stream
-    #  store also drains through — code changed -> re-gate)
-)
-
-# Queries that MUST be sampled first by this round's gate: the
-# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
-# round the OLDEST driver-proven names move here so their proofs get
-# refreshed by the driver instead of relying on judge spot-checks.
-# Round 13 (VERDICT r12 item 1): the r12 window folded back into
-# _DRIVER_PROVEN; the final window = 39 staleness canaries (the ENTIRE
-# remaining r2-evidence block of 33 names, 4 r3-head names, the two
-# oldest streaming-path proofs) + 3 r13-EDITED queries whose older
-# proofs no longer cover their code + 8 new r13 queries = exactly 50.
-# Fold back into _DRIVER_PROVEN once CORRECTNESS_r13 lands, and rotate
-# the next-oldest batch in round 14.  NOTE the window-count rule: the
-# gate window = count of names NOT in _DRIVER_PROVEN, which already
-# INCLUDES these — budget new queries to keep that single number <= 50
-# (tests/test_registry_budget.py now enforces it).
-_REVERIFY: tuple[str, ...] = (
-    # r2-vintage batch names (the full remaining r2 block — ANN / text /
-    # ads mapper family; oldest driver evidence on the books):
+    # round 13 (CORRECTNESS_r13.json, 50/50 green): the 39 rotation
+    # canaries (the full 33-name r2 block, 4 r3-head names, the two
+    # oldest streaming proofs), the 5 edited/refactored re-gates, and
+    # the 8 r13 additions — all re-proven on r13 evidence.
+    # (stats_cochran_q re-entered _REVERIFY round 14: dense-quarter
+    #  deviation fix changed code AND oracle)
+    # (stats_seasonal_mann_kendall re-entered _REVERIFY round 14: the
+    #  batch wk expression now uses F.floor like the stream store)
+    # (stats_durbin, stream_mk_maintenance re-entered _REVERIFY round
+    #  14: readout extracted into the shared durbin_readout helper /
+    #  the streaming drain now reuses it — code motion -> re-gate)
     "ann_lsh_bucketed", "embedding_near_dup", "ann_ivf_probe",
     "text_lang_id", "text_quality_score", "text_token_count",
     "text_fingerprint", "text_repetition_ratio", "text_tfidf_keywords",
@@ -372,28 +351,66 @@ _REVERIFY: tuple[str, ...] = (
     "ads_funnel_view_click_purchase", "ads_copurchase_pairs",
     "ads_supplier_scorecard", "ads_nation_market_share",
     "cdc_envelope_roundtrip",
-    # r3-vintage batch names (the head of the r3 block, next-oldest;
-    # pii_redact_ids / asof_join_window traded back to the proven tail
-    # when the second r13 add-wave claimed their slots — r12 precedent;
-    # dwd_bounce_detection / dws_sessionization likewise traded when
-    # the two refactored-proven queries below claimed re-gate slots):
     "stats_time_weighted_avg", "interval_join_click_error",
-    # (dws_union_traffic_window, dedup_minhash_recall,
-    #  quality_filter_rules traded back to the proven tail round 13 —
-    #  their slots go to the three r13-EDITED queries below, whose r12
-    #  proofs no longer cover their current code)
-    # r13-EDITED queries: code/oracle changed this round, so their
-    # older driver proofs are stale by definition (the r9
-    # multimodal_decode_meta re-gate precedent) — histogram gained the
-    # ANSI ntile guard, systematic sampling the count-capped blocking,
-    # aligned-ranks the tie-exact denominator AND a new output column:
     "stats_histogram_equi_depth", "sample_systematic_interval",
-    "stats_friedman_aligned_ranks",
-    # r13-REFACTORED queries (shared-helper extraction — pure code
-    # motion, but their old proofs no longer cover the current code):
-    "stats_partial_correlation", "stats_seasonal_mann_kendall",
-    # streaming-path canaries (the two oldest streaming proofs left):
+    "stats_friedman_aligned_ranks", "stats_partial_correlation",
     "dws_union_streams_window", "stream_dedup_exact_documents",
+    "stats_cox_stuart", "stats_mood_median",
+    "stats_semipartial_correlation", "stats_partial_correlation_gram",
+    "multimodal_adpcm_multirate",
+)
+
+# Queries that MUST be sampled first by this round's gate: the
+# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
+# round the OLDEST driver-proven names move here so their proofs get
+# refreshed by the driver instead of relying on judge spot-checks.
+# Round 14 (VERDICT r13 item 1): the r13 window folded back into
+# _DRIVER_PROVEN; the new window = r14-EDITED re-gates + the new r14
+# queries + staleness canaries from the next-oldest evidence (the
+# remaining r3 block, then the r4 head, incl. >= 2 streaming proofs)
+# topped up to exactly 50.  Fold back into _DRIVER_PROVEN once
+# CORRECTNESS_r14 lands, and rotate the next-oldest batch in round 15.
+# NOTE the window-count rule: the gate window = count of names NOT in
+# _DRIVER_PROVEN, which already INCLUDES these — budget new queries to
+# keep that single number <= 50 (tests/test_registry_budget.py
+# enforces it).
+_REVERIFY: tuple[str, ...] = (
+    # r14-EDITED queries: code/oracle changed this round, so their r13
+    # driver proofs are stale by definition (the r9
+    # multimodal_decode_meta re-gate precedent) — Cochran's Q gained
+    # the dense-quarter deviation term (ADVICE r13), seasonal MK's
+    # batch wk expression switched to F.floor for shape-identity with
+    # the stream store (ADVICE r13), Durbin's readout moved into the
+    # shared durbin_readout helper (stream_durbin_maintenance drains
+    # through it), and stream_mk_maintenance re-gates alongside its
+    # edited batch twin (they share one oracle and must stay
+    # hash-identical — refresh both proofs together):
+    "stats_cochran_q", "stats_seasonal_mann_kendall",
+    "stats_durbin", "stream_mk_maintenance",
+    # r3-vintage batch canaries (the remaining r3 block — oldest
+    # driver evidence on the books after the r13 rotation retired the
+    # r2 block and the r3 head):
+    "pii_redact_ids", "asof_join_window", "dws_union_traffic_window",
+    "dedup_minhash_recall", "quality_filter_rules",
+    "dwd_bounce_detection", "dws_sessionization", "vocab_bigram_counts",
+    "stream_quality_filter_documents", "decontaminate_ngram",
+    "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
+    "q4_late_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q10_returned_items", "q14_promo_revenue_share", "q2_min_price_part",
+    "q9_type_profit", "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q21_sole_late_supplier",
+    "q22_sales_opportunity", "q20_dominant_supplier",
+    "q11_important_balance_share", "graph_components_copurchase",
+    # r4-head canaries (next-oldest after r3), including two r4-era
+    # STREAMING proofs (dwd_order_detail_join_streaming,
+    # stream_sample_ingest) so the rotation refreshes the streaming
+    # path too (VERDICT r13 item 1):
+    "mixture_weighted_sample", "q12_lateness_priority",
+    "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
+    "dws_gapfill_interpolate", "stats_hll_accuracy_audit",
+    "stats_approx_percentile_audit", "stats_mad_outliers",
+    "dwd_order_detail_join_streaming", "stream_sample_ingest",
 )
 
 

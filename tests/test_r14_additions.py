@@ -57,6 +57,74 @@ def test_range_coder_truncation_raises():
         decode_bytes(enc[: len(enc) // 2], len(data))
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG: the range-coded scan must reconstruct the
+# EXACT pixel field of the Huffman baseline (the entropy layer is
+# transparent to the pixels), the container must carry no Huffman
+# tables, and scan corruption must fail loudly, not decode silently.
+# ---------------------------------------------------------------------------
+
+def _arith_payload(seed: str):
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        synthesize_jpeg_gray_arith)
+
+    h = hashlib.md5(seed.encode()).hexdigest()
+    return h, synthesize_jpeg_gray_arith(0, h)
+
+
+def test_jpeg_arith_lockstep_with_huffman_baseline():
+    import hashlib
+
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray, decode_jpeg_gray_arith, synthesize_jpeg_gray,
+        synthesize_jpeg_gray_arith)
+
+    for i in range(25):
+        h = hashlib.md5(f"arith doc {i}".encode()).hexdigest()
+        wb, hb, ib = decode_jpeg_gray(synthesize_jpeg_gray(i, h))
+        wa, ha, ia = decode_jpeg_gray_arith(
+            synthesize_jpeg_gray_arith(i, h))
+        assert (wb, hb) == (wa, ha)
+        assert (ib == ia).all()
+
+
+def test_jpeg_arith_container_has_no_dht_and_sof9():
+    _h, payload = _arith_payload("container shape")
+    # marker walk: collect the marker bytes of the declared segments
+    import struct
+
+    pos, markers = 2, []
+    while payload[pos + 1] != 0xDA:
+        markers.append(payload[pos + 1])
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        pos += 2 + ln
+    assert 0xC4 not in markers          # no DHT
+    assert 0xC9 in markers              # arithmetic-coding SOF
+    assert 0xC0 not in markers
+
+
+def test_jpeg_arith_scan_corruption_raises_or_differs():
+    """Truncating INSIDE the range-coded scan must either raise (the
+    r14 overrun guard) or change the pixels — never silently decode to
+    the same image."""
+    from gmall_211027_flink_spark.operators.jpeg import (
+        decode_jpeg_gray_arith)
+
+    _h, payload = _arith_payload("corrupt the scan")
+    sos = payload.find(b"\xFF\xDA")
+    scan_start = sos + 2 + 8            # SOS header is 2+2+6 bytes
+    good = decode_jpeg_gray_arith(payload)[2]
+    cut = scan_start + max(1, (len(payload) - 2 - scan_start) // 2)
+    trunc = payload[:cut] + b"\xFF\xD9"
+    try:
+        img = decode_jpeg_gray_arith(trunc)[2]
+        assert not (img == good).all()
+    except ValueError:
+        pass                            # loud failure is the goal
+
+
 def test_range_coder_overdecode_raises():
     """Asking for more symbols than were encoded must exhaust the
     flush allowance and raise — the corruption detection the r14 JPEG
