@@ -2237,7 +2237,6 @@ DURBIN_FANO = (0, 1, 3)      # perfect difference set mod 7 -> lambda=1
 def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin BIBD rank test: weekday revenue effect from 3-weekday
     Fano-design blocks over complete weeks (see block comment)."""
-    t, k = DURBIN_T, DURBIN_K
     orders = load_table(spark, sf_dir, "orders")
     d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
     # floor(), not truncate-cast: matches DuckDB // (floor division)
@@ -2247,6 +2246,17 @@ def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((d_col + 4) % 7).alias("dw"))
         .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
              .cast("decimal(38,0)").cast("bigint").alias("cents")))
+    return durbin_readout(daily)
+
+
+def durbin_readout(daily: DataFrame) -> DataFrame:
+    """Durbin T1 from a (wk, dw, cents) day grid — the ONE readout
+    shape shared by the batch query above and the streaming store
+    drain (streaming/windows.py stream_durbin_maintenance), the
+    seasonal_mk_readout device: store/batch hash-equality against the
+    single oracle is structural rather than maintained by hand (r14)."""
+    t, k = DURBIN_T, DURBIN_K
+    spark = daily.sparkSession
     complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
                 .filter(F.col("ndw") == t).select("wk"))
     # first q complete weeks of EACH residue class wk % 7 (q = the
@@ -2470,7 +2480,6 @@ COCHRAN_Q_K = 4   # treatments: the 4 calendar quarters
 def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran's Q for seasonal ordering propensity: customers x
     quarters binary incidence (see block comment)."""
-    k = COCHRAN_Q_K
     orders = load_table(spark, sf_dir, "orders")
     cells = (orders.select(
         "o_custkey",
@@ -2478,6 +2487,16 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q0"))
         .select("o_custkey", (F.col("q0") + 1).alias("qoy"))
         .distinct())
+    return cochran_readout(cells)
+
+
+def cochran_readout(cells: DataFrame) -> DataFrame:
+    """Cochran's Q from a distinct (o_custkey, qoy) incidence set —
+    the ONE readout shape shared by the batch query above and the
+    streaming store drain (streaming/windows.py
+    stream_cochran_maintenance), the seasonal_mk_readout device (r14)."""
+    k = COCHRAN_Q_K
+    spark = cells.sparkSession
     rows_t = (cells.groupBy("o_custkey")
               .agg(F.count("*").cast("bigint").alias("r")))
     rstats = rows_t.agg(

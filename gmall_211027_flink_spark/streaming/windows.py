@@ -3308,3 +3308,165 @@ def _mk_stream_oracle() -> str:
 
 
 _OR["stream_mk_maintenance"] = _mk_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Durbin maintenance (r14): the BIBD weekday-effect test
+# kept current at ingest.  Sufficient state = the (wk, dow) REVENUE-
+# CENTS GRID (calendar-bounded — one cell per calendar day — and
+# additive under ANY slicing of the input: cents sum per day is a
+# plain SUM, the stream_mk count grid with a money measure); at read
+# time the per-residue-class week selection, Fano subset, within-week
+# midranks and Conover T1 must hash-match the batch stats_durbin
+# oracle verbatim.  The drain goes through the SAME readout callable
+# the batch query uses (operators/inference.py durbin_readout), so
+# the equality is structural (the seasonal_mk_readout device).
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_durbin_maintenance",
+    oracle=None,   # assigned below: identical to the batch Durbin
+)
+def stream_durbin_maintenance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_durbin_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_cells_bound = hi - lo + 1       # one (wk, dow) cell per day
+    d = tempfile.mkdtemp(prefix="durbin_store_gate_")
+    try:
+        state = None    # the bounded (wk, dw, cents) weekly-grain grid
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders
+                     .select(d_col.alias("dd"), "o_totalprice")
+                     .filter((F.col("dd") >= a) & (F.col("dd") <= b))
+                     .groupBy(F.floor(F.col("dd") / 7).cast("bigint")
+                              .alias("wk"),
+                              ((F.col("dd") + 4) % 7).alias("dw"))
+                     .agg((F.sum(F.col("o_totalprice")
+                                 .cast("decimal(18,2)")) * 100)
+                          .cast("decimal(38,0)").cast("bigint")
+                          .alias("cents")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("wk", "dw")
+                     .agg(F.sum("cents").cast("bigint").alias("cents")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # bounded-grain invariant, named + -O-proof
+            if n > n_cells_bound:
+                raise RuntimeError(
+                    f"stream_durbin_maintenance: (wk, dow) store grew "
+                    f"to {n} rows > calendar bound {n_cells_bound}")
+        # readout from the drained store: the SAME readout callable the
+        # batch query uses (operators/inference.py durbin_readout)
+        from gmall_211027_flink_spark.operators.inference import (
+            durbin_readout)
+        out = durbin_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _durbin_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_durbin"]
+
+
+_OR["stream_durbin_maintenance"] = _durbin_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Cochran's-Q maintenance (r14): the seasonal ordering-
+# propensity test kept current at ingest.  Sufficient state = the
+# DISTINCT (custkey, quarter-of-year) INCIDENCE SET — binary incidence
+# is idempotent under set-union, so the store merges any slicing of
+# the input by union + distinct and never exceeds k = 4 rows per
+# customer (the invariant below asserts store <= 4 x distinct
+# customers — customer-grain, the minimal sufficient statistic: a
+# Flink ValueState<boolean[4]> per customer would hold the same).  At
+# scale the store is hash-partitioned by custkey and each merge is a
+# co-partitioned distinct.  The drain goes through the SAME readout
+# callable the batch query uses (operators/inference.py
+# cochran_readout), so the oracle hash-equality is structural.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_cochran_maintenance",
+    oracle=None,   # assigned below: identical to the batch Cochran Q
+)
+def stream_cochran_maintenance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_cochran_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    d = tempfile.mkdtemp(prefix="cochran_store_gate_")
+    try:
+        state = None    # the distinct (o_custkey, qoy) incidence set
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders
+                     .filter((d_col >= a) & (d_col <= b))
+                     .select(
+                         "o_custkey",
+                         (F.floor((F.month("o_orderdate") - 1) / 3)
+                          .cast("bigint") + 1).alias("qoy"))
+                     .distinct())
+            merged = batch if state is None else state.unionByName(batch)
+            state = merged.distinct()
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            n_cust = state.select("o_custkey").distinct().count()
+            # per-customer incidence bound, named + -O-proof
+            from gmall_211027_flink_spark.operators.inference import (
+                COCHRAN_Q_K)
+            if n > COCHRAN_Q_K * n_cust:
+                raise RuntimeError(
+                    f"stream_cochran_maintenance: incidence store grew "
+                    f"to {n} rows > {COCHRAN_Q_K} x {n_cust} customers")
+        # readout from the drained store: the SAME readout callable the
+        # batch query uses (operators/inference.py cochran_readout)
+        from gmall_211027_flink_spark.operators.inference import (
+            cochran_readout)
+        out = cochran_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _cochran_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_cochran_q"]
+
+
+_OR["stream_cochran_maintenance"] = _cochran_stream_oracle()

@@ -135,3 +135,30 @@ def test_range_coder_overdecode_raises():
     data = bytes((i * 73 + 5) % 241 for i in range(64))
     with pytest.raises(ValueError, match="truncated range-coded"):
         decode_bytes(encode_bytes(data), len(data) + 64)
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance twins (r14): drained readout == batch twin,
+# row for row — the stream_mk_maintenance contract extended to the
+# Durbin and Cochran stores.
+# ---------------------------------------------------------------------------
+
+def test_stream_durbin_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import stats_durbin
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_durbin_maintenance)
+
+    got = stream_durbin_maintenance(spark, sf_dir).first()
+    want = stats_durbin(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
+
+
+def test_stream_cochran_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_cochran_q)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_cochran_maintenance)
+
+    got = stream_cochran_maintenance(spark, sf_dir).first()
+    want = stats_cochran_q(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
