@@ -4021,3 +4021,322 @@ def multimodal_adpcm_multirate(spark: SparkSession,
     return (decode_parallel(docs)
             .mapInPandas(_rung_batch, WAV_ADPCM_RUNG_SCHEMA)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Pole-zero predictive ADPCM (r14) — the 2-pole / 6-zero ADAPTIVE
+# PREDICTOR machine that G.726 (ITU-T, 1990, clause 4.2.3) places
+# behind its quantizer, closing the last parked codec item (COVERAGE
+# r13; VERDICT r13 item 5).  Where the r12/r13 paths predict "previous
+# reconstruction" (the IMA convention), this predictor forms
+#   se = sez + (a1*sr1 + a2*sr2) >> 14,
+#   sez = (sum_j bz_j * dq_j) >> 14
+# over the last two RECONSTRUCTED samples and last six QUANTIZED
+# differences, and adapts all eight coefficients per sample by
+# leaky sign-sign LMS — the exact G.726 topology: zeros driven by
+# sgn(dq)sgn(dq_j), poles driven by the partial reconstruction signal
+# p = dq + sez via sgn(p)sgn(p1)/sgn(p2), the a2 update carrying the
+# -sgn(a1)sgn(p)sgn(p1) cross term and the stability clamps
+# |a2| <= 0.75, |a1| <= 0.9375 (Q14: 12288 / 15360).  a1 warm-starts
+# AT the clamp, i.e. "predict the previous reconstruction" — the DPCM
+# baseline the adaptation then refines.  The measured trade (pinned
+# both ways by test): on large discontinuities the zero section's
+# accumulated dq history slews recovery ~2x faster than the IMA
+# baseline; on smooth low-slope ramps IMA is already near-optimal
+# (error ~ step/8) and the 0.9375 pole cap's residual bias loses —
+# exactly why G.726 pairs this predictor with a FINER adaptive-scale
+# quantizer (the parked ITU log-domain machine).
+#
+# Honest scope (the multirate precedent): G.726's predictor TOPOLOGY
+# and adaptation STRUCTURE in plain Q14 integer arithmetic — NOT the
+# ITU pseudo-log float format (FMULT's 6-bit-mantissa sign-magnitude
+# floats, the W(I)/F(I) log-scale quantizer and the two-speed scale
+# mixer are a separate machine; COVERAGE.md records the permanent
+# park with the delta).  ALL arithmetic is integer with TRUNCATING
+# division (the C convention — DuckDB's `//` truncates toward zero,
+# measured, NOT floor like Python's //; the _tdiv helper makes the
+# Python side match).  Quantizer: the proven 4-bit step-table chain.
+#
+# Oracle: recursive-CTE lockstep replay (the r13 multirate pattern)
+# carrying the FULL 19-field predictor state per asset per step —
+# intermediate per-step signals (se, dq, sr, p, signs) computed once
+# in a subquery with lateral column aliases, the new state in the
+# outer select referencing only q.* (old state) so no alias shadows
+# an input.  SCALE: per-asset decode is sequential (honest codec
+# state), embarrassingly parallel across assets behind
+# decode_parallel; 4 summary BIGINTs per asset leave the task.
+# ---------------------------------------------------------------------------
+
+ADPCM_PZ_Q = 16384          # Q14 fixed-point one
+ADPCM_PZ_LEAK = 256         # coefficient leak divisor (2^-8)
+ADPCM_PZ_GZ = 128           # zero-coefficient LMS gain (2^-7 in Q14)
+ADPCM_PZ_GP1 = 192          # a1 gain (1.5 * 2^-7, the G.726 ratio)
+ADPCM_PZ_GP2 = 128          # a2 gain
+ADPCM_PZ_A1MAX = 15360      # |a1| <= 1 - 2^-4  (0.9375)
+ADPCM_PZ_A2MAX = 12288      # |a2| <= 0.75
+
+
+def _tdiv(x: int, y: int) -> int:
+    """Truncating integer division (C convention; matches DuckDB //)."""
+    q = abs(x) // y
+    return -q if x < 0 else q
+
+
+def _isgn(x: int) -> int:
+    return 1 if x > 0 else (-1 if x < 0 else 0)
+
+
+def _pz_state(s0: int) -> dict:
+    return dict(idx=0, a1=ADPCM_PZ_A1MAX, a2=0, sr1=s0, sr2=s0,
+                pk1=0, pk2=0, bz=[0] * 6, dq=[0] * 6)
+
+
+def _pz_advance(st: dict, s: int | None = None,
+                code: int | None = None) -> tuple[int, int]:
+    """One pole-zero codec step: encode (s given) or decode (code
+    given) — ONE function so encoder and decoder state advance is
+    lockstep by construction.  Returns (code, reconstruction)."""
+    sez = _tdiv(sum(st["bz"][j] * st["dq"][j] for j in range(6)),
+                ADPCM_PZ_Q)
+    se = sez + _tdiv(st["a1"] * st["sr1"] + st["a2"] * st["sr2"],
+                     ADPCM_PZ_Q)
+    step = ADPCM_STEP_TABLE[st["idx"]]
+    if code is None:                       # encode: quantize d = s - se
+        d = s - se
+        sign = 8 if d < 0 else 0
+        delta = abs(d)
+        b2q = 1 if delta >= step else 0
+        delta -= b2q * step
+        b1q = 1 if delta >= step >> 1 else 0
+        delta -= b1q * (step >> 1)
+        b0q = 1 if delta >= step >> 2 else 0
+        mag = b2q * 4 + b1q * 2 + b0q
+        code = sign | mag
+    else:                                  # decode: unpack the code
+        sign, mag = code & 8, code & 7
+        b2q, b1q, b0q = (mag >> 2) & 1, (mag >> 1) & 1, mag & 1
+    diffq = ((step >> 3) + b2q * step + b1q * (step >> 1)
+             + b0q * (step >> 2))
+    dqn = -diffq if sign else diffq
+    sr = max(-32768, min(32767, se + dqn))
+    pk = dqn + sez
+    sdq, spk = _isgn(dqn), _isgn(pk)
+    nbz = [st["bz"][j] - _tdiv(st["bz"][j], ADPCM_PZ_LEAK)
+           + ADPCM_PZ_GZ * sdq * _isgn(st["dq"][j]) for j in range(6)]
+    na1 = max(-ADPCM_PZ_A1MAX, min(
+        ADPCM_PZ_A1MAX, st["a1"] - _tdiv(st["a1"], ADPCM_PZ_LEAK)
+        + ADPCM_PZ_GP1 * spk * _isgn(st["pk1"])))
+    na2 = max(-ADPCM_PZ_A2MAX, min(
+        ADPCM_PZ_A2MAX, st["a2"] - _tdiv(st["a2"], ADPCM_PZ_LEAK)
+        + ADPCM_PZ_GP2 * (spk * _isgn(st["pk2"])
+                          - _isgn(st["a1"]) * spk * _isgn(st["pk1"]))))
+    st["idx"] = max(0, min(88, st["idx"]
+                           + (-1 if mag < 4 else 2 * (mag - 3))))
+    st["dq"] = [dqn] + st["dq"][:5]
+    st["bz"] = nbz
+    st["a1"], st["a2"] = na1, na2
+    st["sr2"], st["sr1"] = st["sr1"], sr
+    st["pk2"], st["pk1"] = st["pk1"], pk
+    return code, sr
+
+
+def synthesize_wav_adpcm_pz(doc_id: int, h: str) -> bytes:
+    """A valid RIFF/WAVE, format tag 0x45 (ITU G.726 ADPCM per the WAV
+    format registry), 4-bit mono: fmt chunk with the samples-per-block
+    extension, fact chunk with the true frame count, one data block
+    whose 4-byte header carries (sample 0, index 0) and whose nibbles
+    pack LSB-first."""
+    p = _adpcm_params(h)
+    nfr, a, b, rate = p["nfr"], p["a"], p["b"], p["rate"]
+    samples = [(a * i + b) % 65536 - 32768 for i in range(nfr)]
+    st = _pz_state(samples[0])
+    codes = []
+    for s in samples[1:]:
+        code, _sr = _pz_advance(st, s=s)
+        codes.append(code)
+    data = _pack_codes(codes, 4)
+    block = struct.pack("<hBB", samples[0], 0, 0) + data
+    fmt = struct.pack("<HHIIHHHH", 0x45, 1, rate,
+                      (rate * len(block)) // max(nfr, 1), len(block), 4,
+                      2, nfr)
+    fact = struct.pack("<I", nfr)
+    out = (b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<I", len(fact)) + fact
+           + b"data" + struct.pack("<I", len(block)) + block
+           + (b"\x00" if len(block) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav_adpcm_pz(payload: bytes):
+    """RIFF walk + pole-zero predictive expansion; returns (rate,
+    samples).  Raises on anything but tag 0x45 at 4 bits mono —
+    honest scope (tags 0x11 belong to the IMA-family decoders)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, nfr, block = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bps = struct.unpack("<HHIIHH",
+                                                         body[:16])
+            if tag != 0x45 or bps != 4 or ch != 1:
+                raise ValueError(f"unsupported WAV: fmt={tag} bits={bps}"
+                                 f" ch={ch}")
+        elif cid == b"fact":
+            (nfr,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            if len(body) != size:
+                raise ValueError(
+                    f"truncated data chunk: declared {size} bytes,"
+                    f" payload carries {len(body)}")
+            block = body
+        pos += 8 + size + (size & 1)
+    if rate is None or nfr is None or block is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    s0, _idx, _rsv = struct.unpack("<hBB", block[:4])
+    st = _pz_state(s0)
+    out = [s0]
+    for code in _unpack_codes(block[4:], 4, nfr - 1):
+        _c, sr = _pz_advance(st, code=code)
+        out.append(sr)
+    return rate, out
+
+
+def _adpcm_pz_oracle() -> str:
+    """Recursive-CTE lockstep replay of the 19-field pole-zero state:
+    per-step signals once in a lateral-alias subquery, new state in
+    the outer select referencing only q.* (see block comment)."""
+    def sg(x: str) -> str:
+        return f"(CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END)"
+
+    q14, lk = ADPCM_PZ_Q, ADPCM_PZ_LEAK
+    bz_new = ", ".join(
+        f"q.bz{j} - q.bz{j} // {lk} + {ADPCM_PZ_GZ} * q.sdq * "
+        + sg(f"q.dq{j}") + f" AS bz{j}" for j in range(1, 7))
+    dq_shift = "q.dqn AS dq1, " + ", ".join(
+        f"q.dq{j} AS dq{j + 1}" for j in range(1, 6))
+    step_list = "[" + ", ".join(str(v) for v in ADPCM_STEP_TABLE) + "]"
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 3
+    ),
+    geo AS (
+      SELECT doc_id,
+             1 + ('0x' || substr(h, 10, 3))::BIGINT
+                 % {ADPCM_MAX_FRAMES} AS nfr,
+             1 + ('0x' || substr(h, 19, 2))::BIGINT % 31 AS a,
+             ('0x' || substr(h, 21, 4))::BIGINT AS b
+      FROM g
+    ),
+    c AS (SELECT {step_list} AS st),
+    rec AS (
+      SELECT doc_id, nfr, a, b, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS idx,
+             CAST({ADPCM_PZ_A1MAX} AS BIGINT) AS a1,
+             CAST(0 AS BIGINT) AS a2,
+             CAST(0 AS BIGINT) AS bz1, CAST(0 AS BIGINT) AS bz2,
+             CAST(0 AS BIGINT) AS bz3, CAST(0 AS BIGINT) AS bz4,
+             CAST(0 AS BIGINT) AS bz5, CAST(0 AS BIGINT) AS bz6,
+             CAST(0 AS BIGINT) AS dq1, CAST(0 AS BIGINT) AS dq2,
+             CAST(0 AS BIGINT) AS dq3, CAST(0 AS BIGINT) AS dq4,
+             CAST(0 AS BIGINT) AS dq5, CAST(0 AS BIGINT) AS dq6,
+             CAST((a * 0 + b) % 65536 - 32768 AS BIGINT) AS sr1,
+             CAST((a * 0 + b) % 65536 - 32768 AS BIGINT) AS sr2,
+             CAST(0 AS BIGINT) AS pk1, CAST(0 AS BIGINT) AS pk2
+      FROM geo
+      UNION ALL
+      SELECT q.doc_id, q.nfr, q.a, q.b, q.i + 1,
+             GREATEST(0, LEAST(88, q.idx + CASE WHEN q.mag < 4 THEN -1
+                                           ELSE 2 * (q.mag - 3) END)),
+             GREATEST({-ADPCM_PZ_A1MAX}, LEAST({ADPCM_PZ_A1MAX},
+               q.a1 - q.a1 // {lk}
+               + {ADPCM_PZ_GP1} * q.spk * {sg('q.pk1')})),
+             GREATEST({-ADPCM_PZ_A2MAX}, LEAST({ADPCM_PZ_A2MAX},
+               q.a2 - q.a2 // {lk}
+               + {ADPCM_PZ_GP2} * (q.spk * {sg('q.pk2')}
+                 - {sg('q.a1')} * q.spk * {sg('q.pk1')}))),
+             {bz_new},
+             {dq_shift},
+             q.srn AS sr1, q.sr1 AS sr2,
+             q.pkn AS pk1, q.pk1 AS pk2
+      FROM (
+        SELECT r.*,
+               ((r.a * (r.i + 1) + r.b) % 65536 - 32768) AS s,
+               c.st[r.idx + 1] AS stp,
+               (r.bz1 * r.dq1 + r.bz2 * r.dq2 + r.bz3 * r.dq3
+                + r.bz4 * r.dq4 + r.bz5 * r.dq5 + r.bz6 * r.dq6)
+                 // {q14} AS sez,
+               sez + (r.a1 * r.sr1 + r.a2 * r.sr2) // {q14} AS se,
+               s - se AS d,
+               abs(d) AS dl0,
+               (CASE WHEN dl0 >= stp THEN 1 ELSE 0 END) AS b2q,
+               dl0 - b2q * stp AS dl1,
+               (CASE WHEN dl1 >= stp // 2 THEN 1 ELSE 0 END) AS b1q,
+               dl1 - b1q * (stp // 2) AS dl2,
+               (CASE WHEN dl2 >= stp // 4 THEN 1 ELSE 0 END) AS b0q,
+               b2q * 4 + b1q * 2 + b0q AS mag,
+               stp // 8 + b2q * stp + b1q * (stp // 2)
+                 + b0q * (stp // 4) AS dfq,
+               (CASE WHEN d < 0 THEN -dfq ELSE dfq END) AS dqn,
+               GREATEST(-32768, LEAST(32767, se + dqn)) AS srn,
+               dqn + sez AS pkn,
+               {sg('dqn')} AS sdq,
+               {sg('pkn')} AS spk
+        FROM rec r, c
+        WHERE r.i + 1 < r.nfr
+      ) q
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(sr1) AS BIGINT) AS sum_decoded,
+           CAST(SUM(abs(sr1 - ((a * i + b) % 65536 - 32768)))
+                AS BIGINT) AS sum_abs_err,
+           CAST(MAX(abs(sr1 - ((a * i + b) % 65536 - 32768)))
+                AS BIGINT) AS max_abs_err
+    FROM rec GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("multimodal_adpcm_polezero", oracle=_adpcm_pz_oracle())
+def multimodal_adpcm_polezero(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """2-pole/6-zero predictive ADPCM transcode audit: encode each
+    asset's PCM ramp through the adaptive pole-zero predictor into a
+    real fmt-0x45 RIFF container, decode it back through the lockstep
+    state machine, report exact integer residuals (see block
+    comment)."""
+
+    def _pz_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                payload = synthesize_wav_adpcm_pz(doc_id, h)
+                _rate, dec = decode_wav_adpcm_pz(payload)
+                p = _adpcm_params(h)
+                orig = [(p["a"] * i + p["b"]) % 65536 - 32768
+                        for i in range(p["nfr"])]
+                if len(dec) != len(orig):
+                    raise ValueError(
+                        f"doc {doc_id}: decoded {len(dec)} frames,"
+                        f" expected {len(orig)}")
+                errs = [abs(d - s) for d, s in zip(dec, orig)]
+                out.append(dict(
+                    doc_id=doc_id, n_frames=len(dec),
+                    sum_decoded=sum(dec), sum_abs_err=sum(errs),
+                    max_abs_err=max(errs)))
+            df = pd.DataFrame(out)
+            yield df[[f.name for f in WAV_ADPCM_SCHEMA.fields]]
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 3)
+            .select("doc_id", "text"))
+    return (decode_parallel(docs)
+            .mapInPandas(_pz_batch, WAV_ADPCM_SCHEMA)
+            .orderBy("doc_id"))

@@ -162,3 +162,112 @@ def test_stream_cochran_matches_batch(spark, sf_dir):
     got = stream_cochran_maintenance(spark, sf_dir).first()
     want = stats_cochran_q(spark, sf_dir).first()
     assert got.asDict() == want.asDict()
+
+
+# ---------------------------------------------------------------------------
+# Pole-zero predictive ADPCM (r14): container roundtrip lockstep, the
+# adaptive predictor genuinely improving on the fixed-prediction IMA
+# baseline, stability clamps, and honest-scope tag rejection.
+# ---------------------------------------------------------------------------
+
+def _pz_assets(n=25):
+    import hashlib
+    out = []
+    for d in range(n):
+        h = hashlib.md5(f"pz asset {d}".encode()).hexdigest()
+        out.append((d, h))
+    return out
+
+
+def test_adpcm_pz_container_roundtrip_lockstep():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _adpcm_params, _pz_advance, _pz_state, decode_wav_adpcm_pz,
+        synthesize_wav_adpcm_pz)
+
+    for d, h in _pz_assets():
+        p = _adpcm_params(h)
+        orig = [(p["a"] * i + p["b"]) % 65536 - 32768
+                for i in range(p["nfr"])]
+        _rate, dec = decode_wav_adpcm_pz(synthesize_wav_adpcm_pz(d, h))
+        assert len(dec) == len(orig)
+        # decode must equal the ENCODER's running reconstruction
+        st = _pz_state(orig[0])
+        recon = [orig[0]]
+        for s in orig[1:]:
+            _c, sr = _pz_advance(st, s=s)
+            recon.append(sr)
+        assert dec == recon
+
+
+def test_adpcm_pz_slewing_beats_ima_on_jumps():
+    """The point of the 2-pole/6-zero adaptation: the zero section
+    accumulates recent quantized differences, so recovery from a large
+    discontinuity slews FAR faster than the fixed previous-sample
+    prediction (whose reach is capped by the step table).  On a
+    square wave the pole-zero path must land well under the IMA
+    baseline; on a smooth low-slope ramp IMA is already near-optimal
+    (error ~ step/8 per sample) and the 0.9375 pole cap's residual
+    bias makes pz lose — the G.726 trade, asserted both ways so the
+    trade is pinned, not hidden."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        _adpcm_advance, _adpcm_advance as _ima, _pz_advance, _pz_state)
+
+    def both(sig):
+        st = _pz_state(sig[0])
+        pred, idx = sig[0], 0
+        e_pz = e_ima = 0
+        for s in sig[1:]:
+            _c, sr = _pz_advance(st, s=s)
+            e_pz += abs(sr - s)
+            _c2, pred, idx = _adpcm_advance(pred, idx, s)
+            e_ima += abs(pred - s)
+        return e_pz, e_ima
+
+    square = []
+    for blk in range(8):
+        square += [20000 if blk % 2 == 0 else -20000] * 200
+    e_pz, e_ima = both(square)
+    assert e_pz < e_ima * 0.6       # slewing recovery wins big
+
+    ramp = [(17 * i + 5000) % 65536 - 32768 for i in range(800)]
+    e_pz, e_ima = both(ramp)
+    assert e_ima < e_pz             # the other side of the trade
+
+
+def test_adpcm_pz_adaptation_is_live():
+    """After a few hundred samples the zero/pole coefficients must
+    have moved off their warm-start values — the LMS loop really
+    adapts (a dead update rule would leave bz at 0 forever)."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        ADPCM_PZ_A1MAX, _pz_advance, _pz_state)
+
+    st = _pz_state(0)
+    for i in range(500):
+        _pz_advance(st, s=(211 * i) % 65536 - 32768)
+    assert any(v != 0 for v in st["bz"])
+    assert st["a1"] != ADPCM_PZ_A1MAX or st["a2"] != 0
+
+
+def test_adpcm_pz_stability_clamps_hold():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        ADPCM_PZ_A1MAX, ADPCM_PZ_A2MAX, _pz_advance, _pz_state)
+
+    st = _pz_state(-30000)
+    x = -30000
+    for i in range(2000):
+        x = (x * 31 + 17) % 65536 - 32768   # adversarial jumps
+        _pz_advance(st, s=x)
+        assert abs(st["a1"]) <= ADPCM_PZ_A1MAX
+        assert abs(st["a2"]) <= ADPCM_PZ_A2MAX
+        assert 0 <= st["idx"] <= 88
+        assert -32768 <= st["sr1"] <= 32767
+
+
+def test_adpcm_pz_rejects_ima_tag():
+    from gmall_211027_flink_spark.operators.multimodal import (
+        decode_wav_adpcm_pz, synthesize_wav_adpcm)
+
+    _d, h = _pz_assets(1)[0]
+    ima_payload = synthesize_wav_adpcm(0, h)     # fmt tag 0x11
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav_adpcm_pz(ima_payload)
