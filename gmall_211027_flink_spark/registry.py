@@ -105,8 +105,8 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # (the r4 head — mixture_weighted_sample through stats_mad_outliers,
     #  9 names, plus the two r4-era streaming proofs
     #  dwd_order_detail_join_streaming / stream_sample_ingest —
-    #  rotated to _REVERIFY round 14, next-oldest after the r3 block)
-    "dwd_jump_consecutive_entries",
+    #  rotated to _REVERIFY round 14, next-oldest after the r3 block,
+    #  plus dwd_jump_consecutive_entries topping the window to 50)
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
     "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
@@ -411,6 +411,7 @@ _REVERIFY: tuple[str, ...] = (
     "dws_gapfill_interpolate", "stats_hll_accuracy_audit",
     "stats_approx_percentile_audit", "stats_mad_outliers",
     "dwd_order_detail_join_streaming", "stream_sample_ingest",
+    "dwd_jump_consecutive_entries",
 )
 
 
