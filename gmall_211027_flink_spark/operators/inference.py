@@ -2379,6 +2379,14 @@ def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lit("1970-01-01"))
         .cast("bigint").alias("d"))
         .agg(F.count("*").cast("bigint").alias("y")))
+    return cox_stuart_readout(daily)
+
+
+def cox_stuart_readout(daily: DataFrame) -> DataFrame:
+    """Cox-Stuart z from a (d, y) day grid — the ONE readout shape
+    shared by the batch query above and the streaming store drain
+    (streaming/windows.py stream_cox_stuart_maintenance), the
+    seasonal_mk_readout device (r14)."""
     idx = daily.select(
         "d", "y",
         F.row_number().over(Window.orderBy("d")).cast("bigint")
@@ -2606,6 +2614,14 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lit("1970-01-01"))
         .cast("bigint").alias("d"))
         .agg(F.count("*").cast("bigint").alias("y")))
+    return mood_median_readout(daily)
+
+
+def mood_median_readout(daily: DataFrame) -> DataFrame:
+    """Mood's-median chi-square from a (d, y) day grid — the ONE
+    readout shape shared by the batch query above and the streaming
+    store drain (streaming/windows.py stream_mood_maintenance), the
+    seasonal_mk_readout device (r14)."""
     g = daily.select(
         "y", F.when(((F.col("d") + 4) % 7).isin(0, 6), 1).otherwise(0)
         .alias("wkend"))

@@ -105,8 +105,12 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # (the r4 head — mixture_weighted_sample through stats_mad_outliers,
     #  9 names, plus the two r4-era streaming proofs
     #  dwd_order_detail_join_streaming / stream_sample_ingest —
-    #  rotated to _REVERIFY round 14, next-oldest after the r3 block,
-    #  plus dwd_jump_consecutive_entries topping the window to 50)
+    #  rotated to _REVERIFY round 14, next-oldest after the r3 block;
+    #  stats_hll_accuracy_audit / stats_approx_percentile_audit /
+    #  stats_mad_outliers / dwd_jump_consecutive_entries traded back
+    #  when the second r14 add-wave claimed their slots)
+    "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
+    "stats_mad_outliers", "dwd_jump_consecutive_entries",
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
     "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
@@ -355,7 +359,10 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "stats_histogram_equi_depth", "sample_systematic_interval",
     "stats_friedman_aligned_ranks", "stats_partial_correlation",
     "dws_union_streams_window", "stream_dedup_exact_documents",
-    "stats_cox_stuart", "stats_mood_median",
+    # (stats_cox_stuart, stats_mood_median re-entered _REVERIFY round
+    #  14 second wave: readouts extracted into the shared
+    #  cox_stuart_readout / mood_median_readout helpers the new stream
+    #  twins drain through — code motion -> re-gate)
     "stats_semipartial_correlation", "stats_partial_correlation_gram",
     "multimodal_adpcm_multirate",
 )
@@ -408,10 +415,15 @@ _REVERIFY: tuple[str, ...] = (
     # path too (VERDICT r13 item 1):
     "mixture_weighted_sample", "q12_lateness_priority",
     "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
-    "dws_gapfill_interpolate", "stats_hll_accuracy_audit",
-    "stats_approx_percentile_audit", "stats_mad_outliers",
+    "dws_gapfill_interpolate",
+    # (stats_hll_accuracy_audit, stats_approx_percentile_audit,
+    #  stats_mad_outliers, dwd_jump_consecutive_entries traded back to
+    #  the proven tail: the second r14 add-wave — Cox-Stuart / Mood
+    #  stream twins + their two readout-refactor re-gates — claimed
+    #  their four slots, the r12/r13 precedent)
     "dwd_order_detail_join_streaming", "stream_sample_ingest",
-    "dwd_jump_consecutive_entries",
+    # r14-EDITED second wave (see note at the top of this tuple):
+    "stats_cox_stuart", "stats_mood_median",
 )
 
 

@@ -3470,3 +3470,117 @@ def _cochran_stream_oracle() -> str:
 
 
 _OR["stream_cochran_maintenance"] = _cochran_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Cox-Stuart + Mood's-median maintenance (r14 second wave):
+# both tests read the SAME sufficient state the Theil store already
+# maintains — the DAILY COUNT TABLE (calendar-bounded, additive under
+# any slicing) — so these twins complete the day-grain family's
+# streaming line (MK, Theil, Durbin, Cochran, Cox-Stuart, Mood all
+# have maintenance twins now).  Each drain goes through the batch
+# readout callable (cox_stuart_readout / mood_median_readout), so the
+# oracle hash-equality is structural.  One shared store-builder keeps
+# the 3-slice merge + bounded-grain invariant in ONE place.
+# ---------------------------------------------------------------------------
+
+def _drained_daily_count_store(spark: SparkSession, sf_dir: str,
+                               label: str, tmp_dir: str) -> DataFrame:
+    """Build the additive (d, y) daily-count store from three input
+    slices with parquet persistence per merge (the stream_theil
+    pattern), returning the drained bounded grid."""
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(f"{label}: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_days_bound = hi - lo + 1
+    state = None
+    for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                (cut2 + 1, hi))):
+        batch = (orders.select(d_col.alias("d"))
+                 .filter((F.col("d") >= a) & (F.col("d") <= b))
+                 .groupBy("d")
+                 .agg(F.count("*").cast("bigint").alias("y")))
+        merged = batch if state is None else state.unionByName(batch)
+        state = (merged.groupBy("d")
+                 .agg(F.sum("y").cast("bigint").alias("y")))
+        state.write.mode("overwrite").parquet(f"{tmp_dir}/state_{i}")
+        state = spark.read.parquet(f"{tmp_dir}/state_{i}")
+        n = state.count()
+        # bounded-grain invariant, named + -O-proof
+        if n > n_days_bound:
+            raise RuntimeError(
+                f"{label}: daily store grew to {n} rows > calendar "
+                f"bound {n_days_bound}")
+    return state
+
+
+@query(
+    "stream_cox_stuart_maintenance",
+    oracle=None,   # assigned below: identical to the batch Cox-Stuart
+)
+def stream_cox_stuart_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="coxstuart_store_gate_")
+    try:
+        state = _drained_daily_count_store(
+            spark, sf_dir, "stream_cox_stuart_maintenance", d)
+        from gmall_211027_flink_spark.operators.inference import (
+            cox_stuart_readout)
+        out = cox_stuart_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _cox_stuart_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_cox_stuart"]
+
+
+_OR["stream_cox_stuart_maintenance"] = _cox_stuart_stream_oracle()
+
+
+@query(
+    "stream_mood_maintenance",
+    oracle=None,   # assigned below: identical to the batch Mood median
+)
+def stream_mood_maintenance(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mood_store_gate_")
+    try:
+        state = _drained_daily_count_store(
+            spark, sf_dir, "stream_mood_maintenance", d)
+        from gmall_211027_flink_spark.operators.inference import (
+            mood_median_readout)
+        out = mood_median_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _mood_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_mood_median"]
+
+
+_OR["stream_mood_maintenance"] = _mood_stream_oracle()

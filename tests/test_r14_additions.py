@@ -271,3 +271,25 @@ def test_adpcm_pz_rejects_ima_tag():
     ima_payload = synthesize_wav_adpcm(0, h)     # fmt tag 0x11
     with pytest.raises(ValueError, match="unsupported WAV"):
         decode_wav_adpcm_pz(ima_payload)
+
+
+def test_stream_cox_stuart_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_cox_stuart)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_cox_stuart_maintenance)
+
+    got = stream_cox_stuart_maintenance(spark, sf_dir).first()
+    want = stats_cox_stuart(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
+
+
+def test_stream_mood_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_mood_median)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_mood_maintenance)
+
+    got = stream_mood_maintenance(spark, sf_dir).first()
+    want = stats_mood_median(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
