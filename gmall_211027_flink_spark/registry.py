@@ -111,6 +111,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  when the second r14 add-wave claimed their slots)
     "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
     "stats_mad_outliers", "dwd_jump_consecutive_entries",
+    "dws_gapfill_interpolate",
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
     "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
@@ -324,7 +325,10 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "multimodal_adpcm_roundtrip",
     "sketch_count_sketch", "stream_cs_maintenance",
     "stream_holtwinters_maintenance", "stream_ph_maintenance",
-    "stream_theil_maintenance", "graph_katz_centrality",
+    # (stream_theil_maintenance re-entered _REVERIFY round 14: its
+    #  store build moved to the shared _drained_daily_count_store
+    #  builder the Cox-Stuart/Mood twins use — code motion -> re-gate)
+    "graph_katz_centrality",
     "ml_mcc_confusion", "ml_lift_gains_deciles", "stats_hoeffding_d",
     "stats_ansari_bradley", "stats_kendalls_w", "stats_gamma_somers_d",
     "stats_quade",
@@ -415,7 +419,8 @@ _REVERIFY: tuple[str, ...] = (
     # path too (VERDICT r13 item 1):
     "mixture_weighted_sample", "q12_lateness_priority",
     "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
-    "dws_gapfill_interpolate",
+    # (dws_gapfill_interpolate also traded back: the
+    #  stream_theil_maintenance store-builder re-gate claimed its slot)
     # (stats_hll_accuracy_audit, stats_approx_percentile_audit,
     #  stats_mad_outliers, dwd_jump_consecutive_entries traded back to
     #  the proven tail: the second r14 add-wave — Cox-Stuart / Mood
@@ -423,7 +428,7 @@ _REVERIFY: tuple[str, ...] = (
     #  their four slots, the r12/r13 precedent)
     "dwd_order_detail_join_streaming", "stream_sample_ingest",
     # r14-EDITED second wave (see note at the top of this tuple):
-    "stats_cox_stuart", "stats_mood_median",
+    "stats_cox_stuart", "stats_mood_median", "stream_theil_maintenance",
 )
 
 

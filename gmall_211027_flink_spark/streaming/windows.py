@@ -3158,37 +3158,12 @@ def stream_theil_maintenance(spark: SparkSession,
 
     from pyspark.sql import Window
 
-    from gmall_211027_flink_spark.catalog import load_table
-
-    orders = load_table(spark, sf_dir, "orders")
-    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
-    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
-    if lo is None or hi is None:
-        raise ValueError(
-            "stream_theil_maintenance: orders table has no rows")
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * (hi - lo) // 3
-    n_days_bound = hi - lo + 1
     d = tempfile.mkdtemp(prefix="theil_store_gate_")
     try:
-        state = None    # the bounded (d, y) daily-count table
-        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
-                                    (cut2 + 1, hi))):
-            batch = (orders.select(d_col.alias("d"))
-                     .filter((F.col("d") >= a) & (F.col("d") <= b))
-                     .groupBy("d")
-                     .agg(F.count("*").cast("bigint").alias("y")))
-            merged = batch if state is None else state.unionByName(batch)
-            state = (merged.groupBy("d")
-                     .agg(F.sum("y").cast("bigint").alias("y")))
-            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
-            state = spark.read.parquet(f"{d}/state_{i}")
-            n = state.count()
-            # bounded-grain invariant, named + -O-proof
-            if n > n_days_bound:
-                raise RuntimeError(
-                    f"stream_theil_maintenance: daily store grew to "
-                    f"{n} rows > calendar bound {n_days_bound}")
+        # the additive (d, y) daily-count store — since r14 built by
+        # the ONE shared builder the Cox-Stuart / Mood twins also use
+        state = _drained_daily_count_store(
+            spark, sf_dir, "stream_theil_maintenance", d)
         # readout from the drained store — the batch Theil's-U math
         # over the dense spine rebuilt from the store's own bounds
         days = (state.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))

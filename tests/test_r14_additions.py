@@ -293,3 +293,58 @@ def test_stream_mood_matches_batch(spark, sf_dir):
     got = stream_mood_maintenance(spark, sf_dir).first()
     want = stats_mood_median(spark, sf_dir).first()
     assert got.asDict() == want.asDict()
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the two r14 state machines hold their
+# invariants on ARBITRARY inputs, not just the hash-derived corpus.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_range_coder_roundtrip_property(data):
+    from gmall_211027_flink_spark.operators.entropy import (
+        decode_bytes, encode_bytes)
+
+    assert decode_bytes(encode_bytes(data), len(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=300))
+def test_adpcm_pz_encode_decode_lockstep_property(samples):
+    """For ANY int16 signal: decoding the encoder's codes reproduces
+    the encoder's running reconstruction exactly, and every state
+    invariant holds along the way."""
+    from gmall_211027_flink_spark.operators.multimodal import (
+        ADPCM_PZ_A1MAX, ADPCM_PZ_A2MAX, _pz_advance, _pz_state)
+
+    enc = _pz_state(samples[0])
+    dec = _pz_state(samples[0])
+    for s in samples[1:]:
+        code, sr_e = _pz_advance(enc, s=s)
+        code_d, sr_d = _pz_advance(dec, code=code)
+        assert code_d == code and sr_d == sr_e
+        assert -32768 <= sr_e <= 32767
+        assert abs(enc["a1"]) <= ADPCM_PZ_A1MAX
+        assert abs(enc["a2"]) <= ADPCM_PZ_A2MAX
+    assert enc == dec                      # full state, not just sr
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=-(10 ** 12), max_value=10 ** 12),
+       st.integers(min_value=1, max_value=10 ** 6))
+def test_tdiv_matches_duckdb_truncation(x, y):
+    """_tdiv == C-style truncation == what DuckDB's // was measured to
+    do — the exactness contract the pole-zero oracle rests on."""
+    from gmall_211027_flink_spark.operators.multimodal import _tdiv
+
+    want = abs(x) // y if x >= 0 else -(abs(x) // y)
+    assert _tdiv(x, y) == want
+    # and it really differs from Python floor-div on negatives
+    if x < 0 and x % y != 0:
+        assert _tdiv(x, y) == x // y + 1
