@@ -1,0 +1,117 @@
+"""Hilbert-curve 2-D indexing core (r14-built, r15 wiring plan in
+COVERAGE.md) — the locality-preserving companion to the proven
+z-order layout audit (`operators/bucketing.py layout_zorder_locality`).
+
+Why it earns a place: unlike Morton/z-order, CONSECUTIVE Hilbert
+indices are always 4-adjacent in the plane (Manhattan distance 1 — no
+diagonal jumps across half the key space), so range scans over a
+Hilbert-clustered layout touch strictly fewer file/bucket boundaries;
+the r15 query (`layout_hilbert_locality`) measures exactly that
+against the z-order twin on the (customer-bucket, day-bucket) grid.
+
+Design for the oracle gate: the xy -> d transform is a FIXED
+``order``-level bit machine (the classic public construction:
+per-level quadrant extraction, Gray-ish quadrant offset
+d += s^2 * (3*rx XOR ry), then reflect+swap), so ONE generator emits
+the identical unrolled expression chain for BOTH engines — DuckDB SQL
+(lateral column aliases, ``xor()``) and Spark SQL (lateral column
+aliases, ``^``) — the ``_hw_step``/ADPCM-oracle discipline: no hand
+-maintained twin expressions.  Everything is integer; no UDFs — the
+Spark side stays JVM-side whole-stage codegen.
+
+Reference parity anchor: the reference has no layout optimizer at
+all; this extends the beyond-reference lake-layout family
+(layout_zorder_locality, lake_clustering_depth_audit).
+"""
+
+from __future__ import annotations
+
+HILBERT_ORDER = 8          # 2^8 x 2^8 grid: matches the bucket grids
+                           # the z-order audit uses; 16 levels would
+                           # work identically, 8 keeps plans readable
+
+
+def hilbert_index(x: int, y: int, order: int = HILBERT_ORDER) -> int:
+    """xy -> distance along the order-``order`` Hilbert curve (the
+    standard public algorithm: quadrant offset + reflect/swap)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:                      # reflect (if rx) then swap
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_point(d: int, order: int = HILBERT_ORDER) -> tuple[int, int]:
+    """distance -> (x, y): the exact inverse walk, for tests."""
+    x = y = 0
+    t = d
+    s = 1
+    while s < (1 << order):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def hilbert_sql(source: str, xcol: str, ycol: str, dialect: str,
+                order: int = HILBERT_ORDER) -> str:
+    """The unrolled ``order``-level xy -> d machine as a NESTED-
+    SUBQUERY query over ``source`` (a relation expression), exposing
+    ``source``'s columns plus ``hd`` — ONE text generator for both
+    engines (``dialect`` in {'duckdb', 'spark'}; they differ only in
+    the XOR spelling).
+
+    Structure matters: one level per subquery, with only the
+    LEVEL-LOCAL rx/ry as lateral aliases.  A single flat lateral
+    chain is semantically identical but binds each alias by textual
+    inlining, so expression size compounds ~5x per level — measured
+    ~170 s for a 168-row grid at order 8 in DuckDB; the projection
+    boundary per level keeps binding linear (same grid: fraction of
+    a second).  Both DuckDB (>= 0.10) and Spark (>= 3.4) resolve the
+    level-local lateral aliases."""
+    if dialect == "duckdb":
+        def xor(a: str, b: str) -> str:
+            return f"xor({a}, {b})"
+    elif dialect == "spark":
+        def xor(a: str, b: str) -> str:
+            return f"({a} ^ {b})"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    inner = (f"SELECT *, CAST(0 AS BIGINT) AS d0, "
+             f"CAST({xcol} AS BIGINT) AS x0, "
+             f"CAST({ycol} AS BIGINT) AS y0 FROM {source}")
+    k = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        k += 1
+        p, c = k - 1, k
+        inner = (
+            f"SELECT *, "
+            f"(CASE WHEN (x{p} & {s}) > 0 THEN 1 ELSE 0 END) AS rx{c}, "
+            f"(CASE WHEN (y{p} & {s}) > 0 THEN 1 ELSE 0 END) AS ry{c}, "
+            f"d{p} + {s * s} * " + xor(f"(3 * rx{c})", f"ry{c}")
+            + f" AS d{c}, "
+            # if ry=0: x' = (rx ? s-1-y : y), y' = (rx ? s-1-x : x)
+            f"CASE WHEN ry{c} = 0 THEN (CASE WHEN rx{c} = 1 "
+            f"THEN {s - 1} - y{p} ELSE y{p} END) ELSE x{p} END AS x{c}, "
+            f"CASE WHEN ry{c} = 0 THEN (CASE WHEN rx{c} = 1 "
+            f"THEN {s - 1} - x{p} ELSE x{p} END) ELSE y{p} END AS y{c} "
+            f"FROM ({inner})")
+        s >>= 1
+    return f"SELECT *, d{k} AS hd FROM ({inner})"

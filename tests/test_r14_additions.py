@@ -348,3 +348,65 @@ def test_tdiv_matches_duckdb_truncation(x, y):
     # and it really differs from Python floor-div on negatives
     if x < 0 and x % y != 0:
         assert _tdiv(x, y) == x // y + 1
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve core (r15 prep, the entropy.py precedent): inverse
+# bijection, the adjacency property z-order lacks, and the ONE
+# expression generator agreeing with the Python machine in BOTH
+# dialects (DuckDB executed + Spark executed).
+# ---------------------------------------------------------------------------
+
+def test_hilbert_inverse_bijection_and_adjacency():
+    from gmall_211027_flink_spark.operators.hilbert import (
+        HILBERT_ORDER, hilbert_index, hilbert_point)
+
+    n = 1 << HILBERT_ORDER
+    for d in range(0, n * n, 1021):       # sampled inverse check
+        x, y = hilbert_point(d)
+        assert 0 <= x < n and 0 <= y < n
+        assert hilbert_index(x, y) == d
+    px, py = hilbert_point(0)
+    for d in range(1, 2000):              # THE Hilbert property:
+        x, y = hilbert_point(d)           # consecutive indices are
+        assert abs(x - px) + abs(y - py) == 1   # 4-adjacent, always
+        px, py = x, y
+
+
+def test_hilbert_duckdb_sql_matches_python():
+    import duckdb
+
+    from gmall_211027_flink_spark.operators.hilbert import (
+        hilbert_index, hilbert_sql)
+
+    q = hilbert_sql(
+        "(SELECT g1.range AS x, g2.range AS y "
+        "FROM range(0, 256, 23) g1, range(0, 256, 19) g2)",
+        "x", "y", "duckdb")
+    con = duckdb.connect()
+    rows = con.execute(f"SELECT x, y, hd FROM ({q})").fetchall()
+    assert len(rows) > 100
+    for x, y, hd in rows:
+        assert hd == hilbert_index(x, y)
+    # and the full 2^8 x 2^8 grid is a bijection onto [0, 4^8)
+    q2 = hilbert_sql(
+        "(SELECT g1.range AS x, g2.range AS y "
+        "FROM range(256) g1, range(256) g2)", "x", "y", "duckdb")
+    nd, lo, hi = con.execute(
+        f"SELECT COUNT(DISTINCT hd), MIN(hd), MAX(hd) FROM ({q2})"
+    ).fetchone()
+    assert (nd, lo, hi) == (65536, 0, 65535)
+
+
+def test_hilbert_spark_sql_matches_python(spark):
+    from gmall_211027_flink_spark.operators.hilbert import (
+        hilbert_index, hilbert_sql)
+
+    q = hilbert_sql(
+        "(SELECT a.id AS x, b.id AS y "
+        "FROM range(0, 256, 29) a, range(0, 256, 31) b)",
+        "x", "y", "spark")
+    rows = spark.sql(f"SELECT x, y, hd FROM ({q})").collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert r["hd"] == hilbert_index(r["x"], r["y"])
