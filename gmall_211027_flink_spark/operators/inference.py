@@ -2239,8 +2239,11 @@ def stats_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fano-design blocks over complete weeks (see block comment)."""
     orders = load_table(spark, sf_dir, "orders")
     d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
-    # floor(), not truncate-cast: matches DuckDB // (floor division)
-    # for ANY sign — the memory-rule shape for integer division
+    # floor(), not truncate-cast: matches DuckDB // on this domain
+    # (epoch days from the 1970 anchor are non-negative, where floor
+    # and truncation coincide — DuckDB // TRUNCATES toward zero on
+    # negatives, measured r14; see multimodal._tdiv for the
+    # signed-domain discipline)
     daily = (orders.groupBy(
         F.floor(d_col / 7).cast("bigint").alias("wk"),
         ((d_col + 4) % 7).alias("dw"))
