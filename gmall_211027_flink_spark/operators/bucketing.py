@@ -669,3 +669,155 @@ def lake_clustering_depth_audit(spark: SparkSession,
         .crossJoin(F.broadcast(n_files))
         .select("n_files", "max_depth", "depth_day_area", "span_days",
                 "mean_depth"))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering + 3-way locality audit (r14) — the
+# locality-preserving companion to layout_zorder_locality.  Morton
+# interleave is cheap but jumps: consecutive z-values can sit half the
+# key space apart in one dimension, so some tile bounding boxes
+# straddle those seams.  Consecutive HILBERT indices are always
+# 4-adjacent (operators/hilbert.py pins the property), so a
+# Hilbert-clustered layout's per-file bounding boxes are never worse
+# and typically tighter — this audit measures all three layouts
+# (hilbert / zorder / linear) on the SAME 2^8 x 2^8 normalized grid
+# over lineitem (l_partkey, l_suppkey), {ZORDER_TILES} simulated
+# files, and reports per-layout total bounding spans.
+#
+# Engine and oracle compute hd from the SAME generated per-level
+# fragments (hilbert_level_selects — engine folds them as chained
+# selectExpr projections, oracle nests them as subqueries), so the
+# two sides cannot drift.  zval is the 8-bit Morton interleave (the
+# proven 16-bit expression at the audit's grid resolution).
+#
+# Scale shape: identical to the z-order audit — the 100 TB WRITE path
+# is repartitionByRange(hd) + sortWithinPartitions(hd) (one range
+# exchange; hd is ~16 chained map-side projections, all whole-stage
+# codegen); the audit's NTILE total order exists only to make tile
+# assignment deterministic for the oracle at test scale.
+# ---------------------------------------------------------------------------
+
+def _hilbert_audit_oracle() -> str:
+    from gmall_211027_flink_spark.operators.hilbert import (
+        HILBERT_ORDER, hilbert_sql)
+
+    b = HILBERT_ORDER
+    mx = (1 << b) - 1
+    hil = hilbert_sql("norm", "bx", "by", "duckdb")
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey AS x, l_suppkey AS y
+      FROM lineitem
+    ),
+    ext AS (
+      SELECT MIN(x) AS xmin, GREATEST(MAX(x) - MIN(x), 1) AS xrng,
+             MIN(y) AS ymin, GREATEST(MAX(y) - MIN(y), 1) AS yrng
+      FROM base
+    ),
+    norm AS (
+      SELECT l_orderkey, l_linenumber,
+             (x - e.xmin) * {mx} // e.xrng AS bx,
+             (y - e.ymin) * {mx} // e.yrng AS by
+      FROM base, ext e
+    ),
+    hil AS ({hil}),
+    keyed AS (
+      SELECT l_orderkey, l_linenumber, bx, by, hd,
+             CAST(list_sum(list_transform(range(0, {b}), i ->
+               ((bx >> i) & 1) * (1::BIGINT << (2 * i))
+               + ((by >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+               AS BIGINT) AS zval
+      FROM hil
+    ),
+    tiled AS (
+      SELECT 'hilbert' AS layout, bx, by,
+             NTILE({ZORDER_TILES}) OVER
+               (ORDER BY hd, l_orderkey, l_linenumber) AS tile
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder', bx, by,
+             NTILE({ZORDER_TILES}) OVER
+               (ORDER BY zval, l_orderkey, l_linenumber)
+      FROM keyed
+      UNION ALL
+      SELECT 'linear', bx, by,
+             NTILE({ZORDER_TILES}) OVER
+               (ORDER BY bx, by, l_orderkey, l_linenumber)
+      FROM keyed
+    ),
+    spans AS (
+      SELECT layout, tile,
+             MAX(bx) - MIN(bx) + 1 AS span_x,
+             MAX(by) - MIN(by) + 1 AS span_y
+      FROM tiled GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(span_x) AS BIGINT) AS total_span_x,
+           CAST(SUM(span_y) AS BIGINT) AS total_span_y
+    FROM spans GROUP BY layout
+    """
+
+
+def _register_hilbert() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gmall_211027_flink_spark.catalog import load_table
+    from gmall_211027_flink_spark.operators.hilbert import (
+        HILBERT_ORDER, hilbert_level_selects)
+    from gmall_211027_flink_spark.registry import query
+
+    @query("layout_hilbert_locality", oracle=_hilbert_audit_oracle())
+    def layout_hilbert_locality(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """3-way per-tile bounding-box audit: hilbert vs zorder vs
+        linear clustering of lineitem on (l_partkey, l_suppkey) over
+        the same 2^8 grid (see block comment)."""
+        b = HILBERT_ORDER
+        mx = (1 << b) - 1
+        base = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+        ext = base.agg(
+            F.min("x").alias("xmin"),
+            F.greatest(F.max("x") - F.min("x"), F.lit(1)).alias("xrng"),
+            F.min("y").alias("ymin"),
+            F.greatest(F.max("y") - F.min("y"), F.lit(1)).alias("yrng"))
+        norm = base.crossJoin(F.broadcast(ext)).select(
+            "l_orderkey", "l_linenumber",
+            F.expr(f"div((x - xmin) * {mx}, xrng)").alias("bx"),
+            F.expr(f"div((y - ymin) * {mx}, yrng)").alias("by"))
+        # hd from the SAME generated fragments the oracle nests — one
+        # chained projection per level (all map-side, codegen)
+        hil = norm
+        for level in hilbert_level_selects("bx", "by", "spark", b):
+            hil = hil.selectExpr("*", *level)
+        keyed = hil.select(
+            "l_orderkey", "l_linenumber", "bx", "by", "hd",
+            F.expr(
+                f"aggregate(sequence(0, {b - 1}), cast(0 as bigint),"
+                " (acc, i) -> acc"
+                "   + shiftleft(cast((bx >> i) & 1 as bigint), 2 * i)"
+                "   + shiftleft(cast((by >> i) & 1 as bigint), 2 * i + 1))"
+            ).alias("zval"))
+        tiles = []
+        for layout, key in (("hilbert", "hd"), ("zorder", "zval"),
+                            ("linear", None)):
+            order_cols = ([key] if key else ["bx", "by"]) + [
+                "l_orderkey", "l_linenumber"]
+            tiles.append(keyed.select(
+                F.lit(layout).alias("layout"), "bx", "by",
+                F.ntile(ZORDER_TILES).over(Window.orderBy(*order_cols))
+                .alias("tile")))
+        union = tiles[0].unionAll(tiles[1]).unionAll(tiles[2])
+        spans = (union.groupBy("layout", "tile")
+                 .agg((F.max("bx") - F.min("bx") + 1).alias("span_x"),
+                      (F.max("by") - F.min("by") + 1).alias("span_y")))
+        return (spans.groupBy("layout")
+                .agg(F.count("*").cast("bigint").alias("n_tiles"),
+                     F.sum("span_x").cast("bigint").alias("total_span_x"),
+                     F.sum("span_y").cast("bigint").alias("total_span_y")))
+
+
+_register_hilbert()

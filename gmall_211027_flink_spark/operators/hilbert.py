@@ -69,22 +69,24 @@ def hilbert_point(d: int, order: int = HILBERT_ORDER) -> tuple[int, int]:
     return x, y
 
 
-def hilbert_sql(source: str, xcol: str, ycol: str, dialect: str,
-                order: int = HILBERT_ORDER) -> str:
-    """The unrolled ``order``-level xy -> d machine as a NESTED-
-    SUBQUERY query over ``source`` (a relation expression), exposing
-    ``source``'s columns plus ``hd`` — ONE text generator for both
-    engines (``dialect`` in {'duckdb', 'spark'}; they differ only in
-    the XOR spelling).
+def hilbert_level_selects(xcol: str, ycol: str, dialect: str,
+                          order: int = HILBERT_ORDER) -> list[list[str]]:
+    """The unrolled xy -> d machine as per-LEVEL lists of SELECT-list
+    fragments (each level appended to a ``SELECT *`` of the previous
+    one), ending with the final ``hd`` alias level — ONE text
+    generator for both engines (``dialect`` in {'duckdb', 'spark'};
+    they differ only in the XOR spelling).  The engine side folds the
+    levels as chained ``selectExpr("*", *level)`` calls; the oracle
+    side nests them as subqueries (:func:`hilbert_sql`) — same
+    fragments, so the two engines cannot drift.
 
-    Structure matters: one level per subquery, with only the
-    LEVEL-LOCAL rx/ry as lateral aliases.  A single flat lateral
+    Structure matters: one PROJECTION BOUNDARY per level, with only
+    the level-local rx/ry as lateral aliases.  A single flat lateral
     chain is semantically identical but binds each alias by textual
     inlining, so expression size compounds ~5x per level — measured
-    ~170 s for a 168-row grid at order 8 in DuckDB; the projection
-    boundary per level keeps binding linear (same grid: fraction of
-    a second).  Both DuckDB (>= 0.10) and Spark (>= 3.4) resolve the
-    level-local lateral aliases."""
+    ~170 s for a 168-row grid at order 8 in DuckDB; per-level
+    boundaries keep binding linear (same grid: 0.04 s).  Both DuckDB
+    (>= 0.10) and Spark (>= 3.4) resolve the level-local aliases."""
     if dialect == "duckdb":
         def xor(a: str, b: str) -> str:
             return f"xor({a}, {b})"
@@ -93,25 +95,36 @@ def hilbert_sql(source: str, xcol: str, ycol: str, dialect: str,
             return f"({a} ^ {b})"
     else:
         raise ValueError(f"unknown dialect {dialect!r}")
-    inner = (f"SELECT *, CAST(0 AS BIGINT) AS d0, "
-             f"CAST({xcol} AS BIGINT) AS x0, "
-             f"CAST({ycol} AS BIGINT) AS y0 FROM {source}")
+    levels = [[f"CAST(0 AS BIGINT) AS d0",
+               f"CAST({xcol} AS BIGINT) AS x0",
+               f"CAST({ycol} AS BIGINT) AS y0"]]
     k = 0
     s = 1 << (order - 1)
     while s > 0:
         k += 1
         p, c = k - 1, k
-        inner = (
-            f"SELECT *, "
-            f"(CASE WHEN (x{p} & {s}) > 0 THEN 1 ELSE 0 END) AS rx{c}, "
-            f"(CASE WHEN (y{p} & {s}) > 0 THEN 1 ELSE 0 END) AS ry{c}, "
+        levels.append([
+            f"(CASE WHEN (x{p} & {s}) > 0 THEN 1 ELSE 0 END) AS rx{c}",
+            f"(CASE WHEN (y{p} & {s}) > 0 THEN 1 ELSE 0 END) AS ry{c}",
             f"d{p} + {s * s} * " + xor(f"(3 * rx{c})", f"ry{c}")
-            + f" AS d{c}, "
+            + f" AS d{c}",
             # if ry=0: x' = (rx ? s-1-y : y), y' = (rx ? s-1-x : x)
             f"CASE WHEN ry{c} = 0 THEN (CASE WHEN rx{c} = 1 "
-            f"THEN {s - 1} - y{p} ELSE y{p} END) ELSE x{p} END AS x{c}, "
+            f"THEN {s - 1} - y{p} ELSE y{p} END) ELSE x{p} END AS x{c}",
             f"CASE WHEN ry{c} = 0 THEN (CASE WHEN rx{c} = 1 "
-            f"THEN {s - 1} - x{p} ELSE x{p} END) ELSE y{p} END AS y{c} "
-            f"FROM ({inner})")
+            f"THEN {s - 1} - x{p} ELSE x{p} END) ELSE y{p} END AS y{c}"])
         s >>= 1
-    return f"SELECT *, d{k} AS hd FROM ({inner})"
+    levels.append([f"d{k} AS hd"])
+    return levels
+
+
+def hilbert_sql(source: str, xcol: str, ycol: str, dialect: str,
+                order: int = HILBERT_ORDER) -> str:
+    """:func:`hilbert_level_selects` composed as a nested-subquery
+    query over ``source`` (a relation expression), exposing
+    ``source``'s columns plus ``hd``."""
+    inner = (source if source.strip().startswith("(")
+             else f"(SELECT * FROM {source})")
+    for level in hilbert_level_selects(xcol, ycol, dialect, order):
+        inner = f"(SELECT *, {', '.join(level)} FROM {inner})"
+    return f"SELECT * FROM {inner}"

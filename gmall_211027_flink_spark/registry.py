@@ -111,7 +111,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  when the second r14 add-wave claimed their slots)
     "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
     "stats_mad_outliers", "dwd_jump_consecutive_entries",
-    "dws_gapfill_interpolate",
+    "dws_gapfill_interpolate", "stats_exact_percentiles",
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
     "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
@@ -418,7 +418,9 @@ _REVERIFY: tuple[str, ...] = (
     # stream_sample_ingest) so the rotation refreshes the streaming
     # path too (VERDICT r13 item 1):
     "mixture_weighted_sample", "q12_lateness_priority",
-    "seq_pack_token_budget", "stats_key_skew", "stats_exact_percentiles",
+    "seq_pack_token_budget", "stats_key_skew",
+    # (stats_exact_percentiles traded back: the third add-wave's
+    #  layout_hilbert_locality claimed its slot)
     # (dws_gapfill_interpolate also traded back: the
     #  stream_theil_maintenance store-builder re-gate claimed its slot)
     # (stats_hll_accuracy_audit, stats_approx_percentile_audit,

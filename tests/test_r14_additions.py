@@ -410,3 +410,18 @@ def test_hilbert_spark_sql_matches_python(spark):
     assert len(rows) > 50
     for r in rows:
         assert r["hd"] == hilbert_index(r["x"], r["y"])
+
+
+def test_hilbert_layout_beats_zorder_on_span(spark, sf_dir):
+    """The audit's point, pinned: on the fixture grid the Hilbert
+    layout's total bounding spans are no worse than Morton's in BOTH
+    dimensions, and both crush linear's cross-dimension span."""
+    from gmall_211027_flink_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r["layout"]: r for r in
+            QUERIES["layout_hilbert_locality"](spark, sf_dir).collect()}
+    h, z, lin = rows["hilbert"], rows["zorder"], rows["linear"]
+    assert h["total_span_x"] <= z["total_span_x"]
+    assert h["total_span_y"] <= z["total_span_y"]
+    assert h["total_span_y"] < lin["total_span_y"] // 2
