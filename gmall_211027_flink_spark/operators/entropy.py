@@ -5,12 +5,12 @@ The entropy-coder core for the one multimodal residue still parked
 binary range coder with 11-bit adaptive bit models — the classic
 public-domain construction of the Subbotin / LZMA rc family (32-bit
 ``range``, 5-byte-primed decoder, shift-low carry chain), implemented
-from first principles.  r14 wires it under the existing JPEG pipeline
+from first principles.  Wired under the JPEG pipeline since r14
 (operators/jpeg.py keeps the symbol stream — DC categories, AC
 run/size, extend bits — and swaps the canonical-Huffman bit layer for
-context-modeled calls into these bit models), registering the query
-when a gate-window slot opens; until then the module is proven by the
-encoder/decoder lockstep + entropy-bound tests in
+context-modeled calls into these bit models); driver-proven by the
+``multimodal_jpeg_arith_pixels`` gate row (CORRECTNESS_r14) on top of
+the encoder/decoder lockstep + entropy-bound tests in
 tests/test_r13_additions.py.
 
 Honest scope: this is a REAL adaptive arithmetic coder, not ITU-T
@@ -29,6 +29,17 @@ _PROB_BITS = 11                # probability resolution (LZMA-style)
 _PROB_ONE = 1 << _PROB_BITS    # 2048
 _PROB_INIT = _PROB_ONE // 2    # p(bit=0) starts at 1/2
 _MOVE_BITS = 5                 # adaptation speed
+
+# Net flush-tail length: BitEncoder.finish() emits FLUSH_TAIL_BYTES + 1
+# shift_low calls and drops the initial pseudo-byte, so exactly this
+# many bytes of low-register tail follow the last renorm byte.  The
+# decoder's init primes the same number of code bytes, which is why a
+# lockstep decode of a valid stream overruns by AT MOST this many
+# phantom zeros — BitDecoder's _FLUSH_ALLOWANCE DERIVES from this
+# constant (review r14: the two numbers must move together or valid
+# streams would spuriously raise; test_r15_additions pins the exact
+# boundary).
+FLUSH_TAIL_BYTES = 4
 
 
 class BitEncoder:
@@ -72,7 +83,7 @@ class BitEncoder:
             self._shift_low()
 
     def finish(self) -> bytes:
-        for _ in range(5):
+        for _ in range(FLUSH_TAIL_BYTES + 1):
             self._shift_low()
         # drop the initial pseudo-byte (always 0 absent a carry into
         # the very first shift, which _cache_size = 1 absorbs)
@@ -80,12 +91,14 @@ class BitEncoder:
 
 
 # A lockstep decode consumes EXACTLY len(data) bytes (the decoder's
-# renorm count equals the encoder's, and the 4 bytes primed at init
-# are the 4 net flush-tail bytes) — phantom zero bytes past the end
-# only appear on truncated/corrupt input or a wrong symbol count.
-# Allow the flush-tail magnitude as slack, then fail loudly instead of
-# decoding garbage silently (review r13).
-_FLUSH_ALLOWANCE = 4
+# renorm count equals the encoder's, and the FLUSH_TAIL_BYTES bytes
+# primed at init are the net flush-tail bytes finish() appended) —
+# phantom zero bytes past the end only appear on truncated/corrupt
+# input or a wrong symbol count.  Allow the flush-tail magnitude as
+# slack, then fail loudly instead of decoding garbage silently
+# (review r13).  DERIVED from the encoder's constant, not restated
+# (review r14): a future finish() change moves both ends together.
+_FLUSH_ALLOWANCE = FLUSH_TAIL_BYTES
 
 
 class BitDecoder:
@@ -97,7 +110,7 @@ class BitDecoder:
         self._overrun = 0
         self.range = 0xFFFFFFFF
         self.code = 0
-        for _ in range(4):
+        for _ in range(FLUSH_TAIL_BYTES):
             self.code = (self.code << 8) | self._next_byte()
 
     def _next_byte(self) -> int:

@@ -1912,7 +1912,14 @@ def multimodal_jpeg_progressive_pixels(spark: SparkSession,
 # layer is a REAL adaptive arithmetic coder of the Subbotin/LZMA range
 # family, not T.81 Annex D's QM-coder state machine (that spec's
 # Qe-table renormalization is a different device; COVERAGE.md records
-# the park).  Everything else — marker walk, coefficient semantics,
+# the park).  A second deviation rides on that one (review r14): the
+# scan carries RAW coder bytes with no T.81 marker escaping — a 0xFF
+# byte inside the coded stream is NOT followed by a stuffed 0x00, so
+# a conforming T.81 arithmetic decoder could not delimit these scans;
+# our decoder recovers the scan end via rfind(EOI) against the
+# synthesizer's guarantee that EOI is the final two bytes.  Both
+# deviations are entropy-layer-only.  Everything else — marker walk,
+# coefficient semantics,
 # dequant, dezigzag, integer IDCT — is the proven baseline machinery,
 # so the oracle (the analytic jpeg_pixels derivation) is UNCHANGED:
 # the entropy layer is transparent to the expected pixels, and the
@@ -1967,6 +1974,15 @@ def synthesize_jpeg_gray_arith(doc_id: int, h: str) -> bytes:
                 if v == 0:
                     run += 1
                     continue
+                # ZRL chunks exactly like the Huffman encoder above:
+                # without them a zero-run > 15 would make
+                # (run << 4) | s exceed one byte and silently corrupt
+                # the symbol stream (review r14).  AC_POSITIONS caps
+                # the run at 12 today, so current payloads are
+                # byte-identical — this guards a future field change.
+                while run > 15:
+                    encode_symbol(enc, ac_tree, 0xF0)
+                    run -= 16
                 s = _cat(v)
                 encode_symbol(enc, ac_tree, (run << 4) | s)
                 amp_bits(amp_ac, v, s)

