@@ -1354,12 +1354,26 @@ def stats_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hoeffding's D between weekly order volume and weekly revenue on
     the bounded week grid (see block comment)."""
     orders = load_table(spark, sf_dir, "orders")
+    # F.floor like the stream store's wk (the seasonal-MK r14
+    # shape-identity precedent; == truncation on this non-negative
+    # domain, == DuckDB // 7)
     wkly = (orders.groupBy(
-        (F.datediff("o_orderdate", F.lit("1970-01-01"))
-         .cast("bigint") / 7).cast("bigint").alias("wk"))
+        F.floor(F.datediff("o_orderdate", F.lit("1970-01-01"))
+                .cast("bigint") / 7).cast("bigint").alias("wk"))
         .agg(F.count("*").cast("bigint").alias("x"),
              (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
              .cast("decimal(38,0)").cast("bigint").alias("y")))
+    return hoeffding_readout(wkly)
+
+
+def hoeffding_readout(wkly: DataFrame) -> DataFrame:
+    """Hoeffding's D from a (wk, x, y) weekly grid — the ONE readout
+    shape shared by the batch query above and the streaming store
+    drain (streaming/windows.py stream_hoeffding_maintenance), the
+    seasonal_mk_readout device (r14).  The joint bivariate ranks are
+    NOT maintained incrementally — they are recomputed at read time on
+    the bounded grid, which is what makes the store additive (x and y
+    are plain count / cents sums per week)."""
     # bounded weekly grid: single-task global windows by design
     # (DAY-GRAIN CONTRACT, aggregates.py docstring)
     r = wkly.select(
@@ -1481,6 +1495,17 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lit("1970-01-01"))
         .cast("bigint").alias("d"))
         .agg(F.count("*").cast("bigint").alias("y")))
+    return ansari_bradley_readout(daily)
+
+
+def ansari_bradley_readout(daily: DataFrame) -> DataFrame:
+    """Ansari-Bradley z from a (d, y) day grid — the ONE readout shape
+    shared by the batch query above and the streaming store drain
+    (streaming/windows.py stream_ansari_maintenance, which drains the
+    SAME _drained_daily_count_store the Theil/Cox-Stuart/Mood twins
+    maintain), the seasonal_mk_readout device (r14).  The pooled
+    rank-from-both-ends scores are recomputed at read time on the
+    bounded grid; the weekend grouping falls out of d itself."""
     # 1970-01-01 is a Thursday: (epoch_day + 4) % 7 gives 0=Sunday,
     # 6=Saturday — pure integer DOW, identical in both engines
     g = daily.select(
@@ -1597,14 +1622,31 @@ KENDALL_W_K = 7   # treatments = the 7 weekdays
 def stats_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall's W (concordance of weekly weekday-revenue rankings)
     with exact tie correction (see block comment)."""
-    k = KENDALL_W_K
     orders = load_table(spark, sf_dir, "orders")
+    # F.floor like the stream store's wk (the seasonal-MK r14
+    # shape-identity precedent; == truncation on this non-negative
+    # domain, == DuckDB // 7)
     daily = (orders.groupBy(
-        (F.datediff("o_orderdate", F.lit("1970-01-01"))
-         .cast("bigint") / 7).cast("bigint").alias("wk"),
+        F.floor(F.datediff("o_orderdate", F.lit("1970-01-01"))
+                .cast("bigint") / 7).cast("bigint").alias("wk"),
         (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"))
         .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
              .cast("decimal(38,0)").cast("bigint").alias("cents")))
+    return kendalls_w_readout(daily)
+
+
+def kendalls_w_readout(daily: DataFrame) -> DataFrame:
+    """Kendall's W from a (wk, dw, cents) weekly-grain grid — the ONE
+    readout shape shared by the batch query above and the streaming
+    store drain (streaming/windows.py stream_kendalls_w_maintenance,
+    which drains the SAME (wk, dw, cents) store shape the Durbin twin
+    maintains), the seasonal_mk_readout device (r14).  Within-week
+    midranks, the complete-week filter and the tie correction are all
+    recomputed at read time on the bounded grid; dw only partitions
+    (it never reaches the output), so the store's pure-integer
+    (epoch_day + 4) % 7 weekday and the batch side's dayofweek - 1 —
+    equal by construction (both 0=Sunday) — are interchangeable."""
+    k = KENDALL_W_K
     complete = (daily.groupBy("wk").agg(F.count("*").alias("ndw"))
                 .filter(F.col("ndw") == k).select("wk"))
     # <= ~350 blocks x 7: DAY-GRAIN CONTRACT (aggregates.py docstring)

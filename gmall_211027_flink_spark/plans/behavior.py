@@ -428,15 +428,32 @@ def ads_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ads_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
-    per_cust = (orders.crossJoin(F.broadcast(maxd))
-                .groupBy("o_custkey")
-                .agg(F.datediff(F.first("maxd"), F.max("o_orderdate"))
-                     .alias("recency"),
-                     F.count("*").alias("frequency"),
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count("*").cast("bigint").alias("frequency"),
                      F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                     .alias("monetary")))
-    scored = per_cust.select(
+                     .cast("decimal(38,2)").alias("monetary")))
+    return rfm_readout(per_cust)
+
+
+def rfm_readout(per_cust: DataFrame) -> DataFrame:
+    """RFM segment grid from a per-customer (o_custkey, last_order,
+    frequency, monetary) base — the ONE readout shape shared by the
+    batch query above and the streaming store drain
+    (streaming/windows.py stream_rfm_maintenance), the
+    seasonal_mk_readout device (r14) applied to the CUSTOMER-grain
+    store family the Cochran twin opened: every base column is
+    mergeable (max / sum / sum), so the store commits O(batch) per
+    micro-batch and holds exactly one row per customer.  Recency is
+    recomputed at read time against the base's own global max order
+    date (the max of per-customer maxes IS the table max), so the
+    readout needs no side input."""
+    maxd = per_cust.agg(F.max("last_order").alias("maxd"))
+    scored_base = (per_cust.crossJoin(F.broadcast(maxd))
+                   .select("o_custkey", "frequency", "monetary",
+                           F.datediff("maxd", "last_order")
+                           .alias("recency")))
+    scored = scored_base.select(
         "o_custkey", "monetary",
         F.ntile(4).over(Window.orderBy("recency", "o_custkey"))
          .alias("r_score"),

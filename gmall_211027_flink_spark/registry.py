@@ -102,38 +102,22 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  _REVERIFY round 13 — the two oldest streaming proofs remaining)
     # round 4 (CORRECTNESS_r04.json, 50/50 green — includes the three
     # HUGEINT-typing reverifies, now re-proven)
-    # (the r4 head — mixture_weighted_sample through stats_mad_outliers,
-    #  9 names, plus the two r4-era streaming proofs
-    #  dwd_order_detail_join_streaming / stream_sample_ingest —
-    #  rotated to _REVERIFY round 14, next-oldest after the r3 block;
-    #  stats_hll_accuracy_audit / stats_approx_percentile_audit /
-    #  stats_mad_outliers / dwd_jump_consecutive_entries traded back
-    #  when the second r14 add-wave claimed their slots)
-    "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
-    "stats_mad_outliers", "dwd_jump_consecutive_entries",
-    "dws_gapfill_interpolate", "stats_exact_percentiles",
-    "ads_path_transition_matrix", "dim_scd2_history",
-    "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
-    "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
-    "ann_ivf_recall", "ann_hard_negatives",
-    "vocab_pmi_topk", "bpe_top_merges", "multimodal_sniff_magic_bytes",
-    "multimodal_payload_dedup", "multimodal_header_decode",
-    "sample_deterministic_shuffle", "sample_weighted_ppswor",
-    "dataset_snapshot_diff", "ads_unpivot_metrics",
-    "cdc_dirty_side_output", "cdc_update_delta",
-    "dwd_stream_static_dim_join", "dws_tumble_append_streaming",
-    "dws_incremental_agg_maintenance", "stream_dedup_minhash_incremental",
-    "dim_scd2_stream_maintenance", "q8_market_share",
-    "graph_pagerank_copurchase", "graph_triangles_copurchase",
-    "dwd_log_split_fanout", "embedding_random_projection",
+    # (the ENTIRE remaining r4 block — stats_hll_accuracy_audit
+    #  through embedding_random_projection, 36 names incl. the five
+    #  r4-era streaming proofs dwd_stream_static_dim_join /
+    #  dws_tumble_append_streaming / dws_incremental_agg_maintenance /
+    #  stream_dedup_minhash_incremental / dim_scd2_stream_maintenance
+    #  — rotated to _REVERIFY round 15: the oldest driver evidence
+    #  left after the r14 rotation retired the r3 block and r4 head)
     # round 5 (CORRECTNESS_r05.json, 50/50 green — includes the two
     # r4-era _REVERIFY rows ann_projected_recall / ann_mmr_diversified,
     # now driver-proven)
-    "ann_projected_recall", "ann_mmr_diversified",
-    "stats_regression_trend",
+    # (the r5 head — ann_projected_recall, ann_mmr_diversified,
+    #  stats_regression_trend, stats_ks_drift — rotated to _REVERIFY
+    #  round 15, topping the canary batch up to 40 after the r4 block)
     # (stats_histogram_equi_depth moved to _REVERIFY round 13:
     #  its exact-ntile expression gained the ANSI divisor guard)
-    "stats_ks_drift", "stats_gini_revenue", "stats_benford_audit",
+    "stats_gini_revenue", "stats_benford_audit",
     "stats_hourly_autocorr", "dwd_window_join_click_error",
     "dedup_bloom_membership_audit", "dedup_minhash_band_sweep",
     "embedding_int8_quant_audit", "ann_ivf_nprobe_sweep",
@@ -147,7 +131,11 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "dws_funnel_streaming", "ads_window_funnel",
     "ads_sequence_match_negation", "ads_topn_with_others",
     "ads_segment_overlap", "ads_prepurchase_paths",
-    "ads_hour_dow_heatmap", "ads_rfm_segmentation",
+    "ads_hour_dow_heatmap",
+    # (ads_rfm_segmentation moved to _REVERIFY round 15: its
+    #  per-customer base aggregate extracted into the shared
+    #  rfm_readout the new stream_rfm_maintenance twin drains
+    #  through — code motion -> re-gate)
     "dwd_error_burst_windows", "stream_ks_drift_monitor",
     "graph_label_propagation", "source_csv_roundtrip",
     "source_json_roundtrip", "pipeline_training_manifest",
@@ -329,8 +317,14 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  store build moved to the shared _drained_daily_count_store
     #  builder the Cox-Stuart/Mood twins use — code motion -> re-gate)
     "graph_katz_centrality",
-    "ml_mcc_confusion", "ml_lift_gains_deciles", "stats_hoeffding_d",
-    "stats_ansari_bradley", "stats_kendalls_w", "stats_gamma_somers_d",
+    "ml_mcc_confusion", "ml_lift_gains_deciles",
+    # (stats_hoeffding_d, stats_ansari_bradley, stats_kendalls_w moved
+    #  to _REVERIFY round 15: their readouts extracted into the shared
+    #  hoeffding_readout / ansari_bradley_readout / kendalls_w_readout
+    #  helpers the new r15 stream twins drain through, and the
+    #  Hoeffding / Kendall's-W batch wk expressions switched to
+    #  F.floor for store shape-identity — code motion -> re-gate)
+    "stats_gamma_somers_d",
     "stats_quade",
     # (stats_friedman_aligned_ranks moved to _REVERIFY round 13:
     #  tie-exact denominator + new sum_rij2_x4 output column)
@@ -369,68 +363,100 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  twins drain through — code motion -> re-gate)
     "stats_semipartial_correlation", "stats_partial_correlation_gram",
     "multimodal_adpcm_multirate",
+    # round 14 (CORRECTNESS_r14.json, 50/50 green): the 36 rotation
+    # canaries (the full remaining r3 block + the r4 head + the two
+    # r4-era streaming proofs), the 7 edited/twin re-gates, and the 7
+    # r14 additions — all re-proven on r14 evidence.
+    # (stream_durbin_maintenance re-entered _REVERIFY round 15: its
+    #  store build moved to the shared _drained_weekly_cents_store
+    #  builder the Kendall's-W twin uses — code motion -> re-gate)
+    # (multimodal_jpeg_arith_pixels re-entered _REVERIFY round 15:
+    #  the arith encoder gained ZRL emission and the range coder's
+    #  flush allowance now derives from the shared FLUSH_TAIL_BYTES
+    #  constant — ADVICE r14 closures touch its code path -> re-gate)
+    "stats_cochran_q", "stats_seasonal_mann_kendall", "stats_durbin",
+    "stream_mk_maintenance", "pii_redact_ids", "asof_join_window",
+    "dws_union_traffic_window", "dedup_minhash_recall",
+    "quality_filter_rules", "dwd_bounce_detection", "dws_sessionization",
+    "vocab_bigram_counts", "stream_quality_filter_documents",
+    "decontaminate_ngram", "knn_label_vote", "knn_label_vote_lsh",
+    "decontaminate_fuzzy_minhash", "q4_late_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
+    "q14_promo_revenue_share", "q2_min_price_part", "q9_type_profit",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q21_sole_late_supplier",
+    "q22_sales_opportunity", "q20_dominant_supplier",
+    "q11_important_balance_share", "graph_components_copurchase",
+    "mixture_weighted_sample", "q12_lateness_priority",
+    "seq_pack_token_budget", "stats_key_skew",
+    "dwd_order_detail_join_streaming", "stream_sample_ingest",
+    "stats_cox_stuart", "stats_mood_median", "stream_theil_maintenance",
+    "multimodal_adpcm_polezero", "stream_cochran_maintenance",
+    "stream_cox_stuart_maintenance", "stream_mood_maintenance",
+    "layout_hilbert_locality",
 )
 
 # Queries that MUST be sampled first by this round's gate: the
 # STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
 # round the OLDEST driver-proven names move here so their proofs get
 # refreshed by the driver instead of relying on judge spot-checks.
-# Round 14 (VERDICT r13 item 1): the r13 window folded back into
-# _DRIVER_PROVEN; the new window = r14-EDITED re-gates + the new r14
+# Round 15 (VERDICT r14 item 1): the r14 window folded back into
+# _DRIVER_PROVEN; the new window = r15-EDITED re-gates + the new r15
 # queries + staleness canaries from the next-oldest evidence (the
-# remaining r3 block, then the r4 head, incl. >= 2 streaming proofs)
+# remaining r4 block, then the r5 head, incl. >= 2 streaming proofs)
 # topped up to exactly 50.  Fold back into _DRIVER_PROVEN once
-# CORRECTNESS_r14 lands, and rotate the next-oldest batch in round 15.
+# CORRECTNESS_r15 lands, and rotate the next-oldest batch in round 16
+# (the rest of the r5 block: stats_gini_revenue onward).
 # NOTE the window-count rule: the gate window = count of names NOT in
 # _DRIVER_PROVEN, which already INCLUDES these — budget new queries to
 # keep that single number <= 50 (tests/test_registry_budget.py
 # enforces it).
 _REVERIFY: tuple[str, ...] = (
-    # r14-EDITED queries: code/oracle changed this round, so their r13
+    # r15-EDITED queries: code changed this round, so their prior
     # driver proofs are stale by definition (the r9
-    # multimodal_decode_meta re-gate precedent) — Cochran's Q gained
-    # the dense-quarter deviation term (ADVICE r13), seasonal MK's
-    # batch wk expression switched to F.floor for shape-identity with
-    # the stream store (ADVICE r13), Durbin's readout moved into the
-    # shared durbin_readout helper (stream_durbin_maintenance drains
-    # through it), and stream_mk_maintenance re-gates alongside its
-    # edited batch twin (they share one oracle and must stay
-    # hash-identical — refresh both proofs together):
-    "stats_cochran_q", "stats_seasonal_mann_kendall",
-    "stats_durbin", "stream_mk_maintenance",
-    # r3-vintage batch canaries (the remaining r3 block — oldest
-    # driver evidence on the books after the r13 rotation retired the
-    # r2 block and the r3 head):
-    "pii_redact_ids", "asof_join_window", "dws_union_traffic_window",
-    "dedup_minhash_recall", "quality_filter_rules",
-    "dwd_bounce_detection", "dws_sessionization", "vocab_bigram_counts",
-    "stream_quality_filter_documents", "decontaminate_ngram",
-    "knn_label_vote", "knn_label_vote_lsh", "decontaminate_fuzzy_minhash",
-    "q4_late_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_revenue_share", "q2_min_price_part",
-    "q9_type_profit", "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q21_sole_late_supplier",
-    "q22_sales_opportunity", "q20_dominant_supplier",
-    "q11_important_balance_share", "graph_components_copurchase",
-    # r4-head canaries (next-oldest after r3), including two r4-era
-    # STREAMING proofs (dwd_order_detail_join_streaming,
-    # stream_sample_ingest) so the rotation refreshes the streaming
-    # path too (VERDICT r13 item 1):
-    "mixture_weighted_sample", "q12_lateness_priority",
-    "seq_pack_token_budget", "stats_key_skew",
-    # (stats_exact_percentiles traded back: the third add-wave's
-    #  layout_hilbert_locality claimed its slot)
-    # (dws_gapfill_interpolate also traded back: the
-    #  stream_theil_maintenance store-builder re-gate claimed its slot)
-    # (stats_hll_accuracy_audit, stats_approx_percentile_audit,
-    #  stats_mad_outliers, dwd_jump_consecutive_entries traded back to
-    #  the proven tail: the second r14 add-wave — Cox-Stuart / Mood
-    #  stream twins + their two readout-refactor re-gates — claimed
-    #  their four slots, the r12/r13 precedent)
-    "dwd_order_detail_join_streaming", "stream_sample_ingest",
-    # r14-EDITED second wave (see note at the top of this tuple):
-    "stats_cox_stuart", "stats_mood_median", "stream_theil_maintenance",
+    # multimodal_decode_meta re-gate precedent) — the three rank-stats
+    # batch queries had their readouts extracted into shared helpers
+    # (hoeffding_readout / ansari_bradley_readout / kendalls_w_readout,
+    # drained by the new r15 stream twins) and Hoeffding / Kendall's-W
+    # batch wk switched to F.floor for store shape-identity; the RFM
+    # batch query's per-customer base aggregate moved into the shared
+    # rfm_readout; stream_durbin_maintenance's store build moved to
+    # the shared _drained_weekly_cents_store builder; and
+    # multimodal_jpeg_arith_pixels sits on the ADVICE-r14-touched
+    # encoder/range-coder path (ZRL emission, derived flush
+    # allowance):
+    "stats_hoeffding_d", "stats_ansari_bradley", "stats_kendalls_w",
+    "ads_rfm_segmentation", "stream_durbin_maintenance",
+    "multimodal_jpeg_arith_pixels",
+    # r4-vintage batch canaries (the remaining r4 block — oldest
+    # driver evidence on the books after the r14 rotation retired the
+    # r3 block and the r4 head), including five r4-era STREAMING
+    # proofs (dwd_stream_static_dim_join, dws_tumble_append_streaming,
+    # dws_incremental_agg_maintenance, stream_dedup_minhash_incremental,
+    # dim_scd2_stream_maintenance) so the rotation refreshes the
+    # streaming path too (VERDICT r14 item 1):
+    "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
+    "stats_mad_outliers", "dwd_jump_consecutive_entries",
+    "dws_gapfill_interpolate", "stats_exact_percentiles",
+    "ads_path_transition_matrix", "dim_scd2_history",
+    "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
+    "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
+    "ann_ivf_recall", "ann_hard_negatives",
+    "vocab_pmi_topk", "bpe_top_merges", "multimodal_sniff_magic_bytes",
+    "multimodal_payload_dedup", "multimodal_header_decode",
+    "sample_deterministic_shuffle", "sample_weighted_ppswor",
+    "dataset_snapshot_diff", "ads_unpivot_metrics",
+    "cdc_dirty_side_output", "cdc_update_delta",
+    "dwd_stream_static_dim_join", "dws_tumble_append_streaming",
+    "dws_incremental_agg_maintenance", "stream_dedup_minhash_incremental",
+    "dim_scd2_stream_maintenance", "q8_market_share",
+    "graph_pagerank_copurchase", "graph_triangles_copurchase",
+    "dwd_log_split_fanout", "embedding_random_projection",
+    # r5-head canaries (next-oldest after r4), topping the canary
+    # batch up to 40:
+    "ann_projected_recall", "ann_mmr_diversified",
+    "stats_regression_trend", "stats_ks_drift",
 )
 
 

@@ -3296,7 +3296,54 @@ _OR["stream_mk_maintenance"] = _mk_stream_oracle()
 # oracle verbatim.  The drain goes through the SAME readout callable
 # the batch query uses (operators/inference.py durbin_readout), so
 # the equality is structural (the seasonal_mk_readout device).
+# Since r15 the (wk, dw, cents) store is built by the ONE shared
+# builder the Kendall's-W twin also drains — the
+# _drained_daily_count_store discipline at weekly-cents grain.
 # ---------------------------------------------------------------------------
+
+def _drained_weekly_cents_store(spark: SparkSession, sf_dir: str,
+                                label: str, tmp_dir: str) -> DataFrame:
+    """Build the additive (wk, dw, cents) weekly-grain revenue grid
+    from three input slices with parquet persistence per merge (the
+    stream_theil pattern), returning the drained bounded grid.  One
+    cell per calendar day with orders; cents is a plain SUM, additive
+    under any slicing."""
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(f"{label}: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_cells_bound = hi - lo + 1       # one (wk, dow) cell per day
+    state = None
+    for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                (cut2 + 1, hi))):
+        batch = (orders
+                 .select(d_col.alias("dd"), "o_totalprice")
+                 .filter((F.col("dd") >= a) & (F.col("dd") <= b))
+                 .groupBy(F.floor(F.col("dd") / 7).cast("bigint")
+                          .alias("wk"),
+                          ((F.col("dd") + 4) % 7).alias("dw"))
+                 .agg((F.sum(F.col("o_totalprice")
+                             .cast("decimal(18,2)")) * 100)
+                      .cast("decimal(38,0)").cast("bigint")
+                      .alias("cents")))
+        merged = batch if state is None else state.unionByName(batch)
+        state = (merged.groupBy("wk", "dw")
+                 .agg(F.sum("cents").cast("bigint").alias("cents")))
+        state.write.mode("overwrite").parquet(f"{tmp_dir}/state_{i}")
+        state = spark.read.parquet(f"{tmp_dir}/state_{i}")
+        n = state.count()
+        # bounded-grain invariant, named + -O-proof
+        if n > n_cells_bound:
+            raise RuntimeError(
+                f"{label}: (wk, dow) store grew to {n} rows > "
+                f"calendar bound {n_cells_bound}")
+    return state
+
 
 @query(
     "stream_durbin_maintenance",
@@ -3307,43 +3354,10 @@ def stream_durbin_maintenance(spark: SparkSession,
     import shutil
     import tempfile
 
-    from gmall_211027_flink_spark.catalog import load_table
-
-    orders = load_table(spark, sf_dir, "orders")
-    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
-    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
-    if lo is None or hi is None:
-        raise ValueError(
-            "stream_durbin_maintenance: orders table has no rows")
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * (hi - lo) // 3
-    n_cells_bound = hi - lo + 1       # one (wk, dow) cell per day
     d = tempfile.mkdtemp(prefix="durbin_store_gate_")
     try:
-        state = None    # the bounded (wk, dw, cents) weekly-grain grid
-        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
-                                    (cut2 + 1, hi))):
-            batch = (orders
-                     .select(d_col.alias("dd"), "o_totalprice")
-                     .filter((F.col("dd") >= a) & (F.col("dd") <= b))
-                     .groupBy(F.floor(F.col("dd") / 7).cast("bigint")
-                              .alias("wk"),
-                              ((F.col("dd") + 4) % 7).alias("dw"))
-                     .agg((F.sum(F.col("o_totalprice")
-                                 .cast("decimal(18,2)")) * 100)
-                          .cast("decimal(38,0)").cast("bigint")
-                          .alias("cents")))
-            merged = batch if state is None else state.unionByName(batch)
-            state = (merged.groupBy("wk", "dw")
-                     .agg(F.sum("cents").cast("bigint").alias("cents")))
-            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
-            state = spark.read.parquet(f"{d}/state_{i}")
-            n = state.count()
-            # bounded-grain invariant, named + -O-proof
-            if n > n_cells_bound:
-                raise RuntimeError(
-                    f"stream_durbin_maintenance: (wk, dow) store grew "
-                    f"to {n} rows > calendar bound {n_cells_bound}")
+        state = _drained_weekly_cents_store(
+            spark, sf_dir, "stream_durbin_maintenance", d)
         # readout from the drained store: the SAME readout callable the
         # batch query uses (operators/inference.py durbin_readout)
         from gmall_211027_flink_spark.operators.inference import (
@@ -3559,3 +3573,255 @@ def _mood_stream_oracle() -> str:
 
 
 _OR["stream_mood_maintenance"] = _mood_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming rank-stats maintenance (r15): Ansari-Bradley, Kendall's W
+# and Hoeffding's D kept current at ingest — the r12 rank-stats family
+# joins the maintenance line, settling the VERDICT r14 question of
+# whether joint/bivariate-rank statistics admit O(batch) stores.  They
+# do, because every one of these batch stats is GRID-FIRST: the only
+# corpus-sized pass is a groupBy to a bounded calendar grid whose
+# measures are plain counts / cents sums (additive under any slicing);
+# the rank machinery — pooled midranks, within-week midranks, joint
+# bivariate ranks — is recomputed at READ time on the drained bounded
+# grid, never maintained incrementally.  Sufficient state per twin:
+#   Ansari-Bradley : the (d, y) daily-count table — the EXACT store
+#                    _drained_daily_count_store already maintains for
+#                    Theil/Cox-Stuart/Mood (one store, four readouts);
+#   Kendall's W    : the (wk, dw, cents) weekly-cents grid — the EXACT
+#                    store the Durbin twin maintains
+#                    (_drained_weekly_cents_store, shared since r15);
+#   Hoeffding's D  : the (wk, x, y) weekly grid with BOTH measures
+#                    (x = order count, y = revenue cents), additive
+#                    component-wise.
+# Each drain goes through the SAME readout callable its batch twin
+# uses (ansari_bradley_readout / kendalls_w_readout /
+# hoeffding_readout), so the oracle hash-equality is structural.
+# What does NOT admit such a store: a rank stat over a grid keyed by
+# an UNBOUNDED data dimension with a non-additive measure (e.g.
+# per-order medians) — see SCALE.md §20 for the boundary statement.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_ansari_maintenance",
+    oracle=None,   # assigned below: identical to the batch Ansari
+)
+def stream_ansari_maintenance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ansari_store_gate_")
+    try:
+        state = _drained_daily_count_store(
+            spark, sf_dir, "stream_ansari_maintenance", d)
+        from gmall_211027_flink_spark.operators.inference import (
+            ansari_bradley_readout)
+        out = ansari_bradley_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ansari_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_ansari_bradley"]
+
+
+_OR["stream_ansari_maintenance"] = _ansari_stream_oracle()
+
+
+@query(
+    "stream_kendalls_w_maintenance",
+    oracle=None,   # assigned below: identical to the batch Kendall W
+)
+def stream_kendalls_w_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kendallsw_store_gate_")
+    try:
+        state = _drained_weekly_cents_store(
+            spark, sf_dir, "stream_kendalls_w_maintenance", d)
+        from gmall_211027_flink_spark.operators.inference import (
+            kendalls_w_readout)
+        out = kendalls_w_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _kendalls_w_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_kendalls_w"]
+
+
+_OR["stream_kendalls_w_maintenance"] = _kendalls_w_stream_oracle()
+
+
+@query(
+    "stream_hoeffding_maintenance",
+    oracle=None,   # assigned below: identical to the batch Hoeffding
+)
+def stream_hoeffding_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_hoeffding_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_weeks_bound = (hi - lo) // 7 + 2   # calendar weeks spanned
+    d = tempfile.mkdtemp(prefix="hoeffding_store_gate_")
+    try:
+        state = None    # the bounded (wk, x, y) two-measure week grid
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders
+                     .select(d_col.alias("dd"), "o_totalprice")
+                     .filter((F.col("dd") >= a) & (F.col("dd") <= b))
+                     .groupBy(F.floor(F.col("dd") / 7).cast("bigint")
+                              .alias("wk"))
+                     .agg(F.count("*").cast("bigint").alias("x"),
+                          (F.sum(F.col("o_totalprice")
+                                 .cast("decimal(18,2)")) * 100)
+                          .cast("decimal(38,0)").cast("bigint")
+                          .alias("y")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("wk")
+                     .agg(F.sum("x").cast("bigint").alias("x"),
+                          F.sum("y").cast("bigint").alias("y")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # bounded-grain invariant, named + -O-proof
+            if n > n_weeks_bound:
+                raise RuntimeError(
+                    f"stream_hoeffding_maintenance: week store grew "
+                    f"to {n} rows > calendar bound {n_weeks_bound}")
+        # readout from the drained store: the SAME readout callable the
+        # batch query uses (operators/inference.py hoeffding_readout)
+        from gmall_211027_flink_spark.operators.inference import (
+            hoeffding_readout)
+        out = hoeffding_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _hoeffding_stream_oracle() -> str:
+    import gmall_211027_flink_spark.operators.inference  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["stats_hoeffding_d"]
+
+
+_OR["stream_hoeffding_maintenance"] = _hoeffding_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming RFM maintenance (r15): the CRM segmentation grid kept
+# current at ingest — the SECOND customer-grain store, proving the
+# shape stream_cochran_maintenance opened generalizes beyond one
+# query (VERDICT r14 item 6).  Sufficient state = one row per
+# customer holding (last_order, frequency, monetary): every component
+# is mergeable (MAX is idempotent/monotone, COUNT and the decimal SUM
+# are additive), so the store merges any slicing of the input by a
+# co-partitioned groupBy and never exceeds one row per customer (the
+# invariant below asserts store <= the customer-dim cardinality — a
+# Flink ValueState<(date, long, decimal)> per custkey would hold the
+# same).  At scale the store is hash-partitioned by o_custkey and
+# each merge is a co-partitioned aggregate; the quartile scoring
+# lives ONLY in the readout (ntile needs the full customer
+# population, which is exactly what the drained store is).  The drain
+# goes through the SAME readout callable the batch query uses
+# (plans/behavior.py rfm_readout), so the oracle hash-equality is
+# structural.
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_rfm_maintenance",
+    oracle=None,   # assigned below: identical to the batch RFM
+)
+def stream_rfm_maintenance(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d_col = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    lo, hi = orders.agg(F.min(d_col), F.max(d_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            "stream_rfm_maintenance: orders table has no rows")
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    n_cust_bound = load_table(spark, sf_dir, "customer").count()
+    d = tempfile.mkdtemp(prefix="rfm_store_gate_")
+    try:
+        state = None    # one (last_order, frequency, monetary)/customer
+        for i, (a, b) in enumerate(((lo, cut1), (cut1 + 1, cut2),
+                                    (cut2 + 1, hi))):
+            batch = (orders
+                     .filter((d_col >= a) & (d_col <= b))
+                     .groupBy("o_custkey")
+                     .agg(F.max("o_orderdate").alias("last_order"),
+                          F.count("*").cast("bigint").alias("frequency"),
+                          F.sum(F.col("o_totalprice")
+                                .cast("decimal(18,2)"))
+                          .cast("decimal(38,2)").alias("monetary")))
+            merged = batch if state is None else state.unionByName(batch)
+            state = (merged.groupBy("o_custkey")
+                     .agg(F.max("last_order").alias("last_order"),
+                          F.sum("frequency").cast("bigint")
+                          .alias("frequency"),
+                          F.sum("monetary").cast("decimal(38,2)")
+                          .alias("monetary")))
+            state.write.mode("overwrite").parquet(f"{d}/state_{i}")
+            state = spark.read.parquet(f"{d}/state_{i}")
+            n = state.count()
+            # customer-grain invariant, named + -O-proof
+            if n > n_cust_bound:
+                raise RuntimeError(
+                    f"stream_rfm_maintenance: customer store grew to "
+                    f"{n} rows > customer-dim bound {n_cust_bound}")
+        # readout from the drained store: the SAME readout callable the
+        # batch query uses (plans/behavior.py rfm_readout)
+        from gmall_211027_flink_spark.plans.behavior import rfm_readout
+        out = rfm_readout(state)
+        # gate-harness materialization (temp store removed in finally)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _rfm_stream_oracle() -> str:
+    import gmall_211027_flink_spark.plans.behavior  # noqa: F401
+
+    from gmall_211027_flink_spark.registry import ORACLES
+    return ORACLES["ads_rfm_segmentation"]
+
+
+_OR["stream_rfm_maintenance"] = _rfm_stream_oracle()

@@ -56,6 +56,8 @@ _STREAM_STORE_FUNCS = (
     "stream_holtwinters_maintenance", "stream_index_stats_maintenance",
     "stream_cochran_maintenance", "stream_cox_stuart_maintenance",
     "stream_durbin_maintenance", "stream_mood_maintenance",
+    "stream_ansari_maintenance", "stream_kendalls_w_maintenance",
+    "stream_hoeffding_maintenance", "stream_rfm_maintenance",
     "stream_kmv_maintenance", "stream_ks_drift_monitor",
     "stream_last_value_compaction", "stream_mg_heavy_hitters",
     "stream_mk_maintenance",

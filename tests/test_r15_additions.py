@@ -141,3 +141,59 @@ def test_arith_scan_zrl_roundtrip():
         k += 1
     assert zz[40] == -3
     assert sum(1 for x in zz if x) == 1
+
+
+# ---------------------------------------------------------------------------
+# Rank-stats maintenance twins (r15): each drained store must read out
+# EXACTLY the batch statistic — through the shared readout callable,
+# so equality here proves store sufficiency, not expression parity.
+# ---------------------------------------------------------------------------
+
+def test_stream_ansari_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_ansari_bradley)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_ansari_maintenance)
+
+    got = stream_ansari_maintenance(spark, sf_dir).first()
+    want = stats_ansari_bradley(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
+
+
+def test_stream_kendalls_w_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_kendalls_w)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_kendalls_w_maintenance)
+
+    got = stream_kendalls_w_maintenance(spark, sf_dir).first()
+    want = stats_kendalls_w(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
+
+
+def test_stream_hoeffding_matches_batch(spark, sf_dir):
+    from gmall_211027_flink_spark.operators.inference import (
+        stats_hoeffding_d)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_hoeffding_maintenance)
+
+    got = stream_hoeffding_maintenance(spark, sf_dir).first()
+    want = stats_hoeffding_d(spark, sf_dir).first()
+    assert got.asDict() == want.asDict()
+
+
+def test_stream_rfm_matches_batch(spark, sf_dir):
+    """Customer-grain store #2 (after Cochran): the full 4x4x4 segment
+    grid from the drained per-customer store must equal the batch
+    grid row-for-row."""
+    from gmall_211027_flink_spark.plans.behavior import (
+        ads_rfm_segmentation)
+    from gmall_211027_flink_spark.streaming.windows import (
+        stream_rfm_maintenance)
+
+    key = ["r_score", "f_score", "m_score"]
+    got = [r.asDict() for r in
+           stream_rfm_maintenance(spark, sf_dir).orderBy(*key).collect()]
+    want = [r.asDict() for r in
+            ads_rfm_segmentation(spark, sf_dir).orderBy(*key).collect()]
+    assert got == want
