@@ -202,6 +202,44 @@ def zorder_write_path(df: DataFrame, xcol: str, ycol: str,
     return z.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
 
 
+def hilbert_write_path(df: DataFrame, xcol: str, ycol: str,
+                       xmin: int, xrng: int, ymin: int, yrng: int,
+                       num_files: int = 32) -> DataFrame:
+    """The Hilbert-curve WRITE path (r15 — completing the family whose
+    curve `layout_hilbert_locality` audits): scan → map-side grid
+    normalization → the unrolled per-level bit machine as chained
+    projections (`operators/hilbert.py hilbert_level_selects`, all
+    inside whole-stage codegen, no UDF) → ONE range exchange on the
+    curve key ``hd`` → within-partition sort.  Writing the result
+    yields files whose (x, y) bounding boxes are bounded in BOTH dims
+    AND whose consecutive files are 4-adjacent along the curve — the
+    strictly-better locality the audit measures against z-order.
+
+    Same contract as :func:`zorder_write_path`: extents come in as
+    scalars (computed once by a separate bounded agg or known from
+    table statistics), so the write plan stays a single-pass scan +
+    one Exchange — asserted by ``tests/test_plan_quality.py::
+    test_hilbert_write_path_single_range_exchange``.  Exposes the
+    input columns plus (bx, by, hd).
+    """
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.operators.hilbert import (
+        HILBERT_ORDER, hilbert_level_selects)
+
+    mx = (1 << HILBERT_ORDER) - 1
+    keep = list(df.columns)
+    h = (df.withColumn("bx", F.expr(
+            f"div(({xcol} - {xmin}) * {mx}, {xrng})"))
+           .withColumn("by", F.expr(
+            f"div(({ycol} - {ymin}) * {mx}, {yrng})")))
+    for level in hilbert_level_selects("bx", "by", "spark",
+                                       HILBERT_ORDER):
+        h = h.selectExpr("*", *level)
+    h = h.select(*keep, "bx", "by", "hd")
+    return h.repartitionByRange(num_files, "hd").sortWithinPartitions("hd")
+
+
 def _zorder_audit_oracle() -> str:
     b = ZORDER_BITS
     return f"""

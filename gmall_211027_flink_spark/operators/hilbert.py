@@ -1,13 +1,19 @@
-"""Hilbert-curve 2-D indexing core (r14-built, r15 wiring plan in
-COVERAGE.md) — the locality-preserving companion to the proven
-z-order layout audit (`operators/bucketing.py layout_zorder_locality`).
+"""Hilbert-curve 2-D indexing core (r14) — the locality-preserving
+companion to the proven z-order layout family
+(`operators/bucketing.py layout_zorder_locality`).
 
 Why it earns a place: unlike Morton/z-order, CONSECUTIVE Hilbert
 indices are always 4-adjacent in the plane (Manhattan distance 1 — no
 diagonal jumps across half the key space), so range scans over a
-Hilbert-clustered layout touch strictly fewer file/bucket boundaries;
-the r15 query (`layout_hilbert_locality`) measures exactly that
-against the z-order twin on the (customer-bucket, day-bucket) grid.
+Hilbert-clustered layout touch strictly fewer file/bucket boundaries.
+Both halves of the family are live: the AUDIT query
+(`layout_hilbert_locality`, driver-proven in CORRECTNESS_r14)
+measures exactly that against the z-order and linear twins on the
+(part-bucket, supplier-bucket) grid, and the WRITE path
+(`operators/bucketing.py hilbert_write_path`, r15) clusters a table
+by the curve key through one range exchange — per-file key-span and
+single-exchange plan pinned by tests/test_bucketing.py +
+tests/test_plan_quality.py.
 
 Design for the oracle gate: the xy -> d transform is a FIXED
 ``order``-level bit machine (the classic public construction:

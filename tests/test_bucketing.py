@@ -135,3 +135,78 @@ def test_compact_with_partition_col_keeps_key_clustered(spark, sf_dir, tmp_path)
                     .agg(F.countDistinct("f").alias("nf"))
                     .filter(F.col("nf") > 1).count())
     assert n_violations == 0
+
+
+def test_hilbert_write_path_files_disjoint_and_local(spark, sf_dir, tmp_path):
+    """hilbert_write_path (r15): real output FILES must (a) hold
+    disjoint, internally-sorted curve-key ranges — the merge-read /
+    min-max-skipping property write_range_sorted pins — and (b) carry
+    bounded (x, y) bounding boxes in BOTH dims: each file is a
+    contiguous Hilbert segment, so its bbox stays local, where a
+    linear (bx, by) clustering of the SAME rows into the same file
+    count leaves span_y at full range in every multi-x file.  This is
+    `layout_hilbert_locality`'s audit, asserted on actual files."""
+    import glob as _glob
+
+    from gmall_211027_flink_spark.operators.bucketing import (
+        hilbert_write_path, write_range_sorted)
+    from gmall_211027_flink_spark.operators.hilbert import HILBERT_ORDER
+
+    base = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey"))
+    ext = base.agg(
+        F.min("l_partkey"),
+        F.greatest(F.max("l_partkey") - F.min("l_partkey"), F.lit(1)),
+        F.min("l_suppkey"),
+        F.greatest(F.max("l_suppkey") - F.min("l_suppkey"), F.lit(1)),
+    ).first()
+    clustered = hilbert_write_path(base, "l_partkey", "l_suppkey",
+                                   ext[0], ext[1], ext[2], ext[3],
+                                   num_files=32)
+    hpath = str(tmp_path / "hilbert_files")
+    clustered.write.mode("overwrite").parquet(hpath)
+
+    def _file_stats(path: str, key: str):
+        spans, bboxes, total = [], [], 0
+        for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+            pf = spark.read.parquet(f)
+            row = pf.agg(F.min(key), F.max(key),
+                         F.min("bx"), F.max("bx"),
+                         F.min("by"), F.max("by"),
+                         F.count("*")).first()
+            if row[0] is None:
+                continue
+            keys = [r[0] for r in pf.select(key).collect()]
+            assert keys == sorted(keys), f"{f} not internally sorted"
+            spans.append((row[0], row[1]))
+            bboxes.append((row[3] - row[2] + 1, row[5] - row[4] + 1))
+            total += row[6]
+        return spans, bboxes, total
+
+    spans, hil_bboxes, total = _file_stats(hpath, "hd")
+    assert total == base.count()
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+
+    # linear twin: same rows, same file count, clustered on the
+    # row-major (bx, by) key instead of the curve key
+    lk = (clustered.select("l_orderkey", "l_linenumber", "bx", "by")
+          .withColumn("lk", F.col("bx") * (1 << HILBERT_ORDER)
+                      + F.col("by")))
+    lpath = str(tmp_path / "linear_files")
+    write_range_sorted(lk, lpath, "lk", num_files=32)
+    _lspans, lin_bboxes, ltotal = _file_stats(lpath, "lk")
+    assert ltotal == total
+
+    hil_span_sum = sum(sx + sy for sx, sy in hil_bboxes)
+    lin_span_sum = sum(sx + sy for sx, sy in lin_bboxes)
+    # every multi-x linear file spans the full y range (~2^order);
+    # contiguous Hilbert segments keep BOTH spans local (bbox side
+    # ~ sqrt(segment), so the margin grows with file count — at 8
+    # files each segment is a quarter-square and the win is only
+    # ~1.5x; at 32 files it is decisive) — demand a noise-proof
+    # margin, not a tie-break
+    assert hil_span_sum * 2 < lin_span_sum, (hil_bboxes, lin_bboxes)

@@ -992,3 +992,35 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
         f"{sorted(offenders)} — every global window must sit on a "
         f"bounded-grain aggregate/limit (day-grain contract); details: "
         f"{offenders}")
+
+
+def test_hilbert_write_path_single_range_exchange(spark, sf_dir, tmp_path):
+    """The Hilbert write path must match the z-order one's shape
+    exactly: ONE range exchange on hd with the whole unrolled bit
+    machine computed map-side (chained projections, no UDF), no hash
+    shuffle, and a within-partition (non-global) sort. At 100 TB an
+    accidental extra exchange or global sort here doubles the most
+    expensive stage of the layout job."""
+    from gmall_211027_flink_spark.operators.bucketing import (
+        hilbert_write_path)
+
+    base = (load_table(spark, str(sf_dir), "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    ext = base.agg(
+        F.min("l_partkey"), F.greatest(F.max("l_partkey") - F.min("l_partkey"), F.lit(1)),
+        F.min("l_suppkey"), F.greatest(F.max("l_suppkey") - F.min("l_suppkey"), F.lit(1)),
+    ).first()
+    out = hilbert_write_path(base, "l_partkey", "l_suppkey",
+                             ext[0], ext[1], ext[2], ext[3], num_files=8)
+    path = str(tmp_path / "hilbert_layout")
+    out.write.mode("overwrite").parquet(path)
+    plan = executed_plan(out)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    assert "rangepartitioning(hd" in exchanges[0], plan
+    assert "hashpartitioning" not in plan, plan
+    # the sort must be within-partition (global=false), not a global sort
+    sorts = [ln for ln in plan.splitlines() if "Sort [hd" in ln]
+    assert sorts and all("false" in ln for ln in sorts), plan
+    # no Python worker anywhere: the bit machine is pure codegen
+    assert "Python" not in plan, plan
