@@ -197,3 +197,44 @@ def test_stream_rfm_matches_batch(spark, sf_dir):
     want = [r.asDict() for r in
             ads_rfm_segmentation(spark, sf_dir).orderBy(*key).collect()]
     assert got == want
+
+
+def test_rfm_store_slicing_invariant(spark, sf_dir):
+    """The per-customer RFM store merges to the SAME state whatever
+    micro-batch slicing the orders arrive in (max / count-sum /
+    decimal-sum are all order-insensitive merge algebras) — the
+    test_lsh_store_slicing_invariant discipline for the
+    customer-grain family."""
+    from pyspark.sql import functions as F
+
+    from gmall_211027_flink_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def base(df):
+        return (df.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count("*").cast("bigint").alias("frequency"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("decimal(38,2)").alias("monetary")))
+
+    def fold(slices):
+        state = None
+        for sl in slices:
+            b = base(sl)
+            merged = b if state is None else state.unionByName(b)
+            state = (merged.groupBy("o_custkey")
+                     .agg(F.max("last_order").alias("last_order"),
+                          F.sum("frequency").cast("bigint")
+                          .alias("frequency"),
+                          F.sum("monetary").cast("decimal(38,2)")
+                          .alias("monetary")))
+        return sorted(map(tuple, state.collect()))
+
+    one = fold([orders])
+    mod3 = fold([orders.filter(F.col("o_orderkey") % 3 == i)
+                 for i in range(3)])
+    rev = fold([orders.filter(F.col("o_orderkey") % 3 == i)
+                for i in (2, 0, 1)])
+    assert one == mod3 == rev
+    assert len(one) > 0
