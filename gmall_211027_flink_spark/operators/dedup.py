@@ -180,8 +180,8 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
     string (the oracle's form) at ~4x the shuffle bytes.
     """
     # floor rational of the threshold (module top), or of an explicit
-    # sweep threshold — the shingle/docset subtree is threshold-free and
-    # cached, so sweeps at several thresholds share one Exchange
+    # sweep threshold — the shingle subtree is threshold-free and
+    # cached; the docset subtree is checkpointed once per call (below)
     tn, td = ((_JT_NUM, _JT_DEN) if threshold is None
               else _threshold_fraction_floor(threshold))
     wdocs = _shingle_arrays(spark, sf_dir)
@@ -193,9 +193,7 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
         df_pred = df_pred & (F.col("df") <= df_cap)
     keptdf = (sh.groupBy("k").agg(F.count("*").alias("df"))
               .filter(df_pred).select("k", "df"))
-    # per-doc shingle set, rarest-first (struct sort on (df, k)); the
-    # exchange below this aggregate is built once and reused for the
-    # prefix explode AND both verification sides (ReusedExchange).
+    # per-doc shingle set, rarest-first (struct sort on (df, k)).
     docsets = (sh.join(keptdf, "k")
                .groupBy("doc_id", "n")
                .agg(F.sort_array(F.collect_list(F.struct("df", "k")))
@@ -203,6 +201,28 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
                .select("doc_id", "n",
                        F.expr("transform(skk, x -> x.k)").alias("arr"),
                        F.size("skk").alias("nk")))
+    # Materialize docsets ONCE (r15, guide §2.4/§5). This subtree feeds
+    # FOUR consumers (the a/b prefix sides and both verification array
+    # sides), and the executed plan shows Spark rebuilding it for each —
+    # the hoped-for ReusedExchange never fires (the reuse rule
+    # canonicalizes the whole exchange subtree; the cached-scan +
+    # broadcast-join operators under it defeat the match), so one query
+    # paid the explode + df groupBy + collect_list aggregate 4x
+    # (measured: 28.3 cpu-s at sf0.1, 129 cpu-s at the 10x probe).
+    # localCheckpoint beats .cache() here by 5x on build cost: caching
+    # an array<bigint> column goes through the columnar InMemoryRelation
+    # encoder (measured 56 cpu-s to build at sf0.1!) while checkpoint
+    # blocks store the rows as-is. Measured min-of-3, identical output
+    # (256 pairs at 1x / 248,600 at 10x, the documented r3 numbers):
+    #   sf0.1: wall 3.42 -> 2.20 s, cpu 28.3 -> 11.5 s
+    #   10x:   wall 8.17 -> 5.32 s, cpu 129  -> 54.2 s
+    # Trade-off at 100 TB: checkpoint blocks are pinned to executors
+    # (lineage is CUT — an executor loss fails the query instead of
+    # recomputing), the standard localCheckpoint caveat; for a 4-read
+    # intermediate that costs ~25% of the query's cpu per rebuild, that
+    # trade is right, and a reliable checkpoint dir restores fault
+    # tolerance where executor churn is real.
+    docsets = docsets.localCheckpoint()
     # prefix length nk - ceil(t*nk) + 1, exact integer ceil of tn*nk/td
     plen = (F.col("nk")
             - F.expr(f"({tn} * nk + {td} - 1) div {td}") + 1).cast("int")
