@@ -3,9 +3,11 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a cheap checksum collect)
-so lazy plans can't fake speed; timings include plan+execute, not session
-startup.
+Each query is executed to completion through the noop sink (computes
+every column of every row — guide §1.4; r15 fix, count() let the
+optimizer prune final aggregate expressions) so lazy plans can't fake
+speed; a count()-timed legacy series rides along for cross-round
+comparisons. Timings include plan+execute, not session startup.
 """
 
 from __future__ import annotations
@@ -41,6 +43,10 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in names:
             try:
+                # warm BOTH timed shapes: the noop plan and the count()
+                # plan compile different whole-stage-codegen classes
+                QUERIES[name](spark, warm_dir).write.format("noop") \
+                    .mode("overwrite").save()
                 QUERIES[name](spark, warm_dir).count()
             except Exception as exc:  # warmup must never fail the bench
                 print(f"WARNING: warmup {name}: {exc}", file=sys.stderr)
@@ -50,7 +56,20 @@ def main() -> None:
     # see scale-probe comment below) otherwise reads as a regression in
     # round-over-round comparisons of a single-shot timing (measured:
     # back-to-back capped-jaccard runs of 7.1/4.1/5.4 s on an idle host)
+    #
+    # r15 MEASUREMENT FIX (guide §1.4, declared in OPTIMIZATION_r15.md):
+    # the timed action is now a NOOP SINK write, not count(). count()
+    # lets the optimizer prune the final aggregate expressions — e.g.
+    # q1's seven decimal sums vanish from the counted plan (verified:
+    # the optimized plan under count() is `Aggregate [l_returnflag,
+    # l_linestatus]` with no aggregate expressions and a 3-column scan
+    # instead of 7) — so the r1-r14 numbers under-measured every
+    # query whose tail is an aggregate/projection. The noop sink
+    # computes every column of every row and discards it. The OLD
+    # methodology is kept alongside (`queries_count_legacy`) so
+    # cross-round comparisons have a like-for-like series.
     timings: dict[str, float] = {}
+    timings_count: dict[str, float] = {}
     # per-query cpu/steal/gc for the min-wall run (VERDICT r5 #5, r6 #4):
     # lets a wall-time delta be read as regression-vs-noise off the
     # artifact alone — a query whose wall grew but whose cpu_s held is
@@ -61,15 +80,15 @@ def main() -> None:
     q_gc: dict[str, float] = {}
     hl_c0, hl_s0 = _jvm_cpu_seconds(), _host_steal_seconds()
     for name in names:
+        spark.sparkContext.setJobDescription(f"bench headline: {name}")
         best = float("inf")
         best_cpu = best_steal = best_gc = 0.0
-        n = 0
         for _ in range(3):
             c0, s0 = _jvm_cpu_seconds(), _host_steal_seconds()
             g0 = _jvm_gc_seconds(spark)
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             if wall < best:
                 best = wall
@@ -80,8 +99,19 @@ def main() -> None:
         q_cpu[name] = round(best_cpu, 3)
         q_steal[name] = round(best_steal, 3)
         q_gc[name] = round(best_gc, 3)
+        # legacy count()-timed series (the r1-r14 methodology), min-of-3
+        # on the same warm session — kept so round-over-round deltas can
+        # be read against a like-for-like baseline
+        n = 0
+        best_c = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            best_c = min(best_c, time.perf_counter() - t0)
+        timings_count[name] = round(best_c, 3)
         if n == 0:
             print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
+        spark.sparkContext.setJobDescription(None)
     # same self-diagnosis as the scale probe, over the whole headline
     # loop: a high total with high steal is a noisy-host artifact, not a
     # regression (identical back-to-back totals measured 16.5/21.0/26.2 s)
@@ -112,6 +142,11 @@ def main() -> None:
         # session-level caches (e.g. the shared shingle arrays), so
         # cross-round comparisons should note the change
         "headline_runs": 3,
+        # r15: the timed action for "queries" is the noop sink (every
+        # column computed); "queries_count_legacy" is the r1-r14
+        # count()-timed series for like-for-like deltas
+        "timed_action": "noop_write",
+        "queries_count_legacy": timings_count,
         "headline_cpu_s": hl_cpu,
         "headline_steal_s": hl_steal,
         "queries": timings,

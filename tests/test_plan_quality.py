@@ -1024,3 +1024,28 @@ def test_hilbert_write_path_single_range_exchange(spark, sf_dir, tmp_path):
     assert sorts and all("false" in ln for ln in sorts), plan
     # no Python worker anywhere: the bit machine is pure codegen
     assert "Python" not in plan, plan
+
+
+def test_capped_jaccard_docsets_materialized_once(spark, sf_dir):
+    """r15: the prefix-filter pipeline must consume ONE materialized
+    docsets (localCheckpoint), not rebuild the explode + df-groupBy +
+    collect_list aggregate per consumer. Before the fix the executed
+    plan carried FOUR copies of that subtree (8 ObjectHashAggregate,
+    10 Exchange — ReusedExchange never fires through the cached-scan +
+    broadcast operators beneath it), measured at 4x the aggregate's
+    cpu per query (28.3 -> 11.5 cpu-s at sf0.1, 129 -> 54 at the 10x
+    probe). The checkpoint shows up as ExistingRDD scans: all four
+    consumers (a/b prefix sides, both verification array sides) must
+    read it, and no collect_list aggregate may remain in the plan."""
+    from gmall_211027_flink_spark.operators.dedup import (
+        _prefix_filtered_pairs, DF_CAP)
+
+    df = _prefix_filtered_pairs(spark, sf_dir, df_cap=DF_CAP)
+    df.collect()
+    plan = executed_plan(df)
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "collect_list" not in plan, plan
+    # >= 4: the AQE executed-plan string repeats subtrees in its
+    # "Initial Plan" section, so the count is a floor, not an identity
+    n_rdd_scans = len(re.findall(r"Scan ExistingRDD", plan))
+    assert n_rdd_scans >= 4, f"expected >=4 checkpoint reads, got {n_rdd_scans}\n{plan}"
