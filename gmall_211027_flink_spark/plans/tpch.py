@@ -452,6 +452,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (li.groupBy(F.col("l_suppkey").alias("suppkey"))
            .agg(F.sum(dec("l_extendedprice")
                       * (F.lit(1) - dec("l_discount"))).alias("total_rev")))
+    # Materialize rev ONCE (r15): the scalar-max branch and the
+    # join-back branch each rebuilt the full lineitem scan + supplier
+    # aggregate (executed plan: two separate shuffle stages, lineitem
+    # scanned twice, 0 ReusedExchange). rev is SUPPLIER-grain — ~1k
+    # rows at sf0.1, dim-sized at any scale — so the checkpoint is
+    # near-free while removing one full fact scan+agg. (Contrast q21,
+    # where the same trick was a measured wash because its diamond is
+    # order×supplier-grain — fact-sized; see OPTIMIZATION_r15.md.)
+    rev = rev.localCheckpoint()
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -1049,3 +1049,20 @@ def test_capped_jaccard_docsets_materialized_once(spark, sf_dir):
     # "Initial Plan" section, so the count is a floor, not an identity
     n_rdd_scans = len(re.findall(r"Scan ExistingRDD", plan))
     assert n_rdd_scans >= 4, f"expected >=4 checkpoint reads, got {n_rdd_scans}\n{plan}"
+
+
+def test_q15_revenue_diamond_materialized_once(spark, sf_dir):
+    """r15: q15's rev CTE feeds the scalar-max branch AND the join-back
+    branch; before the localCheckpoint the executed plan rebuilt the
+    lineitem scan + supplier aggregate for each (lineitem scanned
+    twice, 0 ReusedExchange — measured ~-26% cpu at the 10x facts
+    corpus after the fix). The checkpointed form must carry NO lineitem
+    scan in the query plan (the single scan runs at checkpoint build)
+    and read the materialized rev from ExistingRDD on both branches."""
+    from gmall_211027_flink_spark.plans.tpch import q15_top_supplier
+
+    df = q15_top_supplier(spark, str(sf_dir))
+    df.collect()
+    plan = executed_plan(df)
+    assert "lineitem" not in plan, plan
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2, plan
