@@ -642,8 +642,22 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderstatus") == "F")
          .select("o_orderkey", "o_orderdate"))
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
+    # Explicit IsNotNull(l_suppkey) on the SHARED ol subtree (r16,
+    # guide §2.4): the supplier-join branch pushes this predicate into
+    # its lineitem scan anyway, but the per_order branch did not, so the
+    # two ol subtrees never canonicalized equal and the lineitem⋈orders
+    # join + partial aggregate ran TWICE (0 ReusedExchange). Hoisting
+    # the same filter onto both branches lets AQE reuse the ol exchange
+    # (final plan: ReusedExchange on hashpartitioning(l_orderkey,
+    # l_suppkey); lineitem scanned once). Measured (noop min-of-3):
+    # 1x cpu 5.17 -> 3.00 s, 10x cpu 21.3 -> 18.0 s. Result-identical:
+    # l_suppkey is a join key of the final supplier join and the corpus
+    # has zero null l_suppkey at every SF (a null would already have
+    # been dropped from the final output; only per_order's supp_ct
+    # could see one, and there are none to see).
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .filter(F.col("l_suppkey").isNotNull()))
     late = (F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"))
     ol = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))

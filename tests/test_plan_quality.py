@@ -1051,6 +1051,28 @@ def test_capped_jaccard_docsets_materialized_once(spark, sf_dir):
     assert n_rdd_scans >= 4, f"expected >=4 checkpoint reads, got {n_rdd_scans}\n{plan}"
 
 
+def test_q21_ol_exchange_reused(spark, sf_dir):
+    """r16: q21's ol subtree (lineitem⋈orders + per-(order,supplier)
+    aggregate) feeds both the is_late branch and per_order. The
+    supplier join pushes IsNotNull(l_suppkey) into its branch's scan;
+    without the same filter on the other branch the two subtrees never
+    canonicalize equal and the join + partial aggregate ran twice.
+    With the hoisted filter the final AQE plan must REUSE the ol
+    exchange (hashpartitioning on (l_orderkey, l_suppkey)) instead of
+    rebuilding it — the free-reuse form of the diamond fix (the r15
+    localCheckpoint attempt measured a wash; this one measured
+    1x cpu 5.17 -> 3.00 s, 10x cpu 21.3 -> 18.0 s)."""
+    from gmall_211027_flink_spark.plans.tpch import q21_sole_late_supplier
+
+    df = q21_sole_late_supplier(spark, str(sf_dir))
+    df.collect()
+    plan = executed_plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    reused = [ln for ln in plan.splitlines() if "ReusedExchange" in ln]
+    assert any("l_suppkey" in ln and "hashpartitioning" in ln
+               for ln in reused), plan
+
+
 def test_q15_revenue_diamond_materialized_once(spark, sf_dir):
     """r15: q15's rev CTE feeds the scalar-max branch AND the join-back
     branch; before the localCheckpoint the executed plan rebuilt the
