@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
 from gmall_211027_flink_spark.registry import query
+from gmall_211027_flink_spark.session import checkpoint
 
 MIN_TOGETHER = 3      # edge threshold: co-purchased in >= 3 orders
 MAX_ROUNDS = 25
@@ -41,13 +42,13 @@ def min_label_components(edges: DataFrame) -> DataFrame:
     alone the analyzed plan still nests each round inside the next and
     round cost grows geometrically (measured on the sf0.001 co-purchase
     graph: rounds of 2 s -> 5 s -> 30 s -> 490 s under cache; 1 s flat
-    with checkpointing — 380 s -> 4 s total). On a real cluster swap
-    localCheckpoint for reliable `checkpoint()` against the job's
-    checkpoint dir so executor loss can't kill the fixpoint.
+    with checkpointing — 380 s -> 4 s total). On a real cluster set
+    SPARK_GRAFT_CHECKPOINT_DIR: session.checkpoint then uses reliable
+    `checkpoint()` so executor loss can't kill the fixpoint (r16).
     """
-    edges = edges.localCheckpoint()
-    labels = (edges.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    edges = checkpoint(edges)
+    labels = checkpoint(edges.select(F.col("u").alias("node")).distinct()
+                        .withColumn("label", F.col("node")))
     for _ in range(MAX_ROUNDS):
         neigh_min = (edges.join(labels, edges.v == labels.node)
                      .groupBy("u").agg(F.min("label").alias("nlabel")))
@@ -60,12 +61,11 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         # always node ids, so the self-join hits every row)
         parents = stepped.select(F.col("node").alias("p_node"),
                                  F.col("label").alias("p_label"))
-        new_labels = (
+        new_labels = checkpoint(
             stepped.join(parents, stepped.label == parents.p_node, "left")
             .select("node",
                     F.least("label", F.coalesce("p_label", "label"))
-                     .alias("label"))
-            .localCheckpoint())
+                     .alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())

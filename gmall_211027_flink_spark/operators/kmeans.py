@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_211027_flink_spark.catalog import load_table
+from gmall_211027_flink_spark.session import checkpoint
 from gmall_211027_flink_spark.operators.similarity import (
     N_QUERIES, TOP_K)
 from gmall_211027_flink_spark.registry import ORACLES, query
@@ -175,13 +176,14 @@ def train_centroids(spark: SparkSession, sf_dir: str,
                     F.lit(1).cast("bigint").alias("n")))
     for _ in range(n_iter):
         assign = _assign(ex, cent)
-        cent = (ex.join(assign.select("vec_id", "c"), "vec_id")
-                .groupBy("c", "dim")
-                .agg(F.sum("qx").cast("bigint").alias("sq"),
-                     F.count("*").cast("bigint").alias("n"))
-                # K x dim rows: truncate the per-iteration lineage growth
-                # (graph.py's bounded-round discipline)
-                .localCheckpoint())
+        cent = checkpoint(
+            ex.join(assign.select("vec_id", "c"), "vec_id")
+            .groupBy("c", "dim")
+            .agg(F.sum("qx").cast("bigint").alias("sq"),
+                 F.count("*").cast("bigint").alias("n")))
+        # K x dim rows: truncate the per-iteration lineage growth
+        # (graph.py's bounded-round discipline); reliable on clusters
+        # via SPARK_GRAFT_CHECKPOINT_DIR (session.checkpoint, r16)
     return cent
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from gmall_211027_flink_spark.catalog import load_table
 from gmall_211027_flink_spark.functions import dec, dsum_expr
 from gmall_211027_flink_spark.registry import query
+from gmall_211027_flink_spark.session import checkpoint
 
 LATE_DAYS = 60  # Q4 adaptation: "late" = shipped > 60 days after order
 
@@ -460,7 +461,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-free while removing one full fact scan+agg. (Contrast q21,
     # where the same trick was a measured wash because its diamond is
     # order×supplier-grain — fact-sized; see OPTIMIZATION_r15.md.)
-    rev = rev.localCheckpoint()
+    # session.checkpoint: reliable checkpoint() on clusters that set
+    # SPARK_GRAFT_CHECKPOINT_DIR, localCheckpoint locally (r16).
+    rev = checkpoint(rev)
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

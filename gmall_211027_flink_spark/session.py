@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "gmall_211027_flink_spark",
@@ -57,3 +57,30 @@ def get_spark(app_name: str = "gmall_211027_flink_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a reused intermediate, with the fault-tolerance
+    posture chosen by environment (r16, VERDICT r15 item 5).
+
+    Local default: ``localCheckpoint`` — blocks live in executor block
+    stores; lineage is CUT, so an executor loss fails the query instead
+    of recomputing. Right for local/bench runs and for small
+    intermediates that cost ~a full subtree rebuild per consumer.
+
+    100 TB profile: set ``SPARK_GRAFT_CHECKPOINT_DIR`` to a reliable
+    (HDFS/object-store) path and the same call sites switch to
+    ``checkpoint()`` — one write+read through the checkpoint dir buys
+    back executor-loss recovery where churn is real. The env var is a
+    cluster-profile knob, deliberately NOT a bench default: locally the
+    extra write would only add noise to the driver's comparisons.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir creates a fresh random subdir per call — set it
+    # once per session so repeated checkpoints share one tree
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
