@@ -101,7 +101,12 @@ def main() -> None:
         q_gc[name] = round(best_gc, 3)
         # legacy count()-timed series (the r1-r14 methodology), min-of-3
         # on the same warm session — kept so round-over-round deltas can
-        # be read against a like-for-like baseline
+        # be read against a like-for-like baseline. Ordering caveat
+        # (ADVICE r15): this loop runs AFTER the three noop executions
+        # above, so it is warmer (page cache, JIT, codegen) than the
+        # r1-r14 single-methodology series; the r15 and r16 legacy
+        # numbers share that ordering, so r15->r16 deltas are clean —
+        # only comparisons back to <= r14 inherit the small warm bias.
         n = 0
         best_c = float("inf")
         for _ in range(3):
@@ -180,11 +185,21 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # r16 (VERDICT r15 item 2): the compact line the driver parses
+        # must identify the timed methodology — PERF r15 mechanically
+        # compared count-timed r14 against noop-timed r15 and reported
+        # 11 phantom regressions. timed_action makes noop-vs-noop
+        # comparisons self-evident; headline_steal_s lets a high total
+        # be read as host noise without digging for bench_out.json.
+        "timed_action": "noop_write",
+        "headline_steal_s": hl_steal,
     }
     line = json.dumps(compact)
     if len(line) > 1000:  # hard guard: driver tail capture is ~2 KB
         line = json.dumps({"metric": compact["metric"], "value": total,
                            "unit": "sec", "sf": sf_val,
+                           "timed_action": "noop_write",
+                           "headline_steal_s": hl_steal,
                            "queries_detail": "see bench_out.json"})
     print(line)
 

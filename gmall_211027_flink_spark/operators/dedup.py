@@ -179,6 +179,12 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str,
     handful of intersection counts by at most 1, far below the
     threshold's resolution. For exact-recall audits, key on the shingle
     string (the oracle's form) at ~4x the shuffle bytes.
+
+    Construction-time side effect (ADVICE r15): the docsets checkpoint
+    below is EAGER, so merely building this query runs Spark jobs and
+    pins checkpoint blocks — deliberate (the bench times construction +
+    execution together; a lazy checkpoint would just move the same work
+    inside the first action), but explain-only flows pay it too.
     """
     # floor rational of the threshold (module top), or of an explicit
     # sweep threshold — the shingle subtree is threshold-free and
@@ -975,8 +981,10 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # committing a near-dup threshold to a full-corpus pass (too low melts
 # distinct documents together; too high leaves templated near-dups in).
 # One prefix-filtered pair generation at the LOWEST threshold feeds all
-# bands; the shingle/docset subtree is shared with the 0.8 pipelines via
-# the session cache.
+# bands; the SHINGLE subtree is shared with the 0.8 pipelines via the
+# session cache, while the docset subtree is checkpointed once per
+# _prefix_filtered_pairs call (r15 — per-call because its df filter
+# depends on the threshold).
 # ---------------------------------------------------------------------------
 
 SWEEP_THRESHOLDS = (0.7, 0.8, 0.9)

@@ -23,6 +23,9 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(2)
     tag = sys.argv[1]
     names = sys.argv[2:] or BENCH_QUERIES
     load_all()

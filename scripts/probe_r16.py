@@ -173,11 +173,15 @@ def simhash_variant(spark, sf_dir, shape: str):
     b = banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
-    first_band = F.expr(
-        f"size(filter(sequence(0, {SIMHASH_BANDS - 1}), j ->"
-        f" j < a.band_id AND ((shiftright(xor(a.simhash, b.simhash),"
-        f" cast(j * {SIMHASH_BAND_BITS} as int))"
-        f" & {SIMHASH_BAND_MASK}) = 0))) = 0")
+    # unrolled, allocation-free "no earlier band equal" predicate
+    h = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    earlier_equal = F.lit(False)
+    for j in range(SIMHASH_BANDS - 1):
+        band_j_equal = (F.shiftright(h, j * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK)) == 0)
+        earlier_equal = earlier_equal | (
+            (F.col("a.band_id") > j) & band_j_equal)
+    first_band = ~earlier_equal
     return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_val") == F.col("b.band_val"))
