@@ -58,7 +58,8 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # were 5-6 rounds old and exercise a different engine path).
     "q1_pricing_summary", "dim_snowflake_enrich",
     "dws_province_order_window", "rank_topk_events_per_user",
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh moved to _REVERIFY round 16: verify-side arrs
+    #  materialization changed this round — real code change -> re-gate)
     # (the ENTIRE remaining r1 block — ads_conditional_agg through
     #  dedup_cluster_canonical, 25 names — rotated to _REVERIFY round 12;
     #  the five r11 canaries range_join_price_band / q18_large_orders /
@@ -117,28 +118,17 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  round 15, topping the canary batch up to 40 after the r4 block)
     # (stats_histogram_equi_depth moved to _REVERIFY round 13:
     #  its exact-ntile expression gained the ANSI divisor guard)
-    "stats_gini_revenue", "stats_benford_audit",
-    "stats_hourly_autocorr", "dwd_window_join_click_error",
-    "dedup_bloom_membership_audit", "dedup_minhash_band_sweep",
-    "embedding_int8_quant_audit", "ann_ivf_nprobe_sweep",
-    "text_lang_confusion_audit", "sample_reservoir_per_group",
-    "sample_split_leakage_audit", "sample_temperature_rates",
-    "ads_basket_rules", "stream_decontaminate_ingest",
-    "decontaminate_span_report", "stream_last_value_compaction",
-    "stream_topk_gmv_maintenance", "stream_index_stats_maintenance",
-    "text_bm25_search", "dedup_span_exact", "text_ngram_novelty",
-    "text_zipf_fit", "vocab_coverage_curve", "dwd_window_join_streaming",
-    "dws_funnel_streaming", "ads_window_funnel",
-    "ads_sequence_match_negation", "ads_topn_with_others",
-    "ads_segment_overlap", "ads_prepurchase_paths",
-    "ads_hour_dow_heatmap",
+    # (the r5 block — stats_gini_revenue through source_json_roundtrip,
+    #  35 names — rotated to _REVERIFY round 16: the oldest driver
+    #  evidence left after the r15 rotation retired the r4 block and
+    #  r5 head; dedup_minhash_band_sweep also moved there as an r15/r16
+    #  touched-code re-gate.  pipeline_training_manifest stays on its
+    #  r5 evidence — the 50-name window is full.)
     # (ads_rfm_segmentation moved to _REVERIFY round 15: its
     #  per-customer base aggregate extracted into the shared
     #  rfm_readout the new stream_rfm_maintenance twin drains
     #  through — code motion -> re-gate)
-    "dwd_error_burst_windows", "stream_ks_drift_monitor",
-    "graph_label_propagation", "source_csv_roundtrip",
-    "source_json_roundtrip", "pipeline_training_manifest",
+    "pipeline_training_manifest",
     # round 6 (CORRECTNESS_r06.json, 50/50 green — the 31 round-6
     # additions below plus 19 re-sampled already-proven names)
     "stats_mannwhitney_drift", "stats_chi2_independence",
@@ -258,9 +248,12 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "ads_repeat_purchase_intervals", "quality_psi_drift",
     "ads_value_tier_migration", "quality_time_spine_gaps",
     "lake_ndv_stats_audit", "stream_cusum_maintenance",
-    "stream_psi_maintenance", "graph_lpa_modularity", "kmeans_lloyd",
-    "ann_ivf_kmeans_recall", "ann_pq_recall", "ml_silhouette_simplified",
-    "semdedup_prune", "multimodal_jpeg_color_pixels",
+    "stream_psi_maintenance", "graph_lpa_modularity",
+    # (kmeans_lloyd, ann_ivf_kmeans_recall, ann_pq_recall,
+    #  ml_silhouette_simplified, semdedup_prune moved to _REVERIFY
+    #  round 16: train_centroids' per-iteration materialization now
+    #  routes through session.checkpoint — code motion -> re-gate)
+    "multimodal_jpeg_color_pixels",
     "multimodal_jpeg_restart_pixels",
     # round 11 (CORRECTNESS_r11.json, 50/50 green — the 43 round-11
     # additions below plus the 7 round-11 canaries (5 batch r1-vintage +
@@ -300,9 +293,12 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "window_sliding_frame_avg", "dws_hopping_window",
     "dws_cumulate_window", "window_ntile_quartiles",
     "dws_rolling_7d_distinct_users", "ads_mom_growth",
-    "window_percentile_position", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_cluster_canonical",
-    "dedup_ngram_jaccard_capped", "ann_cosine_topk",
+    "window_percentile_position", "dedup_exact",
+    "dedup_simhash", "ann_cosine_topk",
+    # (dedup_ngram_jaccard, dedup_ngram_jaccard_capped,
+    #  dedup_cluster_canonical moved to _REVERIFY round 16: the shared
+    #  docsets materialization routes through session.checkpoint and
+    #  the prefix-pipeline was r15-edited — re-gate)
     "ann_cosine_topk_pandas",
     "dws_cumulate_streaming", "dwd_stream_dedup_within_watermark",
     # then the 20 r12 additions, all green in the same gate
@@ -376,18 +372,28 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     #  constant — ADVICE r14 closures touch its code path -> re-gate)
     "stats_cochran_q", "stats_seasonal_mann_kendall", "stats_durbin",
     "stream_mk_maintenance", "pii_redact_ids", "asof_join_window",
-    "dws_union_traffic_window", "dedup_minhash_recall",
+    "dws_union_traffic_window",
+    # (dedup_minhash_recall moved to _REVERIFY round 16: consumes the
+    #  r15-edited prefix pipeline + session.checkpoint code motion)
     "quality_filter_rules", "dwd_bounce_detection", "dws_sessionization",
     "vocab_bigram_counts", "stream_quality_filter_documents",
     "decontaminate_ngram", "knn_label_vote", "knn_label_vote_lsh",
     "decontaminate_fuzzy_minhash", "q4_late_order_priority",
     "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
     "q14_promo_revenue_share", "q2_min_price_part", "q9_type_profit",
-    "q13_order_count_distribution", "q15_top_supplier",
+    "q13_order_count_distribution",
+    # (q15_top_supplier moved to _REVERIFY round 16: r15-edited, and it
+    #  rotated OUT of the r15 window — VERDICT r15 item 6 asks for its
+    #  driver-side re-proof; also session.checkpoint code motion)
     "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q21_sole_late_supplier",
+    "q19_disjunctive_revenue",
+    # (q21_sole_late_supplier moved to _REVERIFY round 16: IsNotNull
+    #  symmetrization changed its code this round -> re-gate)
     "q22_sales_opportunity", "q20_dominant_supplier",
-    "q11_important_balance_share", "graph_components_copurchase",
+    "q11_important_balance_share",
+    # (graph_components_copurchase moved to _REVERIFY round 16:
+    #  min_label_components now routes through session.checkpoint —
+    #  code motion -> re-gate)
     "mixture_weighted_sample", "q12_lateness_priority",
     "seq_pack_token_budget", "stats_key_skew",
     "dwd_order_detail_join_streaming", "stream_sample_ingest",
@@ -395,53 +401,20 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "multimodal_adpcm_polezero", "stream_cochran_maintenance",
     "stream_cox_stuart_maintenance", "stream_mood_maintenance",
     "layout_hilbert_locality",
-)
-
-# Queries that MUST be sampled first by this round's gate: the
-# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
-# round the OLDEST driver-proven names move here so their proofs get
-# refreshed by the driver instead of relying on judge spot-checks.
-# Round 15 (VERDICT r14 item 1): the r14 window folded back into
-# _DRIVER_PROVEN; the new window = r15-EDITED re-gates + the new r15
-# queries + staleness canaries from the next-oldest evidence (the
-# remaining r4 block, then the r5 head, incl. >= 2 streaming proofs)
-# topped up to exactly 50.  Fold back into _DRIVER_PROVEN once
-# CORRECTNESS_r15 lands, and rotate the next-oldest batch in round 16
-# (the rest of the r5 block: stats_gini_revenue onward).
-# NOTE the window-count rule: the gate window = count of names NOT in
-# _DRIVER_PROVEN, which already INCLUDES these — budget new queries to
-# keep that single number <= 50 (tests/test_registry_budget.py
-# enforces it).
-_REVERIFY: tuple[str, ...] = (
-    # r15-EDITED queries: code changed this round, so their prior
-    # driver proofs are stale by definition (the r9
-    # multimodal_decode_meta re-gate precedent) — the three rank-stats
-    # batch queries had their readouts extracted into shared helpers
-    # (hoeffding_readout / ansari_bradley_readout / kendalls_w_readout,
-    # drained by the new r15 stream twins) and Hoeffding / Kendall's-W
-    # batch wk switched to F.floor for store shape-identity; the RFM
-    # batch query's per-customer base aggregate moved into the shared
-    # rfm_readout; stream_durbin_maintenance's store build moved to
-    # the shared _drained_weekly_cents_store builder; and
-    # multimodal_jpeg_arith_pixels sits on the ADVICE-r14-touched
-    # encoder/range-coder path (ZRL emission, derived flush
-    # allowance):
+    # round 15 (CORRECTNESS_r15.json, 50/50 green): the r15 window —
+    # the 6 edited re-gates, the r4-block canaries (incl. five
+    # streaming proofs) and the r5-head canaries, all re-proven on r15
+    # evidence.  (dedup_threshold_sweep does NOT fold in: its docsets
+    # call path was touched again in r16 — stays in _REVERIFY)
     "stats_hoeffding_d", "stats_ansari_bradley", "stats_kendalls_w",
     "ads_rfm_segmentation", "stream_durbin_maintenance",
     "multimodal_jpeg_arith_pixels",
-    # r4-vintage batch canaries (the remaining r4 block — oldest
-    # driver evidence on the books after the r14 rotation retired the
-    # r3 block and the r4 head), including five r4-era STREAMING
-    # proofs (dwd_stream_static_dim_join, dws_tumble_append_streaming,
-    # dws_incremental_agg_maintenance, stream_dedup_minhash_incremental,
-    # dim_scd2_stream_maintenance) so the rotation refreshes the
-    # streaming path too (VERDICT r14 item 1):
     "stats_hll_accuracy_audit", "stats_approx_percentile_audit",
     "stats_mad_outliers", "dwd_jump_consecutive_entries",
     "dws_gapfill_interpolate", "stats_exact_percentiles",
     "ads_path_transition_matrix", "dim_scd2_history",
     "dwd_temporal_scd2_join", "topk_gmv_days_with_ties",
-    "dedup_passage_exact", "dedup_threshold_sweep", "dedup_containment",
+    "dedup_passage_exact", "dedup_containment",
     "ann_ivf_recall", "ann_hard_negatives",
     "vocab_pmi_topk", "bpe_top_merges", "multimodal_sniff_magic_bytes",
     "multimodal_payload_dedup", "multimodal_header_decode",
@@ -453,10 +426,69 @@ _REVERIFY: tuple[str, ...] = (
     "dim_scd2_stream_maintenance", "q8_market_share",
     "graph_pagerank_copurchase", "graph_triangles_copurchase",
     "dwd_log_split_fanout", "embedding_random_projection",
-    # r5-head canaries (next-oldest after r4), topping the canary
-    # batch up to 40:
     "ann_projected_recall", "ann_mmr_diversified",
     "stats_regression_trend", "stats_ks_drift",
+    # ... and the four r15-NEW stream twins (registered after the r15
+    # _REVERIFY, green in the same gate):
+    "stream_ansari_maintenance", "stream_kendalls_w_maintenance",
+    "stream_hoeffding_maintenance", "stream_rfm_maintenance",
+)
+
+# Queries that MUST be sampled first by this round's gate: the
+# STALENESS CANARY rotation (started round 8, VERDICT r7 item 1).  Each
+# round the OLDEST driver-proven names move here so their proofs get
+# refreshed by the driver instead of relying on judge spot-checks.
+# Round 16 (VERDICT r15 item 6): the r15 window folded back into
+# _DRIVER_PROVEN; the new window = r16-EDITED re-gates (q21 IsNotNull
+# symmetrization, dedup_minhash_lsh verify materialization), the
+# r15-edited-but-unsampled names VERDICT r15 flagged (q15_top_supplier
+# and the prefix-pipeline consumers), the session.checkpoint
+# code-motion consumers (graph components, k-means family), and
+# staleness canaries from the next-oldest evidence (the rest of the r5
+# block, incl. >= 2 streaming proofs) — exactly 50.  Fold back into
+# _DRIVER_PROVEN once CORRECTNESS_r16 lands, and rotate the
+# next-oldest batch in round 17 (the r6 block: stats_mannwhitney_drift
+# onward, plus pipeline_training_manifest left behind this round).
+# NOTE the window-count rule: the gate window = count of names NOT in
+# _DRIVER_PROVEN, which already INCLUDES these — budget new queries to
+# keep that single number <= 50 (tests/test_registry_budget.py
+# enforces it).
+_REVERIFY: tuple[str, ...] = (
+    # r16-EDITED queries (real code changes this round):
+    "q21_sole_late_supplier", "dedup_minhash_lsh",
+    # r15-edited names whose driver proof is stale (VERDICT r15 items
+    # 5/6: q15 rotated out of the r15 window; the five prefix-pipeline
+    # consumers ride the r15 docsets checkpoint) — all also sit on the
+    # r16 session.checkpoint code motion:
+    "q15_top_supplier", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_threshold_sweep",
+    "dedup_cluster_canonical", "dedup_minhash_recall",
+    "dedup_minhash_band_sweep",
+    # session.checkpoint code-motion consumers (min_label_components,
+    # train_centroids now route through the env-gated helper):
+    "graph_components_copurchase", "kmeans_lloyd",
+    "ann_ivf_kmeans_recall", "ann_pq_recall", "ml_silhouette_simplified",
+    "semdedup_prune",
+    # r5-block staleness canaries (the oldest driver evidence on the
+    # books), incl. seven streaming-path proofs:
+    "stats_gini_revenue", "stats_benford_audit",
+    "stats_hourly_autocorr", "dwd_window_join_click_error",
+    "dedup_bloom_membership_audit",
+    "embedding_int8_quant_audit", "ann_ivf_nprobe_sweep",
+    "text_lang_confusion_audit", "sample_reservoir_per_group",
+    "sample_split_leakage_audit", "sample_temperature_rates",
+    "ads_basket_rules", "stream_decontaminate_ingest",
+    "decontaminate_span_report", "stream_last_value_compaction",
+    "stream_topk_gmv_maintenance", "stream_index_stats_maintenance",
+    "text_bm25_search", "dedup_span_exact", "text_ngram_novelty",
+    "text_zipf_fit", "vocab_coverage_curve", "dwd_window_join_streaming",
+    "dws_funnel_streaming", "ads_window_funnel",
+    "ads_sequence_match_negation", "ads_topn_with_others",
+    "ads_segment_overlap", "ads_prepurchase_paths",
+    "ads_hour_dow_heatmap",
+    "dwd_error_burst_windows", "stream_ks_drift_monitor",
+    "graph_label_propagation", "source_csv_roundtrip",
+    "source_json_roundtrip",
 )
 
 

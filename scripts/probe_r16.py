@@ -332,6 +332,58 @@ def probe_ann(spark, sf_dir):
           lambda: e.select("vec_id", "norm"), runs=5)
 
 
+# ---------------------------------------------------------- streamstartup
+def probe_streamstartup(spark, sf_dir):
+    """VERDICT r15 item 9: split the ~1 s fixed availableNow micro-batch
+    cost into Spark streaming machinery vs repo operator code. Three
+    timings over the SAME sf0.001 events data (min-of-3 after one
+    throwaway warm batch each):
+      batch_direct   the trivial projection as a plain batch collect
+      stream_trivial the same projection through an availableNow
+                     file-stream -> memory sink (pure machinery delta)
+      stream_repo    a real repo path (tumbling_agg) availableNow
+    """
+    from gmall_211027_flink_spark.sources.files import stream_events
+    from gmall_211027_flink_spark.streaming.windows import tumbling_agg
+    d = "/root/testdata/sf0.001"
+
+    def batch_direct():
+        from gmall_211027_flink_spark.catalog import load_table
+        load_table(spark, d, "events").select("event_id", "user_id").count()
+
+    uid = [0]
+
+    def stream(mk_out, mode):
+        uid[0] += 1
+        name = f"ss_probe_{uid[0]}"
+        src = stream_events(spark, d)
+        q = (mk_out(src).writeStream.format("memory").queryName(name)
+             .outputMode(mode)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+
+    def trivial(src):
+        return src.select("event_id", "user_id")
+
+    def repo_path(src):
+        return tumbling_agg(
+            src, "ts", "10 minutes", "2 seconds", ["event_type"],
+            [F.count("*").alias("pv_ct"),
+             F.approx_count_distinct("user_id").alias("uv_ct")])
+
+    for label, fn in (("batch_direct", batch_direct),
+                      ("stream_trivial", lambda: stream(trivial, "append")),
+                      ("stream_repo_tumbling",
+                       lambda: stream(repo_path, "complete"))):
+        fn()  # warm once
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        print(f"streamstartup:{label}: wall {best:.3f}s")
+
+
 # ----------------------------------------------------------------- nulls
 def probe_nulls(spark, sf_dir):
     for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -353,6 +405,7 @@ def main():
     spark = get_spark(f"probe_r16_{probe}")
     fn = {"minhash": probe_minhash, "simhash": probe_simhash,
           "q21": probe_q21, "snowflake": probe_snowflake,
+          "streamstartup": probe_streamstartup,
           "ann": probe_ann, "nulls": probe_nulls}[probe]
     fn(spark, sf_dir)
 
